@@ -1,0 +1,104 @@
+"""Benchmark harness — headline queries + full-pipeline throughput.
+
+Runs every registry query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], forcing full
+materialization through the noop sink (no driver collect), and measures
+the CDC pipeline operator-chain throughput (eventize → filter → changes →
+route → order → serialize → noop), the analog of the reference's
+BenchmarkSource → benchmark-sink harness (lib/sequin/benchmark/).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
+    """Full operator chain over the eventized stream, rows/sec."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.cdc import eventize_lineitem, eventize_orders
+    from sequin_spark.functions.routing import route
+    from sequin_spark.operators.grouping import sort_for_delivery
+    from sequin_spark.operators.source_filter import Source, apply_action_filter, apply_source_filter
+
+    ev = eventize_orders(spark, sf_dir).unionByName(eventize_lineitem(spark, sf_dir))
+    n = ev.count()
+    t0 = time.time()
+    out = apply_source_filter(ev, Source(include_schemas=["public"]))
+    out = apply_action_filter(out, ["insert", "update", "delete"])
+    out = route(out, "kafka")
+    out = sort_for_delivery(out)
+    out = out.select(
+        F.col("topic"),
+        F.col("message_key").alias("key"),
+        F.to_json(F.struct("action", "record", "changes", "commit_lsn", "commit_idx")).alias("value"),
+    )
+    _force(out)
+    return time.time() - t0, n
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
+
+    from sequin_spark.queries import QUERIES
+    from sequin_spark.session import get_spark
+
+    spark = get_spark("sequin_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: JVM/codegen on the smallest sf
+    warm_dir = "/root/testdata/sf0.001"
+    try:
+        _force(QUERIES["pipeline_flagship"](spark, warm_dir))
+    except Exception:  # noqa: BLE001
+        pass
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name, fn in QUERIES.items():
+        t0 = time.time()
+        try:
+            _force(fn(spark, sf_dir))
+            dt = time.time() - t0
+        except Exception:  # noqa: BLE001
+            dt = -1.0
+        per_query[name] = round(dt, 3)
+        if dt > 0:
+            total += dt
+
+    pipe_sec, pipe_rows = pipeline_throughput(spark, sf_dir)
+    ops_per_sec = int(pipe_rows / pipe_sec) if pipe_sec > 0 else 0
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "pipeline_rows": pipe_rows,
+                "pipeline_sec": round(pipe_sec, 3),
+                "pipeline_ops_per_sec": ops_per_sec,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Routing functions — dynamic sink-coordinate computation.
+
+Reference: lib/sequin/runtime/routing/routing.ex:19-57,105-135 — a routing
+function returns a map merged over per-sink defaults, validated against a
+per-sink schema (lib/sequin/runtime/routing/consumers/*.ex, 15 sinks).
+
+Spark mapping: each routable key becomes a column (``topic``,
+``message_key``, ...). The Kafka sink natively routes by the ``topic``
+column; foreachBatch sinks group on the routing struct — the same
+batch-key semantics as the reference's Broadway batcher
+(http_push_pipeline.ex:85-90 put_batch_key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# sink_type → {routable_key: default Column factory}
+# Defaults cited per reference routing/consumers/*.ex.
+
+
+def _default_kafka_topic() -> Column:
+    # routing/consumers/kafka.ex:27-33: "sequin.{table_schema}.{table_name}"
+    return F.concat(F.lit("sequin."), F.col("table_schema"), F.lit("."), F.col("table_name"))
+
+
+def _default_redis_key() -> Column:
+    # routing/consumers/redis_string.ex:26-43: "sequin:{table}:{pks}"
+    return F.concat(
+        F.lit("sequin:"), F.col("table_name"), F.lit(":"), F.array_join(F.col("record_pks"), ":")
+    )
+
+
+def _default_nats_subject() -> Column:
+    # routing/consumers/nats.ex: sequin.<db>.<schema>.<table>.<action>
+    return F.concat(
+        F.lit("sequin.postgres."),
+        F.col("table_schema"),
+        F.lit("."),
+        F.col("table_name"),
+        F.lit("."),
+        F.col("action"),
+    )
+
+
+ROUTING_SCHEMAS: dict[str, dict[str, object]] = {
+    "kafka": {"topic": _default_kafka_topic, "message_key": lambda: F.col("group_id")},
+    "http_push": {
+        "method": lambda: F.lit("POST"),
+        "endpoint_path": lambda: F.lit(""),
+        "headers": lambda: F.lit(None).cast("map<string,string>"),
+    },
+    "redis_string": {
+        "key": _default_redis_key,
+        # set on insert/update/read, del on delete (redis_string.ex:26-43)
+        "redis_action": lambda: F.when(F.col("action") == "delete", F.lit("del")).otherwise(F.lit("set")),
+        "expire_ms": lambda: F.lit(None).cast("long"),
+    },
+    "redis_stream": {"stream_key": _default_redis_key},
+    "gcp_pubsub": {"topic_id": _default_kafka_topic},
+    "nats": {"subject": _default_nats_subject},
+    "sqs": {"queue_url": lambda: F.lit(None).cast("string")},
+    "sns": {"topic_arn": lambda: F.lit(None).cast("string")},
+    "kinesis": {
+        "stream_arn": lambda: F.lit(None).cast("string"),
+        "partition_key": lambda: F.col("group_id"),
+    },
+    "s2": {"stream": lambda: F.lit(None).cast("string")},
+    "azure_event_hub": {"event_hub_name": lambda: F.lit(None).cast("string")},
+    "rabbitmq": {
+        "exchange": lambda: F.lit("sequin"),
+        "routing_key": _default_nats_subject,
+    },
+    "typesense": {
+        "collection": lambda: F.col("table_name"),
+        "index_action": lambda: F.when(F.col("action") == "delete", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    },
+    "meilisearch": {
+        "index_name": lambda: F.col("table_name"),
+        "index_action": lambda: F.when(F.col("action") == "delete", F.lit("delete")).otherwise(
+            F.lit("upsert")
+        ),
+    },
+    "elasticsearch": {
+        "index_name": lambda: F.col("table_name"),
+        "index_action": lambda: F.when(F.col("action") == "delete", F.lit("delete")).otherwise(
+            F.lit("index")
+        ),
+    },
+}
+
+
+def route(df: DataFrame, sink_type: str, overrides: dict[str, Column] | None = None) -> DataFrame:
+    """Attach routing columns: defaults merged with user overrides
+    (routing.ex:105-135 — override wins; unknown keys rejected)."""
+    schema = ROUTING_SCHEMAS.get(sink_type)
+    if schema is None:
+        raise ValueError(f"no routing schema for sink type {sink_type!r}")
+    overrides = overrides or {}
+    unknown = set(overrides) - set(schema)
+    if unknown:
+        raise ValueError(f"routing keys {sorted(unknown)} not in {sink_type} schema {sorted(schema)}")
+    out = df
+    for key, default_factory in schema.items():
+        col = overrides.get(key)
+        if col is None:
+            col = default_factory()
+        out = out.withColumn(key, col)
+    return out

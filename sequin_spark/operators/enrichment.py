@@ -1,0 +1,45 @@
+"""Enrichment — the reference's only JOIN operator.
+
+Reference: user SQL run against the source Postgres with batched PK
+arrays (``WHERE id = ANY($1)``), results merged into
+``metadata.enrichment`` by PK equality (consumers.ex:1656-1700+,
+sink_pipeline.ex:263-268). Single-table consumers only.
+
+Spark mapping: a stream-static **left** equi-join on the PK columns.
+The enrichment relation is a dimension (bounded result of a SQL query)
+→ ``broadcast()`` it so the event stream never shuffles. At 100 TB of
+events with a multi-GB dimension, switch to a shuffled join bucketed on
+the PK — the helper takes ``broadcast_dim`` for that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def enrich(
+    events: DataFrame,
+    dim: DataFrame,
+    on: dict[str, str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Left-join ``dim`` onto events and pack its columns into an
+    ``enrichment`` struct column (merged into metadata downstream).
+
+    ``on`` maps event-side expressions (usually record PK entries, e.g.
+    ``record['o_custkey']``) to dim column names.
+    """
+    d = dim.select([F.col(c).alias(f"__enr_{c}") for c in dim.columns])
+    if broadcast_dim:
+        d = broadcast(d)
+    cond = None
+    for ev_expr, dim_col in on.items():
+        dcol = F.col(f"__enr_{dim_col}")
+        c = F.expr(ev_expr).cast("string") == dcol.cast("string")
+        cond = c if cond is None else (cond & c)
+    joined = events.join(d, cond, "left")
+    enr_cols = [F.col(f"__enr_{c}").alias(c) for c in dim.columns]
+    joined = joined.withColumn("enrichment", F.struct(*enr_cols))
+    return joined.drop(*[f"__enr_{c}" for c in dim.columns])

@@ -1,0 +1,61 @@
+"""Grouping, ordering, and deliverable selection.
+
+The reference's stateful core is the per-group ordered delivery buffer
+(lib/sequin/runtime/slot_message_store_state.ex): messages are delivered
+in (commit_lsn, commit_idx) order *within* a group_id, groups proceed
+independently, and a group with an outstanding (unacked or
+backoff-blocked) message blocks its later messages
+(slot_message_store_state.ex:432-478).
+
+Spark mapping: a shuffle on group_id co-locates each group, and a window
+sort restores the total order inside it — the reference's ReorderBuffer
+(slot_producer/reorder_buffer.ex) plus deliverable selection become one
+repartition + sortWithinPartitions / row_number. At 100 TB the shuffle is
+hash-partitioned on group_id (≈ PK), which is near-uniform; skew only
+appears if one key is hot, which AQE skew-join/salting handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+CURSOR = ["commit_lsn", "commit_idx"]
+
+
+def repartition_by_group(df: DataFrame, partition_count: int | None = None) -> DataFrame:
+    """partition_count-way shard by group hash (sink_consumer.ex:97,
+    slot_message_store.ex:224-300 `:erlang.phash2` sharding)."""
+    if partition_count:
+        return df.repartition(partition_count, "group_id")
+    return df.repartition("group_id")
+
+
+def order_within_groups(df: DataFrame) -> DataFrame:
+    """Assign per-group delivery sequence number (1 = next deliverable).
+
+    Null group_id rows are delivered independently
+    (slot_message_store_state.ex:432-478) → they get deliver_seq 1 by
+    ordering over a unique synthetic group (the cursor itself).
+    """
+    grp = F.coalesce(
+        F.col("group_id"),
+        F.concat(F.lit("\x00"), F.col("commit_lsn"), F.lit(":"), F.col("commit_idx")),
+    )
+    w = Window.partitionBy(grp).orderBy(F.col("commit_lsn"), F.col("commit_idx"))
+    return df.withColumn("deliver_seq", F.row_number().over(w))
+
+
+def deliverable_messages(df: DataFrame, batch_size: int | None = None) -> DataFrame:
+    """First undelivered message per group = deliverable set
+    (group-blocking: later messages wait until the head is acked)."""
+    out = order_within_groups(df).filter(F.col("deliver_seq") == 1).drop("deliver_seq")
+    if batch_size:
+        out = out.orderBy(*CURSOR).limit(batch_size)
+    return out
+
+
+def sort_for_delivery(df: DataFrame) -> DataFrame:
+    """Cluster by group, restore cursor order within each partition —
+    the physical layout foreachBatch delivery iterates over."""
+    return df.repartition("group_id").sortWithinPartitions("group_id", *CURSOR)

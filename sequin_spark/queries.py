@@ -1,0 +1,645 @@
+"""Query registry — one entry per implemented operator (SURVEY.md §2).
+
+Each query is a (spark, sf_dir) → DataFrame callable exercising a real
+engine operator over the TESTDATA tables, paired with equivalent ANSI SQL
+for the DuckDB oracle. Column names/aliases match exactly on both sides
+(the driver hash-compares after sorting columns by name).
+
+The CDC-operator queries run over the deterministic eventized stream
+(see cdc.eventize contract); the oracle SQL re-derives the same events
+with plain SQL arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from sequin_spark import cdc
+from sequin_spark.cdc import (
+    eventize_customer,
+    eventize_events,
+    eventize_lineitem,
+    eventize_orders,
+    load_table,
+)
+from sequin_spark.functions.minipy import compile_expr
+from sequin_spark.functions.path import path_function
+from sequin_spark.functions.routing import route
+from sequin_spark.operators.changes import UNCHANGED_TOAST, changes_expr, toast_filled_expr
+from sequin_spark.operators.column_filter import ColumnFilter, apply_column_filters
+from sequin_spark.operators.dedup import dedup_replays, ledger_anti_join
+from sequin_spark.operators.enrichment import enrich
+from sequin_spark.operators.grouping import deliverable_messages
+from sequin_spark.operators.payload import format_timestamp, with_metadata
+from sequin_spark.operators.source_filter import (
+    Source,
+    apply_action_filter,
+    apply_source_filter,
+    drop_internal_schemas,
+)
+from sequin_spark.sources.backfill import backfill_snapshot, fence_merge, keyset_page
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side eventize (mirrors cdc.eventize contract 1:1)
+
+def _ev_sql(table: str, k: str, group_sql: str) -> str:
+    lsn = f"1000000 + (({k}) // 8)"
+    idx = f"({k}) % 8"
+    return f"""SELECT *,
+  CASE WHEN ({k}) % 10 <= 5 THEN 'insert'
+       WHEN ({k}) % 10 <= 8 THEN 'update'
+       ELSE 'delete' END AS action,
+  {lsn} AS commit_lsn,
+  {idx} AS commit_idx,
+  {group_sql} AS group_id,
+  base64(encode(cast({lsn} AS varchar) || ':' || cast({idx} AS varchar))) AS idempotency_key
+FROM {table}"""
+
+
+EV_ORDERS = _ev_sql("orders", "o_orderkey", "cast(o_orderkey AS varchar)")
+EV_LINEITEM = _ev_sql(
+    "lineitem",
+    "l_orderkey * 8 + l_linenumber",
+    "cast(l_orderkey AS varchar) || ':' || cast(l_linenumber AS varchar)",
+)
+EV_EVENTS = _ev_sql("events", "event_id", "cast(event_id AS varchar)")
+EV_CUSTOMER = _ev_sql("customer", "c_custkey", "cast(c_custkey AS varchar)")
+
+
+# ---------------------------------------------------------------------------
+# CDC pipeline operators
+
+def q_pipeline_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end: eventize → internal-schema drop → source filter →
+    action filter → kafka routing → per-(topic, action) delivery stats."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir)
+    ev = drop_internal_schemas(ev)
+    ev = apply_source_filter(ev, Source(include_schemas=["public"], include_tables=["orders"]))
+    ev = apply_action_filter(ev, ["insert", "update"])
+    ev = route(ev, "kafka")
+    return ev.groupBy("topic", "action").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("group_id").alias("n_groups"),
+        F.min("commit_lsn").alias("min_lsn"),
+        F.max("commit_lsn").alias("max_lsn"),
+    )
+
+
+SQL_PIPELINE_FLAGSHIP = f"""
+WITH ev AS ({EV_ORDERS})
+SELECT 'sequin.public.orders' AS topic, action, count(*) AS n,
+       count(DISTINCT group_id) AS n_groups,
+       min(commit_lsn) AS min_lsn, max(commit_lsn) AS max_lsn
+FROM ev WHERE action IN ('insert', 'update')
+GROUP BY action
+"""
+
+
+def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source scoping: include schema, exclude table (source.ex:44-52)."""
+    _prep(spark)
+    ev = (
+        eventize_orders(spark, sf_dir)
+        .unionByName(eventize_lineitem(spark, sf_dir))
+        .unionByName(eventize_events(spark, sf_dir))
+    )
+    ev = apply_source_filter(ev, Source(include_schemas=["public"], exclude_tables=["events"]))
+    return ev.groupBy("table_name", "action").agg(F.count("*").alias("n"))
+
+
+SQL_SOURCE_FILTER = f"""
+WITH ev_o AS ({EV_ORDERS}), ev_l AS ({EV_LINEITEM})
+SELECT 'orders' AS table_name, action, count(*) AS n FROM ev_o GROUP BY action
+UNION ALL
+SELECT 'lineitem' AS table_name, action, count(*) AS n FROM ev_l GROUP BY action
+"""
+
+
+def q_action_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Action filter with backfill `read` passthrough (consumers.ex:1188-1199)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    snapshot = backfill_snapshot(
+        keyset_page(cust, ["c_custkey"], None, 100), "customer", ["c_custkey"]
+    )
+    ev = eventize_lineitem(spark, sf_dir).select(*snapshot.columns)
+    merged = ev.unionByName(snapshot)
+    return apply_action_filter(merged, ["delete"]).groupBy("action").agg(F.count("*").alias("n"))
+
+
+SQL_ACTION_FILTER = """
+SELECT action, count(*) AS n FROM (
+  SELECT 'read' AS action FROM (SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 100)
+  UNION ALL
+  SELECT 'delete' AS action FROM lineitem WHERE (l_orderkey * 8 + l_linenumber) % 10 = 9
+) t GROUP BY action
+"""
+
+
+def q_column_filter_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column filters: >, in, jsonb_path >=, not_null (column_filter.ex)."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    ev = apply_column_filters(
+        ev,
+        [
+            ColumnFilter("value", ">", 100.0, "number"),
+            ColumnFilter("event_type", "in", ["click", "view"], "string"),
+            ColumnFilter("props", ">=", 50, "integer", jsonb_path="k"),
+            ColumnFilter("user_id", "not_null"),
+        ],
+    )
+    return ev.select(
+        F.col("record").getItem("event_id").cast("long").alias("event_id"),
+        F.col("record").getItem("value").cast("double").alias("value"),
+        F.col("record").getItem("event_type").alias("event_type"),
+    )
+
+
+SQL_COLUMN_FILTER_OPS = """
+SELECT event_id, value, event_type FROM events
+WHERE value > 100.0 AND event_type IN ('click', 'view')
+  AND cast(json_extract_string(props, '$.k') AS bigint) >= 50
+  AND user_id IS NOT NULL
+"""
+
+
+def q_column_filter_ci_jsonb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ci-string equality + jsonb_path < (consumers.ex:1294-1310)."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    ev = apply_column_filters(
+        ev,
+        [
+            ColumnFilter("event_type", "==", "PURCHASE", "cistring"),
+            ColumnFilter("props", "<", 20, "integer", jsonb_path="k"),
+        ],
+    )
+    return ev.select(
+        F.col("record").getItem("event_id").cast("long").alias("event_id"),
+        F.get_json_object(F.col("record").getItem("props"), "$.k").cast("long").alias("props_k"),
+    )
+
+
+SQL_COLUMN_FILTER_CI_JSONB = """
+SELECT event_id, cast(json_extract_string(props, '$.k') AS bigint) AS props_k
+FROM events
+WHERE lower(event_type) = 'purchase'
+  AND cast(json_extract_string(props, '$.k') AS bigint) < 20
+"""
+
+
+def q_changes_diff_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """changes diff (consumers.ex:661-676) + TOAST fill
+    (message_handler.ex:309-361) via map higher-order functions."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir).filter(F.col("action") == "update")
+    # pre-image: same row but with the old status; new row carries an
+    # unchanged-TOAST marker for o_orderpriority
+    ev = ev.withColumn(
+        "old_record",
+        F.map_concat(
+            F.map_filter(F.col("record"), lambda k, v: k != F.lit("o_orderstatus")),
+            F.create_map(
+                F.lit("o_orderstatus"),
+                F.concat(F.lit("old:"), F.col("record").getItem("o_orderstatus")),
+            ),
+        ),
+    ).withColumn(
+        "record",
+        F.map_concat(
+            F.map_filter(F.col("record"), lambda k, v: k != F.lit("o_orderpriority")),
+            F.create_map(F.lit("o_orderpriority"), F.lit(UNCHANGED_TOAST)),
+        ),
+    )
+    ev = ev.withColumn("record", toast_filled_expr("record", "old_record"))
+    ev = ev.withColumn("changes", changes_expr("record", "old_record"))
+    return ev.select(
+        F.col("record").getItem("o_orderkey").cast("long").alias("o_orderkey"),
+        F.array_join(F.array_sort(F.map_keys(F.col("changes"))), ",").alias("changed_keys"),
+        F.col("changes").getItem("o_orderstatus").alias("old_status"),
+        F.col("record").getItem("o_orderpriority").alias("filled_priority"),
+    )
+
+
+SQL_CHANGES_DIFF_TOAST = f"""
+WITH ev AS ({EV_ORDERS})
+SELECT o_orderkey, 'o_orderstatus' AS changed_keys,
+       'old:' || o_orderstatus AS old_status,
+       o_orderpriority AS filled_priority
+FROM ev WHERE action = 'update'
+"""
+
+
+def q_group_ordered_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deliverable selection: head-of-group by (lsn, idx) with group
+    override columns (slot_message_store_state.ex:432-478;
+    consumers.ex:730-791 group_column_attnums)."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir, group_cols=["user_id"])
+    head = deliverable_messages(ev)
+    return head.select(
+        F.col("group_id"),
+        F.col("record").getItem("event_id").cast("long").alias("head_event"),
+        F.col("commit_lsn"),
+        F.col("commit_idx"),
+    )
+
+
+SQL_GROUP_ORDERED_DELIVERY = f"""
+WITH ev AS ({EV_EVENTS}),
+r AS (
+  SELECT cast(user_id AS varchar) AS group_id, event_id, commit_lsn, commit_idx,
+         row_number() OVER (PARTITION BY user_id ORDER BY commit_lsn, commit_idx) AS rn
+  FROM ev
+)
+SELECT group_id, event_id AS head_event, commit_lsn, commit_idx FROM r WHERE rn = 1
+"""
+
+
+def q_dedup_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lsn, idx) replay dedup (slot_message_store_state.ex:98,127-130)."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir)
+    replayed = ev.unionByName(ev)  # simulate WAL replay after restart
+    return dedup_replays(replayed).groupBy("action").agg(F.count("*").alias("n"))
+
+
+SQL_DEDUP_REPLAYS = f"""
+WITH ev AS ({EV_ORDERS})
+SELECT action, count(*) AS n FROM ev GROUP BY action
+"""
+
+
+def q_idempotency_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotency-ledger anti-join (message_ledgers.ex:65-99) +
+    base64 idempotency keys (processor.ex:176)."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    delivered = ev.filter(F.col("record").getItem("event_id").cast("long") % 7 == 0)
+    remaining = ledger_anti_join(ev, delivered)
+    return remaining.select(
+        F.col("record").getItem("event_id").cast("long").alias("event_id"),
+        F.col("idempotency_key"),
+    )
+
+
+SQL_IDEMPOTENCY_LEDGER = f"""
+WITH ev AS ({EV_EVENTS})
+SELECT event_id, idempotency_key FROM ev WHERE event_id % 7 != 0
+"""
+
+
+def q_payload_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload size guard (message_handler.ex:161-169): size = Σ
+    len(key)+len(value) over the record map, computed JVM-side."""
+    _prep(spark)
+    ev = cdc.eventize_documents(spark, sf_dir)
+    size = F.aggregate(
+        F.map_entries(F.col("record")),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + F.length(e.getField("key")) + F.length(e.getField("value")),
+    )
+    ev = ev.withColumn("payload_bytes", size)
+    return ev.filter(F.col("payload_bytes") <= 900).select(
+        F.col("record").getItem("doc_id").cast("long").alias("doc_id"),
+        F.col("payload_bytes"),
+    )
+
+
+SQL_PAYLOAD_SIZE_GUARD = """
+SELECT doc_id,
+       27 + length(cast(doc_id AS varchar)) + length(text) + length(lang)
+          + length(source) + length(cast(n_chars AS varchar)) AS payload_bytes
+FROM documents
+WHERE 27 + length(cast(doc_id AS varchar)) + length(text) + length(lang)
+     + length(source) + length(cast(n_chars AS varchar)) <= 900
+"""
+
+
+def q_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment: stream-static broadcast left join on PKs
+    (consumers.ex:1656-1700)."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    out = enrich(ev, dim, {"record['o_custkey']": "c_custkey"})
+    return out.select(
+        F.col("record").getItem("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("action"),
+        F.col("enrichment").getField("c_name").alias("c_name"),
+        F.col("enrichment").getField("c_mktsegment").alias("c_mktsegment"),
+    )
+
+
+SQL_ENRICHMENT_JOIN = f"""
+WITH ev AS ({EV_ORDERS})
+SELECT o_orderkey, action, c_name, c_mktsegment
+FROM ev LEFT JOIN customer ON ev.o_custkey = customer.c_custkey
+"""
+
+
+def q_routing_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routing: kafka topic/key + redis_string key/action defaults
+    (routing/consumers/kafka.ex:27-33, redis_string.ex:26-43)."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir).unionByName(eventize_events(spark, sf_dir))
+    ev = route(ev, "kafka")
+    ev = route(ev, "redis_string")
+    return ev.groupBy("topic", "redis_action").agg(
+        F.count("*").alias("n"), F.countDistinct("key").alias("n_keys")
+    )
+
+
+SQL_ROUTING_SINKS = f"""
+WITH ev AS (
+  SELECT action, 'sequin.public.orders' AS topic,
+         'sequin:orders:' || cast(o_orderkey AS varchar) AS key
+  FROM ({EV_ORDERS}) eo
+  UNION ALL
+  SELECT action, 'sequin.public.events' AS topic,
+         'sequin:events:' || cast(event_id AS varchar) AS key
+  FROM ({EV_EVENTS}) ee
+)
+SELECT topic, CASE WHEN action = 'delete' THEN 'del' ELSE 'set' END AS redis_action,
+       count(*) AS n, count(DISTINCT key) AS n_keys
+FROM ev GROUP BY 1, 2
+"""
+
+
+def q_timestamp_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """timestamp_format iso8601 | unix_microsecond (sink_consumer.ex:99)."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    return ev.select(
+        F.col("record").getItem("event_id").cast("long").alias("event_id"),
+        format_timestamp(F.col("commit_timestamp"), "iso8601").alias("ts_iso"),
+        format_timestamp(F.col("commit_timestamp"), "unix_microsecond").alias("ts_um"),
+    )
+
+
+SQL_TIMESTAMP_FORMATS = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS ts_iso,
+       epoch_us(ts) AS ts_um
+FROM events
+"""
+
+
+def q_path_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-function projection (path_function.ex:40-70) + metadata
+    construction (consumers.ex:678-728)."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir)
+    ev = with_metadata(ev, consumer_id="c-1", consumer_name="orders-consumer")
+    return ev.select(
+        path_function("record.o_orderkey").cast("long").alias("o_orderkey"),
+        path_function("record.o_orderstatus").alias("status"),
+        path_function("metadata.consumer.name").alias("consumer_name"),
+        path_function("action").alias("action"),
+    )
+
+
+SQL_PATH_TRANSFORM = f"""
+WITH ev AS ({EV_ORDERS})
+SELECT o_orderkey, o_orderstatus AS status, 'orders-consumer' AS consumer_name, action
+FROM ev
+"""
+
+
+def q_minipy_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniPy filter + transform functions compiled to Catalyst
+    (minielixir.ex parity — sandboxed expression surface)."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    flt = compile_expr("record['event_type'] == 'purchase' and float(record['value']) > 50")
+    label = compile_expr("upper(record['event_type']) + ':' + record['user_id']")
+    return ev.filter(flt).select(
+        F.col("record").getItem("event_id").cast("long").alias("event_id"),
+        label.alias("label"),
+    )
+
+
+SQL_MINIPY_TRANSFORM = """
+SELECT event_id, upper(event_type) || ':' || cast(user_id AS varchar) AS label
+FROM events WHERE event_type = 'purchase' AND value > 50
+"""
+
+
+def q_backfill_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset pagination with composite cursor (keyset_cursor.ex:93-113,
+    table_reader.ex:265-298) — pure pushed-down predicates."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    page = keyset_page(cust, ["c_nationkey", "c_custkey"], [7, 100], 500)
+    return page.select("c_nationkey", "c_custkey", "c_acctbal")
+
+
+SQL_BACKFILL_KEYSET_PAGE = """
+SELECT c_nationkey, c_custkey, c_acctbal FROM customer
+WHERE c_nationkey > 7 OR (c_nationkey = 7 AND c_custkey > 100)
+ORDER BY c_nationkey, c_custkey LIMIT 500
+"""
+
+
+def q_backfill_fence_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill/CDC consistency fence: drop snapshot rows whose PK was
+    seen in CDC at/below the fence LSN (message_handler.ex:66-94,130-148)."""
+    _prep(spark)
+    cust = load_table(spark, sf_dir, "customer")
+    snapshot = backfill_snapshot(cust, "customer", ["c_custkey"])
+    cdc_ev = eventize_customer(spark, sf_dir)
+    merged = fence_merge(snapshot, cdc_ev, fence_lsn=cdc.LSN_BASE + 9)
+    return merged.select(
+        F.col("record").getItem("c_custkey").cast("long").alias("c_custkey"),
+        F.col("action"),
+    )
+
+
+SQL_BACKFILL_FENCE_MERGE = """
+SELECT c_custkey, 'read' AS action FROM customer
+WHERE 1000000 + (c_custkey // 8) > 1000009
+"""
+
+
+def q_wal_pipeline_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WalPipeline change-retention projection + ON CONFLICT DO NOTHING
+    dedup on (committed_at, seq, record_pk) (wal_pipeline_server.ex:393-442)."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir).unionByName(eventize_lineitem(spark, sf_dir))
+    wal = ev.select(
+        F.col("commit_lsn").alias("seq"),
+        F.col("table_schema").alias("source_table_schema"),
+        F.col("table_name").alias("source_table_name"),
+        F.array_join(F.col("record_pks"), ":").alias("record_pk"),
+        F.col("action"),
+        F.unix_micros(F.col("commit_timestamp")).alias("committed_at_um"),
+    )
+    duplicated = wal.unionByName(wal)  # retried batch → conflict dedup
+    return duplicated.dropDuplicates(["committed_at_um", "seq", "record_pk"])
+
+
+SQL_WAL_PIPELINE_LOG = f"""
+SELECT DISTINCT * FROM (
+  WITH eo AS ({EV_ORDERS}), el AS ({EV_LINEITEM})
+  SELECT commit_lsn AS seq, 'public' AS source_table_schema, 'orders' AS source_table_name,
+         cast(o_orderkey AS varchar) AS record_pk, action, epoch_us(o_orderdate) AS committed_at_um
+  FROM eo
+  UNION ALL
+  SELECT commit_lsn, 'public', 'lineitem',
+         cast(l_orderkey AS varchar) || ':' || cast(l_linenumber AS varchar), action,
+         epoch_us(l_shipdate)
+  FROM el
+) t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational core (enrichment SQL surface / bench headliners)
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide aggregation with map-side partial aggregation (bench headliner)."""
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_AGG_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way broadcast join + aggregate (bench headliner)."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        orders.join(broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+SQL_JOIN_REVENUE_BY_NATION = """
+SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_topk_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via window rank (deliverable-selection pattern)."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    j = orders.join(broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+SQL_TOPK_ORDERS_PER_SEGMENT = """
+WITH r AS (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+
+QUERIES: dict[str, callable] = {
+    "pipeline_flagship": q_pipeline_flagship,
+    "source_filter": q_source_filter,
+    "action_filter": q_action_filter,
+    "column_filter_ops": q_column_filter_ops,
+    "column_filter_ci_jsonb": q_column_filter_ci_jsonb,
+    "changes_diff_toast": q_changes_diff_toast,
+    "group_ordered_delivery": q_group_ordered_delivery,
+    "dedup_replays": q_dedup_replays,
+    "idempotency_ledger": q_idempotency_ledger,
+    "payload_size_guard": q_payload_size_guard,
+    "enrichment_join": q_enrichment_join,
+    "routing_sinks": q_routing_sinks,
+    "timestamp_formats": q_timestamp_formats,
+    "path_transform": q_path_transform,
+    "minipy_transform": q_minipy_transform,
+    "backfill_keyset_page": q_backfill_keyset_page,
+    "backfill_fence_merge": q_backfill_fence_merge,
+    "wal_pipeline_log": q_wal_pipeline_log,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "join_revenue_by_nation": q_join_revenue_by_nation,
+    "topk_orders_per_segment": q_topk_orders_per_segment,
+}
+
+ORACLES: dict[str, str] = {
+    "pipeline_flagship": SQL_PIPELINE_FLAGSHIP,
+    "source_filter": SQL_SOURCE_FILTER,
+    "action_filter": SQL_ACTION_FILTER,
+    "column_filter_ops": SQL_COLUMN_FILTER_OPS,
+    "column_filter_ci_jsonb": SQL_COLUMN_FILTER_CI_JSONB,
+    "changes_diff_toast": SQL_CHANGES_DIFF_TOAST,
+    "group_ordered_delivery": SQL_GROUP_ORDERED_DELIVERY,
+    "dedup_replays": SQL_DEDUP_REPLAYS,
+    "idempotency_ledger": SQL_IDEMPOTENCY_LEDGER,
+    "payload_size_guard": SQL_PAYLOAD_SIZE_GUARD,
+    "enrichment_join": SQL_ENRICHMENT_JOIN,
+    "routing_sinks": SQL_ROUTING_SINKS,
+    "timestamp_formats": SQL_TIMESTAMP_FORMATS,
+    "path_transform": SQL_PATH_TRANSFORM,
+    "minipy_transform": SQL_MINIPY_TRANSFORM,
+    "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,
+    "backfill_fence_merge": SQL_BACKFILL_FENCE_MERGE,
+    "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,
+    "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
+    "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
+    "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
+}

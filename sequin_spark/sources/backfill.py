@@ -1,0 +1,120 @@
+"""Backfill — bounded snapshot scans merged consistently into the stream.
+
+Reference protocol (SURVEY §2.10; lib/sequin/runtime/table_reader.ex):
+
+1. keyset-paginated scan: ``WHERE (sort_col, pk...) > (cursor...) ORDER BY
+   sort_col, pk LIMIT page_size`` (table_reader.ex:265-298,
+   keyset_cursor.ex:93-113) — pure predicate pushdown;
+2. consistency fence: a batch is only merged after the high-watermark
+   returns through the WAL, and snapshot rows whose PK appeared in CDC
+   before the fence are dropped (CDC wins — message_handler.ex:130-148);
+3. snapshot rows enter the stream as ``action='read'`` events.
+
+Spark mapping: (1) is a filter+sort+limit that pushes down to
+parquet/JDBC (on JDBC, partition the read by keyset ranges so 1000
+executors scan disjoint slices); (2) is a left_anti join against the
+CDC keys at/below the fence LSN (broadcast — the per-batch CDC key set
+is small); (3) is a union into the canonical stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def keyset_predicate(cursor_cols: list[str], cursor_vals: list) -> Column:
+    """Row-wise ``(c1, c2, ...) > (v1, v2, ...)`` as a Catalyst predicate.
+
+    Expanded lexicographic form (keyset_cursor.ex:93-113) so every
+    conjunct can push down to the scan:
+    c1 > v1 OR (c1 = v1 AND c2 > v2) OR ...
+    """
+    if len(cursor_cols) != len(cursor_vals):
+        raise ValueError("cursor_cols and cursor_vals must align")
+    pred = None
+    for i in range(len(cursor_cols)):
+        eq = F.lit(True)
+        for j in range(i):
+            eq = eq & (F.col(cursor_cols[j]) == F.lit(cursor_vals[j]))
+        clause = eq & (F.col(cursor_cols[i]) > F.lit(cursor_vals[i]))
+        pred = clause if pred is None else (pred | clause)
+    return pred
+
+
+def keyset_page(
+    df: DataFrame,
+    cursor_cols: list[str],
+    cursor_vals: list | None,
+    page_size: int,
+) -> DataFrame:
+    """One backfill page: keyset filter → cursor order → limit."""
+    out = df
+    if cursor_vals is not None:
+        out = out.filter(keyset_predicate(cursor_cols, cursor_vals))
+    return out.orderBy(*[F.col(c) for c in cursor_cols]).limit(page_size)
+
+
+def backfill_snapshot(df: DataFrame, table_name: str, pk_cols: list[str], table_schema: str = "public") -> DataFrame:
+    """Shape a snapshot page as canonical `read` events
+    (table_reader.ex:381-409 builds ConsumerEvent(action: :read))."""
+    from sequin_spark.cdc import TABLE_OIDS
+    from sequin_spark.schema import group_id_from_pks
+
+    record_entries = []
+    for c in df.columns:
+        record_entries.append(F.lit(c))
+        record_entries.append(F.col(c).cast("string"))
+    pks = F.array(*[F.col(c).cast("string") for c in pk_cols])
+    return df.select(
+        F.lit("read").alias("action"),
+        F.create_map(*record_entries).alias("record"),
+        F.lit(None).cast("map<string,string>").alias("changes"),
+        F.lit(table_schema).alias("table_schema"),
+        F.lit(table_name).alias("table_name"),
+        F.lit(TABLE_OIDS.get(table_name, 0)).cast("long").alias("table_oid"),
+        pks.alias("record_pks"),
+        F.lit(0).cast("long").alias("commit_lsn"),
+        F.lit(0).cast("long").alias("commit_idx"),
+        F.lit(None).cast("timestamp").alias("commit_timestamp"),
+    ).withColumn("group_id", group_id_from_pks(F.col("record_pks")))
+
+
+def fence_merge(snapshot: DataFrame, cdc: DataFrame, fence_lsn: int) -> DataFrame:
+    """Drop snapshot rows whose PK was touched by CDC at/below the fence.
+
+    CDC wins over the (possibly stale) snapshot read —
+    message_handler.ex:66-94 (pks_seen) + 130-148 (flush on watermark).
+    The CDC key set for one fence window is bounded → broadcast anti-join,
+    so the snapshot side never shuffles.
+    """
+    seen = (
+        cdc.filter(F.col("commit_lsn") <= F.lit(fence_lsn))
+        .select(F.col("table_oid"), F.col("group_id").alias("_seen_gid"))
+        .dropDuplicates()
+    )
+    return snapshot.join(
+        broadcast(seen),
+        (snapshot["table_oid"] == seen["table_oid"]) & (snapshot["group_id"] == seen["_seen_gid"]),
+        "left_anti",
+    )
+
+
+class PageSizeOptimizer:
+    """AIMD page sizing (page_size_optimizer.ex:1-80): grow page size
+    multiplicatively while queries come back under the time budget,
+    back off on timeout. Driver-side only — tunes the per-page LIMIT."""
+
+    def __init__(self, initial: int = 1000, max_timeout_ms: int = 5000, max_size: int = 50000):
+        self.size = initial
+        self.max_timeout_ms = max_timeout_ms
+        self.max_size = max_size
+        self.history: list[tuple[int, float]] = []
+
+    def record(self, page_size: int, elapsed_ms: float) -> None:
+        self.history = (self.history + [(page_size, elapsed_ms)])[-20:]
+        if elapsed_ms < self.max_timeout_ms * 0.5:
+            self.size = min(self.max_size, int(self.size * 1.5))
+        elif elapsed_ms > self.max_timeout_ms:
+            self.size = max(100, self.size // 2)

@@ -1,0 +1,123 @@
+"""Operator unit tests — semantics corpus modeled on the reference's
+consumers_test.exs / slot_message_store_state_test.exs coverage."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sequin_spark.operators.changes import UNCHANGED_TOAST, compute_changes, fill_toast
+from sequin_spark.operators.column_filter import ColumnFilter, apply_column_filters
+from sequin_spark.operators.dedup import dedup_replays, ledger_anti_join
+from sequin_spark.operators.grouping import deliverable_messages, order_within_groups
+from sequin_spark.operators.source_filter import Source, apply_action_filter, apply_source_filter
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows)
+
+
+def test_source_include_exclude_mutually_exclusive():
+    with pytest.raises(ValueError):
+        Source(include_schemas=["a"], exclude_schemas=["b"])
+    with pytest.raises(ValueError):
+        Source(include_tables=["a"], exclude_table_oids=[1])
+
+
+def test_source_filter_exclude_wins(spark):
+    df = _events(
+        spark,
+        [
+            Row(table_schema="public", table_name="a", table_oid=1),
+            Row(table_schema="public", table_name="b", table_oid=2),
+            Row(table_schema="private", table_name="a", table_oid=3),
+        ],
+    )
+    out = apply_source_filter(df, Source(include_schemas=["public"], exclude_tables=["b"]))
+    assert {r.table_oid for r in out.collect()} == {1}
+
+
+def test_action_filter_read_passthrough(spark):
+    df = _events(
+        spark,
+        [Row(action="insert"), Row(action="update"), Row(action="delete"), Row(action="read")],
+    )
+    out = apply_action_filter(df, ["insert"])
+    assert {r.action for r in out.collect()} == {"insert", "read"}
+
+
+def test_column_filter_operators(spark):
+    df = spark.createDataFrame(
+        [
+            Row(record={"age": "30", "name": "Arya", "meta": '{"a": {"b": 5}}'}),
+            Row(record={"age": "10", "name": "BRAN", "meta": '{"a": {"b": 50}}'}),
+            Row(record={"age": None, "name": "Sansa", "meta": None}),
+        ]
+    )
+    got = apply_column_filters(df, [ColumnFilter("age", ">", 20, "integer")]).count()
+    assert got == 1
+    got = apply_column_filters(df, [ColumnFilter("name", "==", "bran", "cistring")]).count()
+    assert got == 1
+    got = apply_column_filters(df, [ColumnFilter("age", "is_null")]).count()
+    assert got == 1
+    got = apply_column_filters(df, [ColumnFilter("age", "not_null")]).count()
+    assert got == 2
+    got = apply_column_filters(df, [ColumnFilter("name", "in", ["Arya", "Sansa"])]).count()
+    assert got == 2
+    # NULL fails not_in membership (reference semantics)
+    got = apply_column_filters(df, [ColumnFilter("age", "not_in", ["30"], "string")]).count()
+    assert got == 1
+    got = apply_column_filters(
+        df, [ColumnFilter("meta", ">=", 10, "integer", jsonb_path="a.b")]
+    ).count()
+    assert got == 1
+    with pytest.raises(ValueError):
+        ColumnFilter("x", "like", "y")
+
+
+def test_changes_diff_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            Row(action="update", record={"a": "2", "b": "x", "t": UNCHANGED_TOAST},
+                old_record={"a": "1", "b": "x", "t": "big"}),
+            Row(action="insert", record={"a": "1"}, old_record=None),
+        ]
+    )
+    out = {r.action: r.changes for r in compute_changes(df).collect()}
+    # only genuinely-changed cols; unchanged + TOAST-marker cols excluded
+    assert out["update"] == {"a": "1"}
+    assert out["insert"] is None
+
+    filled = fill_toast(df.filter(F.col("action") == "update")).collect()[0].record
+    assert filled == {"a": "2", "b": "x", "t": "big"}
+
+
+def test_group_ordering_and_deliverable(spark):
+    rows = [
+        Row(group_id="g1", commit_lsn=10, commit_idx=1, v="second"),
+        Row(group_id="g1", commit_lsn=10, commit_idx=0, v="first"),
+        Row(group_id="g2", commit_lsn=5, commit_idx=0, v="g2-first"),
+        Row(group_id=None, commit_lsn=99, commit_idx=0, v="nogroup-a"),
+        Row(group_id=None, commit_lsn=98, commit_idx=0, v="nogroup-b"),
+    ]
+    df = spark.createDataFrame(rows)
+    seqs = {(r.group_id, r.v): r.deliver_seq for r in order_within_groups(df).collect()}
+    assert seqs[("g1", "first")] == 1 and seqs[("g1", "second")] == 2
+    heads = {r.v for r in deliverable_messages(df).collect()}
+    # null-group rows each deliverable independently
+    assert heads == {"first", "g2-first", "nogroup-a", "nogroup-b"}
+
+
+def test_dedup_and_ledger(spark):
+    rows = [
+        Row(action="insert", commit_lsn=1, commit_idx=0),
+        Row(action="insert", commit_lsn=1, commit_idx=0),
+        Row(action="update", commit_lsn=1, commit_idx=1),
+        Row(action="read", commit_lsn=0, commit_idx=0),
+    ]
+    df = spark.createDataFrame(rows)
+    assert dedup_replays(df).count() == 3
+
+    delivered = spark.createDataFrame([Row(commit_lsn=1, commit_idx=1)])
+    out = ledger_anti_join(df, delivered)
+    # update filtered by ledger; read bypasses; duplicate insert rows both kept
+    assert sorted(r.action for r in out.collect()) == ["insert", "insert", "read"]

@@ -1,0 +1,100 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every queries() entry on Spark and its oracle_sql() on DuckDB at the
+given sf dir, compares row count, sorted column names, and an
+order-insensitive multiset of rows (values normalized to strings).
+
+Usage: python tools/oracle_check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+from collections import Counter
+from datetime import datetime
+
+import duckdb
+
+sys.path.insert(0, ".")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def norm(v):
+    if isinstance(v, float):
+        return f"{v:.6f}"
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, list):
+        return "[" + ",".join(norm(x) for x in v) + "]"
+    return str(v)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entry_mod
+    from sequin_spark.session import get_spark
+
+    spark = get_spark("oracle_check")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sorted(sdf.columns)
+            srows = [tuple(norm(r[c]) for c in scols) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            failures += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"OK?   {name}: rows-only check, {len(srows)} rows")
+            continue
+        try:
+            cur = con.execute(sql)
+            dcols_raw = [d[0] for d in cur.description]
+            drows_raw = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        dcols = sorted(dcols_raw)
+        order = [dcols_raw.index(c) for c in dcols]
+        drows = [tuple(norm(r[i]) for i in order) for r in drows_raw]
+        if scols != dcols:
+            print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
+            failures += 1
+            continue
+        if len(srows) != len(drows):
+            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
+            failures += 1
+            continue
+        if Counter(srows) != Counter(drows):
+            sset, dset = Counter(srows), Counter(drows)
+            sonly = list((sset - dset).keys())[:3]
+            donly = list((dset - sset).keys())[:3]
+            print(f"FAIL  {name}: value mismatch; spark-only={sonly} duck-only={donly}")
+            failures += 1
+            continue
+        print(f"OK    {name}: {len(srows)} rows, {len(scols)} cols")
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
