@@ -1,0 +1,111 @@
+"""Text analysis operators: language-ID, quality scoring, token
+counting, fingerprinting. All pure Catalyst expressions (regex + string
+built-ins), no UDFs — at 100 TB these run at scan speed with column
+pruning (only `text` is read)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.dedup import normalized
+
+# n-gram-heuristic stopword inventories (tiny but deterministic;
+# production would load real per-language frequency tables)
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "in", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "de", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+
+
+def _hits(lang: str) -> F.Column:
+    pat = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.size(F.regexp_extract_all(normalized("text"), F.lit(pat), F.lit(0)))
+
+
+def langid(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Language-ID by stopword-hit voting; 'und' when nothing matches.
+
+    Deterministic tie-break: highest count wins, then alphabetical
+    language code.
+    """
+    out = df.select(F.col(id_col), F.col("text"))
+    for lang in STOPWORDS:
+        out = out.withColumn(f"hits_{lang}", _hits(lang))
+    best = None
+    for lang in sorted(STOPWORDS):
+        cand = F.col(f"hits_{lang}")
+        if best is None:
+            best, best_lang = cand, F.lit(lang)
+        else:
+            cond = cand > best
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best = F.when(cond, cand).otherwise(best)
+    pred = F.when(best > 0, best_lang).otherwise(F.lit("und"))
+    return out.withColumn("predicted_lang", pred).drop("text")
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens, BPE-ish regex tokens, and a bytes/4 estimate
+    (the common "1 token ≈ 4 chars" heuristic)."""
+    norm = normalized("text")
+    return df.select(
+        F.col(id_col),
+        F.length(norm).alias("n_chars_norm"),
+        F.size(F.split(norm, " ")).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(norm, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+        ).alias("n_re_tokens"),
+        F.ceil(F.length(norm) / 4.0).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality scoring: length, token stats, stopword density,
+    digit/punct noise → score in [0,1] + keep flag (the shape of a
+    C4/Gopher-style quality filter)."""
+    norm = normalized("text")
+    n_chars = F.length(norm)
+    n_tokens = F.size(F.split(norm, " "))
+    n_digits = F.size(F.regexp_extract_all(norm, F.lit(r"[0-9]"), F.lit(0)))
+    stop_hits = F.size(
+        F.regexp_extract_all(norm, F.lit(r"\b(the|a|of|and|in|to)\b"), F.lit(0))
+    )
+    avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
+    stop_ratio = stop_hits / n_tokens
+    digit_ratio = n_digits / n_chars
+    score = F.round(
+        F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (F.lit(0.5) + F.lit(0.5) * stop_ratio)
+        - digit_ratio,
+        4,
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars_norm"),
+        n_tokens.alias("n_tokens"),
+        F.round(avg_tok_len, 4).alias("avg_token_len"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        score.alias("quality"),
+        ((n_chars >= 50) & (n_tokens >= 10) & (score > 0.1)).alias("keep"),
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", gram: int = 8) -> DataFrame:
+    """Document fingerprint: content md5 + min character-gram hash
+    (winnowing-style rolling fingerprint, portable md5 arithmetic)."""
+    norm = normalized("text")
+    out = df.select(F.col(id_col), norm.alias("t"))
+    out = out.withColumn(
+        "min_gram_hash",
+        F.expr(
+            f"array_min(transform(sequence(1, greatest(1, length(t) - {gram - 1})), "
+            f"i -> md5(substr(t, i, {gram}))))"
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.md5(F.col("t")).alias("content_md5"),
+        F.col("min_gram_hash"),
+    )

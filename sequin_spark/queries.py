@@ -596,6 +596,8 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 5
 # ---------------------------------------------------------------------------
 # Registry
 
+from sequin_spark.queries_datapipe import DATAPIPE_ORACLES, DATAPIPE_QUERIES  # noqa: E402
+
 QUERIES: dict[str, callable] = {
     "pipeline_flagship": q_pipeline_flagship,
     "source_filter": q_source_filter,
@@ -618,6 +620,7 @@ QUERIES: dict[str, callable] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "topk_orders_per_segment": q_topk_orders_per_segment,
+    **DATAPIPE_QUERIES,
 }
 
 ORACLES: dict[str, str] = {
@@ -642,4 +645,5 @@ ORACLES: dict[str, str] = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
     "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
+    **DATAPIPE_ORACLES,
 }

@@ -1,0 +1,374 @@
+"""Training-data pipeline queries + DuckDB oracles.
+
+Each entry exercises a datapipe operator over documents/embeddings.
+Hash arithmetic is md5-based so the oracle can replicate it exactly;
+floating-point similarity values are rounded on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sequin_spark.cdc import load_table
+from sequin_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sequin_spark.datapipe.multimodal import attach_media, decode_media
+from sequin_spark.datapipe.similarity import (
+    ann_lsh_topk,
+    brute_force_topk,
+    cosine_col,
+    hyperplane_buckets,
+)
+from sequin_spark.datapipe.text import fingerprint, langid, quality_score, token_counts
+
+# DuckDB-side normalized text (Spark's regexp_replace is global by default;
+# DuckDB needs the 'g' flag)
+D_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+
+
+def _prep(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ shifted near-copies (every 25th doc) — deterministic
+    duplicate injection so dedup operators have positives to find."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("replace(text, ' the ', ' thy ')").alias("text"),
+        "lang",
+        "source",
+    )
+    return docs.unionByName(copies)
+
+
+SQL_DOCS_WITH_DUPES = """
+SELECT doc_id, text, lang, source FROM documents
+UNION ALL
+SELECT doc_id + 10000, replace(text, ' the ', ' thy '), lang, source
+FROM documents WHERE doc_id % 25 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return exact_dedup(_docs_with_dupes(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+WITH all_docs AS ({SQL_DOCS_WITH_DUPES})
+SELECT md5({D_NORM}) AS content_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+FROM all_docs GROUP BY 1
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return minhash_candidate_pairs(
+        _docs_with_dupes(spark, sf_dir), bands=4, rows_per_band=2, shingle_k=3
+    )
+
+
+def _sql_minhash() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{j}|' || sh)) AS sig{j}" for j in range(1, 9)
+    )
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig{2 * b - 1} || sig{2 * b} AS key FROM sig"
+        for b in range(1, 5)
+    )
+    return f"""
+WITH all_docs AS ({SQL_DOCS_WITH_DUPES}),
+w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS w FROM all_docs),
+sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+       FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return simhash(_docs_with_dupes(spark, sf_dir))
+
+
+def _sql_simhash() -> str:
+    d_cols = ", ".join(
+        f"strpos('0123456789abcdef', substr(h, {p}, 1)) - 1 AS d{p}" for p in range(1, 5)
+    )
+    c_cols = ", ".join(
+        f"sum(CASE WHEN (d{j // 4 + 1} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+WITH all_docs AS ({SQL_DOCS_WITH_DUPES}),
+toks AS (SELECT doc_id, unnest(string_split({D_NORM}, ' ')) AS tok FROM all_docs),
+h AS (SELECT doc_id, md5(tok) AS h FROM toks),
+d AS (SELECT doc_id, {d_cols} FROM h),
+c AS (SELECT doc_id, {c_cols} FROM d GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM c
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return ngram_jaccard_pairs(docs, bucket_col="lang", n=2, threshold=0.08)
+
+
+SQL_DEDUP_NGRAM_JACCARD = f"""
+WITH g AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])) AS grams
+  FROM (SELECT doc_id, lang, string_split({D_NORM}, ' ') AS w
+        FROM documents WHERE doc_id < 200) t
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un
+  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
+FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.08
+"""
+
+
+def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs within a label bucket (cos > 0.3)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = pairs.withColumn("cos", cosine_col("ea", "eb"))
+    return pairs.filter(F.col("cos") > 0.3).select(
+        "vec_a", "vec_b", "label", F.round("cos", 3).alias("cos")
+    )
+
+
+SQL_EMBED_NEARDUP_COSINE = """
+WITH p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+                  i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
+                  i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
+  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, label, round(cos, 3) AS cos FROM p WHERE cos > 0.3
+"""
+
+
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return brute_force_topk(emb, queries, k=3)
+
+
+SQL_ANN_TOPK_BRUTEFORCE = """
+WITH c AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(n.embedding)),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))))) AS cos
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 10 AND q.vec_id != n.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+      FROM c)
+SELECT q_id, n_id, rnk, round(cos, 3) AS cos FROM r WHERE rnk <= 3
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucket assignment (the ANN scale path)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hyperplane_buckets(emb, n_planes=8)
+
+
+def _sql_ann_lsh_buckets() -> str:
+    bits = []
+    for p in range(8):
+        dot = (
+            f"list_sum(list_transform(generate_series(0, 63), d -> "
+            f"(strpos('0123456789abcdef', substr(md5('{p}_' || CAST(d AS VARCHAR)), 1, 1)) - 1 - 7.5)"
+            f" * CAST(embedding[d + 1] AS DOUBLE)))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return f"SELECT vec_id, CAST({' + '.join(bits)} AS INTEGER) AS bucket FROM embeddings"
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN search — approximate by construction (no SQL oracle;
+    the driver records a rows-only check; recall is asserted in tests
+    against the brute-force baseline)."""
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(emb, queries, k=3, n_planes=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return langid(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_langid() -> str:
+    from sequin_spark.datapipe.text import STOPWORDS
+
+    hits = ", ".join(
+        f"len(regexp_extract_all({D_NORM}, '\\b({'|'.join(ws)})\\b')) AS hits_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    return f"""
+WITH h AS (SELECT doc_id, {hits} FROM documents)
+SELECT doc_id, hits_en, hits_de, hits_es, hits_fr,
+  CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+       WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+       WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+       WHEN hits_es >= hits_fr THEN 'es'
+       ELSE 'fr' END AS predicted_lang
+FROM h
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return quality_score(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, length({D_NORM}) AS n_chars,
+         len(string_split({D_NORM}, ' ')) AS n_tokens,
+         len(regexp_extract_all({D_NORM}, '[0-9]')) AS n_digits,
+         len(regexp_extract_all({D_NORM}, '\\b(the|a|of|and|in|to)\\b')) AS stop_hits
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round((n_chars - (n_tokens - 1)) * 1.0 / n_tokens, 4) AS avg_token_len,
+         round(stop_hits * 1.0 / n_tokens, 4) AS stop_ratio,
+         round(least(1.0, n_tokens / 100.0) * (0.5 + 0.5 * stop_hits * 1.0 / n_tokens)
+               - n_digits * 1.0 / n_chars, 4) AS quality
+  FROM t
+)
+SELECT doc_id, n_chars AS n_chars_norm, n_tokens, avg_token_len, stop_ratio, quality,
+       (n_chars >= 50 AND n_tokens >= 10 AND quality > 0.1) AS keep
+FROM s
+"""
+
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return token_counts(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_TOKENS = f"""
+SELECT doc_id,
+       length({D_NORM}) AS n_chars_norm,
+       len(string_split({D_NORM}, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all({D_NORM}, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens,
+       CAST(ceil(length({D_NORM}) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _prep(spark)
+    return fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_FINGERPRINT = f"""
+WITH t AS (SELECT doc_id, {D_NORM} AS t FROM documents)
+SELECT doc_id, md5(t) AS content_md5,
+       list_aggregate(list_transform(generate_series(1, greatest(1, length(t) - 7)),
+                                     i -> md5(substr(t, i, 8))), 'min') AS min_gram_hash
+FROM t
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal
+
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column → Arrow-batched stub decode via mapInPandas
+    (real Spark plumbing; decode kernel stubbed, see datapipe.multimodal)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", media_type="image")
+    return decode_media(media)
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT doc_id, 'image' AS media_type, CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(length(text) % 640 + 1 AS INTEGER) AS width,
+       CAST(length(text) % 480 + 1 AS INTEGER) AS height,
+       CAST(length(text) % 24 + 1 AS INTEGER) AS n_frames,
+       CAST(16000 AS INTEGER) AS sample_rate,
+       'stub_decoded' AS status
+FROM documents
+"""
+
+
+DATAPIPE_QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "embed_neardup_cosine": q_embed_neardup_cosine,
+    "ann_topk_bruteforce": q_ann_topk_bruteforce,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "text_langid": q_text_langid,
+    "text_quality": q_text_quality,
+    "text_tokens": q_text_tokens,
+    "text_fingerprint": q_text_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+DATAPIPE_ORACLES = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash_lsh": _sql_minhash(),
+    "dedup_simhash": _sql_simhash(),
+    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
+    "embed_neardup_cosine": SQL_EMBED_NEARDUP_COSINE,
+    "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
+    "ann_lsh_buckets": _sql_ann_lsh_buckets(),
+    # ann_lsh_topk: intentionally no oracle (approximate op) → rows-only
+    "text_langid": _sql_langid(),
+    "text_quality": SQL_TEXT_QUALITY,
+    "text_tokens": SQL_TEXT_TOKENS,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
+    "multimodal_decode": SQL_MULTIMODAL_DECODE,
+}

@@ -1,0 +1,116 @@
+"""Training-data operator tests: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from sequin_spark.datapipe.multimodal import attach_media, decode_media, frame_sample
+from sequin_spark.datapipe.similarity import ann_lsh_topk, brute_force_topk
+from sequin_spark.datapipe.text import langid, quality_score
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="The  quick brown fox jumps over the lazy dog and runs far away home"),
+            Row(doc_id=3, text=base.replace("lazy", "sleepy")),
+            Row(doc_id=4, text="completely different words about spark engines and data pipelines here"),
+        ]
+    )
+
+
+def test_exact_dedup_normalizes(spark, docs):
+    out = exact_dedup(docs)
+    rows = {r.keep_id: r.dup_count for r in out.collect()}
+    # doc 2 differs only in case/whitespace → same hash as doc 1
+    assert rows[1] == 2
+    assert rows[3] == 1 and rows[4] == 1
+
+
+def test_minhash_finds_near_dupes(spark, docs):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()}
+    assert (1, 2) in pairs            # exact dup always collides
+    assert (1, 4) not in pairs        # unrelated doc shouldn't
+    # one-word edit shares most shingles → should collide in ≥1 band
+    assert (1, 3) in pairs
+
+
+def test_simhash_hamming(spark, docs):
+    pairs = simhash_near_pairs(simhash(docs), max_hamming=2).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 2) in got              # identical normalized text → distance 0
+    ham = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    assert ham[(1, 2)] == 0
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from sequin_spark.cdc import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.q_id, r.n_id) for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    approx = {
+        (r.q_id, r.n_id) for r in ann_lsh_topk(emb, queries, k=3, n_planes=4).collect()
+    }
+    # sign-random-projection with 4 planes: expect meaningful overlap with
+    # the exact top-k (recall >= 20% on random data is a sanity floor)
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall suspiciously low: {recall}"
+
+
+def test_langid_votes(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog of a house in to"),
+            Row(doc_id=2, text="der hund und die katze ist das"),
+            Row(doc_id=3, text="xyzzy plugh"),
+        ]
+    )
+    got = {r.doc_id: r.predicted_lang for r in langid(df).collect()}
+    assert got[1] == "en" and got[2] == "de" and got[3] == "und"
+
+
+def test_quality_score_keep_flag(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the data of the system and the model in the world " * 5),
+            Row(doc_id=2, text="x 1 2 3"),
+        ]
+    )
+    got = {r.doc_id: r for r in quality_score(df).collect()}
+    assert bool(got[1].keep) is True
+    assert bool(got[2].keep) is False
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_media(docs, "text")
+    decoded = decode_media(media)
+    rows = {r.doc_id: r for r in decoded.collect()}
+    assert rows[1].status == "stub_decoded"
+    assert rows[1].n_bytes == len(
+        "the quick brown fox jumps over the lazy dog and runs far away home"
+    )
+    assert rows[1].width == rows[1].n_bytes % 640 + 1
+    frames = frame_sample(media, every_n=2)
+    assert frames.count() > 0
+
+
+def test_multimodal_stub_gate(spark, docs, monkeypatch):
+    import sequin_spark.datapipe.multimodal as mm
+
+    monkeypatch.setattr(mm, "FAKE_DECODE", False)
+    media = attach_media(docs, "text")
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        mm.decode_media(media).collect()
