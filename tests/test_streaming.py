@@ -1,0 +1,208 @@
+"""Delivery engine / pipeline / pull-queue tests — semantics modeled on
+slot_message_store_test.exs + per-sink pipeline tests."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequin_spark.cdc import eventize_orders
+from sequin_spark.operators.source_filter import Source
+from sequin_spark.plans.spec import ConsumerSpec, load_yaml, plan, spec_from_dict
+from sequin_spark.sinks.base import create_sink
+from sequin_spark.streaming.delivery import DeliveryEngine, backoff_s
+from sequin_spark.streaming.pipeline import ConsumerPipeline
+from sequin_spark.streaming.pull_queue import PullQueue
+
+
+def _compiled_events(spark, sf_dir, tmp_path, sink_type="benchmark", **spec_kw):
+    spec = ConsumerSpec(name="t", sink_type=sink_type, **spec_kw)
+    pipe = ConsumerPipeline(spec, state_dir=str(tmp_path / "state"))
+    ev = eventize_orders(spark, sf_dir).limit(200)
+    return pipe, pipe.compile(ev)
+
+
+def test_pipeline_compile_and_deliver_noop(spark, sf_dir, tmp_path):
+    pipe, compiled = _compiled_events(spark, sf_dir, tmp_path)
+    assert {"topic", "key", "value", "group_id"}.issubset(set(compiled.columns))
+    stats = pipe.engine.process_batch(compiled, batch_id=0)
+    assert stats["delivered"] > 0
+    assert stats["failed"] == 0 and stats["pending"] == 0
+    # redelivery of the same batch: ledger filters everything
+    stats2 = pipe.engine.process_batch(compiled, batch_id=1)
+    assert stats2["delivered"] == 0
+
+
+def test_file_log_sink_roundtrip(spark, sf_dir, tmp_path):
+    out_dir = tmp_path / "out"
+    spec = ConsumerSpec(
+        name="t", sink_type="file_log", sink_config={"path": str(out_dir)},
+        transform="record_only",
+    )
+    pipe = ConsumerPipeline(spec, state_dir=str(tmp_path / "state"))
+    ev = eventize_orders(spark, sf_dir).limit(50)
+    stats = pipe.run_batch(ev)
+    assert stats["delivered"] == 50
+    rows = []
+    for f in out_dir.iterdir():
+        rows += [json.loads(line) for line in f.read_text().splitlines()]
+    assert len(rows) == 50
+    assert "o_orderkey" in json.loads(rows[0]["value"])
+
+
+def test_retry_group_blocking_and_backoff(spark, tmp_path):
+    """A failed delivery blocks its group; retry succeeds after backoff
+    (slot_message_store.ex:346-357 semantics)."""
+    attempt_dir = tmp_path / "attempts"
+    attempt_dir.mkdir()
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 0, "k1", "g1", '{"n":1}'),
+            ("g1", 1, 1, "k2", "g1", '{"n":2}'),
+            ("g2", 2, 0, "k3", "g2", '{"n":3}'),
+        ],
+        "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string",
+    )
+    engine = DeliveryEngine(
+        "failing",
+        {"fail_substring": "g1", "attempt_dir": str(attempt_dir)},
+        state_dir=str(tmp_path / "state"),
+        batch_size=1,
+        max_retry_count=3,
+        backoff_base_s=120.0,
+    )
+    stats = engine.process_batch(df, 0)
+    # g1 head fails, g1 second is group-blocked, g2 delivers
+    assert stats == {
+        "batch_id": 0, "delivered": 1, "failed": 1, "blocked": 1,
+        "discarded": 0, "pending": 2,
+    }
+    # while g1 is backing off → nothing deliverable
+    stats2 = engine.process_batch(df.limit(0), 1)
+    assert stats2["delivered"] == 0 and stats2["pending"] == 2
+    # simulate backoff expiry (rewind the pending clock), retry succeeds
+    # in cursor order (failure marker consumed on first attempt)
+    import pyarrow.parquet as papq
+    import pyarrow as pa
+
+    pending = papq.read_table(engine.pending_path).to_pandas()
+    pending["not_visible_until"] = time.time() - 1
+    papq.write_table(pa.Table.from_pandas(pending, preserve_index=False), engine.pending_path)
+    stats3 = engine.process_batch(df.limit(0), 2)
+    assert stats3["delivered"] == 2 and stats3["pending"] == 0
+
+
+def test_discard_after_max_retries(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("g1", 1, 0, "k", "g1", "{}")],
+        "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string",
+    )
+    engine = DeliveryEngine(
+        "failing", {"fail_substring": "g1"},
+        state_dir=str(tmp_path / "state"), max_retry_count=1,
+        backoff_base_s=0.0,
+    )
+    stats = engine.process_batch(df, 0)
+    assert stats["failed"] == 1 and stats["pending"] == 1
+    time.sleep(backoff_s(1, 0.0) + 0.1)
+    stats2 = engine.process_batch(df.limit(0), 1)
+    # second failure exceeds max_retry_count=1 → discarded
+    assert stats2["discarded"] == 1 and stats2["pending"] == 0
+
+
+def test_structured_streaming_end_to_end(spark, sf_dir, tmp_path):
+    """File CDC source → pipeline → noop sink as a real streaming query."""
+    src_dir = str(tmp_path / "events")
+    eventize_orders(spark, sf_dir).limit(100).write.parquet(src_dir)
+    from sequin_spark.sources.cdc_log import stream_cdc_log
+
+    stream = stream_cdc_log(spark, src_dir)
+    assert stream.isStreaming
+    spec = ConsumerSpec(name="s", sink_type="benchmark")
+    pipe = ConsumerPipeline(spec, state_dir=str(tmp_path / "state"))
+    q = pipe.start_stream(stream, checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+                break
+            time.sleep(0.5)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ledger = pipe.engine.read_ledger(spark)
+    assert ledger is not None and ledger.count() == 100
+
+
+def test_pull_queue_receive_ack_nack(spark, tmp_path):
+    df = spark.createDataFrame(
+        [
+            ("g1", 1, 0, '{"n":1}'),
+            ("g1", 1, 1, '{"n":2}'),
+            ("g2", 2, 0, '{"n":3}'),
+        ],
+        "group_id string, commit_lsn long, commit_idx long, value string",
+    )
+    pq_ = PullQueue(str(tmp_path / "pq"), ack_wait_s=0.5)
+    assert pq_.ingest(df) == 3
+    got = pq_.receive(10)
+    # g1 head + g2 — g1's second message is group-blocked
+    assert len(got) == 2
+    assert {g["group_id"] for g in got} == {"g1", "g2"}
+    # nack g1 head → deliverable again, still blocking its group-mate
+    g1 = next(g for g in got if g["group_id"] == "g1")
+    pq_.nack([g1["ack_id"]])
+    got2 = pq_.receive(10)
+    assert len(got2) == 1 and json.loads(got2[0]["data"])["n"] == 1
+    # ack unblocks the group
+    pq_.ack([got2[0]["ack_id"]])
+    got3 = pq_.receive(10)
+    assert len(got3) == 1 and json.loads(got3[0]["data"])["n"] == 2
+    # visibility timeout: unacked lease returns
+    time.sleep(0.6)
+    got4 = pq_.receive(10)
+    assert len(got4) >= 1
+    assert pq_.depth() == 2  # g1 second + g2 never acked
+
+
+def test_yaml_plan_apply(tmp_path):
+    doc = """
+consumers:
+  - name: orders-to-kafka
+    sink_type: kafka
+    source: {include_schemas: [public], include_tables: [orders]}
+    actions: [insert, update]
+    filter: "record['o_totalprice'] != ''"
+    routing_overrides:
+      topic: "'cdc.' + record['o_orderstatus']"
+  - name: bad
+    sink_type: no_such
+    filter: "__import__('os')"
+"""
+    specs = load_yaml(doc)
+    assert len(specs) == 2
+    assert isinstance(specs[0].source, Source)
+    report = plan(specs)
+    assert report["consumers"][0]["name"] == "orders-to-kafka"
+    assert "bad" in report["errors"]
+    errs = " ".join(report["errors"]["bad"])
+    assert "no_such" in errs and "MiniPy" in errs
+
+
+def test_sink_registry_coverage():
+    """All 17 reference sink types (+ internal test sinks) construct and
+    validate; unavailable clients fail loudly at open()."""
+    reference_sinks = [
+        "http_push", "kafka", "sqs", "sns", "kinesis", "s2", "redis_stream",
+        "redis_string", "gcp_pubsub", "nats", "rabbitmq", "azure_event_hub",
+        "elasticsearch", "typesense", "meilisearch", "sequin_stream", "benchmark",
+        "postgres",
+    ]
+    for st in reference_sinks:
+        sink = create_sink(st)
+        assert sink is not None
+    with pytest.raises(NotImplementedError, match="redis"):
+        create_sink("redis_string").open()
+    with pytest.raises(ValueError):
+        create_sink("nope")
