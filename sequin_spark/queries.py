@@ -503,6 +503,107 @@ SELECT DISTINCT * FROM (
 """
 
 
+def q_transaction_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction annotations: set/clear logical messages attach JSON to
+    subsequent events in the same txn (slot_producer.ex:438-455)."""
+    from sequin_spark.operators.annotations import apply_transaction_annotations
+
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir).select(
+        F.col("record").getItem("event_id").cast("long").alias("event_id"),
+        F.col("action"),
+        F.col("commit_lsn"),
+        (F.col("commit_idx") * 2 + 1).alias("commit_idx"),
+        F.lit(None).cast("string").alias("message_prefix"),
+        F.lit(None).cast("string").alias("message_content"),
+    )
+    txns = ev.select("commit_lsn").distinct()
+    ann_json = F.concat(F.lit('{"src":'), F.col("commit_lsn").cast("string"), F.lit("}"))
+    set_markers = txns.filter(F.col("commit_lsn") % 3 == 0).select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit("logical_message").alias("action"),
+        F.col("commit_lsn"),
+        F.lit(0).cast("long").alias("commit_idx"),
+        F.lit("transaction_annotations.set").alias("message_prefix"),
+        ann_json.alias("message_content"),
+    )
+    clear_markers = txns.filter(F.col("commit_lsn") % 9 == 0).select(
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit("logical_message").alias("action"),
+        F.col("commit_lsn"),
+        F.lit(8).cast("long").alias("commit_idx"),
+        F.lit("transaction_annotations.clear").alias("message_prefix"),
+        F.lit(None).cast("string").alias("message_content"),
+    )
+    merged = ev.unionByName(set_markers).unionByName(clear_markers)
+    out = apply_transaction_annotations(merged)
+    return out.select(
+        "event_id",
+        "commit_lsn",
+        ((F.col("commit_idx") - 1) / 2).cast("long").alias("commit_idx"),
+        F.col("transaction_annotations").alias("annotations"),
+    )
+
+
+SQL_TRANSACTION_ANNOTATIONS = f"""
+WITH ev AS ({EV_EVENTS})
+SELECT event_id, commit_lsn, commit_idx,
+  CASE WHEN commit_lsn % 9 = 0 AND commit_idx <= 3 THEN '{{"src":' || commit_lsn || '}}'
+       WHEN commit_lsn % 9 != 0 AND commit_lsn % 3 = 0 THEN '{{"src":' || commit_lsn || '}}'
+       ELSE NULL END AS annotations
+FROM ev
+"""
+
+
+def q_value_caster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PG text-protocol value casting (value_caster.ex:9-151): booleans
+    't'/'f', money, interval text form, array literals, pgvector."""
+    from sequin_spark.types import cast_array, cast_interval, cast_value, cast_vector
+
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    rec = F.col("record")
+    interval_text = F.concat(
+        rec.getItem("user_id"), F.lit(" days 0"),
+        (rec.getItem("event_id").cast("long") % 10).cast("string"), F.lit(":30:15.25"),
+    )
+    array_text = F.concat(F.lit("{"), rec.getItem("event_type"), F.lit(',"x y",NULL}'))
+    vector_text = F.concat(F.lit("["), rec.getItem("value"), F.lit(",1.5]"))
+    money_text = F.concat(F.lit("$"), rec.getItem("user_id"), F.lit(",000.25"))
+    bool_text = F.when(rec.getItem("event_id").cast("long") % 2 == 0, F.lit("t")).otherwise(F.lit("f"))
+    iv = cast_interval(interval_text)
+    vec = cast_vector(vector_text)
+    return ev.select(
+        cast_value(rec.getItem("event_id"), "int8").alias("event_id"),
+        cast_value(rec.getItem("value"), "float8").alias("value_typed"),
+        cast_value(bool_text, "bool").alias("bool_typed"),
+        F.round(cast_value(money_text, "money"), 2).cast("double").alias("money_typed"),
+        iv.getField("months").alias("iv_months"),
+        iv.getField("days").alias("iv_days"),
+        iv.getField("microseconds").alias("iv_micros"),
+        F.array_join(
+            F.transform(cast_array(array_text, "text"), lambda x: F.coalesce(x, F.lit("∅"))), "|"
+        ).alias("arr_joined"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 2
+        ).alias("vec_sum"),
+    )
+
+
+SQL_VALUE_CASTER = """
+SELECT event_id,
+       value AS value_typed,
+       event_id % 2 = 0 AS bool_typed,
+       CAST(round(CAST(user_id * 1000 + 0.25 AS DECIMAL(38,18)), 2) AS DOUBLE) AS money_typed,
+       CAST(0 AS INTEGER) AS iv_months,
+       CAST(user_id AS INTEGER) AS iv_days,
+       CAST(((event_id % 10) * 3600 + 30 * 60 + 15.25) * 1000000 AS BIGINT) AS iv_micros,
+       event_type || '|x y|∅' AS arr_joined,
+       round(CAST(CAST(value AS VARCHAR) AS FLOAT)::DOUBLE + CAST(1.5 AS FLOAT)::DOUBLE, 2) AS vec_sum
+FROM events
+"""
+
+
 # ---------------------------------------------------------------------------
 # Relational core (enrichment SQL surface / bench headliners)
 
@@ -617,6 +718,8 @@ QUERIES: dict[str, callable] = {
     "backfill_keyset_page": q_backfill_keyset_page,
     "backfill_fence_merge": q_backfill_fence_merge,
     "wal_pipeline_log": q_wal_pipeline_log,
+    "value_caster": q_value_caster,
+    "transaction_annotations": q_transaction_annotations,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -642,6 +745,8 @@ ORACLES: dict[str, str] = {
     "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,
     "backfill_fence_merge": SQL_BACKFILL_FENCE_MERGE,
     "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,
+    "value_caster": SQL_VALUE_CASTER,
+    "transaction_annotations": SQL_TRANSACTION_ANNOTATIONS,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
     "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,

@@ -1,0 +1,132 @@
+"""ValueCaster — Postgres text-protocol values → typed Spark columns.
+
+Reference: lib/sequin/postgres/value_caster.ex:9-151 (type map 83-147,
+special cases 9-58, array lexing 60-73 via array_lexer.ex, pgvector 40-58,
+interval text form 153-236). The replication stream delivers every value
+as text; the engine casts per the relation's declared types.
+
+Deviation (documented): where the reference passes the original string
+through on a failed cast (value_caster.ex:75-81), a typed Spark column
+can't hold both — we use try_cast (null on failure) for the typed view
+while the raw string stays available in the ``record`` map, so no
+information is lost.
+
+All casts are Catalyst expressions — the full typed projection of a
+row stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# PG type name → Spark cast target (value_caster.ex:83-147)
+PG_SPARK_TYPES = {
+    "int2": "long", "int4": "long", "int8": "long", "oid": "long",
+    "smallint": "long", "integer": "long", "bigint": "long",
+    "float4": "double", "float8": "double", "real": "double",
+    "double precision": "double",
+    "numeric": "decimal(38,18)", "money": "decimal(38,18)",
+    "bool": "boolean", "boolean": "boolean",
+    "char": "string", "varchar": "string", "text": "string", "citext": "string",
+    "bytea": "binary",
+    "timestamp": "timestamp_ntz", "timestamptz": "timestamp",
+    "date": "date",
+    "time": "string", "timetz": "string",  # no TimeType in Spark
+    "json": "string", "jsonb": "string",
+    "uuid": "string",
+}
+
+
+def cast_value(col: Column, pg_type: str) -> Column:
+    """Cast one text value per the reference's rules (null on failure)."""
+    pg_type = pg_type.lower()
+    if pg_type.startswith("_"):  # PG array type naming: _int4 = int4[]
+        return cast_array(col, pg_type[1:])
+    if pg_type.endswith("[]"):
+        return cast_array(col, pg_type[:-2])
+    if pg_type == "vector":
+        return cast_vector(col)
+    if pg_type == "interval":
+        return cast_interval(col)
+    if pg_type in ("bool", "boolean"):
+        # PG text protocol booleans are 't'/'f' (value_caster.ex:9-10)
+        return (
+            F.when(col == "t", F.lit(True))
+            .when(col == "f", F.lit(False))
+            .otherwise(col.try_cast("boolean"))
+        )
+    if pg_type == "bytea":
+        # PG hex form: \x0a0b...
+        return F.unhex(F.regexp_replace(col, r"^\\x", ""))
+    if pg_type == "money":
+        return F.regexp_replace(col, r"[$,]", "").try_cast("decimal(38,18)")
+    target = PG_SPARK_TYPES.get(pg_type)
+    if target is None:
+        # geometric/network/tsvector/xml/range/domain/enum → string
+        # passthrough (value_caster.ex:109-151)
+        return col
+    return col.try_cast(target)
+
+
+def cast_array(col: Column, elem_type: str) -> Column:
+    """Parse PG array text form ``{a,b,NULL,"c d"}`` → typed array.
+
+    Covers unquoted + double-quoted scalar elements (array_lexer.ex);
+    nested arrays stay strings.
+    """
+    inner = F.regexp_replace(col, r"^\{|\}$", "")
+    parts = F.transform(
+        F.split(inner, ","),
+        lambda x: F.when(F.trim(x) == "NULL", F.lit(None).cast("string")).otherwise(
+            F.regexp_replace(F.trim(x), '^"|"$', "")
+        ),
+    )
+    target = PG_SPARK_TYPES.get(elem_type.lower(), "string")
+    if target == "string":
+        return parts
+    return F.transform(parts, lambda x: x.try_cast(target))
+
+
+def cast_vector(col: Column) -> Column:
+    """pgvector text form ``[1.0,2.0]`` → array<float> (value_caster.ex:40-58)."""
+    inner = F.regexp_replace(col, r"^\[|\]$", "")
+    return F.transform(F.split(inner, ","), lambda x: F.trim(x).try_cast("float"))
+
+
+def cast_interval(col: Column) -> Column:
+    """PG interval text ('1 year 2 mons 3 days 04:05:06.789') →
+    struct{months, days, microseconds} — the reference's JSON shape
+    (value_caster.ex:42-44,153-236), deliberately NOT CalendarInterval
+    (not JSON-serializable)."""
+    years = F.coalesce(F.regexp_extract(col, r"(-?\d+) year", 1).try_cast("int"), F.lit(0))
+    months = F.coalesce(F.regexp_extract(col, r"(-?\d+) mon", 1).try_cast("int"), F.lit(0))
+    days = F.coalesce(F.regexp_extract(col, r"(-?\d+) day", 1).try_cast("int"), F.lit(0))
+    hms = F.regexp_extract(col, r"(-?)(\d+):(\d+):(\d+(?:\.\d+)?)", 0)
+    sign = F.when(hms.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    h = F.coalesce(F.regexp_extract(col, r"(\d+):\d+:\d+", 1).try_cast("long"), F.lit(0))
+    m = F.coalesce(F.regexp_extract(col, r"\d+:(\d+):\d+", 1).try_cast("long"), F.lit(0))
+    s = F.coalesce(
+        F.regexp_extract(col, r"\d+:\d+:(\d+(?:\.\d+)?)", 1).try_cast("double"), F.lit(0.0)
+    )
+    micros = (sign * ((h * 3600 + m * 60) * F.lit(1_000_000) + (s * 1_000_000))).cast("long")
+    struct = F.struct(
+        (years * 12 + months).alias("months"),
+        days.alias("days"),
+        micros.alias("microseconds"),
+    )
+    # unparseable text → null (not a fabricated zero interval); the raw
+    # string stays in the record map, mirroring the reference's
+    # failed-cast passthrough (value_caster.ex:75-81)
+    parseable = col.rlike(r"(\d+ (year|mon|day))|(\d+:\d+:\d+)")
+    return F.when(parseable, struct)
+
+
+def typed_record(df: DataFrame, column_types: dict[str, str], record_col: str = "record") -> DataFrame:
+    """Project the text ``record`` map into a typed struct column per the
+    table's declared PG types (the per-table typed view of §1.1)."""
+    fields = [
+        cast_value(F.col(record_col).getItem(name), pg_type).alias(name)
+        for name, pg_type in column_types.items()
+    ]
+    return df.withColumn("typed_record", F.struct(*fields))
