@@ -51,6 +51,45 @@ def pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+def streaming_latency(spark, seconds: int = 35) -> dict:
+    """Synthetic-source → full pipeline → noop sink as a real streaming
+    query (the reference's BenchmarkSource → benchmark-sink harness):
+    sustained rows/s + per-microbatch p50/p99 trigger latency."""
+    import tempfile
+
+    from sequin_spark.plans.spec import ConsumerSpec
+    from sequin_spark.sources.rate_cdc import benchmark_stream
+    from sequin_spark.streaming.metrics import MetricsListener
+    from sequin_spark.streaming.pipeline import ConsumerPipeline
+
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    tmp = tempfile.mkdtemp(prefix="sequin_bench_")
+    stream = benchmark_stream(spark, rows_per_second=50_000, num_partitions=8)
+    spec = ConsumerSpec(name="bench_stream", sink_type="benchmark", batch_size=200)
+    pipe = ConsumerPipeline(spec, state_dir=f"{tmp}/state")
+    q = pipe.start_stream(stream, checkpoint_dir=f"{tmp}/ckpt", trigger_seconds=1)
+    try:
+        time.sleep(seconds)
+    finally:
+        q.stop()
+    spark.streams.removeListener(listener)
+    prog = listener.progress.get("bench_stream") or next(iter(listener.progress.values()), [])
+    durations = sorted(
+        p["durationMs"]["triggerExecution"] for p in prog if p.get("numInputRows", 0) > 0
+    )
+    rows = sum(p.get("numInputRows", 0) for p in prog)
+    total_s = sum(d for d in durations) / 1000.0
+    if not durations:
+        return {"stream_rows_per_sec": 0, "stream_p50_ms": -1, "stream_p99_ms": -1}
+    return {
+        "stream_rows_per_sec": int(rows / total_s) if total_s > 0 else 0,
+        "stream_batches": len(durations),
+        "stream_p50_ms": durations[len(durations) // 2],
+        "stream_p99_ms": durations[min(len(durations) - 1, int(len(durations) * 0.99))],
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.0
@@ -84,6 +123,11 @@ def main() -> None:
     pipe_sec, pipe_rows = pipeline_throughput(spark, sf_dir)
     ops_per_sec = int(pipe_rows / pipe_sec) if pipe_sec > 0 else 0
 
+    try:
+        stream_stats = streaming_latency(spark)
+    except Exception:  # noqa: BLE001
+        stream_stats = {}
+
     print(
         json.dumps(
             {
@@ -95,6 +139,7 @@ def main() -> None:
                 "pipeline_rows": pipe_rows,
                 "pipeline_sec": round(pipe_sec, 3),
                 "pipeline_ops_per_sec": ops_per_sec,
+                **stream_stats,
             }
         )
     )

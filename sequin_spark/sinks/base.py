@@ -40,11 +40,18 @@ class SinkBatch:
 
 
 class Sink:
-    """Base sink. Subclasses implement deliver()."""
+    """Base sink. Subclasses implement deliver(); sinks that can consume
+    a whole ordered partition frame at once (noop, file log, bulk-import
+    APIs) additionally implement deliver_frame(pdf) — the vectorized
+    fast path. The frame arrives sorted (group_id, commit_lsn,
+    commit_idx), so sequential consumption preserves per-group order;
+    the trade-off is partition-granular failure (the whole frame retries)
+    instead of group-granular."""
 
     sink_type = "base"
     # per-sink default batch sizes (sink_consumer.ex:332-345)
     default_batch_size = 1
+    deliver_frame = None  # type: ignore[assignment]
 
     def __init__(self, config: dict | None = None):
         self.config = config or {}
@@ -71,6 +78,9 @@ class NoopSink(Sink):
 
     def deliver(self, batch: SinkBatch) -> None:
         self.delivered += len(batch.rows)
+
+    def deliver_frame(self, pdf) -> None:
+        self.delivered += len(pdf)
 
 
 class FailingSink(Sink):
@@ -112,6 +122,12 @@ class FileLogSink(Sink):
         with open(fname, "a") as f:
             for row in batch.rows:
                 f.write(json.dumps(row) + "\n")
+
+    def deliver_frame(self, pdf) -> None:
+        path = self.config["path"]
+        os.makedirs(path, exist_ok=True)
+        fname = os.path.join(path, f"part-{os.getpid()}-{int(time.time() * 1e6)}.jsonl")
+        pdf.to_json(fname, orient="records", lines=True)
 
 
 class HttpPushSink(Sink):

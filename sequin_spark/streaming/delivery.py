@@ -171,7 +171,28 @@ class DeliveryEngine:
         def deliver(batches):
             sink = create_sink(sink_type, sink_config)
             sink.open()
+            vectorized = callable(getattr(sink, "deliver_frame", None))
             for pdf in batches:
+                if vectorized:
+                    # fast path: whole ordered partition frame at once
+                    # (order preserved by the sort; partition-granular
+                    # failure instead of group-granular)
+                    try:
+                        sink.deliver_frame(pdf)
+                        st, err = "delivered", ""
+                    except Exception as e:  # noqa: BLE001
+                        st, err = "failed", str(e)[:500]
+                    yield pd.DataFrame(
+                        {
+                            "commit_lsn": pdf["commit_lsn"],
+                            "commit_idx": pdf["commit_idx"],
+                            "group_id": pdf["group_id"],
+                            "status": st,
+                            "error": err,
+                            "deliver_count": pdf["deliver_count"].astype("int32"),
+                        }
+                    )
+                    continue
                 statuses = []
                 failed_groups: set = set()
                 # rows arrive sorted by (group_id, lsn, idx)
@@ -215,12 +236,28 @@ class DeliveryEngine:
             sink.close()
 
         statuses = arranged.mapInPandas(deliver, STATUS_SCHEMA)
-        # join statuses back to payloads so failed rows keep their payload
         status_pdf = statuses.toPandas()
-        payload_pdf = arranged.toPandas()
 
         delivered = status_pdf[status_pdf["status"] == "delivered"]
         failed = status_pdf[status_pdf["status"].isin(["failed", "blocked"])]
+
+        # fetch payloads only for failed cursors (they must ride in the
+        # pending state); the happy path never moves payloads to the
+        # driver — at scale this keeps driver traffic O(failures)
+        if len(failed):
+            failed_keys = set(zip(failed["commit_lsn"], failed["commit_idx"]))
+            payload_pdf = arranged.join(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [(int(l), int(i)) for l, i in failed_keys],
+                        "commit_lsn long, commit_idx long",
+                    )
+                ),
+                ["commit_lsn", "commit_idx"],
+                "left_semi",
+            ).toPandas()
+        else:
+            payload_pdf = pd.DataFrame(columns=delivery_cols)
 
         # ledger append (delivered cursors)
         if len(delivered):
