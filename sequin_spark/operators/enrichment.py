@@ -43,3 +43,22 @@ def enrich(
     enr_cols = [F.col(f"__enr_{c}").alias(c) for c in dim.columns]
     joined = joined.withColumn("enrichment", F.struct(*enr_cols))
     return joined.drop(*[f"__enr_{c}" for c in dim.columns])
+
+
+def enrich_with_query(
+    spark,
+    events: DataFrame,
+    enrichment_sql: str,
+    on: dict[str, str],
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """User-SQL enrichment — the reference's exact surface: a SELECT run
+    against the source DB with batched PKs (``WHERE id = ANY($1)``,
+    consumers.ex:1656-1700). Spark-first: the user SQL minus the ANY
+    clause runs as a query; the ``= ANY(pks)`` membership becomes the
+    join itself, so Catalyst can push the PK set down as a semi-join
+    instead of shipping arrays. The SQL may reference any registered
+    table/view (for JDBC sources, register the pushdown query as a view).
+    """
+    dim = spark.sql(enrichment_sql)
+    return enrich(events, dim, on, broadcast_dim=broadcast_dim)

@@ -694,6 +694,76 @@ SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM r WHERE rk <= 5
 """
 
 
+def q_exists_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS semi-join + aggregate (TPC-H Q4 shape; backfill pks_seen
+    membership pattern)."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_EXISTS_SEMI_JOIN = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+"""
+
+
+def q_anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS anti-join (TPC-H Q22 shape; the ledger/fence anti-join
+    pattern at relational scale)."""
+    _prep(spark)
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    inactive = customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_inactive"),
+        F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+    )
+
+
+SQL_ANTI_JOIN_INACTIVE = """
+SELECT c_mktsegment, count(*) AS n_inactive, round(sum(c_acctbal), 2) AS acctbal_sum
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-N (TPC-H Q3 shape)."""
+    _prep(spark)
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("l_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc()).limit(10)
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT l_orderkey, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderstatus = 'O'
+GROUP BY l_orderkey, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -723,6 +793,9 @@ QUERIES: dict[str, callable] = {
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "topk_orders_per_segment": q_topk_orders_per_segment,
+    "exists_semi_join": q_exists_semi_join,
+    "anti_join_inactive": q_anti_join_inactive,
+    "top_revenue_orders": q_top_revenue_orders,
     **DATAPIPE_QUERIES,
 }
 
@@ -750,5 +823,8 @@ ORACLES: dict[str, str] = {
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
     "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
+    "exists_semi_join": SQL_EXISTS_SEMI_JOIN,
+    "anti_join_inactive": SQL_ANTI_JOIN_INACTIVE,
+    "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     **DATAPIPE_ORACLES,
 }

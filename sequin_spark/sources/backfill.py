@@ -67,7 +67,7 @@ def backfill_snapshot(df: DataFrame, table_name: str, pk_cols: list[str], table_
         record_entries.append(F.lit(c))
         record_entries.append(F.col(c).cast("string"))
     pks = F.array(*[F.col(c).cast("string") for c in pk_cols])
-    return df.select(
+    out = df.select(
         F.lit("read").alias("action"),
         F.create_map(*record_entries).alias("record"),
         F.lit(None).cast("map<string,string>").alias("changes"),
@@ -78,7 +78,19 @@ def backfill_snapshot(df: DataFrame, table_name: str, pk_cols: list[str], table_
         F.lit(0).cast("long").alias("commit_lsn"),
         F.lit(0).cast("long").alias("commit_idx"),
         F.lit(None).cast("timestamp").alias("commit_timestamp"),
+        F.lit(None).cast("string").alias("trace_id"),
+        F.lit(None).cast("string").alias("transaction_annotations"),
     ).withColumn("group_id", group_id_from_pks(F.col("record_pks")))
+    # backfill idempotency: base64("backfill:{table}:{pks}") —
+    # table_reader.ex:405 (base64(backfill_id:pk1:pk2…))
+    return out.withColumn(
+        "idempotency_key",
+        F.base64(
+            F.concat(F.lit(f"backfill:{table_name}:"), F.array_join(F.col("record_pks"), ":")).cast(
+                "binary"
+            )
+        ),
+    )
 
 
 def fence_merge(snapshot: DataFrame, cdc: DataFrame, fence_lsn: int) -> DataFrame:
@@ -99,6 +111,83 @@ def fence_merge(snapshot: DataFrame, cdc: DataFrame, fence_lsn: int) -> DataFram
         (snapshot["table_oid"] == seen["table_oid"]) & (snapshot["group_id"] == seen["_seen_gid"]),
         "left_anti",
     )
+
+
+BACKFILL_STATES = ("active", "paused", "completed", "cancelled", "failed")
+
+
+class Backfill:
+    """Backfill lifecycle + progress counters (backfill.ex:29-51,91-97):
+    state machine active→{paused,completed,cancelled,failed}, counters
+    rows_initial/processed/ingested."""
+
+    def __init__(self, table_name: str, cursor_cols: list[str], rows_initial_count: int = 0):
+        self.table_name = table_name
+        self.cursor_cols = cursor_cols
+        self.state = "active"
+        self.rows_initial_count = rows_initial_count
+        self.rows_processed_count = 0
+        self.rows_ingested_count = 0
+        self.cursor: list | None = None
+
+    def transition(self, new_state: str) -> None:
+        if new_state not in BACKFILL_STATES:
+            raise ValueError(f"unknown backfill state {new_state!r}")
+        if self.state in ("completed", "cancelled", "failed"):
+            raise ValueError(f"cannot leave terminal state {self.state!r}")
+        self.state = new_state
+
+
+def run_backfill(
+    spark,
+    df,
+    table_name: str,
+    pk_cols: list[str],
+    cursor_cols: list[str] | None = None,
+    cdc_events=None,
+    fence_lsn: int = 0,
+    initial_page_size: int = 1000,
+    max_pages: int | None = None,
+):
+    """Full backfill protocol (§2.10): keyset-paginate the snapshot,
+    fence-merge each page against concurrent CDC, emit `read` events,
+    AIMD-tune the page size, track progress. Returns (Backfill, events).
+
+    Driver-side loop over pages mirrors the reference's TableReaderServer;
+    each page is a distributed bounded read with pushed-down predicates.
+    """
+    import time as _time
+
+    cursor_cols = cursor_cols or pk_cols
+    bf = Backfill(table_name, cursor_cols, rows_initial_count=df.count())
+    opt = PageSizeOptimizer(initial=initial_page_size)
+    pages = []
+    n_pages = 0
+    while bf.state == "active":
+        t0 = _time.time()
+        page = keyset_page(df, cursor_cols, bf.cursor, opt.size).cache()
+        rows = page.select(*cursor_cols).collect()
+        elapsed_ms = (_time.time() - t0) * 1000
+        if not rows:
+            bf.transition("completed")
+            page.unpersist()
+            break
+        bf.rows_processed_count += len(rows)
+        snap = backfill_snapshot(page, table_name, pk_cols)
+        if cdc_events is not None:
+            snap = fence_merge(snap, cdc_events, fence_lsn)
+        pages.append(snap)
+        bf.rows_ingested_count += snap.count()
+        page.unpersist()
+        bf.cursor = [rows[-1][c] for c in cursor_cols]
+        opt.record(opt.size, elapsed_ms)
+        n_pages += 1
+        if max_pages and n_pages >= max_pages:
+            break
+    events = pages[0] if pages else None
+    for p in pages[1:]:
+        events = events.unionByName(p)
+    return bf, events
 
 
 class PageSizeOptimizer:

@@ -40,9 +40,15 @@ from pyspark.sql import functions as F
 from sequin_spark.sinks.base import SinkBatch, create_sink
 
 STATUS_SCHEMA = (
-    "commit_lsn long, commit_idx long, group_id string, status string, "
-    "error string, deliver_count int"
+    "commit_lsn long, commit_idx long, idempotency_key string, group_id string, "
+    "status string, error string, deliver_count int"
 )
+
+# Event identity: CDC rows are unique by (lsn, idx); backfill `read` rows
+# all carry cursor (0,0) and are unique by their PK-derived idempotency
+# key (table_reader.ex:405) — so dedup/ledger/status identity is the
+# triple, which degrades to pure cursor identity for CDC rows.
+IDENTITY = ["commit_lsn", "commit_idx", "idempotency_key"]
 
 BACKOFF_MIN_S = 1.0
 BACKOFF_MAX_S = 180.0
@@ -113,7 +119,7 @@ class DeliveryEngine:
             "key", "value", *self.routing_cols,
         ]
 
-        new_rows = batch_df.dropDuplicates(["commit_lsn", "commit_idx"]).select(
+        new_rows = batch_df.dropDuplicates(IDENTITY).select(
             *[F.col(c) for c in delivery_cols]
         ).withColumn("deliver_count", F.lit(0))
 
@@ -121,8 +127,8 @@ class DeliveryEngine:
         ledger = self.read_ledger(spark)
         if ledger is not None:
             new_rows = new_rows.join(
-                F.broadcast(ledger.select("commit_lsn", "commit_idx").dropDuplicates()),
-                ["commit_lsn", "commit_idx"],
+                F.broadcast(ledger.select(*IDENTITY).dropDuplicates()),
+                IDENTITY,
                 "left_anti",
             )
 
@@ -186,6 +192,7 @@ class DeliveryEngine:
                         {
                             "commit_lsn": pdf["commit_lsn"],
                             "commit_idx": pdf["commit_idx"],
+                            "idempotency_key": pdf["idempotency_key"],
                             "group_id": pdf["group_id"],
                             "status": st,
                             "error": err,
@@ -211,8 +218,8 @@ class DeliveryEngine:
                             sink.deliver(SinkBatch(routing=routing, rows=chunk))
                             for r in chunk:
                                 statuses.append(
-                                    (r["commit_lsn"], r["commit_idx"], gkey,
-                                     "delivered", "", int(r["deliver_count"]))
+                                    (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
+                                     gkey, "delivered", "", int(r["deliver_count"]))
                                 )
                         except Exception as e:  # noqa: BLE001
                             group_failed = True
@@ -221,7 +228,8 @@ class DeliveryEngine:
                                 # failed head + group-blocked tail
                                 st = "failed" if r is chunk[0] else "blocked"
                                 statuses.append(
-                                    (r["commit_lsn"], r["commit_idx"], gkey, st,
+                                    (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
+                                     gkey, st,
                                      err if r is chunk[0] else "group blocked",
                                      int(r["deliver_count"]))
                                 )
@@ -230,8 +238,8 @@ class DeliveryEngine:
                         failed_groups.add(gkey)
                 yield pd.DataFrame(
                     statuses,
-                    columns=["commit_lsn", "commit_idx", "group_id", "status",
-                             "error", "deliver_count"],
+                    columns=["commit_lsn", "commit_idx", "idempotency_key", "group_id",
+                             "status", "error", "deliver_count"],
                 )
             sink.close()
 
@@ -245,15 +253,17 @@ class DeliveryEngine:
         # pending state); the happy path never moves payloads to the
         # driver — at scale this keeps driver traffic O(failures)
         if len(failed):
-            failed_keys = set(zip(failed["commit_lsn"], failed["commit_idx"]))
+            failed_keys = set(
+                zip(failed["commit_lsn"], failed["commit_idx"], failed["idempotency_key"])
+            )
             payload_pdf = arranged.join(
                 F.broadcast(
                     spark.createDataFrame(
-                        [(int(l), int(i)) for l, i in failed_keys],
-                        "commit_lsn long, commit_idx long",
+                        [(int(l), int(i), k) for l, i, k in failed_keys],
+                        "commit_lsn long, commit_idx long, idempotency_key string",
                     )
                 ),
-                ["commit_lsn", "commit_idx"],
+                IDENTITY,
                 "left_semi",
             ).toPandas()
         else:
@@ -263,7 +273,7 @@ class DeliveryEngine:
         if len(delivered):
             _write_parquet(
                 os.path.join(self.ledger_dir, f"batch-{batch_id}-{uuid.uuid4().hex}.parquet"),
-                delivered[["commit_lsn", "commit_idx"]],
+                delivered[IDENTITY],
             )
 
         # new pending: failed rows with bumped deliver_count + backoff;
@@ -273,7 +283,7 @@ class DeliveryEngine:
         if len(failed):
             merged = failed.merge(
                 payload_pdf[delivery_cols],
-                on=["commit_lsn", "commit_idx"],
+                on=IDENTITY,
                 how="left",
                 suffixes=("", "_p"),
             )
