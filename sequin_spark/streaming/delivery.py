@@ -75,7 +75,13 @@ class DeliveryEngine:
         max_retry_count: int = 3,
         routing_cols: tuple[str, ...] = (),
         backoff_base_s: float = BACKOFF_MIN_S,
+        load_shedding_policy: str = "pause_on_full",
+        max_pending: int = 50_000,
+        acked_ring_size: int = 1000,
+        ledger_compact_files: int = 64,
     ):
+        if load_shedding_policy not in ("pause_on_full", "discard_on_full"):
+            raise ValueError(f"unknown load_shedding_policy {load_shedding_policy!r}")
         self.sink_type = sink_type
         self.sink_config = sink_config or {}
         self.state_dir = state_dir or f"/tmp/sequin_spark_state/{uuid.uuid4().hex}"
@@ -85,6 +91,10 @@ class DeliveryEngine:
         self.max_retry_count = max_retry_count
         self.routing_cols = tuple(routing_cols)
         self.backoff_base_s = backoff_base_s
+        self.load_shedding_policy = load_shedding_policy
+        self.max_pending = max_pending
+        self.acked_ring_size = acked_ring_size
+        self.ledger_compact_files = ledger_compact_files
         os.makedirs(self.state_dir, exist_ok=True)
 
     # --- state tables ----------------------------------------------------
@@ -109,6 +119,33 @@ class DeliveryEngine:
         if os.path.isdir(self.ledger_dir) and os.listdir(self.ledger_dir):
             return spark.read.parquet(self.ledger_dir)
         return None
+
+    @property
+    def acked_ring_path(self) -> str:
+        return os.path.join(self.state_dir, "acked", "ring.parquet")
+
+    def acked_ring(self) -> pd.DataFrame | None:
+        """Last-N acknowledged messages (acknowledged_messages.ex:1-30 —
+        the reference keeps a 1000-entry ring per consumer for the UI)."""
+        if os.path.exists(self.acked_ring_path):
+            return pq.read_table(self.acked_ring_path).to_pandas()
+        return None
+
+    def _compact_ledger(self) -> None:
+        """Merge small per-batch ledger files once they pile up — keeps
+        the per-batch broadcast read O(1) files instead of O(batches)."""
+        if not os.path.isdir(self.ledger_dir):
+            return
+        files = [os.path.join(self.ledger_dir, f) for f in os.listdir(self.ledger_dir)]
+        if len(files) < self.ledger_compact_files:
+            return
+        merged = pa.concat_tables([pq.read_table(f) for f in files])
+        tmp = os.path.join(self.ledger_dir, f"compact-{uuid.uuid4().hex}.parquet.tmp")
+        pq.write_table(merged, tmp)
+        final = tmp[: -len(".tmp")]
+        os.rename(tmp, final)
+        for f in files:
+            os.remove(f)
 
     # --- the foreachBatch body -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
@@ -137,6 +174,19 @@ class DeliveryEngine:
         # group blocking are NOT dropped — they ride in pending with
         # unchanged deliver_count until the group head resolves.
         pending = self._read_pending()
+        shed = 0
+        if pending is not None and len(pending) >= self.max_pending:
+            # store full (slot_message_store_state.ex:18-48 memory cap;
+            # load_shedding_policy sink_consumer.ex:100)
+            if self.load_shedding_policy == "pause_on_full":
+                raise RuntimeError(
+                    f"load shedding: pending={len(pending)} >= max_pending="
+                    f"{self.max_pending} (pause_on_full) — stream backpressure"
+                )
+            shed_df = new_rows.count()
+            shed = int(shed_df)
+            new_rows = new_rows.limit(0)
+
         blocked_groups: set[str] = set()
         carry_pending = pd.DataFrame()
         if pending is not None and len(pending):
@@ -275,6 +325,15 @@ class DeliveryEngine:
                 os.path.join(self.ledger_dir, f"batch-{batch_id}-{uuid.uuid4().hex}.parquet"),
                 delivered[IDENTITY],
             )
+            self._compact_ledger()
+            # acknowledged-messages ring (trimmed to acked_ring_size)
+            ring_new = delivered[IDENTITY + ["group_id", "deliver_count"]].copy()
+            ring_new["acked_at"] = now
+            prev = self.acked_ring()
+            ring = (
+                pd.concat([prev, ring_new], ignore_index=True) if prev is not None else ring_new
+            ).tail(self.acked_ring_size)
+            _write_parquet(self.acked_ring_path, ring)
 
         # new pending: failed rows with bumped deliver_count + backoff;
         # blocked rows keep their count (they were never attempted)
@@ -321,4 +380,5 @@ class DeliveryEngine:
             "blocked": int((status_pdf["status"] == "blocked").sum()),
             "discarded": int(len(discarded)),
             "pending": int(len(new_pending)),
+            "shed": shed,
         }

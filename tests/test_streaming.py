@@ -76,7 +76,7 @@ def test_retry_group_blocking_and_backoff(spark, tmp_path):
     # g1 head fails, g1 second is group-blocked, g2 delivers
     assert stats == {
         "batch_id": 0, "delivered": 1, "failed": 1, "blocked": 1,
-        "discarded": 0, "pending": 2,
+        "discarded": 0, "pending": 2, "shed": 0,
     }
     # while g1 is backing off → nothing deliverable
     stats2 = engine.process_batch(df.limit(0), 1)
@@ -164,6 +164,71 @@ def test_pull_queue_receive_ack_nack(spark, tmp_path):
     got4 = pq_.receive(10)
     assert len(got4) >= 1
     assert pq_.depth() == 2  # g1 second + g2 never acked
+
+
+def test_load_shedding_policies(spark, tmp_path):
+    """load_shedding_policy (sink_consumer.ex:100): pause raises (stream
+    backpressure), discard drops new messages and counts them."""
+    df = spark.createDataFrame(
+        [("g1", 1, 0, "k", "g1", "{}")],
+        "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string",
+    )
+    fresh = spark.createDataFrame(
+        [("g9", 9, 0, "k9", "g9", "{}")],
+        "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string",
+    )
+    for policy in ("pause_on_full", "discard_on_full"):
+        engine = DeliveryEngine(
+            "failing", {"fail_substring": "g1"},
+            state_dir=str(tmp_path / f"state_{policy}"),
+            max_retry_count=5, backoff_base_s=120.0,
+            load_shedding_policy=policy, max_pending=1,
+        )
+        stats = engine.process_batch(df, 0)
+        assert stats["pending"] == 1
+        if policy == "pause_on_full":
+            with pytest.raises(RuntimeError, match="load shedding"):
+                engine.process_batch(fresh, 1)
+        else:
+            stats2 = engine.process_batch(fresh, 1)
+            assert stats2["shed"] == 1 and stats2["delivered"] == 0
+    with pytest.raises(ValueError):
+        DeliveryEngine("benchmark", load_shedding_policy="nope")
+
+
+def test_acked_ring_and_consistency(spark, sf_dir, tmp_path):
+    """Acknowledged ring (acknowledged_messages.ex) + consistency audit
+    (message_consistency_check_worker analog)."""
+    from sequin_spark.streaming.consistency import verify_consistency
+
+    spec = ConsumerSpec(name="cr", sink_type="benchmark")
+    pipe = ConsumerPipeline(spec, state_dir=str(tmp_path / "state"))
+    compiled = pipe.compile(eventize_orders(spark, sf_dir).limit(50))
+    pipe.engine.acked_ring_size = 10
+    pipe.engine.process_batch(compiled, 0)
+    ring = pipe.engine.acked_ring()
+    assert ring is not None and len(ring) == 10  # trimmed to ring size
+    report = verify_consistency(spark, compiled, pipe.engine)
+    assert report["consistent"] and report["delivered"] == 50 and report["missing"] == 0
+    # an event the engine never saw → flagged missing
+    extra = compiled.limit(0).sparkSession.createDataFrame(
+        [(999999, 0, "ghost")], "commit_lsn long, commit_idx long, idempotency_key string"
+    )
+    report2 = verify_consistency(spark, compiled.select("commit_lsn", "commit_idx", "idempotency_key").unionByName(extra), pipe.engine)
+    assert report2["missing"] == 1 and not report2["consistent"]
+
+
+def test_ledger_compaction(spark, tmp_path):
+    df_schema = "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string"
+    engine = DeliveryEngine("benchmark", state_dir=str(tmp_path / "state"), ledger_compact_files=3)
+    import os as _os
+
+    for i in range(4):
+        df = spark.createDataFrame([(f"g{i}", i, 0, f"k{i}", f"g{i}", "{}")], df_schema)
+        engine.process_batch(df, i)
+    files = _os.listdir(engine.ledger_dir)
+    assert len(files) <= 2  # compacted
+    assert engine.read_ledger(spark).count() == 4  # nothing lost
 
 
 def test_yaml_plan_apply(tmp_path):
