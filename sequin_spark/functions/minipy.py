@@ -69,6 +69,39 @@ _FUNCTIONS = {
     "contains": (lambda c, p: _as_col(c).contains(p), "bool"),
     "get_json": (lambda c, p: F.get_json_object(_as_col(c), p), "str"),
     "is_null": (lambda c: _as_col(c).isNull(), "bool"),
+    # Kernel parity (validator.ex @kernel_functions): div/rem/trunc/min/max/byte_size
+    "div": (lambda a, b: (_as_col(a).cast("long") - (_as_col(a).cast("long") % _as_col(b))) / _as_col(b), "num"),
+    "rem": (lambda a, b: _as_col(a) % _as_col(b), "num"),
+    "trunc": (lambda c: _as_col(c).cast("long"), "num"),
+    "min": (lambda *cs: F.least(*[_as_col(c) for c in cs]), "unknown"),
+    "max": (lambda *cs: F.greatest(*[_as_col(c) for c in cs]), "unknown"),
+    "byte_size": (lambda c: F.octet_length(_as_col(c)), "num"),
+    "len": (F.length, "num"),
+    # String module parity
+    "lpad": (lambda c, n, p: F.lpad(_as_col(c), n, p), "str"),
+    "rpad": (lambda c, n, p: F.rpad(_as_col(c), n, p), "str"),
+    "reverse": (lambda c: F.reverse(_as_col(c)), "str"),
+    "capitalize": (lambda c: F.initcap(_as_col(c)), "str"),
+    # Regex module parity
+    "regex_match": (lambda c, pat: _as_col(c).rlike(pat), "bool"),
+    "regex_replace": (lambda c, pat, rep: F.regexp_replace(_as_col(c), pat, rep), "str"),
+    "regex_extract": (lambda c, pat: F.regexp_extract(_as_col(c), pat, 1), "str"),
+    # Base module parity
+    "base64_encode": (lambda c: F.base64(_as_col(c).cast("binary")), "str"),
+    "base64_decode": (lambda c: F.unbase64(_as_col(c)).cast("string"), "str"),
+    # URI module parity
+    "url_encode": (lambda c: F.url_encode(_as_col(c)), "str"),
+    "url_decode": (lambda c: F.url_decode(_as_col(c)), "str"),
+    # Date/DateTime module parity (deterministic subset — no now())
+    "date_add": (lambda c, n: F.date_add(_as_col(c), n), "unknown"),
+    "datediff": (lambda a, b: F.datediff(_as_col(a), _as_col(b)), "num"),
+    "hour": (F.hour, "num"),
+    "minute": (F.minute, "num"),
+    "second": (F.second, "num"),
+    # Map module parity over the record/changes maps
+    "keys": (lambda c: F.array_sort(F.map_keys(_as_col(c))), "list"),
+    "has_key": (lambda c, k: F.array_contains(F.map_keys(_as_col(c)), k), "bool"),
+    "join": (lambda c, sep: F.array_join(_as_col(c), sep), "str"),
 }
 
 _BANNED_MSG = "MiniPy: {} is not allowed (sandbox allowlist, see minielixir/validator.ex parity)"

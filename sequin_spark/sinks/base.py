@@ -229,19 +229,29 @@ SINK_REGISTRY: dict[str, type[Sink]] = {
     "sns": _unavailable("sns", "boto3:sns adapter", 10),
     "kinesis": _unavailable("kinesis", "boto3:kinesis adapter", 100),
     "kafka": _unavailable("kafka", "spark-sql-kafka (use streaming.pipeline kafka native path)", 200),
-    "redis_string": _unavailable("redis_string", "redis-py", 10),
-    "redis_stream": _unavailable("redis_stream", "redis-py", 50),
     "gcp_pubsub": _unavailable("gcp_pubsub", "google-cloud-pubsub", 10),
     "nats": _unavailable("nats", "nats-py", 10),
     "rabbitmq": _unavailable("rabbitmq", "pika", 10),
     "azure_event_hub": _unavailable("azure_event_hub", "azure-eventhub", 10),
     "s2": _unavailable("s2", "s2 http client", 10),
-    "elasticsearch": _unavailable("elasticsearch", "elasticsearch-py", 100),
-    "typesense": _unavailable("typesense", "typesense http client", 40),
-    "meilisearch": _unavailable("meilisearch", "meilisearch http client", 100),
-    "postgres": _unavailable("postgres", "psycopg2 (WalPipeline JDBC path)", 1000),
     "sequin_stream": FileLogSink,  # pull-queue storage = delivered-log table
 }
+
+
+def _register_builtin_sinks() -> None:
+    """REST/DB sinks live in submodules; registered here to keep base
+    import-light (search sinks need only urllib; postgres/redis gate
+    their client imports at open())."""
+    from sequin_spark.sinks.postgres import PostgresWalSink
+    from sequin_spark.sinks.redis import RedisStreamSink, RedisStringSink
+    from sequin_spark.sinks.search import ElasticsearchSink, MeilisearchSink, TypesenseSink
+
+    for cls in (ElasticsearchSink, TypesenseSink, MeilisearchSink,
+                PostgresWalSink, RedisStringSink, RedisStreamSink):
+        SINK_REGISTRY[cls.sink_type] = cls
+
+
+_register_builtin_sinks()
 
 
 def register_sink(sink_type: str, cls: type[Sink]) -> None:

@@ -252,40 +252,59 @@ class DeliveryEngine:
                     continue
                 statuses = []
                 failed_groups: set = set()
-                # rows arrive sorted by (group_id, lsn, idx)
-                for gid, grp in pdf.groupby("group_id", dropna=False, sort=True):
-                    gkey = None if pd.isna(gid) else gid
-                    rows = grp.to_dict("records")
-                    i = 0
-                    group_failed = False
-                    err = ""
-                    while i < len(rows):
-                        chunk = rows[i : i + max_batch]
-                        if group_failed:
-                            break
-                        routing = {c: chunk[0].get(c) for c in routing_cols}
-                        try:
-                            sink.deliver(SinkBatch(routing=routing, rows=chunk))
-                            for r in chunk:
-                                statuses.append(
-                                    (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
-                                     gkey, "delivered", "", int(r["deliver_count"]))
-                                )
-                        except Exception as e:  # noqa: BLE001
-                            group_failed = True
-                            err = str(e)[:500]
-                            for r in rows[i:]:
-                                # failed head + group-blocked tail
-                                st = "failed" if r is chunk[0] else "blocked"
-                                statuses.append(
-                                    (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
-                                     gkey, st,
-                                     err if r is chunk[0] else "group blocked",
-                                     int(r["deliver_count"]))
-                                )
-                        i += max_batch
-                    if group_failed:
-                        failed_groups.add(gkey)
+                # Rows arrive sorted (group_id, lsn, idx). Batches span
+                # groups but never split the per-group order, keyed by the
+                # routing tuple — the reference's Broadway batch_key
+                # semantics (sink_pipeline.ex:371-430): one sink call per
+                # (routing, ≤batch_size) run, and a failure nacks the
+                # whole batch + blocks the affected groups' later rows.
+                rows = pdf.to_dict("records")
+
+                def _gkey(r):
+                    g = r["group_id"]
+                    return None if (g is None or (isinstance(g, float) and pd.isna(g))) else g
+
+                def flush(chunk):
+                    if not chunk:
+                        return
+                    routing = {c: chunk[0].get(c) for c in routing_cols}
+                    try:
+                        sink.deliver(SinkBatch(routing=routing, rows=chunk))
+                        for r in chunk:
+                            statuses.append(
+                                (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
+                                 _gkey(r), "delivered", "", int(r["deliver_count"]))
+                            )
+                    except Exception as e:  # noqa: BLE001
+                        err = str(e)[:500]
+                        for r in chunk:
+                            statuses.append(
+                                (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
+                                 _gkey(r), "failed", err, int(r["deliver_count"]))
+                            )
+                            gk = _gkey(r)
+                            if gk is not None:
+                                failed_groups.add(gk)
+
+                chunk: list = []
+                chunk_routing = None
+                for r in rows:
+                    routing = tuple(r.get(c) for c in routing_cols)
+                    if chunk and (routing != chunk_routing or len(chunk) >= max_batch):
+                        flush(chunk)
+                        chunk = []
+                    # check AFTER flushing — the group's head may have just
+                    # failed in the chunk ahead of this row
+                    gk = _gkey(r)
+                    if gk is not None and gk in failed_groups:
+                        statuses.append(
+                            (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
+                             gk, "blocked", "group blocked", int(r["deliver_count"]))
+                        )
+                        continue
+                    chunk_routing = routing
+                    chunk.append(r)
+                flush(chunk)
                 yield pd.DataFrame(
                     statuses,
                     columns=["commit_lsn", "commit_idx", "idempotency_key", "group_id",

@@ -49,6 +49,21 @@ def test_minipy_filter_and_transform(ev):
     assert _one(ev, compile_expr("f\"{record['house']}:{record['id']}\"")) == "Stark:7"
 
 
+def test_minipy_extended_surface(ev):
+    """Kernel/String/Regex/Base/Map allowlist parity (validator.ex:123-319)."""
+    assert _one(ev, compile_expr("div(int(record['id']), 2)")) == 3
+    assert _one(ev, compile_expr("rem(int(record['id']), 2)")) == 1
+    assert _one(ev, compile_expr("min(int(record['id']), 3)")) == 3
+    assert _one(ev, compile_expr("byte_size(record['house'])")) == 5
+    assert _one(ev, compile_expr("lpad(record['id'], 3, '0')")) == "007"
+    assert _one(ev, compile_expr("capitalize(record['name'])")) == "Arya"
+    assert _one(ev, compile_expr("regex_match(record['house'], '^St')")) is True
+    assert _one(ev, compile_expr("regex_extract(record['house'], '(ark)')")) == "ark"
+    assert _one(ev, compile_expr("base64_decode(base64_encode(record['name']))")) == "arya"
+    assert _one(ev, compile_expr("has_key(record, 'house')")) is True
+    assert _one(ev, compile_expr("join(keys(record), ',')")) == "house,id,name,score"
+
+
 def test_minipy_validator_rejections():
     for bad in [
         "__import__('os')",
