@@ -341,6 +341,87 @@ FROM documents
 """
 
 
+def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for hot keys (operators/skew.py) —
+    result must equal the plain group-by count."""
+    from sequin_spark.operators.skew import salted_count
+
+    _prep(spark)
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_count(li, "l_returnflag", salt_buckets=16).withColumnRenamed(
+        "l_returnflag", "returnflag"
+    )
+
+
+SQL_SKEW_SALTED_AGG = """
+SELECT l_returnflag AS returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data pipeline: quality filter → exact dedup →
+    language ID → per-language corpus stats (the end-to-end curation
+    shape every LLM data pipeline runs)."""
+    from sequin_spark.datapipe.dedup import exact_dedup
+    from sequin_spark.datapipe.text import langid, quality_score
+
+    _prep(spark)
+    docs = _docs_with_dupes(spark, sf_dir)
+    q = quality_score(docs).filter(F.col("keep"))
+    kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
+    dedup = exact_dedup(kept)
+    surviving = kept.join(
+        dedup.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    lang = langid(surviving)
+    return lang.groupBy("predicted_lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("hits_en").alias("total_en_hits"),
+    )
+
+
+SQL_CORPUS_CURATION = f"""
+WITH all_docs AS ({SQL_DOCS_WITH_DUPES}),
+q AS (
+  SELECT doc_id, text,
+         length({D_NORM}) AS n_chars,
+         len(string_split({D_NORM}, ' ')) AS n_tokens,
+         len(regexp_extract_all({D_NORM}, '[0-9]')) AS n_digits,
+         len(regexp_extract_all({D_NORM}, '\\b(the|a|of|and|in|to)\\b')) AS stop_hits
+  FROM all_docs
+),
+kept AS (
+  SELECT doc_id, text FROM q
+  WHERE n_chars >= 50 AND n_tokens >= 10
+    AND round(least(1.0, n_tokens / 100.0) * (0.5 + 0.5 * stop_hits * 1.0 / n_tokens)
+              - n_digits * 1.0 / n_chars, 4) > 0.1
+),
+dedup AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5({D_NORM})
+),
+surviving AS (SELECT k.doc_id, k.text FROM kept k JOIN dedup d ON k.doc_id = d.doc_id),
+h AS (
+  SELECT doc_id,
+         len(regexp_extract_all({D_NORM}, '\\b(the|a|of|and|in|to)\\b')) AS hits_en,
+         len(regexp_extract_all({D_NORM}, '\\b(der|die|das|und|ist)\\b')) AS hits_de,
+         len(regexp_extract_all({D_NORM}, '\\b(el|la|los|de|y|es)\\b')) AS hits_es,
+         len(regexp_extract_all({D_NORM}, '\\b(le|la|les|et|est)\\b')) AS hits_fr
+  FROM surviving
+),
+lang AS (
+  SELECT doc_id, hits_en,
+    CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+         WHEN hits_de >= hits_en AND hits_de >= hits_es AND hits_de >= hits_fr THEN 'de'
+         WHEN hits_en >= hits_es AND hits_en >= hits_fr THEN 'en'
+         WHEN hits_es >= hits_fr THEN 'es'
+         ELSE 'fr' END AS predicted_lang
+  FROM h
+)
+SELECT predicted_lang, count(*) AS n_docs, CAST(sum(hits_en) AS BIGINT) AS total_en_hits
+FROM lang GROUP BY predicted_lang
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -355,6 +436,8 @@ DATAPIPE_QUERIES = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "skew_salted_agg": q_skew_salted_agg,
+    "corpus_curation": q_corpus_curation,
 }
 
 DATAPIPE_ORACLES = {
@@ -371,4 +454,6 @@ DATAPIPE_ORACLES = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "skew_salted_agg": SQL_SKEW_SALTED_AGG,
+    "corpus_curation": SQL_CORPUS_CURATION,
 }
