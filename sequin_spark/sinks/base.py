@@ -201,6 +201,10 @@ class SqsSink(Sink):
     default_batch_size = 10
 
     def open(self) -> None:
+        factory = self.config.get("client_factory")
+        if factory is not None:
+            self._client = factory()
+            return
         import boto3  # available in this environment
 
         self._client = boto3.client("sqs", region_name=self.config.get("region", "us-east-1"))
@@ -226,8 +230,6 @@ SINK_REGISTRY: dict[str, type[Sink]] = {
     "file_log": FileLogSink,
     "http_push": HttpPushSink,
     "sqs": SqsSink,
-    "sns": _unavailable("sns", "boto3:sns adapter", 10),
-    "kinesis": _unavailable("kinesis", "boto3:kinesis adapter", 100),
     "kafka": _unavailable("kafka", "spark-sql-kafka (use streaming.pipeline kafka native path)", 200),
     "gcp_pubsub": _unavailable("gcp_pubsub", "google-cloud-pubsub", 10),
     "nats": _unavailable("nats", "nats-py", 10),
@@ -242,6 +244,7 @@ def _register_builtin_sinks() -> None:
     """REST/DB sinks live in submodules; registered here to keep base
     import-light (search sinks need only urllib; postgres/redis gate
     their client imports at open())."""
+    import sequin_spark.sinks.aws  # noqa: F401 — registers sns/kinesis
     from sequin_spark.sinks.postgres import PostgresWalSink
     from sequin_spark.sinks.redis import RedisStreamSink, RedisStringSink
     from sequin_spark.sinks.search import ElasticsearchSink, MeilisearchSink, TypesenseSink
@@ -249,9 +252,6 @@ def _register_builtin_sinks() -> None:
     for cls in (ElasticsearchSink, TypesenseSink, MeilisearchSink,
                 PostgresWalSink, RedisStringSink, RedisStreamSink):
         SINK_REGISTRY[cls.sink_type] = cls
-
-
-_register_builtin_sinks()
 
 
 def register_sink(sink_type: str, cls: type[Sink]) -> None:
@@ -263,3 +263,6 @@ def create_sink(sink_type: str, config: dict | None = None) -> Sink:
     if cls is None:
         raise ValueError(f"unknown sink type {sink_type!r}; known: {sorted(SINK_REGISTRY)}")
     return cls(config)
+
+
+_register_builtin_sinks()

@@ -147,6 +147,41 @@ class DeliveryEngine:
         for f in files:
             os.remove(f)
 
+    # --- admin operations (slot_message_store.ex discard_all /
+    # redeliver semantics) -------------------------------------------------
+    def discard_all_pending(self) -> int:
+        """Admin: drop the whole retry backlog (discard_all)."""
+        pending = self._read_pending()
+        n = 0 if pending is None else len(pending)
+        if n:
+            _write_parquet(
+                os.path.join(self.discarded_dir, f"admin-{uuid.uuid4().hex}.parquet"),
+                pending.drop(columns=["not_visible_until"]).assign(error="admin discard_all"),
+            )
+            os.remove(self.pending_path)
+        return n
+
+    def redeliver_discarded(self) -> int:
+        """Admin: move discarded (max-retry-exceeded) messages back into
+        the pending set with a reset deliver_count — the manual
+        redeliver escape hatch after fixing a broken sink."""
+        if not (os.path.isdir(self.discarded_dir) and os.listdir(self.discarded_dir)):
+            return 0
+        frames = [
+            pq.read_table(os.path.join(self.discarded_dir, f)).to_pandas()
+            for f in os.listdir(self.discarded_dir)
+        ]
+        disc = pd.concat(frames, ignore_index=True).drop(columns=["error"], errors="ignore")
+        disc["deliver_count"] = 0
+        disc["not_visible_until"] = 0.0
+        pending = self._read_pending()
+        merged = pd.concat([pending, disc], ignore_index=True) if pending is not None else disc
+        merged = merged.drop_duplicates(subset=IDENTITY, keep="first")
+        _write_parquet(self.pending_path, merged)
+        for f in os.listdir(self.discarded_dir):
+            os.remove(os.path.join(self.discarded_dir, f))
+        return len(disc)
+
     # --- the foreachBatch body -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         spark = batch_df.sparkSession

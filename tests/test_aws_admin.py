@@ -1,0 +1,133 @@
+"""SNS/Kinesis/SQS sinks via botocore Stubber + delivery admin ops."""
+
+import boto3
+import pytest
+from botocore.stub import Stubber
+
+from sequin_spark.sinks.base import SinkBatch, create_sink
+from sequin_spark.streaming.delivery import DeliveryEngine
+
+ROWS = [
+    {"group_id": "g1", "idempotency_key": "k1", "value": '{"n":1}'},
+    {"group_id": "g2", "idempotency_key": "k2", "value": '{"n":2}'},
+]
+
+
+def _stubbed(service, expect):
+    client = boto3.client(service, region_name="us-east-1")
+    stub = Stubber(client)
+    expect(stub)
+    stub.activate()
+    return client, stub
+
+
+def test_sns_publish_batch():
+    def expect(stub):
+        stub.add_response(
+            "publish_batch",
+            {"Successful": [{"Id": "0"}, {"Id": "1"}], "Failed": []},
+            {
+                "TopicArn": "arn:aws:sns:us-east-1:1:t",
+                "PublishBatchRequestEntries": [
+                    {"Id": "0", "Message": '{"n":1}', "MessageGroupId": "g1",
+                     "MessageDeduplicationId": "k1"},
+                    {"Id": "1", "Message": '{"n":2}', "MessageGroupId": "g2",
+                     "MessageDeduplicationId": "k2"},
+                ],
+            },
+        )
+
+    client, stub = _stubbed("sns", expect)
+    sink = create_sink("sns", {"client_factory": lambda: client, "is_fifo": True,
+                               "topic_arn": "arn:aws:sns:us-east-1:1:t"})
+    sink.open()
+    sink.deliver(SinkBatch(routing={}, rows=ROWS))
+    stub.assert_no_pending_responses()
+
+
+def test_kinesis_put_records_and_partial_failure():
+    def expect(stub):
+        stub.add_response(
+            "put_records",
+            {"Records": [
+                {"SequenceNumber": "1", "ShardId": "shardId-0"},
+                {"SequenceNumber": "2", "ShardId": "shardId-0"},
+            ]},
+            {
+                "StreamARN": "arn:aws:kinesis:us-east-1:1:stream/s",
+                "Records": [
+                    {"Data": b'{"n":1}', "PartitionKey": "g1"},
+                    {"Data": b'{"n":2}', "PartitionKey": "g2"},
+                ],
+            },
+        )
+        stub.add_response(
+            "put_records",
+            {"FailedRecordCount": 1,
+             "Records": [{"ErrorCode": "ProvisionedThroughputExceededException",
+                          "ErrorMessage": "slow down"}]},
+            {"StreamARN": "arn:aws:kinesis:us-east-1:1:stream/s",
+             "Records": [{"Data": b'{"n":1}', "PartitionKey": "g1"}]},
+        )
+
+    client, stub = _stubbed("kinesis", expect)
+    sink = create_sink("kinesis", {"client_factory": lambda: client})
+    sink.open()
+    sink.deliver(SinkBatch(routing={"stream_arn": "arn:aws:kinesis:us-east-1:1:stream/s"}, rows=ROWS))
+    with pytest.raises(RuntimeError, match="kinesis failed records"):
+        sink.deliver(
+            SinkBatch(routing={"stream_arn": "arn:aws:kinesis:us-east-1:1:stream/s"}, rows=ROWS[:1])
+        )
+    stub.assert_no_pending_responses()
+
+
+def test_sqs_send_message_batch():
+    def expect(stub):
+        stub.add_response(
+            "send_message_batch",
+            {"Successful": [], "Failed": []},
+            {
+                "QueueUrl": "https://sqs/q",
+                "Entries": [
+                    {"Id": "0", "MessageBody": '{"n":1}'},
+                    {"Id": "1", "MessageBody": '{"n":2}'},
+                ],
+            },
+        )
+
+    client, stub = _stubbed("sqs", expect)
+    sink = create_sink("sqs", {"client_factory": lambda: client})
+    sink.open()
+    sink.deliver(SinkBatch(routing={"queue_url": "https://sqs/q"}, rows=ROWS))
+    stub.assert_no_pending_responses()
+
+
+def test_admin_discard_and_redeliver(spark, tmp_path):
+    """discard_all + redeliver-discarded admin ops (slot_message_store
+    admin surface): a hopeless message is discarded after max retries,
+    then manually redelivered once the sink is fixed."""
+    df = spark.createDataFrame(
+        [("g1", 1, 0, "k", "g1", "{}")],
+        "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string",
+    )
+    engine = DeliveryEngine(
+        "failing", {"fail_substring": "g1"},
+        state_dir=str(tmp_path / "state"), max_retry_count=0, backoff_base_s=0.0,
+    )
+    stats = engine.process_batch(df, 0)
+    assert stats["discarded"] == 1 and stats["pending"] == 0
+    # fix the sink (no fail_substring) and redeliver
+    assert engine.redeliver_discarded() == 1
+    engine.sink_config = {}
+    stats2 = engine.process_batch(df.limit(0), 1)
+    assert stats2["delivered"] == 1
+
+    # discard_all drains the backlog
+    engine2 = DeliveryEngine(
+        "failing", {"fail_substring": "g1"},
+        state_dir=str(tmp_path / "state2"), max_retry_count=9, backoff_base_s=120.0,
+    )
+    engine2.process_batch(df, 0)
+    assert engine2.discard_all_pending() == 1
+    stats3 = engine2.process_batch(df.limit(0), 1)
+    assert stats3["pending"] == 0 and stats3["delivered"] == 0
