@@ -245,6 +245,7 @@ def _register_builtin_sinks() -> None:
     import-light (search sinks need only urllib; postgres/redis gate
     their client imports at open())."""
     import sequin_spark.sinks.aws  # noqa: F401 — registers sns/kinesis
+    import sequin_spark.sinks.pubsub_nats  # noqa: F401 — registers gcp_pubsub/nats
     from sequin_spark.sinks.postgres import PostgresWalSink
     from sequin_spark.sinks.redis import RedisStreamSink, RedisStringSink
     from sequin_spark.sinks.search import ElasticsearchSink, MeilisearchSink, TypesenseSink
