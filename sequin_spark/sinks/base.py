@@ -246,6 +246,7 @@ def _register_builtin_sinks() -> None:
     their client imports at open())."""
     import sequin_spark.sinks.aws  # noqa: F401 — registers sns/kinesis
     import sequin_spark.sinks.pubsub_nats  # noqa: F401 — registers gcp_pubsub/nats
+    import sequin_spark.sinks.rabbitmq  # noqa: F401 — registers rabbitmq
     import sequin_spark.sinks.s2_azure  # noqa: F401 — registers s2/azure_event_hub
     from sequin_spark.sinks.postgres import PostgresWalSink
     from sequin_spark.sinks.redis import RedisStreamSink, RedisStringSink
