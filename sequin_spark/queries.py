@@ -555,6 +555,36 @@ FROM ev
 """
 
 
+def q_metrics_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed throughput rollup (SURVEY §2.9 — the observability
+    time-series; watermarked in streaming mode, exhaustive in batch)."""
+    from sequin_spark.streaming.rollup import throughput_rollup
+
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    out = throughput_rollup(ev, window_duration="1 hour")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_um"),
+        "table_name",
+        "action",
+        "n_events",
+        "min_lsn",
+        "max_lsn",
+        "n_groups",
+    )
+
+
+SQL_METRICS_ROLLUP = f"""
+WITH ev AS ({EV_EVENTS})
+SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_um,
+       'events' AS table_name, action, count(*) AS n_events,
+       min(commit_lsn) AS min_lsn, max(commit_lsn) AS max_lsn,
+       count(DISTINCT group_id) AS n_groups
+FROM ev
+GROUP BY 1, 3
+"""
+
+
 def q_value_caster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG text-protocol value casting (value_caster.ex:9-151): booleans
     't'/'f', money, interval text form, array literals, pgvector."""
@@ -790,6 +820,7 @@ QUERIES: dict[str, callable] = {
     "wal_pipeline_log": q_wal_pipeline_log,
     "value_caster": q_value_caster,
     "transaction_annotations": q_transaction_annotations,
+    "metrics_rollup": q_metrics_rollup,
     "agg_pricing_summary": q_agg_pricing_summary,
     "join_revenue_by_nation": q_join_revenue_by_nation,
     "topk_orders_per_segment": q_topk_orders_per_segment,
@@ -820,6 +851,7 @@ ORACLES: dict[str, str] = {
     "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,
     "value_caster": SQL_VALUE_CASTER,
     "transaction_annotations": SQL_TRANSACTION_ANNOTATIONS,
+    "metrics_rollup": SQL_METRICS_ROLLUP,
     "agg_pricing_summary": SQL_AGG_PRICING_SUMMARY,
     "join_revenue_by_nation": SQL_JOIN_REVENUE_BY_NATION,
     "topk_orders_per_segment": SQL_TOPK_ORDERS_PER_SEGMENT,
