@@ -89,6 +89,78 @@ def hyperplane_buckets(
     return out.withColumn("bucket", bucket.cast("int")).drop(vec_col)
 
 
+def ivf_index(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF coarse quantizer: k-means centroids over the corpus; every
+    vector is assigned to its nearest centroid's inverted list.
+
+    Uses Spark ML KMeans (distributed Lloyd's); at 100 TB train on a
+    sample and assign the full corpus with the broadcast centroids.
+    Returns (assignments DataFrame with `centroid` column, model).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = emb.withColumn("_features", array_to_vector(as_double(vec_col)))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_features", predictionCol="centroid").fit(
+        feat
+    )
+    assigned = model.transform(feat).drop("_features")
+    return assigned, model
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: search only the query's ``n_probe`` nearest inverted
+    lists — the corpus side shrinks ~n_centroids/n_probe ×.
+
+    The centroid model is tiny → broadcast both the assignment and the
+    per-query probe lists; the join is centroid-equi (shuffle keyed by
+    centroid, bounded fan-out = inverted-list size).
+    """
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    assigned, model = ivf_index(emb, n_centroids, id_col, vec_col)
+    # per-query distances to every centroid → top n_probe lists
+    centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    spark = emb.sparkSession
+    cent_df = spark.createDataFrame(centroids, f"centroid int, c_vec array<double>")
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(cent_df)).withColumn(
+        "c_dist",
+        F.aggregate(
+            F.zip_with(F.col("q_vec").cast("array<double>"), F.col("c_vec"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("c_dist").asc())
+    probes = qc.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= n_probe).select(
+        "q_id", "q_vec", "centroid"
+    )
+    c = assigned.select(F.col(id_col).alias("n_id"), F.col("centroid"), F.col(vec_col).alias("n_vec"))
+    joined = probes.join(c, "centroid").filter(F.col("q_id") != F.col("n_id"))
+    joined = joined.withColumn("cos", cosine_col("q_vec", "n_vec"))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", F.round("cos", 3).alias("cos"))
+    )
+
+
 def ann_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -225,6 +225,17 @@ def _sql_ann_lsh_buckets() -> str:
     return f"SELECT vec_id, CAST({' + '.join(bits)} AS INTEGER) AS bucket FROM embeddings"
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (k-means inverted lists, n_probe nearest) — approximate,
+    rows-only check; recall asserted vs brute force in tests."""
+    from sequin_spark.datapipe.similarity import ann_ivf_topk
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=4)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed ANN search — approximate by construction (no SQL oracle;
     the driver records a rows-only check; recall is asserted in tests
@@ -431,6 +442,7 @@ DATAPIPE_QUERIES = {
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "text_langid": q_text_langid,
     "text_quality": q_text_quality,
     "text_tokens": q_text_tokens,

@@ -70,6 +70,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.2, f"LSH recall suspiciously low: {recall}"
 
 
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.similarity import ann_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id) for r in brute_force_topk(emb, queries, k=3).collect()}
+    ivf = {(r.q_id, r.n_id) for r in ann_ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=4).collect()}
+    assert len(ivf) == len(exact)
+    recall = len(exact & ivf) / len(exact)
+    # probing half the lists on random data: expect solid recall
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
 def test_langid_votes(spark):
     df = spark.createDataFrame(
         [
