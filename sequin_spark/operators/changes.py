@@ -23,12 +23,14 @@ def changes_expr(new_map: str = "record", old_map: str = "old_record") -> Column
     """map_filter over the old row: keep entries whose new value differs.
 
     consumers.ex:661-676: skips keys whose new value == old value and
-    keys whose new value is the unchanged-TOAST marker.
+    keys whose new value is the unchanged-TOAST marker. Comparisons are
+    null-safe — a column UPDATEd to NULL (new value null, old value set)
+    IS a change and must appear; plain ``!=`` would null-poison it away.
     """
     return F.map_filter(
         F.col(old_map),
-        lambda k, v: (F.col(new_map).getItem(k) != v)
-        & (F.col(new_map).getItem(k) != F.lit(UNCHANGED_TOAST)),
+        lambda k, v: ~F.col(new_map).getItem(k).eqNullSafe(v)
+        & ~F.col(new_map).getItem(k).eqNullSafe(F.lit(UNCHANGED_TOAST)),
     )
 
 

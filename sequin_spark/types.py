@@ -102,13 +102,13 @@ def cast_interval(col: Column) -> Column:
     years = F.coalesce(F.regexp_extract(col, r"(-?\d+) year", 1).try_cast("int"), F.lit(0))
     months = F.coalesce(F.regexp_extract(col, r"(-?\d+) mon", 1).try_cast("int"), F.lit(0))
     days = F.coalesce(F.regexp_extract(col, r"(-?\d+) day", 1).try_cast("int"), F.lit(0))
+    # one regex for the whole h:m:s.f group, then a cheap split
     hms = F.regexp_extract(col, r"(-?)(\d+):(\d+):(\d+(?:\.\d+)?)", 0)
     sign = F.when(hms.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
-    h = F.coalesce(F.regexp_extract(col, r"(\d+):\d+:\d+", 1).try_cast("long"), F.lit(0))
-    m = F.coalesce(F.regexp_extract(col, r"\d+:(\d+):\d+", 1).try_cast("long"), F.lit(0))
-    s = F.coalesce(
-        F.regexp_extract(col, r"\d+:\d+:(\d+(?:\.\d+)?)", 1).try_cast("double"), F.lit(0.0)
-    )
+    parts = F.split(F.regexp_replace(hms, "-", ""), ":")
+    h = F.coalesce(F.try_element_at(parts, F.lit(1)).try_cast("long"), F.lit(0))
+    m = F.coalesce(F.try_element_at(parts, F.lit(2)).try_cast("long"), F.lit(0))
+    s = F.coalesce(F.try_element_at(parts, F.lit(3)).try_cast("double"), F.lit(0.0))
     micros = (sign * ((h * 3600 + m * 60) * F.lit(1_000_000) + (s * 1_000_000))).cast("long")
     struct = F.struct(
         (years * 12 + months).alias("months"),
