@@ -18,8 +18,10 @@ Design rules for 100 TB:
 from sequin_spark.datapipe.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
+    ngram_jaccard_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_near_pairs,
 )
 from sequin_spark.datapipe.similarity import brute_force_topk, cosine_col, hyperplane_buckets
 from sequin_spark.datapipe.text import fingerprint, langid, quality_score, token_counts
@@ -27,8 +29,10 @@ from sequin_spark.datapipe.text import fingerprint, langid, quality_score, token
 __all__ = [
     "exact_dedup",
     "minhash_candidate_pairs",
+    "ngram_jaccard_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_near_pairs",
     "brute_force_topk",
     "cosine_col",
     "hyperplane_buckets",

@@ -130,24 +130,103 @@ def simhash(
     return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
 
 
-def simhash_near_pairs(sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by Hamming distance on simhash fingerprints.
+def simhash_near_pairs(
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, nbits: int = 16
+) -> DataFrame:
+    """Near-dup pairs by Hamming distance on simhash fingerprints,
+    pigeonhole-bucketed: split the ``nbits`` fingerprint into
+    ``max_hamming + 1`` chunks — any pair within Hamming distance d
+    differs in at most d chunks, so it agrees on at least one chunk.
+    Candidates come from an equi-join on (chunk_idx, chunk_value); the
+    exact Hamming verify after the join makes the result identical to
+    the all-pairs join, so bucketing is a pure physical optimization.
 
-    Demo path is a self-join; the scale path buckets on fingerprint
-    chunks first (any pair within distance d shares at least one of d+1
-    chunks — pigeonhole), keeping the join bounded.
+    At 100 TB use a 60-bit fingerprint (simhash hex_digits=15): 4 chunks
+    of 15 bits = 32k distinct chunk values, so bucket occupancy — and
+    the join fan-out — stays ~n/32k per chunk instead of O(n²).
+
+    Reference semantics: sequin has no simhash; this is the standard
+    Manku/Jain/Sarma near-dup design re-expressed as Catalyst joins.
     """
-    a, b = sim.alias("a"), sim.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= max_hamming)
+    n_chunks = max_hamming + 1
+    chunk_bits = -(-nbits // n_chunks)  # ceil → chunks cover all bits
+    mask = (1 << chunk_bits) - 1
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("ci"),
+                F.shiftright(F.col("simhash"), i * chunk_bits)
+                .bitwiseAND(F.lit(mask))
+                .cast("int")
+                .alias("cv"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = sim.select(
+        F.col(id_col), F.col("simhash"), F.explode(chunks).alias("ck")
+    ).select(id_col, "simhash", F.col("ck.ci").alias("ci"), F.col("ck.cv").alias("cv"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
         .select(
             F.col(f"a.{id_col}").alias("doc_a"),
             F.col(f"b.{id_col}").alias("doc_b"),
-            "hamming",
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
         )
+        .distinct()  # a pair can share several chunks
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.15,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Word n-gram Jaccard over MinHash-LSH candidate pairs — the scale
+    path: candidates come from band buckets (fan-out bounded by bucket
+    occupancy on an md5-uniform key), then the exact Jaccard is computed
+    only for candidates. No low-cardinality metadata bucket anywhere —
+    the pair count is O(collisions), not O(n²/|buckets|).
+    """
+    cand = minhash_candidate_pairs(df, text_col, id_col, bands, rows_per_band, shingle_k)
+    grams = (
+        df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("w"))
+        .select(id_col, F.array_distinct(word_shingles("w", n)).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+    )
+    ga = grams.select(
+        F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na")
+    )
+    gb = grams.select(
+        F.col(id_col).alias("doc_b"), F.col("grams").alias("gb"), F.col("n_grams").alias("nb")
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    union = F.col("na") + F.col("nb") - inter
+    return (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 

@@ -14,8 +14,9 @@ from sequin_spark.cdc import load_table
 from sequin_spark.datapipe.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
-    ngram_jaccard_pairs,
+    ngram_jaccard_lsh_pairs,
     simhash,
+    simhash_near_pairs,
 )
 from sequin_spark.datapipe.multimodal import attach_media, decode_media
 from sequin_spark.datapipe.similarity import (
@@ -79,7 +80,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_minhash() -> str:
+def _sql_minhash_cte() -> str:
+    """Shared CTE chain ending in `cand(doc_a, doc_b)` — the MinHash-LSH
+    candidate pairs over _docs_with_dupes (bands=4, rows_per_band=2,
+    shingle_k=3), mirroring minhash_candidate_pairs exactly."""
     sig_cols = ", ".join(
         f"min(md5('{j}|' || sh)) AS sig{j}" for j in range(1, 9)
     )
@@ -93,10 +97,16 @@ w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS w FROM all_docs),
 sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
        FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
 sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
-bands AS ({band_selects})
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+)
 """
+
+
+def _sql_minhash() -> str:
+    return _sql_minhash_cte() + "SELECT doc_a, doc_b FROM cand"
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,79 +114,132 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs_with_dupes(spark, sf_dir))
 
 
-def _sql_simhash() -> str:
+def _sql_simhash_cte(hex_digits: int = 4) -> str:
+    """CTE chain ending in `s(doc_id, simhash)` — the 4*hex_digits-bit
+    SimHash over _docs_with_dupes, mirroring datapipe.dedup.simhash."""
+    nbits = 4 * hex_digits
     d_cols = ", ".join(
-        f"strpos('0123456789abcdef', substr(h, {p}, 1)) - 1 AS d{p}" for p in range(1, 5)
+        f"strpos('0123456789abcdef', substr(h, {p}, 1)) - 1 AS d{p}"
+        for p in range(1, hex_digits + 1)
     )
     c_cols = ", ".join(
         f"sum(CASE WHEN (d{j // 4 + 1} >> {j % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
-        for j in range(16)
+        for j in range(nbits)
     )
-    fp = " + ".join(f"(CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    fp = " + ".join(f"(CASE WHEN c{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(nbits))
     return f"""
 WITH all_docs AS ({SQL_DOCS_WITH_DUPES}),
 toks AS (SELECT doc_id, unnest(string_split({D_NORM}, ' ')) AS tok FROM all_docs),
 h AS (SELECT doc_id, md5(tok) AS h FROM toks),
 d AS (SELECT doc_id, {d_cols} FROM h),
-c AS (SELECT doc_id, {c_cols} FROM d GROUP BY doc_id)
-SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM c
+c AS (SELECT doc_id, {c_cols} FROM d GROUP BY doc_id),
+s AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM c)
+"""
+
+
+def _sql_simhash() -> str:
+    return _sql_simhash_cte(4) + "SELECT doc_id, simhash FROM s"
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs via pigeonhole chunk bucketing —
+    the scale path (4 chunks × 15 bits → 32k-value equi-join key), with
+    exact Hamming verify so the result equals the all-pairs join."""
+    _prep(spark)
+    sim = simhash(_docs_with_dupes(spark, sf_dir), hex_digits=15)
+    return simhash_near_pairs(sim, max_hamming=3, nbits=60)
+
+
+def _sql_simhash_pairs() -> str:
+    return _sql_simhash_cte(15) + """
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard over MinHash-LSH candidates (scale path:
+    band-bucket join generates candidates; no metadata bucket)."""
     _prep(spark)
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    return ngram_jaccard_pairs(docs, bucket_col="lang", n=2, threshold=0.08)
+    return ngram_jaccard_lsh_pairs(
+        _docs_with_dupes(spark, sf_dir), n=2, threshold=0.15,
+        bands=4, rows_per_band=2, shingle_k=3,
+    )
 
 
-SQL_DEDUP_NGRAM_JACCARD = f"""
-WITH g AS (
-  SELECT doc_id, lang,
+def _sql_ngram_jaccard() -> str:
+    return _sql_minhash_cte() + f"""
+, g AS (
+  SELECT doc_id,
          list_distinct(list_transform(generate_series(1, len(w) - 1),
                                       i -> w[i] || ' ' || w[i+1])) AS grams
-  FROM (SELECT doc_id, lang, string_split({D_NORM}, ' ') AS w
-        FROM documents WHERE doc_id < 200) t
+  FROM (SELECT doc_id, string_split({D_NORM}, ' ') AS w FROM all_docs) t
 ),
 p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT c.doc_a, c.doc_b,
          len(list_intersect(a.grams, b.grams)) AS inter,
          len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)) AS un
-  FROM g a JOIN g b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  FROM cand c JOIN g a ON c.doc_a = a.doc_id JOIN g b ON c.doc_b = b.doc_id
 )
 SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
-FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.08
+FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.15
 """
 
 
 def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs within a label bucket (cos > 0.3)."""
+    """Embedding near-dup pairs within an LSH (sign-random-projection)
+    bucket — the scale path: candidates are bucket-equi-join collisions
+    (2^n_planes uniform buckets), never a low-cardinality metadata key.
+    """
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"), F.col("embedding").alias("ea")
+    bk = hyperplane_buckets(emb, n_planes=4).join(emb, "vec_id")
+    a = bk.select(
+        F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("embedding").alias("ea")
     )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"), F.col("embedding").alias("eb")
+    b = bk.select(
+        F.col("vec_id").alias("vec_b"), F.col("bucket"), F.col("embedding").alias("eb")
     )
-    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     pairs = pairs.withColumn("cos", cosine_col("ea", "eb"))
     return pairs.filter(F.col("cos") > 0.3).select(
-        "vec_a", "vec_b", "label", F.round("cos", 3).alias("cos")
+        "vec_a", "vec_b", "bucket", F.round("cos", 3).alias("cos")
     )
 
 
-SQL_EMBED_NEARDUP_COSINE = """
-WITH p AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+def _sql_bucket_expr(n_planes: int) -> str:
+    """DuckDB expression for the hyperplane LSH bucket of `embedding`
+    (64 dims), mirroring datapipe.similarity.hyperplane_buckets."""
+    bits = []
+    for p in range(n_planes):
+        dot = (
+            f"list_sum(list_transform(generate_series(0, 63), d -> "
+            f"(strpos('0123456789abcdef', substr(md5('{p}_' || CAST(d AS VARCHAR)), 1, 1)) - 1 - 7.5)"
+            f" * CAST(embedding[d + 1] AS DOUBLE)))"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _sql_embed_neardup_cosine() -> str:
+    return f"""
+WITH bk AS (
+  SELECT vec_id, CAST({_sql_bucket_expr(4)} AS INTEGER) AS bucket, embedding
+  FROM embeddings
+),
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.bucket,
          list_sum(list_transform(generate_series(1, len(a.embedding)),
                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
          / (sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
                   i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
           * sqrt(list_sum(list_transform(generate_series(1, len(b.embedding)),
                   i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) AS cos
-  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
-SELECT vec_a, vec_b, label, round(cos, 3) AS cos FROM p WHERE cos > 0.3
+SELECT vec_a, vec_b, bucket, round(cos, 3) AS cos FROM p WHERE cos > 0.3
 """
 
 
@@ -437,6 +500,7 @@ DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "embed_neardup_cosine": q_embed_neardup_cosine,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
@@ -456,8 +520,9 @@ DATAPIPE_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _sql_minhash(),
     "dedup_simhash": _sql_simhash(),
-    "dedup_ngram_jaccard": SQL_DEDUP_NGRAM_JACCARD,
-    "embed_neardup_cosine": SQL_EMBED_NEARDUP_COSINE,
+    "dedup_simhash_pairs": _sql_simhash_pairs(),
+    "dedup_ngram_jaccard": _sql_ngram_jaccard(),
+    "embed_neardup_cosine": _sql_embed_neardup_cosine(),
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_lsh_buckets": _sql_ann_lsh_buckets(),
     # ann_lsh_topk: intentionally no oracle (approximate op) → rows-only

@@ -52,6 +52,45 @@ def test_simhash_hamming(spark, docs):
     assert ham[(1, 2)] == 0
 
 
+def test_simhash_pigeonhole_equals_allpairs(spark, sf_dir):
+    """The chunk-bucketed candidate join + exact verify must equal the
+    naive all-pairs join — bucketing is a pure physical optimization."""
+    from sequin_spark.cdc import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(80)
+    sim = simhash(docs, hex_digits=15).cache()
+    bucketed = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in simhash_near_pairs(sim, max_hamming=4, nbits=60).collect()
+    }
+    a, b = sim.alias("a"), sim.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).cast("int")
+    naive = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .collect()
+    }
+    assert bucketed == naive
+
+
+def test_ngram_jaccard_lsh_pairs(spark, docs):
+    from sequin_spark.datapipe.dedup import ngram_jaccard_lsh_pairs
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_lsh_pairs(docs, n=2, threshold=0.1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical normalized text
+    assert all(a < b for a, b in pairs)
+    assert (1, 4) not in pairs  # unrelated docs never become candidates
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     from sequin_spark.cdc import load_table
 
