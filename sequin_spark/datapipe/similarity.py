@@ -95,23 +95,153 @@ def ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ):
-    """IVF coarse quantizer: k-means centroids over the corpus; every
-    vector is assigned to its nearest centroid's inverted list.
+    """IVF coarse quantizer: k-means centroids, every vector assigned to
+    its nearest centroid's inverted list.
 
-    Uses Spark ML KMeans (distributed Lloyd's); at 100 TB train on a
-    sample and assign the full corpus with the broadcast centroids.
+    Scale path: KMeans is FIT ON A SAMPLE (≤ ``max_train_rows`` rows —
+    Lloyd's converges on a sample; the index quality loss is negligible)
+    and the FULL corpus is assigned with the fitted model's broadcast
+    centroids. Build once and reuse the returned index across queries
+    via ``ann_ivf_topk(..., index=...)``; the assignments DataFrame is
+    cached so repeated searches don't re-scan the corpus.
+
     Returns (assignments DataFrame with `centroid` column, model).
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = emb.withColumn("_features", array_to_vector(as_double(vec_col)))
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="_features", predictionCol="centroid").fit(
-        feat
-    )
-    assigned = model.transform(feat).drop("_features")
+    n = feat.count()
+    train = feat
+    if n > max_train_rows:
+        train = feat.sample(withReplacement=False, fraction=max_train_rows / n, seed=seed)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="_features", predictionCol="centroid"
+    ).fit(train)
+    assigned = model.transform(feat).drop("_features").cache()
     return assigned, model
+
+
+def det_centroids(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic Lloyd's k-means in pure DataFrame ops: seeds are
+    the k vectors with the smallest md5(id) (pseudo-random but exactly
+    reproducible), followed by a FIXED number of assign/recompute
+    iterations — no RNG, no ML library state, so the resulting
+    centroids (and any IVF search built on them) are oracle-checkable
+    bit-for-bit against an external SQL engine. Pass ``id_col=None``
+    when ``emb`` is already projected (and cached) to (_id, v).
+
+    Each iteration is one broadcast-join assignment (centroid table is
+    k rows — always broadcast) plus a posexplode/groupBy per-dimension
+    mean: 2 narrow shuffles per iteration regardless of corpus size.
+    Returns the centroid rows as a list of (c_id, [double]) — small by
+    definition, embedded as constants by assign_to_centroids.
+    """
+    owns_cache = False
+    if id_col is not None:
+        e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
+        owns_cache = True
+    else:  # caller pre-projected (and usually cached) (_id, v)
+        e = emb
+    # seed selection: global orderBy + limit k → Spark's TakeOrdered
+    # (per-partition top-k then driver merge), never a full sort-shuffle
+    seed_rows = (
+        e.withColumn("h", F.md5(F.col("_id").cast("string")))
+        .orderBy("h")
+        .limit(k)
+        .select("v")
+        .collect()
+    )
+    rows = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seed_rows)]
+    dims = len(rows[0][1])
+    # per-dim mean as k×dims avg aggregates: ONE map-side-combined
+    # shuffle of k rows per iteration (vs posexplode + double groupBy);
+    # collecting k centroids to the driver per iteration truncates the
+    # compounding lineage of iterative Lloyd's — exactly what any
+    # driver-side k-means loop does, values unchanged → deterministic
+    aggs = [F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dims)]
+    for _ in range(iters):
+        out = assign_to_centroids(e, rows).groupBy("c_id").agg(*aggs).collect()
+        rows = sorted(
+            (int(r["c_id"]), [float(r[f"m{i}"]) for i in range(dims)]) for r in out
+        )
+    if owns_cache:
+        e.unpersist()
+    return rows
+
+
+def assign_to_centroids(e: DataFrame, cent_rows: list) -> DataFrame:
+    """Assign each (_id, v) row to its nearest centroid (ties → lowest
+    c_id). Centroids are driver-side constants embedded as array
+    literals, so assignment is a NARROW map — no join, no shuffle, no
+    window; at 100 TB this is the only way the assignment step stays a
+    single scan. The argmin is array_min over struct(dist, c_id), whose
+    lexicographic struct ordering is exactly the (dist asc, c_id asc)
+    tie-break."""
+    cands = []
+    for c_id, c in cent_rows:
+        # string-SQL literals (one expr, one py4j call): cast-from-string
+        # keeps the exact double value repr() round-trips
+        arr = "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in c) + ")"
+        d = (
+            f"aggregate(zip_with(v, {arr}, (a, b) -> (a - b) * (a - b)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+        cands.append(f"struct({d} as dist, {int(c_id)} as c_id)")
+    best = F.expr(f"array_min(array({','.join(cands)}))")
+    return e.withColumn("c_id", best["c_id"])
+
+
+def ann_ivf_det_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN over the deterministic quantizer — same search shape as
+    ann_ivf_topk (probe the n_probe nearest inverted lists, cosine
+    top-k within them) but exactly reproducible, so the full result is
+    hash-checkable against a SQL oracle."""
+    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
+    cent_rows = det_centroids(e, n_centroids, iters, id_col=None)
+    corpus = assign_to_centroids(e, cent_rows).select(
+        F.col("_id").alias("n_id"), F.col("v").alias("n_vec"), "c_id"
+    )
+    cent = emb.sparkSession.createDataFrame(cent_rows, "c_id int, c array<double>")
+    q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"))
+    dist = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("dist", dist)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select("q_id", "q_vec", "c_id")
+    )
+    joined = probes.join(corpus, "c_id").filter(F.col("q_id") != F.col("n_id"))
+    joined = joined.withColumn("cos", cosine_col("q_vec", "n_vec"))
+    w2 = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w2))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", F.round("cos", 3).alias("cos"))
+    )
 
 
 def ann_ivf_topk(
@@ -122,17 +252,21 @@ def ann_ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index=None,
 ) -> DataFrame:
     """IVF ANN: search only the query's ``n_probe`` nearest inverted
     lists — the corpus side shrinks ~n_centroids/n_probe ×.
 
-    The centroid model is tiny → broadcast both the assignment and the
-    per-query probe lists; the join is centroid-equi (shuffle keyed by
-    centroid, bounded fan-out = inverted-list size).
+    Pass ``index=(assigned, model)`` from a prior ivf_index() call to
+    search without refitting — index build is the expensive step and
+    amortizes across every query batch. The centroid model is tiny →
+    broadcast both the assignment and the per-query probe lists; the
+    join is centroid-equi (shuffle keyed by centroid, bounded fan-out =
+    inverted-list size).
     """
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
-    assigned, model = ivf_index(emb, n_centroids, id_col, vec_col)
+    assigned, model = index if index is not None else ivf_index(
+        emb, n_centroids, id_col, vec_col
+    )
     # per-query distances to every centroid → top n_probe lists
     centroids = [(int(i), [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
     spark = emb.sparkSession

@@ -289,24 +289,136 @@ def _sql_ann_lsh_buckets() -> str:
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (k-means inverted lists, n_probe nearest) — approximate,
-    rows-only check; recall asserted vs brute force in tests."""
-    from sequin_spark.datapipe.similarity import ann_ivf_topk
+    """IVF ANN over the deterministic Lloyd quantizer (md5-seeded init,
+    fixed iteration count) — exactly reproducible, so the full inverted-
+    list search result is hash-checked against the SQL oracle. The
+    ML-KMeans production path (ivf_index/ann_ivf_topk with prebuilt
+    index reuse) is recall-tested in tests/test_datapipe.py."""
+    from sequin_spark.datapipe.similarity import ann_ivf_det_topk
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=4)
+    return ann_ivf_det_topk(emb, queries, k=3, n_centroids=8, n_probe=4, iters=1)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine over two float-array columns (cast per element)."""
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, len({b})), "
+        f"i -> CAST({b}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))))"
+    )
+
+
+def _sql_ann_ivf_det(k_cent: int = 8, iters: int = 1, n_probe: int = 4,
+                     topk: int = 3, dims: int = 64) -> str:
+    """Full SQL replica of ann_ivf_det_topk: md5-seeded centroids,
+    `iters` Lloyd iterations, final assignment, probe-n_probe search."""
+    def dist(va: str, vb: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dims}), "
+            f"i -> ({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i])))"
+        )
+
+    def cosd(va: str, vb: str) -> str:  # already-double lists
+        return (
+            f"list_sum(list_transform(generate_series(1, {dims}), i -> {va}[i] * {vb}[i]))"
+            f" / (sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> {va}[i] * {va}[i])))"
+            f" * sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> {vb}[i] * {vb}[i]))))"
+        )
+
+    sql = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id, v AS c
+  FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {k_cent}
+)"""
+    prev = "c0"
+    for it in range(1, iters + 1):
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, {prev}.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.v', prev + '.c')} ASC, {prev}.c_id ASC) AS rn
+    FROM e CROSS JOIN {prev}) t
+  WHERE rn = 1
+),
+c{it} AS (
+  SELECT c_id, list(m ORDER BY d) AS c FROM (
+    SELECT c_id, d, avg(v[d]) AS m
+    FROM a{it}, unnest(generate_series(1, {dims})) AS t(d)
+    GROUP BY c_id, d) s
+  GROUP BY c_id
+)"""
+        prev = f"c{it}"
+    sql += f""",
+af AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e.vec_id, e.v, {prev}.c_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dist('e.v', prev + '.c')} ASC, {prev}.c_id ASC) AS rn
+    FROM e CROSS JOIN {prev}) t
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+pr AS (
+  SELECT q_id, q_vec, c_id FROM (
+    SELECT q.q_id, q.q_vec, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {dist('q.q_vec', 'c.c')} ASC, c.c_id ASC) AS rk
+    FROM q CROSS JOIN {prev} c) t
+  WHERE rk <= {n_probe}
+),
+cand AS (
+  SELECT pr.q_id, af.vec_id AS n_id, {cosd('pr.q_vec', 'af.v')} AS cos
+  FROM pr JOIN af ON pr.c_id = af.c_id AND pr.q_id != af.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+      FROM cand)
+SELECT q_id, n_id, rnk, round(cos, 3) AS cos FROM r WHERE rnk <= {topk}
+"""
+    return sql
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bucketed ANN search — approximate by construction (no SQL oracle;
-    the driver records a rows-only check; recall is asserted in tests
-    against the brute-force baseline)."""
+    """Bucketed ANN search — approximate vs brute force but fully
+    deterministic (md5 hyperplanes), so the result is hash-checked
+    against a SQL oracle replicating bucket + multi-probe search."""
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(emb, queries, k=3, n_planes=4)
+
+
+def _sql_ann_lsh_topk() -> str:
+    probe_union = "".join(
+        f"\n  UNION ALL SELECT vec_id, xor(bucket, {1 << p}) AS bucket, embedding FROM q0"
+        for p in range(4)
+    )
+    return f"""
+WITH bk AS (
+  SELECT vec_id, CAST({_sql_bucket_expr(4)} AS INTEGER) AS bucket, embedding
+  FROM embeddings
+),
+q0 AS (SELECT vec_id, bucket, embedding FROM bk WHERE vec_id < 10),
+qb AS (
+  SELECT vec_id, bucket, embedding FROM q0{probe_union}
+),
+cand AS (
+  SELECT qb.vec_id AS q_id, n.vec_id AS n_id, {_sql_cos('qb.embedding', 'n.embedding')} AS cos
+  FROM qb JOIN bk n ON qb.bucket = n.bucket AND qb.vec_id != n.vec_id
+),
+r AS (SELECT q_id, n_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+      FROM cand)
+SELECT q_id, n_id, rnk, round(cos, 3) AS cos FROM r WHERE rnk <= 3
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -525,7 +637,8 @@ DATAPIPE_ORACLES = {
     "embed_neardup_cosine": _sql_embed_neardup_cosine(),
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_lsh_buckets": _sql_ann_lsh_buckets(),
-    # ann_lsh_topk: intentionally no oracle (approximate op) → rows-only
+    "ann_lsh_topk": _sql_ann_lsh_topk(),
+    "ann_ivf_topk": _sql_ann_ivf_det(),
     "text_langid": _sql_langid(),
     "text_quality": SQL_TEXT_QUALITY,
     "text_tokens": SQL_TEXT_TOKENS,

@@ -111,16 +111,39 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
 
 def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     from sequin_spark.cdc import load_table
-    from sequin_spark.datapipe.similarity import ann_ivf_topk
+    from sequin_spark.datapipe.similarity import ann_ivf_topk, ivf_index
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     exact = {(r.q_id, r.n_id) for r in brute_force_topk(emb, queries, k=3).collect()}
-    ivf = {(r.q_id, r.n_id) for r in ann_ivf_topk(emb, queries, k=3, n_centroids=8, n_probe=4).collect()}
+    # build once (sample-fit), reuse across query batches — the scale lifecycle
+    index = ivf_index(emb, n_centroids=8, max_train_rows=300)
+    ivf = {
+        (r.q_id, r.n_id)
+        for r in ann_ivf_topk(emb, queries, k=3, n_probe=4, index=index).collect()
+    }
     assert len(ivf) == len(exact)
     recall = len(exact & ivf) / len(exact)
     # probing half the lists on random data: expect solid recall
     assert recall >= 0.4, f"IVF recall too low: {recall}"
+    # second batch against the SAME index: no refit, still sane results
+    q2 = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 15))
+    again = ann_ivf_topk(emb, q2, k=3, n_probe=4, index=index)
+    assert again.count() == 15
+
+
+def test_ann_ivf_det_matches_shape(spark, sf_dir):
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.similarity import ann_ivf_det_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    r1 = ann_ivf_det_topk(emb, queries, k=3, n_centroids=4, n_probe=2, iters=1)
+    rows1 = sorted((r.q_id, r.n_id, r.rnk) for r in r1.collect())
+    # deterministic: an identical second run returns identical rows
+    r2 = ann_ivf_det_topk(emb, queries, k=3, n_centroids=4, n_probe=2, iters=1)
+    rows2 = sorted((r.q_id, r.n_id, r.rnk) for r in r2.collect())
+    assert rows1 == rows2 and len(rows1) == 15
 
 
 def test_langid_votes(spark):
