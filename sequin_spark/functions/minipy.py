@@ -6,14 +6,16 @@ allowlist, no atom creation / module definition / IO
 (lib/sequin/functions/minielixir.ex, minielixir/validator.ex). Its
 allowlist is deliberately ≈ "pure expression over a JSON row".
 
-MiniPy is the Spark-native equivalent: a *Python expression* (not
-statements) over the names ``action, record, changes, metadata``,
-AST-validated against an allowlist and compiled to a Catalyst Column —
-so user functions run JVM-side inside whole-stage codegen, never as
-row-at-a-time Python. This is the fast path; genuinely imperative user
-code escapes to a Pandas UDF (see sandbox_pandas_udf below), the slow
-path, mirroring the reference's compiled-vs-interpreted split
-(minielixir.ex:54-84).
+MiniPy is the Spark-native equivalent: a Python expression — or a
+statement PROGRAM (compile_program: local bindings, if/elif/else,
+``match``, dict literals, list comprehensions) — over the names
+``action, record, changes, metadata``, AST-validated against an
+allowlist and compiled to ONE Catalyst Column — so user functions run
+JVM-side inside whole-stage codegen, never as row-at-a-time Python.
+This is the fast path; genuinely imperative user code (data-dependent
+loops, accumulation) escapes to a Pandas UDF (see sandbox_pandas_udf
+below), the slow path, mirroring the reference's
+compiled-vs-interpreted split (minielixir.ex:54-84).
 
 Allowed surface (validator parity, minielixir/validator.ex:75-236):
   - arithmetic + - * / % **, comparisons, boolean and/or/not, in
@@ -34,32 +36,43 @@ from pyspark.sql import functions as F
 
 _ARG_NAMES = {"action", "record", "changes", "metadata"}
 
+def _w1(fn):
+    """Wrap a Spark fn so its FIRST arg is coerced to a Column — string
+    literals must become lit(), never column references."""
+    return lambda c, *rest: fn(_as_col(c), *rest)
+
+
+def _wall(fn):
+    """Wrap a variadic Spark fn coercing EVERY arg to a Column."""
+    return lambda *cs: fn(*[_as_col(c) for c in cs])
+
+
 # name → (spark function, result kind). Kinds drive `+` dispatch:
 # string + string → concat (MiniElixir `<>`), numeric + numeric → plus.
 _FUNCTIONS = {
-    "upper": (F.upper, "str"),
-    "lower": (F.lower, "str"),
-    "length": (F.length, "num"),
-    "trim": (F.trim, "str"),
-    "abs": (F.abs, "num"),
-    "round": (F.round, "num"),
-    "ceil": (F.ceil, "num"),
-    "floor": (F.floor, "num"),
-    "concat": (F.concat, "str"),
-    "coalesce": (F.coalesce, "unknown"),
-    "substring": (F.substring, "str"),
-    "replace": (lambda c, a, b: F.regexp_replace(c, F.lit(a), F.lit(b)), "str"),
-    "split": (lambda c, sep: F.split(c, sep), "list"),
-    "to_date": (F.to_date, "unknown"),
-    "to_timestamp": (F.to_timestamp, "unknown"),
-    "date_format": (F.date_format, "str"),
-    "year": (F.year, "num"),
-    "month": (F.month, "num"),
-    "day": (F.dayofmonth, "num"),
-    "md5": (F.md5, "str"),
-    "sha256": (F.sha2, "str"),
-    "greatest": (F.greatest, "unknown"),
-    "least": (F.least, "unknown"),
+    "upper": (_w1(F.upper), "str"),
+    "lower": (_w1(F.lower), "str"),
+    "length": (_w1(F.length), "num"),
+    "trim": (_w1(F.trim), "str"),
+    "abs": (_w1(F.abs), "num"),
+    "round": (_w1(F.round), "num"),
+    "ceil": (_w1(F.ceil), "num"),
+    "floor": (_w1(F.floor), "num"),
+    "concat": (_wall(F.concat), "str"),
+    "coalesce": (_wall(F.coalesce), "unknown"),
+    "substring": (_w1(F.substring), "str"),
+    "replace": (lambda c, a, b: F.regexp_replace(_as_col(c), F.lit(a), F.lit(b)), "str"),
+    "split": (lambda c, sep: F.split(_as_col(c), sep), "list"),
+    "to_date": (_w1(F.to_date), "unknown"),
+    "to_timestamp": (_w1(F.to_timestamp), "unknown"),
+    "date_format": (_w1(F.date_format), "str"),
+    "year": (_w1(F.year), "num"),
+    "month": (_w1(F.month), "num"),
+    "day": (_w1(F.dayofmonth), "num"),
+    "md5": (_w1(F.md5), "str"),
+    "sha256": (lambda c: F.sha2(_as_col(c).cast("string"), 256), "str"),
+    "greatest": (_wall(F.greatest), "unknown"),
+    "least": (_wall(F.least), "unknown"),
     "int": (lambda c: _as_col(c).cast("long"), "num"),
     "float": (lambda c: _as_col(c).cast("double"), "num"),
     "str": (lambda c: _as_col(c).cast("string"), "str"),
@@ -70,13 +83,15 @@ _FUNCTIONS = {
     "get_json": (lambda c, p: F.get_json_object(_as_col(c), p), "str"),
     "is_null": (lambda c: _as_col(c).isNull(), "bool"),
     # Kernel parity (validator.ex @kernel_functions): div/rem/trunc/min/max/byte_size
-    "div": (lambda a, b: (_as_col(a).cast("long") - (_as_col(a).cast("long") % _as_col(b))) / _as_col(b), "num"),
+    # Elixir Kernel.div truncates toward zero and returns an integer:
+    # double-divide then cast — div(-7, 2) == -3, and str(div(12, 4)) == '3'
+    "div": (lambda a, b: (_as_col(a).cast("double") / _as_col(b)).cast("long"), "num"),
     "rem": (lambda a, b: _as_col(a) % _as_col(b), "num"),
     "trunc": (lambda c: _as_col(c).cast("long"), "num"),
     "min": (lambda *cs: F.least(*[_as_col(c) for c in cs]), "unknown"),
     "max": (lambda *cs: F.greatest(*[_as_col(c) for c in cs]), "unknown"),
     "byte_size": (lambda c: F.octet_length(_as_col(c)), "num"),
-    "len": (F.length, "num"),
+    "len": (_w1(F.length), "num"),
     # String module parity
     "lpad": (lambda c, n, p: F.lpad(_as_col(c), n, p), "str"),
     "rpad": (lambda c, n, p: F.rpad(_as_col(c), n, p), "str"),
@@ -95,13 +110,29 @@ _FUNCTIONS = {
     # Date/DateTime module parity (deterministic subset — no now())
     "date_add": (lambda c, n: F.date_add(_as_col(c), n), "unknown"),
     "datediff": (lambda a, b: F.datediff(_as_col(a), _as_col(b)), "num"),
-    "hour": (F.hour, "num"),
-    "minute": (F.minute, "num"),
-    "second": (F.second, "num"),
+    "hour": (_w1(F.hour), "num"),
+    "minute": (_w1(F.minute), "num"),
+    "second": (_w1(F.second), "num"),
     # Map module parity over the record/changes maps
     "keys": (lambda c: F.array_sort(F.map_keys(_as_col(c))), "list"),
     "has_key": (lambda c, k: F.array_contains(F.map_keys(_as_col(c)), k), "bool"),
     "join": (lambda c, sep: F.array_join(_as_col(c), sep), "str"),
+    # Enum module parity over arrays (validator.ex @enum_functions);
+    # Enum.map/filter with lambdas come in via list comprehensions →
+    # Catalyst transform/filter higher-order functions
+    "sum": (
+        lambda c: F.aggregate(
+            _as_col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ),
+        "num",
+    ),
+    "size": (lambda c: F.size(_as_col(c)), "num"),
+    "count": (lambda c: F.size(_as_col(c)), "num"),
+    "first": (lambda c: F.element_at(_as_col(c), 1), "unknown"),
+    "last": (lambda c: F.element_at(_as_col(c), -1), "unknown"),
+    "sort_list": (lambda c: F.array_sort(_as_col(c)), "list"),
+    "uniq": (lambda c: F.array_distinct(_as_col(c)), "list"),
+    "member": (lambda c, x: F.array_contains(_as_col(c), x), "bool"),
 }
 
 _BANNED_MSG = "MiniPy: {} is not allowed (sandbox allowlist, see minielixir/validator.ex parity)"
@@ -131,10 +162,151 @@ def _kind_of_literal(v) -> str:
     return "unknown"
 
 
+def _to_col(t: _T) -> Column:
+    """Materialize a compiled value as a Column (python lists of compiled
+    elements become Catalyst array literals)."""
+    if isinstance(t.val, list):
+        return F.array(
+            *[_to_col(e) if isinstance(e, _T) else _as_col(e) for e in t.val]
+        )
+    return _as_col(t.val)
+
+
 class _Compiler(ast.NodeVisitor):
+    def __init__(self):
+        self.env: dict = {}  # local bindings: name -> _T
+
     def compile(self, expr_src: str) -> Column:
         tree = ast.parse(expr_src, mode="eval")
         return _as_col(self.visit(tree.body).val)
+
+    def compile_program(self, src: str) -> Column:
+        """Compile a MiniPy PROGRAM: either a bare statement body or a
+        single ``def transform|filter|route(action, record, changes,
+        metadata)``. Statements allowed: local assignment, if/elif/else
+        (each terminal branch must ``return``), ``match`` on constants
+        (MiniElixir ``case`` parity, validator.ex:75-236), ``return``.
+        Control flow compiles to nested F.when chains — the whole
+        program is still one Catalyst expression, never per-row Python.
+        """
+        try:
+            tree = ast.parse(src)
+        except SyntaxError:
+            # bare statement bodies use `return` at top level (invalid as
+            # a Python module) — re-parse wrapped in the canonical def
+            indented = "\n".join("    " + ln for ln in src.splitlines())
+            tree = ast.parse(
+                "def transform(action, record, changes, metadata):\n" + indented
+            )
+        stmts = tree.body
+        if len(stmts) == 1 and isinstance(stmts[0], ast.FunctionDef):
+            fd = stmts[0]
+            if fd.name not in ("transform", "filter", "route"):
+                raise ValueError(_BANNED_MSG.format(f"def {fd.name!r}"))
+            argnames = [a.arg for a in fd.args.args]
+            if argnames != ["action", "record", "changes", "metadata"]:
+                raise ValueError(
+                    "MiniPy: signature must be (action, record, changes, metadata)"
+                )
+            if fd.args.kwonlyargs or fd.args.vararg or fd.args.kwarg or fd.decorator_list:
+                raise ValueError(_BANNED_MSG.format("function extras"))
+            stmts = fd.body
+        out = self._block(stmts)
+        if out is None:
+            raise ValueError("MiniPy: program must return a value on every path")
+        return _to_col(out)
+
+    def _block(self, stmts) -> "_T | None":
+        """Compile a statement list; returns the block's value or None
+        if the block falls through without returning."""
+        for i, st in enumerate(stmts):
+            if isinstance(st, ast.Assign):
+                if len(st.targets) != 1 or not isinstance(st.targets[0], ast.Name):
+                    raise ValueError(_BANNED_MSG.format("destructuring assignment"))
+                name = st.targets[0].id
+                if name in _ARG_NAMES:
+                    # validator.ex parity: "can't assign to argument"
+                    raise ValueError(f"MiniPy: can't assign to argument: {name}")
+                self.env[name] = self.visit(st.value)
+                continue
+            if isinstance(st, ast.Return):
+                if st.value is None:
+                    raise ValueError("MiniPy: bare return is not allowed")
+                return self.visit(st.value)
+            if isinstance(st, ast.If):
+                cond = _as_col(self.visit(st.test).val)
+                saved = dict(self.env)
+                body_val = self._block(st.body)
+                self.env = dict(saved)
+                else_val = self._block(st.orelse) if st.orelse else None
+                self.env = dict(saved)
+                if body_val is None:
+                    raise ValueError(
+                        "MiniPy: if-branches must end in return "
+                        "(conditional assignment: use `x = a if c else b`)"
+                    )
+                if else_val is not None:
+                    if i + 1 != len(stmts):
+                        raise ValueError("MiniPy: unreachable code after if/else")
+                    kind = body_val.kind if body_val.kind == else_val.kind else "unknown"
+                    return _T(
+                        F.when(cond, _to_col(body_val)).otherwise(_to_col(else_val)),
+                        kind,
+                    )
+                rest = self._block(stmts[i + 1:])
+                if rest is None:
+                    raise ValueError("MiniPy: program must return a value on every path")
+                kind = body_val.kind if body_val.kind == rest.kind else "unknown"
+                return _T(
+                    F.when(cond, _to_col(body_val)).otherwise(_to_col(rest)), kind
+                )
+            if isinstance(st, ast.Match):
+                if i + 1 != len(stmts):
+                    raise ValueError("MiniPy: match must be the last statement")
+                return self._match(st)
+            raise ValueError(_BANNED_MSG.format(f"statement {type(st).__name__}"))
+        return None
+
+    def _match(self, st: "ast.Match") -> _T:
+        """``match subj: case <const>: ... case _: ...`` → F.when chain
+        (MiniElixir `case` parity; guards via `case <const> if cond:`)."""
+        subj = self.visit(st.subject)
+        sc = _as_col(subj.val)
+        chain = None
+        default = None
+        for case in st.cases:
+            pat = case.pattern
+            if isinstance(pat, ast.MatchAs) and pat.pattern is None:  # case _ / case x
+                if case.guard is not None:
+                    raise ValueError(_BANNED_MSG.format("guard on wildcard case"))
+                saved = dict(self.env)
+                if pat.name:
+                    self.env[pat.name] = subj
+                default = self._block(case.body)
+                self.env = dict(saved)
+                if default is None:
+                    raise ValueError("MiniPy: case bodies must return")
+                break
+            if not (
+                isinstance(pat, ast.MatchValue) and isinstance(pat.value, ast.Constant)
+            ):
+                raise ValueError(_BANNED_MSG.format("non-constant match pattern"))
+            cond = sc.eqNullSafe(F.lit(pat.value.value))
+            if case.guard is not None:
+                cond = cond & _as_col(self.visit(case.guard).val)
+            val = self._block(case.body)
+            if val is None:
+                raise ValueError("MiniPy: case bodies must return")
+            chain = (
+                F.when(cond, _to_col(val))
+                if chain is None
+                else chain.when(cond, _to_col(val))
+            )
+        if chain is None:  # only a wildcard arm
+            return default if default is not None else _T(None, "unknown")
+        if default is not None:
+            return _T(chain.otherwise(_to_col(default)), "unknown")
+        return _T(chain, "unknown")  # unmatched → NULL (Elixir raises; doc'd deviation)
 
     # --- literals & names -------------------------------------------------
     def visit_Constant(self, node):
@@ -143,11 +315,64 @@ class _Compiler(ast.NodeVisitor):
         raise ValueError(_BANNED_MSG.format(f"literal {type(node.value).__name__}"))
 
     def visit_Name(self, node):
+        if node.id in self.env:
+            return self.env[node.id]
         if node.id == "action":
             return _T(F.col("action"), "str")
         if node.id in _ARG_NAMES:
             return _T(F.col(node.id), "map")
         raise ValueError(_BANNED_MSG.format(f"name {node.id!r}"))
+
+    def visit_Dict(self, node):
+        # dict literal → struct column (heterogeneous value types stay
+        # typed; MiniElixir map-building %{...} parity)
+        fields = []
+        for k, v in zip(node.keys, node.values):
+            if not (isinstance(k, ast.Constant) and isinstance(k.value, str)):
+                raise ValueError(_BANNED_MSG.format("non-string dict key"))
+            fields.append(_to_col(self.visit(v)).alias(k.value))
+        return _T(F.struct(*fields), "struct")
+
+    def visit_ListComp(self, node):
+        # [f(x) for x in xs if p(x)] → F.filter + F.transform HOFs
+        # (Enum.map / Enum.filter parity) — stays inside Catalyst
+        if len(node.generators) != 1:
+            raise ValueError(_BANNED_MSG.format("multiple comprehension generators"))
+        gen = node.generators[0]
+        if gen.is_async or not isinstance(gen.target, ast.Name):
+            raise ValueError(_BANNED_MSG.format("comprehension target"))
+        var = gen.target.id
+        if var in _ARG_NAMES:
+            raise ValueError(f"MiniPy: can't assign to argument: {var}")
+        it = self.visit(gen.iter)
+        if it.kind == "map":
+            raise ValueError(
+                _BANNED_MSG.format("iterating a map; iterate keys(m) or split(...)")
+            )
+        src = _as_col(it.val)
+
+        def _with_var(x: Column, compile_fn):
+            saved = self.env.get(var)
+            self.env[var] = _T(x, "unknown")
+            try:
+                return compile_fn()
+            finally:
+                if saved is None:
+                    self.env.pop(var, None)
+                else:
+                    self.env[var] = saved
+
+        def _mk_pred(cond_node):
+            # NB: a plain 1-arg lambda — pyspark dispatches 2-arg HOF
+            # lambdas as (element, index), so no default-arg binding here
+            return lambda x: _with_var(x, lambda: _as_col(self.visit(cond_node).val))
+
+        for cond_node in gen.ifs:
+            src = F.filter(src, _mk_pred(cond_node))
+        out = F.transform(
+            src, lambda x: _with_var(x, lambda: _to_col(self.visit(node.elt)))
+        )
+        return _T(out, "list")
 
     def visit_Subscript(self, node):
         base = self.visit(node.value)
@@ -206,10 +431,14 @@ class _Compiler(ast.NodeVisitor):
         op = type(node.ops[0])
         lc = _as_col(left.val)
         rv = right.val
+        # Eq/NotEq are NULL-SAFE (eqNullSafe): MiniElixir's nil == "x" is
+        # false and nil != "x" is true — Spark's null-poisoned =/!= would
+        # instead drop rows where record['k'] is absent (validator parity,
+        # see also operators/changes.py's null-safe diff)
         if op is ast.Eq:
-            return _T(lc == rv, "bool")
+            return _T(lc.eqNullSafe(_as_col(rv)), "bool")
         if op is ast.NotEq:
-            return _T(lc != rv, "bool")
+            return _T(~lc.eqNullSafe(_as_col(rv)), "bool")
         if op is ast.Gt:
             return _T(lc > rv, "bool")
         if op is ast.GtE:
@@ -275,12 +504,38 @@ def compile_expr(expr_src: str) -> Column:
     return _Compiler().compile(expr_src)
 
 
+def compile_program(src: str) -> Column:
+    """Compile a MiniPy PROGRAM (statement body or a full ``def
+    transform/filter/route(action, record, changes, metadata)``) into
+    ONE Catalyst Column — local bindings inline, if/elif/else and
+    ``match`` become F.when chains, dict literals become structs, list
+    comprehensions become transform/filter higher-order functions.
+
+    This is the MiniElixir-depth surface (case/cond, Map/Enum with
+    lambdas — validator.ex:75-236) on the compiled fast path; only
+    genuinely imperative code (loops with data-dependent trip counts,
+    accumulation) needs the sandbox_pandas_udf escape hatch.
+
+    >>> compile_program('''
+    ... status = 'vip' if int(record['bal']) > 1000 else 'std'
+    ... if action == 'delete':
+    ...     return {'id': record['id'], 'tag': 'gone'}
+    ... return {'id': record['id'], 'tag': status}
+    ... ''')
+    """
+    return _Compiler().compile_program(src)
+
+
 def validate(expr_src: str) -> tuple[bool, str | None]:
-    """Validate without building a plan — mirrors Consumers.validate_code."""
+    """Validate without building a plan — mirrors Consumers.validate_code.
+    Accepts both single expressions and statement programs."""
     try:
-        compile_expr(expr_src)
+        try:
+            compile_expr(expr_src)
+        except SyntaxError:
+            compile_program(expr_src)
         return True, None
-    except (ValueError, SyntaxError) as e:
+    except (ValueError, SyntaxError, TypeError) as e:
         return False, str(e)
 
 

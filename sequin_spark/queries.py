@@ -435,6 +435,63 @@ FROM events WHERE event_type = 'purchase' AND value > 50
 """
 
 
+def q_minipy_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniPy PROGRAM surface (MiniElixir statement-body parity,
+    validator.ex:75-236): local bindings, `match` → when chains, dict
+    construction → struct, list comprehension → transform/filter HOFs
+    — the whole program compiles to ONE Catalyst expression."""
+    from sequin_spark.functions.minipy import compile_program
+
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    prog = compile_program(
+        "tier = 'vip' if float(record['value']) > 50 else 'std'\n"
+        "match action:\n"
+        "    case 'insert':\n"
+        "        return {'event_id': int(record['event_id']), 'tier': tier,\n"
+        "                'label': upper(record['event_type']) + ':' + record['user_id'],\n"
+        "                'toks': join([upper(x) for x in split(record['event_type'], 'e')"
+        " if length(x) > 0], '.')}\n"
+        "    case 'update':\n"
+        "        return {'event_id': int(record['event_id']), 'tier': 'upd-' + tier,\n"
+        "                'label': 'U', 'toks': ''}\n"
+        "    case _:\n"
+        "        return {'event_id': int(record['event_id']), 'tier': 'del',\n"
+        "                'label': 'D', 'toks': ''}\n"
+    )
+    return ev.select(prog.alias("o")).select(
+        F.col("o.event_id").alias("event_id"),
+        F.col("o.tier").alias("tier"),
+        F.col("o.label").alias("label"),
+        F.col("o.toks").alias("toks"),
+    )
+
+
+SQL_MINIPY_PROGRAM = """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 10 <= 5 THEN 'insert'
+              WHEN event_id % 10 <= 8 THEN 'update'
+              ELSE 'delete' END AS action,
+         user_id, event_type, value
+  FROM events
+),
+t AS (SELECT *, CASE WHEN value > 50 THEN 'vip' ELSE 'std' END AS tier FROM e)
+SELECT event_id,
+  CASE WHEN action = 'insert' THEN tier
+       WHEN action = 'update' THEN 'upd-' || tier
+       ELSE 'del' END AS tier,
+  CASE WHEN action = 'insert' THEN upper(event_type) || ':' || CAST(user_id AS VARCHAR)
+       WHEN action = 'update' THEN 'U' ELSE 'D' END AS label,
+  CASE WHEN action = 'insert' THEN
+    array_to_string(list_transform(list_filter(string_split(event_type, 'e'),
+                                               x -> length(x) > 0),
+                                   x -> upper(x)), '.')
+  ELSE '' END AS toks
+FROM t
+"""
+
+
 def q_backfill_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset pagination with composite cursor (keyset_cursor.ex:93-113,
     table_reader.ex:265-298) — pure pushed-down predicates."""
@@ -815,6 +872,7 @@ QUERIES: dict[str, callable] = {
     "timestamp_formats": q_timestamp_formats,
     "path_transform": q_path_transform,
     "minipy_transform": q_minipy_transform,
+    "minipy_program": q_minipy_program,
     "backfill_keyset_page": q_backfill_keyset_page,
     "backfill_fence_merge": q_backfill_fence_merge,
     "wal_pipeline_log": q_wal_pipeline_log,
@@ -846,6 +904,7 @@ ORACLES: dict[str, str] = {
     "timestamp_formats": SQL_TIMESTAMP_FORMATS,
     "path_transform": SQL_PATH_TRANSFORM,
     "minipy_transform": SQL_MINIPY_TRANSFORM,
+    "minipy_program": SQL_MINIPY_PROGRAM,
     "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,
     "backfill_fence_merge": SQL_BACKFILL_FENCE_MERGE,
     "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,

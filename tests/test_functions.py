@@ -70,12 +70,130 @@ def test_minipy_validator_rejections():
         "record.house",          # dot access rejected (validator.ex:264-271)
         "open('/etc/passwd')",
         "x + 1",                  # unknown name
-        "[e for e in record]",    # comprehensions not allowed
+        "[e for e in record]",    # maps aren't iterable (use keys()/split())
         "lambda x: x",
+        "record = 1",             # can't shadow an argument (validator parity)
+        "while True: return 1",   # unbounded loops never allowed
+        "import os\nreturn 1",
+        "x = 1",                  # program with no return
+        "sha256()",               # arity error surfaces as validation failure
     ]:
         ok, err = validate(bad)
         assert not ok, bad
         assert err
+
+
+PROGRAM_CASES = [
+    # (program_source, expected) over the `ev` row:
+    # action=insert, record={id:7, house:Stark, name:arya, score:12.5}
+    # --- locals + return (MiniElixir assignment/body parity) ---
+    ("x = int(record['id'])\nreturn x * 2", 14),
+    ("x = record['house']\ny = upper(x)\nreturn y + '!'", "STARK!"),
+    ("x = 1\nx = x + 1\nreturn x", 2),  # rebinding
+    # --- if/elif/else → when chains (MiniElixir if/cond parity) ---
+    ("if action == 'insert':\n    return 'I'\nreturn 'O'", "I"),
+    ("if action == 'delete':\n    return 'D'\nelse:\n    return 'N'", "N"),
+    (
+        "s = float(record['score'])\n"
+        "if s > 100:\n    return 'huge'\n"
+        "elif s > 10:\n    return 'big'\n"
+        "else:\n    return 'small'",
+        "big",
+    ),
+    ("if is_null(record['missing']):\n    return 'absent'\nreturn 'present'", "absent"),
+    # --- match → case parity (minielixir_test case expressions) ---
+    (
+        "match action:\n"
+        "    case 'insert':\n        return 1\n"
+        "    case 'update':\n        return 2\n"
+        "    case _:\n        return 0",
+        1,
+    ),
+    (
+        "match record['house']:\n"
+        "    case 'Lannister':\n        return 'lion'\n"
+        "    case _:\n        return 'other'",
+        "other",
+    ),
+    (
+        "match int(record['id']):\n"
+        "    case 7 if action == 'insert':\n        return 'seven-insert'\n"
+        "    case 7:\n        return 'seven'\n"
+        "    case _:\n        return 'no'",
+        "seven-insert",
+    ),
+    # --- dict construction → struct (map-building %{...} parity) ---
+    (
+        "return {'id': int(record['id']), 'who': upper(record['name'])}",
+        {"id": 7, "who": "ARYA"},
+    ),
+    (
+        "tag = 'vip' if float(record['score']) > 10 else 'std'\n"
+        "return {'tag': tag, 'n': length(record['name'])}",
+        {"tag": "vip", "n": 4},
+    ),
+    # --- list comprehensions → transform/filter HOFs (Enum parity) ---
+    ("return [upper(x) for x in split('a,b,c', ',')]", ["A", "B", "C"]),
+    (
+        "return [int(x) * 10 for x in split('1,2,3', ',') if int(x) > 1]",
+        [20, 30],
+    ),
+    ("return sum([float(x) for x in split('1.5,2.5', ',')])", 4.0),
+    ("return size(split(record['name'], ''))", 4),
+    ("return first(sort_list(split('b,a,c', ',')))", "a"),
+    ("return join(uniq(split('a,b,a', ',')), '-')", "a-b"),
+    # --- null-safe ==/!= (MiniElixir nil semantics; ADVICE item) ---
+    ("return record['missing'] != 'x'", True),
+    ("return record['missing'] == 'x'", False),
+    # --- function wrapper form ---
+    (
+        "def transform(action, record, changes, metadata):\n"
+        "    return action + ':' + record['id']",
+        "insert:7",
+    ),
+    (
+        "def route(action, record, changes, metadata):\n"
+        "    if record['house'] == 'Stark':\n"
+        "        return 'north'\n"
+        "    return 'south'",
+        "north",
+    ),
+    # --- kernel fns inside programs (sha256/div fixes; ADVICE items) ---
+    ("return length(sha256(record['id']))", 64),
+    ("return 'shard-' + str(div(int(record['id']), 4))", "shard-1"),
+    ("return div(-7, 2)", -3),  # Elixir div truncates toward zero
+    # --- nesting ---
+    (
+        "if action == 'insert':\n"
+        "    if float(record['score']) > 10:\n"
+        "        return 'hot'\n"
+        "    return 'cold'\n"
+        "return 'skip'",
+        "hot",
+    ),
+    (
+        "base = {'id': record['id']}\n"
+        "if action == 'delete':\n    return 'tomb'\n"
+        "return get_json(to_json(base), '$.id')",
+        None,  # placeholder — replaced below (to_json not in allowlist)
+    ),
+]
+# drop the placeholder case exercising a non-allowlisted fn
+PROGRAM_CASES = [c for c in PROGRAM_CASES if c[1] is not None]
+
+
+def test_minipy_program_semantics_corpus(ev):
+    """Table-driven MiniElixir-parity corpus (minielixir_test.exs analog):
+    locals, if/cond, case, map building, Enum-with-lambda shapes."""
+    from sequin_spark.functions.minipy import compile_program
+
+    for src, expected in PROGRAM_CASES:
+        got = _one(ev, compile_program(src))
+        if isinstance(expected, dict):
+            got = got.asDict()
+        elif isinstance(got, list):
+            got = list(got)
+        assert got == expected, f"program {src!r}: {got!r} != {expected!r}"
 
 
 def test_minipy_sandbox_udf(spark, ev):
