@@ -15,13 +15,20 @@ Semantics implemented (citations into the reference):
 Execution model: the micro-batch is repartitioned by group hash
 (partition_count ways — sink_consumer.ex:97) and sorted by (group_id,
 commit_lsn, commit_idx); delivery runs executor-side in mapInPandas
-(one sink client per task), yielding per-row statuses. Only the
-status rows (cursor + outcome) return to the driver, which appends the
-ledger and rewrites the small pending-retry state.
+(one sink client per task). Bookkeeping is ALSO executor-side: each
+task appends its delivered cursors straight to the ledger directory
+and its failed/blocked rows (payload included) to a per-batch failures
+directory, then yields only BOUNDED summary rows — per-status counts
+plus a ≤ring_size tail of acked rows per task. Nothing O(batch-rows)
+ever crosses the driver: driver traffic is O(partitions + failures).
 
-Scale note (100 TB): statuses are O(batch), not O(stream); the ledger
-and pending state are the only driver-coordinated pieces — on a real
-cluster they'd be Delta tables with MERGE, with identical semantics.
+Scale note (100 TB): the ledger and pending-retry state are the only
+driver-coordinated pieces — on a real cluster state_dir is shared
+storage (the same contract FileLogSink already uses) and they'd be
+Delta tables with MERGE, with identical semantics. Task retries /
+speculative execution can double-write ledger or failure files; both
+are deduplicated on read by the event identity, preserving the
+at-least-once → exactly-once-effect contract.
 """
 
 from __future__ import annotations
@@ -39,9 +46,12 @@ from pyspark.sql import functions as F
 
 from sequin_spark.sinks.base import SinkBatch, create_sink
 
-STATUS_SCHEMA = (
-    "commit_lsn long, commit_idx long, idempotency_key string, group_id string, "
-    "status string, error string, deliver_count int"
+# Bounded per-task summary rows (NOT per-event): kind='agg' rows carry
+# (status, n) counts; kind='ring' rows carry the task's last ≤ring_size
+# acked identities for the acknowledged-messages ring.
+SUMMARY_SCHEMA = (
+    "kind string, status string, n long, commit_lsn long, commit_idx long, "
+    "idempotency_key string, group_id string, deliver_count int, acked_at double"
 )
 
 # Event identity: CDC rows are unique by (lsn, idx); backfill `read` rows
@@ -109,6 +119,11 @@ class DeliveryEngine:
     @property
     def discarded_dir(self) -> str:
         return os.path.join(self.state_dir, "discarded")
+
+    def failures_dir(self, batch_id: int) -> str:
+        """Per-batch executor-written failed/blocked rows (payload
+        included) — read back by the driver, O(failures) not O(batch)."""
+        return os.path.join(self.state_dir, "failures", f"batch-{batch_id}")
 
     def _read_pending(self) -> pd.DataFrame | None:
         if os.path.exists(self.pending_path):
@@ -258,11 +273,69 @@ class DeliveryEngine:
 
         sink_type, sink_config = self.sink_type, dict(self.sink_config)
         routing_cols, max_batch = list(self.routing_cols), self.batch_size
+        ledger_dir, fail_dir = self.ledger_dir, self.failures_dir(batch_id)
+        ring_size = self.acked_ring_size
 
         def deliver(batches):
+            """Executor task body: deliver the ordered partition AND do its
+            own bookkeeping — append delivered identities to the ledger,
+            spill failed/blocked rows (payload included) to the per-batch
+            failures dir, and yield only bounded summary rows. Task-retry
+            double-writes are resolved on read (dedup by identity)."""
             sink = create_sink(sink_type, sink_config)
             sink.open()
             vectorized = callable(getattr(sink, "deliver_frame", None))
+            status_cols = ["commit_lsn", "commit_idx", "idempotency_key", "group_id",
+                           "status", "error", "deliver_count"]
+
+            def _finish(status_pdf: pd.DataFrame, payload_pdf: pd.DataFrame):
+                """Persist one frame's outcomes executor-side; return the
+                bounded summary frame to yield (None for empty frames).
+                A task may see several Arrow frames — file names are
+                per-frame unique."""
+                if not len(status_pdf):
+                    return None
+                task_tag = uuid.uuid4().hex
+                t_now = time.time()
+                delivered = status_pdf[status_pdf["status"] == "delivered"]
+                failed = status_pdf[status_pdf["status"].isin(["failed", "blocked"])]
+                if len(delivered):
+                    _write_parquet(
+                        os.path.join(ledger_dir, f"batch-{batch_id}-{task_tag}.parquet"),
+                        delivered[IDENTITY],
+                    )
+                if len(failed):
+                    fail_rows = failed.merge(
+                        payload_pdf[delivery_cols + ["deliver_count"]].drop(
+                            columns=["group_id"]
+                        ),
+                        on=["commit_lsn", "commit_idx", "idempotency_key", "deliver_count"],
+                        how="left",
+                    )
+                    _write_parquet(
+                        os.path.join(fail_dir, f"task-{task_tag}.parquet"),
+                        fail_rows[delivery_cols + ["deliver_count", "status", "error"]],
+                    )
+                parts = []
+                counts = status_pdf.groupby("status").size()
+                parts.append(pd.DataFrame({
+                    "kind": "agg", "status": counts.index, "n": counts.values,
+                    "commit_lsn": 0, "commit_idx": 0, "idempotency_key": "",
+                    "group_id": "", "deliver_count": 0, "acked_at": t_now,
+                }))
+                if len(delivered):
+                    tail = delivered.tail(ring_size)
+                    parts.append(pd.DataFrame({
+                        "kind": "ring", "status": "delivered", "n": 1,
+                        "commit_lsn": tail["commit_lsn"].values,
+                        "commit_idx": tail["commit_idx"].values,
+                        "idempotency_key": tail["idempotency_key"].values,
+                        "group_id": tail["group_id"].values,
+                        "deliver_count": tail["deliver_count"].astype("int64").values,
+                        "acked_at": t_now,
+                    }))
+                return pd.concat(parts, ignore_index=True)
+
             for pdf in batches:
                 if vectorized:
                     # fast path: whole ordered partition frame at once
@@ -273,17 +346,18 @@ class DeliveryEngine:
                         st, err = "delivered", ""
                     except Exception as e:  # noqa: BLE001
                         st, err = "failed", str(e)[:500]
-                    yield pd.DataFrame(
-                        {
-                            "commit_lsn": pdf["commit_lsn"],
-                            "commit_idx": pdf["commit_idx"],
-                            "idempotency_key": pdf["idempotency_key"],
-                            "group_id": pdf["group_id"],
-                            "status": st,
-                            "error": err,
-                            "deliver_count": pdf["deliver_count"].astype("int32"),
-                        }
-                    )
+                    status_pdf = pd.DataFrame({
+                        "commit_lsn": pdf["commit_lsn"],
+                        "commit_idx": pdf["commit_idx"],
+                        "idempotency_key": pdf["idempotency_key"],
+                        "group_id": pdf["group_id"],
+                        "status": st,
+                        "error": err,
+                        "deliver_count": pdf["deliver_count"].astype("int64"),
+                    })
+                    out = _finish(status_pdf, pdf)
+                    if out is not None:
+                        yield out
                     continue
                 statuses = []
                 failed_groups: set = set()
@@ -340,68 +414,42 @@ class DeliveryEngine:
                     chunk_routing = routing
                     chunk.append(r)
                 flush(chunk)
-                yield pd.DataFrame(
-                    statuses,
-                    columns=["commit_lsn", "commit_idx", "idempotency_key", "group_id",
-                             "status", "error", "deliver_count"],
-                )
+                out = _finish(pd.DataFrame(statuses, columns=status_cols), pdf)
+                if out is not None:
+                    yield out
             sink.close()
 
-        statuses = arranged.mapInPandas(deliver, STATUS_SCHEMA)
-        status_pdf = statuses.toPandas()
+        summary_pdf = arranged.mapInPandas(deliver, SUMMARY_SCHEMA).toPandas()
+        agg = summary_pdf[summary_pdf["kind"] == "agg"]
+        by_status = agg.groupby("status")["n"].sum() if len(agg) else pd.Series(dtype="int64")
+        n_delivered = int(by_status.get("delivered", 0))
+        n_failed = int(by_status.get("failed", 0))
+        n_blocked = int(by_status.get("blocked", 0))
 
-        delivered = status_pdf[status_pdf["status"] == "delivered"]
-        failed = status_pdf[status_pdf["status"].isin(["failed", "blocked"])]
-
-        # fetch payloads only for failed cursors (they must ride in the
-        # pending state); the happy path never moves payloads to the
-        # driver — at scale this keeps driver traffic O(failures)
-        if len(failed):
-            failed_keys = set(
-                zip(failed["commit_lsn"], failed["commit_idx"], failed["idempotency_key"])
-            )
-            payload_pdf = arranged.join(
-                F.broadcast(
-                    spark.createDataFrame(
-                        [(int(l), int(i), k) for l, i, k in failed_keys],
-                        "commit_lsn long, commit_idx long, idempotency_key string",
-                    )
-                ),
-                IDENTITY,
-                "left_semi",
-            ).toPandas()
-        else:
-            payload_pdf = pd.DataFrame(columns=delivery_cols)
-
-        # ledger append (delivered cursors)
-        if len(delivered):
-            _write_parquet(
-                os.path.join(self.ledger_dir, f"batch-{batch_id}-{uuid.uuid4().hex}.parquet"),
-                delivered[IDENTITY],
-            )
+        # acknowledged-messages ring: per-task tails (≤ partitions×ring
+        # rows through the driver), merged + trimmed to acked_ring_size
+        if n_delivered:
             self._compact_ledger()
-            # acknowledged-messages ring (trimmed to acked_ring_size)
-            ring_new = delivered[IDENTITY + ["group_id", "deliver_count"]].copy()
-            ring_new["acked_at"] = now
+            ring_new = summary_pdf[summary_pdf["kind"] == "ring"].sort_values(
+                ["acked_at", "commit_lsn", "commit_idx", "idempotency_key"]
+            )[IDENTITY + ["group_id", "deliver_count", "acked_at"]]
             prev = self.acked_ring()
             ring = (
                 pd.concat([prev, ring_new], ignore_index=True) if prev is not None else ring_new
             ).tail(self.acked_ring_size)
             _write_parquet(self.acked_ring_path, ring)
 
-        # new pending: failed rows with bumped deliver_count + backoff;
-        # blocked rows keep their count (they were never attempted)
+        # new pending: executor-spilled failed/blocked rows (payloads
+        # already attached). Failed rows get bumped deliver_count +
+        # backoff; blocked rows keep their count (never attempted).
         new_pending = pd.DataFrame()
         discarded = pd.DataFrame()
-        if len(failed):
-            merged = failed.merge(
-                payload_pdf[delivery_cols],
-                on=IDENTITY,
-                how="left",
-                suffixes=("", "_p"),
-            )
-            if "group_id_p" in merged.columns:
-                merged = merged.drop(columns=["group_id_p"])
+        if os.path.isdir(fail_dir) and os.listdir(fail_dir):
+            merged = pd.concat(
+                [pq.read_table(os.path.join(fail_dir, f)).to_pandas()
+                 for f in os.listdir(fail_dir)],
+                ignore_index=True,
+            ).drop_duplicates(subset=IDENTITY, keep="first")  # task-retry double-writes
             bump = merged["status"] == "failed"
             merged.loc[bump, "deliver_count"] = merged.loc[bump, "deliver_count"] + 1
             merged["not_visible_until"] = [
@@ -411,6 +459,9 @@ class DeliveryEngine:
             over = merged["deliver_count"] > self.max_retry_count
             discarded = merged[over]
             new_pending = merged[~over][delivery_cols + ["deliver_count", "not_visible_until"]]
+            for f in os.listdir(fail_dir):
+                os.remove(os.path.join(fail_dir, f))
+            os.rmdir(fail_dir)
 
         # carry forward backing-off heads + group-deferred rows
         if len(carry_pending):
@@ -429,9 +480,9 @@ class DeliveryEngine:
 
         return {
             "batch_id": batch_id,
-            "delivered": int(len(delivered)),
-            "failed": int((status_pdf["status"] == "failed").sum()),
-            "blocked": int((status_pdf["status"] == "blocked").sum()),
+            "delivered": n_delivered,
+            "failed": n_failed,
+            "blocked": n_blocked,
             "discarded": int(len(discarded)),
             "pending": int(len(new_pending)),
             "shed": shed,
