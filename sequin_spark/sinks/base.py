@@ -230,7 +230,6 @@ SINK_REGISTRY: dict[str, type[Sink]] = {
     "file_log": FileLogSink,
     "http_push": HttpPushSink,
     "sqs": SqsSink,
-    "kafka": _unavailable("kafka", "spark-sql-kafka (use streaming.pipeline kafka native path)", 200),
     "gcp_pubsub": _unavailable("gcp_pubsub", "google-cloud-pubsub", 10),
     "nats": _unavailable("nats", "nats-py", 10),
     "rabbitmq": _unavailable("rabbitmq", "pika", 10),
@@ -245,6 +244,7 @@ def _register_builtin_sinks() -> None:
     import-light (search sinks need only urllib; postgres/redis gate
     their client imports at open())."""
     import sequin_spark.sinks.aws  # noqa: F401 — registers sns/kinesis
+    import sequin_spark.sinks.kafka  # noqa: F401 — registers kafka (wire-protocol producer)
     import sequin_spark.sinks.pubsub_nats  # noqa: F401 — registers gcp_pubsub/nats
     import sequin_spark.sinks.rabbitmq  # noqa: F401 — registers rabbitmq
     import sequin_spark.sinks.s2_azure  # noqa: F401 — registers s2/azure_event_hub

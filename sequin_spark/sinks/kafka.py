@@ -1,0 +1,326 @@
+"""Kafka sink — minimal wire-protocol producer over a raw socket.
+
+Reference: lib/sequin/runtime/kafka_pipeline.ex (batch key = {topic,
+partition}, partition chosen by hashing the message key — group_id —
+into the topic's partition count, kafka_pipeline.ex:38-51,103-108;
+message_key/1 = group_id, sinks/kafka/kafka.ex:45-49) and
+lib/sequin/sinks/kafka/client.ex (produce_sync with bounded retries,
+client.ex:14-52; test_connection via metadata, client.ex:60-77).
+
+This implements the public Apache Kafka protocol (KIP-documented,
+https://kafka.apache.org/protocol): ApiVersions v0 handshake, Metadata
+v1 for partition discovery, and Produce v3 carrying message-format-v2
+RecordBatches (CRC32C-checksummed) with acks=-1, so delivery is
+broker-acknowledged before the engine acks upstream — the same
+at-least-once contract as every other sink. The reference's Erlang
+`:erlang.phash2(key, n)` partitioner is not portable; we use Kafka's
+own default murmur2 partitioner (what the Java client does), which
+preserves the invariant that matters: one group → one partition →
+per-group order.
+
+Only the produce path is implemented (the engine never consumes);
+tests run against a fake broker speaking the same frames
+(tests/test_kafka.py), like the NATS/AMQP sinks.
+"""
+
+from __future__ import annotations
+
+import socket
+import struct
+
+from sequin_spark.sinks.base import Sink, SinkBatch, register_sink
+
+API_PRODUCE, API_METADATA, API_VERSIONS = 0, 3, 18
+
+
+# --- CRC32C (Castagnoli, reflected 0x1EDC6F41) — required by the v2
+# RecordBatch format; stdlib zlib.crc32 is the wrong polynomial --------
+def _crc32c_table() -> list[int]:
+    poly = 0x82F63B78
+    table = []
+    for i in range(256):
+        crc = i
+        for _ in range(8):
+            crc = (crc >> 1) ^ poly if crc & 1 else crc >> 1
+        table.append(crc)
+    return table
+
+
+_CRC32C_TABLE = _crc32c_table()
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    crc ^= 0xFFFFFFFF
+    for b in data:
+        crc = _CRC32C_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+# --- murmur2 (Kafka DefaultPartitioner, org.apache.kafka.common.utils
+# .Utils.murmur2) ------------------------------------------------------
+def murmur2(data: bytes) -> int:
+    length = len(data)
+    seed = 0x9747B28C
+    m, r = 0x5BD1E995, 24
+    h = (seed ^ length) & 0xFFFFFFFF
+    i = 0
+    while length - i >= 4:
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> r
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+        i += 4
+    rem = length - i
+    if rem >= 3:
+        h ^= (data[i + 2] & 0xFF) << 16
+    if rem >= 2:
+        h ^= (data[i + 1] & 0xFF) << 8
+    if rem >= 1:
+        h ^= data[i] & 0xFF
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
+def partition_for_key(key: str | None, n_partitions: int) -> int:
+    """Kafka default partitioner: toPositive(murmur2(key)) % n
+    (kafka_pipeline.ex:103-108 semantics — keyed → deterministic
+    partition; the reference randomizes empty keys, we pin to 0 for
+    deterministic tests)."""
+    if not key:
+        return 0
+    return (murmur2(key.encode()) & 0x7FFFFFFF) % n_partitions
+
+
+# --- primitive encoders ----------------------------------------------
+def _str(s: str | None) -> bytes:
+    if s is None:
+        return struct.pack(">h", -1)
+    b = s.encode()
+    return struct.pack(">h", len(b)) + b
+
+
+def _bytes(b: bytes | None) -> bytes:
+    if b is None:
+        return struct.pack(">i", -1)
+    return struct.pack(">i", len(b)) + b
+
+
+def _varint(n: int) -> bytes:
+    """Zigzag varint (protobuf-style) used inside v2 records."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        if z & ~0x7F:
+            out.append((z & 0x7F) | 0x80)
+            z >>= 7
+        else:
+            out.append(z)
+            return bytes(out)
+
+
+def read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    shift, z = 0, 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        z |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (z >> 1) ^ -(z & 1), pos
+
+
+def encode_record(offset_delta: int, key: bytes | None, value: bytes) -> bytes:
+    body = bytearray()
+    body += b"\x00"  # attributes
+    body += _varint(0)  # timestampDelta
+    body += _varint(offset_delta)
+    if key is None:
+        body += _varint(-1)
+    else:
+        body += _varint(len(key)) + key
+    body += _varint(len(value)) + value
+    body += _varint(0)  # headers
+    return _varint(len(body)) + bytes(body)
+
+
+def encode_record_batch(records: list[tuple[bytes | None, bytes]], base_ts_ms: int = 0) -> bytes:
+    """Message-format v2 RecordBatch (magic=2) with CRC32C."""
+    recs = b"".join(
+        encode_record(i, k, v) for i, (k, v) in enumerate(records)
+    )
+    # everything from attributes onward is CRC'd
+    after_crc = (
+        struct.pack(">hiqqqhii", 0, len(records) - 1, base_ts_ms, base_ts_ms,
+                    -1, -1, -1, len(records))
+        + recs
+    )
+    head = struct.pack(">ib", -1, 2)  # partitionLeaderEpoch, magic
+    crc = struct.pack(">I", crc32c(after_crc))
+    batch_body = head + crc + after_crc
+    return struct.pack(">qi", 0, len(batch_body)) + batch_body
+
+
+def parse_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
+    """Decode a v2 RecordBatch (fake broker + tests); verifies the CRC."""
+    base_offset, batch_len = struct.unpack_from(">qi", data, 0)
+    _leader_epoch, magic = struct.unpack_from(">ib", data, 12)
+    if magic != 2:
+        raise ValueError(f"unsupported magic {magic}")
+    (crc,) = struct.unpack_from(">I", data, 17)
+    after = data[21:12 + batch_len]
+    if crc32c(after) != crc:
+        raise ValueError("record batch CRC mismatch")
+    (_attrs, _last_delta, _bts, _mts, _pid, _pepoch, _bseq, n) = struct.unpack_from(
+        ">hiqqqhii", after, 0
+    )
+    pos = struct.calcsize(">hiqqqhii")
+    out = []
+    for _ in range(n):
+        _rec_len, pos = read_varint(after, pos)
+        pos += 1  # attributes
+        _tsd, pos = read_varint(after, pos)
+        _od, pos = read_varint(after, pos)
+        klen, pos = read_varint(after, pos)
+        key = None
+        if klen >= 0:
+            key = after[pos:pos + klen]
+            pos += klen
+        vlen, pos = read_varint(after, pos)
+        value = after[pos:pos + vlen]
+        pos += vlen
+        nh, pos = read_varint(after, pos)
+        for _ in range(nh):  # pragma: no cover - we never send headers
+            hk, pos = read_varint(after, pos)
+            pos += hk
+            hv, pos = read_varint(after, pos)
+            pos += hv
+        out.append((key, value))
+    return out
+
+
+class KafkaSink(Sink):
+    """Produce-only Kafka client: Metadata for partition counts, then
+    Produce v3 per (topic, partition) batch with acks=all."""
+
+    sink_type = "kafka"
+    default_batch_size = 200  # max_demand/batch defaults, kafka_pipeline parity
+
+    def open(self) -> None:
+        hosts = self.config.get("hosts", "127.0.0.1:9092")
+        host, _, port = hosts.split(",")[0].partition(":")
+        self._client_id = self.config.get("client_id", "sequin_spark")
+        self._corr = 0
+        self._partition_counts: dict[str, int] = {}
+        self._sock = socket.create_connection((host, int(port or 9092)), timeout=10)
+        self._buf = self._sock.makefile("rb")
+        # ApiVersions handshake (ignore the advertised ranges — we only
+        # speak pinned versions, like the reference pins its brod vsn)
+        try:
+            self._request(API_VERSIONS, 0, b"")
+        except Exception:  # noqa: BLE001 - some brokers close on v0; reconnect
+            self._sock = socket.create_connection((host, int(port or 9092)), timeout=10)
+            self._buf = self._sock.makefile("rb")
+
+    def _request(self, api_key: int, api_version: int, body: bytes) -> bytes:
+        self._corr += 1
+        header = struct.pack(">hhi", api_key, api_version, self._corr) + _str(self._client_id)
+        msg = header + body
+        self._sock.sendall(struct.pack(">i", len(msg)) + msg)
+        (size,) = struct.unpack(">i", self._buf.read(4))
+        resp = self._buf.read(size)
+        (corr,) = struct.unpack_from(">i", resp, 0)
+        if corr != self._corr:
+            raise RuntimeError(f"kafka: correlation mismatch {corr} != {self._corr}")
+        return resp[4:]
+
+    def partition_count(self, topic: str) -> int:
+        """get_partition_count parity (sinks/kafka/kafka.ex:40-43),
+        cached per connection like the reference's ConnectionCache."""
+        if topic not in self._partition_counts:
+            self._metadata(topic)
+        return self._partition_counts[topic]
+
+    def _metadata(self, topic: str) -> None:
+        body = struct.pack(">i", 1) + _str(topic)
+        resp = self._request(API_METADATA, 1, body)
+        pos = 0
+        (n_brokers,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        for _ in range(n_brokers):
+            pos += 4  # node_id
+            (hlen,) = struct.unpack_from(">h", resp, pos)
+            pos += 2 + hlen + 4  # host, port
+            (rlen,) = struct.unpack_from(">h", resp, pos)
+            pos += 2 + max(0, rlen)  # rack (nullable)
+        pos += 4  # controller_id
+        (n_topics,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        for _ in range(n_topics):
+            (err,) = struct.unpack_from(">h", resp, pos)
+            pos += 2
+            (tlen,) = struct.unpack_from(">h", resp, pos)
+            name = resp[pos + 2:pos + 2 + tlen].decode()
+            pos += 2 + tlen + 1  # name, is_internal
+            (n_parts,) = struct.unpack_from(">i", resp, pos)
+            pos += 4
+            for _ in range(n_parts):
+                pos += 2 + 4 + 4  # error, partition id, leader
+                (n_rep,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + 4 * n_rep
+                (n_isr,) = struct.unpack_from(">i", resp, pos)
+                pos += 4 + 4 * n_isr
+            if err:
+                raise RuntimeError(f"kafka: metadata error {err} for {name}")
+            self._partition_counts[name] = n_parts
+
+    def _produce(self, topic: str, partition: int, records: list[tuple[bytes | None, bytes]]) -> None:
+        batch = encode_record_batch(records)
+        body = (
+            _str(None)  # transactional_id
+            + struct.pack(">hi", -1, int(self.config.get("timeout_ms", 30000)))  # acks=all
+            + struct.pack(">i", 1) + _str(topic)
+            + struct.pack(">i", 1) + struct.pack(">i", partition)
+            + _bytes(batch)
+        )
+        resp = self._request(API_PRODUCE, 3, body)
+        pos = 4  # topic array count
+        (tlen,) = struct.unpack_from(">h", resp, pos)
+        pos += 2 + tlen
+        (n_parts,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        for _ in range(n_parts):
+            _pid, err = struct.unpack_from(">ih", resp, pos)
+            if err:
+                raise RuntimeError(f"kafka: produce error code {err}")
+            pos += 4 + 2 + 8 + 8  # partition, error, base_offset, log_append_time
+
+    def deliver(self, batch: SinkBatch) -> None:
+        """One Produce per (topic, partition) — rows arrive in group
+        order and same group → same key → same partition, so broker
+        append order preserves per-group order (kafka_pipeline.ex:46-51)."""
+        topic = batch.routing.get("topic") or self.config.get("topic", "sequin.events")
+        n = self.partition_count(topic)
+        by_partition: dict[int, list[tuple[bytes | None, bytes]]] = {}
+        for row in batch.rows:
+            key = row.get("key") or row.get("group_id") or ""
+            part = partition_for_key(key, n)
+            by_partition.setdefault(part, []).append(
+                (key.encode() if key else None, (row.get("value") or "").encode())
+            )
+        for part, records in by_partition.items():
+            self._produce(topic, part, records)
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except Exception:  # noqa: BLE001
+            pass
+
+
+register_sink("kafka", KafkaSink)
