@@ -148,6 +148,7 @@ def run_backfill(
     fence_lsn: int = 0,
     initial_page_size: int = 1000,
     max_pages: int | None = None,
+    pk_prescan: bool = False,
 ):
     """Full backfill protocol (§2.10): keyset-paginate the snapshot,
     fence-merge each page against concurrent CDC, emit `read` events,
@@ -155,31 +156,53 @@ def run_backfill(
 
     Driver-side loop over pages mirrors the reference's TableReaderServer;
     each page is a distributed bounded read with pushed-down predicates.
+    The cursor advances via ``agg(count, max(struct(cursor)))`` — the
+    driver only ever sees ONE row per page (count + last cursor), never
+    the page's rows; the page is sorted by the cursor columns, so the
+    lexicographic struct max IS the last row's cursor.
+
+    ``pk_prescan=True`` is fetch_batch_pks parity (table_reader.ex:
+    161-203 with select_only_pk_and_cursor_columns): page over a
+    PK+cursor-only projection — the scan reads just those columns
+    (column pruning reaches parquet's ReadSchema / JDBC's SELECT list)
+    — then fetch the full rows for the page by a broadcast semi-join on
+    the PK set. Wide tables page ~10-100× cheaper; the full-row read
+    touches exactly one page's PKs.
     """
     import time as _time
 
     cursor_cols = cursor_cols or pk_cols
     bf = Backfill(table_name, cursor_cols, rows_initial_count=df.count())
     opt = PageSizeOptimizer(initial=initial_page_size)
+    prescan_cols = list(dict.fromkeys([*cursor_cols, *pk_cols]))
     pages = []
     n_pages = 0
     while bf.state == "active":
         t0 = _time.time()
-        page = keyset_page(df, cursor_cols, bf.cursor, opt.size).cache()
-        rows = page.select(*cursor_cols).collect()
+        if pk_prescan:
+            keys = keyset_page(df.select(*prescan_cols), cursor_cols, bf.cursor, opt.size)
+            keys = keys.cache()
+            page = df.join(broadcast(keys.select(*pk_cols)), pk_cols, "left_semi")
+        else:
+            page = keyset_page(df, cursor_cols, bf.cursor, opt.size).cache()
+            keys = page
+        last = keys.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(F.struct(*[F.col(c) for c in cursor_cols])).alias("last_cursor"),
+        ).collect()[0]
         elapsed_ms = (_time.time() - t0) * 1000
-        if not rows:
+        if not last["n"]:
             bf.transition("completed")
-            page.unpersist()
+            keys.unpersist()
             break
-        bf.rows_processed_count += len(rows)
+        bf.rows_processed_count += int(last["n"])
         snap = backfill_snapshot(page, table_name, pk_cols)
         if cdc_events is not None:
             snap = fence_merge(snap, cdc_events, fence_lsn)
         pages.append(snap)
         bf.rows_ingested_count += snap.count()
-        page.unpersist()
-        bf.cursor = [rows[-1][c] for c in cursor_cols]
+        keys.unpersist()
+        bf.cursor = [last["last_cursor"][c] for c in cursor_cols]
         opt.record(opt.size, elapsed_ms)
         n_pages += 1
         if max_pages and n_pages >= max_pages:

@@ -98,6 +98,23 @@ def test_run_backfill_protocol(spark, sf_dir):
     assert bf.rows_processed_count > 40
 
 
+def test_run_backfill_pk_prescan_equivalent(spark, sf_dir):
+    """fetch_batch_pks parity (table_reader.ex:161-203): PK+cursor-only
+    paging + semi-join full-row fetch yields the same events as the
+    direct full-row pages."""
+    cust = load_table(spark, sf_dir, "customer")
+    kwargs = dict(cdc_events=None, initial_page_size=40)
+    bf_a, ev_a = run_backfill(spark, cust, "customer", ["c_custkey"], **kwargs)
+    bf_b, ev_b = run_backfill(
+        spark, cust, "customer", ["c_custkey"], pk_prescan=True, **kwargs
+    )
+    assert bf_b.state == "completed"
+    assert bf_b.rows_processed_count == bf_a.rows_processed_count == cust.count()
+    a = {r["group_id"] for r in ev_a.select("group_id").collect()}
+    b = {r["group_id"] for r in ev_b.select("group_id").collect()}
+    assert a == b
+
+
 def test_backfill_state_machine():
     bf = Backfill("t", ["id"])
     bf.transition("paused")
