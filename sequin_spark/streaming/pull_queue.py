@@ -62,7 +62,11 @@ class PullQueue:
         pdf["not_visible_until"] = 0.0
         pdf["state"] = "available"
         # replay dedup on (lsn, idx)
-        merged = pd.concat([self._messages, pdf], ignore_index=True)
+        merged = (
+            pd.concat([self._messages, pdf], ignore_index=True)
+            if len(self._messages)
+            else pdf
+        )
         merged = merged.drop_duplicates(subset=["commit_lsn", "commit_idx"], keep="first")
         self._messages = merged
         self._save()
