@@ -51,6 +51,10 @@ class Sink:
     sink_type = "base"
     # per-sink default batch sizes (sink_consumer.ex:332-345)
     default_batch_size = 1
+    # payload-size cap per delivery call (sink_pipeline.ex:413-434
+    # byte-based batching; e.g. pub/sub's 10 MB request limit,
+    # gcp_pubsub_pipeline.ex:20,28). None = count-bound only.
+    default_batch_bytes: int | None = None
     deliver_frame = None  # type: ignore[assignment]
 
     def __init__(self, config: dict | None = None):
@@ -113,12 +117,19 @@ class FileLogSink(Sink):
     sink_type = "file_log"
     default_batch_size = 200
 
+    def __init__(self, config=None):
+        super().__init__(config)
+        if self.config.get("row_path_only"):
+            # force the chunked deliver() path (one file per SinkBatch) —
+            # lets tests observe batch boundaries (count/byte bounds)
+            self.deliver_frame = None
+
     def deliver(self, batch: SinkBatch) -> None:
+        import uuid as _uuid
+
         path = self.config["path"]
         os.makedirs(path, exist_ok=True)
-        fname = os.path.join(
-            path, f"part-{os.getpid()}-{int(time.time() * 1e6)}.jsonl"
-        )
+        fname = os.path.join(path, f"part-{os.getpid()}-{_uuid.uuid4().hex}.jsonl")
         with open(fname, "a") as f:
             for row in batch.rows:
                 f.write(json.dumps(row) + "\n")
@@ -133,7 +144,10 @@ class FileLogSink(Sink):
 class HttpPushSink(Sink):
     """Webhook sink (consumers/http_push_sink.ex): POST JSON, batch
     wrapped as {"data": [...]}, single unwrapped; bounded retries with
-    exponential backoff 500ms→5s (http_push_pipeline.ex:136-175)."""
+    exponential backoff 500ms→5s (http_push_pipeline.ex:136-175).
+    A ``Content-Encoding: gzip`` header (case-insensitive, from config
+    or routing) gzip-compresses the body before sending
+    (http_push_pipeline.ex:153-165,378-405)."""
 
     sink_type = "http_push"
     default_batch_size = 1
@@ -146,13 +160,25 @@ class HttpPushSink(Sink):
             payload = batch.rows[0]["value"]
         else:
             payload = json.dumps({"data": [json.loads(r["value"]) for r in batch.rows]})
-        headers = {"Content-Type": "application/json", **(batch.routing.get("headers") or {})}
+        headers = {
+            "Content-Type": "application/json",
+            **(self.config.get("headers") or {}),
+            **(batch.routing.get("headers") or {}),
+        }
+        body = payload.encode()
+        if any(
+            k.lower() == "content-encoding" and str(v).lower() == "gzip"
+            for k, v in headers.items()
+        ):
+            import gzip
+
+            body = gzip.compress(body)
         max_retries = int(self.config.get("max_retries", 1))
         backoff = 0.5
         for attempt in range(max_retries + 1):
             try:
                 req = urllib.request.Request(
-                    url, data=payload.encode(), headers=headers,
+                    url, data=body, headers=headers,
                     method=batch.routing.get("method", "POST"),
                 )
                 with urllib.request.urlopen(req, timeout=self.config.get("timeout_s", 10)) as resp:

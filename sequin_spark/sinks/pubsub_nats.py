@@ -26,6 +26,9 @@ from sequin_spark.sinks.base import Sink, SinkBatch, register_sink
 class GcpPubsubSink(Sink):
     sink_type = "gcp_pubsub"
     default_batch_size = 10
+    # pub/sub's 10 MB publish limit at 90% headroom
+    # (gcp_pubsub_pipeline.ex:20,28)
+    default_batch_bytes = int(10 * 1024 * 1024 * 0.9)
 
     def deliver(self, batch: SinkBatch) -> None:
         topic_id = batch.routing.get("topic_id") or self.config["topic_id"]

@@ -81,6 +81,7 @@ class DeliveryEngine:
         sink_config: dict | None = None,
         state_dir: str | None = None,
         batch_size: int | None = None,
+        batch_bytes: int | None = None,
         partition_count: int = 8,
         max_retry_count: int = 3,
         routing_cols: tuple[str, ...] = (),
@@ -97,6 +98,10 @@ class DeliveryEngine:
         self.state_dir = state_dir or f"/tmp/sequin_spark_state/{uuid.uuid4().hex}"
         sink = create_sink(sink_type, self.sink_config)
         self.batch_size = batch_size or sink.default_batch_size
+        # byte-bound batching (sink_pipeline.ex:413-434): one 4 MB row
+        # must not ride in a 200-row batch that breaks the sink's
+        # payload limit — chunks close on EITHER bound
+        self.batch_bytes = batch_bytes or sink.default_batch_bytes
         self.partition_count = partition_count
         self.max_retry_count = max_retry_count
         self.routing_cols = tuple(routing_cols)
@@ -273,6 +278,7 @@ class DeliveryEngine:
 
         sink_type, sink_config = self.sink_type, dict(self.sink_config)
         routing_cols, max_batch = list(self.routing_cols), self.batch_size
+        max_bytes = self.batch_bytes
         ledger_dir, fail_dir = self.ledger_dir, self.failures_dir(batch_id)
         ring_size = self.acked_ring_size
 
@@ -397,11 +403,21 @@ class DeliveryEngine:
 
                 chunk: list = []
                 chunk_routing = None
+                chunk_bytes = 0
                 for r in rows:
                     routing = tuple(r.get(c) for c in routing_cols)
-                    if chunk and (routing != chunk_routing or len(chunk) >= max_batch):
+                    r_bytes = len(r.get("value") or "")
+                    # close the chunk on routing change, count bound, OR
+                    # byte bound (sink_pipeline.ex:413-434: emit the
+                    # accumulated batch, start fresh with this row)
+                    if chunk and (
+                        routing != chunk_routing
+                        or len(chunk) >= max_batch
+                        or (max_bytes is not None and chunk_bytes + r_bytes > max_bytes)
+                    ):
                         flush(chunk)
                         chunk = []
+                        chunk_bytes = 0
                     # check AFTER flushing — the group's head may have just
                     # failed in the chunk ahead of this row
                     gk = _gkey(r)
@@ -413,6 +429,7 @@ class DeliveryEngine:
                         continue
                     chunk_routing = routing
                     chunk.append(r)
+                    chunk_bytes += r_bytes
                 flush(chunk)
                 out = _finish(pd.DataFrame(statuses, columns=status_cols), pdf)
                 if out is not None:
