@@ -1,0 +1,150 @@
+"""Management/config REST API — plan / apply / export over the spec layer.
+
+Reference: router.ex:191-193 (``POST /api/config/plan``, ``POST
+/api/config/apply``, ``GET /api/config/export``) backed by
+yaml_controller.ex (apply → ``{"resources": [...]}``, plan →
+``{"changes": [...]}`` envelopes with create/update/delete actions,
+export → ``{"yaml": ...}``) and yaml_loader.ex's plan/apply split.
+
+stdlib http.server, same shell as streaming/pull_api.py. Applied specs
+live in an in-memory registry keyed by name — plan diffs the submitted
+YAML against it (create / update / unchanged, plus deletes for
+registry entries absent from the submitted doc), apply commits it.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from sequin_spark.plans.spec import (
+    ConsumerSpec,
+    export_yaml,
+    load_yaml,
+    to_external,
+)
+
+
+class ConfigRegistry:
+    """Applied resources, keyed by consumer name."""
+
+    def __init__(self):
+        self.consumers: dict[str, ConsumerSpec] = {}
+        self._lock = threading.Lock()
+
+    def plan(self, specs: list[ConsumerSpec]) -> dict:
+        """Diff envelopes (yaml_controller.ex plan: action per resource)."""
+        changes, errors = [], {}
+        with self._lock:
+            seen = set()
+            for s in specs:
+                seen.add(s.name)
+                errs = s.validate()
+                if errs:
+                    errors[s.name] = errs
+                current = self.consumers.get(s.name)
+                if current is None:
+                    action = "create"
+                elif current != s:
+                    action = "update"
+                else:
+                    action = "unchanged"
+                changes.append(
+                    {"resource": "sink_consumer", "name": s.name, "action": action,
+                     "new": to_external(s),
+                     "old": to_external(current) if current else None}
+                )
+            for name in self.consumers:
+                if name not in seen:
+                    changes.append(
+                        {"resource": "sink_consumer", "name": name,
+                         "action": "delete",
+                         "new": None, "old": to_external(self.consumers[name])}
+                    )
+        return {"changes": changes, "errors": errors}
+
+    def apply(self, specs: list[ConsumerSpec]) -> dict:
+        """Validate-all-then-commit (apply_from_yml: nothing is created
+        if any resource fails validation)."""
+        errors = {s.name: s.validate() for s in specs if s.validate()}
+        if errors:
+            return {"errors": errors}
+        with self._lock:
+            self.consumers = {s.name: s for s in specs}
+            resources = [
+                {"resource": "sink_consumer", **to_external(s)} for s in specs
+            ]
+        return {"resources": resources}
+
+    def export(self, show_sensitive: bool = False) -> str:
+        with self._lock:
+            return export_yaml(list(self.consumers.values()), show_sensitive)
+
+
+class ConfigApiServer:
+    def __init__(self, registry: ConfigRegistry | None = None,
+                 host: str = "127.0.0.1", port: int = 0):
+        self.registry = registry or ConfigRegistry()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802
+                from urllib.parse import parse_qsl, urlsplit
+
+                u = urlsplit(self.path)
+                if u.path != "/api/config/export":
+                    return self._json(404, {"error": "not found"})
+                q = dict(parse_qsl(u.query))
+                show = str(q.get("show-sensitive", "")).lower() in ("true", "1")
+                self._json(200, {"yaml": outer.registry.export(show)})
+
+            def do_POST(self):  # noqa: N802
+                action = {"/api/config/plan": "plan", "/api/config/apply": "apply"}.get(
+                    self.path.split("?")[0]
+                )
+                if action is None:
+                    return self._json(404, {"error": "not found"})
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n).decode() if n else ""
+                # body is the YAML document itself (apply_from_yml), or
+                # a JSON {"yaml": ...} wrapper
+                if (self.headers.get("Content-Type") or "").startswith("application/json"):
+                    try:
+                        raw = json.loads(raw or "{}").get("yaml", "")
+                    except json.JSONDecodeError:
+                        return self._json(400, {"error": "invalid JSON body"})
+                try:
+                    specs = load_yaml(raw)
+                except Exception as e:  # noqa: BLE001 — bad YAML/spec shape
+                    return self._json(400, {"error": f"invalid config: {e}"})
+                result = getattr(outer.registry, action)(specs)
+                if result.get("errors"):
+                    return self._json(422, result)
+                self._json(200, result)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    def start(self) -> "ConfigApiServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def url(self, action: str) -> str:
+        return f"http://127.0.0.1:{self.port}/api/config/{action}"

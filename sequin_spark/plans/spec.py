@@ -93,6 +93,56 @@ def load_yaml(text_or_path: str) -> list[ConsumerSpec]:
     return [spec_from_dict(c) for c in doc.get("consumers", [])]
 
 
+# sink_config keys that to_external redacts unless show_sensitive
+# (transforms.ex:46-78 SensitiveValue semantics)
+SENSITIVE_KEYS = frozenset(
+    {"password", "secret", "token", "api_key", "credentials",
+     "aws_secret_access_key", "shared_access_key"}
+)
+
+
+def to_external(spec: ConsumerSpec, show_sensitive: bool = False) -> dict:
+    """Export a spec back to its YAML dict form — the reverse of
+    ``spec_from_dict`` (transforms.ex:163-199 ``to_external/2`` for
+    SinkConsumer). Defaults are omitted so the export is minimal;
+    ``spec_from_dict(to_external(s)) == s`` (round-trip law, with
+    secrets redacted to '****' unless show_sensitive)."""
+    out: dict = {"name": spec.name, "sink_type": spec.sink_type}
+    if spec.sink_config:
+        out["sink_config"] = {
+            k: ("****" if (k.lower() in SENSITIVE_KEYS and not show_sensitive) else v)
+            for k, v in spec.sink_config.items()
+        }
+    if spec.source is not None:
+        src = {
+            k: v
+            for k, v in vars(spec.source).items()
+            if v is not None
+        }
+        if src:
+            out["source"] = src
+    defaults = ConsumerSpec(name="")
+    for key in (
+        "actions", "column_filters", "filter", "transform", "routing_overrides",
+        "batch_size", "partition_count", "max_retry_count", "message_grouping",
+        "group_cols", "timestamp_format", "max_payload_bytes",
+    ):
+        v = getattr(spec, key)
+        if v != getattr(defaults, key):
+            out[key] = v
+    return out
+
+
+def export_yaml(specs: list[ConsumerSpec], show_sensitive: bool = False) -> str:
+    """Render specs as a loadable sequin.yaml document — YAML out ==
+    YAML in (the reference's 1,626-line to_external/from_external layer,
+    transforms.ex, collapsed onto our spec vocabulary)."""
+    import yaml
+
+    doc = {"consumers": [to_external(s, show_sensitive) for s in specs]}
+    return yaml.safe_dump(doc, sort_keys=False)
+
+
 def plan(specs: list[ConsumerSpec]) -> dict:
     """Plan/apply split (yaml_loader / POST /api/config/plan): report
     resources + validation errors without touching any cluster state."""
