@@ -288,6 +288,12 @@ def register_sink(sink_type: str, cls: type[Sink]) -> None:
 
 
 def create_sink(sink_type: str, config: dict | None = None) -> Sink:
+    if sink_type == "http_push" and (config or {}).get("via_sqs"):
+        # webhook buffered through SQS (http_push_sink.ex:17-25 via_sqs;
+        # consumer side = sinks/http_push_sqs.HttpPushSqsWorker)
+        from sequin_spark.sinks.http_push_sqs import HttpPushSqsEnqueueSink
+
+        return HttpPushSqsEnqueueSink(config)
     cls = SINK_REGISTRY.get(sink_type)
     if cls is None:
         raise ValueError(f"unknown sink type {sink_type!r}; known: {sorted(SINK_REGISTRY)}")
