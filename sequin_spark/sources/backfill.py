@@ -149,6 +149,7 @@ def run_backfill(
     initial_page_size: int = 1000,
     max_pages: int | None = None,
     pk_prescan: bool = False,
+    source_path: str | None = None,
 ):
     """Full backfill protocol (§2.10): keyset-paginate the snapshot,
     fence-merge each page against concurrent CDC, emit `read` events,
@@ -171,8 +172,13 @@ def run_backfill(
     """
     import time as _time
 
+    from sequin_spark.sources.fast_count import count_or_estimate
+
     cursor_cols = cursor_cols or pk_cols
-    bf = Backfill(table_name, cursor_cols, rows_initial_count=df.count())
+    # reltuples-style estimate when the parquet path is known
+    # (table_reader.ex:333-360) — progress bars don't pay a scan
+    bf = Backfill(table_name, cursor_cols,
+                  rows_initial_count=count_or_estimate(df, source_path))
     opt = PageSizeOptimizer(initial=initial_page_size)
     prescan_cols = list(dict.fromkeys([*cursor_cols, *pk_cols]))
     pages = []

@@ -70,3 +70,19 @@ def test_page_size_optimizer_aimd():
     assert opt.size == 1500
     opt.record(1500, 5000)  # timeout → halve
     assert opt.size == 750
+
+
+def test_fast_count_estimate(spark, sf_dir):
+    """reltuples analog (table_reader.ex:333-360): parquet-footer sum
+    equals the true count without scanning column data."""
+    import os
+
+    from sequin_spark.sources.fast_count import count_or_estimate, fast_count_estimate
+
+    path = os.path.join(sf_dir, "customer.parquet")
+    cust = load_table(spark, sf_dir, "customer")
+    assert fast_count_estimate(path) == cust.count()
+    assert fast_count_estimate(path, fraction=0.5) == cust.count() // 2
+    # unknown path falls back to a distributed count
+    assert count_or_estimate(cust, None) == cust.count()
+    assert count_or_estimate(cust, "/nonexistent") == cust.count()
