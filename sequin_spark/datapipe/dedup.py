@@ -269,3 +269,80 @@ def ngram_jaccard_pairs(
             "jaccard",
         )
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate candidate pairs into components:
+    (doc_id, cluster_id) with cluster_id = min doc id in the component.
+
+    The missing step between pair generation (MinHash/SimHash/LSH) and
+    corpus curation: "keep one representative per duplicate CLUSTER",
+    not per pair — A~B, B~C must collapse to one cluster even when A~C
+    was never a candidate pair.
+
+    Scale design (the MapReduce-CC family, Kiveris et al.): iterative
+    min-label propagation — each round is ONE shuffle
+    (union → groupBy(id) → min), edges are computed once and cached,
+    and labels are localCheckpoint-ed per round so the plan doesn't
+    deepen with iterations. Rounds = component diameter; near-dup
+    graphs are overwhelmingly small cliques (diameter ≤ 2-3). The
+    O(log n) upgrade path for adversarial chain graphs is large-star/
+    small-star contraction — same per-round shuffle shape.
+    Driver traffic is one convergence counter per round, never rows.
+    """
+    sym = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = sym.unionByName(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).dropDuplicates().cache()
+
+    # label(id) starts at min(id, min neighbor)
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nbr_min"))
+        .select(F.col("src").alias("id"), F.least("src", "nbr_min").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .select(edges["src"].alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_representatives(
+    components: DataFrame, singletons: DataFrame | None = None, id_col: str = "doc_id"
+) -> DataFrame:
+    """Curation decision per doc: keep cluster representatives (the min
+    id) and every unpaired doc. Output: (doc_id, keep, cluster_id)."""
+    decided = components.select(
+        id_col,
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        "cluster_id",
+    )
+    if singletons is None:
+        return decided
+    alone = singletons.select(F.col(id_col)).join(
+        components.select(id_col), id_col, "left_anti"
+    ).select(
+        id_col, F.lit(True).alias("keep"), F.col(id_col).alias("cluster_id")
+    )
+    return decided.unionByName(alone)

@@ -109,6 +109,46 @@ def _sql_minhash() -> str:
     return _sql_minhash_cte() + "SELECT doc_a, doc_b FROM cand"
 
 
+def q_dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash-LSH candidate pairs → connected
+    components → (doc_id, cluster_id, keep). A~B, B~C collapse into one
+    cluster even when A~C never surfaced as a pair — the per-cluster
+    representative (min doc_id) is the curation keep decision."""
+    from sequin_spark.datapipe.dedup import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    _prep(spark)
+    pairs = minhash_candidate_pairs(
+        _docs_with_dupes(spark, sf_dir), bands=4, rows_per_band=2, shingle_k=3
+    )
+    comps = connected_components(pairs)
+    return cluster_representatives(comps).orderBy("doc_id")
+
+
+def _sql_cluster_components() -> str:
+    """Transitive closure by recursive CTE (small graph at oracle scale;
+    Spark side uses the O(rounds)=diameter min-label propagation)."""
+    cte = _sql_minhash_cte().replace("WITH ", "WITH RECURSIVE ", 1)
+    return cte + """,
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM cand
+  UNION SELECT doc_b, doc_a FROM cand
+),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+)
+SELECT id AS doc_id,
+       (id = min(r)) AS keep,
+       min(r) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     return simhash(_docs_with_dupes(spark, sf_dir))
@@ -611,6 +651,7 @@ FROM lang GROUP BY predicted_lang
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
+    "dedup_cluster_components": q_dedup_cluster_components,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -631,6 +672,7 @@ DATAPIPE_QUERIES = {
 DATAPIPE_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _sql_minhash(),
+    "dedup_cluster_components": _sql_cluster_components(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),

@@ -190,3 +190,39 @@ def test_multimodal_stub_gate(spark, docs, monkeypatch):
     media = attach_media(docs, "text")
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         mm.decode_media(media).collect()
+
+
+def test_connected_components_transitive(spark):
+    """A~B, B~C (no A~C pair) must collapse into ONE cluster; disjoint
+    pairs stay separate; representatives = min id; singletons keep."""
+    from sequin_spark.datapipe.dedup import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 7), (10, 11), (20, 12)],
+        "doc_a long, doc_b long",
+    )
+    comps = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 1, 10: 10, 11: 10, 12: 12, 20: 12}
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 10, 11, 12, 20, 99]], "doc_id long")
+    reps = {
+        r["doc_id"]: (r["keep"], r["cluster_id"])
+        for r in cluster_representatives(connected_components(pairs), docs).collect()
+    }
+    assert reps[1] == (True, 1) and reps[2] == (False, 1) and reps[7] == (False, 1)
+    assert reps[99] == (True, 99)  # singleton: unpaired doc keeps itself
+    assert sum(1 for k, _ in reps.values() if k) == 4  # 3 reps + 1 singleton
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path graph (worst-case diameter) still converges."""
+    from sequin_spark.datapipe.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12, 0, -1)], "doc_a long, doc_b long"
+    )
+    out = connected_components(pairs).collect()
+    assert {r["cluster_id"] for r in out} == {1}
+    assert len(out) == 13
