@@ -177,6 +177,61 @@ PROGRAM_CASES = [
         "return get_json(to_json(base), '$.id')",
         None,  # placeholder — replaced below (to_json not in allowlist)
     ),
+    # --- cond-expression parity (minielixir_test.exs:77-96) ---
+    (
+        "x = int(record['id']) - 7\n"
+        "if x < 0:\n    return 'negative'\n"
+        "elif x > 0:\n    return 'positive'\n"
+        "else:\n    return 'zero'",
+        "zero",
+    ),
+    # --- string/binary construction ('hello' <> ' world', :37-45) ---
+    ("return record['house'] + ' ' + record['name']", "Stark arya"),
+    ("return substring(record['house'], 1, 2)", "St"),
+    ("return trim(replace('  x-y  ', '-', ':'))", "x:y"),
+    # --- list concat ([1,2] ++ [3,4], :40) + cons ([h | t], :492) ---
+    (
+        "return join(concat(split('a,b', ','), split('c', ',')), '-')",
+        "a-b-c",
+    ),
+    ("return [record['id'], record['name']]", ["7", "arya"]),
+    # --- nil handling: coalesce = the `||` default idiom ---
+    ("return coalesce(record['missing'], 'dflt')", "dflt"),
+    (
+        "v = coalesce(record['missing'], record['house'])\nreturn lower(v)",
+        "stark",
+    ),
+    # --- numeric kernel fns inside programs (:310-313 kernel allowlist) ---
+    ("return abs(0 - int(record['id']))", 7),
+    ("return round(float(record['score']))", 13.0),
+    ("return floor(float(record['score'])) + ceil(0.1)", 13),
+    ("return max(int(record['id']), 3, 11)", 11),
+    # --- regex + boolean guards in branches (:354-364 kernel guards) ---
+    (
+        "if regex_match(record['house'], '^St') and not is_null(record['name']):\n"
+        "    return regex_extract(record['name'], '(ar)') + '!'\n"
+        "return 'no'",
+        "ar!",
+    ),
+    # --- nested dict (deep %{...} building) + match binding wildcard ---
+    (
+        "return {'outer': {'id': int(record['id'])}, 'k': 'v'}",
+        {"outer": {"id": 7}, "k": "v"},
+    ),
+    (
+        "match record['house']:\n"
+        "    case h:\n        return lower(h)",
+        "stark",
+    ),
+    # --- Enum chains: filter → map → aggregate in one expression ---
+    (
+        "toks = [x for x in split('3,9,4,12', ',') if int(x) > 3]\n"
+        "return sum([int(t) * 1.0 for t in toks])",
+        25.0,
+    ),
+    ("return count([x for x in split(record['name'], '') if x in ['a']])", 2),
+    ("return member(split('a,b', ','), record['name'])", False),
+    ("return last(sort_list(split('b,a,c', ',')))", "c"),
 ]
 # drop the placeholder case exercising a non-allowlisted fn
 PROGRAM_CASES = [c for c in PROGRAM_CASES if c[1] is not None]
@@ -190,7 +245,7 @@ def test_minipy_program_semantics_corpus(ev):
     for src, expected in PROGRAM_CASES:
         got = _one(ev, compile_program(src))
         if isinstance(expected, dict):
-            got = got.asDict()
+            got = got.asDict(recursive=True)
         elif isinstance(got, list):
             got = list(got)
         assert got == expected, f"program {src!r}: {got!r} != {expected!r}"
