@@ -99,26 +99,32 @@ def cast_interval(col: Column) -> Column:
     struct{months, days, microseconds} — the reference's JSON shape
     (value_caster.ex:42-44,153-236), deliberately NOT CalendarInterval
     (not JSON-serializable)."""
-    years = F.coalesce(F.regexp_extract(col, r"(-?\d+) year", 1).try_cast("int"), F.lit(0))
-    months = F.coalesce(F.regexp_extract(col, r"(-?\d+) mon", 1).try_cast("int"), F.lit(0))
-    days = F.coalesce(F.regexp_extract(col, r"(-?\d+) day", 1).try_cast("int"), F.lit(0))
-    # one regex for the whole h:m:s.f group, then a cheap split
-    hms = F.regexp_extract(col, r"(-?)(\d+):(\d+):(\d+(?:\.\d+)?)", 0)
-    sign = F.when(hms.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
-    parts = F.split(F.regexp_replace(hms, "-", ""), ":")
-    h = F.coalesce(F.try_element_at(parts, F.lit(1)).try_cast("long"), F.lit(0))
-    m = F.coalesce(F.try_element_at(parts, F.lit(2)).try_cast("long"), F.lit(0))
-    s = F.coalesce(F.try_element_at(parts, F.lit(3)).try_cast("double"), F.lit(0.0))
+    # ONE anchored regex pass normalizes every field into a pipe-joined
+    # form ("y|mon|d|sign|h|m|s"), then a cheap split — instead of one
+    # regexp_extract per field (4-5 regex executions per row)
+    pat = (
+        r"^(?:(-?\d+) years? ?)?(?:(-?\d+) mons? ?)?(?:(-?\d+) days? ?)?"
+        r"(?:(-)?(\d+):(\d+):(\d+(?:\.\d+)?))?$"
+    )
+    norm = F.regexp_replace(col, pat, r"$1|$2|$3|$4|$5|$6|$7")
+    p = F.split(norm, r"\|")
+
+    def _num(i: int, typ: str = "int"):
+        return F.coalesce(F.try_element_at(p, F.lit(i)).try_cast(typ), F.lit(0).cast(typ))
+
+    sign = F.when(F.try_element_at(p, F.lit(4)) == "-", F.lit(-1)).otherwise(F.lit(1))
+    h, m, s = _num(5, "long"), _num(6, "long"), _num(7, "double")
     micros = (sign * ((h * 3600 + m * 60) * F.lit(1_000_000) + (s * 1_000_000))).cast("long")
     struct = F.struct(
-        (years * 12 + months).alias("months"),
-        days.alias("days"),
+        (_num(1) * 12 + _num(2)).alias("months"),
+        _num(3).alias("days"),
         micros.alias("microseconds"),
     )
-    # unparseable text → null (not a fabricated zero interval); the raw
-    # string stays in the record map, mirroring the reference's
-    # failed-cast passthrough (value_caster.ex:75-81)
-    parseable = col.rlike(r"(\d+ (year|mon|day))|(\d+:\d+:\d+)")
+    # unparseable text leaves norm without the 6 pipes → null (not a
+    # fabricated zero interval); the raw string stays in the record map,
+    # mirroring the reference's failed-cast passthrough
+    # (value_caster.ex:75-81)
+    parseable = (F.size(p) == 7) & (col != "")
     return F.when(parseable, struct)
 
 
