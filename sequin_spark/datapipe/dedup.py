@@ -307,23 +307,22 @@ def connected_components(
         .select(F.col("src").alias("id"), F.least("src", "nbr_min").alias("label"))
         .localCheckpoint()
     )
+    # labels only ever DECREASE (min-propagation is monotone), so an
+    # unchanged label sum ⇒ fixed point — convergence costs one tiny
+    # agg per round instead of a self-join + count
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .select(edges["src"].alias("id"), F.col("label"))
         )
-        new_labels = (
+        labels = (
             labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
