@@ -648,6 +648,87 @@ FROM lang GROUP BY predicted_lang
 """
 
 
+def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted stratified sampling: 12k-token budget at weights
+    en=.5, others=.125 — deterministic hash selection, oracle-exact."""
+    from sequin_spark.datapipe.curation import sample_to_budget
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"en": 0.5, "de": 0.125, "es": 0.125, "fr": 0.125, "zh": 0.125}
+    s = sample_to_budget(docs, weights, budget_tokens=12_000)
+    return s.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("sampled_tokens"),
+        F.min("rate_scaled").alias("rate_scaled"),
+    )
+
+
+def _sql_corpus_sample_mix() -> str:
+    # h16 = int(md5(doc_id)[0:4], 16) via per-hex-digit expansion
+    h16 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    weights = (
+        "CASE stratum WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.125 WHEN 'es' THEN 0.125 "
+        "WHEN 'fr' THEN 0.125 WHEN 'zh' THEN 0.125 END"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, lang AS stratum,
+         len(string_split({D_NORM}, ' ')) AS n_tokens
+  FROM documents
+),
+totals AS (
+  SELECT stratum, CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM base GROUP BY stratum
+),
+rated AS (
+  SELECT stratum, total_tokens,
+         CAST(floor(least(1.0, ({weights}) * 12000 / total_tokens) * 65536) AS BIGINT)
+           AS rate_scaled
+  FROM totals
+)
+SELECT b.stratum,
+       count(*) AS n_docs,
+       CAST(sum(b.n_tokens) AS BIGINT) AS sampled_tokens,
+       min(r.rate_scaled) AS rate_scaled
+FROM base b JOIN rated r ON b.stratum = r.stratum
+WHERE ({h16}) < r.rate_scaled
+GROUP BY b.stratum
+"""
+
+
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing within hash buckets (seq_len
+    512, 8 buckets) — per-doc (bucket, offset, seq_id) layout."""
+    from sequin_spark.datapipe.curation import pack_sequences
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, seq_len=512, n_buckets=8)
+
+
+SQL_CORPUS_PACK_SEQUENCES = f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 8 AS bucket,
+         len(string_split({D_NORM}, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS BIGINT)
+           AS "offset"
+  FROM base
+)
+SELECT doc_id, bucket, n_tokens, "offset",
+       CAST(floor("offset" / 512.0) AS BIGINT) AS seq_id
+FROM packed
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -667,6 +748,8 @@ DATAPIPE_QUERIES = {
     "multimodal_decode": q_multimodal_decode,
     "skew_salted_agg": q_skew_salted_agg,
     "corpus_curation": q_corpus_curation,
+    "corpus_sample_mix": q_corpus_sample_mix,
+    "corpus_pack_sequences": q_corpus_pack_sequences,
 }
 
 DATAPIPE_ORACLES = {
@@ -688,4 +771,6 @@ DATAPIPE_ORACLES = {
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "corpus_curation": SQL_CORPUS_CURATION,
+    "corpus_sample_mix": _sql_corpus_sample_mix(),
+    "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
 }

@@ -226,3 +226,40 @@ def test_connected_components_long_chain(spark):
     out = connected_components(pairs).collect()
     assert {r["cluster_id"] for r in out} == {1}
     assert len(out) == 13
+
+
+def test_sample_to_budget_deterministic(spark, sf_dir):
+    """Hash sampling: rerun identical; rates track the budget split;
+    unweighted strata drop entirely."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.curation import sample_to_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = sample_to_budget(docs, {"en": 1.0}, budget_tokens=5_000)
+    b = sample_to_budget(docs, {"en": 1.0}, budget_tokens=5_000)
+    ra = sorted(r["doc_id"] for r in a.collect())
+    assert ra == sorted(r["doc_id"] for r in b.collect())
+    assert {r["stratum"] for r in a.collect()} == {"en"}  # others unweighted
+    # sampled token volume lands near the budget (hash-uniform)
+    got = a.groupBy().sum("n_tokens").collect()[0][0]
+    assert 2_500 < got < 7_500
+
+
+def test_pack_sequences_layout(spark, sf_dir):
+    """Offsets are per-bucket running sums; seq boundaries honor
+    seq_len; every doc is placed exactly once."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.curation import pack_sequences
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_sequences(docs, seq_len=100, n_buckets=4).cache()
+    assert out.count() == docs.count()
+    rows = out.orderBy("bucket", "doc_id").collect()
+    by_bucket = {}
+    for r in rows:
+        expect = by_bucket.get(r["bucket"], 0)
+        assert r["offset"] == expect, r
+        assert r["seq_id"] == r["offset"] // 100
+        by_bucket[r["bucket"]] = expect + r["n_tokens"]
+    out.unpersist()
