@@ -46,3 +46,100 @@ class MetricsListener(StreamingQueryListener):
                 "rows_per_sec": (t["rows"] / dur_s) if dur_s > 0 else 0.0,
             }
         return out
+
+
+class ConsumerMetrics:
+    """Per-consumer delivery counters (prometheus.ex:308-325
+    increment_message_deliver_{attempt,success,failure} and the
+    :378-387 buffered/in-delivery gauges), fed by process_batch stats."""
+
+    COUNTERS = ("delivered", "failed", "blocked", "discarded", "shed")
+    GAUGES = ("pending",)
+
+    def __init__(self):
+        self.counters: dict[tuple[str, str], int] = defaultdict(int)
+        self.gauges: dict[tuple[str, str], int] = defaultdict(int)
+
+    def record_batch(self, consumer: str, stats: dict) -> None:
+        for k in self.COUNTERS:
+            self.counters[(k, consumer)] += int(stats.get(k, 0))
+        self.counters[("batches", consumer)] += 1
+        for k in self.GAUGES:
+            self.gauges[(k, consumer)] = int(stats.get(k, 0))
+
+
+def prometheus_text(metrics: ConsumerMetrics, listener: MetricsListener | None = None) -> str:
+    """Prometheus text exposition format v0.0.4 (what prometheus_exporter
+    .ex serves at /metrics) over the delivery counters + streaming
+    listener throughput."""
+    lines: list[str] = []
+    names = {
+        "delivered": "sequin_message_deliver_success_total",
+        "failed": "sequin_message_deliver_failure_total",
+        "blocked": "sequin_message_blocked_total",
+        "discarded": "sequin_message_discarded_total",
+        "shed": "sequin_message_shed_total",
+        "batches": "sequin_delivery_batches_total",
+    }
+    by_metric: dict[str, list[tuple[str, float]]] = defaultdict(list)
+    for (k, consumer), v in sorted(metrics.counters.items()):
+        by_metric[names.get(k, f"sequin_{k}_total")].append((consumer, v))
+    for mname, samples in by_metric.items():
+        lines.append(f"# TYPE {mname} counter")
+        for consumer, v in samples:
+            lines.append(f'{mname}{{consumer="{consumer}"}} {v}')
+    lines.append("# TYPE sequin_messages_pending gauge")
+    for (k, consumer), v in sorted(metrics.gauges.items()):
+        lines.append(f'sequin_messages_pending{{consumer="{consumer}"}} {v}')
+    if listener is not None:
+        snap = listener.snapshot()
+        lines.append("# TYPE sequin_stream_rows_per_sec gauge")
+        for name, t in sorted(snap.items()):
+            lines.append(
+                f'sequin_stream_rows_per_sec{{query="{name}"}} {t["rows_per_sec"]:.1f}'
+            )
+        lines.append("# TYPE sequin_stream_rows_total counter")
+        for name, t in sorted(snap.items()):
+            lines.append(f'sequin_stream_rows_total{{query="{name}"}} {t["rows"]}')
+    return "\n".join(lines) + "\n"
+
+
+class MetricsServer:
+    """GET /metrics scrape endpoint (prometheus_exporter.ex analog) —
+    stdlib http.server like the pull/config API shims."""
+
+    def __init__(self, metrics: ConsumerMetrics,
+                 listener: MetricsListener | None = None,
+                 host: str = "127.0.0.1", port: int = 0):
+        import threading
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        outer_metrics, outer_listener = metrics, listener
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence
+                pass
+
+            def do_GET(self):  # noqa: N802
+                if self.path.split("?")[0] != "/metrics":
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                body = prometheus_text(outer_metrics, outer_listener).encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    def start(self) -> "MetricsServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -47,8 +47,12 @@ def transform_column(spec: ConsumerSpec) -> Column:
 
 
 class ConsumerPipeline:
-    def __init__(self, spec: ConsumerSpec, state_dir: str | None = None):
+    def __init__(self, spec: ConsumerSpec, state_dir: str | None = None,
+                 metrics: "ConsumerMetrics | None" = None):
+        from sequin_spark.streaming.metrics import ConsumerMetrics
+
         self.spec = spec
+        self.metrics = metrics or ConsumerMetrics()
         routing_cols = tuple(spec.routing_keys())
         self.engine = DeliveryEngine(
             sink_type=spec.sink_type,
@@ -93,16 +97,20 @@ class ConsumerPipeline:
 
     # --- execution modes --------------------------------------------------
     def run_batch(self, events: DataFrame, batch_id: int = 0) -> dict:
-        return self.engine.process_batch(self.compile(events), batch_id)
+        stats = self.engine.process_batch(self.compile(events), batch_id)
+        self.metrics.record_batch(self.spec.name, stats)
+        return stats
 
     def start_stream(self, events: DataFrame, checkpoint_dir: str, trigger_seconds: int = 1):
         """One standing writeStream per consumer (reference: one Broadway
         pipeline per SinkConsumer); checkpoint commit = ack."""
         compiled = self.compile(events)
+
+        def _batch(df, bid):
+            self.metrics.record_batch(self.spec.name, self.engine.process_batch(df, bid))
+
         return (
-            compiled.writeStream.foreachBatch(
-                lambda df, bid: self.engine.process_batch(df, bid)
-            )
+            compiled.writeStream.foreachBatch(_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{trigger_seconds} seconds")
             .start()
