@@ -1,0 +1,60 @@
+"""Plan-quality gate: every registry query must compile to a
+scale-safe physical plan — no cartesian products or nested-loop joins
+outside the operators that are all-pairs BY DESIGN, and pushed filters
+must reach the parquet scan where the operator depends on it.
+
+This is the automated form of the `.explain("formatted")` audit: a
+regression here means an operator silently degraded to a plan that
+dies at 100 TB even though its sf0.01 results stay correct.
+"""
+
+import contextlib
+import io
+
+import pytest
+
+from sequin_spark.queries import ORACLES, QUERIES
+
+# All-pairs by design (documented): the exact baseline or tiny
+# broadcast-cross search shapes (queries × 8 centroids, etc.).
+ALLOW_NESTED_LOOP = {
+    "ann_topk_bruteforce",   # the O(nq·n) exact baseline, by definition
+    "ann_lsh_topk",          # query-side × probe-plan constants (tiny broadcast)
+    "ann_ivf_topk",          # query-side × n_centroids=8 centroid table
+    "backfill_keyset_page",  # driver-built single-row cursor predicate
+}
+
+
+def _physical_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_accidental_allpairs_join(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    plan = _physical_plan(df)
+    if name in ALLOW_NESTED_LOOP:
+        return
+    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
+    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
+
+
+def test_keyset_page_pushes_down(spark, sf_dir):
+    """The backfill page predicate must reach the parquet scan."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.sources.backfill import keyset_page
+
+    cust = load_table(spark, sf_dir, "customer")
+    page = keyset_page(cust, ["c_custkey"], [500], 100)
+    plan = _physical_plan(page)
+    assert "PushedFilters" in plan and "c_custkey" in plan.split("PushedFilters")[1][:200]
+
+
+def test_enrichment_broadcasts(spark, sf_dir):
+    """The enrichment join must broadcast the dimension side, never
+    shuffle the event stream."""
+    plan = _physical_plan(QUERIES["enrichment_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
