@@ -49,10 +49,14 @@ def transform_column(spec: ConsumerSpec) -> Column:
 class ConsumerPipeline:
     def __init__(self, spec: ConsumerSpec, state_dir: str | None = None,
                  metrics: "ConsumerMetrics | None" = None):
+        from sequin_spark.health import Health
         from sequin_spark.streaming.metrics import ConsumerMetrics
 
         self.spec = spec
         self.metrics = metrics or ConsumerMetrics()
+        self.health = Health(
+            spec.name, expected_slugs=("messages_ingested", "messages_delivered")
+        )
         routing_cols = tuple(spec.routing_keys())
         self.engine = DeliveryEngine(
             sink_type=spec.sink_type,
@@ -99,6 +103,7 @@ class ConsumerPipeline:
     def run_batch(self, events: DataFrame, batch_id: int = 0) -> dict:
         stats = self.engine.process_batch(self.compile(events), batch_id)
         self.metrics.record_batch(self.spec.name, stats)
+        self.health.observe_batch(stats)
         return stats
 
     def start_stream(self, events: DataFrame, checkpoint_dir: str, trigger_seconds: int = 1):
@@ -107,7 +112,9 @@ class ConsumerPipeline:
         compiled = self.compile(events)
 
         def _batch(df, bid):
-            self.metrics.record_batch(self.spec.name, self.engine.process_batch(df, bid))
+            stats = self.engine.process_batch(df, bid)
+            self.metrics.record_batch(self.spec.name, stats)
+            self.health.observe_batch(stats)
 
         return (
             compiled.writeStream.foreachBatch(_batch)
