@@ -15,6 +15,7 @@ registry entries absent from the submitted doc), apply commits it.
 from __future__ import annotations
 
 import json
+import re
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -104,11 +105,22 @@ class ConfigApiServer:
                 from urllib.parse import parse_qsl, urlsplit
 
                 u = urlsplit(self.path)
-                if u.path != "/api/config/export":
-                    return self._json(404, {"error": "not found"})
-                q = dict(parse_qsl(u.query))
-                show = str(q.get("show-sensitive", "")).lower() in ("true", "1")
-                self._json(200, {"yaml": outer.registry.export(show)})
+                if u.path == "/api/config/export":
+                    q = dict(parse_qsl(u.query))
+                    show = str(q.get("show-sensitive", "")).lower() in ("true", "1")
+                    return self._json(200, {"yaml": outer.registry.export(show)})
+                # resource read API (router.ex:157-178 /api/sinks surface)
+                if u.path == "/api/sinks":
+                    with outer.registry._lock:
+                        data = [to_external(s) for s in outer.registry.consumers.values()]
+                    return self._json(200, {"data": data})
+                m = re.match(r"^/api/sinks/([^/]+)$", u.path)
+                if m:
+                    spec = outer.registry.consumers.get(m.group(1))
+                    if spec is None:
+                        return self._json(404, {"error": f"no sink consumer {m.group(1)!r}"})
+                    return self._json(200, to_external(spec))
+                self._json(404, {"error": "not found"})
 
             def do_POST(self):  # noqa: N802
                 action = {"/api/config/plan": "plan", "/api/config/apply": "apply"}.get(

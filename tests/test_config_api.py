@@ -128,3 +128,17 @@ def test_config_bad_yaml_400(api):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(api.url("apply"), "consumers:\n  - {nope: 1}")
     assert e.value.code == 400
+
+
+def test_sinks_resource_read_api(api):
+    # router.ex:157-178 /api/sinks read surface over applied resources
+    _post(api.url("apply"), YAML_V1)
+    base = api.url("plan").rsplit("/config", 1)[0]
+    with urllib.request.urlopen(f"{base}/sinks", timeout=10) as resp:
+        names = [c["name"] for c in json.loads(resp.read())["data"]]
+    assert names == ["orders-webhook", "noop"]
+    with urllib.request.urlopen(f"{base}/sinks/noop", timeout=10) as resp:
+        assert json.loads(resp.read())["sink_type"] == "benchmark"
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(f"{base}/sinks/ghost", timeout=10)
+    assert e.value.code == 404
