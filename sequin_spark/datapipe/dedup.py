@@ -74,15 +74,7 @@ def minhash_candidate_pairs(
     Returns distinct (doc_a, doc_b) with doc_a < doc_b. The self-join is
     keyed on (band, key) — fan-out bounded by bucket occupancy.
     """
-    n_hashes = bands * rows_per_band
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    band_structs = []
-    for b in range(1, bands + 1):
-        parts = [F.col(f"sig{(b - 1) * rows_per_band + r}") for r in range(1, rows_per_band + 1)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key")))
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    banded = banded_signatures(df, text_col, id_col, bands, rows_per_band, shingle_k)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -345,3 +337,99 @@ def cluster_representatives(
         id_col, F.lit(True).alias("keep"), F.col(id_col).alias("cluster_id")
     )
     return decided.unionByName(alone)
+
+
+def banded_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band, key) LSH band rows — the persistable dedup INDEX.
+    At scale this is the table you keep partitioned by (band, key) so
+    incoming batches join against it without recomputing the corpus."""
+    n_hashes = bands * rows_per_band
+    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
+    band_structs = []
+    for b in range(1, bands + 1):
+        parts = [F.col(f"sig{(b - 1) * rows_per_band + r}") for r in range(1, rows_per_band + 1)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Dedup an INCOMING batch against an EXISTING corpus — the
+    streaming-ingest shape: new docs only ever join the corpus index on
+    (band, key), never each other, so ingest cost is O(|batch| ×
+    bucket occupancy) regardless of corpus size. Candidates are
+    verified with exact n-gram Jaccard; each new doc reports
+    ``duplicate_of`` = the smallest matching corpus id (null = novel).
+
+    Returns one row per new doc: (doc_id, duplicate_of, jaccard).
+    """
+    corpus_idx = banded_signatures(corpus, text_col, id_col, bands, rows_per_band, shingle_k)
+    new_idx = banded_signatures(new_docs, text_col, id_col, bands, rows_per_band, shingle_k)
+    cand = (
+        new_idx.alias("n")
+        .join(corpus_idx.alias("c"), ["band", "key"])
+        .select(
+            F.col(f"n.{id_col}").alias("new_id"),
+            F.col(f"c.{id_col}").alias("corpus_id"),
+        )
+        .distinct()
+    )
+
+    def grams(df, alias):
+        return df.select(
+            F.col(id_col).alias(f"{alias}_id"),
+            F.array_distinct(
+                word_shingles_from_text(text_col, shingle_k)
+            ).alias(f"{alias}_grams"),
+        )
+
+    verified = (
+        cand.join(grams(new_docs, "new"), "new_id")
+        .join(grams(corpus, "corpus"), "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("new_grams", "corpus_grams"))
+                / (
+                    F.size("new_grams") + F.size("corpus_grams")
+                    - F.size(F.array_intersect("new_grams", "corpus_grams"))
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = verified.groupBy("new_id").agg(
+        F.min(F.struct(F.col("corpus_id"), F.col("jaccard"))).alias("m")
+    )
+    return (
+        new_docs.select(F.col(id_col))
+        .join(best, new_docs[id_col] == best["new_id"], "left")
+        .select(
+            id_col,
+            F.col("m.corpus_id").alias("duplicate_of"),
+            F.col("m.jaccard").alias("jaccard"),
+        )
+    )
+
+
+def word_shingles_from_text(text_col: str, k: int) -> F.Column:
+    """k-word shingle array straight from a text column."""
+    w = f"split({NORM.format(col=text_col)}, ' ')"
+    idx = ", ".join(f"{w}[i - 1 + {j}]" for j in range(k))
+    return F.expr(
+        f"transform(sequence(1, size({w}) - {k - 1}), i -> concat_ws(' ', {idx}))"
+    )

@@ -648,6 +648,70 @@ FROM lang GROUP BY predicted_lang
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-ingest dedup: the shifted copies arrive as a NEW batch
+    and join the existing corpus's LSH band index — new docs never join
+    each other, so ingest cost is independent of corpus size."""
+    from sequin_spark.datapipe.dedup import incremental_dedup
+
+    _prep(spark)
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_docs = corpus.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.expr("replace(text, ' the ', ' thy ')").alias("text"),
+    )
+    return incremental_dedup(new_docs, corpus, threshold=0.5)
+
+
+def _sql_dedup_incremental() -> str:
+    sig_cols = ", ".join(f"min(md5('{j}|' || sh)) AS sig{j}" for j in range(1, 9))
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig{2 * b - 1} || sig{2 * b} AS key FROM {{src}}_sig"
+        for b in range(1, 5)
+    )
+
+    def chain(src: str) -> str:
+        return f"""
+{src}_w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS w FROM {src}),
+{src}_sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+             FROM {src}_w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
+{src}_sig AS (SELECT doc_id, {sig_cols} FROM {src}_sh GROUP BY doc_id),
+{src}_bands AS ({band_selects.replace('{src}', src)}),
+{src}_g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 2),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+  FROM {src}_w
+)"""
+
+    return f"""
+WITH corp AS (SELECT doc_id, text FROM documents),
+newd AS (SELECT doc_id + 10000 AS doc_id, replace(text, ' the ', ' thy ') AS text
+         FROM documents WHERE doc_id % 25 = 0),
+{chain('corp')},
+{chain('newd')},
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM newd_bands n JOIN corp_bands c ON n.band = c.band AND n.key = c.key
+),
+v AS (
+  SELECT cand.new_id, cand.corpus_id,
+         round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+               / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))),
+               4) AS jaccard
+  FROM cand JOIN newd_g a ON cand.new_id = a.doc_id
+            JOIN corp_g b ON cand.corpus_id = b.doc_id
+),
+best AS (
+  SELECT new_id, corpus_id, jaccard,
+         row_number() OVER (PARTITION BY new_id ORDER BY corpus_id) AS rk
+  FROM v WHERE jaccard >= 0.5
+)
+SELECT n.doc_id, b.corpus_id AS duplicate_of, b.jaccard
+FROM newd n LEFT JOIN best b ON n.doc_id = b.new_id AND b.rk = 1
+"""
+
+
 def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted stratified sampling: 12k-token budget at weights
     en=.5, others=.125 — deterministic hash selection, oracle-exact."""
@@ -736,6 +800,7 @@ DATAPIPE_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_incremental": q_dedup_incremental,
     "embed_neardup_cosine": q_embed_neardup_cosine,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
@@ -759,6 +824,7 @@ DATAPIPE_ORACLES = {
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
+    "dedup_incremental": _sql_dedup_incremental(),
     "embed_neardup_cosine": _sql_embed_neardup_cosine(),
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_lsh_buckets": _sql_ann_lsh_buckets(),

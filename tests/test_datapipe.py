@@ -263,3 +263,29 @@ def test_pack_sequences_layout(spark, sf_dir):
         assert r["seq_id"] == r["offset"] // 100
         by_bucket[r["bucket"]] = expect + r["n_tokens"]
     out.unpersist()
+
+
+def test_incremental_dedup_batch_vs_corpus(spark, sf_dir):
+    """New-batch dedup: copies map to their source doc; novel docs
+    (no corpus counterpart) come back with duplicate_of = null."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.dedup import incremental_dedup
+    from pyspark.sql import functions as F
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = corpus.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    novel = spark.createDataFrame(
+        [(9001, "completely unrelated nonsense tokens qq ww ee rr tt yy uu ii oo pp")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_dedup(
+        copies.unionByName(novel), corpus, threshold=0.5
+    ).collect()}
+    for r in out.values():
+        if r["doc_id"] == 9001:
+            assert r["duplicate_of"] is None
+        else:
+            assert r["duplicate_of"] == r["doc_id"] - 5000  # exact copy → its source
+            assert r["jaccard"] == 1.0
