@@ -567,6 +567,24 @@ FROM documents
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plan: every-4th-frame explode over the stub
+    decode's frame counts — the mapInPandas → explode shape a real
+    ffmpeg keyframe extractor plugs into."""
+    from sequin_spark.datapipe.multimodal import frame_sample
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", media_type="video")
+    return frame_sample(media, every_n=4)
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = """
+SELECT doc_id, unnest(generate_series(0, length(text) % 24, 4)) AS frame_idx
+FROM documents
+"""
+
+
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation for hot keys (operators/skew.py) —
     result must equal the plain group-by count."""
@@ -811,6 +829,7 @@ DATAPIPE_QUERIES = {
     "text_tokens": q_text_tokens,
     "text_fingerprint": q_text_fingerprint,
     "multimodal_decode": q_multimodal_decode,
+    "multimodal_frame_sample": q_multimodal_frame_sample,
     "skew_salted_agg": q_skew_salted_agg,
     "corpus_curation": q_corpus_curation,
     "corpus_sample_mix": q_corpus_sample_mix,
@@ -835,6 +854,7 @@ DATAPIPE_ORACLES = {
     "text_tokens": SQL_TEXT_TOKENS,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
+    "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "corpus_curation": SQL_CORPUS_CURATION,
     "corpus_sample_mix": _sql_corpus_sample_mix(),
