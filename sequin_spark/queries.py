@@ -435,6 +435,47 @@ FROM events WHERE event_type = 'purchase' AND value > 50
 """
 
 
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each purchase event picks up the
+    user's latest click at-or-before it — union + fill-forward window,
+    ONE shuffle on user_id, no range join. Oracle is the independently
+    derived LATERAL top-1 formulation."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.operators.asof import asof_join
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    out = asof_join(
+        purchases, clicks,
+        key_cols=["user_id"], ts_col="ts_us", order_col="event_id",
+        right_payload=[],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("event_id_asof").alias("click_id"),
+        (F.col("ts_us") - F.col("ts_us_asof")).alias("gap_us"),
+    )
+
+
+SQL_ASOF_LAST_CLICK = """
+SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts_us,
+       c.event_id AS click_id,
+       CAST(epoch_us(p.ts) AS BIGINT) - c.ts_us AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN LATERAL (
+  SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+  FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id
+    AND epoch_us(c.ts) <= epoch_us(p.ts)
+  ORDER BY ts DESC, event_id DESC LIMIT 1
+) c ON true
+"""
+
+
 def q_minipy_program(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MiniPy PROGRAM surface (MiniElixir statement-body parity,
     validator.ex:75-236): local bindings, `match` → when chains, dict
@@ -873,6 +914,7 @@ QUERIES: dict[str, callable] = {
     "path_transform": q_path_transform,
     "minipy_transform": q_minipy_transform,
     "minipy_program": q_minipy_program,
+    "asof_last_click": q_asof_last_click,
     "backfill_keyset_page": q_backfill_keyset_page,
     "backfill_fence_merge": q_backfill_fence_merge,
     "wal_pipeline_log": q_wal_pipeline_log,
@@ -905,6 +947,7 @@ ORACLES: dict[str, str] = {
     "path_transform": SQL_PATH_TRANSFORM,
     "minipy_transform": SQL_MINIPY_TRANSFORM,
     "minipy_program": SQL_MINIPY_PROGRAM,
+    "asof_last_click": SQL_ASOF_LAST_CLICK,
     "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,
     "backfill_fence_merge": SQL_BACKFILL_FENCE_MERGE,
     "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,

@@ -121,3 +121,51 @@ def test_dedup_and_ledger(spark):
     out = ledger_anti_join(df, delivered)
     # update filtered by ledger; read bypasses; duplicate insert rows both kept
     assert sorted(r.action for r in out.collect()) == ["insert", "insert", "read"]
+
+
+def test_asof_join_semantics(spark):
+    """Nearest-earlier semantics: ties at equal ts included, greatest
+    order wins among ties, no-prior-right rows get null payload, keys
+    never bleed into each other."""
+    from sequin_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [("u1", 100, 10), ("u1", 200, 11), ("u2", 150, 12), ("u3", 50, 13)],
+        "user string, ts_us long, event_id long",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", 90, 1, "a"), ("u1", 100, 2, "b"), ("u1", 100, 3, "c"),
+            ("u1", 180, 4, "d"), ("u2", 160, 5, "e"),
+        ],
+        "user string, ts_us long, event_id long, tag string",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join(
+            left, right, key_cols=["user"], ts_col="ts_us",
+            order_col="event_id", right_payload=["tag"],
+        ).collect()
+    }
+    assert out[10]["event_id_asof"] == 3 and out[10]["tag_asof"] == "c"  # tie: max id
+    assert out[11]["event_id_asof"] == 4 and out[11]["tag_asof"] == "d"
+    assert out[12]["event_id_asof"] is None  # u2's click is AFTER the purchase
+    assert out[13]["event_id_asof"] is None  # u3 has no right rows at all
+
+
+def test_asof_join_plan_single_shuffle(spark):
+    """The physical plan is window-over-union — no nested-loop range join."""
+    import contextlib, io
+
+    from sequin_spark.operators.asof import asof_join
+
+    left = spark.range(10).selectExpr("'k' AS user", "id AS ts_us", "id AS event_id")
+    right = spark.range(10).selectExpr("'k' AS user", "id AS ts_us", "id + 100 AS event_id")
+    out = asof_join(left, right, ["user"], "ts_us", "event_id", [])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Window" in plan
