@@ -71,3 +71,31 @@ def asof_join(
         *[F.col("_carried")[c].alias(f"{c}{suffix}") for c in [ts_col, order_col, *right_payload]],
     )
     return out
+
+
+def sessionize(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    gap: int,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the gap to
+    the key's previous event exceeds ``gap`` (same units as ts_col).
+    Adds ``session_seq`` (0-based per key) and ``session_start_ts``.
+
+    Same scale shape as asof_join: one shuffle on the key, two window
+    passes (lag → boundary flag → running sum), no state store needed
+    in batch; the streaming twin is ``F.session_window`` aggregation.
+    """
+    order = [F.col(ts_col).asc()] + ([F.col(order_col).asc()] if order_col else [])
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    boundary = (
+        F.when(F.lag(ts_col).over(w).isNull(), F.lit(0))
+        .when(F.col(ts_col) - F.lag(ts_col).over(w) > gap, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = df.withColumn("session_seq", F.sum(boundary).over(wrun).cast("long"))
+    ws = Window.partitionBy(*key_cols, "session_seq")
+    return out.withColumn("session_start_ts", F.min(ts_col).over(ws))

@@ -476,6 +476,45 @@ LEFT JOIN LATERAL (
 """
 
 
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (operators/asof.py:sessionize): 30-min
+    session gap per user; output per-session rollup."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.operators.asof import sessionize
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    s = sessionize(ev, ["user_id"], "ts_us", gap=30 * 60 * 1_000_000, order_col="event_id")
+    return s.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_us").alias("start_us"),
+        (F.max("ts_us") - F.min("ts_us")).alias("span_us"),
+    )
+
+
+SQL_SESSIONIZE_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CASE WHEN CAST(epoch_us(ts) AS BIGINT)
+                   - lag(CAST(epoch_us(ts) AS BIGINT))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS boundary
+  FROM events
+),
+s AS (
+  SELECT user_id, ts_us,
+         CAST(sum(boundary) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM e
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS span_us
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_minipy_program(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MiniPy PROGRAM surface (MiniElixir statement-body parity,
     validator.ex:75-236): local bindings, `match` → when chains, dict
@@ -915,6 +954,7 @@ QUERIES: dict[str, callable] = {
     "minipy_transform": q_minipy_transform,
     "minipy_program": q_minipy_program,
     "asof_last_click": q_asof_last_click,
+    "sessionize_events": q_sessionize_events,
     "backfill_keyset_page": q_backfill_keyset_page,
     "backfill_fence_merge": q_backfill_fence_merge,
     "wal_pipeline_log": q_wal_pipeline_log,
@@ -948,6 +988,7 @@ ORACLES: dict[str, str] = {
     "minipy_transform": SQL_MINIPY_TRANSFORM,
     "minipy_program": SQL_MINIPY_PROGRAM,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
+    "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,
     "backfill_fence_merge": SQL_BACKFILL_FENCE_MERGE,
     "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,

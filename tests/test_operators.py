@@ -169,3 +169,20 @@ def test_asof_join_plan_single_shuffle(spark):
     plan = buf.getvalue()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Window" in plan
+
+
+def test_sessionize_gap_boundaries(spark):
+    from sequin_spark.operators.asof import sessionize
+
+    df = spark.createDataFrame(
+        [
+            ("u1", 0, 1), ("u1", 10, 2), ("u1", 200, 3),   # gap 190 > 100 → new session
+            ("u1", 250, 4), ("u2", 5, 5),
+        ],
+        "user string, ts long, event_id long",
+    )
+    out = {r["event_id"]: r for r in sessionize(df, ["user"], "ts", gap=100).collect()}
+    assert out[1]["session_seq"] == 0 and out[2]["session_seq"] == 0
+    assert out[3]["session_seq"] == 1 and out[4]["session_seq"] == 1
+    assert out[5]["session_seq"] == 0  # fresh key starts at 0
+    assert out[3]["session_start_ts"] == 200 and out[4]["session_start_ts"] == 200
