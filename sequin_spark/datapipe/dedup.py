@@ -52,16 +52,29 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: sig_j = min over shingles of
     md5('{j}|' + shingle). Lexicographic min over md5 hex approximates a
-    random permutation per j."""
-    toks = df.select(
-        F.col(id_col),
-        F.split(normalized(text_col), " ").alias("w"),
-    ).withColumn("sh", F.explode(word_shingles("w", shingle_k)))
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"sig{j}")
+    random permutation per j.
+
+    Computed as ``array_min(transform(shingles, md5))`` — a NARROW
+    projection, not explode + groupBy: the per-doc min needs no shuffle
+    at all, so signature generation is a pure scan at any corpus size
+    (the only shuffle left in LSH dedup is the band-bucket join).
+    Shingle-less docs (< k words) get null signatures → null band keys
+    → never candidates, same as the exploded formulation dropping them.
+    """
+    base = df.select(
+        F.col(id_col), F.split(normalized(text_col), " ").alias("w")
+    ).select(F.col(id_col), word_shingles("w", shingle_k).alias("sh"))
+    def _hash_j(j: int):
+        # NB: must be a 1-arg lambda — pyspark dispatches 2-arg HOF
+        # lambdas as (element, index), so a `j=j` default would be
+        # silently overwritten by the array index
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("sh"), _hash_j(j))).alias(f"sig{j}")
         for j in range(1, n_hashes + 1)
     ]
-    return toks.groupBy(id_col).agg(*aggs)
+    return base.select(F.col(id_col), *sigs)
 
 
 def minhash_candidate_pairs(
