@@ -333,9 +333,9 @@ class _Compiler(ast.NodeVisitor):
             fields.append(_to_col(self.visit(v)).alias(k.value))
         return _T(F.struct(*fields), "struct")
 
-    def visit_ListComp(self, node):
-        # [f(x) for x in xs if p(x)] → F.filter + F.transform HOFs
-        # (Enum.map / Enum.filter parity) — stays inside Catalyst
+    def _comprehension(self, node):
+        """Shared machinery for list comprehensions and generator
+        expressions: returns (filtered source Column, with_var binder)."""
         if len(node.generators) != 1:
             raise ValueError(_BANNED_MSG.format("multiple comprehension generators"))
         gen = node.generators[0]
@@ -369,8 +369,14 @@ class _Compiler(ast.NodeVisitor):
 
         for cond_node in gen.ifs:
             src = F.filter(src, _mk_pred(cond_node))
+        return src, _with_var
+
+    def visit_ListComp(self, node):
+        # [f(x) for x in xs if p(x)] → F.filter + F.transform HOFs
+        # (Enum.map / Enum.filter parity) — stays inside Catalyst
+        src, with_var = self._comprehension(node)
         out = F.transform(
-            src, lambda x: _with_var(x, lambda: _to_col(self.visit(node.elt)))
+            src, lambda x: with_var(x, lambda: _to_col(self.visit(node.elt)))
         )
         return _T(out, "list")
 
@@ -472,6 +478,19 @@ class _Compiler(ast.NodeVisitor):
         if not isinstance(node.func, ast.Name):
             raise ValueError(_BANNED_MSG.format("method calls"))
         fname = node.func.id
+        if fname in ("any", "all") and not node.keywords and len(node.args) == 1:
+            # Enum.any?/all? parity (validator.ex @enum_functions):
+            # any(p(x) for x in xs if q(x)) → F.exists / F.forall HOFs;
+            # any(<list expr>) tests the booleans themselves
+            hof = F.exists if fname == "any" else F.forall
+            arg = node.args[0]
+            if isinstance(arg, ast.GeneratorExp):
+                src, with_var = self._comprehension(arg)
+                out = hof(
+                    src, lambda x: with_var(x, lambda: _as_col(self.visit(arg.elt).val))
+                )
+                return _T(out, "bool")
+            return _T(hof(_as_col(self.visit(arg).val), lambda x: x), "bool")
         entry = _FUNCTIONS.get(fname)
         if entry is None:
             raise ValueError(_BANNED_MSG.format(f"function {fname!r}"))

@@ -232,6 +232,16 @@ PROGRAM_CASES = [
     ("return count([x for x in split(record['name'], '') if x in ['a']])", 2),
     ("return member(split('a,b', ','), record['name'])", False),
     ("return last(sort_list(split('b,a,c', ',')))", "c"),
+    # --- any/all → exists/forall HOFs (Enum.any?/all? parity) ---
+    ("return any(int(x) > 2 for x in split('1,2,3', ','))", True),
+    ("return all(int(x) > 0 for x in split('1,2,3', ','))", True),
+    ("return all(int(x) > 1 for x in split('1,2,3', ','))", False),
+    ("return any(x == 'z' for x in split(record['name'], ''))", False),
+    (
+        "return any(length(x) > 1 for x in split('a,bb,c', ',') if x != 'bb')",
+        False,  # the filter runs before the predicate
+    ),
+    ("return any([int(x) > 2 for x in split('1,3', ',')])", True),  # list form
 ]
 # drop the placeholder case exercising a non-allowlisted fn
 PROGRAM_CASES = [c for c in PROGRAM_CASES if c[1] is not None]
