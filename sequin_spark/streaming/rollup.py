@@ -60,3 +60,33 @@ def throughput_rollup(
             "n_groups",
         )
     )
+
+
+def session_rollup(
+    events: DataFrame,
+    gap_duration: str = "30 minutes",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "commit_timestamp",
+    key_col: str = "group_id",
+) -> DataFrame:
+    """Per-key session aggregation via ``F.session_window`` — the
+    STREAMING twin of operators/asof.sessionize (dynamic-gap windows
+    merge as events arrive; the watermark closes sessions whose gap has
+    definitively elapsed, so state stays bounded). Batch and streaming
+    share this code path, like throughput_rollup."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark_delay)
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap_duration).alias("s"),
+            F.col(key_col),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
