@@ -39,10 +39,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def word_shingles(words_col: str = "w", k: int = 3) -> F.Column:
-    """Array of k-word shingles from a token array (0-based Spark SQL)."""
+    """Array of k-word shingles from a token array (0-based Spark SQL).
+
+    Docs with fewer than k tokens yield an EMPTY array: without the guard,
+    ``sequence(1, size - k + 1)`` with size < k is a *descending* sequence
+    ([1, 0]) and the ANSI-mode subscript throws INVALID_ARRAY_INDEX —
+    one short doc would kill the whole job.
+    """
     idx = ", ".join(f"{words_col}[i - 1 + {j}]" for j in range(k))
     return F.expr(
-        f"transform(sequence(1, size({words_col}) - {k - 1}), i -> concat_ws(' ', {idx}))"
+        f"CASE WHEN size({words_col}) >= {k} THEN "
+        f"transform(sequence(1, size({words_col}) - {k - 1}), i -> concat_ws(' ', {idx})) "
+        f"ELSE cast(array() as array<string>) END"
     )
 
 

@@ -44,15 +44,18 @@ class HttpPushSqsEnqueueSink(Sink):
 
     def deliver(self, batch: SinkBatch) -> None:
         queue_url = self.config["sqs_queue_url"]
-        entries = []
-        for i, row in enumerate(batch.rows[:10]):
-            envelope = json.dumps(
-                {"data": base64.b64encode(json.dumps(row).encode()).decode()}
-            )
-            entries.append({"Id": str(i), "MessageBody": envelope})
-        resp = self._client.send_message_batch(QueueUrl=queue_url, Entries=entries)
-        if resp.get("Failed"):
-            raise RuntimeError(f"sqs partial failure: {resp['Failed']}")
+        # SendMessageBatch accepts at most 10 entries; a consumer configured
+        # with a larger batch_size must not lose rows 11+ (at-least-once).
+        for start in range(0, len(batch.rows), 10):
+            entries = []
+            for i, row in enumerate(batch.rows[start : start + 10]):
+                envelope = json.dumps(
+                    {"data": base64.b64encode(json.dumps(row).encode()).decode()}
+                )
+                entries.append({"Id": str(start + i), "MessageBody": envelope})
+            resp = self._client.send_message_batch(QueueUrl=queue_url, Entries=entries)
+            if resp.get("Failed"):
+                raise RuntimeError(f"sqs partial failure: {resp['Failed']}")
 
 
 class HttpPushSqsWorker:

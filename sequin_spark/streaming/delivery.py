@@ -406,7 +406,10 @@ class DeliveryEngine:
                 chunk_bytes = 0
                 for r in rows:
                     routing = tuple(r.get(c) for c in routing_cols)
-                    r_bytes = len(r.get("value") or "")
+                    # encoded bytes, not characters — a mostly-CJK payload
+                    # is up to 4x its len() and would blow a sink's wire
+                    # cap (e.g. pub/sub 10MB) if counted in characters
+                    r_bytes = len((r.get("value") or "").encode("utf-8"))
                     # close the chunk on routing change, count bound, OR
                     # byte bound (sink_pipeline.ex:413-434: emit the
                     # accumulated batch, start fresh with this row)

@@ -73,8 +73,7 @@ class PullApiServer:
                 if queue is None:
                     return self._json(404, {"error": f"no sequin_stream consumer {name!r}"})
                 try:
-                    with outer._lock:
-                        result = outer._dispatch(queue, action, params)
+                    result = outer._dispatch(queue, action, params)
                 except _BadRequest as e:
                     return self._json(400, {"error": str(e)})
                 self._json(200, result)
@@ -100,10 +99,16 @@ class PullApiServer:
 
     # --- controller actions ----------------------------------------------
     def _dispatch(self, queue: PullQueue, action: str, params: dict) -> dict:
+        # The server lock guards only the actual queue mutation. Long-poll
+        # waiting must happen OUTSIDE it: a receive with wait_for=5m holding
+        # the server-wide lock would stall every other client's
+        # receive/ack/nack — including the very nack that would make a
+        # message deliverable for the waiter.
         if action == "receive":
             batch_size = self._parse_batch_size(params)
             self._maybe_wait(queue, params)
-            return {"data": queue.receive(batch_size)}
+            with self._lock:
+                return {"data": queue.receive(batch_size)}
         ack_ids = params.get("ack_ids")
         if (
             not isinstance(ack_ids, list)
@@ -114,10 +119,11 @@ class PullApiServer:
                 "Invalid ack_ids. Must send a top-level `ack_ids` property "
                 "that is a non-empty list of valid UUID strings"
             )
-        if action == "ack":
-            queue.ack(ack_ids)
-        else:
-            queue.nack(ack_ids)
+        with self._lock:
+            if action == "ack":
+                queue.ack(ack_ids)
+            else:
+                queue.nack(ack_ids)
         return {"success": True}
 
     @staticmethod

@@ -123,8 +123,10 @@ def cast_interval(col: Column) -> Column:
     # unparseable text leaves norm without the 6 pipes → null (not a
     # fabricated zero interval); the raw string stays in the record map,
     # mirroring the reference's failed-cast passthrough
-    # (value_caster.ex:75-81)
-    parseable = (F.size(p) == 7) & (col != "")
+    # (value_caster.ex:75-81). The rlike guard is required: non-interval
+    # text that happens to contain six '|' chars ('a|b|c|d|e|f|g') passes
+    # the size check alone and would fabricate a zero interval.
+    parseable = col.rlike(pat) & (F.size(p) == 7) & (col != "")
     return F.when(parseable, struct)
 
 

@@ -44,6 +44,22 @@ def test_minhash_finds_near_dupes(spark, docs):
     assert (1, 3) in pairs
 
 
+def test_minhash_short_docs_dont_crash(spark, docs):
+    """Docs with < shingle_k words must yield empty shingles / null
+    signatures, not an ANSI INVALID_ARRAY_INDEX from a descending
+    sequence() — one short doc in an incoming batch must not kill it."""
+    from sequin_spark.datapipe.dedup import minhash_signatures
+
+    short = spark.createDataFrame(
+        [Row(doc_id=10, text="hi"), Row(doc_id=11, text="one two"), Row(doc_id=12, text="")]
+    )
+    sigs = {r.doc_id: r.sig1 for r in minhash_signatures(short).collect()}
+    assert sigs == {10: None, 11: None, 12: None}
+    # and short docs mixed into a corpus never become candidates
+    pairs = minhash_candidate_pairs(docs.unionByName(short)).collect()
+    assert all(r.doc_a not in (10, 11, 12) and r.doc_b not in (10, 11, 12) for r in pairs)
+
+
 def test_simhash_hamming(spark, docs):
     pairs = simhash_near_pairs(simhash(docs), max_hamming=2).collect()
     got = {(r.doc_a, r.doc_b) for r in pairs}

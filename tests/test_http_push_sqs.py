@@ -91,6 +91,24 @@ def test_via_sqs_enqueue_envelope():
     assert json.loads(base64.b64decode(envelope["data"])) == rows[0]
 
 
+def test_via_sqs_enqueue_chunks_beyond_sqs_batch_limit():
+    """batch_size > 10 must not silently drop rows 11+ (at-least-once):
+    the sink loops SendMessageBatch calls of ≤10 entries each."""
+    sqs = FakeSqs()
+    sink = create_sink(
+        "http_push",
+        {"via_sqs": True, "sqs_queue_url": "q://main", "client_factory": lambda: sqs},
+    )
+    sink.open()
+    rows = [{"key": f"k{i}", "value": json.dumps({"n": i})} for i in range(27)]
+    sink.deliver(SinkBatch(routing={}, rows=rows))
+    bodies = [
+        json.loads(base64.b64decode(json.loads(m["Body"])["data"]))
+        for m in sqs.queues["q://main"]
+    ]
+    assert bodies == rows  # all 27, in order
+
+
 def test_worker_drains_to_endpoint(http_server):
     port = http_server.server_address[1]
     sqs = FakeSqs()

@@ -41,6 +41,14 @@ def test_interval_cast(spark):
     assert got.months == 0 and got.days == 5 and got.microseconds == 0
 
 
+def test_interval_cast_rejects_non_interval_text(spark):
+    # six '|' chars pass the split-size check alone — the rlike guard must
+    # keep unparseable text as null, not a fabricated zero interval
+    assert _one(spark, cast_interval(F.lit("a|b|c|d|e|f|g"))) is None
+    assert _one(spark, cast_interval(F.lit("not an interval"))) is None
+    assert _one(spark, cast_interval(F.lit(""))) is None
+
+
 def test_typed_record_projection(spark):
     df = spark.createDataFrame(
         [Row(record={"id": "7", "score": "1.25", "active": "t", "tags": "{x,y}"})]
