@@ -199,51 +199,81 @@ def decode(frame: bytes):
     raise ValueError(f"unknown pgoutput tag {tag!r}")
 
 
-def events_from_messages(messages: list) -> list[dict]:
-    """Fold a decoded frame sequence into canonical event dicts — the
-    SlotProcessor logic (processor.ex:155-285 cast + slot_producer.ex:
-    384-420 Begin/Commit commit_idx assignment, :438-455 annotations).
+import base64 as _b64
 
-    Returns rows matching schema.EVENT_SCHEMA keys; feed them to
-    spark.createDataFrame(rows, EVENT_SCHEMA).
+
+class EventFolder:
+    """Incremental fold of decoded pgoutput messages into canonical event
+    dicts — the SlotProcessor cast (processor.ex:155-285) plus the
+    SlotProducer's Begin/Commit commit_idx bookkeeping and transaction
+    annotations (slot_producer.ex:384-420, :438-455).
+
+    ``push(msg)`` returns the events the message yields (one for each
+    Insert/Update/Delete, none for control frames).  State — the Relation
+    registry, current-transaction cursor, annotations — persists across
+    pushes, so a long-lived replication connection folds frames as they
+    arrive.  ``events_from_messages`` is the batch wrapper.
+
+    Guards mirror the reference: a Begin whose LSN is below the last
+    committed LSN raises (slot_producer.ex:387-391: replay past the
+    confirmed cursor means slot corruption), and a Commit whose LSN
+    differs from the open transaction's raises (:402-410).
     """
-    relations: dict[int, Relation] = {}
-    events: list[dict] = []
-    commit_lsn = 0
-    commit_ts = None
-    commit_idx = 0
-    annotations: str | None = None
 
-    def row(rel: Relation, tup: TupleData) -> dict:
+    def __init__(self, on_relation=None):
+        self.relations: dict[int, Relation] = {}
+        self.commit_lsn = 0
+        self.commit_ts = None
+        self.commit_idx = 0
+        self.last_commit_lsn: int | None = None
+        self.in_txn = False
+        self.annotations: str | None = None
+        self.on_relation = on_relation  # callback(Relation) for schema tracking
+
+    @staticmethod
+    def _row(rel: Relation, tup: TupleData) -> dict:
         return {c.name: v for c, v in zip(rel.columns, tup.values)}
 
-    for msg in messages:
+    def push(self, msg) -> list[dict]:
         if isinstance(msg, Begin):
-            commit_lsn = msg.final_lsn
-            commit_ts = msg.commit_timestamp
-            commit_idx = 0  # Begin resets (slot_producer.ex:384-393)
-            continue
+            if self.last_commit_lsn is not None and msg.final_lsn < self.last_commit_lsn:
+                raise ValueError(
+                    f"Begin LSN below last commit LSN ({msg.final_lsn} < {self.last_commit_lsn})"
+                )
+            self.commit_lsn = msg.final_lsn
+            self.commit_ts = msg.commit_timestamp
+            self.commit_idx = 0  # Begin resets (slot_producer.ex:384-393)
+            self.in_txn = True
+            return []
         if isinstance(msg, Commit):
-            annotations = None  # annotations are per-transaction
-            continue
+            if self.in_txn and msg.commit_lsn != self.commit_lsn:
+                raise ValueError(
+                    f"Commit LSN mismatch ({msg.commit_lsn} != {self.commit_lsn})"
+                )
+            self.last_commit_lsn = self.commit_lsn
+            self.in_txn = False
+            self.annotations = None  # annotations are per-transaction
+            return []
         if isinstance(msg, Relation):
-            relations[msg.oid] = msg
-            continue
+            self.relations[msg.oid] = msg
+            if self.on_relation is not None:
+                self.on_relation(msg)
+            return []
         if isinstance(msg, LogicalMessage):
             if msg.prefix.endswith("transaction_annotations.set"):
-                annotations = msg.content.decode()
+                self.annotations = msg.content.decode()
             elif msg.prefix.endswith("transaction_annotations.clear"):
-                annotations = None
-            continue
+                self.annotations = None
+            return []
         if isinstance(msg, Truncate) or isinstance(msg, tuple):
-            continue
-        rel = relations[msg.relation_oid]
+            return []
+        rel = self.relations[msg.relation_oid]
         if isinstance(msg, Insert):
-            action, record, changes = "insert", row(rel, msg.new), None
+            action, record, changes = "insert", self._row(rel, msg.new), None
         elif isinstance(msg, Update):
-            record = row(rel, msg.new)
+            record = self._row(rel, msg.new)
             if msg.old is not None:
-                old = row(rel, msg.old)
+                old = self._row(rel, msg.old)
                 changes = {
                     k: v
                     for k, v in old.items()
@@ -258,29 +288,38 @@ def events_from_messages(messages: list) -> list[dict]:
                 changes = {}
             action = "update"
         else:  # Delete — pre-image becomes the record
-            action, record, changes = "delete", row(rel, msg.old), None
+            action, record, changes = "delete", self._row(rel, msg.old), None
         pks = [str(record[c.name]) for c in rel.columns if c.is_pk and record.get(c.name) is not None]
-        import base64 as _b64
+        event = {
+            "action": action,
+            "record": {k: (None if v is None else str(v)) for k, v in record.items()},
+            "changes": changes,
+            "table_schema": rel.namespace,
+            "table_name": rel.name,
+            "table_oid": rel.oid,
+            "record_pks": pks,
+            "group_id": ":".join(pks) if pks else None,
+            "commit_lsn": self.commit_lsn,
+            "commit_idx": self.commit_idx,
+            "commit_timestamp": self.commit_ts,
+            "idempotency_key": _b64.b64encode(
+                f"{self.commit_lsn}:{self.commit_idx}".encode()
+            ).decode(),
+            "trace_id": None,
+            "transaction_annotations": self.annotations,
+        }
+        self.commit_idx += 1
+        return [event]
 
-        events.append(
-            {
-                "action": action,
-                "record": {k: (None if v is None else str(v)) for k, v in record.items()},
-                "changes": changes,
-                "table_schema": rel.namespace,
-                "table_name": rel.name,
-                "table_oid": rel.oid,
-                "record_pks": pks,
-                "group_id": ":".join(pks) if pks else None,
-                "commit_lsn": commit_lsn,
-                "commit_idx": commit_idx,
-                "commit_timestamp": commit_ts,
-                "idempotency_key": _b64.b64encode(
-                    f"{commit_lsn}:{commit_idx}".encode()
-                ).decode(),
-                "trace_id": None,
-                "transaction_annotations": annotations,
-            }
-        )
-        commit_idx += 1
+
+def events_from_messages(messages: list) -> list[dict]:
+    """Batch fold of a decoded frame sequence (see EventFolder).
+
+    Returns rows matching schema.EVENT_SCHEMA keys; feed them to
+    spark.createDataFrame(rows, EVENT_SCHEMA).
+    """
+    folder = EventFolder()
+    events: list[dict] = []
+    for msg in messages:
+        events.extend(folder.push(msg))
     return events

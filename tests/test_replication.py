@@ -1,0 +1,382 @@
+"""Replication socket client against a fake walsender.
+
+The fake server speaks the public PostgreSQL v3 protocol server-side:
+startup + cleartext auth, simple-query cycles (IDENTIFY_SYSTEM, slot
+metadata), START_REPLICATION → CopyBothResponse, then streams scripted
+XLogData/keepalive copies and records the client's standby-status-update
+acks — the same fake-peer pattern as tests/test_kafka.py's broker.
+
+Covers the reference's slot-producer entry point end to end
+(slot_producer.ex:245-267 connect/start_replication, :501-514 keepalive,
+:733-758 LSN acks): fake server → socket client → pgoutput decoder →
+CDC-log parquet → Spark pipeline → sink, with acks asserted.
+"""
+
+import json
+import socket
+import struct
+import threading
+import time
+
+import pytest
+
+from sequin_spark.plans.spec import ConsumerSpec
+from sequin_spark.sources.cdc_log import read_cdc_log
+from sequin_spark.sources.replication import (
+    ReplicationClient,
+    ReplicationError,
+    ReplicationIngestWorker,
+    int_to_lsn,
+    lsn_to_int,
+    pg_clock_micros,
+)
+from sequin_spark.streaming.pipeline import ConsumerPipeline
+
+
+# --- pgoutput frame builders (public wire format, as in test_pgoutput) ---
+
+def _cstr(s: str) -> bytes:
+    return s.encode() + b"\x00"
+
+
+def _tuple(*vals) -> bytes:
+    out = struct.pack(">H", len(vals))
+    for v in vals:
+        if v is None:
+            out += b"n"
+        else:
+            b = str(v).encode()
+            out += b"t" + struct.pack(">i", len(b)) + b
+    return out
+
+
+def relation_frame(oid=101, ns="public", name="characters", cols=None):
+    cols = cols or [(1, "id", 20), (0, "name", 25)]
+    body = b""
+    for flags, cname, toid in cols:
+        body += bytes([flags]) + _cstr(cname) + struct.pack(">Ii", toid, -1)
+    return (
+        b"R" + struct.pack(">I", oid) + _cstr(ns) + _cstr(name) + b"d"
+        + struct.pack(">H", len(cols)) + body
+    )
+
+
+def begin_frame(lsn, xid=1):
+    return b"B" + struct.pack(">QQI", lsn, 777_000_000, xid)
+
+
+def commit_frame(lsn):
+    return b"C" + struct.pack(">BQQQ", 0, lsn, lsn + 1, 777_000_000)
+
+
+def insert_frame(oid, *vals):
+    return b"I" + struct.pack(">I", oid) + b"N" + _tuple(*vals)
+
+
+# --- fake walsender -------------------------------------------------------
+
+def msg(mtype: bytes, payload: bytes = b"") -> bytes:
+    return mtype + struct.pack(">i", len(payload) + 4) + payload
+
+
+def xlog(wal_start: int, frame: bytes) -> bytes:
+    """CopyData wrapping an XLogData copy."""
+    inner = b"w" + struct.pack(">QQQ", wal_start, wal_start, pg_clock_micros()) + frame
+    return msg(b"d", inner)
+
+
+def keepalive(wal_end: int, reply_requested: bool) -> bytes:
+    inner = b"k" + struct.pack(">QQB", wal_end, pg_clock_micros(), 1 if reply_requested else 0)
+    return msg(b"d", inner)
+
+
+class FakeWalSender:
+    """One-connection fake Postgres in replication mode.
+
+    `script` is a list of raw backend messages (already framed) streamed
+    after CopyBothResponse.  Incoming standby-status updates land in
+    `self.acks` (list of (written, flushed, applied, reply) tuples).
+    """
+
+    def __init__(self, script, password="s3cret", restart_lsn="0/0"):
+        self.script = script
+        self.password = password
+        self.restart_lsn = restart_lsn
+        self.acks = []
+        self.queries = []
+        self.startup_params = {}
+        self.streaming_started = threading.Event()
+        s = socket.socket()
+        s.bind(("127.0.0.1", 0))
+        s.listen(1)
+        self.port = s.getsockname()[1]
+        self._srv = s
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    # --- protocol plumbing ---
+    def _read_exact(self, n):
+        buf = self._rd.read(n)
+        if buf is None or len(buf) < n:
+            raise ConnectionError("client gone")
+        return buf
+
+    def _read_msg(self, conn):
+        head = self._read_exact(5)
+        (ln,) = struct.unpack(">i", head[1:5])
+        return head[:1], self._read_exact(ln - 4)
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._rd = conn.makefile("rb")
+        # startup message (untyped): int32 len, int32 proto, k\0v\0...\0
+        (ln,) = struct.unpack(">i", self._read_exact(4))
+        body = self._read_exact(ln - 4)
+        (proto,) = struct.unpack_from(">i", body, 0)
+        assert proto == 196608
+        parts = body[4:].split(b"\x00")[:-2]
+        self.startup_params = {
+            parts[i].decode(): parts[i + 1].decode() for i in range(0, len(parts), 2)
+        }
+        # cleartext password auth
+        conn.sendall(msg(b"R", struct.pack(">i", 3)))
+        mtype, payload = self._read_msg(conn)
+        if mtype != b"p" or payload[:-1].decode() != self.password:
+            conn.sendall(
+                msg(b"E", b"SFATAL\x00C28P01\x00Mpassword authentication failed\x00\x00")
+            )
+            conn.close()
+            return
+        conn.sendall(msg(b"R", struct.pack(">i", 0)))
+        conn.sendall(msg(b"S", _cstr("server_version") + _cstr("16.3")))
+        conn.sendall(msg(b"K", struct.pack(">ii", 1234, 5678)))
+        conn.sendall(msg(b"Z", b"I"))
+        # query loop
+        while True:
+            try:
+                mtype, payload = self._read_msg(conn)
+            except ConnectionError:
+                return
+            if mtype == b"X":
+                conn.close()
+                return
+            if mtype != b"Q":
+                continue
+            sql = payload[:-1].decode()
+            self.queries.append(sql)
+            if sql.startswith("START_REPLICATION"):
+                conn.sendall(msg(b"W", struct.pack(">BH", 0, 0)))
+                self.streaming_started.set()
+                self._stream(conn)
+                return
+            self._answer_query(conn, sql)
+
+    def _answer_query(self, conn, sql):
+        def row_desc(names):
+            body = struct.pack(">h", len(names))
+            for n in names:
+                body += _cstr(n) + struct.pack(">ihihih", 0, 0, 25, -1, -1, 0)
+            return msg(b"T", body)
+
+        def data_row(vals):
+            body = struct.pack(">h", len(vals))
+            for v in vals:
+                if v is None:
+                    body += struct.pack(">i", -1)
+                else:
+                    b = str(v).encode()
+                    body += struct.pack(">i", len(b)) + b
+            return msg(b"D", body)
+
+        if sql == "IDENTIFY_SYSTEM":
+            conn.sendall(row_desc(["systemid", "timeline", "xlogpos", "dbname"]))
+            conn.sendall(data_row(["7000", "1", "0/5000", "postgres"]))
+        elif "pg_replication_slots" in sql:
+            conn.sendall(row_desc(["restart_lsn"]))
+            conn.sendall(data_row([self.restart_lsn]))
+        else:
+            conn.sendall(row_desc(["?"]))
+        conn.sendall(msg(b"C", _cstr("SELECT 1")))
+        conn.sendall(msg(b"Z", b"I"))
+
+    def _stream(self, conn):
+        for m in self.script:
+            conn.sendall(m)
+        # then sit reading standby-status updates until the client leaves
+        while True:
+            try:
+                mtype, payload = self._read_msg(conn)
+            except ConnectionError:
+                return
+            if mtype == b"X" or mtype == b"c":
+                return
+            if mtype == b"d" and payload[:1] == b"r":
+                written, flushed, applied = struct.unpack_from(">QQQ", payload, 1)
+                reply = payload[33]
+                self.acks.append((written, flushed, applied, reply))
+
+    def close(self):
+        self._srv.close()
+
+
+# --- tests ----------------------------------------------------------------
+
+LSN1, LSN2 = lsn_to_int("0/1000"), lsn_to_int("0/2000")
+
+
+def wal_script():
+    return [
+        xlog(100, relation_frame()),
+        xlog(LSN1, begin_frame(LSN1, xid=10)),
+        xlog(LSN1 + 1, insert_frame(101, "1", "arya")),
+        xlog(LSN1 + 2, insert_frame(101, "2", "sansa")),
+        xlog(LSN1 + 3, commit_frame(LSN1)),
+        keepalive(LSN1 + 10, reply_requested=True),
+        xlog(LSN2, begin_frame(LSN2, xid=11)),
+        xlog(LSN2 + 1, insert_frame(101, "3", "bran")),
+        xlog(LSN2 + 2, commit_frame(LSN2)),
+    ]
+
+
+def _connect(srv) -> ReplicationClient:
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="replicator", database="postgres",
+        password="s3cret", receive_timeout=0.05,
+    )
+    client.connect()
+    return client
+
+
+def test_lsn_helpers():
+    assert lsn_to_int("0/16B3748") == 0x16B3748
+    assert lsn_to_int("16/B374D848") == (0x16 << 32) | 0xB374D848
+    assert int_to_lsn(lsn_to_int("16/B374D848")) == "16/B374D848"
+
+
+def test_startup_queries_and_replication_options():
+    srv = FakeWalSender(wal_script())
+    client = _connect(srv)
+    try:
+        # startup carried replication=database (slot_producer.ex:191)
+        ident = client.identify_system()
+        assert ident["timeline"] == 1 and ident["xlogpos"] == "0/5000"
+        assert srv.startup_params["replication"] == "database"
+        assert srv.startup_params["user"] == "replicator"
+        assert client.fetch_restart_lsn("seq") == 0
+        client.start_replication("sequin_slot", "sequin_pub", pg_major_version=16)
+        assert srv.streaming_started.wait(5)
+        q = srv.queries[-1]
+        # query shape per slot_producer.ex:763-769
+        assert q.startswith("START_REPLICATION SLOT sequin_slot LOGICAL 0/0")
+        assert "proto_version '1'" in q
+        assert "publication_names 'sequin_pub'" in q
+        assert "messages 'true'" in q
+    finally:
+        client.close()
+        srv.close()
+
+
+def test_replication_e2e_decode_pipeline_sink_and_acks(spark, tmp_path):
+    """fake walsender → socket client → pgoutput decode → CDC-log parquet
+    → Spark pipeline → file_log sink, LSN acks asserted."""
+    srv = FakeWalSender(wal_script())
+    client = _connect(srv)
+    out_dir = tmp_path / "wal"
+    worker = ReplicationIngestWorker(
+        client, str(out_dir), flush_seconds=0.1, ack_interval=0.2,
+    )
+    try:
+        client.start_replication("sequin_slot", "sequin_pub")
+        worker.run(
+            max_seconds=10,
+            stop_when=lambda: any(a[1] == LSN2 for a in srv.acks),
+        )
+    finally:
+        client.close()
+        srv.close()
+    assert worker.files_written >= 1
+    # all three inserts landed, with transactional cursor bookkeeping
+    ev = read_cdc_log(spark, str(out_dir))
+    rows = {tuple(r) for r in ev.selectExpr(
+        "record['id']", "record['name']", "commit_lsn", "commit_idx"
+    ).collect()}
+    assert rows == {
+        ("1", "arya", LSN1, 0),
+        ("2", "sansa", LSN1, 1),
+        ("3", "bran", LSN2, 0),
+    }
+    # acks: monotone flushed LSNs, keepalive answered, final ack == last
+    # flushed commit (standby-status written==flushed==applied,
+    # slot_producer.ex:716-718)
+    flushed = [a[1] for a in srv.acks]
+    assert flushed == sorted(flushed)
+    assert flushed[-1] == LSN2
+    assert all(a[0] == a[1] == a[2] for a in srv.acks)
+    # the keepalive with reply_requested produced an ack at LSN1 — i.e.
+    # an ack arrived before the second transaction was flushed
+    assert LSN1 in flushed
+    # pipeline → sink over the ingested events
+    sink_dir = tmp_path / "sink"
+    spec = ConsumerSpec(
+        name="repl", sink_type="file_log", sink_config={"path": str(sink_dir)},
+        transform="record_only",
+    )
+    pipe = ConsumerPipeline(spec, state_dir=str(tmp_path / "state"))
+    stats = pipe.run_batch(ev)
+    assert stats["delivered"] == 3
+    vals = []
+    for f in sink_dir.iterdir():
+        vals += [json.loads(json.loads(line)["value"])["name"] for line in f.read_text().splitlines()]
+    assert sorted(vals) == ["arya", "bran", "sansa"]
+
+
+def test_ack_monotonicity_guard():
+    srv = FakeWalSender(wal_script())
+    client = _connect(srv)
+    try:
+        client.start_replication("s", "p")
+        client.send_standby_status(500)
+        with pytest.raises(ReplicationError, match="backwards"):
+            client.send_standby_status(400)
+    finally:
+        client.close()
+        srv.close()
+
+
+def test_bad_password_raises():
+    srv = FakeWalSender([], password="other")
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="u", database="d", password="wrong",
+    )
+    with pytest.raises((ReplicationError, ConnectionError, OSError)):
+        client.connect()
+        client.simple_query("IDENTIFY_SYSTEM")
+    srv.close()
+
+
+def test_worker_only_acks_committed_transactions(spark, tmp_path):
+    """An open (uncommitted) transaction must never be flushed or acked:
+    crash-restart replays whole transactions (checkpoint-is-ack)."""
+    script = [
+        xlog(100, relation_frame()),
+        xlog(LSN1, begin_frame(LSN1)),
+        xlog(LSN1 + 1, insert_frame(101, "1", "arya")),
+        xlog(LSN1 + 2, commit_frame(LSN1)),
+        xlog(LSN2, begin_frame(LSN2)),
+        xlog(LSN2 + 1, insert_frame(101, "9", "dangling")),
+        # no commit for txn 2
+    ]
+    srv = FakeWalSender(script)
+    client = _connect(srv)
+    out_dir = tmp_path / "wal"
+    worker = ReplicationIngestWorker(client, str(out_dir), flush_seconds=0.05, ack_interval=0.1)
+    try:
+        client.start_replication("s", "p")
+        worker.run(max_seconds=1.5, stop_when=lambda: any(a[1] == LSN1 for a in srv.acks))
+    finally:
+        client.close()
+        srv.close()
+    ev = read_cdc_log(spark, str(out_dir))
+    assert [r["id"] for r in ev.selectExpr("record['id'] as id").collect()] == ["1"]
+    assert worker.flushed_lsn == LSN1
+    assert all(a[1] <= LSN1 for a in srv.acks)
