@@ -10,15 +10,23 @@ slot_message_store_state.ex:286-300,432-478):
 - nack(ack_ids): make immediately deliverable again;
 - stale leases (past ack_wait) auto-return to deliverable.
 
-Storage is a parquet-backed message table + lease map, driver-local —
-the per-consumer store in the reference is likewise a single process
-per partition; the scale path shards PullQueue instances by group hash
-(partition_count, same as DeliveryEngine).
+Memory discipline: the reference's store is hard-bounded —
+``setting_max_messages`` 50k and a byte budget
+(slot_message_store_state.ex:18,31-35, validate_put_messages :76-91) —
+with overflow persisted out of process (slot_message_store.ex:736-799).
+This store mirrors that: the driver holds at most ``max_pending``
+messages / ``max_memory_bytes`` payload in a pandas window; overflow is
+spilled to cursor-ordered parquet chunks by a *distributed* Spark write
+(never collected), and ``receive()`` refills the window from the oldest
+chunks as it drains.  The scale path shards PullQueue instances by
+group hash (partition_count, same as DeliveryEngine); each shard's
+driver footprint stays O(max_pending) no matter the backlog.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -26,17 +34,32 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MEM_COLS = [
+    "ack_id", "group_id", "commit_lsn", "commit_idx", "value",
+    "deliver_count", "not_visible_until", "state",
+]
 
 
 class PullQueue:
-    def __init__(self, state_dir: str, ack_wait_s: float = 30.0):
+    def __init__(
+        self,
+        state_dir: str,
+        ack_wait_s: float = 30.0,
+        max_pending: int = 50_000,
+        max_memory_bytes: int = 128 * 1024 * 1024,
+    ):
         self.state_dir = state_dir
         self.ack_wait_s = ack_wait_s
-        self._messages = pd.DataFrame(
-            columns=["ack_id", "group_id", "commit_lsn", "commit_idx", "value",
-                     "deliver_count", "not_visible_until", "state"]
-        )
-        os.makedirs(state_dir, exist_ok=True)
+        # defaults = the reference's store bounds
+        # (slot_message_store_state.ex:18 @default_setting_max_messages,
+        #  max_memory_bytes field :34)
+        self.max_pending = max_pending
+        self.max_memory_bytes = max_memory_bytes
+        self._messages = pd.DataFrame(columns=_MEM_COLS)
+        self._spill_seq = 0
+        os.makedirs(self.spill_dir, exist_ok=True)
         self._load()
 
     # --- persistence ------------------------------------------------------
@@ -44,33 +67,134 @@ class PullQueue:
     def _path(self) -> str:
         return os.path.join(self.state_dir, "messages.parquet")
 
+    @property
+    def spill_dir(self) -> str:
+        return os.path.join(self.state_dir, "spill")
+
     def _load(self) -> None:
         if os.path.exists(self._path):
             self._messages = pq.read_table(self._path).to_pandas()
+        chunks = self._spill_chunks()
+        if chunks:
+            self._spill_seq = int(os.path.basename(chunks[-1]).split("-")[1]) + 1
 
     def _save(self) -> None:
         pq.write_table(
             pa.Table.from_pandas(self._messages, preserve_index=False), self._path
         )
 
+    # --- spill ------------------------------------------------------------
+    def _spill_chunks(self) -> list[str]:
+        """Spill chunk files in cursor order (lexicographic names:
+        zero-padded ingest seq + range-partition index)."""
+        return sorted(
+            os.path.join(self.spill_dir, f)
+            for f in os.listdir(self.spill_dir)
+            if f.endswith(".parquet")
+        )
+
+    def spilled(self) -> int:
+        """Row count of the spill backlog — parquet footers only."""
+        return sum(pq.read_metadata(f).num_rows for f in self._spill_chunks())
+
+    def _spill(self, df: DataFrame, count: int) -> None:
+        """Distributed cursor-ordered spill: range-partition on the WAL
+        cursor so chunk files are globally ordered, each at most a
+        refill-sized slice.  No driver collect."""
+        chunk_rows = max(1, self.max_pending // 4)
+        n_chunks = max(1, -(-count // chunk_rows))
+        tmp = os.path.join(self.spill_dir, f"_tmp-{uuid.uuid4().hex}")
+        out = df.select("group_id", "commit_lsn", "commit_idx", "value")
+        if n_chunks > 1:
+            out = out.repartitionByRange(n_chunks, "commit_lsn", "commit_idx")
+        else:
+            out = out.coalesce(1)
+        out.sortWithinPartitions("commit_lsn", "commit_idx").write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        parts = sorted(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        for i, part in enumerate(parts):
+            os.replace(
+                os.path.join(tmp, part),
+                os.path.join(self.spill_dir, f"chunk-{self._spill_seq:010d}-{i:05d}.parquet"),
+            )
+        shutil.rmtree(tmp, ignore_errors=True)
+        self._spill_seq += 1
+
+    def _mem_bytes(self) -> int:
+        if not len(self._messages):
+            return 0
+        return int(self._messages["value"].astype(str).str.len().sum())
+
+    def _refill(self) -> None:
+        """Pull the oldest spill chunks into the window while capacity
+        allows (count + rough byte budget).  pyarrow local read — bounded
+        by chunk size, no Spark job on the receive path."""
+        budget_rows = self.max_pending - len(self._messages)
+        mem_bytes = self._mem_bytes()
+        for path in self._spill_chunks():
+            meta = pq.read_metadata(path)
+            if meta.num_rows > budget_rows:
+                break
+            pdf = pq.read_table(path).to_pandas()
+            chunk_bytes = int(pdf["value"].astype(str).str.len().sum())
+            if mem_bytes + chunk_bytes > self.max_memory_bytes and len(self._messages):
+                break
+            pdf["ack_id"] = [uuid.uuid4().hex for _ in range(len(pdf))]
+            pdf["deliver_count"] = 0
+            pdf["not_visible_until"] = 0.0
+            pdf["state"] = "available"
+            self._messages = (
+                pd.concat([self._messages, pdf[_MEM_COLS]], ignore_index=True)
+                if len(self._messages)
+                else pdf[_MEM_COLS]
+            )
+            # replay dedup on the WAL cursor within the window (the
+            # reference's messages map is keyed by cursor tuple)
+            self._messages = self._messages.drop_duplicates(
+                subset=["commit_lsn", "commit_idx"], keep="first"
+            )
+            os.remove(path)
+            budget_rows = self.max_pending - len(self._messages)
+            mem_bytes = self._mem_bytes()
+
     # --- ingestion --------------------------------------------------------
     def ingest(self, df: DataFrame) -> int:
-        """Add events (canonical schema with a serialized `value` column)."""
-        pdf = df.select("group_id", "commit_lsn", "commit_idx", "value").toPandas()
-        pdf["ack_id"] = [uuid.uuid4().hex for _ in range(len(pdf))]
-        pdf["deliver_count"] = 0
-        pdf["not_visible_until"] = 0.0
-        pdf["state"] = "available"
-        # replay dedup on (lsn, idx)
-        merged = (
-            pd.concat([self._messages, pdf], ignore_index=True)
-            if len(self._messages)
-            else pdf
+        """Add events (canonical schema with a serialized `value` column).
+
+        Fast path: backlog empty and the batch fits the window → collect
+        straight into memory.  Otherwise the whole batch is spilled by a
+        distributed write and the window refills from the oldest chunks —
+        the driver never materializes more than max_pending rows.
+        """
+        df = df.select("group_id", "commit_lsn", "commit_idx", "value")
+        count = df.count()
+        agg = df.agg(F.sum(F.length(F.coalesce(F.col("value"), F.lit(""))))).collect()
+        incoming_bytes = int(agg[0][0] or 0)
+        fits = (
+            not self._spill_chunks()
+            and len(self._messages) + count <= self.max_pending
+            and self._mem_bytes() + incoming_bytes <= self.max_memory_bytes
         )
-        merged = merged.drop_duplicates(subset=["commit_lsn", "commit_idx"], keep="first")
-        self._messages = merged
+        if fits:
+            pdf = df.toPandas()
+            pdf["ack_id"] = [uuid.uuid4().hex for _ in range(len(pdf))]
+            pdf["deliver_count"] = 0
+            pdf["not_visible_until"] = 0.0
+            pdf["state"] = "available"
+            merged = (
+                pd.concat([self._messages, pdf[_MEM_COLS]], ignore_index=True)
+                if len(self._messages)
+                else pdf[_MEM_COLS]
+            )
+            self._messages = merged.drop_duplicates(
+                subset=["commit_lsn", "commit_idx"], keep="first"
+            )
+        else:
+            self._spill(df, count)
+            self._refill()
         self._save()
-        return len(self._messages)
+        return self.depth()
 
     # --- pull API ---------------------------------------------------------
     def receive(self, batch_size: int = 10) -> list[dict]:
@@ -78,6 +202,7 @@ class PullQueue:
         cursor order; a group with an outstanding leased message is
         blocked; visibility timeouts respected."""
         now = time.time()
+        self._refill()
         m = self._messages
         # stale leases return to available (nack_stale_produced_messages)
         stale = (m["state"] == "delivered") & (m["not_visible_until"] <= now)
@@ -108,10 +233,12 @@ class PullQueue:
         return out
 
     def ack(self, ack_ids: list[str]) -> int:
-        before = len(self._messages)
-        self._messages = self._messages[~self._messages["ack_id"].isin(ack_ids)]
+        mask = self._messages["ack_id"].isin(ack_ids)
+        removed = int(mask.sum())
+        self._messages = self._messages[~mask]
+        self._refill()
         self._save()
-        return before - len(self._messages)
+        return removed
 
     def nack(self, ack_ids: list[str]) -> int:
         """reset_message_visibilities: immediately deliverable again."""
@@ -122,4 +249,8 @@ class PullQueue:
         return int(mask.sum())
 
     def depth(self) -> int:
+        return len(self._messages) + self.spilled()
+
+    def window_size(self) -> int:
+        """Rows currently held in driver memory (≤ max_pending)."""
         return len(self._messages)

@@ -101,3 +101,55 @@ def test_parse_duration():
     assert parse_duration_ms("1000ms") == 1000
     assert parse_duration_ms(2500) == 2500
     assert parse_duration_ms("nope") is None
+
+
+def test_pull_queue_caps_driver_window_and_spills(spark, tmp_path):
+    """Backlog beyond max_pending never sits in the driver frame: it
+    spills to cursor-ordered parquet chunks and refills as the window
+    drains (slot_message_store_state.ex:18,76-91 bounds + overflow
+    persistence parity). receive/ack stay exact across the spill."""
+    n = 250
+    df = spark.createDataFrame(
+        [(f"g{i}", 1000 + i, 0, json.dumps({"n": i})) for i in range(n)],
+        "group_id string, commit_lsn long, commit_idx long, value string",
+    )
+    q = PullQueue(str(tmp_path / "pq"), ack_wait_s=30.0, max_pending=100)
+    assert q.ingest(df) == n
+    # driver window bounded; the rest is on disk
+    assert q.window_size() <= 100
+    assert q.spilled() == n - q.window_size()
+    assert q.depth() == n
+
+    # drain everything: receive leases in cursor order, ack triggers
+    # refill from spill — every message arrives exactly once, in order
+    seen = []
+    while True:
+        got = q.receive(batch_size=40)
+        if not got:
+            break
+        assert q.window_size() <= 100
+        seen += [json.loads(m["data"])["n"] for m in got]
+        q.ack([m["ack_id"] for m in got])
+    assert seen == list(range(n))
+    assert q.depth() == 0 and q.spilled() == 0
+
+
+def test_pull_queue_spill_survives_restart(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, 2000 + i, 0, json.dumps({"n": i})) for i in range(60)],
+        "group_id string, commit_lsn long, commit_idx long, value string",
+    )
+    q = PullQueue(str(tmp_path / "pq"), max_pending=25)
+    q.ingest(df)
+    assert q.spilled() > 0
+
+    q2 = PullQueue(str(tmp_path / "pq"), max_pending=25)
+    assert q2.depth() == 60
+    got = q2.receive(batch_size=10)
+    assert [json.loads(m["data"])["n"] for m in got] == list(range(10))
+    # ingest after restart keeps appending behind the existing backlog
+    more = spark.createDataFrame(
+        [(None, 3000, 0, json.dumps({"n": 99}))],
+        "group_id string, commit_lsn long, commit_idx long, value string",
+    )
+    assert q2.ingest(more) == 61
