@@ -257,19 +257,20 @@ class DeliveryEngine:
                 )
 
         if blocked_groups:
-            # defer (don't drop) new messages behind a backoff-blocked head
-            deferred = new_rows.filter(
-                F.col("group_id").isin(list(blocked_groups))
-            ).toPandas()
-            if len(deferred):
-                deferred["not_visible_until"] = now
-                carry_pending = pd.concat(
-                    [carry_pending, deferred[delivery_cols + ["deliver_count", "not_visible_until"]]],
-                    ignore_index=True,
-                )
-            new_rows = new_rows.filter(
-                ~F.col("group_id").isin(list(blocked_groups)) | F.col("group_id").isNull()
+            # defer (don't drop) new messages behind a backoff-blocked
+            # head — flagged via a broadcast join and spilled WITH their
+            # payloads by the deliver tasks (status 'deferred', same
+            # failures dir as failed/blocked rows), so no event payload
+            # rides through the driver
+            blocked_df = spark.createDataFrame(
+                [(g,) for g in sorted(blocked_groups)], "group_id string"
+            ).withColumn("_deferred", F.lit(True))
+            new_rows = new_rows.join(F.broadcast(blocked_df), "group_id", "left")
+            new_rows = new_rows.withColumn(
+                "_deferred", F.coalesce(F.col("_deferred"), F.lit(False))
             )
+        else:
+            new_rows = new_rows.withColumn("_deferred", F.lit(False))
 
         # physical layout for ordered delivery
         arranged = new_rows.repartition(self.partition_count, "group_id").sortWithinPartitions(
@@ -304,7 +305,9 @@ class DeliveryEngine:
                 task_tag = uuid.uuid4().hex
                 t_now = time.time()
                 delivered = status_pdf[status_pdf["status"] == "delivered"]
-                failed = status_pdf[status_pdf["status"].isin(["failed", "blocked"])]
+                failed = status_pdf[
+                    status_pdf["status"].isin(["failed", "blocked", "deferred"])
+                ]
                 if len(delivered):
                     _write_parquet(
                         os.path.join(ledger_dir, f"batch-{batch_id}-{task_tag}.parquet"),
@@ -343,6 +346,35 @@ class DeliveryEngine:
                 return pd.concat(parts, ignore_index=True)
 
             for pdf in batches:
+                # rows behind a backoff-blocked group head: never
+                # attempted — spill them (payload included) straight to
+                # the failures dir and strip them from the frame
+                defer_mask = (
+                    pdf["_deferred"].astype(bool)
+                    if "_deferred" in pdf.columns
+                    else pd.Series(False, index=pdf.index)
+                )
+                if defer_mask.any():
+                    dpdf = pdf[defer_mask]
+                    out = _finish(
+                        pd.DataFrame({
+                            "commit_lsn": dpdf["commit_lsn"],
+                            "commit_idx": dpdf["commit_idx"],
+                            "idempotency_key": dpdf["idempotency_key"],
+                            "group_id": dpdf["group_id"],
+                            "status": "deferred",
+                            "error": "group blocked (backoff head)",
+                            "deliver_count": dpdf["deliver_count"].astype("int64"),
+                        }),
+                        dpdf,
+                    )
+                    if out is not None:
+                        yield out
+                    pdf = pdf[~defer_mask]
+                if "_deferred" in pdf.columns:
+                    pdf = pdf.drop(columns=["_deferred"])
+                if not len(pdf):
+                    continue
                 if vectorized:
                     # fast path: whole ordered partition frame at once
                     # (order preserved by the sort; partition-granular
@@ -445,6 +477,7 @@ class DeliveryEngine:
         n_delivered = int(by_status.get("delivered", 0))
         n_failed = int(by_status.get("failed", 0))
         n_blocked = int(by_status.get("blocked", 0))
+        n_deferred = int(by_status.get("deferred", 0))
 
         # acknowledged-messages ring: per-task tails (≤ partitions×ring
         # rows through the driver), merged + trimmed to acked_ring_size
@@ -503,6 +536,7 @@ class DeliveryEngine:
             "delivered": n_delivered,
             "failed": n_failed,
             "blocked": n_blocked,
+            "deferred": n_deferred,
             "discarded": int(len(discarded)),
             "pending": int(len(new_pending)),
             "shed": shed,

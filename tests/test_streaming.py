@@ -76,7 +76,7 @@ def test_retry_group_blocking_and_backoff(spark, tmp_path):
     # g1 head fails, g1 second is group-blocked, g2 delivers
     assert stats == {
         "batch_id": 0, "delivered": 1, "failed": 1, "blocked": 1,
-        "discarded": 0, "pending": 2, "shed": 0,
+        "deferred": 0, "discarded": 0, "pending": 2, "shed": 0,
     }
     # while g1 is backing off → nothing deliverable
     stats2 = engine.process_batch(df.limit(0), 1)
@@ -91,6 +91,55 @@ def test_retry_group_blocking_and_backoff(spark, tmp_path):
     papq.write_table(pa.Table.from_pandas(pending, preserve_index=False), engine.pending_path)
     stats3 = engine.process_batch(df.limit(0), 2)
     assert stats3["delivered"] == 2 and stats3["pending"] == 0
+
+
+def test_deferred_rows_spill_executor_side_and_deliver_in_order(spark, tmp_path):
+    """New rows arriving behind a backoff-blocked group head are deferred
+    by the deliver tasks (spilled with payloads, status 'deferred') —
+    no driver collect — and deliver in cursor order once the head's
+    backoff expires."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    attempt_dir = tmp_path / "attempts"
+    attempt_dir.mkdir()
+    schema = "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string"
+    engine = DeliveryEngine(
+        "failing",
+        {"fail_substring": "g1", "attempt_dir": str(attempt_dir)},
+        state_dir=str(tmp_path / "state"),
+        batch_size=10,
+        max_retry_count=5,
+        backoff_base_s=120.0,
+    )
+    b0 = spark.createDataFrame([("g1", 1, 0, "k1", "g1", '{"n":1}')], schema)
+    stats0 = engine.process_batch(b0, 0)
+    assert stats0["failed"] == 1 and stats0["pending"] == 1
+
+    # batch 1: one new row behind the blocked g1 head + one free g2 row
+    b1 = spark.createDataFrame(
+        [("g1", 2, 0, "k2", "g1", '{"n":2}'), ("g2", 3, 0, "k3", "g2", '{"n":3}')],
+        schema,
+    )
+    stats1 = engine.process_batch(b1, 1)
+    assert stats1["deferred"] == 1 and stats1["delivered"] == 1
+    assert stats1["pending"] == 2  # backing-off head + deferred row
+    # deferred row kept its payload and deliver_count through the spill
+    pending = pq.read_table(engine.pending_path).to_pandas()
+    deferred_row = pending[pending["idempotency_key"] == "k2"].iloc[0]
+    assert deferred_row["value"] == '{"n":2}'
+    assert deferred_row["deliver_count"] == 0  # never attempted
+
+    # expire the backoff: head retries first, deferred follows, in order
+    pending["not_visible_until"] = time.time() - 1
+    pq.write_table(pa.Table.from_pandas(pending, preserve_index=False), engine.pending_path)
+    stats2 = engine.process_batch(b1.limit(0), 2)
+    assert stats2["delivered"] == 2 and stats2["pending"] == 0
+    # acked ring: retried head carries its bumped attempt count, the
+    # deferred row delivered on its very first attempt
+    ring = {r["idempotency_key"]: r for _, r in engine.acked_ring().iterrows()}
+    assert ring["k1"]["deliver_count"] == 1
+    assert ring["k2"]["deliver_count"] == 0
 
 
 def test_discard_after_max_retries(spark, tmp_path):
