@@ -10,6 +10,9 @@ bucket size, never O(n²).
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -69,20 +72,9 @@ def minhash_signatures(
     Shingle-less docs (< k words) get null signatures → null band keys
     → never candidates, same as the exploded formulation dropping them.
     """
-    base = df.select(
-        F.col(id_col), F.split(normalized(text_col), " ").alias("w")
-    ).select(F.col(id_col), word_shingles("w", shingle_k).alias("sh"))
-    def _hash_j(j: int):
-        # NB: must be a 1-arg lambda — pyspark dispatches 2-arg HOF
-        # lambdas as (element, index), so a `j=j` default would be
-        # silently overwritten by the array index
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    sigs = [
-        F.array_min(F.transform(F.col("sh"), _hash_j(j))).alias(f"sig{j}")
-        for j in range(1, n_hashes + 1)
-    ]
-    return base.select(F.col(id_col), *sigs)
+    return _signatures_from_shingles(
+        shingle_docs(df, text_col, id_col, shingle_k), id_col, n_hashes
+    )
 
 
 def minhash_candidate_pairs(
@@ -360,6 +352,46 @@ def cluster_representatives(
     return decided.unionByName(alone)
 
 
+def shingle_docs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", shingle_k: int = 3
+) -> DataFrame:
+    """(id, sh) — the ONE shingle pass everything else derives from:
+    MinHash signatures, LSH band keys, AND exact-verify gram sets all
+    come off this array, so a doc's text is normalized+split exactly
+    once per build (the r2 bench's slowest entry was paying this twice).
+    """
+    return df.select(
+        F.col(id_col), F.split(normalized(text_col), " ").alias("w")
+    ).select(F.col(id_col), word_shingles("w", shingle_k).alias("sh"))
+
+
+def _signatures_from_shingles(shingled: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    def _hash_j(j: int):
+        # NB: must be a 1-arg lambda — pyspark dispatches 2-arg HOF
+        # lambdas as (element, index)
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    sigs = [
+        F.array_min(F.transform(F.col("sh"), _hash_j(j))).alias(f"sig{j}")
+        for j in range(1, n_hashes + 1)
+    ]
+    return shingled.select(F.col(id_col), *sigs)
+
+
+def _bands_from_signatures(
+    sig: DataFrame, id_col: str, bands: int, rows_per_band: int
+) -> DataFrame:
+    band_structs = []
+    for b in range(1, bands + 1):
+        parts = [F.col(f"sig{(b - 1) * rows_per_band + r}") for r in range(1, rows_per_band + 1)]
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key")))
+    return (
+        sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
+        .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .filter(F.col("key").isNotNull())  # shingle-less docs index nothing
+    )
+
+
 def banded_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, shingle_k: int = 3,
@@ -367,26 +399,70 @@ def banded_signatures(
     """(id, band, key) LSH band rows — the persistable dedup INDEX.
     At scale this is the table you keep partitioned by (band, key) so
     incoming batches join against it without recomputing the corpus."""
-    n_hashes = bands * rows_per_band
-    sig = minhash_signatures(df, text_col, id_col, n_hashes, shingle_k)
-    band_structs = []
-    for b in range(1, bands + 1):
-        parts = [F.col(f"sig{(b - 1) * rows_per_band + r}") for r in range(1, rows_per_band + 1)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key")))
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sh = shingle_docs(df, text_col, id_col, shingle_k)
+    sig = _signatures_from_shingles(sh, id_col, bands * rows_per_band)
+    return _bands_from_signatures(sig, id_col, bands, rows_per_band)
+
+
+@dataclass
+class DedupIndex:
+    """The persistable corpus dedup index: LSH band rows for candidate
+    generation + per-doc gram sets for exact Jaccard verification.
+    Build once per corpus, save, and every future ingest batch joins the
+    LOADED index — the corpus text is never re-shingled.
+
+    On disk: ``<path>/bands`` parquet partitioned by band (an ingest
+    probing one band prunes the rest) and ``<path>/grams`` parquet.
+    """
+
+    bands: DataFrame  # (id, band, key)
+    grams: DataFrame  # (id, grams)
+    id_col: str = "doc_id"
+
+    def save(self, path: str) -> None:
+        self.bands.write.mode("overwrite").partitionBy("band").parquet(
+            os.path.join(path, "bands")
+        )
+        self.grams.write.mode("overwrite").parquet(os.path.join(path, "grams"))
+
+    @staticmethod
+    def load(spark, path: str, id_col: str = "doc_id") -> "DedupIndex":
+        return DedupIndex(
+            bands=spark.read.parquet(os.path.join(path, "bands")),
+            grams=spark.read.parquet(os.path.join(path, "grams")),
+            id_col=id_col,
+        )
+
+
+def build_dedup_index(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, shingle_k: int = 3,
+    persist: bool = True,
+) -> DedupIndex:
+    """One shingle pass → both index tables.  `persist` caches the
+    shingled frame so bands and grams don't each rescan the corpus;
+    callers that immediately `save()` can drop it after."""
+    sh = shingle_docs(df, text_col, id_col, shingle_k)
+    if persist:
+        sh = sh.persist()
+    sig = _signatures_from_shingles(sh, id_col, bands * rows_per_band)
+    return DedupIndex(
+        bands=_bands_from_signatures(sig, id_col, bands, rows_per_band),
+        grams=sh.select(F.col(id_col), F.array_distinct("sh").alias("grams")),
+        id_col=id_col,
+    )
 
 
 def incremental_dedup(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     bands: int = 4,
     rows_per_band: int = 2,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    index: DedupIndex | None = None,
 ) -> DataFrame:
     """Dedup an INCOMING batch against an EXISTING corpus — the
     streaming-ingest shape: new docs only ever join the corpus index on
@@ -395,31 +471,40 @@ def incremental_dedup(
     verified with exact n-gram Jaccard; each new doc reports
     ``duplicate_of`` = the smallest matching corpus id (null = novel).
 
+    Pass ``index`` (built by ``build_dedup_index``, possibly
+    ``DedupIndex.load``-ed from disk) to skip re-deriving the corpus
+    side entirely; otherwise it is built from ``corpus`` in-query with
+    a single shingle pass.
+
     Returns one row per new doc: (doc_id, duplicate_of, jaccard).
     """
-    corpus_idx = banded_signatures(corpus, text_col, id_col, bands, rows_per_band, shingle_k)
-    new_idx = banded_signatures(new_docs, text_col, id_col, bands, rows_per_band, shingle_k)
+    if index is None:
+        if corpus is None:
+            raise ValueError("need either corpus or index")
+        index = build_dedup_index(
+            corpus, text_col, id_col, bands, rows_per_band, shingle_k
+        )
+    new_index = build_dedup_index(
+        new_docs, text_col, id_col, bands, rows_per_band, shingle_k
+    )
     cand = (
-        new_idx.alias("n")
-        .join(corpus_idx.alias("c"), ["band", "key"])
+        new_index.bands.alias("n")
+        .join(index.bands.alias("c"), ["band", "key"])
         .select(
             F.col(f"n.{id_col}").alias("new_id"),
             F.col(f"c.{id_col}").alias("corpus_id"),
         )
         .distinct()
     )
-
-    def grams(df, alias):
-        return df.select(
-            F.col(id_col).alias(f"{alias}_id"),
-            F.array_distinct(
-                word_shingles_from_text(text_col, shingle_k)
-            ).alias(f"{alias}_grams"),
-        )
-
+    new_grams = new_index.grams.select(
+        F.col(id_col).alias("new_id"), F.col("grams").alias("new_grams")
+    )
+    corpus_grams = index.grams.select(
+        F.col(index.id_col).alias("corpus_id"), F.col("grams").alias("corpus_grams")
+    )
     verified = (
-        cand.join(grams(new_docs, "new"), "new_id")
-        .join(grams(corpus, "corpus"), "corpus_id")
+        cand.join(new_grams, "new_id")
+        .join(corpus_grams, "corpus_id")
         .withColumn(
             "jaccard",
             F.round(
@@ -448,9 +533,15 @@ def incremental_dedup(
 
 
 def word_shingles_from_text(text_col: str, k: int) -> F.Column:
-    """k-word shingle array straight from a text column."""
+    """k-word shingle array straight from a text column.
+
+    Same short-doc guard as ``word_shingles``: < k tokens → empty array,
+    not an ANSI INVALID_ARRAY_INDEX from a descending sequence().
+    """
     w = f"split({NORM.format(col=text_col)}, ' ')"
     idx = ", ".join(f"{w}[i - 1 + {j}]" for j in range(k))
     return F.expr(
-        f"transform(sequence(1, size({w}) - {k - 1}), i -> concat_ws(' ', {idx}))"
+        f"CASE WHEN size({w}) >= {k} THEN "
+        f"transform(sequence(1, size({w}) - {k - 1}), i -> concat_ws(' ', {idx})) "
+        f"ELSE cast(array() as array<string>) END"
     )

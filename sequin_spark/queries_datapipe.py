@@ -669,8 +669,20 @@ FROM lang GROUP BY predicted_lang
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-ingest dedup: the shifted copies arrive as a NEW batch
     and join the existing corpus's LSH band index — new docs never join
-    each other, so ingest cost is independent of corpus size."""
-    from sequin_spark.datapipe.dedup import incremental_dedup
+    each other, so ingest cost is independent of corpus size.
+
+    The corpus index is MAINTAINED, not rebuilt: built and saved to a
+    cache dir keyed by the sf dir on first use (one shingle pass feeds
+    both band keys and verify grams), then every subsequent ingest
+    ``DedupIndex.load``s it — the corpus text is never re-read."""
+    import hashlib
+    import os
+
+    from sequin_spark.datapipe.dedup import (
+        DedupIndex,
+        build_dedup_index,
+        incremental_dedup,
+    )
 
     _prep(spark)
     corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -678,7 +690,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.expr("replace(text, ' the ', ' thy ')").alias("text"),
     )
-    return incremental_dedup(new_docs, corpus, threshold=0.5)
+    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    idx_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "dedup_index", key,
+    )
+    if not os.path.exists(os.path.join(idx_path, "grams", "_SUCCESS")):
+        build_dedup_index(corpus).save(idx_path)
+    return incremental_dedup(
+        new_docs, index=DedupIndex.load(spark, idx_path), threshold=0.5
+    )
 
 
 def _sql_dedup_incremental() -> str:

@@ -305,3 +305,32 @@ def test_incremental_dedup_batch_vs_corpus(spark, sf_dir):
         else:
             assert r["duplicate_of"] == r["doc_id"] - 5000  # exact copy → its source
             assert r["jaccard"] == 1.0
+
+
+def test_incremental_dedup_against_loaded_index(spark, sf_dir, tmp_path):
+    """The persistable index path: build once, save, load, ingest — the
+    corpus is never re-shingled at ingest time, and results match the
+    direct (corpus-DataFrame) path exactly."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.dedup import (
+        DedupIndex,
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = corpus.filter(F.col("doc_id") % 100 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    idx_path = str(tmp_path / "dedup_index")
+    build_dedup_index(corpus).save(idx_path)
+
+    loaded = DedupIndex.load(spark, idx_path)
+    via_index = incremental_dedup(batch, index=loaded, threshold=0.5)
+    direct = incremental_dedup(batch, corpus, threshold=0.5)
+    assert sorted(map(tuple, via_index.collect())) == sorted(map(tuple, direct.collect()))
+    # band partitioning on disk → an ingest probing band=1 prunes 3/4
+    import os
+    assert any(d.startswith("band=") for d in os.listdir(idx_path + "/bands"))
