@@ -25,11 +25,18 @@ Allowed surface (validator parity, minielixir/validator.ex:75-236):
   - string concat via +, f-strings
   - calls to allowlisted functions (str/date/math — mapped to Spark SQL
     built-ins, validator.ex:123-172,301-319)
+  - MODULE calls mirroring the fnok allowlist (validator.ex:301-319):
+    String. Map. Enum. Date. DateTime. NaiveDateTime. Decimal. URI.
+    Base. UUID. JSON. Integer. Regex. List. Kernel. — each compiled to
+    built-in Catalyst expressions (see _MODULES). Elixir's trailing ?/!
+    are dropped (String.contains? → String.contains); ~r sigils become
+    plain string patterns (Regex.match('^a', s)).
 """
 
 from __future__ import annotations
 
 import ast
+import re as _re
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -135,11 +142,396 @@ _FUNCTIONS = {
     "member": (lambda c, x: F.array_contains(_as_col(c), x), "bool"),
 }
 
+def _lits(x):
+    """Unwrap a MiniPy list literal (list of compiled _T) to raw python
+    values — for args that must be compile-time constants (Map.take keys,
+    `in [..]` membership lists)."""
+    if not isinstance(x, (list, tuple)):
+        raise ValueError(_BANNED_MSG.format("non-literal list argument"))
+    out = []
+    for e in x:
+        v = e.val if isinstance(e, _T) else e
+        if isinstance(v, Column):
+            raise ValueError(_BANNED_MSG.format("computed value in literal list"))
+        out.append(v)
+    return out
+
+
+def _lit_str(x, what: str) -> str:
+    if not isinstance(x, str):
+        raise ValueError(f"MiniPy: {what} must be a string literal")
+    return x
+
+
+def _lit_int(x, what: str) -> int:
+    if isinstance(x, bool) or not isinstance(x, int):
+        raise ValueError(f"MiniPy: {what} must be an integer literal")
+    return x
+
+
+def _split_lit(c, sep):
+    # Elixir String.split splits on a LITERAL separator; Spark's split
+    # takes a Java regex — \Q...\E quotes the separator verbatim
+    return F.split(_as_col(c), "\\Q" + _lit_str(sep, "String.split separator") + "\\E")
+
+
+def _capitalize(c):
+    # Elixir String.capitalize: first grapheme upcased, REST downcased
+    # (initcap would capitalize every word — not parity)
+    col = _as_col(c)
+    return F.concat(
+        F.upper(F.substring(col, 1, 1)), F.lower(F.substring(col, 2, 0x7FFFFFFF))
+    )
+
+
+def _string_at(c, i):
+    # String.at: 0-based, negative counts from the end, nil out of range
+    i = _lit_int(i, "String.at index")
+    return F.nullif(F.substring(_as_col(c), i + 1 if i >= 0 else i, 1), F.lit(""))
+
+
+def _string_slice(c, start, length):
+    start = _lit_int(start, "String.slice start")
+    return F.substring(_as_col(c), start + 1 if start >= 0 else start, length)
+
+
+def _map_put(m, k, v):
+    # remove-then-concat: independent of spark.sql.mapKeyDedupPolicy
+    kc = _as_col(k)
+    cleaned = F.map_filter(_as_col(m), lambda mk, mv: ~mk.eqNullSafe(kc))
+    return F.map_concat(cleaned, F.create_map(kc, _as_col(v)))
+
+
+def _map_merge(a, b):
+    # Elixir Map.merge: right side wins on key collision
+    bc = _as_col(b)
+    keep = F.map_filter(_as_col(a), lambda k, v: ~F.array_contains(F.map_keys(bc), k))
+    return F.map_concat(keep, bc)
+
+
+def _map_values(m):
+    # values ordered by sorted key — deterministic companion to keys();
+    # Elixir map iteration order is unspecified for big maps anyway
+    mc = _as_col(m)
+    return F.transform(F.array_sort(F.map_keys(mc)), lambda k: F.element_at(mc, k))
+
+
+def _map_take(m, ks, keep=True):
+    keys = [x for x in _lits(ks)]
+    pred = (lambda k, v: k.isin(keys)) if keep else (lambda k, v: ~k.isin(keys))
+    return F.map_filter(_as_col(m), pred)
+
+
+def _enum_at(c, i):
+    ic = _as_col(i).cast("int")
+    # Elixir 0-based with negative-from-end → element_at is 1-based with
+    # the same negative convention; try_ because ANSI element_at THROWS
+    # out of range where Enum.at returns nil
+    return F.try_element_at(_as_col(c), F.when(ic >= 0, ic + 1).otherwise(ic))
+
+
+def _enum_take(c, n):
+    n = _lit_int(n, "Enum.take count")
+    if n < 0:
+        col = _as_col(c)
+        return F.slice(col, F.greatest(F.size(col) + n + 1, F.lit(1)),
+                       F.least(F.size(col), F.lit(-n)))
+    return F.slice(_as_col(c), 1, n)
+
+
+def _int_mod(a, b):
+    # Integer.mod is FLOORED (sign follows divisor), unlike Kernel.rem
+    av, bv = _as_col(a), _as_col(b)
+    return ((av % bv) + bv) % bv
+
+
+def _int_floor_div(a, b):
+    # exact integer floor division: (a - Integer.mod(a,b)) / b
+    av, bv = _as_col(a), _as_col(b)
+    return ((av - (((av % bv) + bv) % bv)) / bv).cast("long")
+
+
+def _int_to_string(n, base=10):
+    base = _lit_int(base, "Integer.to_string base")
+    col = _as_col(n)
+    if base == 10:
+        return col.cast("string")
+    if base == 16:
+        return F.hex(col)  # uppercase, matching Elixir's default
+    if base == 2:
+        return F.bin(col)
+    raise ValueError("MiniPy: Integer.to_string supports bases 2, 10, 16")
+
+
+def _regex_replace(pat, s, rep):
+    # Elixir arg order (regex, string, replacement); Elixir backrefs are
+    # \\1 / \g{1}, Spark's are $1 — translate literal replacements
+    if isinstance(rep, str):
+        rep = _re.sub(r"\\g\{(\d+)\}", r"$\1", _re.sub(r"\\(\d)", r"$\1", rep))
+    return F.regexp_replace(_as_col(s), _as_col(pat), _as_col(rep))
+
+
+def _uuid3(ns, name):
+    """Deterministic name-based UUID (RFC 4122 v3 shape): md5 over
+    ns||name with version nibble '3' and RFC variant bits. Simplified from
+    UUID.uuid3/2 in that the namespace contributes its string form, not
+    its 16 raw bytes (uuid.ex parity is the FORMAT, not the byte layout)."""
+    h = F.md5(F.concat(_as_col(ns).cast("string"), _as_col(name).cast("string")))
+    variant_nib = F.lower(
+        F.conv(((F.conv(F.substring(h, 17, 1), 16, 10).cast("int") % 4) + 8)
+               .cast("string"), 10, 16)
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.concat(F.lit("3"), F.substring(h, 14, 3)),
+        F.concat(variant_nib, F.substring(h, 18, 3)),
+        F.substring(h, 21, 12),
+    )
+
+
+def _decimal(c):
+    return _as_col(c).cast("decimal(38,12)")
+
+
+def _decimal_compare(a, b):
+    av, bv = _decimal(a), _decimal(b)
+    return F.when(av < bv, "lt").when(av > bv, "gt").otherwise("eq")
+
+
+def _dt_ts(c):
+    return _as_col(c).cast("timestamp")
+
+
+# MiniElixir module-call surface (validator.ex:301-319 allowlist: Map,
+# String, Enum, Date, DateTime, NaiveDateTime, Decimal, URI, Base, UUID,
+# JSON, Integer, Regex, List + Kernel) — each call compiles to built-in
+# Catalyst expressions, JVM-side. Elixir's trailing ?/! are dropped
+# (not valid Python identifiers): String.contains? → String.contains,
+# Base.decode64! → Base.decode64.
+_MODULES: dict = {
+    "String": {
+        "upcase": (_w1(F.upper), "str"),
+        "downcase": (_w1(F.lower), "str"),
+        "trim": (_w1(F.trim), "str"),
+        "trim_leading": (_w1(F.ltrim), "str"),
+        "trim_trailing": (_w1(F.rtrim), "str"),
+        "length": (_w1(F.length), "num"),
+        "reverse": (_w1(F.reverse), "str"),
+        # String.replace/3 replaces ALL literal occurrences
+        "replace": (lambda c, p, r: F.replace(_as_col(c), _as_col(p), _as_col(r)), "str"),
+        "split": (_split_lit, "list"),
+        "contains": (lambda c, s: _as_col(c).contains(s), "bool"),
+        "starts_with": (lambda c, p: _as_col(c).startswith(p), "bool"),
+        "ends_with": (lambda c, p: _as_col(c).endswith(p), "bool"),
+        "pad_leading": (lambda c, n, p=" ": F.lpad(_as_col(c), n, p), "str"),
+        "pad_trailing": (lambda c, n, p=" ": F.rpad(_as_col(c), n, p), "str"),
+        "capitalize": (_capitalize, "str"),
+        "duplicate": (lambda c, n: F.repeat(_as_col(c), n), "str"),
+        "at": (_string_at, "str"),
+        "first": (lambda c: _string_at(c, 0), "str"),
+        "last": (lambda c: _string_at(c, -1), "str"),
+        "slice": (_string_slice, "str"),
+        "to_integer": (lambda c: _as_col(c).cast("long"), "num"),
+        "to_float": (lambda c: _as_col(c).cast("double"), "num"),
+    },
+    "Map": {
+        "get": (
+            # try_: ANSI element_at throws on a missing map key; Map.get
+            # returns the default (nil)
+            lambda m, k, d=None: F.try_element_at(_as_col(m), _as_col(k)) if d is None
+            else F.coalesce(F.try_element_at(_as_col(m), _as_col(k)), _as_col(d)),
+            "str",
+        ),
+        "has_key": (lambda m, k: F.array_contains(F.map_keys(_as_col(m)), k), "bool"),
+        "keys": (lambda m: F.array_sort(F.map_keys(_as_col(m))), "list"),
+        "values": (_map_values, "list"),
+        "put": (_map_put, "map"),
+        "delete": (
+            lambda m, k: F.map_filter(
+                _as_col(m), lambda mk, mv: ~mk.eqNullSafe(_as_col(k))
+            ),
+            "map",
+        ),
+        "merge": (_map_merge, "map"),
+        "take": (lambda m, ks: _map_take(m, ks, keep=True), "map"),
+        "drop": (lambda m, ks: _map_take(m, ks, keep=False), "map"),
+        "size": (lambda m: F.size(_as_col(m)), "num"),
+    },
+    "Enum": {
+        "join": (lambda c, sep="": F.array_join(_as_col(c), sep), "str"),
+        "count": (lambda c: F.size(_as_col(c)), "num"),
+        "sum": (
+            lambda c: F.aggregate(
+                _as_col(c), F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            "num",
+        ),
+        "min": (lambda c: F.array_min(_as_col(c)), "unknown"),
+        "max": (lambda c: F.array_max(_as_col(c)), "unknown"),
+        "sort": (lambda c: F.array_sort(_as_col(c)), "list"),
+        "reverse": (lambda c: F.reverse(_as_col(c)), "list"),
+        "uniq": (lambda c: F.array_distinct(_as_col(c)), "list"),
+        "member": (lambda c, x: F.array_contains(_as_col(c), x), "bool"),
+        "empty": (lambda c: F.size(_as_col(c)) == 0, "bool"),
+        "at": (_enum_at, "unknown"),
+        "take": (_enum_take, "list"),
+        "slice": (
+            lambda c, s, n: F.slice(_as_col(c), _lit_int(s, "Enum.slice start") + 1, n),
+            "list",
+        ),
+        "concat": (lambda a, b: F.concat(_to_col(_T(a, "list")) if isinstance(a, list)
+                                         else _as_col(a),
+                                         _to_col(_T(b, "list")) if isinstance(b, list)
+                                         else _as_col(b)), "list"),
+    },
+    "Date": {
+        # date_add requires INT for the day count (to_integer yields bigint)
+        "add": (
+            lambda c, n: F.date_add(_as_col(c).cast("date"), _as_col(n).cast("int")),
+            "unknown",
+        ),
+        "diff": (
+            lambda a, b: F.datediff(_as_col(a).cast("date"), _as_col(b).cast("date")),
+            "num",
+        ),
+        "to_iso8601": (
+            lambda c: F.date_format(_as_col(c).cast("date"), "yyyy-MM-dd"), "str"
+        ),
+        "from_iso8601": (lambda c: _as_col(c).cast("date"), "unknown"),
+        # Elixir day_of_week: Monday=1..Sunday=7; Spark dayofweek: Sunday=1
+        "day_of_week": (
+            lambda c: ((F.dayofweek(_as_col(c).cast("date")) + 5) % 7) + 1, "num"
+        ),
+        "day_of_year": (lambda c: F.dayofyear(_as_col(c).cast("date")), "num"),
+        "quarter_of_year": (lambda c: F.quarter(_as_col(c).cast("date")), "num"),
+        "beginning_of_month": (
+            lambda c: F.trunc(_as_col(c).cast("date"), "month"), "unknown"
+        ),
+        "end_of_month": (lambda c: F.last_day(_as_col(c).cast("date")), "unknown"),
+        "leap_year": (
+            lambda c: ((F.year(_as_col(c).cast("date")) % 4 == 0)
+                       & (F.year(_as_col(c).cast("date")) % 100 != 0))
+            | (F.year(_as_col(c).cast("date")) % 400 == 0),
+            "bool",
+        ),
+    },
+    "DateTime": {
+        "to_unix": (lambda c: F.unix_timestamp(_dt_ts(c)), "num"),
+        "from_unix": (lambda c: F.timestamp_seconds(_as_col(c)), "unknown"),
+        "to_iso8601": (
+            lambda c: F.date_format(_dt_ts(c), "yyyy-MM-dd'T'HH:mm:ss'Z'"), "str"
+        ),
+        "to_date": (lambda c: _dt_ts(c).cast("date"), "unknown"),
+        # DateTime.add/2 default unit is :second
+        "add": (
+            lambda c, n: F.timestamp_seconds(F.unix_timestamp(_dt_ts(c)) + _as_col(n)),
+            "unknown",
+        ),
+        "diff": (
+            lambda a, b: F.unix_timestamp(_dt_ts(a)) - F.unix_timestamp(_dt_ts(b)),
+            "num",
+        ),
+    },
+    "Integer": {
+        "to_string": (_int_to_string, "str"),
+        "parse": (lambda c: _as_col(c).cast("long"), "num"),
+        "mod": (_int_mod, "num"),
+        "floor_div": (_int_floor_div, "num"),
+        "pow": (lambda a, b: F.pow(_as_col(a), _as_col(b)).cast("long"), "num"),
+    },
+    "Base": {
+        "encode64": (lambda c: F.base64(_as_col(c).cast("binary")), "str"),
+        "decode64": (lambda c: F.unbase64(_as_col(c)).cast("string"), "str"),
+        "encode16": (lambda c: F.hex(_as_col(c).cast("binary")), "str"),
+        "decode16": (lambda c: F.unhex(_as_col(c)).cast("string"), "str"),
+        "url_encode64": (
+            lambda c: F.translate(F.base64(_as_col(c).cast("binary")), "+/", "-_"),
+            "str",
+        ),
+        "url_decode64": (
+            lambda c: F.unbase64(F.translate(_as_col(c), "-_", "+/")).cast("string"),
+            "str",
+        ),
+    },
+    "URI": {
+        # URI.encode/1 proper escapes fewer chars than www-form; both map
+        # to url_encode here (documented deviation: space → '+')
+        "encode": (_w1(F.url_encode), "str"),
+        "decode": (_w1(F.url_decode), "str"),
+        "encode_www_form": (_w1(F.url_encode), "str"),
+        "decode_www_form": (_w1(F.url_decode), "str"),
+    },
+    "UUID": {
+        # nondeterministic — fine for routing/idempotency keys, excluded
+        # from oracle-checked queries
+        "uuid4": (lambda: F.expr("uuid()"), "str"),
+        "uuid3": (_uuid3, "str"),
+    },
+    "Regex": {
+        # Elixir arg order: (pattern, subject); patterns are plain string
+        # literals (no ~r sigil in Python syntax)
+        "match": (lambda p, s: F.regexp_like(_as_col(s), _as_col(p)), "bool"),
+        "replace": (_regex_replace, "str"),
+        "run": (
+            lambda p, s: F.nullif(F.regexp_extract(_as_col(s), p, 0), F.lit("")),
+            "str",
+        ),
+        "scan": (lambda p, s: F.regexp_extract_all(_as_col(s), F.lit(p), 0), "list"),
+        "split": (lambda p, s: F.split(_as_col(s), p), "list"),
+    },
+    "Decimal": {
+        "new": (_decimal, "num"),
+        "add": (lambda a, b: _decimal(a) + _decimal(b), "num"),
+        "sub": (lambda a, b: _decimal(a) - _decimal(b), "num"),
+        "mult": (lambda a, b: _decimal(a) * _decimal(b), "num"),
+        "div": (lambda a, b: _decimal(a) / _decimal(b), "num"),
+        "round": (lambda c, n=0: F.round(_decimal(c), n), "num"),
+        "compare": (_decimal_compare, "str"),
+        "to_float": (lambda c: _as_col(c).cast("double"), "num"),
+        "to_string": (lambda c: _decimal(c).cast("string"), "str"),
+        "negate": (lambda c: -_decimal(c), "num"),
+        "abs": (lambda c: F.abs(_decimal(c)), "num"),
+        "max": (lambda a, b: F.greatest(_decimal(a), _decimal(b)), "num"),
+        "min": (lambda a, b: F.least(_decimal(a), _decimal(b)), "num"),
+    },
+    "List": {
+        "first": (lambda c: F.try_element_at(_as_col(c), F.lit(1)), "unknown"),
+        "last": (lambda c: F.try_element_at(_as_col(c), F.lit(-1)), "unknown"),
+        "flatten": (lambda c: F.flatten(_as_col(c)), "list"),
+        "duplicate": (lambda x, n: F.array_repeat(_as_col(x), n), "list"),
+    },
+    "JSON": {
+        "encode": (lambda c: F.to_json(_as_col(c)), "str"),
+        "decode": (
+            lambda c: F.from_json(_as_col(c), "map<string,string>"), "map"
+        ),
+    },
+}
+# NaiveDateTime shares DateTime's deterministic subset (validator.ex:308-309)
+_MODULES["NaiveDateTime"] = _MODULES["DateTime"]
+# Kernel.* function-call form aliases the builtin surface
+# (validator.ex @kernel_functions)
+_MODULES["Kernel"] = {
+    k: _FUNCTIONS[k]
+    for k in ("div", "rem", "trunc", "abs", "min", "max", "byte_size", "length")
+}
+_MODULES["Kernel"]["to_string"] = (lambda c: _as_col(c).cast("string"), "str")
+
+
 _BANNED_MSG = "MiniPy: {} is not allowed (sandbox allowlist, see minielixir/validator.ex parity)"
 
 
 def _as_col(x) -> Column:
-    return x if isinstance(x, Column) else F.lit(x)
+    if isinstance(x, Column):
+        return x
+    if isinstance(x, (list, tuple)):
+        # MiniPy list literal (list of compiled _T) → Catalyst array
+        return F.array(
+            *[_to_col(e) if isinstance(e, _T) else F.lit(e) for e in x]
+        )
+    return F.lit(x)
 
 
 class _T:
@@ -419,6 +811,10 @@ class _Compiler(ast.NodeVisitor):
         if isinstance(node.op, ast.Not):
             return _T(~_as_col(v.val), "bool")
         if isinstance(node.op, ast.USub):
+            # constant-fold -<number> so negative literals stay literals
+            # (String.at(s, -1), Enum.take(xs, -2) need compile-time ints)
+            if isinstance(v.val, (int, float)) and not isinstance(v.val, bool):
+                return _T(-v.val, "num")
             return _T(-_as_col(v.val), "num")
         raise ValueError(_BANNED_MSG.format(f"unary {type(node.op).__name__}"))
 
@@ -475,6 +871,27 @@ class _Compiler(ast.NodeVisitor):
     visit_Tuple = visit_List
 
     def visit_Call(self, node):
+        if isinstance(node.func, ast.Attribute):
+            # Module-call surface: String.upcase(x), Map.get(record, 'k'),
+            # Base.encode64(s), ... (validator.ex:301-319 fnok allowlist).
+            base = node.func.value
+            if isinstance(base, ast.Name) and base.id in _MODULES:
+                entry = _MODULES[base.id].get(node.func.attr)
+                if entry is None:
+                    raise ValueError(
+                        _BANNED_MSG.format(f"{base.id}.{node.func.attr}")
+                    )
+                if node.keywords:
+                    raise ValueError(_BANNED_MSG.format("keyword arguments"))
+                fn, kind = entry
+                args = [self.visit(a).val for a in node.args]
+                try:
+                    return _T(fn(*args), kind)
+                except TypeError as e:  # arity mismatch → validation error
+                    raise ValueError(
+                        f"MiniPy: bad call {base.id}.{node.func.attr}: {e}"
+                    ) from e
+            raise ValueError(_BANNED_MSG.format("method calls"))
         if not isinstance(node.func, ast.Name):
             raise ValueError(_BANNED_MSG.format("method calls"))
         fname = node.func.id

@@ -572,6 +572,51 @@ FROM t
 """
 
 
+def q_minipy_modules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MiniPy MODULE-call surface (validator.ex:301-319 fnok allowlist):
+    Base64 keys + regex filter/extract + Date arithmetic + String slicing
+    in one user transform — all compiled to built-in Catalyst expressions,
+    no Python in the hot path."""
+    from sequin_spark.functions.minipy import compile_program
+
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    flt = compile_expr("Regex.match('^(click|view|purchase)$', record['event_type'])")
+    prog = compile_program(
+        "uid = record['user_id']\n"
+        "key = Base.url_encode64(uid + ':' + record['event_id'])\n"
+        "d = Date.add('2024-01-01', Integer.mod(String.to_integer(record['event_id']), 365))\n"
+        "tag = String.capitalize(String.slice(record['event_type'], 0, 4))\n"
+        "return {'event_id': String.to_integer(record['event_id']),\n"
+        "        'key': key,\n"
+        "        'tag': tag,\n"
+        "        'day': Date.to_iso8601(d),\n"
+        "        'dow': Date.day_of_week(d),\n"
+        "        'digits': Regex.run('[0-9]+', uid)}"
+    )
+    return ev.filter(flt).select(prog.alias("o")).select(
+        F.col("o.event_id").alias("event_id"),
+        F.col("o.key").alias("key"),
+        F.col("o.tag").alias("tag"),
+        F.col("o.day").alias("day"),
+        F.col("o.dow").cast("long").alias("dow"),
+        F.col("o.digits").alias("digits"),
+    )
+
+
+SQL_MINIPY_MODULES = """
+SELECT event_id,
+  replace(replace(base64(encode(cast(user_id AS varchar) || ':' ||
+          cast(event_id AS varchar))), '+', '-'), '/', '_') AS key,
+  upper(substr(event_type, 1, 1)) || lower(substr(event_type, 2, 3)) AS tag,
+  strftime(DATE '2024-01-01' + CAST(event_id % 365 AS INT), '%Y-%m-%d') AS day,
+  isodow(DATE '2024-01-01' + CAST(event_id % 365 AS INT)) AS dow,
+  regexp_extract(cast(user_id AS varchar), '[0-9]+', 0) AS digits
+FROM events
+WHERE regexp_matches(event_type, '^(click|view|purchase)$')
+"""
+
+
 def q_backfill_keyset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyset pagination with composite cursor (keyset_cursor.ex:93-113,
     table_reader.ex:265-298) — pure pushed-down predicates."""
@@ -953,6 +998,7 @@ QUERIES: dict[str, callable] = {
     "path_transform": q_path_transform,
     "minipy_transform": q_minipy_transform,
     "minipy_program": q_minipy_program,
+    "minipy_modules": q_minipy_modules,
     "asof_last_click": q_asof_last_click,
     "sessionize_events": q_sessionize_events,
     "backfill_keyset_page": q_backfill_keyset_page,
@@ -987,6 +1033,7 @@ ORACLES: dict[str, str] = {
     "path_transform": SQL_PATH_TRANSFORM,
     "minipy_transform": SQL_MINIPY_TRANSFORM,
     "minipy_program": SQL_MINIPY_PROGRAM,
+    "minipy_modules": SQL_MINIPY_MODULES,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,

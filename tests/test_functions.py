@@ -261,6 +261,190 @@ def test_minipy_program_semantics_corpus(ev):
         assert got == expected, f"program {src!r}: {got!r} != {expected!r}"
 
 
+MODULE_CASES = [
+    # (expr_source, expected) over the `ev` row — MiniElixir module-call
+    # parity (validator.ex:301-319 fnok allowlist; minielixir_test.exs:43
+    # String.upcase et al.). Elixir ?/! suffixes dropped, ~r sigils are
+    # plain string patterns.
+    # --- String ---
+    ("String.upcase(record['name'])", "ARYA"),
+    ("String.downcase(record['house'])", "stark"),
+    ("String.trim('  x  ')", "x"),
+    ("String.trim_leading('  x  ') + '!'", "x  !"),
+    ("String.trim_trailing('  x') + '!'", "  x!"),
+    ("String.length(record['house'])", 5),
+    ("String.reverse(record['name'])", "ayra"),
+    ("String.replace('a-b-a', '-', ':')", "a:b:a"),  # replaces ALL
+    ("Enum.join(String.split('a,b,c', ','), '-')", "a-b-c"),
+    ("Enum.join(String.split('a.b.c', '.'), '|')", "a|b|c"),  # literal sep
+    ("String.contains(record['house'], 'tar')", True),
+    ("String.starts_with(record['house'], 'St')", True),
+    ("String.ends_with(record['house'], 'rk')", True),
+    ("String.pad_leading(record['id'], 3, '0')", "007"),
+    ("String.pad_trailing(record['id'], 3, 'x')", "7xx"),
+    ("String.capitalize('aRYA')", "Arya"),  # rest DOWNCASED (not initcap)
+    ("String.duplicate('ab', 3)", "ababab"),
+    ("String.at(record['name'], 0)", "a"),
+    ("String.at(record['name'], -1)", "a"),
+    ("String.at(record['name'], 99)", None),  # nil out of range
+    ("String.first(record['house'])", "S"),
+    ("String.last(record['house'])", "k"),
+    ("String.slice(record['house'], 1, 3)", "tar"),
+    ("String.to_integer(record['id']) + 1", 8),
+    ("String.to_float(record['score']) * 2", 25.0),
+    # --- Map (over the record map) ---
+    ("Map.get(record, 'house')", "Stark"),
+    ("Map.get(record, 'missing')", None),
+    ("Map.get(record, 'missing', 'dflt')", "dflt"),
+    ("Map.has_key(record, 'id')", True),
+    ("Enum.join(Map.keys(record), ',')", "house,id,name,score"),
+    ("Map.size(record)", 4),
+    ("Map.get(Map.put(record, 'k', 'v'), 'k')", "v"),
+    ("Map.get(Map.put(record, 'house', 'Tully'), 'house')", "Tully"),  # overwrite
+    ("Map.size(Map.delete(record, 'id'))", 3),
+    ("Map.get(Map.merge(record, Map.put(record, 'house', 'Bolton')), 'house')",
+     "Bolton"),  # right wins
+    ("Enum.join(Map.keys(Map.take(record, ['id', 'house'])), ',')", "house,id"),
+    ("Enum.join(Map.keys(Map.drop(record, ['id', 'score'])), ',')", "house,name"),
+    ("Enum.join(Map.values(Map.take(record, ['id', 'name'])), ':')", "7:arya"),
+    # --- Enum (over arrays) ---
+    ("Enum.count(String.split('a,b,c', ','))", 3),
+    ("Enum.sum([1, 2, 3.5])", 6.5),
+    ("Enum.min([3, 1, 2])", 1),
+    ("Enum.max(String.split('b,a,c', ','))", "c"),
+    ("Enum.join(Enum.sort(String.split('b,a,c', ',')), '')", "abc"),
+    ("Enum.join(Enum.reverse(String.split('a,b', ',')), '')", "ba"),
+    ("Enum.join(Enum.uniq(String.split('a,b,a', ',')), '')", "ab"),
+    ("Enum.member(String.split('a,b', ','), 'b')", True),
+    ("Enum.empty(String.split('a', ','))", False),
+    ("Enum.at(String.split('a,b,c', ','), 1)", "b"),
+    ("Enum.at(String.split('a,b,c', ','), -1)", "c"),
+    ("Enum.at(String.split('a,b,c', ','), 9)", None),
+    ("Enum.join(Enum.take(String.split('a,b,c,d', ','), 2), '')", "ab"),
+    ("Enum.join(Enum.take(String.split('a,b,c,d', ','), -2), '')", "cd"),
+    ("Enum.join(Enum.slice(String.split('a,b,c,d', ','), 1, 2), '')", "bc"),
+    ("Enum.join(Enum.concat(String.split('a,b', ','), ['c']), '')", "abc"),
+    # --- Date / DateTime (deterministic subset; no now()) ---
+    ("Date.to_iso8601(Date.add('2024-03-15', 20))", "2024-04-04"),
+    ("Date.diff('2024-03-20', '2024-03-15')", 5),
+    ("Date.day_of_week('2024-03-15')", 5),  # Friday; Elixir Mon=1..Sun=7
+    ("Date.day_of_week('2024-03-17')", 7),  # Sunday
+    ("Date.day_of_year('2024-02-01')", 32),
+    ("Date.quarter_of_year('2024-05-01')", 2),
+    ("Date.to_iso8601(Date.beginning_of_month('2024-03-15'))", "2024-03-01"),
+    ("Date.to_iso8601(Date.end_of_month('2024-02-10'))", "2024-02-29"),
+    ("Date.leap_year('2024-01-01')", True),
+    ("Date.leap_year('2100-01-01')", False),  # century, not /400
+    ("DateTime.to_unix('2024-03-15 10:30:00')", 1710498600),
+    ("DateTime.to_iso8601(DateTime.add('2024-03-15 10:30:00', 90))",
+     "2024-03-15T10:31:30Z"),
+    ("DateTime.diff('2024-03-15 10:31:30', '2024-03-15 10:30:00')", 90),
+    ("Date.to_iso8601(DateTime.to_date('2024-03-15 10:30:00'))", "2024-03-15"),
+    ("NaiveDateTime.to_unix('1970-01-01 00:01:00')", 60),
+    # --- Integer ---
+    ("Integer.to_string(255, 16)", "FF"),
+    ("Integer.to_string(5, 2)", "101"),
+    ("Integer.to_string(String.to_integer(record['id']))", "7"),
+    ("Integer.mod(-7, 3)", 2),       # floored (sign of divisor)
+    ("Integer.mod(7, -3)", -2),
+    ("Integer.floor_div(-7, 2)", -4),  # floored, unlike Kernel.div
+    ("Integer.pow(2, 10)", 1024),
+    ("Integer.parse('42') + 1", 43),
+    # --- Base ---
+    ("Base.encode64(record['name'])", "YXJ5YQ=="),
+    ("Base.decode64(Base.encode64('hi!'))", "hi!"),
+    ("Base.encode16('ab')", "6162"),
+    ("Base.decode16(Base.encode16('xyz'))", "xyz"),
+    ("Base.url_decode64(Base.url_encode64('a?b>c~'))", "a?b>c~"),
+    # --- URI ---
+    ("URI.encode_www_form('a b&c')", "a+b%26c"),
+    ("URI.decode_www_form(URI.encode_www_form('a b&c=d'))", "a b&c=d"),
+    # --- Regex (Elixir arg order: pattern, subject) ---
+    ("Regex.match('^St', record['house'])", True),
+    ("Regex.match('ark$', record['name'])", False),
+    ("Regex.replace('(a)(r)', record['name'], '\\\\2\\\\1')", "raya"),  # \\N backrefs
+    ("Regex.run('[0-9]+', 'ab123cd')", "123"),
+    ("Regex.run('[0-9]+', 'nope')", None),  # nil on no match
+    ("Enum.join(Regex.scan('[0-9]+', 'a1b22c333'), '-')", "1-22-333"),
+    ("Enum.join(Regex.split('[,;]', 'a,b;c'), '')", "abc"),
+    # --- Decimal (exact decimal(38,12) arithmetic) ---
+    ("Decimal.compare('1.50', '1.5')", "eq"),
+    ("Decimal.compare('0.1', '0.2')", "lt"),
+    ("Decimal.compare(record['score'], 12)", "gt"),
+    ("Decimal.to_float(Decimal.add('0.1', '0.2'))", 0.3),  # exact, no fp drift
+    ("Decimal.to_float(Decimal.div(1, 8))", 0.125),
+    ("Decimal.to_float(Decimal.round('2.675', 2))", 2.68),  # half-up, not banker's
+    ("Decimal.to_float(Decimal.abs(Decimal.negate('1.5')))", 1.5),
+    ("Decimal.to_float(Decimal.max('1.1', '1.09'))", 1.1),
+    # --- List ---
+    ("List.first(String.split('x,y', ','))", "x"),
+    ("List.last(String.split('x,y', ','))", "y"),
+    ("Enum.join(List.flatten([String.split('a,b', ','), ['c']]), '')", "abc"),
+    ("Enum.join(List.duplicate('ab', 2), '-')", "ab-ab"),
+    # --- JSON ---
+    ("JSON.decode('{\"k\": \"v\"}')['k']", "v"),
+    ("Map.get(JSON.decode('{\"a\": \"1\"}'), 'a')", "1"),
+    ("JSON.encode({'id': 7})", '{"id":7}'),
+    # --- Kernel.* call form ---
+    ("Kernel.div(-7, 2)", -3),  # truncated (vs Integer.floor_div)
+    ("Kernel.rem(-7, 2)", -1),
+    ("Kernel.byte_size(record['house'])", 5),
+    ("Kernel.to_string(42) + '!'", "42!"),
+    # --- UUID (deterministic name-based variant) ---
+    ("String.length(UUID.uuid3('ns', 'name'))", 36),
+    ("String.at(UUID.uuid3('ns', 'x'), 14)", "3"),  # version nibble
+]
+
+
+def test_minipy_module_corpus(ev):
+    """Module-call surface corpus (validator.ex:301-319 fnok parity):
+    String/Map/Enum/Date/DateTime/Integer/Base/URI/Regex/Decimal/List/
+    JSON/Kernel/UUID — each case compiles to one Catalyst expression."""
+    from sequin_spark.functions.minipy import compile_expr as ce
+
+    for src, expected in MODULE_CASES:
+        got = _one(ev, ce(src))
+        if isinstance(got, list):
+            got = list(got)
+        if isinstance(expected, float):
+            assert got == pytest.approx(expected), f"{src!r}: {got!r}"
+        else:
+            assert got == expected, f"{src!r}: {got!r} != {expected!r}"
+
+
+def test_minipy_module_rejections():
+    """Unknown module functions and non-module attributes still rejected."""
+    for bad in [
+        "String.to_atom('x')",            # explicitly denied (validator.ex:306)
+        "String.nope('x')",
+        "File.read('/etc/passwd')",       # module not in fnok
+        "System.cmd('ls')",
+        "record.house",                   # data access stays subscript-only
+        "Integer.to_string(7, 7)",        # unsupported base
+        "Map.take(record, record['id'])",  # keys must be a literal list
+    ]:
+        ok, err = validate(bad)
+        assert not ok, bad
+        assert err
+
+
+def test_minipy_modules_in_programs(ev):
+    """Module calls compose with the program surface (locals, branches)."""
+    from sequin_spark.functions.minipy import compile_program
+
+    got = _one(
+        ev,
+        compile_program(
+            "key = Base.encode64(record['name'])\n"
+            "if Regex.match('^Y', key):\n"
+            "    return {'k': key, 'd': Date.to_iso8601(Date.add('2024-01-01', "
+            "String.to_integer(record['id'])))}\n"
+            "return {'k': 'no', 'd': ''}"
+        ),
+    )
+    assert got.asDict() == {"k": "YXJ5YQ==", "d": "2024-01-08"}
+
+
 def test_minipy_sandbox_udf(spark, ev):
     udf = sandbox_pandas_udf(
         "def transform(action, record, changes, metadata):\n"
