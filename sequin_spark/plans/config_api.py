@@ -85,8 +85,13 @@ class ConfigRegistry:
 
 class ConfigApiServer:
     def __init__(self, registry: ConfigRegistry | None = None,
-                 host: str = "127.0.0.1", port: int = 0):
+                 host: str = "127.0.0.1", port: int = 0,
+                 backfills=None):
+        """``backfills``: optional plans.backfill_api.BackfillManager —
+        enables the /api/sinks/:name/backfills management routes
+        (router.ex:173, backfill_controller.ex)."""
         self.registry = registry or ConfigRegistry()
+        self.backfills = backfills
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -114,6 +119,23 @@ class ConfigApiServer:
                     with outer.registry._lock:
                         data = [to_external(s) for s in outer.registry.consumers.values()]
                     return self._json(200, {"data": data})
+                # backfill index/show (backfill_controller.ex index/show)
+                m = re.match(r"^/api/sinks/([^/]+)/backfills$", u.path)
+                if m:
+                    sink, err = self._sink_for_backfills(m.group(1))
+                    if err:
+                        return err
+                    jobs = outer.backfills.list_for_sink(sink)
+                    return self._json(200, {"data": [j.to_external() for j in jobs]})
+                m = re.match(r"^/api/sinks/([^/]+)/backfills/([^/]+)$", u.path)
+                if m:
+                    sink, err = self._sink_for_backfills(m.group(1))
+                    if err:
+                        return err
+                    job = outer.backfills.get(sink, m.group(2))
+                    if job is None:
+                        return self._json(404, {"error": f"no backfill {m.group(2)!r}"})
+                    return self._json(200, job.to_external())
                 m = re.match(r"^/api/sinks/([^/]+)$", u.path)
                 if m:
                     spec = outer.registry.consumers.get(m.group(1))
@@ -122,7 +144,71 @@ class ConfigApiServer:
                     return self._json(200, to_external(spec))
                 self._json(404, {"error": "not found"})
 
+            def _sink_for_backfills(self, name):
+                """Resolve the :sink_id_or_name segment; 404s mirror
+                find_sink_consumer failures (backfill_controller.ex:17-23)."""
+                if outer.backfills is None:
+                    return None, self._json(404, {"error": "backfills not enabled"})
+                if name not in outer.registry.consumers:
+                    return None, self._json(404, {"error": f"no sink consumer {name!r}"})
+                return name, None
+
+            def _read_json_body(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n).decode() if n else "{}"
+                try:
+                    body = json.loads(raw or "{}")
+                except json.JSONDecodeError:
+                    return None
+                return body if isinstance(body, dict) else None
+
+            def do_PATCH(self):  # noqa: N802 — backfill state updates
+                m = re.match(r"^/api/sinks/([^/]+)/backfills/([^/]+)$",
+                             self.path.split("?")[0])
+                if not m:
+                    return self._json(404, {"error": "not found"})
+                sink, err = self._sink_for_backfills(m.group(1))
+                if err:
+                    return err
+                body = self._read_json_body()
+                if body is None:
+                    return self._json(400, {"error": "invalid JSON body"})
+                try:
+                    job = outer.backfills.update(sink, m.group(2), body)
+                except KeyError:
+                    return self._json(404, {"error": f"no backfill {m.group(2)!r}"})
+                except ValueError as e:
+                    return self._json(422, {"error": str(e)})
+                self._json(200, job.to_external())
+
+            do_PUT = do_PATCH  # noqa: N815 — resources(...) accepts both
+
             def do_POST(self):  # noqa: N802
+                # backfill create (backfill_controller.ex:34-53): body is
+                # {"table": "schema.table"} plus optional "state"; unknown
+                # fields rejected (from_external_backfill parity)
+                m = re.match(r"^/api/sinks/([^/]+)/backfills$",
+                             self.path.split("?")[0])
+                if m:
+                    sink, err = self._sink_for_backfills(m.group(1))
+                    if err:
+                        return err
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    table_ref = body.pop("table", None)
+                    state = body.pop("state", None)
+                    if body:
+                        return self._json(
+                            422, {"error": f"Unknown field: {sorted(body)[0]}"}
+                        )
+                    try:
+                        job = outer.backfills.create(sink, table_ref)
+                        if state is not None and state != "active":
+                            job.transition(state)
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, job.to_external())
                 action = {"/api/config/plan": "plan", "/api/config/apply": "apply"}.get(
                     self.path.split("?")[0]
                 )
