@@ -79,10 +79,15 @@ ROUTING_SCHEMAS: dict[str, dict[str, object]] = {
         ),
     },
     "meilisearch": {
+        # routing/consumers/meilisearch.ex:8-13 — action ∈ {index, delete,
+        # function}; filter/function/context only used when action=function
         "index_name": lambda: F.col("table_name"),
         "index_action": lambda: F.when(F.col("action") == "delete", F.lit("delete")).otherwise(
             F.lit("upsert")
         ),
+        "filter": lambda: F.lit(None).cast("string"),
+        "function": lambda: F.lit(None).cast("string"),
+        "context": lambda: F.lit(None).cast("map<string,string>"),
     },
     "elasticsearch": {
         "index_name": lambda: F.col("table_name"),

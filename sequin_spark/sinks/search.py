@@ -107,9 +107,54 @@ class TypesenseSink(Sink):
             )
 
 
+def build_meili_edit_body(filter_expr: str, function_expr: str,
+                          context: dict | None = None) -> dict:
+    """Body for POST /indexes/:index/documents/edit — the function-based
+    document update (sinks/meilisearch/client.ex:180-193). ``filter`` and
+    ``function`` are required, 1..10_000 chars (routing/consumers/
+    meilisearch.ex:27-38); ``context`` attached only when non-empty."""
+    for name, val in (("filter", filter_expr), ("function", function_expr)):
+        if not val or not isinstance(val, str):
+            raise ValueError(f"meilisearch function update requires {name!r}")
+        if len(val) > 10_000:
+            raise ValueError(f"meilisearch {name} exceeds 10000 chars")
+    body = {"filter": filter_expr, "function": function_expr}
+    if context:
+        body["context"] = context
+    return body
+
+
 class MeilisearchSink(Sink):
     sink_type = "meilisearch"
     default_batch_size = 100
+
+    def _wait_for_task(self, base: str, headers: dict, task_uid: int) -> None:
+        """Poll /tasks/:uid until terminal (client.ex wait_for_task) —
+        async task acceptance isn't delivery; a failed task must fail the
+        batch so retry/backoff semantics hold."""
+        import time
+        deadline = time.monotonic() + float(self.config.get("task_timeout_s", 15))
+        while True:
+            req = urllib.request.Request(f"{base}/tasks/{task_uid}", headers=headers)
+            with urllib.request.urlopen(req, timeout=15) as resp:
+                task = json.loads(resp.read() or b"{}")
+            status = task.get("status")
+            if status == "succeeded":
+                return
+            if status in ("failed", "canceled"):
+                raise RuntimeError(f"meilisearch task {task_uid} {status}: "
+                                   f"{str(task.get('error'))[:200]}")
+            if time.monotonic() > deadline:
+                raise RuntimeError(f"meilisearch task {task_uid} timed out ({status})")
+            time.sleep(0.05)
+
+    def _request(self, base: str, path: str, payload, headers: dict,
+                 method: str = "POST") -> None:
+        resp = _post(f"{base}{path}", json.dumps(payload).encode(),
+                     "application/json", headers, method=method)
+        parsed = json.loads(resp or b"{}") if resp else {}
+        if isinstance(parsed, dict) and parsed.get("taskUid") is not None:
+            self._wait_for_task(base, headers, parsed["taskUid"])
 
     def deliver(self, batch: SinkBatch) -> None:
         index = batch.routing.get("index_name") or self.config.get("index", "sequin")
@@ -117,11 +162,29 @@ class MeilisearchSink(Sink):
         headers = {}
         if self.config.get("api_key"):
             headers["Authorization"] = f"Bearer {self.config['api_key']}"
-        upserts = [_doc(r) for r in batch.rows if (r.get("index_action") or "upsert") != "delete"]
-        deletes = [_doc_id(r) for r in batch.rows if (r.get("index_action") or "upsert") == "delete"]
+        upserts, deletes, functions = [], [], []
+        for r in batch.rows:
+            action = r.get("index_action") or "upsert"
+            if action == "function":
+                functions.append(r)
+            elif action == "delete":
+                deletes.append(_doc_id(r))
+            else:
+                upserts.append(_doc(r))
         if upserts:
-            _post(f"{base}/indexes/{index}/documents", json.dumps(upserts).encode(),
-                  "application/json", headers, method="PUT")
+            self._request(base, f"/indexes/{index}/documents", upserts,
+                          headers, method="PUT")
         if deletes:
-            _post(f"{base}/indexes/{index}/documents/delete-batch",
-                  json.dumps(deletes).encode(), "application/json", headers)
+            self._request(base, f"/indexes/{index}/documents/delete-batch",
+                          deletes, headers)
+        # function updates apply per-message, in order (meilisearch_pipeline
+        # .ex:120-163 handle_batch {"function", index} maps each message)
+        for r in functions:
+            ctx = r.get("context")
+            if isinstance(ctx, str):
+                try:
+                    ctx = json.loads(ctx)
+                except ValueError:
+                    ctx = {"value": ctx}
+            body = build_meili_edit_body(r.get("filter"), r.get("function"), ctx)
+            self._request(base, f"/indexes/{index}/documents/edit", body, headers)

@@ -85,6 +85,104 @@ def test_meilisearch_put_and_delete_batch(server):
     assert ("POST", "/indexes/chars/documents/delete-batch") in methods
 
 
+class _MeiliTasks(http.server.BaseHTTPRequestHandler):
+    """Fake Meilisearch: every write returns an enqueued taskUid; /tasks/:id
+    succeeds on the second poll (exercises wait_for_task)."""
+
+    requests: list = []
+    polls: dict = {}
+    fail_task: bool = False
+
+    def _handle(self):
+        ln = int(self.headers.get("Content-Length") or 0)
+        body = self.rfile.read(ln).decode() if ln else ""
+        _MeiliTasks.requests.append((self.command, self.path, body))
+        if self.path.startswith("/tasks/"):
+            uid = int(self.path.rsplit("/", 1)[1])
+            n = _MeiliTasks.polls.get(uid, 0) + 1
+            _MeiliTasks.polls[uid] = n
+            if n < 2:
+                payload = {"uid": uid, "status": "processing"}
+            elif _MeiliTasks.fail_task:
+                payload = {"uid": uid, "status": "failed",
+                           "error": {"message": "invalid function"}}
+            else:
+                payload = {"uid": uid, "status": "succeeded"}
+        else:
+            payload = {"taskUid": len(_MeiliTasks.requests)}
+        out = json.dumps(payload).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.end_headers()
+        self.wfile.write(out)
+
+    do_POST = do_PUT = do_DELETE = do_GET = _handle
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def meili_server():
+    _MeiliTasks.requests = []
+    _MeiliTasks.polls = {}
+    _MeiliTasks.fail_task = False
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _MeiliTasks)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_meilisearch_function_update(meili_server):
+    """Function-based document update (meilisearch_pipeline.ex:120-163):
+    each function row POSTs /indexes/:i/documents/edit with
+    filter/function/context, then waits for the task to succeed."""
+    sink = create_sink("meilisearch", {"url": meili_server, "api_key": "k"})
+    sink.open()
+    sink.deliver(SinkBatch(routing={"index_name": "chars"}, rows=[
+        {"group_id": "1", "index_action": "function",
+         "filter": "id = 1", "function": "doc.name = context.name",
+         "context": '{"name": "ada"}'},
+        {"group_id": "2", "index_action": "function",
+         "filter": "id = 2", "function": "doc.archived = true"},
+    ]))
+    edits = [(m, p, json.loads(b)) for m, p, b in _MeiliTasks.requests
+             if p.endswith("/documents/edit")]
+    assert len(edits) == 2
+    assert edits[0][0] == "POST" and edits[0][1] == "/indexes/chars/documents/edit"
+    assert edits[0][2] == {"filter": "id = 1",
+                           "function": "doc.name = context.name",
+                           "context": {"name": "ada"}}
+    assert edits[1][2] == {"filter": "id = 2", "function": "doc.archived = true"}
+    # every accepted task was polled to completion
+    assert all(n >= 2 for n in _MeiliTasks.polls.values())
+    # auth header forwarded on task polls too
+    assert any(p.startswith("/tasks/") for _, p, _ in _MeiliTasks.requests)
+
+
+def test_meilisearch_function_update_failed_task(meili_server):
+    _MeiliTasks.fail_task = True
+    sink = create_sink("meilisearch", {"url": meili_server})
+    sink.open()
+    with pytest.raises(RuntimeError, match="failed"):
+        sink.deliver(SinkBatch(routing={"index_name": "chars"}, rows=[
+            {"group_id": "1", "index_action": "function",
+             "filter": "id = 1", "function": "doc.x = 1"},
+        ]))
+
+
+def test_meili_edit_body_validation():
+    from sequin_spark.sinks.search import build_meili_edit_body
+    with pytest.raises(ValueError, match="filter"):
+        build_meili_edit_body("", "doc.x = 1")
+    with pytest.raises(ValueError, match="function"):
+        build_meili_edit_body("id = 1", None)
+    with pytest.raises(ValueError, match="10000"):
+        build_meili_edit_body("id = 1", "x" * 10_001)
+    assert build_meili_edit_body("id = 1", "doc.x = 1") == {
+        "filter": "id = 1", "function": "doc.x = 1"}
+
+
 def test_redis_command_builders():
     cmds = build_string_commands([
         {"key": "sequin:t:1", "value": "{}", "redis_action": "set", "expire_ms": 500},
