@@ -106,11 +106,13 @@ class ReplicationClient:
         password: str | None = None,
         connect_timeout: float = 10.0,
         receive_timeout: float = 0.5,
+        replication: bool = True,
     ):
         self.host, self.port = host, port
         self.user, self.database, self.password = user, database, password
         self.connect_timeout = connect_timeout
         self.receive_timeout = receive_timeout
+        self.replication = replication  # False → plain simple-query session
         self._sock: socket.socket | None = None
         self._buf = b""
         self.streaming = False
@@ -165,9 +167,10 @@ class ReplicationClient:
         params = {
             "user": self.user,
             "database": self.database,
-            "replication": "database",
             "application_name": "sequin_spark",
         }
+        if self.replication:
+            params["replication"] = "database"
         body = struct.pack(">i", PROTO_V3) + b"".join(
             k.encode() + b"\x00" + v.encode() + b"\x00" for k, v in params.items()
         ) + b"\x00"
@@ -380,12 +383,17 @@ class ReplicationIngestWorker:
         flush_seconds: float = 1.0,
         ack_interval: float = 5.0,
         on_relation=None,
+        metrics=None,
+        slot_name: str = "slot",
     ):
         self.client = client
         self.out_dir = out_dir
         self.flush_events = flush_events
         self.flush_seconds = flush_seconds
         self.ack_interval = ack_interval
+        self.metrics = metrics  # ConsumerMetrics-shaped (observe_ingestion_latency)
+        self.slot_name = slot_name
+        self.ingestion_latency_us: float | None = None
         self.folder = EventFolder(on_relation=on_relation)
         self._committed: list[dict] = []  # events of committed txns, unflushed
         self._open_txn: list[dict] = []  # events of the in-flight txn
@@ -472,6 +480,15 @@ class ReplicationIngestWorker:
             if deadline is not None and time.monotonic() > deadline:
                 break
             msg = self.client.poll()
+            if isinstance(msg, (XLogData, PrimaryKeepalive)) and msg.clock:
+                # ingestion latency = our clock minus the server's send
+                # timestamp (prometheus.ex:334-338 observe_ingestion_latency,
+                # fed from keepalive clocks in slot_producer.ex)
+                self.ingestion_latency_us = float(pg_clock_micros() - msg.clock)
+                if self.metrics is not None:
+                    self.metrics.observe_ingestion_latency(
+                        self.slot_name, self.ingestion_latency_us
+                    )
             if isinstance(msg, XLogData):
                 self._handle_xlog(msg)
             elif isinstance(msg, PrimaryKeepalive) and msg.reply_requested:

@@ -54,6 +54,16 @@ SUMMARY_SCHEMA = (
     "idempotency_key string, group_id string, deliver_count int, acked_at double"
 )
 
+# Delivery-latency histogram buckets in microseconds (prometheus.ex:23-29
+# sequin_delivery_latency_us). Executor tasks observe each sink call and
+# ship bucket counts back as kind='lat' summary rows (bucket bound in
+# commit_lsn, count in n) plus one kind='lat_agg' row per success label
+# (observation count in n, summed µs in commit_lsn) — bounded rows, never
+# per-event.
+LAT_BUCKETS_US = (1_000, 5_000, 10_000, 25_000, 50_000, 100_000,
+                  250_000, 500_000, 1_000_000, 5_000_000)
+LAT_INF = 2**62  # the +Inf bucket marker
+
 # Event identity: CDC rows are unique by (lsn, idx); backfill `read` rows
 # all carry cursor (0,0) and are unique by their PK-derived idempotency
 # key (table_reader.ex:405) — so dedup/ledger/status identity is the
@@ -229,6 +239,14 @@ class DeliveryEngine:
         # group blocking are NOT dropped — they ride in pending with
         # unchanged deliver_count until the group head resolves.
         pending = self._read_pending()
+        # first-seen times survive redelivery round-trips via this driver-side
+        # snapshot (pending is bounded by max_pending) — feeds the
+        # sequin_oldest_message_age_ms gauge (prometheus.ex:39-45)
+        prev_seen = None
+        if pending is not None and "first_seen_at" in pending.columns:
+            prev_seen = pending[IDENTITY + ["first_seen_at"]].rename(
+                columns={"first_seen_at": "_prev_seen"}
+            ).drop_duplicates(subset=IDENTITY)
         shed = 0
         if pending is not None and len(pending) >= self.max_pending:
             # store full (slot_message_store_state.ex:18-48 memory cap;
@@ -294,6 +312,20 @@ class DeliveryEngine:
             vectorized = callable(getattr(sink, "deliver_frame", None))
             status_cols = ["commit_lsn", "commit_idx", "idempotency_key", "group_id",
                            "status", "error", "deliver_count"]
+            # per-task latency histogram: {success: [bucket counts..., +Inf]}
+            lat_counts = {"true": [0] * (len(LAT_BUCKETS_US) + 1),
+                          "false": [0] * (len(LAT_BUCKETS_US) + 1)}
+            lat_sum_us = {"true": 0, "false": 0}
+
+            def _observe(success: bool, dur_us: int) -> None:
+                key = "true" if success else "false"
+                for i, le in enumerate(LAT_BUCKETS_US):
+                    if dur_us <= le:
+                        lat_counts[key][i] += 1
+                        break
+                else:
+                    lat_counts[key][-1] += 1
+                lat_sum_us[key] += dur_us
 
             def _finish(status_pdf: pd.DataFrame, payload_pdf: pd.DataFrame):
                 """Persist one frame's outcomes executor-side; return the
@@ -379,11 +411,14 @@ class DeliveryEngine:
                     # fast path: whole ordered partition frame at once
                     # (order preserved by the sort; partition-granular
                     # failure instead of group-granular)
+                    t0 = time.perf_counter()
                     try:
                         sink.deliver_frame(pdf)
                         st, err = "delivered", ""
                     except Exception as e:  # noqa: BLE001
                         st, err = "failed", str(e)[:500]
+                    _observe(st == "delivered",
+                             int((time.perf_counter() - t0) * 1e6))
                     status_pdf = pd.DataFrame({
                         "commit_lsn": pdf["commit_lsn"],
                         "commit_idx": pdf["commit_idx"],
@@ -415,14 +450,17 @@ class DeliveryEngine:
                     if not chunk:
                         return
                     routing = {c: chunk[0].get(c) for c in routing_cols}
+                    t0 = time.perf_counter()
                     try:
                         sink.deliver(SinkBatch(routing=routing, rows=chunk))
+                        _observe(True, int((time.perf_counter() - t0) * 1e6))
                         for r in chunk:
                             statuses.append(
                                 (r["commit_lsn"], r["commit_idx"], r["idempotency_key"],
                                  _gkey(r), "delivered", "", int(r["deliver_count"]))
                             )
                     except Exception as e:  # noqa: BLE001
+                        _observe(False, int((time.perf_counter() - t0) * 1e6))
                         err = str(e)[:500]
                         for r in chunk:
                             statuses.append(
@@ -469,11 +507,41 @@ class DeliveryEngine:
                 out = _finish(pd.DataFrame(statuses, columns=status_cols), pdf)
                 if out is not None:
                     yield out
+            lat_rows = []
+            for success in ("true", "false"):
+                counts = lat_counts[success]
+                if not any(counts):
+                    continue
+                for le, c in zip((*LAT_BUCKETS_US, LAT_INF), counts):
+                    if c:
+                        lat_rows.append(("lat", success, c, le))
+                lat_rows.append(("lat_agg", success, sum(counts), lat_sum_us[success]))
+            if lat_rows:
+                yield pd.DataFrame({
+                    "kind": [r[0] for r in lat_rows],
+                    "status": [r[1] for r in lat_rows],
+                    "n": [r[2] for r in lat_rows],
+                    "commit_lsn": [r[3] for r in lat_rows],
+                    "commit_idx": 0, "idempotency_key": "", "group_id": "",
+                    "deliver_count": 0, "acked_at": 0.0,
+                })
             sink.close()
 
         summary_pdf = arranged.mapInPandas(deliver, SUMMARY_SCHEMA).toPandas()
         agg = summary_pdf[summary_pdf["kind"] == "agg"]
         by_status = agg.groupby("status")["n"].sum() if len(agg) else pd.Series(dtype="int64")
+
+        # fold per-task latency histograms (bounded: ≤ tasks × buckets rows)
+        latency: dict[str, dict] = {}
+        lat = summary_pdf[summary_pdf["kind"] == "lat"]
+        for (success, le), n in lat.groupby(["status", "commit_lsn"])["n"].sum().items():
+            h = latency.setdefault(success, {"buckets": {}, "sum_us": 0, "count": 0})
+            h["buckets"][int(le)] = h["buckets"].get(int(le), 0) + int(n)
+        lat_agg = summary_pdf[summary_pdf["kind"] == "lat_agg"]
+        for success, grp in lat_agg.groupby("status"):
+            h = latency.setdefault(success, {"buckets": {}, "sum_us": 0, "count": 0})
+            h["count"] += int(grp["n"].sum())
+            h["sum_us"] += int(grp["commit_lsn"].sum())
         n_delivered = int(by_status.get("delivered", 0))
         n_failed = int(by_status.get("failed", 0))
         n_blocked = int(by_status.get("blocked", 0))
@@ -520,7 +588,22 @@ class DeliveryEngine:
         if len(carry_pending):
             new_pending = pd.concat([new_pending, carry_pending], ignore_index=True)
 
+        oldest_pending_age_ms = 0.0
         if len(new_pending):
+            # stamp/restore first_seen_at: restored from the pre-batch
+            # snapshot for rows that were already pending (incl. redelivery
+            # round-trips, which drop the column on the Spark leg), stamped
+            # `now` for rows failing for the first time
+            if "first_seen_at" in new_pending.columns:
+                new_pending = new_pending.drop(columns=["first_seen_at"])
+            if prev_seen is not None:
+                new_pending = new_pending.merge(prev_seen, on=IDENTITY, how="left")
+                new_pending["first_seen_at"] = new_pending.pop("_prev_seen").fillna(now)
+            else:
+                new_pending["first_seen_at"] = now
+            oldest_pending_age_ms = max(
+                0.0, (time.time() - float(new_pending["first_seen_at"].min())) * 1000.0
+            )
             _write_parquet(self.pending_path, new_pending)
         elif os.path.exists(self.pending_path):
             os.remove(self.pending_path)
@@ -540,4 +623,6 @@ class DeliveryEngine:
             "discarded": int(len(discarded)),
             "pending": int(len(new_pending)),
             "shed": shed,
+            "oldest_pending_age_ms": oldest_pending_age_ms,
+            "delivery_latency_us": latency,
         }

@@ -59,6 +59,15 @@ class ConsumerMetrics:
     def __init__(self):
         self.counters: dict[tuple[str, str], int] = defaultdict(int)
         self.gauges: dict[tuple[str, str], int] = defaultdict(int)
+        # (consumer, success) → {"buckets": {le_us: n}, "sum_us": int,
+        # "count": int} — sequin_delivery_latency_us (prometheus.ex:23-29)
+        self.latency: dict[tuple[str, str], dict] = {}
+        # consumer → age of the oldest pending message, ms
+        # (prometheus.ex:39-45 sequin_oldest_message_age_ms)
+        self.oldest_pending_ms: dict[str, float] = {}
+        # slot → ingestion latency µs (prometheus.ex:9-13,334-338: wall
+        # clock minus the server's keepalive send timestamp)
+        self.ingestion_latency_us: dict[str, float] = {}
 
     def record_batch(self, consumer: str, stats: dict) -> None:
         for k in self.COUNTERS:
@@ -66,6 +75,19 @@ class ConsumerMetrics:
         self.counters[("batches", consumer)] += 1
         for k in self.GAUGES:
             self.gauges[(k, consumer)] = int(stats.get(k, 0))
+        if "oldest_pending_age_ms" in stats:
+            self.oldest_pending_ms[consumer] = float(stats["oldest_pending_age_ms"])
+        for success, h in (stats.get("delivery_latency_us") or {}).items():
+            agg = self.latency.setdefault(
+                (consumer, success), {"buckets": defaultdict(int), "sum_us": 0, "count": 0}
+            )
+            for le, n in h.get("buckets", {}).items():
+                agg["buckets"][int(le)] += int(n)
+            agg["sum_us"] += int(h.get("sum_us", 0))
+            agg["count"] += int(h.get("count", 0))
+
+    def observe_ingestion_latency(self, slot: str, latency_us: float) -> None:
+        self.ingestion_latency_us[slot] = float(latency_us)
 
 
 def prometheus_text(metrics: ConsumerMetrics, listener: MetricsListener | None = None) -> str:
@@ -91,6 +113,31 @@ def prometheus_text(metrics: ConsumerMetrics, listener: MetricsListener | None =
     lines.append("# TYPE sequin_messages_pending gauge")
     for (k, consumer), v in sorted(metrics.gauges.items()):
         lines.append(f'sequin_messages_pending{{consumer="{consumer}"}} {v}')
+    if metrics.oldest_pending_ms:
+        lines.append("# TYPE sequin_oldest_message_age_ms gauge")
+        for consumer, v in sorted(metrics.oldest_pending_ms.items()):
+            lines.append(f'sequin_oldest_message_age_ms{{consumer="{consumer}"}} {v:.1f}')
+    if metrics.ingestion_latency_us:
+        lines.append("# TYPE sequin_ingestion_latency_us gauge")
+        for slot, v in sorted(metrics.ingestion_latency_us.items()):
+            lines.append(f'sequin_ingestion_latency_us{{slot="{slot}"}} {v:.0f}')
+    if metrics.latency:
+        from sequin_spark.streaming.delivery import LAT_BUCKETS_US, LAT_INF
+        lines.append("# TYPE sequin_delivery_latency_us histogram")
+        for (consumer, success), h in sorted(metrics.latency.items()):
+            labels = f'consumer="{consumer}",success="{success}"'
+            cum = 0
+            for le in LAT_BUCKETS_US:
+                cum += h["buckets"].get(le, 0)
+                lines.append(
+                    f'sequin_delivery_latency_us_bucket{{{labels},le="{le}"}} {cum}'
+                )
+            cum += h["buckets"].get(LAT_INF, 0)
+            lines.append(
+                f'sequin_delivery_latency_us_bucket{{{labels},le="+Inf"}} {cum}'
+            )
+            lines.append(f'sequin_delivery_latency_us_sum{{{labels}}} {h["sum_us"]}')
+            lines.append(f'sequin_delivery_latency_us_count{{{labels}}} {h["count"]}')
     if listener is not None:
         snap = listener.snapshot()
         lines.append("# TYPE sequin_stream_rows_per_sec gauge")

@@ -279,11 +279,15 @@ def test_startup_queries_and_replication_options():
 def test_replication_e2e_decode_pipeline_sink_and_acks(spark, tmp_path):
     """fake walsender → socket client → pgoutput decode → CDC-log parquet
     → Spark pipeline → file_log sink, LSN acks asserted."""
+    from sequin_spark.streaming.metrics import ConsumerMetrics, prometheus_text
+
     srv = FakeWalSender(wal_script())
     client = _connect(srv)
     out_dir = tmp_path / "wal"
+    metrics = ConsumerMetrics()
     worker = ReplicationIngestWorker(
         client, str(out_dir), flush_seconds=0.1, ack_interval=0.2,
+        metrics=metrics, slot_name="sequin_slot",
     )
     try:
         client.start_replication("sequin_slot", "sequin_pub")
@@ -295,6 +299,10 @@ def test_replication_e2e_decode_pipeline_sink_and_acks(spark, tmp_path):
         client.close()
         srv.close()
     assert worker.files_written >= 1
+    # ingestion latency observed from XLogData/keepalive clocks and
+    # exposed as a slot-labeled gauge (prometheus.ex:334-338)
+    assert worker.ingestion_latency_us is not None
+    assert 'sequin_ingestion_latency_us{slot="sequin_slot"}' in prometheus_text(metrics)
     # all three inserts landed, with transactional cursor bookkeeping
     ev = read_cdc_log(spark, str(out_dir))
     rows = {tuple(r) for r in ev.selectExpr(

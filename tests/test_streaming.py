@@ -74,10 +74,18 @@ def test_retry_group_blocking_and_backoff(spark, tmp_path):
     )
     stats = engine.process_batch(df, 0)
     # g1 head fails, g1 second is group-blocked, g2 delivers
-    assert stats == {
+    assert {k: stats[k] for k in (
+        "batch_id", "delivered", "failed", "blocked", "deferred",
+        "discarded", "pending", "shed",
+    )} == {
         "batch_id": 0, "delivered": 1, "failed": 1, "blocked": 1,
         "deferred": 0, "discarded": 0, "pending": 2, "shed": 0,
     }
+    # metric breadth: one failed + one ok sink call observed; the pending
+    # head sets the oldest-age gauge
+    assert stats["delivery_latency_us"]["true"]["count"] == 1
+    assert stats["delivery_latency_us"]["false"]["count"] == 1
+    assert stats["oldest_pending_age_ms"] >= 0.0
     # while g1 is backing off → nothing deliverable
     stats2 = engine.process_batch(df.limit(0), 1)
     assert stats2["delivered"] == 0 and stats2["pending"] == 2
