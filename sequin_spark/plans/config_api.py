@@ -86,12 +86,16 @@ class ConfigRegistry:
 class ConfigApiServer:
     def __init__(self, registry: ConfigRegistry | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 backfills=None):
+                 backfills=None, databases=None):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
-        (router.ex:173, backfill_controller.ex)."""
+        (router.ex:173, backfill_controller.ex).
+        ``databases``: optional plans.database_api.DatabaseRegistry —
+        enables the /api/postgres_databases resource routes
+        (router.ex:160,175-178, postgres_database_controller.ex)."""
         self.registry = registry or ConfigRegistry()
         self.backfills = backfills
+        self.databases = databases
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -142,7 +146,48 @@ class ConfigApiServer:
                     if spec is None:
                         return self._json(404, {"error": f"no sink consumer {m.group(1)!r}"})
                     return self._json(200, to_external(spec))
+                # postgres_databases resource reads (router.ex:160,177-178)
+                if u.path == "/api/postgres_databases":
+                    if outer.databases is None:
+                        return self._json(404, {"error": "databases not enabled"})
+                    q = dict(parse_qsl(u.query))
+                    show = str(q.get("show_sensitive", "")).lower() == "true"
+                    return self._json(200, {
+                        "data": [d.to_external(show) for d in outer.databases.list()]
+                    })
+                m = re.match(r"^/api/postgres_databases/([^/]+)(/schemas"
+                             r"(?:/([^/]+)/tables)?)?$", u.path)
+                if m:
+                    db, err = self._resolve_db(m.group(1))
+                    if err:
+                        return err
+                    if m.group(2) is None:  # show
+                        q = dict(parse_qsl(u.query))
+                        show = str(q.get("show_sensitive", "")).lower() == "true"
+                        return self._json(200, db.to_external(show))
+                    try:
+                        tables = outer.databases.tables_for(db)
+                    except Exception as e:  # noqa: BLE001 — introspection I/O
+                        return self._json(422, {"error": str(e)[:300]})
+                    if m.group(3) is None:  # schemas.json
+                        return self._json(200, {
+                            "schemas": sorted({t["schema"] for t in tables})
+                        })
+                    return self._json(200, {  # tables.json
+                        "tables": [t for t in tables if t["schema"] == m.group(3)]
+                    })
                 self._json(404, {"error": "not found"})
+
+            def _resolve_db(self, id_or_name):
+                """Resolve :id_or_name (get_db_for_account analog)."""
+                if outer.databases is None:
+                    return None, self._json(404, {"error": "databases not enabled"})
+                db = outer.databases.resolve(id_or_name)
+                if db is None:
+                    return None, self._json(
+                        404, {"error": f"no postgres database {id_or_name!r}"}
+                    )
+                return db, None
 
             def _sink_for_backfills(self, name):
                 """Resolve the :sink_id_or_name segment; 404s mirror
@@ -162,7 +207,21 @@ class ConfigApiServer:
                     return None
                 return body if isinstance(body, dict) else None
 
-            def do_PATCH(self):  # noqa: N802 — backfill state updates
+            def do_PATCH(self):  # noqa: N802 — backfill/database updates
+                m = re.match(r"^/api/postgres_databases/([^/]+)$",
+                             self.path.split("?")[0])
+                if m:
+                    db, err = self._resolve_db(m.group(1))
+                    if err:
+                        return err
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    try:
+                        db = outer.databases.update(db.id, body)
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, db.to_external())
                 m = re.match(r"^/api/sinks/([^/]+)/backfills/([^/]+)$",
                              self.path.split("?")[0])
                 if not m:
@@ -183,7 +242,54 @@ class ConfigApiServer:
 
             do_PUT = do_PATCH  # noqa: N815 — resources(...) accepts both
 
+            def do_DELETE(self):  # noqa: N802 — database delete
+                m = re.match(r"^/api/postgres_databases/([^/]+)$",
+                             self.path.split("?")[0])
+                if not m:
+                    return self._json(404, {"error": "not found"})
+                db, err = self._resolve_db(m.group(1))
+                if err:
+                    return err
+                # delete.json shape (postgres_database_json.ex:15-17)
+                self._json(200, {"success": True, "id": outer.databases.delete(db.id)})
+
             def do_POST(self):  # noqa: N802
+                # postgres_databases create + member actions
+                # (postgres_database_controller.ex create/test_connection/
+                # refresh_tables; router.ex:160,175-176)
+                m = re.match(
+                    r"^/api/postgres_databases(?:/([^/]+)"
+                    r"(?:/(test_connection|refresh_tables))?)?$",
+                    self.path.split("?")[0],
+                )
+                if m:
+                    if outer.databases is None:
+                        return self._json(404, {"error": "databases not enabled"})
+                    if m.group(1) is None:  # create
+                        body = self._read_json_body()
+                        if body is None:
+                            return self._json(400, {"error": "invalid JSON body"})
+                        try:
+                            db = outer.databases.create(body)
+                        except ValueError as e:
+                            return self._json(422, {"error": str(e)})
+                        return self._json(201, db.to_external())
+                    db, err = self._resolve_db(m.group(1))
+                    if err:
+                        return err
+                    if m.group(2) == "test_connection":
+                        ok, reason = outer.databases.test_connection(db)
+                        if ok:
+                            return self._json(200, {"success": True})
+                        return self._json(422, {"success": False, "reason": reason})
+                    if m.group(2) == "refresh_tables":
+                        try:
+                            outer.databases.refresh_tables(db)
+                        except Exception as e:  # noqa: BLE001 — introspection I/O
+                            return self._json(422, {"success": False,
+                                                    "error": str(e)[:300]})
+                        return self._json(200, {"success": True})
+                    return self._json(404, {"error": "not found"})
                 # backfill create (backfill_controller.ex:34-53): body is
                 # {"table": "schema.table"} plus optional "state"; unknown
                 # fields rejected (from_external_backfill parity)
