@@ -50,7 +50,9 @@ def api(spark):
         name="customers-sink", sink_type="benchmark",
         source=Source(include_schemas=["public"]),
     )])
-    mgr = BackfillManager(resolver, initial_page_size=100, throttle_ms=150)
+    # 300ms/page × 5 pages ≥ 1.5s run — wide enough that pause/cancel
+    # PATCHes land mid-run even when the suite saturates the machine
+    mgr = BackfillManager(resolver, initial_page_size=100, throttle_ms=300)
     srv = ConfigApiServer(registry=registry, backfills=mgr).start()
     base = f"http://127.0.0.1:{srv.port}/api/sinks"
     try:
@@ -99,12 +101,18 @@ def test_backfill_pause_resume_cancel(api):
     code, paused = _req("PATCH", f"{api}/customers-sink/backfills/{bf['id']}",
                         {"state": "paused"})
     assert code == 200 and paused["state"] == "paused"
-    # progress freezes while paused (loop parks at a page boundary)
-    time.sleep(0.6)
-    _, a = _req("GET", f"{api}/customers-sink/backfills/{bf['id']}")
-    time.sleep(0.6)
-    _, b = _req("GET", f"{api}/customers-sink/backfills/{bf['id']}")
-    assert a["rows_processed_count"] == b["rows_processed_count"] < 500
+    # progress freezes while paused (loop parks at a page boundary) —
+    # poll until two reads 0.5s apart agree, so an in-flight page that
+    # started before the pause can drain without tripping the check
+    deadline = time.time() + 15
+    while True:
+        _, a = _req("GET", f"{api}/customers-sink/backfills/{bf['id']}")
+        time.sleep(0.5)
+        _, b = _req("GET", f"{api}/customers-sink/backfills/{bf['id']}")
+        if a["rows_processed_count"] == b["rows_processed_count"]:
+            break
+        assert time.time() < deadline, f"progress never froze: {a} → {b}"
+    assert b["rows_processed_count"] < 500
 
     # paused → active resumes (backfill.ex:93 paused: [active, cancelled])
     code, resumed = _req("PATCH", f"{api}/customers-sink/backfills/{bf['id']}",
