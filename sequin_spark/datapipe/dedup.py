@@ -10,6 +10,7 @@ bucket size, never O(n²).
 
 from __future__ import annotations
 
+import hashlib
 import os
 from dataclasses import dataclass
 
@@ -365,17 +366,46 @@ def shingle_docs(
     ).select(F.col(id_col), word_shingles("w", shingle_k).alias("sh"))
 
 
-def _signatures_from_shingles(shingled: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
-    def _hash_j(j: int):
-        # NB: must be a 1-arg lambda — pyspark dispatches 2-arg HOF
-        # lambdas as (element, index)
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+"""MinHash permutation family: one 32-bit base hash per shingle (first 8
+hex chars of md5), then per-permutation universal hashing
+``sig_j = (a_j * x + b_j) mod P`` with P = 4294967311 (the first prime
+above 2^32 — the standard datasketch/Spark-ML MinHashLSH construction).
+a_j < 2^31 and x < 2^32 keep the product under 2^63, so the arithmetic
+is overflow-free in both Spark longs and DuckDB BIGINTs. vs hashing
+every shingle n_hashes times with md5, this is ~n_hashes× less digest
+CPU — at corpus scale the signature pass is md5-bound, and the mul/add/
+mod permutations are whole-stage-codegen JVM arithmetic."""
+MINHASH_PRIME = 4294967311
 
-    sigs = [
-        F.array_min(F.transform(F.col("sh"), _hash_j(j))).alias(f"sig{j}")
-        for j in range(1, n_hashes + 1)
-    ]
-    return shingled.select(F.col(id_col), *sigs)
+
+def minhash_coeffs(j: int) -> tuple[int, int]:
+    """Deterministic (a_j, b_j), identical constants in Spark and the
+    DuckDB oracle (embedded as literals on both sides)."""
+    da = hashlib.md5(f"minhash-a-{j}".encode()).hexdigest()
+    db = hashlib.md5(f"minhash-b-{j}".encode()).hexdigest()
+    # a is 31-bit odd, x 32-bit, b 32-bit: a*x + b < 2^63 — overflow-free
+    return (int(da[:8], 16) & 0x7FFFFFFF) | 1, int(db[:8], 16)
+
+
+def _signatures_from_shingles(shingled: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
+    base = F.transform(
+        F.col("sh"),
+        # NB: 1-arg lambda — pyspark dispatches 2-arg HOF lambdas as
+        # (element, index)
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    def _perm(a: int, b: int):
+        # closure, not default args — pyspark dispatches HOF lambdas by
+        # parameter count, so extra defaulted params break arity
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    sigs = []
+    for j in range(1, n_hashes + 1):
+        a, b = minhash_coeffs(j)
+        sigs.append(
+            F.array_min(F.transform(F.col("bh"), _perm(a, b))).alias(f"sig{j}")
+        )
+    return shingled.select(F.col(id_col), base.alias("bh")).select(F.col(id_col), *sigs)
 
 
 def _bands_from_signatures(
@@ -384,7 +414,18 @@ def _bands_from_signatures(
     band_structs = []
     for b in range(1, bands + 1):
         parts = [F.col(f"sig{(b - 1) * rows_per_band + r}") for r in range(1, rows_per_band + 1)]
-        band_structs.append(F.struct(F.lit(b).alias("band"), F.concat(*parts).alias("key")))
+        # '|' separator: sigs are integers now — unseparated concat would
+        # alias e.g. (12,3) with (1,23). concat_ws skips nulls, so gate
+        # explicitly: shingle-less docs must keep a NULL key (not ""),
+        # else they'd all share one giant candidate bucket.
+        band_structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.when(
+                    parts[0].isNotNull(), F.concat_ws("|", *parts)
+                ).alias("key"),
+            )
+        )
     return (
         sig.select(F.col(id_col), F.explode(F.array(*band_structs)).alias("bk"))
         .select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))

@@ -90,9 +90,15 @@ _FUNCTIONS = {
     "get_json": (lambda c, p: F.get_json_object(_as_col(c), p), "str"),
     "is_null": (lambda c: _as_col(c).isNull(), "bool"),
     # Kernel parity (validator.ex @kernel_functions): div/rem/trunc/min/max/byte_size
-    # Elixir Kernel.div truncates toward zero and returns an integer:
-    # double-divide then cast — div(-7, 2) == -3, and str(div(12, 4)) == '3'
-    "div": (lambda a, b: (_as_col(a).cast("double") / _as_col(b)).cast("long"), "num"),
+    # Elixir Kernel.div truncates toward zero and returns an integer — so
+    # does Spark's integral `div` (-7 div 2 == -3), and staying in the
+    # integer domain keeps |n| > 2^53 exact (a double round-trip would not)
+    "div": (
+        lambda a, b: F.call_function(
+            "div", _as_col(a).cast("long"), _as_col(b).cast("long")
+        ),
+        "num",
+    ),
     "rem": (lambda a, b: _as_col(a) % _as_col(b), "num"),
     "trunc": (lambda c: _as_col(c).cast("long"), "num"),
     "min": (lambda *cs: F.least(*[_as_col(c) for c in cs]), "unknown"),

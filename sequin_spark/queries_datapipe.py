@@ -80,15 +80,26 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_sig_col(j: int) -> str:
+    """DuckDB mirror of the universal-hash MinHash permutation
+    (datapipe/dedup.py minhash_coeffs / _signatures_from_shingles):
+    32-bit base from md5's first 8 hex chars, then (a*x+b) mod P."""
+    from sequin_spark.datapipe.dedup import MINHASH_PRIME, minhash_coeffs
+
+    a, b = minhash_coeffs(j)
+    return (
+        f"min(({a} * ('0x' || substr(md5(sh), 1, 8))::BIGINT + {b}) "
+        f"% {MINHASH_PRIME}) AS sig{j}"
+    )
+
+
 def _sql_minhash_cte() -> str:
     """Shared CTE chain ending in `cand(doc_a, doc_b)` — the MinHash-LSH
     candidate pairs over _docs_with_dupes (bands=4, rows_per_band=2,
     shingle_k=3), mirroring minhash_candidate_pairs exactly."""
-    sig_cols = ", ".join(
-        f"min(md5('{j}|' || sh)) AS sig{j}" for j in range(1, 9)
-    )
+    sig_cols = ", ".join(_sql_sig_col(j) for j in range(1, 9))
     band_selects = "\nUNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, sig{2 * b - 1} || sig{2 * b} AS key FROM sig"
+        f"SELECT doc_id, {b} AS band, sig{2 * b - 1} || '|' || sig{2 * b} AS key FROM sig"
         for b in range(1, 5)
     )
     return f"""
@@ -690,7 +701,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.expr("replace(text, ' the ', ' thy ')").alias("text"),
     )
-    key = hashlib.sha256(os.path.realpath(sf_dir).encode()).hexdigest()[:12]
+    # v2: universal-hash signature scheme — versioned so a cached index
+    # built under an older scheme is never joined against
+    key = hashlib.sha256(
+        (os.path.realpath(sf_dir) + "|sig-v2").encode()
+    ).hexdigest()[:12]
     idx_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache", "dedup_index", key,
@@ -703,9 +718,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_dedup_incremental() -> str:
-    sig_cols = ", ".join(f"min(md5('{j}|' || sh)) AS sig{j}" for j in range(1, 9))
+    sig_cols = ", ".join(_sql_sig_col(j) for j in range(1, 9))
     band_selects = "\nUNION ALL ".join(
-        f"SELECT doc_id, {b} AS band, sig{2 * b - 1} || sig{2 * b} AS key FROM {{src}}_sig"
+        f"SELECT doc_id, {b} AS band, sig{2 * b - 1} || '|' || sig{2 * b} AS key "
+        f"FROM {{src}}_sig"
         for b in range(1, 5)
     )
 
@@ -832,6 +848,203 @@ FROM packed
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus filtering: decontamination / PII scrubbing / repetition gating
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: a deterministic eval holdout
+    (doc_id % 97 == 3) is checked against the training corpus — the rest
+    of `documents` plus the→thy mutated copies of the eval docs (the
+    classic leak shape: near-verbatim benchmark text inside a training
+    page). 8-gram collisions, eval side broadcast."""
+    from sequin_spark.datapipe.filtering import decontaminate
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_set = docs.filter(F.col("doc_id") % 97 == 3)
+    corpus = docs.filter(F.col("doc_id") % 97 != 3).unionByName(
+        eval_set.select(
+            (F.col("doc_id") + 20000).alias("doc_id"),
+            F.expr("replace(text, ' the ', ' thy ')").alias("text"),
+        )
+    )
+    return decontaminate(corpus, eval_set, gram=8, threshold=0.01)
+
+
+def _sql_corpus_decontaminate() -> str:
+    g8 = " || ' ' || ".join(f"w[i+{k}]" for k in range(8))
+    return f"""
+WITH eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
+  UNION ALL
+  SELECT doc_id + 20000, replace(text, ' the ', ' thy ') FROM eval_docs
+),
+cw AS (SELECT doc_id, list_filter(string_split({D_NORM}, ' '), x -> x <> '') AS w
+       FROM corpus),
+cg AS (
+  SELECT DISTINCT doc_id, {g8} AS gram
+  FROM cw, unnest(generate_series(1, len(w) - 7)) AS t(i)
+),
+ew AS (SELECT list_filter(string_split({D_NORM}, ' '), x -> x <> '') AS w
+       FROM eval_docs),
+eg AS (
+  SELECT DISTINCT {g8} AS gram
+  FROM ew, unnest(generate_series(1, len(w) - 7)) AS t(i)
+),
+hits AS (
+  SELECT cg.doc_id,
+         count(*) AS n_grams,
+         count(eg.gram) AS n_contaminated
+  FROM cg LEFT JOIN eg ON cg.gram = eg.gram
+  GROUP BY cg.doc_id
+)
+SELECT c.doc_id,
+       COALESCE(h.n_grams, 0) AS n_grams,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       round(COALESCE(h.n_contaminated / h.n_grams, 0), 6) AS contamination_rate,
+       COALESCE(h.n_contaminated, 0) > 0
+         AND COALESCE(h.n_contaminated / h.n_grams, 0) >= 0.01 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over documents with deterministically planted PII
+    (emails/SSNs/IPs/phones appended by doc_id residue — the corpus
+    itself is synthetic and clean, so the queries plant what they
+    scrub). Counts per kind + md5 of the scrubbed text."""
+    from sequin_spark.datapipe.filtering import pii_scrub
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.expr(
+            "concat(text,"
+            " CASE WHEN doc_id % 7 = 0 THEN concat(' contact user', doc_id,"
+            "   '@mail.example.com') ELSE '' END,"
+            " CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END,"
+            " CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END,"
+            " CASE WHEN doc_id % 17 = 0 THEN concat(' from 10.0.',"
+            "   doc_id % 200, '.25') ELSE '' END)"
+        ).alias("text"),
+    )
+    out = pii_scrub(planted)
+    return out.select(
+        "doc_id", "n_email", "n_ssn", "n_ip", "n_phone",
+        F.md5("scrubbed").alias("scrub_hash"),
+    )
+
+
+def _sql_text_pii_scrub() -> str:
+    from sequin_spark.datapipe.filtering import PII_PATTERNS
+
+    pats = {kind: pat for kind, pat, _ in PII_PATTERNS}
+    # chained global replaces in the module's declared order
+    scrub = "text"
+    for kind, pat, repl in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{repl}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pats[k]}')) AS n_{k}"
+        for k in ("email", "ssn", "ip", "phone")
+    )
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@mail.example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+                 THEN ' from 10.0.' || (doc_id % 200) || '.25' ELSE '' END
+           AS text
+  FROM documents
+)
+SELECT doc_id, {counts}, md5({scrub}) AS scrub_hash
+FROM planted
+"""
+
+
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gating over documents plus planted
+    degenerate docs (a 50× repeated phrase — the pathological page the
+    thresholds exist to reject)."""
+    from sequin_spark.datapipe.filtering import repetition_metrics
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spam = docs.filter(F.col("doc_id") % 41 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.expr("concat(repeat('spam ham eggs ', 50), text)").alias("text"),
+    )
+    return repetition_metrics(docs.unionByName(spam))
+
+
+def _sql_quality_repetition() -> str:
+    def grams(k: int) -> str:
+        parts = " || ' ' || ".join(f"w[i+{j}]" for j in range(k))
+        return (
+            f"list_transform(generate_series(1, greatest(len(w) - {k - 1}, 0)),"
+            f" i -> {parts})"
+        )
+
+    thr = "dup_word_frac <= 0.60 AND dup_2gram_frac <= 0.40 " \
+          "AND dup_3gram_frac <= 0.30 AND top_word_char_frac <= 0.20"
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000, repeat('spam ham eggs ', 50) || text
+  FROM documents WHERE doc_id % 41 = 0
+),
+words AS (
+  SELECT doc_id, list_filter(string_split({D_NORM}, ' '), x -> x <> '') AS w
+  FROM all_docs
+),
+narrow AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         CASE WHEN len(w) > 0
+              THEN round(1.0 - len(list_distinct(w)) / len(w), 6)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len({grams(2)}) > 0
+              THEN round(1.0 - len(list_distinct({grams(2)})) / len({grams(2)}), 6)
+              ELSE 0.0 END AS dup_2gram_frac,
+         CASE WHEN len({grams(3)}) > 0
+              THEN round(1.0 - len(list_distinct({grams(3)})) / len({grams(3)}), 6)
+              ELSE 0.0 END AS dup_3gram_frac,
+         len(replace(array_to_string(w, ''), ' ', '')) AS n_word_chars
+  FROM words
+),
+wc AS (
+  SELECT doc_id, w_i AS word, count(*) AS n
+  FROM words, unnest(w) AS t(w_i)
+  GROUP BY doc_id, w_i
+),
+top AS (
+  SELECT doc_id, word AS top_word, n AS top_n
+  FROM wc
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, word) = 1
+)
+SELECT narrow.doc_id, n_words, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+       top_word,
+       CASE WHEN n_word_chars > 0
+            THEN round(COALESCE(top_n, 0) * len(COALESCE(top_word, ''))
+                       / n_word_chars, 6)
+            ELSE 0.0 END AS top_word_char_frac,
+       CASE WHEN n_word_chars > 0
+            THEN round(COALESCE(top_n, 0) * len(COALESCE(top_word, ''))
+                       / n_word_chars, 6)
+            ELSE 0.0 END <= 0.20
+         AND {thr.replace('AND top_word_char_frac <= 0.20', '')} AS keep
+FROM narrow LEFT JOIN top ON narrow.doc_id = top.doc_id
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -855,6 +1068,9 @@ DATAPIPE_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_sample_mix": q_corpus_sample_mix,
     "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_decontaminate": q_corpus_decontaminate,
+    "text_pii_scrub": q_text_pii_scrub,
+    "quality_repetition": q_quality_repetition,
 }
 
 DATAPIPE_ORACLES = {
@@ -880,4 +1096,7 @@ DATAPIPE_ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "corpus_sample_mix": _sql_corpus_sample_mix(),
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
+    "corpus_decontaminate": _sql_corpus_decontaminate(),
+    "text_pii_scrub": _sql_text_pii_scrub(),
+    "quality_repetition": _sql_quality_repetition(),
 }

