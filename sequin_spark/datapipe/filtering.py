@@ -1,0 +1,219 @@
+"""Pretraining-corpus filtering operators: benchmark decontamination,
+PII scrubbing, repetition-based quality gating.
+
+These are the safety/quality passes a training-data pipeline runs after
+dedup (datapipe/dedup.py) and before sampling (datapipe/curation.py):
+
+- ``decontaminate``: flag corpus documents sharing word n-grams with an
+  evaluation/benchmark set, so test data never leaks into training. The
+  standard n-gram-collision method (as published for GPT-3/PaLM/Llama
+  dataset curation): any eval 8-gram appearing verbatim in a training
+  doc marks it contaminated.
+- ``pii_scrub``: redact emails / SSNs / IPv4s / phone numbers with
+  typed placeholder tokens and count replacements per document.
+- ``repetition_metrics``: Gopher-style repetition ratios (duplicate
+  word / 2-gram / 3-gram fractions, top-word character share) with a
+  composite keep flag.
+
+All pure Catalyst — regex + array built-ins + one keyed aggregation;
+no Python UDFs anywhere.
+
+Scale notes (100 TB): the eval-gram side of decontamination is small by
+construction (benchmarks are ~10^5 grams) and broadcast; the corpus side
+is a narrow projection + explode consumed map-side by the broadcast hash
+join, then one doc_id-keyed agg (combiner-friendly). pii_scrub is a pure
+scan. repetition_metrics' only shuffle is the doc_id-keyed word count
+for the top-word share.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.dedup import normalized, word_shingles
+
+# ---------------------------------------------------------------------------
+# decontamination
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Per-corpus-doc contamination against ``eval_set``: the fraction of
+    the doc's word ``gram``-grams that appear verbatim anywhere in the
+    eval set. Returns (id, n_grams, n_contaminated, contamination_rate,
+    contaminated) — ``contaminated`` when rate ≥ threshold OR the doc
+    contains ≥ 1 eval gram at all and threshold == 0.
+
+    Join is keyed on the gram string itself; the eval side is
+    deduplicated and broadcast (benchmark sets are tiny next to the
+    corpus), so the corpus side never shuffles — only the final
+    per-doc count aggregation does.
+    """
+    def grams_of(df: DataFrame, keep_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if keep_id else []
+        return df.select(
+            *cols, F.split(normalized(text_col), " ").alias("w")
+        ).select(*cols, word_shingles("w", gram).alias("g"))
+
+    corpus_grams = grams_of(corpus, keep_id=True).select(
+        id_col, F.explode_outer(F.array_distinct("g")).alias("gram")
+    )
+    eval_grams = (
+        grams_of(eval_set, keep_id=False)
+        .select(F.explode("g").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    joined = corpus_grams.join(F.broadcast(eval_grams), "gram", "left")
+    out = joined.groupBy(id_col).agg(
+        F.count("gram").alias("n_grams"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_contaminated"),
+    )
+    rate = F.when(
+        F.col("n_grams") > 0, F.col("n_contaminated") / F.col("n_grams")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col(id_col),
+        F.col("n_grams"),
+        F.col("n_contaminated"),
+        F.round(rate, 6).alias("contamination_rate"),
+    ).withColumn(
+        "contaminated",
+        (F.col("n_contaminated") > 0) & (F.col("contamination_rate") >= threshold),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+
+# Applied in list order (SSN before phone: a 3-2-4 SSN must not be
+# half-eaten by the looser phone pattern). RE2-safe: no lookarounds or
+# backreferences, so the same patterns run in Spark (Java regex) and
+# DuckDB (RE2) with identical matches.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b", "<SSN>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    # optional +CC prefix, then 3-3-4 with optional separators — covers
+    # "555-867-5309", "(555) 867-5309", "+1 555 867 5309", "5558675309"
+    ("phone", r"(\+?[0-9]{1,2}[ .-]?)?\(?[0-9]{3}\)?[ .-]?[0-9]{3}[ .-]?[0-9]{4}\b",
+     "<PHONE>"),
+]
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact PII with typed placeholders; count matches per kind BEFORE
+    replacement (counts are on the original text, so earlier
+    replacements can't shadow later counters). Returns
+    (id, n_email, n_ssn, n_ip, n_phone, scrubbed).
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).alias(
+            f"n_{kind}"
+        )
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(F.col(id_col), *counts, scrubbed.alias("scrubbed"))
+
+
+# ---------------------------------------------------------------------------
+# repetition / quality gating
+
+# Gopher (Rae et al. 2021, table A1) rejects documents whose repetition
+# ratios exceed these; values here follow the paper's word/2-gram bands.
+REP_THRESHOLDS = {
+    "dup_word_frac": 0.60,
+    "dup_2gram_frac": 0.40,
+    "dup_3gram_frac": 0.30,
+    "top_word_char_frac": 0.20,
+}
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc repetition ratios + composite ``keep`` flag:
+
+    - ``dup_word_frac``   = 1 − distinct words / words
+    - ``dup_2gram_frac``  = 1 − distinct 2-grams / 2-grams
+    - ``dup_3gram_frac``  = 1 − distinct 3-grams / 3-grams
+    - ``top_word_char_frac`` = chars of the most frequent word / chars
+      of all words (ties broken by the alphabetically-first word)
+
+    The first three are narrow array expressions (``array_distinct`` on
+    the token array — no shuffle); the top-word share is one
+    (id, word)-keyed count with map-side partial aggregation.
+    """
+    words = df.select(
+        F.col(id_col), F.split(normalized(text_col), " ").alias("w")
+    ).withColumn("w", F.filter("w", lambda x: x != F.lit("")))
+
+    def dup_frac(col: F.Column) -> F.Column:
+        return F.when(
+            F.size(col) > 0,
+            F.round(1.0 - F.size(F.array_distinct(col)) / F.size(col), 6),
+        ).otherwise(F.lit(0.0))
+
+    narrow = words.select(
+        F.col(id_col),
+        F.size("w").alias("n_words"),
+        dup_frac(F.col("w")).alias("dup_word_frac"),
+        dup_frac(word_shingles("w", 2)).alias("dup_2gram_frac"),
+        dup_frac(word_shingles("w", 3)).alias("dup_3gram_frac"),
+        F.aggregate("w", F.lit(0), lambda acc, x: acc + F.length(x)).alias(
+            "n_word_chars"
+        ),
+    )
+
+    # top word per doc: explode → count → keep the max-count word
+    # (alphabetical tie-break makes the result deterministic)
+    wc = (
+        words.select(F.col(id_col), F.explode("w").alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count("*").alias("n"))
+    )
+    # min over (-n, word): highest count, alphabetical word on ties
+    top = wc.groupBy(id_col).agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("word"))).alias("t")
+    ).select(
+        F.col(id_col),
+        (-F.col("t.neg_n")).alias("top_n"),
+        F.col("t.word").alias("top_word"),
+    )
+
+    out = narrow.join(top, id_col, "left").select(
+        narrow[id_col],
+        "n_words",
+        "dup_word_frac",
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "top_word",
+        F.when(
+            F.col("n_word_chars") > 0,
+            F.round(
+                F.coalesce(F.col("top_n"), F.lit(0))
+                * F.length(F.coalesce(F.col("top_word"), F.lit("")))
+                / F.col("n_word_chars"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("top_word_char_frac"),
+    )
+    keep = (
+        (F.col("dup_word_frac") <= REP_THRESHOLDS["dup_word_frac"])
+        & (F.col("dup_2gram_frac") <= REP_THRESHOLDS["dup_2gram_frac"])
+        & (F.col("dup_3gram_frac") <= REP_THRESHOLDS["dup_3gram_frac"])
+        & (F.col("top_word_char_frac") <= REP_THRESHOLDS["top_word_char_frac"])
+    )
+    return out.withColumn("keep", keep)
