@@ -83,6 +83,79 @@ def test_minipy_validator_rejections():
         assert err
 
 
+def test_minipy_validator_sandbox_escape_corpus():
+    """Python analogs of the reference's dangerous-construct suite
+    (minielixir_test.exs:207-260: System env / File / spawn / eval /
+    macros / ports / ets / reflection / network / process dictionary) —
+    every escape hatch must fail validation, not compile."""
+    for bad in [
+        # environment / process access (System.get_env, System.cmd)
+        "os.environ['SECRET_KEY']",
+        "os.system('ls -la')",
+        "subprocess.run('ls')",
+        # file system (File.read, File.rm_rf)
+        "open('/etc/passwd').read()",
+        "pathlib.Path('/').unlink()",
+        # eval (Code.eval_string)
+        "eval(':erlang.halt()')",
+        "exec('x = 1')",
+        "compile('x', 'f', 'exec')",
+        # reflection (Kernel.apply, function_exported?)
+        "getattr(record, 'keys')",
+        "setattr(record, 'k', 1)",
+        "globals()",
+        "locals()",
+        "vars()",
+        "type(record)",
+        # dunder traversal (the classic sandbox escape chain)
+        "record.__class__",
+        "''.__class__.__mro__",
+        "(1).__class__.__bases__[0].__subclasses__()",
+        # concurrency (spawn, Task.async)
+        "threading.Thread(target=f)",
+        "asyncio.run(f())",
+        # network (:gen_tcp.connect)
+        "socket.socket()",
+        "urllib.request.urlopen('http://x')",
+        # generators/unbounded iteration
+        "iter(record)",
+        "next(record)",
+        # del / augmented shadowing of roots
+        "del record['k']",
+        "record += 1",
+        "metadata = {}",
+        "action = 'update'",
+        "changes = None",
+    ]:
+        ok, err = validate(bad)
+        assert not ok, f"validator accepted: {bad}"
+        assert err
+
+
+def test_minipy_validator_allows_benign_constructs(spark):
+    """The 'allows common syntax' side (minielixir_test.exs:37-130):
+    assignment to fresh vars, if/elif chains, match statements, string
+    concat, nested subscripts. (Needs an active session — validation
+    builds the actual Catalyst columns.)"""
+    for good in [
+        "record['name'] + ' world'",                      # "x" <> " world"
+        "'id-' + str(record['id'])",                      # interpolation analog
+        ("v = record['score']\n"
+         "if v == None:\n    return 'none'\n"
+         "elif int(v) > 10:\n    return 'big'\n"
+         "else:\n    return 'small'"),
+        ("x = record['house']\n"
+         "match x:\n"
+         "    case 'Stark':\n        return 'north'\n"
+         "    case _:\n        return 'other'"),
+        ("m = {'a': 1, 'b': 2}\nreturn m['a']"),          # map = %{a: 1}
+        "record['a']['b']",                               # nested access
+        "upper(record['name'])",
+    ]:
+        ok, err = validate(good)
+        assert ok, f"validator rejected benign: {good!r} → {err}"
+
+
 PROGRAM_CASES = [
     # (program_source, expected) over the `ev` row:
     # action=insert, record={id:7, house:Stark, name:arya, score:12.5}
