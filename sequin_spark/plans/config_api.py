@@ -86,16 +86,19 @@ class ConfigRegistry:
 class ConfigApiServer:
     def __init__(self, registry: ConfigRegistry | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 backfills=None, databases=None):
+                 backfills=None, databases=None, endpoints=None):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
         (router.ex:173, backfill_controller.ex).
         ``databases``: optional plans.database_api.DatabaseRegistry —
         enables the /api/postgres_databases resource routes
-        (router.ex:160,175-178, postgres_database_controller.ex)."""
+        (router.ex:160,175-178, postgres_database_controller.ex).
+        ``endpoints``: optional plans.endpoints_api.HttpEndpointRegistry —
+        enables /api/destinations/http_endpoints (router.ex:168)."""
         self.registry = registry or ConfigRegistry()
         self.backfills = backfills
         self.databases = databases
+        self.endpoints = endpoints
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -176,7 +179,34 @@ class ConfigApiServer:
                     return self._json(200, {  # tables.json
                         "tables": [t for t in tables if t["schema"] == m.group(3)]
                     })
+                # http_endpoints resource reads (router.ex:168)
+                if u.path == "/api/destinations/http_endpoints":
+                    if outer.endpoints is None:
+                        return self._json(404, {"error": "endpoints not enabled"})
+                    q = dict(parse_qsl(u.query))
+                    show = str(q.get("show_sensitive", "")).lower() == "true"
+                    return self._json(200, {
+                        "data": [e.to_external(show) for e in outer.endpoints.list()]
+                    })
+                m = re.match(r"^/api/destinations/http_endpoints/([^/]+)$", u.path)
+                if m:
+                    ep, err = self._resolve_endpoint(m.group(1))
+                    if err:
+                        return err
+                    q = dict(parse_qsl(u.query))
+                    show = str(q.get("show_sensitive", "")).lower() == "true"
+                    return self._json(200, ep.to_external(show))
                 self._json(404, {"error": "not found"})
+
+            def _resolve_endpoint(self, id_or_name):
+                if outer.endpoints is None:
+                    return None, self._json(404, {"error": "endpoints not enabled"})
+                ep = outer.endpoints.resolve(id_or_name)
+                if ep is None:
+                    return None, self._json(
+                        404, {"error": f"no http endpoint {id_or_name!r}"}
+                    )
+                return ep, None
 
             def _resolve_db(self, id_or_name):
                 """Resolve :id_or_name (get_db_for_account analog)."""
@@ -207,7 +237,21 @@ class ConfigApiServer:
                     return None
                 return body if isinstance(body, dict) else None
 
-            def do_PATCH(self):  # noqa: N802 — backfill/database updates
+            def do_PATCH(self):  # noqa: N802 — backfill/database/endpoint updates
+                m = re.match(r"^/api/destinations/http_endpoints/([^/]+)$",
+                             self.path.split("?")[0])
+                if m:
+                    ep, err = self._resolve_endpoint(m.group(1))
+                    if err:
+                        return err
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    try:
+                        ep = outer.endpoints.update(ep.id, body)
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, ep.to_external())
                 m = re.match(r"^/api/postgres_databases/([^/]+)$",
                              self.path.split("?")[0])
                 if m:
@@ -242,7 +286,17 @@ class ConfigApiServer:
 
             do_PUT = do_PATCH  # noqa: N815 — resources(...) accepts both
 
-            def do_DELETE(self):  # noqa: N802 — database delete
+            def do_DELETE(self):  # noqa: N802 — database/endpoint deletes
+                m = re.match(r"^/api/destinations/http_endpoints/([^/]+)$",
+                             self.path.split("?")[0])
+                if m:
+                    ep, err = self._resolve_endpoint(m.group(1))
+                    if err:
+                        return err
+                    # http_endpoint_json.ex:19-21 delete shape
+                    return self._json(
+                        200, {"id": outer.endpoints.delete(ep.id), "deleted": True}
+                    )
                 m = re.match(r"^/api/postgres_databases/([^/]+)$",
                              self.path.split("?")[0])
                 if not m:
@@ -254,6 +308,18 @@ class ConfigApiServer:
                 self._json(200, {"success": True, "id": outer.databases.delete(db.id)})
 
             def do_POST(self):  # noqa: N802
+                # http_endpoints create (router.ex:168)
+                if self.path.split("?")[0] == "/api/destinations/http_endpoints":
+                    if outer.endpoints is None:
+                        return self._json(404, {"error": "endpoints not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    try:
+                        ep = outer.endpoints.create(body)
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(201, ep.to_external())
                 # postgres_databases create + member actions
                 # (postgres_database_controller.ex create/test_connection/
                 # refresh_tables; router.ex:160,175-176)
