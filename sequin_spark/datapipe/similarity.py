@@ -335,3 +335,54 @@ def ann_lsh_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", F.round("cos", 3).alias("cos"))
     )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 8,
+    threshold: float = 0.3,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with k-means, then mark WITHIN-cluster items whose
+    cosine similarity to a lower-id clustermate reaches ``threshold`` as
+    semantic duplicates — the keep rule is deterministic (the lowest id
+    in each near-dup pair survives; ``dup_of`` records the kept anchor).
+
+    Returns (id, c_id, dup_of, is_dup) for every input row.
+
+    Scale shape: the pairwise step is confined to single clusters —
+    Σ size(cluster)² work, tuned by ``k`` (the paper runs k ≈ 11k on
+    LAION; raise k with corpus size to keep clusters bounded). The
+    cluster assignment itself is a narrow scan against broadcast
+    centroid constants (det_centroids), and the pair join is a
+    c_id-keyed equi-join, never a cross join. Deterministic end-to-end
+    (md5-seeded Lloyd's, lexicographic tie-breaks) so the full output
+    is hash-checkable against a SQL oracle.
+    """
+    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
+    cent_rows = det_centroids(e, k, iters, id_col=None)
+    assigned = assign_to_centroids(e, cent_rows)
+    a = assigned.select(F.col("_id").alias("a_id"), F.col("v").alias("a_v"), "c_id")
+    b = assigned.select(F.col("_id").alias("b_id"), F.col("v").alias("b_v"), "c_id")
+    dup_of = (
+        a.join(b, "c_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine_col("a_v", "b_v"))
+        .filter(F.col("cos") >= threshold)
+        .groupBy(F.col("b_id").alias("_id"))
+        .agg(F.min("a_id").alias("dup_of"))
+    )
+    out = (
+        assigned.join(dup_of, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "c_id",
+            "dup_of",
+            F.col("dup_of").isNotNull().alias("is_dup"),
+        )
+    )
+    e.unpersist()
+    return out

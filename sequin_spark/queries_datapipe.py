@@ -365,23 +365,26 @@ def _sql_cos(a: str, b: str) -> str:
     )
 
 
-def _sql_ann_ivf_det(k_cent: int = 8, iters: int = 1, n_probe: int = 4,
-                     topk: int = 3, dims: int = 64) -> str:
-    """Full SQL replica of ann_ivf_det_topk: md5-seeded centroids,
-    `iters` Lloyd iterations, final assignment, probe-n_probe search."""
-    def dist(va: str, vb: str) -> str:
-        return (
-            f"list_sum(list_transform(generate_series(1, {dims}), "
-            f"i -> ({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i])))"
-        )
+def _sql_l2(va: str, vb: str, dims: int = 64) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dims}), "
+        f"i -> ({va}[i] - {vb}[i]) * ({va}[i] - {vb}[i])))"
+    )
 
-    def cosd(va: str, vb: str) -> str:  # already-double lists
-        return (
-            f"list_sum(list_transform(generate_series(1, {dims}), i -> {va}[i] * {vb}[i]))"
-            f" / (sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> {va}[i] * {va}[i])))"
-            f" * sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> {vb}[i] * {vb}[i]))))"
-        )
 
+def _sql_cosd(va: str, vb: str, dims: int = 64) -> str:  # already-double lists
+    return (
+        f"list_sum(list_transform(generate_series(1, {dims}), i -> {va}[i] * {vb}[i]))"
+        f" / (sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> {va}[i] * {va}[i])))"
+        f" * sqrt(list_sum(list_transform(generate_series(1, {dims}), i -> {vb}[i] * {vb}[i]))))"
+    )
+
+
+def _sql_det_assign(k_cent: int = 8, iters: int = 1, dims: int = 64) -> str:
+    """Shared CTE chain replicating the deterministic quantizer
+    (similarity.py det_centroids + assign_to_centroids): md5-seeded
+    centroids, `iters` Lloyd iterations, final assignment as ``af``
+    (vec_id, v, c_id). Callers append their own CTEs/SELECT."""
     sql = f"""
 WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
 c0 AS (
@@ -395,7 +398,7 @@ a{it} AS (
   SELECT vec_id, v, c_id FROM (
     SELECT e.vec_id, e.v, {prev}.c_id,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dist('e.v', prev + '.c')} ASC, {prev}.c_id ASC) AS rn
+                              ORDER BY {_sql_l2('e.v', prev + '.c', dims)} ASC, {prev}.c_id ASC) AS rn
     FROM e CROSS JOIN {prev}) t
   WHERE rn = 1
 ),
@@ -412,10 +415,26 @@ af AS (
   SELECT vec_id, v, c_id FROM (
     SELECT e.vec_id, e.v, {prev}.c_id,
            row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {dist('e.v', prev + '.c')} ASC, {prev}.c_id ASC) AS rn
+                              ORDER BY {_sql_l2('e.v', prev + '.c', dims)} ASC, {prev}.c_id ASC) AS rn
     FROM e CROSS JOIN {prev}) t
   WHERE rn = 1
-),
+)"""
+    return sql
+
+
+def _sql_ann_ivf_det(k_cent: int = 8, iters: int = 1, n_probe: int = 4,
+                     topk: int = 3, dims: int = 64) -> str:
+    """Full SQL replica of ann_ivf_det_topk: md5-seeded centroids,
+    `iters` Lloyd iterations, final assignment, probe-n_probe search."""
+    def dist(va: str, vb: str) -> str:
+        return _sql_l2(va, vb, dims)
+
+    def cosd(va: str, vb: str) -> str:
+        return _sql_cosd(va, vb, dims)
+
+    prev = f"c{iters}" if iters else "c0"
+    sql = _sql_det_assign(k_cent, iters, dims)
+    sql += f""",
 q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
 pr AS (
   SELECT q_id, q_vec, c_id FROM (
@@ -435,6 +454,35 @@ r AS (SELECT q_id, n_id, cos,
 SELECT q_id, n_id, rnk, round(cos, 3) AS cos FROM r WHERE rnk <= {topk}
 """
     return sql
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup): deterministic k-means over the
+    embedding space, within-cluster cosine ≥ threshold ⇒ duplicate of
+    the lowest-id clustermate. Pairwise work is bounded per cluster —
+    the knob that scales is k, not the corpus."""
+    from sequin_spark.datapipe.similarity import semdedup
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, threshold=0.3, iters=1)
+
+
+def _sql_semdedup(k_cent: int = 8, iters: int = 1, threshold: float = 0.3,
+                  dims: int = 64) -> str:
+    return _sql_det_assign(k_cent, iters, dims) + f""",
+p AS (
+  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         {_sql_cosd('a.v', 'b.v', dims)} AS cos
+  FROM af a JOIN af b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+),
+d AS (
+  SELECT b_id AS vec_id, min(a_id) AS dup_of
+  FROM p WHERE cos >= {threshold} GROUP BY b_id
+)
+SELECT af.vec_id, af.c_id, d.dup_of, d.dup_of IS NOT NULL AS is_dup
+FROM af LEFT JOIN d ON af.vec_id = d.vec_id
+"""
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,6 +1102,7 @@ DATAPIPE_QUERIES = {
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "dedup_incremental": q_dedup_incremental,
     "embed_neardup_cosine": q_embed_neardup_cosine,
+    "semdedup": q_semdedup,
     "ann_topk_bruteforce": q_ann_topk_bruteforce,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -1082,6 +1131,7 @@ DATAPIPE_ORACLES = {
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
     "dedup_incremental": _sql_dedup_incremental(),
     "embed_neardup_cosine": _sql_embed_neardup_cosine(),
+    "semdedup": _sql_semdedup(),
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_lsh_buckets": _sql_ann_lsh_buckets(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),

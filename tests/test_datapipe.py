@@ -344,3 +344,35 @@ def test_incremental_dedup_against_loaded_index(spark, sf_dir, tmp_path):
     # band partitioning on disk → an ingest probing band=1 prunes 3/4
     import os
     assert any(d.startswith("band=") for d in os.listdir(idx_path + "/bands"))
+
+
+def test_semdedup_marks_semantic_duplicates(spark):
+    """SemDeDup: near-identical embeddings in the same cluster are marked
+    duplicates of the lowest-id anchor; distant vectors survive."""
+    from pyspark.sql import Row
+
+    from sequin_spark.datapipe.similarity import semdedup
+
+    def vec(base, eps=0.0):
+        return [float(base[i]) + (eps if i == 0 else 0.0) for i in range(8)]
+
+    a = [1, 0, 0, 0, 0, 0, 0, 0]
+    b = [0, 1, 0, 0, 0, 0, 0, 0]
+    rows = [
+        Row(vec_id=1, embedding=vec(a)),
+        Row(vec_id=2, embedding=vec(a, eps=0.01)),   # ≈ duplicate of 1
+        Row(vec_id=3, embedding=vec(b)),             # orthogonal — kept
+        Row(vec_id=4, embedding=vec(a, eps=0.02)),   # ≈ duplicate of 1
+    ]
+    out = {r.vec_id: r for r in semdedup(
+        spark.createDataFrame(rows), k=2, threshold=0.95, iters=1
+    ).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert not out[1].is_dup and out[1].dup_of is None   # anchor survives
+    assert out[2].is_dup and out[2].dup_of == 1
+    assert out[4].is_dup and out[4].dup_of in (1, 2)     # same near-dup set
+    assert not out[3].is_dup                              # orthogonal kept
+    # every duplicate's anchor is itself kept or chains to a kept anchor
+    kept = {i for i, r in out.items() if not r.is_dup}
+    assert all(r.dup_of in out for r in out.values() if r.is_dup)
+    assert kept  # at least the anchors survive
