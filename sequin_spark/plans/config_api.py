@@ -86,7 +86,8 @@ class ConfigRegistry:
 class ConfigApiServer:
     def __init__(self, registry: ConfigRegistry | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 backfills=None, databases=None, endpoints=None):
+                 backfills=None, databases=None, endpoints=None,
+                 api_keys=None, require_auth=False):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
         (router.ex:173, backfill_controller.ex).
@@ -94,11 +95,17 @@ class ConfigApiServer:
         enables the /api/postgres_databases resource routes
         (router.ex:160,175-178, postgres_database_controller.ex).
         ``endpoints``: optional plans.endpoints_api.HttpEndpointRegistry —
-        enables /api/destinations/http_endpoints (router.ex:168)."""
+        enables /api/destinations/http_endpoints (router.ex:168).
+        ``api_keys``: optional plans.apikeys_api.ApiKeyRegistry — enables
+        /api/api_keys (router.ex:161); with ``require_auth=True`` every
+        request must carry ``Authorization: Bearer <token>`` that verifies
+        against it (the :api pipeline's token auth)."""
         self.registry = registry or ConfigRegistry()
         self.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
+        self.api_keys = api_keys
+        self.require_auth = require_auth
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -113,7 +120,22 @@ class ConfigApiServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _blocked(self) -> bool:
+                """Bearer-token gate (the :api pipeline's token auth) —
+                active only when the server was built with
+                require_auth=True and an ApiKeyRegistry."""
+                if not outer.require_auth:
+                    return False
+                auth = self.headers.get("Authorization") or ""
+                token = auth[7:] if auth.startswith("Bearer ") else None
+                if outer.api_keys is not None and outer.api_keys.verify(token):
+                    return False
+                self._json(401, {"error": "unauthorized"})
+                return True
+
             def do_GET(self):  # noqa: N802
+                if self._blocked():
+                    return
                 from urllib.parse import parse_qsl, urlsplit
 
                 u = urlsplit(self.path)
@@ -179,6 +201,13 @@ class ConfigApiServer:
                     return self._json(200, {  # tables.json
                         "tables": [t for t in tables if t["schema"] == m.group(3)]
                     })
+                # api_keys index (api_key_controller.ex:9-13)
+                if u.path == "/api/api_keys":
+                    if outer.api_keys is None:
+                        return self._json(404, {"error": "api keys not enabled"})
+                    return self._json(200, {
+                        "data": [k.to_external() for k in outer.api_keys.list()]
+                    })
                 # http_endpoints resource reads (router.ex:168)
                 if u.path == "/api/destinations/http_endpoints":
                     if outer.endpoints is None:
@@ -238,6 +267,8 @@ class ConfigApiServer:
                 return body if isinstance(body, dict) else None
 
             def do_PATCH(self):  # noqa: N802 — backfill/database/endpoint updates
+                if self._blocked():
+                    return
                 m = re.match(r"^/api/destinations/http_endpoints/([^/]+)$",
                              self.path.split("?")[0])
                 if m:
@@ -286,7 +317,17 @@ class ConfigApiServer:
 
             do_PUT = do_PATCH  # noqa: N815 — resources(...) accepts both
 
-            def do_DELETE(self):  # noqa: N802 — database/endpoint deletes
+            def do_DELETE(self):  # noqa: N802 — database/endpoint/key deletes
+                if self._blocked():
+                    return
+                # api_keys delete (api_key_controller.ex:23-29)
+                m = re.match(r"^/api/api_keys/([^/]+)$", self.path.split("?")[0])
+                if m:
+                    if outer.api_keys is None:
+                        return self._json(404, {"error": "api keys not enabled"})
+                    if not outer.api_keys.delete(m.group(1)):
+                        return self._json(404, {"error": "no such api key"})
+                    return self._json(200, {"success": True})
                 m = re.match(r"^/api/destinations/http_endpoints/([^/]+)$",
                              self.path.split("?")[0])
                 if m:
@@ -308,6 +349,20 @@ class ConfigApiServer:
                 self._json(200, {"success": True, "id": outer.databases.delete(db.id)})
 
             def do_POST(self):  # noqa: N802
+                if self._blocked():
+                    return
+                # api_keys create (api_key_controller.ex:15-21)
+                if self.path.split("?")[0] == "/api/api_keys":
+                    if outer.api_keys is None:
+                        return self._json(404, {"error": "api keys not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    try:
+                        key = outer.api_keys.create(body.get("name"))
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(201, key.to_external())
                 # http_endpoints create (router.ex:168)
                 if self.path.split("?")[0] == "/api/destinations/http_endpoints":
                     if outer.endpoints is None:
