@@ -82,6 +82,55 @@ class ConfigRegistry:
         with self._lock:
             return export_yaml(list(self.consumers.values()), show_sensitive)
 
+    # -- single-resource CRUD (sink_consumer_controller.ex create/
+    # update/delete: external body → from_external → validate → commit) --
+
+    def create_consumer(self, body: dict) -> ConsumerSpec:
+        spec = self._parse(body)
+        with self._lock:
+            if spec.name in self.consumers:
+                raise ValueError(f"sink consumer {spec.name!r} already exists")
+            self.consumers[spec.name] = spec
+        return spec
+
+    def update_consumer(self, id_or_name: str, body: dict) -> ConsumerSpec:
+        """Merge the submitted external fields over the stored external
+        form, then re-parse — partial updates, like update_sink_consumer
+        over cleaned_params."""
+        with self._lock:
+            current = self.consumers.get(id_or_name)
+            if current is None:
+                raise KeyError(id_or_name)
+            merged = {**to_external(current, show_sensitive=True), **body}
+        spec = self._parse(merged)
+        with self._lock:
+            if spec.name != id_or_name:
+                self.consumers.pop(id_or_name, None)
+            self.consumers[spec.name] = spec
+        return spec
+
+    def delete_consumer(self, id_or_name: str) -> str:
+        with self._lock:
+            if id_or_name not in self.consumers:
+                raise KeyError(id_or_name)
+            del self.consumers[id_or_name]
+        return id_or_name
+
+    @staticmethod
+    def _parse(body: dict) -> ConsumerSpec:
+        from sequin_spark.plans.spec import spec_from_dict
+
+        try:
+            spec = spec_from_dict(body)
+        except TypeError as e:  # unknown field → from_external rejection
+            raise ValueError(f"invalid sink consumer: {e}") from None
+        if not spec.name:
+            raise ValueError("name is required")
+        errs = spec.validate()
+        if errs:
+            raise ValueError("; ".join(errs))
+        return spec
+
 
 class ConfigApiServer:
     def __init__(self, registry: ConfigRegistry | None = None,
@@ -297,6 +346,21 @@ class ConfigApiServer:
                     except ValueError as e:
                         return self._json(422, {"error": str(e)})
                     return self._json(200, db.to_external())
+                # sinks update (sink_consumer_controller.ex:46-57)
+                m = re.match(r"^/api/sinks/([^/]+)$", self.path.split("?")[0])
+                if m:
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    body.pop("id_or_name", None)
+                    try:
+                        spec = outer.registry.update_consumer(m.group(1), body)
+                    except KeyError:
+                        return self._json(
+                            404, {"error": f"no sink consumer {m.group(1)!r}"})
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, to_external(spec))
                 m = re.match(r"^/api/sinks/([^/]+)/backfills/([^/]+)$",
                              self.path.split("?")[0])
                 if not m:
@@ -338,6 +402,16 @@ class ConfigApiServer:
                     return self._json(
                         200, {"id": outer.endpoints.delete(ep.id), "deleted": True}
                     )
+                # sinks delete (sink_consumer_controller.ex:60-67;
+                # sink_consumer_json.ex delete → {id, deleted: true})
+                m = re.match(r"^/api/sinks/([^/]+)$", self.path.split("?")[0])
+                if m:
+                    try:
+                        name = outer.registry.delete_consumer(m.group(1))
+                    except KeyError:
+                        return self._json(
+                            404, {"error": f"no sink consumer {m.group(1)!r}"})
+                    return self._json(200, {"id": name, "deleted": True})
                 m = re.match(r"^/api/postgres_databases/([^/]+)$",
                              self.path.split("?")[0])
                 if not m:
@@ -375,6 +449,17 @@ class ConfigApiServer:
                     except ValueError as e:
                         return self._json(422, {"error": str(e)})
                     return self._json(201, ep.to_external())
+                # sinks create (sink_consumer_controller.ex:34-44:
+                # from_external → validate → create, rendered to_external)
+                if self.path.split("?")[0] == "/api/sinks":
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    try:
+                        spec = outer.registry.create_consumer(body)
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, to_external(spec))
                 # postgres_databases create + member actions
                 # (postgres_database_controller.ex create/test_connection/
                 # refresh_tables; router.ex:160,175-176)

@@ -142,3 +142,61 @@ def test_sinks_resource_read_api(api):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(f"{base}/sinks/ghost", timeout=10)
     assert e.value.code == 404
+
+
+def _req(url, method="GET", body=None):
+    data = json.dumps(body).encode() if body is not None else None
+    req = urllib.request.Request(
+        url, data=data, method=method,
+        headers={"Content-Type": "application/json"} if body is not None else {},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def test_sinks_crud_api(api):
+    """sink_consumer_controller.ex create/update/delete over /api/sinks."""
+    base = api.url("plan").rsplit("/config", 1)[0]
+    # create (rendered to_external, like show.json)
+    status, body = _req(f"{base}/sinks", "POST", {
+        "name": "evt", "sink_type": "http_push",
+        "sink_config": {"url": "http://example.test/hook"},
+        "batch_size": 10,
+    })
+    assert status == 200 and body["name"] == "evt" and body["batch_size"] == 10
+    # duplicate create rejected
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(f"{base}/sinks", "POST", {"name": "evt", "sink_type": "benchmark"})
+    assert e.value.code == 422
+    # partial update merges over the stored external form
+    status, body = _req(f"{base}/sinks/evt", "PATCH", {"batch_size": 25})
+    assert status == 200 and body["batch_size"] == 25
+    assert body["sink_config"]["url"] == "http://example.test/hook"
+    # validation failures are 422 (unknown sink type / unknown field)
+    for bad in ({"sink_type": "no_such"}, {"bogus_field": 1}):
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _req(f"{base}/sinks/evt", "PATCH", bad)
+        assert e.value.code == 422
+    # delete renders {id, deleted: true} (sink_consumer_json.ex delete)
+    status, body = _req(f"{base}/sinks/evt", "DELETE")
+    assert status == 200 and body == {"id": "evt", "deleted": True}
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(f"{base}/sinks/evt", "DELETE")
+    assert e.value.code == 404
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(f"{base}/sinks/ghost", "PATCH", {"batch_size": 1})
+    assert e.value.code == 404
+
+
+def test_sinks_create_then_export_round_trips(api):
+    base = api.url("plan").rsplit("/config", 1)[0]
+    _req(f"{base}/sinks", "POST", {
+        "name": "k", "sink_type": "kafka",
+        "sink_config": {"hosts": "h:9092", "topic": "t", "password": "s3cret"},
+    })
+    # created resources participate in config export, secrets redacted
+    with urllib.request.urlopen(api.url("export"), timeout=10) as resp:
+        yaml_out = json.loads(resp.read())["yaml"]
+    assert "s3cret" not in yaml_out and "'****'" in yaml_out
+    specs = load_yaml(yaml_out)
+    assert [s.name for s in specs] == ["k"]
