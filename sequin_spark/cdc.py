@@ -123,9 +123,12 @@ def eventize(
     )
 
 
-# Testdata timestamp columns are parquet TIMESTAMP(NANOS) which Spark's
-# vectorized reader rejects; read them as long nanos and truncate to
-# micros (DuckDB does the same ns→us truncation when it reads them).
+# Testdata timestamp columns vary by generator vintage: parquet
+# TIMESTAMP(NANOS) (Spark's vectorized reader rejects them — read as
+# long nanos and truncate to micros, the same ns→us truncation DuckDB
+# applies) or TIMESTAMP(MICROS) isAdjustedToUTC=false (Spark 4 infers
+# TIMESTAMP_NTZ — normalize to TIMESTAMP; the session runs in UTC so the
+# cast is value-preserving and matches DuckDB's naive reading).
 TS_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
 
 
@@ -136,6 +139,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in TS_COLS.get(name, []):
         if dtypes.get(c) == "bigint":
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
+        elif dtypes.get(c) == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -136,7 +136,9 @@ class ConfigApiServer:
     def __init__(self, registry: ConfigRegistry | None = None,
                  host: str = "127.0.0.1", port: int = 0,
                  backfills=None, databases=None, endpoints=None,
-                 api_keys=None, require_auth=False):
+                 api_keys=None, require_auth=False,
+                 replications=None, health_check=None,
+                 version: str = "0.3.0"):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
         (router.ex:173, backfill_controller.ex).
@@ -148,13 +150,23 @@ class ConfigApiServer:
         ``api_keys``: optional plans.apikeys_api.ApiKeyRegistry — enables
         /api/api_keys (router.ex:161); with ``require_auth=True`` every
         request must carry ``Authorization: Bearer <token>`` that verifies
-        against it (the :api pipeline's token auth)."""
+        against it (the :api pipeline's token auth).
+        ``replications``: optional plans.replication_api.ReplicationRegistry
+        — enables /api/postgres_replications CRUD + /api/local_tunnels
+        (router.ex:164-165). ``health_check``: optional callable returning
+        (ok: bool, error: str | None) — backs GET /health
+        (health_check_controller.ex; 200 {ok, rev} / 500 {ok, error});
+        /api/info + /api/info/version (info_controller.ex) always serve
+        ``version``."""
         self.registry = registry or ConfigRegistry()
         self.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
         self.api_keys = api_keys
         self.require_auth = require_auth
+        self.replications = replications
+        self.health_check = health_check
+        self.version = version
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -183,11 +195,49 @@ class ConfigApiServer:
                 return True
 
             def do_GET(self):  # noqa: N802
-                if self._blocked():
-                    return
                 from urllib.parse import parse_qsl, urlsplit
 
                 u = urlsplit(self.path)
+                # /health is outside the :api auth pipeline
+                # (health_check_controller.ex check/2)
+                if u.path == "/health":
+                    ok, err = (outer.health_check() if outer.health_check
+                               else (True, None))
+                    if ok:
+                        return self._json(200, {"ok": True,
+                                                "rev": outer.version})
+                    return self._json(500, {"ok": False, "error": err})
+                if self._blocked():
+                    return
+                # info_controller.ex version/info (single-node: no peers)
+                if u.path == "/api/info/version":
+                    return self._json(200, {"version": outer.version})
+                if u.path == "/api/info":
+                    return self._json(200, {"version": outer.version,
+                                            "nodes": []})
+                # postgres_replications index/show (router.ex:164;
+                # postgres_replication_json.ex index/show_with_info)
+                if u.path == "/api/postgres_replications":
+                    if outer.replications is None:
+                        return self._json(404, {"error": "replications not enabled"})
+                    return self._json(200, {
+                        "data": [s.to_external() for s in outer.replications.list()]
+                    })
+                m = re.match(r"^/api/postgres_replications/([^/]+)$", u.path)
+                if m:
+                    slot, err = self._resolve_slot(m.group(1))
+                    if err:
+                        return err
+                    return self._json(200, {
+                        "postgres_replication": slot.to_external(),
+                        "info": outer.replications.info_for(slot),
+                    })
+                # local_tunnels index (router.ex:165)
+                if u.path == "/api/local_tunnels":
+                    from sequin_spark.plans.replication_api import local_tunnels
+                    return self._json(200, {
+                        "data": local_tunnels(outer.endpoints, outer.databases)
+                    })
                 if u.path == "/api/config/export":
                     q = dict(parse_qsl(u.query))
                     show = str(q.get("show-sensitive", "")).lower() in ("true", "1")
@@ -297,6 +347,16 @@ class ConfigApiServer:
                     )
                 return db, None
 
+            def _resolve_slot(self, slot_id):
+                if outer.replications is None:
+                    return None, self._json(404, {"error": "replications not enabled"})
+                slot = outer.replications.resolve(slot_id)
+                if slot is None:
+                    return None, self._json(
+                        404, {"error": f"no postgres replication {slot_id!r}"}
+                    )
+                return slot, None
+
             def _sink_for_backfills(self, name):
                 """Resolve the :sink_id_or_name segment; 404s mirror
                 find_sink_consumer failures (backfill_controller.ex:17-23)."""
@@ -346,6 +406,25 @@ class ConfigApiServer:
                     except ValueError as e:
                         return self._json(422, {"error": str(e)})
                     return self._json(200, db.to_external())
+                # postgres_replications update (controller update/2;
+                # postgres_database_id immutable)
+                m = re.match(r"^/api/postgres_replications/([^/]+)$",
+                             self.path.split("?")[0])
+                if m:
+                    if outer.replications is None:
+                        return self._json(404, {"error": "replications not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    body.pop("id", None)
+                    try:
+                        slot = outer.replications.update(m.group(1), body)
+                    except KeyError:
+                        return self._json(
+                            404, {"error": f"no postgres replication {m.group(1)!r}"})
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, slot.to_external())
                 # sinks update (sink_consumer_controller.ex:46-57)
                 m = re.match(r"^/api/sinks/([^/]+)$", self.path.split("?")[0])
                 if m:
@@ -402,6 +481,18 @@ class ConfigApiServer:
                     return self._json(
                         200, {"id": outer.endpoints.delete(ep.id), "deleted": True}
                     )
+                # postgres_replications delete → {id, deleted: true}
+                m = re.match(r"^/api/postgres_replications/([^/]+)$",
+                             self.path.split("?")[0])
+                if m:
+                    if outer.replications is None:
+                        return self._json(404, {"error": "replications not enabled"})
+                    try:
+                        slot_id = outer.replications.delete(m.group(1))
+                    except KeyError:
+                        return self._json(
+                            404, {"error": f"no postgres replication {m.group(1)!r}"})
+                    return self._json(200, {"id": slot_id, "deleted": True})
                 # sinks delete (sink_consumer_controller.ex:60-67;
                 # sink_consumer_json.ex delete → {id, deleted: true})
                 m = re.match(r"^/api/sinks/([^/]+)$", self.path.split("?")[0])
@@ -449,6 +540,18 @@ class ConfigApiServer:
                     except ValueError as e:
                         return self._json(422, {"error": str(e)})
                     return self._json(201, ep.to_external())
+                # postgres_replications create (controller create/2)
+                if self.path.split("?")[0] == "/api/postgres_replications":
+                    if outer.replications is None:
+                        return self._json(404, {"error": "replications not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    try:
+                        slot = outer.replications.create(body)
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, slot.to_external())
                 # sinks create (sink_consumer_controller.ex:34-44:
                 # from_external → validate → create, rendered to_external)
                 if self.path.split("?")[0] == "/api/sinks":
