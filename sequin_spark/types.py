@@ -57,10 +57,16 @@ def cast_value(col: Column, pg_type: str) -> Column:
             .otherwise(col.try_cast("boolean"))
         )
     if pg_type == "bytea":
-        # PG hex form: \x0a0b...
-        return F.unhex(F.regexp_replace(col, r"^\\x", ""))
+        # PG hex form: \x0a0b... (prefix strip is a substring, not a regex)
+        return F.unhex(
+            F.when(col.startswith("\\x"), col.substr(F.lit(3), F.length(col)))
+            .otherwise(col)
+        )
     if pg_type == "money":
-        return F.regexp_replace(col, r"[$,]", "").try_cast("decimal(38,18)")
+        # literal replaces (no regex): '$1,000.25' → '1000.25'
+        cleaned = F.replace(F.replace(col, F.lit("$"), F.lit("")),
+                            F.lit(","), F.lit(""))
+        return cleaned.try_cast("decimal(38,18)")
     target = PG_SPARK_TYPES.get(pg_type)
     if target is None:
         # geometric/network/tsvector/xml/range/domain/enum → string
@@ -75,11 +81,11 @@ def cast_array(col: Column, elem_type: str) -> Column:
     Covers unquoted + double-quoted scalar elements (array_lexer.ex);
     nested arrays stay strings.
     """
-    inner = F.regexp_replace(col, r"^\{|\}$", "")
+    inner = _strip_wrap(col, "{", "}")
     parts = F.transform(
         F.split(inner, ","),
         lambda x: F.when(F.trim(x) == "NULL", F.lit(None).cast("string")).otherwise(
-            F.regexp_replace(F.trim(x), '^"|"$', "")
+            _strip_wrap(F.trim(x), '"', '"')
         ),
     )
     target = PG_SPARK_TYPES.get(elem_type.lower(), "string")
@@ -88,9 +94,21 @@ def cast_array(col: Column, elem_type: str) -> Column:
     return F.transform(parts, lambda x: x.try_cast(target))
 
 
+def _strip_wrap(col: Column, left: str, right: str) -> Column:
+    """Strip one leading ``left`` / trailing ``right`` delimiter pair —
+    pure substring arithmetic, replacing the '^X|Y$' regexes that
+    dominated the cast profile (java.util.regex frames in the bench
+    stack samples)."""
+    n = len(left) + len(right)
+    return F.when(
+        col.startswith(left) & col.endswith(right) & (F.length(col) >= n),
+        col.substr(F.lit(len(left) + 1), F.length(col) - n),
+    ).otherwise(col)
+
+
 def cast_vector(col: Column) -> Column:
     """pgvector text form ``[1.0,2.0]`` → array<float> (value_caster.ex:40-58)."""
-    inner = F.regexp_replace(col, r"^\[|\]$", "")
+    inner = _strip_wrap(col, "[", "]")
     return F.transform(F.split(inner, ","), lambda x: F.trim(x).try_cast("float"))
 
 
@@ -120,13 +138,15 @@ def cast_interval(col: Column) -> Column:
         _num(3).alias("days"),
         micros.alias("microseconds"),
     )
-    # unparseable text leaves norm without the 6 pipes → null (not a
-    # fabricated zero interval); the raw string stays in the record map,
-    # mirroring the reference's failed-cast passthrough
-    # (value_caster.ex:75-81). The rlike guard is required: non-interval
-    # text that happens to contain six '|' chars ('a|b|c|d|e|f|g') passes
-    # the size check alone and would fabricate a zero interval.
-    parseable = col.rlike(pat) & (F.size(p) == 7) & (col != "")
+    # Parseability without a second regex execution: the pattern is
+    # anchored (^...$) and admits no '|' characters, so a match rewrites
+    # the whole string into the 6-pipe form (norm != col), while a
+    # non-match leaves it untouched (norm == col) — including the
+    # 'a|b|c|d|e|f|g' false positive the old size-only check admitted.
+    # Unparseable text → null (not a fabricated zero interval); the raw
+    # string stays in the record map, mirroring the reference's
+    # failed-cast passthrough (value_caster.ex:75-81).
+    parseable = (norm != col) & (col != "")
     return F.when(parseable, struct)
 
 
