@@ -586,3 +586,73 @@ def word_shingles_from_text(text_col: str, k: int) -> F.Column:
         f"transform(sequence(1, size({w}) - {k - 1}), i -> concat_ws(' ', {idx})) "
         f"ELSE cast(array() as array<string>) END"
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level (chunk) dedup — C4/RefinedWeb-style repeated-passage removal
+
+
+def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               chunk_words: int = 8) -> DataFrame:
+    """Split each document into consecutive ``chunk_words``-word chunks
+    (the 'line'/passage unit of C4-style dedup; our synthetic corpus has
+    no newlines, so the unit is a fixed word window). Narrow projection:
+    (id, pos, chunk) exploded from an in-row array — no shuffle."""
+    words = F.split(normalized(text_col), " ")
+    n = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.when(F.size(words) > 0, chunks)
+                     .otherwise(F.array().cast("array<string>")))
+        .alias("pos", "chunk"),
+    )
+
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               chunk_words: int = 8, max_docs: int = 1) -> DataFrame:
+    """Remove every chunk that appears in more than ``max_docs`` distinct
+    documents (RefinedWeb's repeated-line rule: boilerplate passages
+    recurring across the corpus are dropped from *all* docs).
+
+    Returns (id, clean_text, n_chunks, n_removed).
+
+    Scale shape: one chunk-keyed agg for the distinct-doc counts (the dup
+    set is the heavy-hitter tail — orders of magnitude smaller than the
+    corpus), one anti-join of the exploded chunks against it (Spark
+    broadcasts it when small; AQE picks the strategy at runtime), one
+    doc-keyed re-agg to reassemble. No driver-side state.
+    """
+    chunks = doc_chunks(df, text_col, id_col, chunk_words)
+    dup_set = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(dup_set, "chunk", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s.getField("chunk"),
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        )
+    )

@@ -109,3 +109,60 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", gram: int = 8) -> DataFra
         F.md5(F.col("t")).alias("content_md5"),
         F.col("min_gram_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# count-based bigram LM scoring (the KenLM-perplexity quality filter of
+# CCNet/RedPajama pipelines, re-expressed as corpus-relative n-gram
+# statistics — no external model file needed)
+
+
+def doc_bigrams(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id, w1, w2) for every adjacent token pair — narrow explode."""
+    words = F.split(normalized(text_col), " ")
+    pairs = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"),
+                F.element_at(words, i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return df.select(
+        F.col(id_col), F.explode(pairs).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+
+def bigram_lm_scores(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    bigram LM: nll(doc) = avg over bigrams of -ln(c(w1,w2) / c(w1·)).
+
+    Low nll = phrasing that matches corpus statistics; high nll = noise,
+    boilerplate, or out-of-domain text (the CCNet perplexity gate).
+
+    Scale shape: the LM *is* two aggregations over the corpus —
+    vocabulary-bounded count tables (unigram continuations c(w1·) and
+    bigrams c(w1,w2)), then one hash join of the exploded doc bigrams
+    against them and a doc-keyed mean. The count tables grow with the
+    vocabulary, not the corpus, so at 100 TB they stay join-small and
+    AQE broadcasts the unigram side; no driver-side state.
+
+    Returns (id, n_bigrams, nll) with nll rounded to 4 decimals (floating
+    summation order tolerance).
+    """
+    bg = doc_bigrams(df, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .withColumn("nll_term", -F.log(F.col("c2") / F.col("c1")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll_term"), 4).alias("nll"),
+    )

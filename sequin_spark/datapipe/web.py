@@ -1,0 +1,76 @@
+"""Web-corpus URL operators: canonicalization + URL-level dedup.
+
+Crawled training corpora carry one URL per document; the first dedup
+pass every web pipeline runs (CommonCrawl/C4/RefinedWeb lineage) is
+URL-level: normalize away the noise that makes the same page appear
+under many addresses — scheme, ``www.`` prefix, fragments, tracking
+query parameters, parameter order, trailing slashes — then keep one
+document per canonical URL.
+
+All pure Catalyst string/array built-ins — no regex in the hot path and
+no Python UDFs. The only shuffle in ``url_dedup`` is the window/groupBy
+on the canonical-URL hash, uniformly distributed, exactly the shape of
+exact_dedup — holds at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# query parameters that never identify content (analytics/click tracking)
+TRACKING_PARAMS = ("utm_", "ref=", "fbclid=", "gclid=", "mc_cid=", "mc_eid=")
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical form of a URL:
+
+    - lowercase; fragment (``#...``) dropped
+    - scheme dropped (``http://`` == ``https://``)
+    - leading ``www.`` dropped
+    - tracking params (utm_*, ref, fbclid, gclid, mc_*) dropped
+    - remaining query params sorted (``?b=2&a=1`` == ``?a=1&b=2``)
+    - trailing slash on the path dropped
+    """
+    x = F.lower(col)
+    x = F.substring_index(x, "#", 1)           # strip fragment
+    x = F.substring_index(x, "://", -1)        # strip scheme (if any)
+    x = F.when(x.startswith("www."), x.substr(F.lit(5), F.length(x))).otherwise(x)
+    path = F.substring_index(x, "?", 1)
+    path = F.when(
+        path.endswith("/") & (F.length(path) > 1),
+        path.substr(F.lit(1), F.length(path) - 1),
+    ).otherwise(path)
+    query = F.when(x.contains("?"), F.substring_index(x, "?", -1)).otherwise(F.lit(""))
+    def _is_tracking(p: Column) -> Column:
+        out = F.lit(False)
+        for t in TRACKING_PARAMS:
+            out = out | p.startswith(t)
+        return out
+
+    kept = F.array_sort(
+        F.filter(F.split(query, "&"), lambda p: (p != "") & ~_is_tracking(p))
+    )
+    return F.concat(
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&")))
+        .otherwise(F.lit("")),
+    )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """Per-document URL dedup verdict: canonical URL, the kept (minimum
+    id) document for that URL, and an ``is_dup`` flag.
+
+    One shuffle on the canonical URL (window min) — same scale shape as
+    exact content dedup; the canonical key is near-uniform.
+    """
+    from pyspark.sql import Window
+
+    canon = canonicalize_url(F.col(url_col)).alias("canonical_url")
+    w = Window.partitionBy("canonical_url")
+    return (
+        df.select(id_col, url_col, canon)
+        .withColumn("keep_id", F.min(id_col).over(w))
+        .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
+    )

@@ -1093,6 +1093,149 @@ FROM narrow LEFT JOIN top ON narrow.doc_id = top.doc_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# web-corpus URL dedup / line-level dedup / bigram-LM quality
+
+
+def _url_expr_spark():
+    """Deterministic synthetic URL per document — scheme / www / trailing
+    slash / tracking-param / param-order / fragment noise planted by
+    doc_id residues so canonicalization has real work to do."""
+    page = (F.col("doc_id") % 200).cast("string")
+    qid = (F.col("doc_id") % 7).cast("string")
+    m4 = F.col("doc_id") % 4
+    return F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https://")).otherwise(F.lit("http://")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/page-"), page,
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(m4 == 0, F.concat(F.lit("?utm_source=feed&id="), qid))
+        .when(m4 == 1, F.concat(F.lit("?id="), qid, F.lit("&utm_campaign=x")))
+        .when(m4 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("?a=1&b=2")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (datapipe/web.py): general Catalyst
+    canonicalization vs an oracle that derives the canonical form
+    independently from the synthesis residues — the two agree only if
+    scheme/www/fragment/tracking/param-order/trailing-slash handling is
+    exactly right."""
+    from sequin_spark.datapipe.web import url_dedup
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return url_dedup(docs.withColumn("url", _url_expr_spark()))
+
+
+def _sql_url_dedup() -> str:
+    url = """
+      (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END)
+      || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+      || source || '.example.com/' || lang || '/page-' || (doc_id % 200)
+      || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+      || (CASE doc_id % 4
+            WHEN 0 THEN '?utm_source=feed&id=' || (doc_id % 7)
+            WHEN 1 THEN '?id=' || (doc_id % 7) || '&utm_campaign=x'
+            WHEN 2 THEN '?b=2&a=1'
+            ELSE '?a=1&b=2' END)
+      || (CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+    """
+    canon = """
+      source || '.example.com/' || lang || '/page-' || (doc_id % 200)
+      || (CASE WHEN doc_id % 4 IN (0, 1) THEN '?id=' || (doc_id % 7)
+               ELSE '?a=1&b=2' END)
+    """
+    return f"""
+WITH u AS (
+  SELECT doc_id, {url} AS url, {canon} AS canonical_url FROM documents
+)
+SELECT doc_id, url, canonical_url,
+       min(doc_id) OVER (PARTITION BY canonical_url) AS keep_id,
+       doc_id <> min(doc_id) OVER (PARTITION BY canonical_url) AS is_dup
+FROM u
+"""
+
+
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage removal (datapipe/dedup.py:line_dedup): chunks
+    appearing in >1 distinct doc are dropped from all docs. Positives
+    planted as exact copies of every 25th doc (copy alignment preserves
+    chunk identity)."""
+    from sequin_spark.datapipe.dedup import line_dedup
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text"
+    )
+    return line_dedup(docs.unionByName(copies), chunk_words=8, max_docs=1)
+
+
+def _sql_corpus_line_dedup() -> str:
+    return f"""
+WITH all_docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
+),
+w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS words FROM all_docs),
+chunks AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i*8+1):(i*8+8)], ' ') AS chunk
+  FROM w, LATERAL (SELECT unnest(range(0,
+       CAST(ceil(len(words) / 8.0) AS BIGINT)))) AS t(i)
+  WHERE len(words) > 0
+),
+dup AS (
+  SELECT chunk FROM chunks GROUP BY chunk HAVING count(DISTINCT doc_id) > 1
+),
+kept AS (SELECT * FROM chunks WHERE chunk NOT IN (SELECT chunk FROM dup)),
+rebuilt AS (
+  SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id)
+SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text, t.n_chunks,
+       t.n_chunks - coalesce(r.n_kept, 0) AS n_removed
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+def q_quality_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative bigram-LM scoring (datapipe/text.py:
+    bigram_lm_scores) — the CCNet/RedPajama perplexity gate without an
+    external model file."""
+    from sequin_spark.datapipe.text import bigram_lm_scores
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_lm_scores(docs)
+
+
+def _sql_quality_ngram_lm() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS words FROM documents),
+bg AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(range(1, len(words)))) AS t(i)
+  WHERE len(words) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1)
+SELECT bg.doc_id, count(*) AS n_bigrams,
+       round(avg(-ln(c2.c2 / c1.c1)), 4) AS nll
+FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY bg.doc_id
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1120,6 +1263,9 @@ DATAPIPE_QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
     "quality_repetition": q_quality_repetition,
+    "url_dedup": q_url_dedup,
+    "corpus_line_dedup": q_corpus_line_dedup,
+    "quality_ngram_lm": q_quality_ngram_lm,
 }
 
 DATAPIPE_ORACLES = {
@@ -1149,4 +1295,7 @@ DATAPIPE_ORACLES = {
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),
     "quality_repetition": _sql_quality_repetition(),
+    "url_dedup": _sql_url_dedup(),
+    "corpus_line_dedup": _sql_corpus_line_dedup(),
+    "quality_ngram_lm": _sql_quality_ngram_lm(),
 }

@@ -1,0 +1,97 @@
+"""URL canonicalization/dedup, line-level dedup, bigram-LM scoring
+(datapipe/web.py, dedup.py:line_dedup, text.py:bigram_lm_scores)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.dedup import line_dedup
+from sequin_spark.datapipe.text import bigram_lm_scores
+from sequin_spark.datapipe.web import canonicalize_url, url_dedup
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r[0] for r in
+            df.select(canonicalize_url(F.col("url"))).collect()]
+
+
+def test_canonicalize_url_cases(spark):
+    cases = {
+        # scheme + www + fragment + trailing slash all normalize away
+        "https://www.Example.com/a/#top": "example.com/a",
+        "http://example.com/a": "example.com/a",
+        # tracking params dropped; surviving params sorted
+        "https://example.com/p?utm_source=x&b=2&a=1": "example.com/p?a=1&b=2",
+        "https://example.com/p?a=1&b=2&fbclid=zz": "example.com/p?a=1&b=2",
+        # all params tracking → no query at all
+        "https://example.com/p?utm_campaign=x&gclid=1": "example.com/p",
+        # bare host: the root slash is itself trailing → host-only form
+        "https://www.example.com/": "example.com",
+        "example.com/path": "example.com/path",
+    }
+    got = _canon(spark, list(cases))
+    assert got == list(cases.values())
+
+
+def test_url_dedup_collapses_variants(spark):
+    df = spark.createDataFrame(
+        [(1, "https://www.site.com/x?id=1&utm_source=a"),
+         (2, "http://site.com/x/?utm_campaign=b&id=1"),
+         (3, "https://site.com/y?id=1")],
+        ["doc_id", "url"],
+    )
+    rows = {r.doc_id: r for r in url_dedup(df).collect()}
+    assert rows[1].canonical_url == rows[2].canonical_url == "site.com/x?id=1"
+    assert rows[1].keep_id == 1 and not rows[1].is_dup
+    assert rows[2].keep_id == 1 and rows[2].is_dup
+    assert not rows[3].is_dup
+
+
+BOILER = "subscribe to our newsletter for daily updates now"  # 8 words
+
+
+def test_line_dedup_removes_cross_doc_chunks(spark):
+    # 8-word-aligned texts so the boilerplate chunk is chunk-identical
+    uniq1 = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq2 = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [(1, f"{BOILER} {uniq1}"),
+         (2, f"{BOILER} {uniq2}"),
+         (3, uniq2)],  # uniq2 now appears in docs 2 and 3 → removed too
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert rows[1].clean_text == uniq1 and rows[1].n_removed == 1
+    # doc 2 loses both the boilerplate and the uniq2 chunk
+    assert rows[2].clean_text == "" and rows[2].n_removed == 2
+    # doc 3 is fully duplicated away but still present in the output
+    assert rows[3].clean_text == "" and rows[3].n_chunks == 1
+
+
+def test_line_dedup_order_preserved(spark):
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    df = spark.createDataFrame(
+        [(1, f"{a} {BOILER} {b}"), (2, BOILER)], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in line_dedup(df).collect()}
+    assert rows[1].clean_text == f"{a} {b}"  # middle chunk cut, order kept
+
+
+def test_bigram_lm_scores(spark):
+    common = "the cat sat on the mat"
+    df = spark.createDataFrame(
+        [(i, common) for i in range(5)] + [(99, "zx qv wk jn pb tg")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(df).collect()}
+    # the repeated doc's bigrams are near-deterministic: 'the' continues
+    # to 'cat' 5/10 times and 'mat' 5/10 times, everything else p=1
+    expected = round(-(3 * math.log(1) + 2 * math.log(0.5)) / 5, 4)
+    assert rows[0].nll == expected and rows[0].n_bigrams == 5
+    # the one-off doc: every bigram unique, every continuation p=1 → 0
+    assert rows[99].nll == 0.0
+    # short docs (<2 tokens) produce no rows rather than errors
+    short = spark.createDataFrame([(1, "word"), (2, "")], ["doc_id", "text"])
+    assert bigram_lm_scores(short).count() == 0
