@@ -386,3 +386,138 @@ def semdedup(
     )
     e.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al. 2011, "Product Quantization
+# for Nearest Neighbor Search": split each vector into m subvectors,
+# vector-quantize each subspace with its own small codebook, and search
+# by asymmetric distance computation (ADC): per query, precompute the
+# m×ksub table of subspace distances, then a corpus item's distance is
+# m table lookups instead of a d-dim multiply. The corpus is stored as
+# m small codes per vector (64 dims of float32 → 4 bytes at m=4,
+# ksub≤256: a 64× memory-bandwidth reduction — the reason PQ is the
+# standard 100 TB-scale ANN layout).
+
+
+def _subvec(vec_col: str, j: int, sub: int) -> F.Column:
+    """Subspace j's slice of the vector, as array<double> (1-based)."""
+    return F.expr(
+        f"transform(slice({vec_col}, {j * sub + 1}, {sub}), x -> cast(x as double))"
+    )
+
+
+def pq_codebooks(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Per-subspace deterministic codebooks: det_centroids run on each
+    of the m subvector projections (same md5-seeded row choice in every
+    subspace). Returns [subspace][(c_id, centroid)] — m×ksub×(dims/m)
+    doubles, driver-side constants by design (a codebook is KB-sized)."""
+    sub = dims // m
+    books = []
+    for j in range(m):
+        ej = emb.select(
+            F.col(id_col).alias("_id"), _subvec(vec_col, j, sub).alias("v")
+        ).cache()
+        books.append(det_centroids(ej, ksub, iters, id_col=None))
+        ej.unpersist()
+    return books
+
+
+def _pq_code_expr(vec_col: str, books: list, dims: int) -> F.Column:
+    """array<int> of per-subspace nearest-centroid ids — a NARROW map
+    against embedded codebook constants (the assign_to_centroids trick
+    per subspace); encoding 100 TB is a single scan, no shuffle."""
+    m = len(books)
+    sub = dims // m
+    codes = []
+    for j, book in enumerate(books):
+        sl = f"transform(slice({vec_col}, {j * sub + 1}, {sub}), x -> cast(x as double))"
+        cands = []
+        for c_id, c in book:
+            arr = "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in c) + ")"
+            d = (
+                f"aggregate(zip_with({sl}, {arr}, (a, b) -> (a - b) * (a - b)), "
+                f"cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+            cands.append(f"struct({d} as dist, {int(c_id)} as c_id)")
+        codes.append(f"array_min(array({','.join(cands)})).c_id")
+    return F.expr(f"array({','.join(codes)})")
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<int>) for every vector."""
+    return emb.select(
+        F.col(id_col), _pq_code_expr(vec_col, books, dims).alias("code")
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    books: list,
+    k: int = 3,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: rank corpus items by the PQ approximation of L2
+    distance. Pass ``codes`` from a prior pq_encode() to search a
+    prebuilt index (the 100 TB layout: codes are the stored corpus).
+
+    The per-query lookup table (m×ksub subspace distances against the
+    codebook constants) is computed once per query row and shipped with
+    the broadcast query side; the corpus-side scan does m
+    element_at lookups per item — no vector arithmetic, no shuffle on
+    the corpus beyond the final per-query top-k window.
+    """
+    m = len(books)
+    sub = dims // m
+    if codes is None:
+        codes = pq_encode(emb, books, dims, id_col, vec_col)
+    # tab[j][c] = || q_subvec_j - codebook_j[c] ||²
+    tab_rows = []
+    for j, book in enumerate(books):
+        sl = f"transform(slice({vec_col}, {j * sub + 1}, {sub}), x -> cast(x as double))"
+        cells = []
+        for _c_id, c in book:
+            arr = "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in c) + ")"
+            cells.append(
+                f"aggregate(zip_with({sl}, {arr}, (a, b) -> (a - b) * (a - b)), "
+                f"cast(0.0 as double), (acc, x) -> acc + x)"
+            )
+        tab_rows.append(f"array({','.join(cells)})")
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(f"array({','.join(tab_rows)})").alias("tab"),
+    )
+    c = codes.select(F.col(id_col).alias("n_id"), "code")
+    joined = c.join(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), cast(0.0 as double), "
+        f"(acc, j) -> acc + element_at(element_at(tab, j + 1), "
+        f"element_at(code, j + 1) + 1))"
+    )
+    # rank on the ROUNDED distance so mathematically-equal codes tie
+    # exactly (then n_id) on both Spark and the SQL oracle
+    joined = joined.withColumn("adc", F.round(adc, 3))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id").asc())
+    return (
+        joined.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "adc")
+    )

@@ -1236,6 +1236,106 @@ GROUP BY bg.doc_id
 """
 
 
+
+def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (similarity.py:pq_adc_topk): per-subspace
+    deterministic codebooks, corpus stored as m-code arrays, queries
+    ranked by asymmetric-distance lookups. Fully deterministic →
+    hash-checked against the per-subspace SQL replica."""
+    from sequin_spark.datapipe.similarity import pq_adc_topk, pq_codebooks
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(emb, m=16, ksub=16, iters=2, dims=64)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_adc_topk(emb, queries, books, k=3, dims=64)
+
+
+def _sql_pq_adc(m: int = 16, ksub: int = 16, iters: int = 2,
+                dims: int = 64, topk: int = 3) -> str:
+    """Per-subspace replica of the det-quantizer chain (md5-seeded
+    Lloyd's per subvector slice), PQ encode, ADC scan."""
+    sub = dims // m
+    parts = []
+    for j in range(m):
+        lo, hi = j * sub + 1, j * sub + sub
+        parts.append(f"""
+e{j} AS (
+  SELECT vec_id,
+         list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0_{j} AS (
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS c_id,
+         v AS c
+  FROM e{j}
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= {ksub}
+)""")
+        prev = f"c0_{j}"
+        for it in range(1, iters + 1):
+            parts.append(f""",
+a{it}_{j} AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT e{j}.vec_id, e{j}.v, {prev}.c_id,
+           row_number() OVER (PARTITION BY e{j}.vec_id
+                              ORDER BY {_sql_l2(f'e{j}.v', prev + '.c', sub)} ASC,
+                                       {prev}.c_id ASC) AS rn
+    FROM e{j} CROSS JOIN {prev}) t
+  WHERE rn = 1
+),
+c{it}_{j} AS (
+  SELECT c_id, list(m ORDER BY d) AS c FROM (
+    SELECT c_id, d, avg(v[d]) AS m
+    FROM a{it}_{j}, unnest(generate_series(1, {sub})) AS t(d)
+    GROUP BY c_id, d) s
+  GROUP BY c_id
+)""")
+            prev = f"c{it}_{j}"
+        parts.append(f""",
+af_{j} AS (
+  SELECT vec_id, {j} AS j, c_id FROM (
+    SELECT e{j}.vec_id, {prev}.c_id,
+           row_number() OVER (PARTITION BY e{j}.vec_id
+                              ORDER BY {_sql_l2(f'e{j}.v', prev + '.c', sub)} ASC,
+                                       {prev}.c_id ASC) AS rn
+    FROM e{j} CROSS JOIN {prev}) t
+  WHERE rn = 1
+)""")
+        if j < m - 1:
+            parts.append(",")
+    finals = " UNION ALL ".join(
+        f"SELECT c_id, {j} AS j, c FROM c{iters}_{j}" for j in range(m)
+    )
+    asgs = " UNION ALL ".join(f"SELECT * FROM af_{j}" for j in range(m))
+    qds = " UNION ALL ".join(
+        f"SELECT vec_id AS q_id, {j} AS j, v AS qv FROM e{j} WHERE vec_id < 10"
+        for j in range(m)
+    )
+    return "WITH " + "".join(parts) + f""",
+cb AS ({finals}),
+asg AS ({asgs}),
+qd AS ({qds}),
+subdist AS (
+  SELECT qd.q_id, asg.vec_id AS n_id,
+         {_sql_l2('qd.qv', 'cb.c', sub)} AS d
+  FROM qd
+  JOIN asg ON qd.j = asg.j
+  JOIN cb ON cb.j = asg.j AND cb.c_id = asg.c_id
+  WHERE qd.q_id <> asg.vec_id
+),
+adc AS (
+  SELECT q_id, n_id, round(sum(d), 3) AS adc
+  FROM subdist GROUP BY q_id, n_id
+),
+r AS (
+  SELECT q_id, n_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rnk
+  FROM adc
+)
+SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= {topk}
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1266,6 +1366,7 @@ DATAPIPE_QUERIES = {
     "url_dedup": q_url_dedup,
     "corpus_line_dedup": q_corpus_line_dedup,
     "quality_ngram_lm": q_quality_ngram_lm,
+    "ann_pq_adc": q_ann_pq_adc,
 }
 
 DATAPIPE_ORACLES = {
@@ -1298,4 +1399,5 @@ DATAPIPE_ORACLES = {
     "url_dedup": _sql_url_dedup(),
     "corpus_line_dedup": _sql_corpus_line_dedup(),
     "quality_ngram_lm": _sql_quality_ngram_lm(),
+    "ann_pq_adc": _sql_pq_adc(),
 }

@@ -376,3 +376,54 @@ def test_semdedup_marks_semantic_duplicates(spark):
     kept = {i for i, r in out.items() if not r.is_dup}
     assert all(r.dup_of in out for r in out.values() if r.is_dup)
     assert kept  # at least the anchors survive
+
+
+def test_pq_adc_recall_and_encoding(spark, sf_dir):
+    """PQ (similarity.py): codes are within-range, the prebuilt-codes
+    path matches on-the-fly encoding, and ADC recall vs exact L2-ish
+    ranking is sane for m=4/ksub=8 on random data."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    books = pq_codebooks(emb, m=16, ksub=16, iters=2, dims=64)
+    assert len(books) == 16 and all(1 <= len(b) <= 16 for b in books)
+
+    codes = pq_encode(emb, books, dims=64).cache()
+    row = codes.first()
+    assert len(row.code) == 16 and all(0 <= c < 16 for c in row.code)
+
+    # prebuilt-codes search == on-the-fly search (the index lifecycle)
+    on_the_fly = {(r.q_id, r.n_id, r.rnk)
+                  for r in pq_adc_topk(emb, queries, books, k=3).collect()}
+    prebuilt = {(r.q_id, r.n_id, r.rnk)
+                for r in pq_adc_topk(emb, queries, books, k=3,
+                                     codes=codes).collect()}
+    assert on_the_fly == prebuilt and len(prebuilt) == 30
+
+    # ADC approximates L2; exact L2 top-3 per query for comparison
+    from sequin_spark.datapipe.similarity import as_double
+    q = queries.select(F.col("vec_id").alias("q_id"),
+                       as_double("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("n_id"),
+                   as_double("embedding").alias("nv"))
+    l2 = F.aggregate(F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    from pyspark.sql import Window
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("n_id").asc())
+    exact = {
+        (r.q_id, r.n_id)
+        for r in q.crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("d", l2)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3).collect()
+    }
+    approx = {(t[0], t[1]) for t in prebuilt}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"PQ ADC recall suspiciously low: {recall}"
+    codes.unpersist()

@@ -22,6 +22,7 @@ ALLOW_NESTED_LOOP = {
     "ann_lsh_topk",          # query-side × probe-plan constants (tiny broadcast)
     "ann_ivf_topk",          # query-side × n_centroids=8 centroid table
     "backfill_keyset_page",  # driver-built single-row cursor predicate
+    "ann_pq_adc",            # ADC scan: corpus codes × broadcast query LUTs
 }
 
 
