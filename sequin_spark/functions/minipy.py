@@ -89,6 +89,8 @@ _FUNCTIONS = {
     "contains": (lambda c, p: _as_col(c).contains(p), "bool"),
     "get_json": (lambda c, p: F.get_json_object(_as_col(c), p), "str"),
     "is_null": (lambda c: _as_col(c).isNull(), "bool"),
+    "sorted": (lambda c: F.array_sort(_to_col(_T(c, "list"))), "list"),
+    "reversed": (lambda c: F.reverse(_to_col(_T(c, "list"))), "list"),
     # Kernel parity (validator.ex @kernel_functions): div/rem/trunc/min/max/byte_size
     # Elixir Kernel.div truncates toward zero and returns an integer — so
     # does Spark's integral `div` (-7 div 2 == -3), and staying in the
@@ -525,6 +527,32 @@ _MODULES["Kernel"] = {
 }
 _MODULES["Kernel"]["to_string"] = (lambda c: _as_col(c).cast("string"), "str")
 
+# Pythonic method-call forms (s.upper(), record.get('k'), sep.join(xs),
+# xs.sort() …): each dispatches to the SAME compile target as its
+# module-call twin (String./Map./Enum.), so the sandbox surface does not
+# grow — an unknown method name is rejected exactly like an unknown
+# module function. `join` flips Python's receiver order (sep.join(xs))
+# into Enum.join(xs, sep).
+_METHODS: dict = {
+    "upper": _MODULES["String"]["upcase"],
+    "lower": _MODULES["String"]["downcase"],
+    "strip": _MODULES["String"]["trim"],
+    "lstrip": _MODULES["String"]["trim_leading"],
+    "rstrip": _MODULES["String"]["trim_trailing"],
+    "capitalize": _MODULES["String"]["capitalize"],
+    "startswith": _MODULES["String"]["starts_with"],
+    "endswith": _MODULES["String"]["ends_with"],
+    "replace": _MODULES["String"]["replace"],
+    "split": _MODULES["String"]["split"],
+    "get": _MODULES["Map"]["get"],
+    "keys": _MODULES["Map"]["keys"],
+    "values": _MODULES["Map"]["values"],
+    "join": (
+        lambda sep, lst: _MODULES["Enum"]["join"][0](lst, sep),
+        _MODULES["Enum"]["join"][1],
+    ),
+}
+
 
 _BANNED_MSG = "MiniPy: {} is not allowed (sandbox allowlist, see minielixir/validator.ex parity)"
 
@@ -619,6 +647,21 @@ class _Compiler(ast.NodeVisitor):
         if the block falls through without returning."""
         for i, st in enumerate(stmts):
             if isinstance(st, ast.Assign):
+                if len(st.targets) == 1 and isinstance(st.targets[0], ast.Tuple):
+                    # a, b = e1, e2 — parallel (all RHS evaluated first)
+                    tgt, val = st.targets[0], st.value
+                    if not (
+                        isinstance(val, ast.Tuple)
+                        and len(val.elts) == len(tgt.elts)
+                        and all(isinstance(t, ast.Name) for t in tgt.elts)
+                    ):
+                        raise ValueError(_BANNED_MSG.format("destructuring assignment"))
+                    vals = [self.visit(v) for v in val.elts]
+                    for t, v in zip(tgt.elts, vals):
+                        if t.id in _ARG_NAMES:
+                            raise ValueError(f"MiniPy: can't assign to argument: {t.id}")
+                        self.env[t.id] = v
+                    continue
                 if len(st.targets) != 1 or not isinstance(st.targets[0], ast.Name):
                     raise ValueError(_BANNED_MSG.format("destructuring assignment"))
                 name = st.targets[0].id
@@ -626,6 +669,23 @@ class _Compiler(ast.NodeVisitor):
                     # validator.ex parity: "can't assign to argument"
                     raise ValueError(f"MiniPy: can't assign to argument: {name}")
                 self.env[name] = self.visit(st.value)
+                continue
+            if isinstance(st, ast.AugAssign):
+                # x += e desugars to x = x <op> e (same operator table)
+                if not isinstance(st.target, ast.Name):
+                    raise ValueError(_BANNED_MSG.format("augmented assignment target"))
+                name = st.target.id
+                if name in _ARG_NAMES:
+                    raise ValueError(f"MiniPy: can't assign to argument: {name}")
+                binop = ast.copy_location(
+                    ast.BinOp(
+                        left=ast.copy_location(ast.Name(id=name, ctx=ast.Load()), st),
+                        op=st.op,
+                        right=st.value,
+                    ),
+                    st,
+                )
+                self.env[name] = self.visit(binop)
                 continue
             if isinstance(st, ast.Return):
                 if st.value is None:
@@ -832,11 +892,16 @@ class _Compiler(ast.NodeVisitor):
         return _T(out, "bool")
 
     def visit_Compare(self, node):
-        if len(node.ops) != 1:
-            raise ValueError(_BANNED_MSG.format("chained comparisons"))
-        left = self.visit(node.left)
-        right = self.visit(node.comparators[0])
-        op = type(node.ops[0])
+        # chained comparisons (a < b < c) desugar to pairwise ANDs —
+        # Python semantics; each operand is compiled once
+        operands = [self.visit(n) for n in [node.left, *node.comparators]]
+        out = None
+        for i, op_node in enumerate(node.ops):
+            pair = self._one_compare(operands[i], type(op_node), operands[i + 1])
+            out = pair if out is None else _T(out.val & pair.val, "bool")
+        return out
+
+    def _one_compare(self, left, op, right):
         lc = _as_col(left.val)
         rv = right.val
         # Eq/NotEq are NULL-SAFE (eqNullSafe): MiniElixir's nil == "x" is
@@ -897,7 +962,23 @@ class _Compiler(ast.NodeVisitor):
                     raise ValueError(
                         f"MiniPy: bad call {base.id}.{node.func.attr}: {e}"
                     ) from e
-            raise ValueError(_BANNED_MSG.format("method calls"))
+            # Pythonic method-call form: receiver becomes the first arg
+            # of the module-twin target (unknown names still rejected)
+            entry = _METHODS.get(node.func.attr)
+            if entry is None:
+                raise ValueError(
+                    _BANNED_MSG.format(f"method .{node.func.attr}()")
+                )
+            if node.keywords:
+                raise ValueError(_BANNED_MSG.format("keyword arguments"))
+            fn, kind = entry
+            args = [self.visit(base).val] + [self.visit(a).val for a in node.args]
+            try:
+                return _T(fn(*args), kind)
+            except TypeError as e:
+                raise ValueError(
+                    f"MiniPy: bad call .{node.func.attr}: {e}"
+                ) from e
         if not isinstance(node.func, ast.Name):
             raise ValueError(_BANNED_MSG.format("method calls"))
         fname = node.func.id

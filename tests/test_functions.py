@@ -561,3 +561,92 @@ def test_routing_defaults_and_overrides(ev):
     row = out.select("key", "redis_action").collect()[0]
     assert row.key == "sequin:characters:7"
     assert row.redis_action == "set"
+
+
+PYTHONIC_CASES = [
+    # Pythonic surface added for MiniElixir-corpus breadth: chained
+    # comparisons, method-call forms (module-twin dispatch), sorted/
+    # reversed, f-strings, parallel + augmented assignment.
+    ("1 < 2 < 3", True),
+    ("1 < 2 < 1", False),
+    ("0 <= int(record['id']) <= 10", True),
+    ("'a' < record['name'] < 'b'", True),
+    ("record['name'].upper()", "ARYA"),
+    ("record['house'].lower()", "stark"),
+    ("'  x  '.strip() + '!'", "x!"),
+    ("'  x'.lstrip() + '!'", "x!"),
+    ("'x  '.rstrip() + '!'", "x!"),
+    ("'aRYA'.capitalize()", "Arya"),
+    ("record['house'].startswith('St')", True),
+    ("record['house'].endswith('rk')", True),
+    ("'a-b-a'.replace('-', ':')", "a:b:a"),
+    ("'a,b,c'.split(',')[1]", "b"),
+    ("record.get('house')", "Stark"),
+    ("record.get('missing')", None),
+    ("record.get('missing', 'dflt')", "dflt"),
+    ("','.join(record.keys())", "house,id,name,score"),
+    ("':'.join('a,b'.split(','))", "a:b"),
+    ("sorted(['b', 'a', 'c'])[0]", "a"),
+    ("reversed(['a', 'b'])[0]", "b"),
+    ("'-'.join(sorted('b,a'.split(',')))", "a-b"),
+    ("f\"user-{record['id']}\"", "user-7"),
+    ("f\"{record['name'].upper()}-{int(record['id']) + 1}\"", "ARYA-8"),
+    # method chains compile to nested Catalyst calls, one expression
+    ("record['name'].replace('a', 'o').upper()", "ORYO"),
+]
+
+PYTHONIC_PROGRAMS = [
+    ("def transform(action, record, changes, metadata):\n"
+     "    a, b = record['id'], record['name']\n"
+     "    return b + a", "arya7"),
+    ("def transform(action, record, changes, metadata):\n"
+     "    x = int(record['id'])\n"
+     "    x += 3\n"
+     "    x *= 2\n"
+     "    x -= 1\n"
+     "    return x", 19),
+    ("def transform(action, record, changes, metadata):\n"
+     "    lo, hi = 0, 10\n"
+     "    if lo <= int(record['id']) <= hi:\n"
+     "        return 'in-range'\n"
+     "    return 'out'", "in-range"),
+]
+
+PYTHONIC_REJECTS = [
+    # the sandbox must not grow: unknown methods, dunder chains,
+    # argument shadowing through the new assignment forms
+    "record['name'].evil()",
+    "record.__class__",
+    "''.join.__globals__",
+    "def transform(action, record, changes, metadata):\n"
+    "    record, x = 1, 2\n"
+    "    return x",
+    "def transform(action, record, changes, metadata):\n"
+    "    metadata += 1\n"
+    "    return metadata",
+    "def transform(action, record, changes, metadata):\n"
+    "    a, b = 1, 2, 3\n"
+    "    return a",
+]
+
+
+def test_minipy_pythonic_corpus(ev):
+    from sequin_spark.functions.minipy import compile_expr as ce
+
+    for src, expected in PYTHONIC_CASES:
+        assert _one(ev, ce(src)) == expected, src
+
+
+def test_minipy_pythonic_programs(ev):
+    from sequin_spark.functions.minipy import compile_program
+
+    for src, expected in PYTHONIC_PROGRAMS:
+        assert _one(ev, compile_program(src)) == expected, src
+
+
+def test_minipy_pythonic_rejects(ev):
+    from sequin_spark.functions.minipy import validate
+
+    for src in PYTHONIC_REJECTS:
+        ok, err = validate(src)
+        assert not ok and err, src
