@@ -597,8 +597,11 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """Split each document into consecutive ``chunk_words``-word chunks
     (the 'line'/passage unit of C4-style dedup; our synthetic corpus has
     no newlines, so the unit is a fixed word window). Narrow projection:
-    (id, pos, chunk) exploded from an in-row array — no shuffle."""
-    words = F.split(normalized(text_col), " ")
+    (id, pos, chunk) exploded from an in-row array — no shuffle. The
+    token array is a materialized projection step (see doc_bigrams):
+    inlining the split into the slice lambda re-tokenizes per chunk."""
+    words = F.col("_w")
+    d = df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
     n = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n - 1),
@@ -606,7 +609,7 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             F.slice(words, i * chunk_words + 1, chunk_words), " "
         ),
     )
-    return df.select(
+    return d.select(
         F.col(id_col),
         F.posexplode(F.when(F.size(words) > 0, chunks)
                      .otherwise(F.array().cast("array<string>")))

@@ -416,40 +416,105 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> list:
-    """Per-subspace deterministic codebooks: det_centroids run on each
-    of the m subvector projections (same md5-seeded row choice in every
-    subspace). Returns [subspace][(c_id, centroid)] — m×ksub×(dims/m)
-    doubles, driver-side constants by design (a codebook is KB-sized)."""
+    """Per-subspace deterministic codebooks — md5-seeded Lloyd's per
+    subvector projection, all m subspaces fitted JOINTLY: the seed rows
+    are the same rows in every subspace (one TakeOrdered collect of the
+    full vectors, sliced driver-side) and each Lloyd iteration runs as a
+    single pass — per-subspace assignment against embedded constants
+    (narrow), then ONE (j, c_id)-keyed mean shuffle for every subspace
+    at once, instead of m separate fits (m × iters Spark jobs → iters).
+    Values are bit-identical to fitting each subspace independently:
+    assignments never cross subspaces and the per-dimension means are
+    the same aggregates. Returns [subspace][(c_id, centroid)] —
+    m×ksub×(dims/m) doubles, driver-side constants by design."""
     sub = dims // m
-    books = []
-    for j in range(m):
-        ej = emb.select(
-            F.col(id_col).alias("_id"), _subvec(vec_col, j, sub).alias("v")
-        ).cache()
-        books.append(det_centroids(ej, ksub, iters, id_col=None))
-        ej.unpersist()
+    e = emb.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x as double))").alias("v"),
+    ).cache()
+    seed_rows = (
+        e.withColumn("h", F.md5(F.col("_id").cast("string")))
+        .orderBy("h")
+        .limit(ksub)
+        .select("v")
+        .collect()
+    )
+    books = [
+        [
+            (i, [float(x) for x in r["v"][j * sub:(j + 1) * sub]])
+            for i, r in enumerate(seed_rows)
+        ]
+        for j in range(m)
+    ]
+    mean_aggs = [F.avg(F.col("sv")[i]).alias(f"m{i}") for i in range(sub)]
+    for _ in range(iters):
+        # per row: (j, nearest c_id, subvector) for every subspace, via
+        # the dense codebook literal + HOF loops — the expression tree
+        # stays constant-size instead of m×ksub unrolled branches (the
+        # unrolled form spent seconds per iteration in analysis/codegen)
+        cb = _cb_literal(books, ksub, sub)
+        assign = (
+            f"transform(sequence(0, {m - 1}), j -> struct("
+            f"j as j, "
+            f"array_min(transform(sequence(0, {ksub - 1}), c -> "
+            f"struct(aggregate(zip_with(slice(v, j * {sub} + 1, {sub}), "
+            f"element_at(element_at({cb}, j + 1), c + 1), "
+            f"(a, b) -> (a - b) * (a - b)), "
+            f"cast(0.0 as double), (acc, x) -> acc + x) as dist, c as c_id))).c_id as c_id, "
+            f"slice(v, j * {sub} + 1, {sub}) as sv))"
+        )
+        exploded = e.select(F.explode(F.expr(assign)).alias("s")).select(
+            "s.j", "s.c_id", "s.sv"
+        )
+        out = exploded.groupBy("j", "c_id").agg(*mean_aggs).collect()
+        books = [[] for _ in range(m)]
+        for r in out:
+            books[int(r["j"])].append(
+                (int(r["c_id"]), [float(r[f"m{i}"]) for i in range(sub)])
+            )
+        books = [sorted(b) for b in books]
+    e.unpersist()
     return books
 
 
-def _pq_code_expr(vec_col: str, books: list, dims: int) -> F.Column:
+def _cb_literal(books: list, ksub: int, sub: int) -> str:
+    """Dense 3-D codebook literal cb[j][c][d] (1-based SQL indexing).
+    Missing centroid ids (empty clusters — possible only on degenerate
+    data) are densified with 1e18 dummies whose distance dwarfs every
+    real one, so positional index == centroid id always holds. ONE
+    literal + HOF loops keeps the expression tree (and its codegen)
+    constant-size, vs m×ksub unrolled branches."""
+    subs = []
+    for book in books:
+        dense = {c_id: c for c_id, c in book}
+        rows = []
+        for c in range(ksub):
+            vec = dense.get(c, [1e18] * sub)
+            rows.append(
+                "array(" + ",".join(
+                    f"cast('{float(x)!r}' as double)" for x in vec) + ")"
+            )
+        subs.append("array(" + ",".join(rows) + ")")
+    return "array(" + ",".join(subs) + ")"
+
+
+def _pq_code_expr(vec_col: str, books: list, dims: int, ksub: int | None = None) -> F.Column:
     """array<int> of per-subspace nearest-centroid ids — a NARROW map
-    against embedded codebook constants (the assign_to_centroids trick
+    against the embedded codebook literal (the assign_to_centroids trick
     per subspace); encoding 100 TB is a single scan, no shuffle."""
     m = len(books)
     sub = dims // m
-    codes = []
-    for j, book in enumerate(books):
-        sl = f"transform(slice({vec_col}, {j * sub + 1}, {sub}), x -> cast(x as double))"
-        cands = []
-        for c_id, c in book:
-            arr = "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in c) + ")"
-            d = (
-                f"aggregate(zip_with({sl}, {arr}, (a, b) -> (a - b) * (a - b)), "
-                f"cast(0.0 as double), (acc, x) -> acc + x)"
-            )
-            cands.append(f"struct({d} as dist, {int(c_id)} as c_id)")
-        codes.append(f"array_min(array({','.join(cands)})).c_id")
-    return F.expr(f"array({','.join(codes)})")
+    ksub = ksub or max(c_id for b in books for c_id, _ in b) + 1
+    cb = _cb_literal(books, ksub, sub)
+    return F.expr(
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"array_min(transform(sequence(0, {ksub - 1}), c -> "
+        f"struct(aggregate(zip_with("
+        f"transform(slice({vec_col}, j * {sub} + 1, {sub}), x -> cast(x as double)), "
+        f"element_at(element_at({cb}, j + 1), c + 1), "
+        f"(a, b) -> (a - b) * (a - b)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x) as dist, c as c_id))).c_id)"
+    )
 
 
 def pq_encode(
@@ -487,23 +552,24 @@ def pq_adc_topk(
     """
     m = len(books)
     sub = dims // m
+    ksub = max(c_id for b in books for c_id, _ in b) + 1
     if codes is None:
         codes = pq_encode(emb, books, dims, id_col, vec_col)
-    # tab[j][c] = || q_subvec_j - codebook_j[c] ||²
-    tab_rows = []
-    for j, book in enumerate(books):
-        sl = f"transform(slice({vec_col}, {j * sub + 1}, {sub}), x -> cast(x as double))"
-        cells = []
-        for _c_id, c in book:
-            arr = "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in c) + ")"
-            cells.append(
-                f"aggregate(zip_with({sl}, {arr}, (a, b) -> (a - b) * (a - b)), "
-                f"cast(0.0 as double), (acc, x) -> acc + x)"
-            )
-        tab_rows.append(f"array({','.join(cells)})")
+    # tab[j][c] = || q_subvec_j - codebook_j[c] ||² — same dense literal
+    # as the encoder, looped with HOFs (constant-size expression tree)
+    cb = _cb_literal(books, ksub, sub)
+    tab = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {ksub - 1}), c -> "
+        f"aggregate(zip_with("
+        f"transform(slice({vec_col}, j * {sub} + 1, {sub}), x -> cast(x as double)), "
+        f"element_at(element_at({cb}, j + 1), c + 1), "
+        f"(a, b) -> (a - b) * (a - b)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)))"
+    )
     q = queries.select(
         F.col(id_col).alias("q_id"),
-        F.expr(f"array({','.join(tab_rows)})").alias("tab"),
+        F.expr(tab).alias("tab"),
     )
     c = codes.select(F.col(id_col).alias("n_id"), "code")
     joined = c.join(F.broadcast(q)).filter(F.col("q_id") != F.col("n_id"))
