@@ -119,6 +119,11 @@ def main() -> None:
         per_query[name] = round(dt, 3)
         if dt > 0:
             total += dt
+        # per-query isolation: several operators cache/persist index
+        # structures (IVF assignments, LSH band indexes, LM bigram
+        # streams); letting 60+ of them accumulate turns the tail of the
+        # run into a GC benchmark instead of a query benchmark
+        spark.catalog.clearCache()
 
     pipe_sec, pipe_rows = pipeline_throughput(spark, sf_dir)
     ops_per_sec = int(pipe_rows / pipe_sec) if pipe_sec > 0 else 0

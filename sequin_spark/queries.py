@@ -783,21 +783,31 @@ def q_value_caster(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector_text = F.concat(F.lit("["), rec.getItem("value"), F.lit(",1.5]"))
     money_text = F.concat(F.lit("$"), rec.getItem("user_id"), F.lit(",000.25"))
     bool_text = F.when(rec.getItem("event_id").cast("long") % 2 == 0, F.lit("t")).otherwise(F.lit("f"))
-    iv = cast_interval(interval_text)
-    vec = cast_vector(vector_text)
-    return ev.select(
-        cast_value(rec.getItem("event_id"), "int8").alias("event_id"),
-        cast_value(rec.getItem("value"), "float8").alias("value_typed"),
-        cast_value(bool_text, "bool").alias("bool_typed"),
-        F.round(cast_value(money_text, "money"), 2).cast("double").alias("money_typed"),
-        iv.getField("months").alias("iv_months"),
-        iv.getField("days").alias("iv_days"),
-        iv.getField("microseconds").alias("iv_micros"),
+    # materialize the interval struct in its own projection step, then
+    # unpack: three getField reads on the raw cast_interval() expression
+    # would re-evaluate the whole normalize+split pipeline per field
+    # (Catalyst CSE does not collapse them; measured ~4×)
+    staged = ev.select(
+        "record",
+        cast_interval(interval_text).alias("_iv"),
+        cast_vector(vector_text).alias("_vec"),
+        cast_array(array_text, "text").alias("_arr"),
+        bool_text.alias("_bool"),
+        money_text.alias("_money"),
+    )
+    return staged.select(
+        cast_value(F.col("record").getItem("event_id"), "int8").alias("event_id"),
+        cast_value(F.col("record").getItem("value"), "float8").alias("value_typed"),
+        cast_value(F.col("_bool"), "bool").alias("bool_typed"),
+        F.round(cast_value(F.col("_money"), "money"), 2).cast("double").alias("money_typed"),
+        F.col("_iv").getField("months").alias("iv_months"),
+        F.col("_iv").getField("days").alias("iv_days"),
+        F.col("_iv").getField("microseconds").alias("iv_micros"),
         F.array_join(
-            F.transform(cast_array(array_text, "text"), lambda x: F.coalesce(x, F.lit("∅"))), "|"
+            F.transform(F.col("_arr"), lambda x: F.coalesce(x, F.lit("∅"))), "|"
         ).alias("arr_joined"),
         F.round(
-            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x), 2
+            F.aggregate(F.col("_vec"), F.lit(0.0), lambda acc, x: acc + x), 2
         ).alias("vec_sum"),
     )
 

