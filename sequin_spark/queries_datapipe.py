@@ -7,7 +7,7 @@ floating-point similarity values are rounded on both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sequin_spark.cdc import load_table
@@ -1336,6 +1336,110 @@ SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= {topk}
 """
 
 
+
+def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the last step
+    of a training-data pipeline (write N balanced shards in a
+    reproducible pseudo-random order). Knuth multiplicative hash over
+    the doc id (portable integer arithmetic, no engine-specific hash):
+    shard = h mod N, within-shard order = (h, doc_id). One shuffle on
+    shard for the offset window; shard keys are uniform by
+    construction, so the write fan-out is balanced at any scale."""
+    _prep(spark)
+    n_shards = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("h", h)
+        .withColumn("shard", F.pmod(F.col("h"), F.lit(n_shards)).cast("int"))
+        .withColumn("shard_offset", F.row_number().over(w))
+        .select("doc_id", "shard", "shard_offset", "n_chars")
+    )
+
+
+SQL_CORPUS_SHARD_ASSIGN = """
+WITH h AS (
+  SELECT doc_id, n_chars,
+         (doc_id * 2654435761) % 4294967296 AS h
+  FROM documents
+)
+SELECT doc_id, CAST(h % 8 AS INTEGER) AS shard,
+       CAST(row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id)
+            AS BIGINT) AS shard_offset,
+       n_chars
+FROM h
+"""
+
+
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier detection (the embedding-quality filter
+    of a multimodal pipeline): per-label centroid, each vector's L2
+    distance to its own centroid, flagged by z-score (dist > mean +
+    2σ within the label — high-dim distances concentrate, so a fixed
+    multiple of the mean never fires). Centroids are one 64-avg label
+    agg (labels are few → the join back is a broadcast); everything
+    else is a narrow zip_with scan."""
+    from sequin_spark.datapipe.similarity import as_double
+
+    _prep(spark)
+    dims = 64
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    cent = emb.groupBy("label").agg(
+        *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dims)]
+    ).select("label", F.array(*[F.col(f"m{i}") for i in range(dims)]).alias("c"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = emb.join(F.broadcast(cent), "label").withColumn("dist", dist)
+    stats = d.groupBy("label").agg(
+        F.avg("dist").alias("mean_dist"),
+        F.stddev_samp("dist").alias("sd_dist"),
+    )
+    return (
+        d.join(F.broadcast(stats), "label")
+        .select(
+            "vec_id", "label",
+            F.round("dist", 4).alias("dist"),
+            (F.col("dist") > F.col("mean_dist") + 2 * F.col("sd_dist")).alias("is_outlier"),
+        )
+    )
+
+
+def _sql_embed_outliers(dims: int = 64) -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, list(m ORDER BY d) AS c FROM (
+    SELECT label, d, avg(v[d]) AS m
+    FROM e, unnest(generate_series(1, {dims})) AS t(d)
+    GROUP BY label, d) s
+  GROUP BY label
+),
+dd AS (
+  SELECT e.vec_id, e.label,
+         sqrt({_sql_l2('e.v', 'cent.c', dims)}) AS dist
+  FROM e JOIN cent USING (label)
+),
+st AS (SELECT label, avg(dist) AS mean_dist,
+              stddev_samp(dist) AS sd_dist
+       FROM dd GROUP BY label)
+SELECT dd.vec_id, dd.label, round(dd.dist, 4) AS dist,
+       dd.dist > st.mean_dist + 2 * st.sd_dist AS is_outlier
+FROM dd JOIN st USING (label)
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1367,6 +1471,8 @@ DATAPIPE_QUERIES = {
     "corpus_line_dedup": q_corpus_line_dedup,
     "quality_ngram_lm": q_quality_ngram_lm,
     "ann_pq_adc": q_ann_pq_adc,
+    "corpus_shard_assign": q_corpus_shard_assign,
+    "embed_outliers": q_embed_outliers,
 }
 
 DATAPIPE_ORACLES = {
@@ -1400,4 +1506,6 @@ DATAPIPE_ORACLES = {
     "corpus_line_dedup": _sql_corpus_line_dedup(),
     "quality_ngram_lm": _sql_quality_ngram_lm(),
     "ann_pq_adc": _sql_pq_adc(),
+    "corpus_shard_assign": SQL_CORPUS_SHARD_ASSIGN,
+    "embed_outliers": _sql_embed_outliers(),
 }

@@ -95,3 +95,43 @@ def test_bigram_lm_scores(spark):
     # short docs (<2 tokens) produce no rows rather than errors
     short = spark.createDataFrame([(1, "word"), (2, "")], ["doc_id", "text"])
     assert bigram_lm_scores(short).count() == 0
+
+
+def test_shard_assign_balanced_and_deterministic(spark, sf_dir):
+    import __spark_entry__ as m
+
+    q = m.queries()["corpus_shard_assign"]
+    rows = q(spark, sf_dir).collect()
+    n = len(rows)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.shard_offset)
+    # balanced within 3x of ideal (hash round-robin on uniform keys)
+    sizes = [len(v) for v in by_shard.values()]
+    assert max(sizes) <= 3 * (n // 8 + 1)
+    # offsets are dense 1..len per shard (a valid write position)
+    for offs in by_shard.values():
+        assert sorted(offs) == list(range(1, len(offs) + 1))
+    # deterministic across runs
+    again = {(r.doc_id, r.shard, r.shard_offset) for r in q(spark, sf_dir).collect()}
+    assert again == {(r.doc_id, r.shard, r.shard_offset) for r in rows}
+
+
+def test_embed_outliers_flags_tail(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = m.queries()["embed_outliers"](spark, sf_dir).collect()
+    frac = sum(r.is_outlier for r in rows) / len(rows)
+    # the z-score rule flags a minority tail, never everything
+    assert 0 < frac < 0.5
+    # outliers are strictly farther than at least one inlier of the
+    # same label
+    from collections import defaultdict
+    by_label = defaultdict(list)
+    for r in rows:
+        by_label[r.label].append(r)
+    for label, rs in by_label.items():
+        outs = [r.dist for r in rs if r.is_outlier]
+        ins = [r.dist for r in rs if not r.is_outlier]
+        if outs and ins:
+            assert min(outs) > min(ins)
