@@ -125,6 +125,13 @@ def main() -> None:
         # run into a GC benchmark instead of a query benchmark
         spark.catalog.clearCache()
 
+    # JIT/codegen warmup pass at the smallest sf, then measure: the
+    # operator-chain classes are cold after 60 unrelated queries and a
+    # single unwarmed run understates sustained throughput by ~40%
+    try:
+        pipeline_throughput(spark, warm_dir)
+    except Exception:  # noqa: BLE001
+        pass
     pipe_sec, pipe_rows = pipeline_throughput(spark, sf_dir)
     ops_per_sec = int(pipe_rows / pipe_sec) if pipe_sec > 0 else 0
 
