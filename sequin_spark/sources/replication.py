@@ -514,3 +514,96 @@ class ReplicationIngestWorker:
                 self.client.send_standby_status(self.flushed_lsn)
             except OSError:
                 pass
+
+
+def run_supervised(
+    client_factory,
+    out_dir: str,
+    slot_name: str,
+    publication: str,
+    max_seconds: float | None = None,
+    stop_when=None,
+    initial_backoff: float = 1.0,
+    max_backoff: float = 60.0,
+    healthy_reset_seconds: float = 30.0,
+    on_health=None,
+    pg_major_version: int = 14,
+    **worker_kwargs,
+) -> "ReplicationIngestWorker":
+    """Supervision loop around the ingest worker — the OTP
+    SlotSupervisor restart semantics (runtime/supervisor.ex: the
+    SlotProducer is restarted with backoff on any exit; PG's own slot
+    exclusivity is the single-writer lock, so a standby running this
+    same loop simply keeps retrying until the primary's connection
+    dies and the slot frees up — takeover by lease expiry).
+
+    Each (re)connect resolves the resume point from the SERVER
+    (``pg_replication_slots.restart_lsn`` — the slot tracks our last
+    flushed ack, the reference's restart_wal_cursor), so no local
+    cursor state is needed and a crash-restart replays only whole
+    transactions past the last ack (the downstream idempotency ledger
+    drops the duplicates).
+
+    ``client_factory`` returns an UNconnected ReplicationClient;
+    ``on_health(event, detail)`` receives ``replication_connected`` /
+    ``replication_disconnected`` transitions (health.ex event feed).
+    Backoff: exponential ``initial_backoff → max_backoff``, reset after
+    ``healthy_reset_seconds`` of uninterrupted streaming.
+    """
+    deadline = None if max_seconds is None else time.monotonic() + max_seconds
+    backoff = initial_backoff
+    worker = None
+    while True:
+        if stop_when is not None and stop_when():
+            break
+        if deadline is not None and time.monotonic() > deadline:
+            break
+        client = client_factory()
+        connected_at = None
+        try:
+            client.connect()
+            start_lsn = client.fetch_restart_lsn(slot_name) or 0
+            client.start_replication(
+                slot_name, publication, start_lsn=start_lsn,
+                pg_major_version=pg_major_version,
+            )
+            connected_at = time.monotonic()
+            if on_health is not None:
+                on_health("replication_connected", int_to_lsn(start_lsn))
+            worker = ReplicationIngestWorker(
+                client, out_dir, slot_name=slot_name, **worker_kwargs
+            )
+            remaining = None
+            if deadline is not None:
+                remaining = max(0.0, deadline - time.monotonic())
+            # run until the stream ends (CopyDone), errors, or stops
+            worker.run(
+                max_seconds=remaining,
+                stop_when=lambda: (
+                    (stop_when is not None and stop_when())
+                    or not client.streaming
+                ),
+            )
+            if stop_when is not None and stop_when():
+                break
+            if deadline is not None and time.monotonic() > deadline:
+                break
+            raise ReplicationError("stream ended (CopyDone)")
+        except (ReplicationError, OSError) as e:
+            if on_health is not None:
+                on_health("replication_disconnected", str(e)[:200])
+            if connected_at is not None and (
+                time.monotonic() - connected_at >= healthy_reset_seconds
+            ):
+                backoff = initial_backoff
+            sleep_for = backoff
+            if deadline is not None:
+                sleep_for = min(sleep_for, max(0.0, deadline - time.monotonic()))
+            time.sleep(sleep_for)
+            backoff = min(backoff * 2, max_backoff)
+        finally:
+            try:
+                client.close()
+            except OSError:
+                pass
+    return worker

@@ -388,3 +388,102 @@ def test_worker_only_acks_committed_transactions(spark, tmp_path):
     assert [r["id"] for r in ev.selectExpr("record['id'] as id").collect()] == ["1"]
     assert worker.flushed_lsn == LSN1
     assert all(a[1] <= LSN1 for a in srv.acks)
+
+
+class DroppingWalSender(FakeWalSender):
+    """Streams its script, waits for ONE standby-status ack, then drops
+    the TCP connection — simulates a walsender crash/primary failover."""
+
+    def _stream(self, conn):
+        for m in self.script:
+            conn.sendall(m)
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            try:
+                mtype, payload = self._read_msg(conn)
+            except ConnectionError:
+                return
+            if mtype == b"d" and payload[:1] == b"r":
+                written, flushed, applied = struct.unpack_from(">QQQ", payload, 1)
+                self.acks.append((written, flushed, applied, payload[33]))
+                break
+        # the makefile() reader holds a dup of the fd — close() alone
+        # would not send FIN; shutdown() does
+        import socket as _socket
+
+        try:
+            conn.shutdown(_socket.SHUT_RDWR)
+        except OSError:
+            pass
+        conn.close()
+
+
+def test_supervised_reconnect_resumes_from_server_cursor(tmp_path):
+    """run_supervised (OTP SlotSupervisor restart parity): the first
+    walsender dies after txn 1 is acked; the loop backs off, reconnects
+    to the standby, resumes from the SERVER-side restart_lsn (the slot's
+    cursor = our last flushed ack), and ingests txn 2. Health
+    transitions observed, no local cursor state involved."""
+    import pyarrow.parquet as pq
+
+    from sequin_spark.sources.replication import run_supervised
+
+    script1 = [
+        xlog(100, relation_frame()),
+        xlog(LSN1, begin_frame(LSN1, xid=10)),
+        xlog(LSN1 + 1, insert_frame(101, "1", "arya")),
+        xlog(LSN1 + 2, commit_frame(LSN1)),
+    ]
+    script2 = [
+        xlog(100, relation_frame()),  # new connection re-sends Relation
+        xlog(LSN2, begin_frame(LSN2, xid=11)),
+        xlog(LSN2 + 1, insert_frame(101, "2", "sansa")),
+        xlog(LSN2 + 2, commit_frame(LSN2)),
+    ]
+    s1 = DroppingWalSender(script1)
+    # the slot's restart_lsn reflects the ack the first server received
+    s2 = FakeWalSender(script2, restart_lsn="0/1000")
+    servers = [s1, s2]
+
+    def factory():
+        srv = servers.pop(0) if servers else s2
+        return ReplicationClient(
+            "127.0.0.1", srv.port, user="replicator", database="postgres",
+            password="s3cret", receive_timeout=0.05,
+        )
+
+    out_dir = tmp_path / "wal"
+    health = []
+
+    def done():
+        try:
+            files = list(out_dir.glob("*.parquet"))
+            return sum(pq.read_table(str(f)).num_rows for f in files) >= 2
+        except OSError:
+            return False
+
+    worker = run_supervised(
+        factory, str(out_dir), slot_name="sequin_slot",
+        publication="sequin_pub", max_seconds=15, stop_when=done,
+        initial_backoff=0.05, max_backoff=0.2,
+        on_health=lambda ev, detail: health.append(ev),
+        flush_seconds=0.05, ack_interval=0.05,
+    )
+    assert worker is not None
+    # both transactions landed in the CDC log
+    rows = []
+    for f in sorted(out_dir.glob("*.parquet")):
+        rows.extend(pq.read_table(str(f)).to_pylist())
+    lsns = {r["commit_lsn"] for r in rows}
+    assert LSN1 in lsns and LSN2 in lsns
+    # server 1 got the txn-1 ack before dying; server 2 was asked to
+    # resume from the slot cursor, not from 0/0
+    assert any(a[1] == LSN1 for a in s1.acks)
+    resume = [q for q in s2.queries if q.startswith("START_REPLICATION")]
+    assert resume and "LOGICAL 0/1000" in resume[0]
+    # health saw connect → disconnect → connect
+    assert health[0] == "replication_connected"
+    assert "replication_disconnected" in health
+    assert health.count("replication_connected") >= 2
+    s1.close()
+    s2.close()
