@@ -573,19 +573,10 @@ def incremental_dedup(
     )
 
 
-def word_shingles_from_text(text_col: str, k: int) -> F.Column:
-    """k-word shingle array straight from a text column.
-
-    Same short-doc guard as ``word_shingles``: < k tokens → empty array,
-    not an ANSI INVALID_ARRAY_INDEX from a descending sequence().
-    """
-    w = f"split({NORM.format(col=text_col)}, ' ')"
-    idx = ", ".join(f"{w}[i - 1 + {j}]" for j in range(k))
-    return F.expr(
-        f"CASE WHEN size({w}) >= {k} THEN "
-        f"transform(sequence(1, size({w}) - {k - 1}), i -> concat_ws(' ', {idx})) "
-        f"ELSE cast(array() as array<string>) END"
-    )
+# NOTE: a former word_shingles_from_text(text_col, k) helper inlined
+# split(normalize(text)) into every element access of the shingle
+# transform — O(words²) re-tokenization per row. Always materialize the
+# token array as a projection column first and use word_shingles("w", k).
 
 
 # ---------------------------------------------------------------------------

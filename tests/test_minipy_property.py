@@ -31,6 +31,14 @@ PROGRAMS = [
     "return record['maybe_missing'] == 'x'",
     "return join([upper(t) for t in split(record['csv'], ',') if length(t) > 1], '-')",
     "return min(int(record['id']), 50)",
+    # Pythonic surface: chained comparisons, method calls, sorted,
+    # f-strings, parallel + augmented assignment
+    "return 10 < int(record['id']) < 5000",
+    "return record['name'].upper() + '-' + record['house'].capitalize()",
+    "return '-'.join(sorted(record['csv'].split(',')))",
+    "a, b = int(record['id']), record['name']\nreturn f\"{b}:{a}\"",
+    "x = int(record['id'])\nx += 7\nx *= 2\nreturn x",
+    "return record['name'].replace('a', 'o').startswith('o')",
 ]
 
 
@@ -55,6 +63,7 @@ def _py_eval(src: str, record: dict):
         "int": int,
         "float": float,
         "str": str,
+        "sorted": sorted,
     }
     body = "\n".join("    " + ln for ln in src.splitlines())
     scope = {}
