@@ -465,7 +465,7 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, k=8, threshold=0.3, iters=1)
+    return semdedup(emb, k=16, threshold=0.3, iters=1)
 
 
 def _sql_semdedup(k_cent: int = 8, iters: int = 1, threshold: float = 0.3,
@@ -1484,7 +1484,7 @@ DATAPIPE_ORACLES = {
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
     "dedup_incremental": _sql_dedup_incremental(),
     "embed_neardup_cosine": _sql_embed_neardup_cosine(),
-    "semdedup": _sql_semdedup(),
+    "semdedup": _sql_semdedup(k_cent=16),
     "ann_topk_bruteforce": SQL_ANN_TOPK_BRUTEFORCE,
     "ann_lsh_buckets": _sql_ann_lsh_buckets(),
     "ann_lsh_topk": _sql_ann_lsh_topk(),
