@@ -132,8 +132,20 @@ def eventize(
 TS_COLS = {"orders": ["o_orderdate"], "lineitem": ["l_shipdate"], "events": ["ts"]}
 
 
+# (applicationId, sf_dir, name) → DataFrame. A DataFrame is just a plan;
+# memoizing it skips the per-call file listing + parquet schema
+# inference that every one of the 60+ registry queries would otherwise
+# repeat. Keyed by session so a restarted SparkSession never serves a
+# stale plan.
+_TABLE_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     dtypes = dict(df.dtypes)
     for c in TS_COLS.get(name, []):
@@ -141,6 +153,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.expr(f"timestamp_micros({c} div 1000)"))
         elif dtypes.get(c) == "timestamp_ntz":
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+    _TABLE_CACHE[key] = df
     return df
 
 
