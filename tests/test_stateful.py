@@ -52,3 +52,49 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
         ]
     finally:
         q.stop()
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Spark-native streaming dedup twin: dropDuplicatesWithinWatermark
+    on the idempotency key bounds state by event time (the ledger's
+    trim-by-time semantics, message_ledgers.ex:65-99 — state for keys
+    older than the watermark is evicted instead of growing forever)."""
+    src = str(tmp_path / "src")
+    batch1 = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:10"), ("k2", "2024-01-01 00:00:11")],
+        "idempotency_key string, ts_s string",
+    ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("idempotency_key string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["idempotency_key"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT count(*) AS n FROM wm_dedup_out").collect()[0].n == 2
+        # replay k1 within the watermark window + a genuinely new key
+        batch2 = spark.createDataFrame(
+            [("k1", "2024-01-01 00:00:12"), ("k3", "2024-01-01 00:00:13")],
+            "idempotency_key string, ts_s string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        batch2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        keys = sorted(
+            r.idempotency_key
+            for r in spark.sql("SELECT idempotency_key FROM wm_dedup_out").collect()
+        )
+        assert keys == ["k1", "k2", "k3"]  # the k1 replay was dropped
+    finally:
+        q.stop()
