@@ -1440,6 +1440,44 @@ FROM dd JOIN st USING (label)
 """
 
 
+
+def q_corpus_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profiling — the monitoring query every ingestion pipeline
+    runs per batch: per (source, lang) doc counts, char volume, and
+    exact interpolated length percentiles (p50/p90/p99). One keyed agg;
+    `F.percentile` is the exact type-7 interpolation DuckDB's
+    quantile_cont also implements, so the oracle is value-exact."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        docs.groupBy("source", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
+            pct.alias("_p"),
+        )
+        .select(
+            "source", "lang", "n_docs", "total_chars", "mean_chars",
+            F.round(F.col("_p")[0], 2).alias("p50_chars"),
+            F.round(F.col("_p")[1], 2).alias("p90_chars"),
+            F.round(F.col("_p")[2], 2).alias("p99_chars"),
+        )
+    )
+
+
+SQL_CORPUS_STATS_PROFILE = """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       round(avg(n_chars), 2) AS mean_chars,
+       round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
+       round(quantile_cont(n_chars, 0.99), 2) AS p99_chars
+FROM documents
+GROUP BY source, lang
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1473,6 +1511,7 @@ DATAPIPE_QUERIES = {
     "ann_pq_adc": q_ann_pq_adc,
     "corpus_shard_assign": q_corpus_shard_assign,
     "embed_outliers": q_embed_outliers,
+    "corpus_stats_profile": q_corpus_stats_profile,
 }
 
 DATAPIPE_ORACLES = {
@@ -1508,4 +1547,5 @@ DATAPIPE_ORACLES = {
     "ann_pq_adc": _sql_pq_adc(),
     "corpus_shard_assign": SQL_CORPUS_SHARD_ASSIGN,
     "embed_outliers": _sql_embed_outliers(),
+    "corpus_stats_profile": SQL_CORPUS_STATS_PROFILE,
 }

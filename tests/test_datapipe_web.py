@@ -135,3 +135,13 @@ def test_embed_outliers_flags_tail(spark, sf_dir):
         ins = [r.dist for r in rs if not r.is_outlier]
         if outs and ins:
             assert min(outs) > min(ins)
+
+
+def test_corpus_stats_profile_percentiles(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = m.queries()["corpus_stats_profile"](spark, sf_dir).collect()
+    assert rows and all(r.n_docs > 0 for r in rows)
+    for r in rows:
+        assert r.p50_chars <= r.p90_chars <= r.p99_chars
+        assert r.total_chars >= r.n_docs  # non-empty docs
