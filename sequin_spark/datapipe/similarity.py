@@ -587,3 +587,85 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", "adc")
     )
+
+
+def ann_ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    m: int = 16,
+    ksub: int = 16,
+    iters_coarse: int = 1,
+    iters_pq: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ — the canonical large-scale ANN layout (FAISS IVFPQ,
+    Jégou et al. 2011 §IV): a coarse quantizer restricts the search to
+    ``n_probe`` inverted lists, and within them distance is the PQ/ADC
+    approximation over stored codes, so the scan touches m bytes per
+    candidate instead of d floats AND only ~n_probe/n_centroids of the
+    corpus. (Simplification vs the paper: PQ encodes raw vectors, not
+    coarse residuals — keeps the per-subspace codebooks shared across
+    lists and the SQL oracle tractable; recall at these sizes is
+    equivalent.) Fully deterministic → hash-checked end-to-end.
+    """
+    sub = dims // m
+    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
+    cent_rows = det_centroids(e, n_centroids, iters_coarse, id_col=None)
+    corpus = assign_to_centroids(e, cent_rows).select(
+        F.col("_id").alias("n_id"), "c_id"
+    )
+    books = pq_codebooks(emb, m, ksub, iters_pq, dims, id_col, vec_col)
+    codes = pq_encode(emb, books, dims, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), "code"
+    )
+    corpus = corpus.join(codes, "n_id")
+    ksub_eff = max(c_id for b in books for c_id, _ in b) + 1
+    cb = _cb_literal(books, ksub_eff, sub)
+    tab = (
+        f"transform(sequence(0, {m - 1}), j -> "
+        f"transform(sequence(0, {ksub_eff - 1}), c -> "
+        f"aggregate(zip_with("
+        f"transform(slice({vec_col}, j * {sub} + 1, {sub}), x -> cast(x as double)), "
+        f"element_at(element_at({cb}, j + 1), c + 1), "
+        f"(a, b) -> (a - b) * (a - b)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)))"
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        as_double(vec_col).alias("q_vec"),
+        F.expr(tab).alias("tab"),
+    )
+    cent = emb.sparkSession.createDataFrame(cent_rows, "c_id int, c array<double>")
+    cdist = F.aggregate(
+        F.zip_with(F.col("q_vec"), F.col("c"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.col("cdist").asc(), F.col("c_id").asc())
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("cdist", cdist)
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= n_probe)
+        .select("q_id", "tab", "c_id")
+    )
+    cand = probes.join(corpus, "c_id").filter(F.col("q_id") != F.col("n_id"))
+    adc = F.expr(
+        f"aggregate(sequence(0, {m - 1}), cast(0.0 as double), "
+        f"(acc, j) -> acc + element_at(element_at(tab, j + 1), "
+        f"element_at(code, j + 1) + 1))"
+    )
+    cand = cand.withColumn("adc", F.round(adc, 3))
+    w = Window.partitionBy("q_id").orderBy(F.col("adc").asc(), F.col("n_id").asc())
+    out = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", "n_id", "rnk", "adc")
+    )
+    e.unpersist()
+    return out

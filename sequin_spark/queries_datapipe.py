@@ -1251,10 +1251,12 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, queries, books, k=3, dims=64)
 
 
-def _sql_pq_adc(m: int = 16, ksub: int = 16, iters: int = 2,
-                dims: int = 64, topk: int = 3) -> str:
-    """Per-subspace replica of the det-quantizer chain (md5-seeded
-    Lloyd's per subvector slice), PQ encode, ADC scan."""
+def _sql_pq_chains(m: int = 16, ksub: int = 16, iters: int = 2,
+                   dims: int = 64):
+    """Per-subspace det-quantizer CTE chains (md5-seeded Lloyd's per
+    subvector slice). Returns (chains_without_WITH, cb_select,
+    asg_select, qd_select) for composition by the PQ and IVF-PQ
+    oracles."""
     sub = dims // m
     parts = []
     for j in range(m):
@@ -1311,7 +1313,16 @@ af_{j} AS (
         f"SELECT vec_id AS q_id, {j} AS j, v AS qv FROM e{j} WHERE vec_id < 10"
         for j in range(m)
     )
-    return "WITH " + "".join(parts) + f""",
+    return "".join(parts), finals, asgs, qds
+
+
+def _sql_pq_adc(m: int = 16, ksub: int = 16, iters: int = 2,
+                dims: int = 64, topk: int = 3) -> str:
+    """Per-subspace replica of the det-quantizer chains, PQ encode,
+    full-corpus ADC scan."""
+    sub = dims // m
+    chains, finals, asgs, qds = _sql_pq_chains(m, ksub, iters, dims)
+    return "WITH " + chains + f""",
 cb AS ({finals}),
 asg AS ({asgs}),
 qd AS ({qds}),
@@ -1478,6 +1489,76 @@ GROUP BY source, lang
 """
 
 
+
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (similarity.py:ann_ivfpq_topk): coarse-quantizer
+    probes restrict the candidate lists, PQ/ADC codes rank within them —
+    the canonical sub-linear + bandwidth-reduced ANN layout, fully
+    deterministic and hash-checked against the combined SQL replica."""
+    from sequin_spark.datapipe.similarity import ann_ivfpq_topk
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann_ivfpq_topk(
+        emb, queries, k=3, n_centroids=8, n_probe=4,
+        m=16, ksub=16, iters_coarse=1, iters_pq=2, dims=64,
+    )
+
+
+def _sql_ivfpq(k_cent: int = 8, iters_coarse: int = 1, n_probe: int = 4,
+               m: int = 16, ksub: int = 16, iters_pq: int = 2,
+               dims: int = 64, topk: int = 3) -> str:
+    """Coarse det-quantizer chain (shared with the IVF oracle) composed
+    with the per-subspace PQ chains; ADC restricted to probed lists."""
+    sub = dims // m
+    coarse = _sql_det_assign(k_cent, iters_coarse, dims)
+    assert coarse.startswith("\nWITH ")
+    coarse_body = coarse[len("\nWITH "):]
+    chains, finals, asgs, _qds = _sql_pq_chains(m, ksub, iters_pq, dims)
+    prev = f"c{iters_coarse}" if iters_coarse else "c0"
+    qd = " UNION ALL ".join(
+        f"SELECT vec_id AS q_id, {j} AS j, v AS qv FROM e{j} WHERE vec_id < 10"
+        for j in range(m)
+    )
+    return "WITH " + coarse_body + "," + chains + f""",
+cb AS ({finals}),
+asg AS ({asgs}),
+q AS (SELECT vec_id AS q_id, v AS q_vec FROM e WHERE vec_id < 10),
+pr AS (
+  SELECT q_id, c_id FROM (
+    SELECT q.q_id, c.c_id,
+           row_number() OVER (PARTITION BY q.q_id
+                              ORDER BY {_sql_l2('q.q_vec', 'c.c', dims)} ASC,
+                                       c.c_id ASC) AS rk
+    FROM q CROSS JOIN {prev} c) t
+  WHERE rk <= {n_probe}
+),
+probed AS (
+  SELECT pr.q_id, af.vec_id AS n_id
+  FROM pr JOIN af ON pr.c_id = af.c_id AND pr.q_id <> af.vec_id
+),
+qd AS ({qd}),
+subdist AS (
+  SELECT p.q_id, p.n_id, {_sql_l2('qd.qv', 'cb.c', sub)} AS d
+  FROM probed p
+  JOIN asg ON asg.vec_id = p.n_id
+  JOIN cb ON cb.j = asg.j AND cb.c_id = asg.c_id
+  JOIN qd ON qd.q_id = p.q_id AND qd.j = asg.j
+),
+adc AS (
+  SELECT q_id, n_id, round(sum(d), 3) AS adc
+  FROM subdist GROUP BY q_id, n_id
+),
+r AS (
+  SELECT q_id, n_id, adc,
+         row_number() OVER (PARTITION BY q_id ORDER BY adc ASC, n_id ASC) AS rnk
+  FROM adc
+)
+SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= {topk}
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1512,6 +1593,7 @@ DATAPIPE_QUERIES = {
     "corpus_shard_assign": q_corpus_shard_assign,
     "embed_outliers": q_embed_outliers,
     "corpus_stats_profile": q_corpus_stats_profile,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
 }
 
 DATAPIPE_ORACLES = {
@@ -1548,4 +1630,5 @@ DATAPIPE_ORACLES = {
     "corpus_shard_assign": SQL_CORPUS_SHARD_ASSIGN,
     "embed_outliers": _sql_embed_outliers(),
     "corpus_stats_profile": SQL_CORPUS_STATS_PROFILE,
+    "ann_ivfpq_topk": _sql_ivfpq(),
 }

@@ -427,3 +427,53 @@ def test_pq_adc_recall_and_encoding(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"PQ ADC recall suspiciously low: {recall}"
     codes.unpersist()
+
+
+def test_ivfpq_recall_and_probe_restriction(spark, sf_dir):
+    """IVF-PQ composite: results are a subset of the probed lists and
+    recall vs exact L2 stays sane despite double approximation."""
+    from pyspark.sql import Window
+
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.similarity import (
+        ann_ivfpq_topk,
+        as_double,
+        assign_to_centroids,
+        det_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = ann_ivfpq_topk(emb, queries, k=3, n_centroids=8, n_probe=4).collect()
+    assert len(got) == 30 and all(1 <= r.rnk <= 3 for r in got)
+
+    # every reported neighbor must live in one of the query's probed lists
+    e = emb.select(F.col("vec_id").alias("_id"),
+                   as_double("embedding").alias("v"))
+    cents = det_centroids(e, 8, 1, id_col=None)
+    assign = {r._id: r.c_id for r in assign_to_centroids(e, cents).collect()}
+    probes = {}
+    for q in queries.collect():
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip([float(x) for x in q.embedding], c)), cid)
+            for cid, c in cents
+        )
+        probes[q.vec_id] = {cid for _, cid in dists[:4]}
+    for r in got:
+        assert assign[r.n_id] in probes[r.q_id]
+
+    # recall floor vs exact L2 top-3
+    q = queries.select(F.col("vec_id").alias("q_id"), as_double("embedding").alias("qv"))
+    c = emb.select(F.col("vec_id").alias("n_id"), as_double("embedding").alias("nv"))
+    l2 = F.aggregate(F.zip_with("qv", "nv", lambda a, b: (a - b) * (a - b)),
+                     F.lit(0.0), lambda acc, x: acc + x)
+    w = Window.partitionBy("q_id").orderBy(F.col("d").asc(), F.col("n_id").asc())
+    exact = {
+        (r.q_id, r.n_id)
+        for r in q.crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("d", l2).withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3).collect()
+    }
+    approx = {(r.q_id, r.n_id) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.15, f"IVF-PQ recall suspiciously low: {recall}"

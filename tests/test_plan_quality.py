@@ -23,6 +23,7 @@ ALLOW_NESTED_LOOP = {
     "ann_ivf_topk",          # query-side × n_centroids=8 centroid table
     "backfill_keyset_page",  # driver-built single-row cursor predicate
     "ann_pq_adc",            # ADC scan: corpus codes × broadcast query LUTs
+    "ann_ivfpq_topk",        # query-side × n_centroids=8 coarse-centroid table
 }
 
 
