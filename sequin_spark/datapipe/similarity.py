@@ -400,13 +400,6 @@ def semdedup(
 # standard 100 TB-scale ANN layout).
 
 
-def _subvec(vec_col: str, j: int, sub: int) -> F.Column:
-    """Subspace j's slice of the vector, as array<double> (1-based)."""
-    return F.expr(
-        f"transform(slice({vec_col}, {j * sub + 1}, {sub}), x -> cast(x as double))"
-    )
-
-
 def pq_codebooks(
     emb: DataFrame,
     m: int = 4,

@@ -177,7 +177,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     terms = c2.join(c1, "w1").select(
         "w1", "w2", (-F.log(F.col("c2") / F.col("c1"))).alias("nll_term")
     )
-    return (
+    out = (
         bg.join(terms, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
@@ -185,3 +185,9 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
             F.round(F.avg("nll_term"), 4).alias("nll"),
         )
     )
+    # materialize the (doc-keyed, small) result while the bigram cache is
+    # live, then release it — composed pipelines would otherwise
+    # accumulate cached blocks for the session's lifetime
+    out = out.localCheckpoint(eager=True)
+    bg.unpersist()
+    return out

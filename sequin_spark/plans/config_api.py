@@ -102,9 +102,13 @@ class ConfigRegistry:
             if current is None:
                 raise KeyError(id_or_name)
             merged = {**to_external(current, show_sensitive=True), **body}
-        spec = self._parse(merged)
-        with self._lock:
+            spec = self._parse(merged)
             if spec.name != id_or_name:
+                # Renaming onto another existing consumer would silently
+                # overwrite it (create rejects duplicates; so must update).
+                if spec.name in self.consumers:
+                    raise ValueError(
+                        f"sink consumer {spec.name!r} already exists")
                 self.consumers.pop(id_or_name, None)
             self.consumers[spec.name] = spec
         return spec

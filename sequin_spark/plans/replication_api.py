@@ -18,6 +18,8 @@ status ∈ {active, disabled}, partition_count ≥ 1.
 
 from __future__ import annotations
 
+import dataclasses
+import hashlib
 import threading
 import uuid
 from dataclasses import dataclass, field
@@ -68,16 +70,19 @@ class PostgresReplicationSpec:
             "partition_count": self.partition_count,
         }
 
-    def merge(self, body: dict) -> None:
+    def merged(self, body: dict) -> "PostgresReplicationSpec":
+        """Return a validated copy with ``body`` applied; ``self`` is
+        never mutated, so a rejected PATCH leaves the stored spec
+        intact (mirrors ConfigRegistry.update_consumer's re-parse)."""
         unknown = set(body) - set(self.ALLOWED)
         if unknown:
             raise ValueError(f"Unknown field: {sorted(unknown)[0]}")
         # parse_update_params: postgres_database_id is immutable
         if "postgres_database_id" in body:
             raise ValueError("Updating postgres_database_id is not allowed")
-        for k, v in body.items():
-            setattr(self, k, v)
-        self.validate()
+        merged = dataclasses.replace(self, **{k: body[k] for k in body})
+        merged.validate()
+        return merged
 
 
 class ReplicationRegistry:
@@ -107,9 +112,10 @@ class ReplicationRegistry:
             spec = self._slots.get(slot_id)
             if spec is None:
                 raise KeyError(slot_id)
-            spec.merge(body)
-            self._check_unique(spec)
-        return spec
+            merged = spec.merged(body)
+            self._check_unique(merged)
+            self._slots[slot_id] = merged
+        return merged
 
     def delete(self, slot_id: str) -> str:
         with self._lock:
@@ -156,8 +162,11 @@ def local_tunnels(endpoints=None, databases=None) -> list[dict]:
             entities.append((db.id, db.name))
     out = []
     for entity_id, name in entities:
-        port = 49152 + (uuid.UUID(entity_id).int if _is_uuid(entity_id)
-                        else hash(entity_id)) % 16384
+        # Content hash, not builtin hash(): stable across processes
+        # (PYTHONHASHSEED) so the port contract survives restarts.
+        key = (uuid.UUID(entity_id).int if _is_uuid(entity_id)
+               else int(hashlib.md5(str(entity_id).encode()).hexdigest(), 16))
+        port = 49152 + key % 16384
         out.append({"entity_id": entity_id, "bastion_port": port,
                     "entity_name": name})
     return out

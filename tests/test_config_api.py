@@ -188,6 +188,27 @@ def test_sinks_crud_api(api):
     assert e.value.code == 404
 
 
+def test_sinks_rename_collision_rejected(api):
+    """Renaming a consumer onto another existing consumer's name must
+    422, not silently overwrite (create rejects duplicates; so does
+    update)."""
+    base = api.url("plan").rsplit("/config", 1)[0]
+    _req(f"{base}/sinks", "POST", {"name": "a", "sink_type": "benchmark"})
+    _req(f"{base}/sinks", "POST", {"name": "b", "sink_type": "benchmark",
+                                   "batch_size": 7})
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _req(f"{base}/sinks/a", "PATCH", {"name": "b"})
+    assert e.value.code == 422
+    # 'b' survives untouched, 'a' still exists
+    _, body = _req(f"{base}/sinks/b")
+    assert body["batch_size"] == 7
+    _, body = _req(f"{base}/sinks/a")
+    assert body["name"] == "a"
+    # a rename to a FREE name still works
+    status, body = _req(f"{base}/sinks/a", "PATCH", {"name": "c"})
+    assert status == 200 and body["name"] == "c"
+
+
 def test_sinks_create_then_export_round_trips(api):
     base = api.url("plan").rsplit("/config", 1)[0]
     _req(f"{base}/sinks", "POST", {

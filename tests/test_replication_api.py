@@ -98,6 +98,43 @@ def test_replication_validation():
             reg.create(bad)
 
 
+def test_rejected_patch_leaves_spec_intact():
+    """A 422 PATCH must not corrupt the stored resource: merge happens
+    on a copy, committed only after validate + uniqueness pass."""
+    reg = ReplicationRegistry()
+    a = reg.create({"publication_name": "p", "slot_name": "a",
+                    "postgres_database_id": "db-1"})
+    reg.create({"publication_name": "p", "slot_name": "b",
+                "postgres_database_id": "db-1"})
+    # invalid status rejected, stored values untouched
+    with pytest.raises(ValueError):
+        reg.update(a.id, {"status": "nope", "publication_name": "other"})
+    cur = reg.resolve(a.id)
+    assert (cur.status, cur.publication_name) == ("active", "p")
+    # duplicate (slot_name, db) rejected, slot_name untouched
+    with pytest.raises(ValueError):
+        reg.update(a.id, {"slot_name": "b"})
+    assert reg.resolve(a.id).slot_name == "a"
+    # a subsequent valid update still works
+    assert reg.update(a.id, {"status": "disabled"}).status == "disabled"
+
+
+def test_tunnel_ports_content_hashed():
+    """Non-UUID entity ids get ports from a content hash (stable across
+    processes), not builtin hash() (PYTHONHASHSEED-dependent)."""
+
+    class _EP:
+        id, name, local = "ep-name-1", "ep", True
+
+    class _Reg:
+        def list(self):
+            return [_EP()]
+
+    out = local_tunnels(endpoints=_Reg())
+    assert out[0]["bastion_port"] == 49152 + int(
+        __import__("hashlib").md5(b"ep-name-1").hexdigest(), 16) % 16384
+
+
 def test_replication_info_provider():
     reg = ReplicationRegistry(
         info_provider=lambda s: {"last_committed_at": "2026-01-01T00:00:00Z",
