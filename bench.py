@@ -7,8 +7,13 @@ the CDC pipeline operator-chain throughput (eventize → filter → changes →
 route → order → serialize → noop), the analog of the reference's
 BenchmarkSource → benchmark-sink harness (lib/sequin/benchmark/).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Output contract (the driver reads stdout through a bounded tail buffer,
+so the 65-entry per-query map must not ride on the final line — r3's
+single long line got its front cut and parsed as null):
+  line 1: full JSON incl. the per-query map (for whole-stdout parsers)
+  last line: compact summary JSON (totals + pipeline + stream stats)
+The full per-query map is also written to BENCH_QUERIES.json next to
+this script.
 """
 
 from __future__ import annotations
@@ -140,21 +145,30 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         stream_stats = {}
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "pipeline_rows": pipe_rows,
-                "pipeline_sec": round(pipe_sec, 3),
-                "pipeline_ops_per_sec": ops_per_sec,
-                **stream_stats,
-            }
-        )
-    )
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(per_query),
+        "queries_file": "BENCH_QUERIES.json",
+        "pipeline_rows": pipe_rows,
+        "pipeline_sec": round(pipe_sec, 3),
+        "pipeline_ops_per_sec": ops_per_sec,
+        **stream_stats,
+    }
+    full = {**summary, "queries": per_query}
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_QUERIES.json"), "w") as f:
+            json.dump(full, f, indent=1)
+    except OSError:
+        pass
+    # full map on an EARLIER line; compact summary is the FINAL line so a
+    # tail-buffered reader always gets complete JSON
+    print(json.dumps(full))
+    print(json.dumps(summary))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":
