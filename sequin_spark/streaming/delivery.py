@@ -100,6 +100,7 @@ class DeliveryEngine:
         max_pending: int = 50_000,
         acked_ring_size: int = 1000,
         ledger_compact_files: int = 64,
+        ledger_trim_batches: int | None = None,
     ):
         if load_shedding_policy not in ("pause_on_full", "discard_on_full"):
             raise ValueError(f"unknown load_shedding_policy {load_shedding_policy!r}")
@@ -120,6 +121,19 @@ class DeliveryEngine:
         self.max_pending = max_pending
         self.acked_ring_size = acked_ring_size
         self.ledger_compact_files = ledger_compact_files
+        # Streaming-only ledger retention (message_ledgers.ex
+        # trim_delivered_cursors: the reference trims the delivered-cursor
+        # set at the verified high watermark). With checkpoint-commit=ack,
+        # a restarted stream replays at most the last uncommitted
+        # micro-batch, so identities delivered ≥N batches ago can never be
+        # redelivered — keeping them makes the per-batch broadcast
+        # anti-join side grow with stream LIFETIME (the r3 latency
+        # regression: 1.35M-row ledger after 35s at 50k rows/s). None
+        # disables trimming (batch-replay semantics: run_batch callers may
+        # legitimately replay arbitrarily old data).
+        self.ledger_trim_batches = ledger_trim_batches
+        self._lsn_maxes: list[int] = []  # per-batch max delivered commit_lsn
+        self._ledger_trim_lsn = 0
         os.makedirs(self.state_dir, exist_ok=True)
 
     # --- state tables ----------------------------------------------------
@@ -150,6 +164,20 @@ class DeliveryEngine:
             return spark.read.parquet(self.ledger_dir)
         return None
 
+    def _ledger_for_antijoin(self, spark: SparkSession) -> DataFrame | None:
+        """The ledger slice that can still match incoming rows: under
+        trimming, only identities newer than the watermark (plus
+        lsn==0 backfill-read identities, which carry no cursor and are
+        never trimmed). The lsn predicate prunes parquet row groups, so
+        the broadcast side stays O(retention window), not O(lifetime)."""
+        ledger = self.read_ledger(spark)
+        if ledger is None or self._ledger_trim_lsn <= 0:
+            return ledger
+        return ledger.filter(
+            (F.col("commit_lsn") >= self._ledger_trim_lsn)
+            | (F.col("commit_lsn") == 0)
+        )
+
     @property
     def acked_ring_path(self) -> str:
         return os.path.join(self.state_dir, "acked", "ring.parquet")
@@ -170,6 +198,14 @@ class DeliveryEngine:
         if len(files) < self.ledger_compact_files:
             return
         merged = pa.concat_tables([pq.read_table(f) for f in files])
+        if self._ledger_trim_lsn > 0:
+            import pyarrow.compute as pc
+
+            lsn = merged["commit_lsn"]
+            merged = merged.filter(
+                pc.or_(pc.greater_equal(lsn, self._ledger_trim_lsn),
+                       pc.equal(lsn, 0))
+            )
         tmp = os.path.join(self.ledger_dir, f"compact-{uuid.uuid4().hex}.parquet.tmp")
         pq.write_table(merged, tmp)
         final = tmp[: -len(".tmp")]
@@ -221,12 +257,20 @@ class DeliveryEngine:
             "key", "value", *self.routing_cols,
         ]
 
-        new_rows = batch_df.dropDuplicates(IDENTITY).select(
+        # NOTE: no dropDuplicates here — identity dedup is fused into the
+        # group-hash repartition below. Duplicate identities are the same
+        # event, so they share group_id and land in the same partition,
+        # where the (group, lsn, idx, key) sort makes them ADJACENT; the
+        # deliver task drops them with a cross-frame carry. Equivalent to
+        # the identity-keyed dropDuplicates shuffle, one full exchange of
+        # the event stream cheaper per micro-batch.
+        new_rows = batch_df.select(
             *[F.col(c) for c in delivery_cols]
         ).withColumn("deliver_count", F.lit(0))
 
-        # idempotency ledger anti-join (broadcast — trimmed, small)
-        ledger = self.read_ledger(spark)
+        # idempotency ledger anti-join (broadcast — bounded by the trim
+        # watermark under streaming)
+        ledger = self._ledger_for_antijoin(spark)
         if ledger is not None:
             new_rows = new_rows.join(
                 F.broadcast(ledger.select(*IDENTITY).dropDuplicates()),
@@ -290,9 +334,13 @@ class DeliveryEngine:
         else:
             new_rows = new_rows.withColumn("_deferred", F.lit(False))
 
-        # physical layout for ordered delivery
+        # physical layout for ordered delivery; idempotency_key as the
+        # final sort key makes equal identities adjacent (dedup), and
+        # deliver_count DESC prefers the pending-retry copy (its backoff
+        # bookkeeping) when a retry collides with a source redelivery
         arranged = new_rows.repartition(self.partition_count, "group_id").sortWithinPartitions(
-            "group_id", "commit_lsn", "commit_idx"
+            "group_id", "commit_lsn", "commit_idx", "idempotency_key",
+            F.col("deliver_count").desc(),
         )
 
         sink_type, sink_config = self.sink_type, dict(self.sink_config)
@@ -377,7 +425,24 @@ class DeliveryEngine:
                     }))
                 return pd.concat(parts, ignore_index=True)
 
+            # cross-frame dedup carry: the tail identity of the previous
+            # Arrow frame (duplicates are sort-adjacent, so any dup that
+            # straddles a frame boundary equals the previous tail)
+            prev_tail = None
             for pdf in batches:
+                if len(pdf):
+                    dup = pdf.duplicated(subset=IDENTITY, keep="first")
+                    if prev_tail is not None:
+                        dup |= (
+                            (pdf["commit_lsn"] == prev_tail[0])
+                            & (pdf["commit_idx"] == prev_tail[1])
+                            & (pdf["idempotency_key"] == prev_tail[2])
+                        )
+                    last = pdf.iloc[-1]
+                    prev_tail = (last["commit_lsn"], last["commit_idx"],
+                                 last["idempotency_key"])
+                    if dup.any():
+                        pdf = pdf[~dup]
                 # rows behind a backoff-blocked group head: never
                 # attempted — spill them (payload included) straight to
                 # the failures dir and strip them from the frame
@@ -550,6 +615,21 @@ class DeliveryEngine:
         # acknowledged-messages ring: per-task tails (≤ partitions×ring
         # rows through the driver), merged + trimmed to acked_ring_size
         if n_delivered:
+            if self.ledger_trim_batches is not None:
+                # advance the trim watermark: each task's ring tail holds
+                # its partition's max delivered lsn, so the ring max is
+                # the batch max. The watermark is the max from
+                # ledger_trim_batches batches ago — anything older is
+                # outside the replay window.
+                ring_lsns = summary_pdf.loc[
+                    summary_pdf["kind"] == "ring", "commit_lsn"
+                ]
+                batch_max = int(ring_lsns.max()) if len(ring_lsns) else 0
+                if batch_max > 0:
+                    self._lsn_maxes.append(batch_max)
+                if len(self._lsn_maxes) > self.ledger_trim_batches:
+                    self._lsn_maxes = self._lsn_maxes[-self.ledger_trim_batches:]
+                    self._ledger_trim_lsn = self._lsn_maxes[0]
             self._compact_ledger()
             ring_new = summary_pdf[summary_pdf["kind"] == "ring"].sort_values(
                 ["acked_at", "commit_lsn", "commit_idx", "idempotency_key"]

@@ -108,7 +108,15 @@ class ConsumerPipeline:
 
     def start_stream(self, events: DataFrame, checkpoint_dir: str, trigger_seconds: int = 1):
         """One standing writeStream per consumer (reference: one Broadway
-        pipeline per SinkConsumer); checkpoint commit = ack."""
+        pipeline per SinkConsumer); checkpoint commit = ack.
+
+        Streaming enables ledger trimming (message_ledgers.ex
+        trim_delivered_cursors): with checkpoint-commit=ack the replay
+        window is the last uncommitted micro-batch, so identities
+        delivered ≥4 batches ago can never recur and keeping them only
+        grows the per-batch anti-join broadcast with stream lifetime."""
+        if self.engine.ledger_trim_batches is None:
+            self.engine.ledger_trim_batches = 4
         compiled = self.compile(events)
 
         def _batch(df, bid):

@@ -275,6 +275,74 @@ def test_acked_ring_and_consistency(spark, sf_dir, tmp_path):
     assert report2["missing"] == 1 and not report2["consistent"]
 
 
+def test_identity_dedup_fused_into_group_partition(spark, tmp_path):
+    """Duplicate identities are dropped by the sorted partition-local
+    dedup (incl. across Arrow frame boundaries), exactly like the old
+    identity-keyed dropDuplicates shuffle."""
+    rows = []
+    # 30 distinct events in one group, each duplicated 3x → with
+    # maxRecordsPerBatch=10 the duplicates straddle frame boundaries
+    for i in range(30):
+        for _ in range(3):
+            rows.append(("g1", 100 + i, 0, f"k{i}", "g1", f'{{"n":{i}}}'))
+    df = spark.createDataFrame(
+        rows,
+        "group_id string, commit_lsn long, commit_idx long, "
+        "idempotency_key string, key string, value string",
+    )
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10")
+    try:
+        engine = DeliveryEngine(
+            "benchmark", state_dir=str(tmp_path / "state"), partition_count=2
+        )
+        stats = engine.process_batch(df, 0)
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert stats["delivered"] == 30
+    # ledger holds each identity at most once per task-write; a replay
+    # of the same batch is fully filtered by the anti-join
+    stats2 = engine.process_batch(df, 1)
+    assert stats2["delivered"] == 0
+
+
+def test_ledger_trim_bounds_antijoin_window(spark, tmp_path):
+    """With ledger_trim_batches set (streaming), identities older than
+    the watermark are dropped at compaction; identities within the
+    window still dedup replays. lsn==0 (backfill-read) rows are never
+    trimmed."""
+    def batch(lsn, key="b"):
+        return spark.createDataFrame(
+            [("g1", lsn, 0, f"{key}{lsn}", "g1", '{"n":1}')],
+            "group_id string, commit_lsn long, commit_idx long, "
+            "idempotency_key string, key string, value string",
+        )
+
+    engine = DeliveryEngine(
+        "benchmark", state_dir=str(tmp_path / "state"),
+        ledger_trim_batches=2, ledger_compact_files=1,
+    )
+    backfill = spark.createDataFrame(
+        [("g0", 0, 0, "bf-1", "g0", '{"n":0}')],
+        "group_id string, commit_lsn long, commit_idx long, "
+        "idempotency_key string, key string, value string",
+    )
+    engine.process_batch(backfill, 0)
+    for bid, lsn in enumerate((10, 20, 30, 40), start=1):
+        assert engine.process_batch(batch(lsn), bid)["delivered"] == 1
+    # watermark = max lsn from 2 batches ago = 30
+    assert engine._ledger_trim_lsn == 30
+    # a replay INSIDE the window is still deduped
+    assert engine.process_batch(batch(40), 5)["delivered"] == 0
+    # backfill lsn==0 identity survives trimming forever
+    assert engine.process_batch(backfill, 6)["delivered"] == 0
+    # ledger on disk no longer carries the trimmed identities
+    ledger = engine.read_ledger(spark).toPandas()
+    assert 10 not in set(ledger["commit_lsn"])
+    assert 0 in set(ledger["commit_lsn"])
+
+
 def test_ledger_compaction(spark, tmp_path):
     df_schema = "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string"
     engine = DeliveryEngine("benchmark", state_dir=str(tmp_path / "state"), ledger_compact_files=3)
