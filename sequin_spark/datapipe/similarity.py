@@ -10,6 +10,9 @@ hot path.
 
 from __future__ import annotations
 
+import os
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -186,18 +189,52 @@ def assign_to_centroids(e: DataFrame, cent_rows: list) -> DataFrame:
     single scan. The argmin is array_min over struct(dist, c_id), whose
     lexicographic struct ordering is exactly the (dist asc, c_id asc)
     tie-break."""
-    cands = []
-    for c_id, c in cent_rows:
-        # string-SQL literals (one expr, one py4j call): cast-from-string
-        # keeps the exact double value repr() round-trips
-        arr = "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in c) + ")"
-        d = (
-            f"aggregate(zip_with(v, {arr}, (a, b) -> (a - b) * (a - b)), "
-            f"cast(0.0 as double), (acc, x) -> acc + x)"
-        )
-        cands.append(f"struct({d} as dist, {int(c_id)} as c_id)")
-    best = F.expr(f"array_min(array({','.join(cands)}))")
+    if len(cent_rows) > 256:
+        return _assign_via_join(e, cent_rows)
+    # ONE dense literal (cb[p][d]) + a HOF loop over centroid positions,
+    # NOT k unrolled zip_with/aggregate branches: the unrolled form's
+    # k×dims-node expression tree cost ~4.5s of analysis/codegen at
+    # k=16×64 dims — the dominant cost of the whole semdedup fit.
+    # cast-from-string keeps the exact double value repr() round-trips.
+    cb = "array(" + ",".join(
+        "array(" + ",".join(f"cast('{float(x)!r}' as double)" for x in c) + ")"
+        for _c_id, c in cent_rows
+    ) + ")"
+    ids = "array(" + ",".join(str(int(c_id)) for c_id, _c in cent_rows) + ")"
+    best = F.expr(
+        f"array_min(transform(sequence(0, {len(cent_rows) - 1}), p -> "
+        f"struct(aggregate(zip_with(v, element_at({cb}, p + 1), "
+        f"(a, b) -> (a - b) * (a - b)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x) as dist, "
+        f"element_at({ids}, p + 1) as c_id)))"
+    )
     return e.withColumn("c_id", best["c_id"])
+
+
+def _assign_via_join(e: DataFrame, cent_rows: list) -> DataFrame:
+    """Large-k assignment (auto-k can push k into the thousands at
+    corpus scale, where a k×dims SQL literal stops being viable): the
+    centroid table rides a BROADCAST cross join and the argmin is a
+    map-side-combined min(struct(dist, c_id)) per row — one shuffle of
+    N rows, never N×k. Distance arithmetic (zip_with left-to-right sum)
+    is identical to the literal path, so values match bit-for-bit."""
+    spark = e.sparkSession
+    cents = spark.createDataFrame(
+        [(int(c_id), [float(x) for x in c]) for c_id, c in cent_rows],
+        "c_id int, cvec array<double>",
+    )
+    dist = F.expr(
+        "aggregate(zip_with(v, cvec, (a, b) -> (a - b) * (a - b)), "
+        "cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    other = [F.first(c).alias(c) for c in e.columns if c not in ("_id", "v")]
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("_cand", F.struct(dist.alias("dist"), F.col("c_id")))
+        .groupBy("_id")
+        .agg(F.first("v").alias("v"), F.min("_cand").alias("_best"), *other)
+        .select(*e.columns, F.col("_best.c_id").alias("c_id"))
+    )
 
 
 def ann_ivf_det_topk(
@@ -337,6 +374,47 @@ def ann_lsh_topk(
     )
 
 
+@dataclass
+class SemDedupIndex:
+    """Persistable SemDeDup cluster state (the DedupIndex pattern):
+    fitted centroids + per-id cluster assignments. Build once per
+    corpus, ``save``, and re-runs / incremental passes ``load`` and skip
+    the k-means fit and assignment scan entirely."""
+
+    centroids: list  # [(c_id, [double])]
+    assignments: DataFrame  # (_id, c_id)
+
+    def save(self, path: str) -> None:
+        spark = self.assignments.sparkSession
+        self.assignments.write.mode("overwrite").parquet(
+            os.path.join(path, "assignments")
+        )
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in self.centroids],
+            "c_id int, cvec array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+
+    @staticmethod
+    def load(spark, path: str) -> "SemDedupIndex":
+        cents = sorted(
+            (int(r["c_id"]), [float(x) for x in r["cvec"]])
+            for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+        )
+        return SemDedupIndex(
+            centroids=cents,
+            assignments=spark.read.parquet(os.path.join(path, "assignments")),
+        )
+
+
+def semdedup_auto_k(n_rows: int, target_cluster_size: int, k_min: int = 16) -> int:
+    """k ∝ corpus size: with fixed k, within-cluster pairwise work is
+    O((N/k)²·k) — quadratic in N. Scaling k with N keeps the expected
+    cluster bounded at ``target_cluster_size``, making the pairwise
+    step O(N · target_cluster_size) — linear (SemDeDup §3 runs k≈11k
+    on LAION for exactly this reason)."""
+    return max(k_min, -(-n_rows // target_cluster_size))
+
+
 def semdedup(
     emb: DataFrame,
     k: int = 8,
@@ -344,6 +422,8 @@ def semdedup(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int | None = None,
+    index: SemDedupIndex | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with k-means, then mark WITHIN-cluster items whose
@@ -363,14 +443,35 @@ def semdedup(
     is hash-checkable against a SQL oracle.
     """
     e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
-    cent_rows = det_centroids(e, k, iters, id_col=None)
-    assigned = assign_to_centroids(e, cent_rows)
-    a = assigned.select(F.col("_id").alias("a_id"), F.col("v").alias("a_v"), "c_id")
-    b = assigned.select(F.col("_id").alias("b_id"), F.col("v").alias("b_v"), "c_id")
+    if index is not None:
+        # warm path: precomputed assignments join the projected vectors;
+        # no fit, no assignment scan
+        assigned = e.join(index.assignments, "_id")
+    else:
+        if target_cluster_size is not None:
+            # auto-k: bound the expected cluster size at any corpus scale
+            k = semdedup_auto_k(e.count(), target_cluster_size, k_min=k)
+        cent_rows = det_centroids(e, k, iters, id_col=None)
+        assigned = assign_to_centroids(e, cent_rows)
+    # hoist the vector norms out of the pair loop: ||v|| is computed once
+    # per VECTOR (N narrow evals), not once per PAIR — the pair join then
+    # evaluates a single dot-product fold per candidate instead of three.
+    # Identical fold arithmetic → values match the oracle bit-for-bit.
+    norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    with_norm = assigned.withColumn("nv", norm)
+    a = with_norm.select(F.col("_id").alias("a_id"), F.col("v").alias("a_v"),
+                         F.col("nv").alias("a_n"), "c_id")
+    b = with_norm.select(F.col("_id").alias("b_id"), F.col("v").alias("b_v"),
+                         F.col("nv").alias("b_n"), "c_id")
+    dot = F.aggregate(
+        F.zip_with(F.col("a_v"), F.col("b_v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     dup_of = (
         a.join(b, "c_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("cos", cosine_col("a_v", "b_v"))
+        .withColumn("cos", dot / (F.col("a_n") * F.col("b_n")))
         .filter(F.col("cos") >= threshold)
         .groupBy(F.col("b_id").alias("_id"))
         .agg(F.min("a_id").alias("dup_of"))

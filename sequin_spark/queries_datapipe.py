@@ -465,7 +465,11 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    return semdedup(emb, k=16, threshold=0.3, iters=1)
+    # auto-k: k = max(16, ceil(N/125)) — 16 at the oracle scales
+    # (N=500 @sf0.01, N=2000 @sf0.1), growing with N beyond so
+    # within-cluster pairwise work stays O(N·125) at any corpus size
+    return semdedup(emb, k=16, threshold=0.3, iters=1,
+                    target_cluster_size=125)
 
 
 def _sql_semdedup(k_cent: int = 8, iters: int = 1, threshold: float = 0.3,

@@ -378,6 +378,51 @@ def test_semdedup_marks_semantic_duplicates(spark):
     assert kept  # at least the anchors survive
 
 
+def test_semdedup_auto_k_and_index_warm_path(spark, sf_dir):
+    """auto-k scales k with corpus size (bounded clusters at any N);
+    a saved SemDedupIndex reproduces the cold-run output exactly; the
+    large-k broadcast-join assignment matches the literal path."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.similarity import (
+        SemDedupIndex,
+        _assign_via_join,
+        as_double,
+        assign_to_centroids,
+        det_centroids,
+        semdedup,
+        semdedup_auto_k,
+    )
+
+    # auto-k formula: floor at k_min, then ceil(N / target)
+    assert semdedup_auto_k(500, 125) == 16
+    assert semdedup_auto_k(10_000, 125) == 80
+    assert semdedup_auto_k(10_001, 125) == 81
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id").alias("_id"), as_double("embedding").alias("v"))
+    cents = det_centroids(e, 8, 1, id_col=None)
+
+    # broadcast-join assignment == literal-expression assignment
+    lit = sorted(map(tuple, assign_to_centroids(e, cents).select("_id", "c_id").collect()))
+    jn = sorted(map(tuple, _assign_via_join(e, cents).select("_id", "c_id").collect()))
+    assert lit == jn
+
+    # index warm path == cold run
+    import os
+    idx_path = "/tmp/semdedup_idx_test"
+    idx = SemDedupIndex(
+        centroids=cents,
+        assignments=assign_to_centroids(e, cents).select("_id", "c_id"),
+    )
+    idx.save(idx_path)
+    loaded = SemDedupIndex.load(spark, idx_path)
+    assert loaded.centroids == cents
+    warm = sorted(map(tuple, semdedup(emb, threshold=0.3, index=loaded).collect()))
+    cold = sorted(map(tuple, semdedup(emb, k=8, threshold=0.3, iters=1).collect()))
+    assert warm == cold
+    assert os.path.isdir(os.path.join(idx_path, "assignments"))
+
+
 def test_pq_adc_recall_and_encoding(spark, sf_dir):
     """PQ (similarity.py): codes are within-range, the prebuilt-codes
     path matches on-the-fly encoding, and ADC recall vs exact L2-ish
