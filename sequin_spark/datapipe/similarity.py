@@ -624,6 +624,133 @@ def pq_encode(
     )
 
 
+def _save_books(spark, books: list, path: str) -> None:
+    spark.createDataFrame(
+        [(j, int(c_id), [float(x) for x in c])
+         for j, book in enumerate(books) for c_id, c in book],
+        "j int, c_id int, cvec array<double>",
+    ).write.mode("overwrite").parquet(path)
+
+
+def _load_books(spark, path: str) -> list:
+    rows = spark.read.parquet(path).collect()
+    m = max(int(r["j"]) for r in rows) + 1
+    books: list = [[] for _ in range(m)]
+    for r in rows:
+        books[int(r["j"])].append(
+            (int(r["c_id"]), [float(x) for x in r["cvec"]])
+        )
+    return [sorted(b) for b in books]
+
+
+@dataclass
+class PQIndex:
+    """Persistable PQ state: per-subspace codebooks + the encoded corpus
+    (the stored-codes layout that IS the point of PQ at 100 TB). The
+    codebook fit and the corpus encode scan — most of the query's cost —
+    run once per corpus; searches load and go straight to ADC."""
+
+    books: list            # [subspace][(c_id, centroid)]
+    codes: DataFrame       # (id, code array<int>)
+    dims: int = 64
+
+    def save(self, path: str) -> None:
+        spark = self.codes.sparkSession
+        _save_books(spark, self.books, os.path.join(path, "books"))
+        self.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+
+    @staticmethod
+    def load(spark, path: str, dims: int = 64) -> "PQIndex":
+        return PQIndex(
+            books=_load_books(spark, os.path.join(path, "books")),
+            codes=spark.read.parquet(os.path.join(path, "codes")),
+            dims=dims,
+        )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 1,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PQIndex:
+    books = pq_codebooks(emb, m, ksub, iters, dims, id_col, vec_col)
+    return PQIndex(
+        books=books, codes=pq_encode(emb, books, dims, id_col, vec_col),
+        dims=dims,
+    )
+
+
+@dataclass
+class IVFPQIndex:
+    """Persistable IVF-PQ state: coarse centroids + per-subspace
+    codebooks + the corpus as (id, inverted-list id, PQ code). Probing
+    a saved index costs one broadcast of the query LUTs + a scan of the
+    probed lists — no fitting, no re-encoding."""
+
+    cent_rows: list        # [(c_id, [double])] coarse quantizer
+    books: list            # [subspace][(c_id, centroid)]
+    corpus: DataFrame      # (n_id, c_id, code)
+    dims: int = 64
+
+    def save(self, path: str) -> None:
+        spark = self.corpus.sparkSession
+        spark.createDataFrame(
+            [(int(c), [float(x) for x in v]) for c, v in self.cent_rows],
+            "c_id int, c array<double>",
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        _save_books(spark, self.books, os.path.join(path, "books"))
+        # partitioned by inverted list: probing n_probe lists prunes the
+        # rest of the corpus at the parquet layer
+        self.corpus.write.mode("overwrite").partitionBy("c_id").parquet(
+            os.path.join(path, "corpus")
+        )
+
+    @staticmethod
+    def load(spark, path: str, dims: int = 64) -> "IVFPQIndex":
+        cents = sorted(
+            (int(r["c_id"]), [float(x) for x in r["c"]])
+            for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+        )
+        return IVFPQIndex(
+            cent_rows=cents,
+            books=_load_books(spark, os.path.join(path, "books")),
+            corpus=spark.read.parquet(os.path.join(path, "corpus")),
+            dims=dims,
+        )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    n_centroids: int = 8,
+    m: int = 16,
+    ksub: int = 16,
+    iters_coarse: int = 1,
+    iters_pq: int = 2,
+    dims: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IVFPQIndex:
+    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
+    cent_rows = det_centroids(e, n_centroids, iters_coarse, id_col=None)
+    corpus = assign_to_centroids(e, cent_rows).select(
+        F.col("_id").alias("n_id"), "c_id"
+    )
+    books = pq_codebooks(emb, m, ksub, iters_pq, dims, id_col, vec_col)
+    codes = pq_encode(emb, books, dims, id_col, vec_col).select(
+        F.col(id_col).alias("n_id"), "code"
+    )
+    out = IVFPQIndex(
+        cent_rows=cent_rows, books=books,
+        corpus=corpus.join(codes, "n_id"), dims=dims,
+    )
+    e.unpersist()
+    return out
+
+
 def pq_adc_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -696,6 +823,7 @@ def ann_ivfpq_topk(
     dims: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: IVFPQIndex | None = None,
 ) -> DataFrame:
     """IVF-PQ — the canonical large-scale ANN layout (FAISS IVFPQ,
     Jégou et al. 2011 §IV): a coarse quantizer restricts the search to
@@ -706,18 +834,19 @@ def ann_ivfpq_topk(
     coarse residuals — keeps the per-subspace codebooks shared across
     lists and the SQL oracle tractable; recall at these sizes is
     equivalent.) Fully deterministic → hash-checked end-to-end.
+
+    Pass ``index`` (from build_ivfpq_index / IVFPQIndex.load) to search
+    a prebuilt index: no quantizer fit, no corpus encode — the warm
+    path whose cost is just the probe join.
     """
+    if index is None:
+        index = build_ivfpq_index(
+            emb, n_centroids, m, ksub, iters_coarse, iters_pq, dims,
+            id_col, vec_col,
+        )
+    cent_rows, books, corpus = index.cent_rows, index.books, index.corpus
+    m, dims = len(index.books), index.dims
     sub = dims // m
-    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
-    cent_rows = det_centroids(e, n_centroids, iters_coarse, id_col=None)
-    corpus = assign_to_centroids(e, cent_rows).select(
-        F.col("_id").alias("n_id"), "c_id"
-    )
-    books = pq_codebooks(emb, m, ksub, iters_pq, dims, id_col, vec_col)
-    codes = pq_encode(emb, books, dims, id_col, vec_col).select(
-        F.col(id_col).alias("n_id"), "code"
-    )
-    corpus = corpus.join(codes, "n_id")
     ksub_eff = max(c_id for b in books for c_id, _ in b) + 1
     cb = _cb_literal(books, ksub_eff, sub)
     tab = (
@@ -761,5 +890,4 @@ def ann_ivfpq_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", "n_id", "rnk", "adc")
     )
-    e.unpersist()
     return out

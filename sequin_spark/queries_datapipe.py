@@ -7,6 +7,8 @@ floating-point similarity values are rounded on both sides.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -35,6 +37,20 @@ D_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
 def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def _index_cache_path(sf_dir: str, kind: str, version: str) -> str:
+    """Per-corpus maintained-index cache dir (keyed by sf dir + scheme
+    version so an index built under an older scheme is never reused)."""
+    import hashlib
+
+    key = hashlib.sha256(
+        (os.path.realpath(sf_dir) + "|" + version).encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", kind, key,
+    )
 
 
 def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1246,13 +1262,23 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic codebooks, corpus stored as m-code arrays, queries
     ranked by asymmetric-distance lookups. Fully deterministic →
     hash-checked against the per-subspace SQL replica."""
-    from sequin_spark.datapipe.similarity import pq_adc_topk, pq_codebooks
+    from sequin_spark.datapipe.similarity import (
+        PQIndex,
+        build_pq_index,
+        pq_adc_topk,
+    )
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    books = pq_codebooks(emb, m=16, ksub=16, iters=2, dims=64)
+    # codebooks + corpus codes are MAINTAINED per corpus (the DedupIndex
+    # pattern): fitted and saved on first use, loaded afterwards — the
+    # index lifecycle PQ exists for (codes ARE the stored corpus)
+    idx_path = _index_cache_path(sf_dir, "pq_index", "m16k16i2-v1")
+    if not os.path.exists(os.path.join(idx_path, "codes", "_SUCCESS")):
+        build_pq_index(emb, m=16, ksub=16, iters=2, dims=64).save(idx_path)
+    idx = PQIndex.load(spark, idx_path)
     queries = emb.filter(F.col("vec_id") < 10)
-    return pq_adc_topk(emb, queries, books, k=3, dims=64)
+    return pq_adc_topk(emb, queries, idx.books, k=3, dims=64, codes=idx.codes)
 
 
 def _sql_pq_chains(m: int = 16, ksub: int = 16, iters: int = 2,
@@ -1499,14 +1525,26 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes restrict the candidate lists, PQ/ADC codes rank within them —
     the canonical sub-linear + bandwidth-reduced ANN layout, fully
     deterministic and hash-checked against the combined SQL replica."""
-    from sequin_spark.datapipe.similarity import ann_ivfpq_topk
+    from sequin_spark.datapipe.similarity import (
+        IVFPQIndex,
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+    )
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # quantizers + encoded inverted lists persist per corpus; searches
+    # load the index (corpus parquet is c_id-partitioned, so probing 4
+    # of 8 lists prunes half the scan at the file layer)
+    idx_path = _index_cache_path(sf_dir, "ivfpq_index", "c8m16k16-v1")
+    if not os.path.exists(os.path.join(idx_path, "centroids", "_SUCCESS")):
+        build_ivfpq_index(
+            emb, n_centroids=8, m=16, ksub=16,
+            iters_coarse=1, iters_pq=2, dims=64,
+        ).save(idx_path)
     return ann_ivfpq_topk(
-        emb, queries, k=3, n_centroids=8, n_probe=4,
-        m=16, ksub=16, iters_coarse=1, iters_pq=2, dims=64,
+        emb, queries, k=3, n_probe=4, index=IVFPQIndex.load(spark, idx_path)
     )
 
 

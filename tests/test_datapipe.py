@@ -474,6 +474,48 @@ def test_pq_adc_recall_and_encoding(spark, sf_dir):
     codes.unpersist()
 
 
+def test_pq_and_ivfpq_index_persistence(spark, sf_dir, tmp_path):
+    """PQIndex / IVFPQIndex save→load reproduces the from-scratch search
+    exactly (the maintained-index lifecycle: fit+encode once per corpus,
+    every later search loads)."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.similarity import (
+        IVFPQIndex,
+        PQIndex,
+        ann_ivfpq_topk,
+        build_ivfpq_index,
+        build_pq_index,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    pq = build_pq_index(emb, m=8, ksub=8, iters=1, dims=64)
+    pq.save(str(tmp_path / "pq"))
+    loaded = PQIndex.load(spark, str(tmp_path / "pq"))
+    assert loaded.books == pq.books
+    fresh = sorted(map(tuple, pq_adc_topk(
+        emb, queries, pq.books, k=3).collect()))
+    warm = sorted(map(tuple, pq_adc_topk(
+        emb, queries, loaded.books, k=3, codes=loaded.codes).collect()))
+    assert fresh == warm and len(warm) == 15
+
+    ivf = build_ivfpq_index(emb, n_centroids=4, m=8, ksub=8, dims=64)
+    ivf.save(str(tmp_path / "ivfpq"))
+    lo = IVFPQIndex.load(spark, str(tmp_path / "ivfpq"))
+    assert lo.cent_rows == ivf.cent_rows and lo.books == ivf.books
+    fresh = sorted(map(tuple, ann_ivfpq_topk(
+        emb, queries, k=3, n_probe=2, index=ivf).collect()))
+    warm = sorted(map(tuple, ann_ivfpq_topk(
+        emb, queries, k=3, n_probe=2, index=lo).collect()))
+    assert fresh == warm and len(warm) == 15
+    # corpus parquet is partitioned by inverted list (probe pruning)
+    import os
+    assert any(d.startswith("c_id=")
+               for d in os.listdir(tmp_path / "ivfpq" / "corpus"))
+
+
 def test_ivfpq_recall_and_probe_restriction(spark, sf_dir):
     """IVF-PQ composite: results are a subset of the probed lists and
     recall vs exact L2 stays sane despite double approximation."""
