@@ -261,7 +261,18 @@ class EventFolder:
             return []
         if isinstance(msg, LogicalMessage):
             if msg.prefix.endswith("transaction_annotations.set"):
-                self.annotations = msg.content.decode()
+                # invalid (non-JSON-object) annotations are IGNORED, not
+                # propagated (postgres_replication_test.exs:503-548: the
+                # reference logs and drops them; events carry none)
+                try:
+                    import json as _json
+
+                    parsed = _json.loads(msg.content.decode())
+                    self.annotations = (
+                        msg.content.decode() if isinstance(parsed, dict) else None
+                    )
+                except (ValueError, UnicodeDecodeError):
+                    self.annotations = None
             elif msg.prefix.endswith("transaction_annotations.clear"):
                 self.annotations = None
             return []

@@ -82,11 +82,18 @@ def cast_array(col: Column, elem_type: str) -> Column:
     nested arrays stay strings.
     """
     inner = _strip_wrap(col, "{", "}")
-    parts = F.transform(
-        F.split(inner, ","),
-        lambda x: F.when(F.trim(x) == "NULL", F.lit(None).cast("string")).otherwise(
-            _strip_wrap(F.trim(x), '"', '"')
-        ),
+    # '{}' must cast to [] and NOT [''] (postgres_replication_test.exs:426
+    # "empty array fields are replicated correctly"): split('') yields
+    # [''], so the empty inner form short-circuits to an empty array
+    parts = F.when(
+        F.length(inner) == 0, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.split(inner, ","),
+            lambda x: F.when(F.trim(x) == "NULL", F.lit(None).cast("string")).otherwise(
+                _strip_wrap(F.trim(x), '"', '"')
+            ),
+        )
     )
     target = PG_SPARK_TYPES.get(elem_type.lower(), "string")
     if target == "string":
