@@ -142,7 +142,7 @@ class ConfigApiServer:
                  backfills=None, databases=None, endpoints=None,
                  api_keys=None, require_auth=False,
                  replications=None, health_check=None,
-                 version: str = "0.3.0"):
+                 messages=None, version: str = "0.3.0"):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
         (router.ex:173, backfill_controller.ex).
@@ -161,8 +161,14 @@ class ConfigApiServer:
         (ok: bool, error: str | None) — backs GET /health
         (health_check_controller.ex; 200 {ok, rev} / 500 {ok, error});
         /api/info + /api/info/version (info_controller.ex) always serve
-        ``version``."""
+        ``version``. ``messages``: optional dict sink-name →
+        plans.messages_api.MessageBrowser — enables message browse/peek
+        routes GET /api/sinks/:name/messages[?limit&sort&state&visible&
+        show_acked] and /api/sinks/:name/messages/:id (the console's
+        SlotMessageStore.peek surface, show.ex:1191-1304, over the
+        stubbed message_controller.ex REST shape)."""
         self.registry = registry or ConfigRegistry()
+        self.messages = messages
         self.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
@@ -268,6 +274,42 @@ class ConfigApiServer:
                     if job is None:
                         return self._json(404, {"error": f"no backfill {m.group(2)!r}"})
                     return self._json(200, job.to_external())
+                # message browse/peek (show.ex:1191-1304 peek surface
+                # over the stubbed message_controller.ex routes)
+                m = re.match(r"^/api/sinks/([^/]+)/messages$", u.path)
+                if m:
+                    browser, err = self._browser_for(m.group(1))
+                    if err:
+                        return err
+                    q = dict(parse_qsl(u.query))
+                    try:
+                        kwargs = {
+                            "limit": int(q.get("limit", 100)),
+                            "order": q.get("sort", "seq_asc"),
+                            "state": q.get("state"),
+                            "show_acked": q.get("show_acked", "true").lower()
+                            != "false",
+                        }
+                        if "visible" in q:
+                            if q["visible"].lower() not in ("true", "false"):
+                                raise ValueError("Invalid visible parameter")
+                            kwargs["visible"] = q["visible"].lower() == "true"
+                        result = browser.list(**kwargs)
+                    except ValueError as e:
+                        return self._json(400, {"error": str(e)})
+                    return self._json(200, result)
+                m = re.match(r"^/api/sinks/([^/]+)/messages/([^/]+)$", u.path)
+                if m:
+                    browser, err = self._browser_for(m.group(1))
+                    if err:
+                        return err
+                    msg = browser.get(m.group(2))
+                    if msg is None:
+                        return self._json(404, {
+                            "error": f"Message with ID {m.group(2)} not "
+                                     "found. It may have been acknowledged "
+                                     "or deleted."})
+                    return self._json(200, msg)
                 m = re.match(r"^/api/sinks/([^/]+)$", u.path)
                 if m:
                     spec = outer.registry.consumers.get(m.group(1))
@@ -360,6 +402,16 @@ class ConfigApiServer:
                         404, {"error": f"no postgres replication {slot_id!r}"}
                     )
                 return slot, None
+
+            def _browser_for(self, name):
+                if outer.messages is None:
+                    return None, self._json(
+                        404, {"error": "message browsing not enabled"})
+                browser = outer.messages.get(name)
+                if browser is None:
+                    return None, self._json(
+                        404, {"error": f"no sink consumer {name!r}"})
+                return browser, None
 
             def _sink_for_backfills(self, name):
                 """Resolve the :sink_id_or_name segment; 404s mirror
