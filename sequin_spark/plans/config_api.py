@@ -21,23 +21,60 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from sequin_spark.plans.spec import (
     ConsumerSpec,
+    FunctionSpec,
+    check_references,
     export_yaml,
-    load_yaml,
+    function_to_external,
+    load_config,
+    resolve_consumer,
     to_external,
 )
 
 
 class ConfigRegistry:
-    """Applied resources, keyed by consumer name."""
+    """Applied resources, keyed by name: sink consumers + named
+    functions (yaml_loader.ex:170 upserts functions before consumers so
+    name references resolve)."""
 
     def __init__(self):
         self.consumers: dict[str, ConsumerSpec] = {}
+        self.functions: dict[str, FunctionSpec] = {}
         self._lock = threading.Lock()
 
-    def plan(self, specs: list[ConsumerSpec]) -> dict:
+    @staticmethod
+    def _merge_errors(errors: dict, extra: dict) -> None:
+        for name, errs in extra.items():
+            errors.setdefault(name, []).extend(errs)
+
+    def plan(self, specs: list[ConsumerSpec],
+             functions: list[FunctionSpec] | None = None) -> dict:
         """Diff envelopes (yaml_controller.ex plan: action per resource)."""
         changes, errors = [], {}
         with self._lock:
+            fn_scope = dict(self.functions)
+            if functions is not None:
+                fn_scope = {f.name: f for f in functions}
+                seen_fn = set()
+                for f in functions:
+                    seen_fn.add(f.name)
+                    errs = f.validate()
+                    if errs:
+                        errors[f.name] = errs
+                    current = self.functions.get(f.name)
+                    action = ("create" if current is None
+                              else "update" if current != f else "unchanged")
+                    changes.append(
+                        {"resource": "function", "name": f.name,
+                         "action": action,
+                         "new": function_to_external(f),
+                         "old": function_to_external(current)
+                         if current else None})
+                for name in self.functions:
+                    if name not in seen_fn:
+                        changes.append(
+                            {"resource": "function", "name": name,
+                             "action": "delete", "new": None,
+                             "old": function_to_external(self.functions[name])})
             seen = set()
             for s in specs:
                 seen.add(s.name)
@@ -63,24 +100,52 @@ class ConfigRegistry:
                          "action": "delete",
                          "new": None, "old": to_external(self.consumers[name])}
                     )
+            self._merge_errors(errors, check_references(specs, fn_scope))
         return {"changes": changes, "errors": errors}
 
-    def apply(self, specs: list[ConsumerSpec]) -> dict:
+    def apply(self, specs: list[ConsumerSpec],
+              functions: list[FunctionSpec] | None = None) -> dict:
         """Validate-all-then-commit (apply_from_yml: nothing is created
-        if any resource fails validation)."""
+        if any resource fails validation). ``functions=None`` leaves the
+        stored functions untouched (programmatic consumer-only apply);
+        a list replaces them wholesale like consumers."""
         errors = {s.name: s.validate() for s in specs if s.validate()}
+        if functions is not None:
+            for f in functions:
+                errs = f.validate()
+                if errs:
+                    errors.setdefault(f.name, []).extend(errs)
+        fn_scope = ({f.name: f for f in functions} if functions is not None
+                    else self.functions)
+        self._merge_errors(errors, check_references(specs, fn_scope))
         if errors:
             return {"errors": errors}
         with self._lock:
+            if functions is not None:
+                self.functions = {f.name: f for f in functions}
             self.consumers = {s.name: s for s in specs}
             resources = [
+                {"resource": "function", **function_to_external(f)}
+                for f in (functions or [])
+            ] + [
                 {"resource": "sink_consumer", **to_external(s)} for s in specs
             ]
         return {"resources": resources}
 
+    def resolved_consumer(self, name: str) -> ConsumerSpec | None:
+        """Consumer with function-name references replaced by their code
+        — what the runtime pipeline consumes (the reference joins
+        consumers to functions by *_id at load)."""
+        with self._lock:
+            spec = self.consumers.get(name)
+            if spec is None:
+                return None
+            return resolve_consumer(spec, self.functions)
+
     def export(self, show_sensitive: bool = False) -> str:
         with self._lock:
-            return export_yaml(list(self.consumers.values()), show_sensitive)
+            return export_yaml(list(self.consumers.values()), show_sensitive,
+                               functions=list(self.functions.values()))
 
     # -- single-resource CRUD (sink_consumer_controller.ex create/
     # update/delete: external body → from_external → validate → commit) --
@@ -695,10 +760,10 @@ class ConfigApiServer:
                     except json.JSONDecodeError:
                         return self._json(400, {"error": "invalid JSON body"})
                 try:
-                    specs = load_yaml(raw)
+                    functions, specs = load_config(raw)
                 except Exception as e:  # noqa: BLE001 — bad YAML/spec shape
                     return self._json(400, {"error": f"invalid config: {e}"})
-                result = getattr(outer.registry, action)(specs)
+                result = getattr(outer.registry, action)(specs, functions)
                 if result.get("errors"):
                     return self._json(422, result)
                 self._json(200, result)

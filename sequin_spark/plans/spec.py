@@ -10,13 +10,150 @@ be created (validation errors surface here, before any cluster work).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+import re
+from dataclasses import dataclass, field, replace
 
 from sequin_spark.functions.minipy import validate as minipy_validate
 from sequin_spark.functions.routing import ROUTING_SCHEMAS
 from sequin_spark.operators.column_filter import OPERATORS
 from sequin_spark.operators.source_filter import Source
 from sequin_spark.sinks.base import SINK_REGISTRY
+
+# a bare identifier in a transform/filter/enrichment position is a
+# *reference* to a named function, not inline code (transforms.ex:903-931
+# parse_function_id: consumers carry function names; the functions
+# themselves hold the code)
+_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_-]*$")
+_TRANSFORM_KEYWORDS = ("default", "record_only", "none")
+
+FUNCTION_TYPES = ("transform", "filter", "routing", "path", "enrichment")
+
+
+@dataclass
+class FunctionSpec:
+    """One named function (functions table, consumers/function.ex;
+    YAML surface yaml_loader.ex:1051-1127 upsert_functions /
+    coerce_function_attrs: flat {name,type,code} or nested
+    {name, function: {type, code}}, legacy aliases ``transforms:`` for
+    the section and type ``function`` → ``transform``)."""
+
+    name: str
+    type: str = "transform"
+    code: str = ""
+    description: str | None = None
+
+    def validate(self) -> list[str]:
+        errs = []
+        if not self.name:
+            errs.append("`name` is required on functions.")
+        if self.type not in FUNCTION_TYPES:
+            errs.append(f"unknown function type {self.type!r}")
+        if self.type in ("transform", "filter", "routing"):
+            ok, err = minipy_validate(self.code)
+            if not ok:
+                errs.append(f"{self.type}: {err}")
+        elif self.type == "path" and not self.code.strip():
+            errs.append("path functions need a non-empty path")
+        elif self.type == "enrichment" and "$1" not in self.code:
+            # validate_sql_has_parameterization (yaml_loader.ex:1164-1180)
+            errs.append(
+                "Enrichment functions must use parameterization ($1).")
+        return errs
+
+
+def function_from_dict(d: dict) -> FunctionSpec:
+    """coerce_function_attrs (yaml_loader.ex:1129-1162): nested
+    ``function:``/legacy ``transform:`` inner dict or flat fields;
+    ``file:`` keys must be inlined by the CLI before submission
+    (yaml_loader.ex:1076-1082 rejects them server-side)."""
+    d = dict(d)
+    if "file" in d:
+        raise ValueError(
+            "`file` is not supported over the API — the CLI inlines "
+            "function files before submitting (config.go:234-258)")
+    if "function" in d and "transform" in d:
+        raise ValueError("Cannot specify both `function` and `transform`")
+    inner = d.pop("function", None) or d.pop("transform", None) or {}
+    merged = {**inner, **{k: v for k, v in d.items()
+                          if k in ("name", "type", "code", "description")}}
+    ftype = inner.get("type") or merged.get("type") or "transform"
+    if ftype == "function":  # coerce_type_to_transform
+        ftype = "transform"
+    return FunctionSpec(
+        name=merged.get("name") or "",
+        type=ftype,
+        code=inner.get("code", merged.get("code", "") or ""),
+        description=merged.get("description"),
+    )
+
+
+def function_to_external(fn: FunctionSpec) -> dict:
+    out: dict = {"name": fn.name, "type": fn.type, "code": fn.code}
+    if fn.description:
+        out["description"] = fn.description
+    return out
+
+
+def is_function_ref(value: str | None) -> bool:
+    """True when the value is a bare name referencing a declared
+    function rather than inline code / a builtin keyword."""
+    return (
+        isinstance(value, str)
+        and value not in _TRANSFORM_KEYWORDS
+        and not value.startswith("path:")
+        and bool(_NAME_RE.fullmatch(value))
+    )
+
+
+# which function types may sit in each consumer field
+# (yaml_loader.ex:933 "routing_id must reference a function with type
+# 'routing'" and the matching per-field FK constraints)
+_FIELD_TYPES = {
+    "transform": ("transform", "path"),
+    "filter": ("filter",),
+    "enrichment": ("enrichment",),
+}
+
+
+def check_references(consumers: list["ConsumerSpec"],
+                     functions: dict[str, FunctionSpec]) -> dict[str, list[str]]:
+    """Name-resolution errors per consumer (parse_function_id:
+    'Function X not found.'; type mismatches per the FK constraints)."""
+    errors: dict[str, list[str]] = {}
+    for c in consumers:
+        errs = []
+        for fld in ("transform", "filter", "enrichment"):
+            value = getattr(c, fld, None)
+            if not is_function_ref(value):
+                continue
+            fn = functions.get(value)
+            if fn is None:
+                errs.append(f"Function '{value}' not found.")
+            elif fn.type not in _FIELD_TYPES[fld]:
+                errs.append(
+                    f"{fld} must reference a function with type "
+                    f"{' or '.join(map(repr, _FIELD_TYPES[fld]))}, "
+                    f"'{value}' is {fn.type!r}")
+        if errs:
+            errors[c.name] = errs
+    return errors
+
+
+def resolve_consumer(spec: "ConsumerSpec",
+                     functions: dict[str, FunctionSpec]) -> "ConsumerSpec":
+    """Copy with named-function references replaced by their code so the
+    runtime (streaming/pipeline.py) sees inline expressions — the analog
+    of the reference joining consumers to functions by *_id at load."""
+    updates: dict = {}
+    for fld in ("transform", "filter", "enrichment"):
+        value = getattr(spec, fld, None)
+        if value == "none":
+            updates[fld] = None
+        elif is_function_ref(value) and value in functions:
+            fn = functions[value]
+            updates[fld] = (f"path:{fn.code}" if fn.type == "path"
+                            else fn.code)
+    return replace(spec, **updates) if updates else spec
 
 
 @dataclass
@@ -29,8 +166,9 @@ class ConsumerSpec:
     source: Source | None = None
     actions: list[str] = field(default_factory=lambda: ["insert", "update", "delete"])
     column_filters: list[dict] = field(default_factory=list)
-    filter: str | None = None            # MiniPy predicate
-    transform: str | None = None         # default | record_only | path:... | MiniPy
+    filter: str | None = None            # MiniPy predicate | function name
+    transform: str | None = None         # default | record_only | path:... | MiniPy | function name
+    enrichment: str | None = None        # SQL ($1-parameterized) | function name
     routing_overrides: dict[str, str] = field(default_factory=dict)  # key → MiniPy
     batch_size: int | None = None
     partition_count: int = 8
@@ -59,14 +197,23 @@ class ConsumerSpec:
         for label, expr in [("filter", self.filter)] + [
             (f"routing.{k}", v) for k, v in self.routing_overrides.items()
         ]:
-            if expr:
+            # bare names are function references, resolved against the
+            # functions section by check_references (not inline code)
+            if expr and not (label == "filter"
+                             and (expr == "none" or is_function_ref(expr))):
                 ok, err = minipy_validate(expr)
                 if not ok:
                     errs.append(f"{label}: {err}")
-        if self.transform and self.transform not in ("default", "record_only") and not self.transform.startswith("path:"):
+        if (self.transform
+                and self.transform not in ("default", "record_only", "none")
+                and not self.transform.startswith("path:")
+                and not is_function_ref(self.transform)):
             ok, err = minipy_validate(self.transform)
             if not ok:
                 errs.append(f"transform: {err}")
+        if (self.enrichment and not is_function_ref(self.enrichment)
+                and "$1" not in self.enrichment):
+            errs.append("enrichment SQL must use parameterization ($1)")
         if self.timestamp_format not in ("iso8601", "unix_microsecond"):
             errs.append(f"unknown timestamp_format {self.timestamp_format!r}")
         return errs
@@ -81,6 +228,14 @@ def spec_from_dict(d: dict) -> ConsumerSpec:
 
 def load_yaml(text_or_path: str) -> list[ConsumerSpec]:
     """Load a sequin.yaml-style config: {consumers: [{...}, ...]}."""
+    return load_config(text_or_path)[1]
+
+
+def load_config(
+    text_or_path: str,
+) -> tuple[list[FunctionSpec], list[ConsumerSpec]]:
+    """Full document: ``functions:`` (legacy alias ``transforms:``,
+    both present → error, yaml_loader.ex:1051-1057) + ``consumers:``."""
     import os
 
     import yaml
@@ -90,7 +245,15 @@ def load_yaml(text_or_path: str) -> list[ConsumerSpec]:
             doc = yaml.safe_load(f)
     else:
         doc = yaml.safe_load(text_or_path)
-    return [spec_from_dict(c) for c in doc.get("consumers", [])]
+    doc = doc or {}
+    if "functions" in doc and "transforms" in doc:
+        raise ValueError("Cannot specify both `functions` and `transforms`")
+    raw_fns = doc.get("functions", doc.get("transforms")) or []
+    if isinstance(raw_fns, dict):
+        raw_fns = [raw_fns]
+    functions = [function_from_dict(f) for f in raw_fns]
+    consumers = [spec_from_dict(c) for c in doc.get("consumers", [])]
+    return functions, consumers
 
 
 # sink_config keys that to_external redacts unless show_sensitive
@@ -123,7 +286,8 @@ def to_external(spec: ConsumerSpec, show_sensitive: bool = False) -> dict:
             out["source"] = src
     defaults = ConsumerSpec(name="")
     for key in (
-        "actions", "column_filters", "filter", "transform", "routing_overrides",
+        "actions", "column_filters", "filter", "transform", "enrichment",
+        "routing_overrides",
         "batch_size", "partition_count", "max_retry_count", "message_grouping",
         "group_cols", "timestamp_format", "max_payload_bytes",
     ):
@@ -133,13 +297,17 @@ def to_external(spec: ConsumerSpec, show_sensitive: bool = False) -> dict:
     return out
 
 
-def export_yaml(specs: list[ConsumerSpec], show_sensitive: bool = False) -> str:
+def export_yaml(specs: list[ConsumerSpec], show_sensitive: bool = False,
+                functions: list[FunctionSpec] | None = None) -> str:
     """Render specs as a loadable sequin.yaml document — YAML out ==
     YAML in (the reference's 1,626-line to_external/from_external layer,
     transforms.ex, collapsed onto our spec vocabulary)."""
     import yaml
 
-    doc = {"consumers": [to_external(s, show_sensitive) for s in specs]}
+    doc: dict = {}
+    if functions:
+        doc["functions"] = [function_to_external(f) for f in functions]
+    doc["consumers"] = [to_external(s, show_sensitive) for s in specs]
     return yaml.safe_dump(doc, sort_keys=False)
 
 
