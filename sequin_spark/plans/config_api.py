@@ -207,7 +207,7 @@ class ConfigApiServer:
                  backfills=None, databases=None, endpoints=None,
                  api_keys=None, require_auth=False,
                  replications=None, health_check=None,
-                 messages=None, version: str = "0.3.0"):
+                 messages=None, users=None, version: str = "0.3.0"):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
         (router.ex:173, backfill_controller.ex).
@@ -231,9 +231,15 @@ class ConfigApiServer:
         routes GET /api/sinks/:name/messages[?limit&sort&state&visible&
         show_acked] and /api/sinks/:name/messages/:id (the console's
         SlotMessageStore.peek surface, show.ex:1191-1304, over the
-        stubbed message_controller.ex REST shape)."""
+        stubbed message_controller.ex REST shape).
+        ``users``: optional plans.accounts_api.AccountsRegistry —
+        enables /register, /login, /logout (user_session_controller.ex
+        create/delete; the browser pipeline, so outside the api-key
+        gate) plus session-token-authenticated GET /api/users/me and
+        PATCH /api/users/password."""
         self.registry = registry or ConfigRegistry()
         self.messages = messages
+        self.users = users
         self.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
@@ -282,6 +288,13 @@ class ConfigApiServer:
                         return self._json(200, {"ok": True,
                                                 "rev": outer.version})
                     return self._json(500, {"ok": False, "error": err})
+                # session-token user routes (browser pipeline — outside
+                # the api-key gate; user_session flows)
+                if u.path == "/api/users/me":
+                    user, err = self._session_user()
+                    if err:
+                        return err
+                    return self._json(200, user.to_external())
                 if self._blocked():
                     return
                 # info_controller.ex version/info (single-node: no peers)
@@ -468,6 +481,19 @@ class ConfigApiServer:
                     )
                 return slot, None
 
+            def _session_token(self):
+                auth = self.headers.get("Authorization") or ""
+                return auth[7:] if auth.startswith("Bearer ") else None
+
+            def _session_user(self):
+                if outer.users is None:
+                    return None, self._json(404, {"error": "accounts not enabled"})
+                user = outer.users.get_user_by_session_token(
+                    self._session_token())
+                if user is None:
+                    return None, self._json(401, {"error": "unauthorized"})
+                return user, None
+
             def _browser_for(self, name):
                 if outer.messages is None:
                     return None, self._json(
@@ -497,6 +523,21 @@ class ConfigApiServer:
                 return body if isinstance(body, dict) else None
 
             def do_PATCH(self):  # noqa: N802 — backfill/database/endpoint updates
+                # password update (accounts.ex:307: revokes all sessions)
+                if self.path.split("?")[0] == "/api/users/password":
+                    user, err = self._session_user()
+                    if err:
+                        return err
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    try:
+                        outer.users.update_user_password(
+                            user, body.get("current_password"),
+                            body.get("password"))
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(200, {"success": True})
                 if self._blocked():
                     return
                 m = re.match(r"^/api/destinations/http_endpoints/([^/]+)$",
@@ -582,6 +623,12 @@ class ConfigApiServer:
             do_PUT = do_PATCH  # noqa: N815 — resources(...) accepts both
 
             def do_DELETE(self):  # noqa: N802 — database/endpoint/key deletes
+                # logout (user_session_controller.ex delete → log_out_user)
+                if self.path.split("?")[0] == "/logout":
+                    if outer.users is None:
+                        return self._json(404, {"error": "accounts not enabled"})
+                    outer.users.delete_session_token(self._session_token())
+                    return self._json(200, {"success": True})
                 if self._blocked():
                     return
                 # api_keys delete (api_key_controller.ex:23-29)
@@ -635,6 +682,35 @@ class ConfigApiServer:
                 self._json(200, {"success": True, "id": outer.databases.delete(db.id)})
 
             def do_POST(self):  # noqa: N802
+                # login/register (user_session_controller.ex create;
+                # UserRegistrationLive / self-hosted SetupLive) — the
+                # browser pipeline, outside the api-key gate
+                if self.path.split("?")[0] in ("/login", "/register"):
+                    if outer.users is None:
+                        return self._json(404, {"error": "accounts not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    # accept both flat and the controller's nested
+                    # {"user": {...}} param shape
+                    params = body.get("user", body)
+                    if self.path.split("?")[0] == "/register":
+                        try:
+                            user = outer.users.register_user(
+                                params.get("email"), params.get("password"),
+                                name=params.get("name"))
+                        except ValueError as e:
+                            return self._json(422, {"error": str(e)})
+                        return self._json(201, user.to_external())
+                    result = outer.users.login(
+                        params.get("email"), params.get("password"))
+                    if result is None:
+                        # never disclose whether the email exists
+                        return self._json(
+                            401, {"error": "Invalid email or password"})
+                    user, token = result
+                    return self._json(200, {"token": token,
+                                            "user": user.to_external()})
                 if self._blocked():
                     return
                 # api_keys create (api_key_controller.ex:15-21)
