@@ -168,31 +168,47 @@ def repeated_span_metrics(
     Documents shorter than ``window`` tokens produce zero windows (the
     size() guard — no INVALID_ARRAY_INDEX on short docs).
     """
-    # windows built in one expr to stay inside whole-stage codegen
+    # Windows are generated ONCE: explode → (h, doc) pair counts → a
+    # window over h for the distinct-doc frequency → per-doc rollup.
+    # The naive shape (freq = self-aggregation of the exploded frame,
+    # joined back to a SECOND explode of the same frame) evaluates the
+    # O(tokens·window) hashing twice and shuffles three times — this
+    # runs the hashing once and shuffles (h,doc) → h → doc.
+    from pyspark.sql import Window
+
+    # materialize the token array BEFORE the HOF lambda — split()
+    # referenced inside `transform` re-tokenizes the whole document per
+    # window position (O(tokens²) per doc; the doc_bigrams lesson)
     norm_sql = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
-    wins = df.select(
-        F.col(id_col),
-        F.expr(
-            f"CASE WHEN size(split({norm_sql}, ' ')) >= {window} THEN "
-            f"transform(sequence(1, size(split({norm_sql}, ' ')) - {window - 1}), "
-            f"i -> md5(concat_ws(' ', slice(split({norm_sql}, ' '), i, {window})))) "
-            f"ELSE array() END"
-        ).alias("hashes"),
-    ).select(F.col(id_col), F.explode_outer("hashes").alias("h"))
-    freq = (
-        wins.filter(F.col("h").isNotNull())
-        .groupBy("h")
-        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+    wins = (
+        df.select(
+            F.col(id_col),
+            F.expr(f"split({norm_sql}, ' ')").alias("toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.expr(
+                f"CASE WHEN size(toks) >= {window} THEN "
+                f"transform(sequence(1, size(toks) - {window - 1}), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {window})))) "
+                f"ELSE array() END"
+            ).alias("hashes"),
+        )
+        .select(F.col(id_col), F.explode_outer("hashes").alias("h"))
     )
-    joined = wins.join(freq, "h", "left")
-    return joined.groupBy(id_col).agg(
-        F.count(F.col("h")).cast("long").alias("n_windows"),
-        F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
-        .cast("long").alias("n_shared_windows"),
-        F.round(
-            F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0))
-            / F.greatest(F.count(F.col("h")), F.lit(1)), 4,
-        ).alias("shared_ratio"),
+    # one row per (h, doc): cnt = positions of h in doc (short docs keep
+    # their single null-h row so they survive to the output)
+    pairs = wins.groupBy("h", id_col).agg(
+        F.count(F.col("h")).cast("long").alias("cnt"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("h"))
+    scored = pairs.withColumn(
+        "shared", F.when(F.col("h").isNotNull() & (n_docs >= 2),
+                         F.col("cnt")).otherwise(F.lit(0)))
+    return scored.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_windows"),
+        F.sum("shared").cast("long").alias("n_shared_windows"),
+        F.round(F.sum("shared") / F.greatest(F.sum("cnt"), F.lit(1)), 4)
+        .alias("shared_ratio"),
     )
 
 

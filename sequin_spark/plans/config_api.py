@@ -207,7 +207,8 @@ class ConfigApiServer:
                  backfills=None, databases=None, endpoints=None,
                  api_keys=None, require_auth=False,
                  replications=None, health_check=None,
-                 messages=None, users=None, version: str = "0.3.0"):
+                 messages=None, users=None, tracer=None,
+                 version: str = "0.3.0"):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
         (router.ex:173, backfill_controller.ex).
@@ -236,10 +237,14 @@ class ConfigApiServer:
         enables /register, /login, /logout (user_session_controller.ex
         create/delete; the browser pipeline, so outside the api-key
         gate) plus session-token-authenticated GET /api/users/me and
-        PATCH /api/users/password."""
+        PATCH /api/users/password.
+        ``tracer``: optional streaming.trace.Tracer — enables
+        GET /api/sinks/:name/trace (the console trace tab,
+        show.ex:160,273, over trace.ex rings)."""
         self.registry = registry or ConfigRegistry()
         self.messages = messages
         self.users = users
+        self.tracer = tracer
         self.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
@@ -376,6 +381,27 @@ class ConfigApiServer:
                     except ValueError as e:
                         return self._json(400, {"error": str(e)})
                     return self._json(200, result)
+                # trace ring (show.ex :trace tab over trace.ex rings)
+                m = re.match(r"^/api/sinks/([^/]+)/trace$", u.path)
+                if m:
+                    if outer.tracer is None:
+                        return self._json(404, {"error": "tracing not enabled"})
+                    if m.group(1) not in outer.registry.consumers:
+                        return self._json(
+                            404, {"error": f"no sink consumer {m.group(1)!r}"})
+                    q = dict(parse_qsl(u.query))
+                    status = q.get("status")
+                    if status is not None and status not in (
+                            "info", "warning", "error"):
+                        return self._json(400, {"error": "Invalid status"})
+                    try:
+                        limit = int(q.get("limit", 50))
+                    except ValueError:
+                        return self._json(400, {"error": "Invalid limit"})
+                    events = outer.tracer.events(
+                        m.group(1), limit=limit, status=status)
+                    return self._json(
+                        200, {"data": [e.to_external() for e in events]})
                 m = re.match(r"^/api/sinks/([^/]+)/messages/([^/]+)$", u.path)
                 if m:
                     browser, err = self._browser_for(m.group(1))

@@ -101,6 +101,8 @@ class DeliveryEngine:
         acked_ring_size: int = 1000,
         ledger_compact_files: int = 64,
         ledger_trim_batches: int | None = None,
+        tracer=None,
+        consumer_id: str | None = None,
     ):
         if load_shedding_policy not in ("pause_on_full", "discard_on_full"):
             raise ValueError(f"unknown load_shedding_policy {load_shedding_policy!r}")
@@ -132,6 +134,10 @@ class DeliveryEngine:
         # disables trimming (batch-replay semantics: run_batch callers may
         # legitimately replay arbitrarily old data).
         self.ledger_trim_batches = ledger_trim_batches
+        # optional streaming.trace.Tracer: batch-granular trace events
+        # (trace.ex Trace.info/error at every delivery attempt)
+        self.tracer = tracer
+        self.consumer_id = consumer_id
         self._lsn_maxes: list[int] = []  # per-batch max delivered commit_lsn
         self._ledger_trim_lsn = 0
         os.makedirs(self.state_dir, exist_ok=True)
@@ -693,6 +699,32 @@ class DeliveryEngine:
                 os.path.join(self.discarded_dir, f"batch-{batch_id}-{uuid.uuid4().hex}.parquet"),
                 discarded[delivery_cols + ["deliver_count"]].assign(error=discarded["error"].values),
             )
+
+        # trace events (trace.ex: Trace.info/error per delivery attempt;
+        # batch-granular here — the summary the console aggregates)
+        if self.tracer is not None:
+            cid = self.consumer_id
+            if n_delivered:
+                self.tracer.info(
+                    cid, f"Messages delivered to {self.sink_type} sink",
+                    extra={"batch_id": batch_id, "delivered": n_delivered})
+            if n_failed:
+                first_err = None
+                fails = locals().get("merged")
+                if fails is not None and "error" in fails.columns:
+                    errs = fails.loc[fails["status"] == "failed", "error"]
+                    first_err = str(errs.iloc[0]) if len(errs) else None
+                self.tracer.error(
+                    cid,
+                    f"Failed to deliver messages to {self.sink_type} sink",
+                    error=first_err,
+                    extra={"batch_id": batch_id, "failed": n_failed,
+                           "blocked": n_blocked})
+            if len(discarded):
+                self.tracer.warning(
+                    cid, "Messages discarded after max retries",
+                    extra={"batch_id": batch_id,
+                           "discarded": int(len(discarded))})
 
         return {
             "batch_id": batch_id,

@@ -48,10 +48,22 @@ def transform_column(spec: ConsumerSpec) -> Column:
 
 class ConsumerPipeline:
     def __init__(self, spec: ConsumerSpec, state_dir: str | None = None,
-                 metrics: "ConsumerMetrics | None" = None):
+                 metrics: "ConsumerMetrics | None" = None, tracer=None):
         from sequin_spark.health import Health
         from sequin_spark.streaming.metrics import ConsumerMetrics
 
+        # specs must arrive with named-function references already
+        # resolved (ConfigRegistry.resolved_consumer) — a bare name
+        # would otherwise compile as a column reference and silently
+        # change semantics
+        from sequin_spark.plans.spec import is_function_ref
+
+        for fld in ("filter", "transform", "enrichment"):
+            v = getattr(spec, fld, None)
+            if is_function_ref(v):
+                raise ValueError(
+                    f"{spec.name}: {fld} references function {v!r} — "
+                    "resolve it first (ConfigRegistry.resolved_consumer)")
         self.spec = spec
         self.metrics = metrics or ConsumerMetrics()
         self.health = Health(
@@ -66,6 +78,8 @@ class ConsumerPipeline:
             partition_count=spec.partition_count,
             max_retry_count=spec.max_retry_count,
             routing_cols=routing_cols,
+            tracer=tracer,
+            consumer_id=spec.name,
         )
 
     # --- the operator chain (pure, streaming-safe) ------------------------

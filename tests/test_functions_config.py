@@ -141,6 +141,22 @@ def test_resolve_none_clears_fields():
     assert resolved.filter is None and resolved.transform is None
 
 
+def test_pipeline_rejects_unresolved_references(spark):
+    """A bare function name reaching ConsumerPipeline would compile as
+    a column reference — the constructor must refuse it."""
+    from sequin_spark.streaming.pipeline import ConsumerPipeline
+
+    spec = ConsumerSpec(name="c", sink_type="benchmark",
+                        filter="my-filter-fn")
+    with pytest.raises(ValueError, match="resolve"):
+        ConsumerPipeline(spec)
+    # resolved specs construct fine
+    reg = ConfigRegistry()
+    fns, specs = load_config(REGISTRY_YAML)
+    reg.apply(specs, fns)
+    ConsumerPipeline(reg.resolved_consumer("orders-sink"))
+
+
 def test_plan_function_diff_actions(spark):
     reg = ConfigRegistry()
     fns, specs = load_config(REGISTRY_YAML)
