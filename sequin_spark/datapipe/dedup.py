@@ -137,7 +137,8 @@ def simhash(
 
 
 def simhash_near_pairs(
-    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, nbits: int = 16
+    sim: DataFrame, id_col: str = "doc_id", max_hamming: int = 3,
+    nbits: int = 16, materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by Hamming distance on simhash fingerprints,
     pigeonhole-bucketed: split the ``nbits`` fingerprint into
@@ -154,6 +155,11 @@ def simhash_near_pairs(
     Reference semantics: sequin has no simhash; this is the standard
     Manku/Jain/Sarma near-dup design re-expressed as Catalyst joins.
     """
+    # the signature frame is tiny (id + one long) but EXPENSIVE to
+    # compute (token explode + nbits per-bit sums); without
+    # materialization the self-join below recomputes it once per side
+    if materialize:
+        sim = sim.select(F.col(id_col), F.col("simhash")).localCheckpoint()
     n_chunks = max_hamming + 1
     chunk_bits = -(-nbits // n_chunks)  # ceil → chunks cover all bits
     mask = (1 << chunk_bits) - 1

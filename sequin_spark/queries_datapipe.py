@@ -262,7 +262,10 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    bk = hyperplane_buckets(emb, n_planes=4).join(emb, "vec_id")
+    # materialize (vec_id, bucket, embedding) once — the self-join below
+    # would otherwise evaluate the 4 hyperplane dot products per side
+    bk = (hyperplane_buckets(emb, n_planes=4).join(emb, "vec_id")
+          .localCheckpoint())
     a = bk.select(
         F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("embedding").alias("ea")
     )
@@ -1755,6 +1758,60 @@ GROUP BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# Tokenizer training: BPE merge learning (datapipe/tokenizer.py)
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn 8 BPE merges from the corpus word-frequency table —
+    iterative pair-count argmax + fold-merge, O(vocab) per iteration;
+    the oracle replays the same iterations as a generated CTE chain."""
+    from sequin_spark.datapipe.tokenizer import bpe_learn_merges
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_learn_merges(docs, spark, n_merges=8)
+
+
+def _sql_bpe_merges(n_merges: int = 8) -> str:
+    parts = [f"""
+w0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n,
+         array_to_string(list_transform(generate_series(1, length(word)),
+                                        i -> substr(word, i, 1)), '|') AS syms
+  FROM (SELECT unnest(string_split({D_NORM}, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+)"""]
+    for k in range(1, n_merges + 1):
+        prev = f"w{k - 1}"
+        parts.append(f""",
+p{k} AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT n, unnest(CASE WHEN len(string_split(syms, '|')) >= 2 THEN
+      list_transform(generate_series(1, len(string_split(syms, '|')) - 1),
+        i -> string_split(syms, '|')[i] || '|' || string_split(syms, '|')[i + 1])
+      ELSE [] END) AS pair FROM {prev}) GROUP BY pair
+),
+b{k} AS (
+  SELECT pair, cnt, split_part(pair, '|', 1) AS x, split_part(pair, '|', 2) AS y
+  FROM p{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+),
+w{k} AS (
+  SELECT word, n, CASE WHEN len(string_split(syms, '|')) < 2 THEN syms ELSE
+    list_reduce(string_split(syms, '|'),
+      (acc, s) -> CASE WHEN (acc = b{k}.x OR acc LIKE '%|' || b{k}.x)
+                       AND s = b{k}.y
+                  THEN acc || b{k}.y ELSE acc || '|' || s END) END AS syms
+  FROM {prev} CROSS JOIN b{k}
+)""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS rank, x, y, x || y AS merged, cnt "
+        f"FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    return "WITH " + "".join(parts) + "\n" + finals
+
+
 DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1794,6 +1851,7 @@ DATAPIPE_QUERIES = {
     "select_dsir": q_select_dsir,
     "dedup_repeated_spans": q_dedup_repeated_spans,
     "corpus_split_leakage": q_corpus_split_leakage,
+    "tokenizer_bpe_merges": q_bpe_merges,
 }
 
 DATAPIPE_ORACLES = {
@@ -1835,4 +1893,5 @@ DATAPIPE_ORACLES = {
     "select_dsir": _sql_select_dsir(),
     "dedup_repeated_spans": _sql_dedup_repeated_spans(),
     "corpus_split_leakage": _sql_corpus_split_leakage(),
+    "tokenizer_bpe_merges": _sql_bpe_merges(),
 }
