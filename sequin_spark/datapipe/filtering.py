@@ -168,6 +168,7 @@ def repetition_metrics(
 
     narrow = words.select(
         F.col(id_col),
+        F.col("w"),
         F.size("w").alias("n_words"),
         dup_frac(F.col("w")).alias("dup_word_frac"),
         dup_frac(word_shingles("w", 2)).alias("dup_2gram_frac"),
@@ -177,34 +178,41 @@ def repetition_metrics(
         ),
     )
 
-    # top word per doc: explode → count → keep the max-count word
-    # (alphabetical tie-break makes the result deterministic)
-    wc = (
-        words.select(F.col(id_col), F.explode("w").alias("word"))
-        .groupBy(id_col, "word")
-        .agg(F.count("*").alias("n"))
-    )
-    # min over (-n, word): highest count, alphabetical word on ties
-    top = wc.groupBy(id_col).agg(
-        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("word"))).alias("t")
-    ).select(
-        F.col(id_col),
-        (-F.col("t.neg_n")).alias("top_n"),
-        F.col("t.word").alias("top_word"),
+    # top word per doc as a NARROW fold: sort the token array, then one
+    # pass tracking the current and best run (count desc, alphabetical
+    # tie-break via strictly-greater on the sorted order) — no explode,
+    # no (id, word) shuffle, no join; the whole operator is scan-local
+    top_expr = F.expr(
+        "CASE WHEN size(w) = 0 THEN "
+        "named_struct('word', CAST(NULL AS STRING), 'n', 0) "
+        "ELSE aggregate(array_sort(w), "
+        "named_struct('cur', CAST(NULL AS STRING), 'curn', 0, "
+        "             'best', CAST(NULL AS STRING), 'bestn', 0), "
+        "(acc, x) -> IF(x <=> acc.cur, "
+        "  named_struct('cur', acc.cur, 'curn', acc.curn + 1, "
+        "               'best', acc.best, 'bestn', acc.bestn), "
+        "  IF(acc.curn > acc.bestn, "
+        "    named_struct('cur', x, 'curn', 1, "
+        "                 'best', acc.cur, 'bestn', acc.curn), "
+        "    named_struct('cur', x, 'curn', 1, "
+        "                 'best', acc.best, 'bestn', acc.bestn))), "
+        "acc -> IF(acc.curn > acc.bestn, "
+        "  named_struct('word', acc.cur, 'n', acc.curn), "
+        "  named_struct('word', acc.best, 'n', acc.bestn))) END"
     )
 
-    out = narrow.join(top, id_col, "left").select(
-        narrow[id_col],
+    out = narrow.withColumn("t", top_expr).select(
+        F.col(id_col),
         "n_words",
         "dup_word_frac",
         "dup_2gram_frac",
         "dup_3gram_frac",
-        "top_word",
+        F.col("t.word").alias("top_word"),
         F.when(
             F.col("n_word_chars") > 0,
             F.round(
-                F.coalesce(F.col("top_n"), F.lit(0))
-                * F.length(F.coalesce(F.col("top_word"), F.lit("")))
+                F.col("t.n")
+                * F.length(F.coalesce(F.col("t.word"), F.lit("")))
                 / F.col("n_word_chars"),
                 6,
             ),
