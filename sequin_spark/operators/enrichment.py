@@ -14,9 +14,13 @@ the PK — the helper takes ``broadcast_dim`` for that.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
+
+_ANY_RE = re.compile(r"(\w+(?:\.\w+)*)\s*=\s*ANY\s*\(\s*\$1\s*\)", re.I)
 
 
 def enrich(
@@ -62,3 +66,28 @@ def enrich_with_query(
     """
     dim = spark.sql(enrichment_sql)
     return enrich(events, dim, on, broadcast_dim=broadcast_dim)
+
+
+def enrich_from_spec(
+    spark,
+    events: DataFrame,
+    enrichment_sql: str,
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """The consumer-spec surface: the verbatim reference enrichment SQL
+    with its ``<pk> = ANY($1)`` parameterization (yaml_loader.ex:
+    1164-1180 requires $1; consumers.ex:1656-1700 batches event PKs
+    into it). The ANY clause names the join key — it becomes the join
+    condition against ``record[<pk>]`` and is replaced by TRUE in the
+    dimension query, so Catalyst sees plain membership it can push as a
+    semi-join. The SELECT must include the PK column (the reference has
+    the same requirement — results merge by PK equality)."""
+    m = _ANY_RE.search(enrichment_sql)
+    if not m:
+        raise ValueError(
+            "enrichment SQL must use parameterization: <pk> = ANY($1)")
+    pk = m.group(1).split(".")[-1]
+    dim_sql = enrichment_sql[: m.start()] + "TRUE" + enrichment_sql[m.end():]
+    return enrich_with_query(
+        spark, events, dim_sql, {f"record['{pk}']": pk},
+        broadcast_dim=broadcast_dim)

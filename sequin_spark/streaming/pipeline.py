@@ -99,6 +99,17 @@ class ConsumerPipeline:
         if spec.max_payload_bytes:
             df = payload_size_guard(df, spec.max_payload_bytes)
         df = with_metadata(df, consumer_id=spec.name, consumer_name=spec.name)
+        if spec.enrichment:
+            # reference enrichment: user SQL keyed by `pk = ANY($1)`,
+            # results land in metadata.enrichment (consumers.ex:1656+)
+            from sequin_spark.operators.enrichment import enrich_from_spec
+
+            df = enrich_from_spec(events.sparkSession, df, spec.enrichment)
+            df = df.withColumn(
+                "metadata",
+                F.col("metadata").withField("enrichment",
+                                            F.col("enrichment")),
+            ).drop("enrichment")
         if not spec.message_grouping:
             # message_grouping: false → every message independent
             df = df.withColumn("group_id", F.lit(None).cast("string"))

@@ -215,3 +215,63 @@ def test_functions_rest_plan_apply_export_round_trip(spark):
         assert status == 422
     finally:
         srv.stop()
+
+
+# -- enrichment through the full pipeline -----------------------------------
+
+ENRICH_YAML = """
+functions:
+  - name: segment-lookup
+    type: enrichment
+    code: "SELECT c_custkey, c_mktsegment FROM customer_src
+           WHERE c_custkey = ANY($1)"
+consumers:
+  - name: customers-enriched
+    sink_type: file_log
+    transform: default
+    enrichment: segment-lookup
+"""
+
+
+def test_enrichment_applied_through_pipeline(spark, sf_dir, tmp_path):
+    """A consumer referencing an enrichment function delivers events
+    whose metadata.enrichment holds the SQL's columns (consumers.ex
+    batched-PK enrichment → metadata.enrichment)."""
+    import json as _json
+
+    from sequin_spark.cdc import eventize_customer, load_table
+    from sequin_spark.streaming.pipeline import ConsumerPipeline
+
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_src")
+    reg = ConfigRegistry()
+    fns, specs = load_config(ENRICH_YAML)
+    out_dir = tmp_path / "out"
+    specs[0].sink_config = {"path": str(out_dir)}
+    assert "errors" not in reg.apply(specs, fns)
+    spec = reg.resolved_consumer("customers-enriched")
+    assert "ANY($1)" in spec.enrichment
+
+    pipe = ConsumerPipeline(spec, state_dir=str(tmp_path / "state"))
+    ev = eventize_customer(spark, sf_dir).limit(20)
+    stats = pipe.run_batch(ev)
+    assert stats["delivered"] == 20
+    rows = []
+    for f in out_dir.iterdir():
+        rows += [_json.loads(line) for line in f.read_text().splitlines()]
+    payloads = [_json.loads(r["value"]) for r in rows]
+    assert len(payloads) == 20
+    for p in payloads:
+        enr = p["metadata"]["enrichment"]
+        assert str(enr["c_custkey"]) == str(p["record"]["c_custkey"])
+        assert enr["c_mktsegment"] in (
+            "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+
+def test_enrichment_sql_requires_any_clause(spark, sf_dir, tmp_path):
+    from sequin_spark.cdc import eventize_customer
+    from sequin_spark.operators.enrichment import enrich_from_spec
+
+    ev = eventize_customer(spark, sf_dir).limit(1)
+    with pytest.raises(ValueError, match="ANY"):
+        enrich_from_spec(spark, ev, "SELECT 1 AS c_custkey")
