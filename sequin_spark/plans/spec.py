@@ -112,7 +112,35 @@ _FIELD_TYPES = {
     "transform": ("transform", "path"),
     "filter": ("filter",),
     "enrichment": ("enrichment",),
+    "routing": ("routing",),
 }
+
+
+def routing_dict_sources(code: str) -> dict[str, str]:
+    """Split a routing function's dict-literal body into per-key MiniPy
+    sources (the reference's routing function returns a map of routing
+    keys, routing.ex:105-135; each value compiles independently so
+    ``route()`` can merge it over the sink's defaults)."""
+    import ast
+
+    try:
+        tree = ast.parse(code.strip(), mode="eval")
+    except SyntaxError as e:
+        raise ValueError(f"routing: {e.msg}") from None
+    node = tree.body
+    if not isinstance(node, ast.Dict):
+        raise ValueError(
+            "routing functions must be a dict literal of routing keys, "
+            'e.g. {"topic": record["region"]}')
+    out = {}
+    for k, v in zip(node.keys, node.values):
+        if not (isinstance(k, ast.Constant) and isinstance(k.value, str)):
+            raise ValueError("routing dict keys must be string literals")
+        seg = ast.get_source_segment(code.strip(), v)
+        if seg is None:
+            raise ValueError(f"routing: cannot extract value for {k.value!r}")
+        out[k.value] = seg
+    return out
 
 
 def check_references(consumers: list["ConsumerSpec"],
@@ -122,7 +150,7 @@ def check_references(consumers: list["ConsumerSpec"],
     errors: dict[str, list[str]] = {}
     for c in consumers:
         errs = []
-        for fld in ("transform", "filter", "enrichment"):
+        for fld in ("transform", "filter", "enrichment", "routing"):
             value = getattr(c, fld, None)
             if not is_function_ref(value):
                 continue
@@ -145,7 +173,7 @@ def resolve_consumer(spec: "ConsumerSpec",
     runtime (streaming/pipeline.py) sees inline expressions — the analog
     of the reference joining consumers to functions by *_id at load."""
     updates: dict = {}
-    for fld in ("transform", "filter", "enrichment"):
+    for fld in ("transform", "filter", "enrichment", "routing"):
         value = getattr(spec, fld, None)
         if value == "none":
             updates[fld] = None
@@ -169,6 +197,7 @@ class ConsumerSpec:
     filter: str | None = None            # MiniPy predicate | function name
     transform: str | None = None         # default | record_only | path:... | MiniPy | function name
     enrichment: str | None = None        # SQL ($1-parameterized) | function name
+    routing: str | None = None           # MiniPy dict literal | function name
     routing_overrides: dict[str, str] = field(default_factory=dict)  # key → MiniPy
     batch_size: int | None = None
     partition_count: int = 8
@@ -214,6 +243,19 @@ class ConsumerSpec:
         if (self.enrichment and not is_function_ref(self.enrichment)
                 and "$1" not in self.enrichment):
             errs.append("enrichment SQL must use parameterization ($1)")
+        if (self.routing and self.routing != "none"
+                and not is_function_ref(self.routing)):
+            try:
+                for key, src in routing_dict_sources(self.routing).items():
+                    if key not in ROUTING_SCHEMAS.get(self.routing_schema(), {}):
+                        errs.append(
+                            f"routing key {key!r} not in "
+                            f"{self.routing_schema()} schema")
+                    ok, err = minipy_validate(src)
+                    if not ok:
+                        errs.append(f"routing.{key}: {err}")
+            except ValueError as e:
+                errs.append(str(e))
         if self.timestamp_format not in ("iso8601", "unix_microsecond"):
             errs.append(f"unknown timestamp_format {self.timestamp_format!r}")
         return errs
@@ -287,7 +329,7 @@ def to_external(spec: ConsumerSpec, show_sensitive: bool = False) -> dict:
     defaults = ConsumerSpec(name="")
     for key in (
         "actions", "column_filters", "filter", "transform", "enrichment",
-        "routing_overrides",
+        "routing", "routing_overrides",
         "batch_size", "partition_count", "max_retry_count", "message_grouping",
         "group_cols", "timestamp_format", "max_payload_bytes",
     ):

@@ -58,7 +58,7 @@ class ConsumerPipeline:
         # change semantics
         from sequin_spark.plans.spec import is_function_ref
 
-        for fld in ("filter", "transform", "enrichment"):
+        for fld in ("filter", "transform", "enrichment", "routing"):
             v = getattr(spec, fld, None)
             if is_function_ref(v):
                 raise ValueError(
@@ -118,7 +118,17 @@ class ConsumerPipeline:
             grp = F.array(*[F.col("record").getItem(c) for c in spec.group_cols])
             df = df.withColumn("group_id", F.array_join(grp, ":"))
         df = df.withColumn("value", transform_column(spec))
-        overrides = {k: compile_expr(v) for k, v in (spec.routing_overrides or {}).items()}
+        # routing function (dict literal of routing keys) merged under
+        # explicit per-key overrides (routing.ex:105-135: override wins)
+        routed: dict = {}
+        if spec.routing and spec.routing != "none":
+            from sequin_spark.plans.spec import routing_dict_sources
+
+            routed = {k: compile_expr(v) for k, v in
+                      routing_dict_sources(spec.routing).items()}
+        overrides = {**routed, **{
+            k: compile_expr(v)
+            for k, v in (spec.routing_overrides or {}).items()}}
         df = route(df, spec.routing_schema(), overrides)
         key = F.col("message_key") if "message_key" in df.columns else F.col("group_id")
         df = df.withColumn("key", key)
