@@ -81,14 +81,20 @@ def minhash_signatures(
 def minhash_candidate_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bands: int = 4, rows_per_band: int = 2, shingle_k: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH banding: band key = concatenated signature rows; documents
     sharing any band key are candidate near-duplicates.
 
     Returns distinct (doc_a, doc_b) with doc_a < doc_b. The self-join is
     keyed on (band, key) — fan-out bounded by bucket occupancy.
+    ``materialize`` checkpoints the band rows (id + band + key, tiny
+    next to the text) so the shingle→minhash computation runs once, not
+    once per join side.
     """
     banded = banded_signatures(df, text_col, id_col, bands, rows_per_band, shingle_k)
+    if materialize:
+        banded = banded.localCheckpoint()
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -458,7 +458,9 @@ def semdedup(
     # evaluates a single dot-product fold per candidate instead of three.
     # Identical fold arithmetic → values match the oracle bit-for-bit.
     norm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
-    with_norm = assigned.withColumn("nv", norm)
+    # materialize assignment+norm ONCE: the k×dims assignment scan would
+    # otherwise re-run for each self-join side and the final output join
+    with_norm = assigned.withColumn("nv", norm).localCheckpoint()
     a = with_norm.select(F.col("_id").alias("a_id"), F.col("v").alias("a_v"),
                          F.col("nv").alias("a_n"), "c_id")
     b = with_norm.select(F.col("_id").alias("b_id"), F.col("v").alias("b_v"),
@@ -477,7 +479,7 @@ def semdedup(
         .agg(F.min("a_id").alias("dup_of"))
     )
     out = (
-        assigned.join(dup_of, "_id", "left")
+        with_norm.select("_id", "c_id").join(dup_of, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             "c_id",
