@@ -529,6 +529,75 @@ def cmd_tunnel(args, out) -> int:
     return 0
 
 
+def cmd_serve(args, out) -> int:
+    """``sequin serve`` — boot the whole engine from a YAML config: a
+    SparkSession, the management REST API, and a ConsumerSupervisor
+    reconciling applied consumers into running streams (the Elixir
+    release's `mix phx.server` + supervision tree, collapsed into one
+    process; cli is the operator surface either way).
+
+    ``--events DIR``: parquet directory of canonical events consumed as
+    a file stream (the CDC log a replication worker writes; point a
+    ReplicationIngestWorker at the same directory for live Postgres).
+    Config changes applied over the REST API are picked up on the next
+    reconcile tick.
+    """
+    import time as _time
+
+    from sequin_spark.plans.config_api import ConfigApiServer, ConfigRegistry
+    from sequin_spark.plans.spec import load_config
+    from sequin_spark.session import get_spark
+    from sequin_spark.streaming.supervisor import ConsumerSupervisor
+    from sequin_spark.streaming.trace import Tracer
+
+    spark = get_spark("sequin-serve")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = ConfigRegistry()
+    if args.config:
+        functions, specs = load_config(preprocess_yaml(args.config))
+        result = registry.apply(specs, functions)
+        if result.get("errors"):
+            raise CliError(f"invalid config: {json.dumps(result['errors'])}")
+        print(f"Applied {len(result.get('resources', []))} resources",
+              file=out)
+
+    schema_df = spark.read.parquet(args.events)
+    schema = schema_df.schema
+    tracer = Tracer()
+    sup = ConsumerSupervisor(
+        spark, registry,
+        stream_factory=lambda: spark.readStream.schema(schema)
+        .parquet(args.events),
+        state_root=args.state_dir,
+        checkpoint_root=os.path.join(args.state_dir, "_checkpoints"),
+        tracer=tracer,
+    )
+    server = ConfigApiServer(registry=registry, tracer=tracer,
+                             port=args.port).start()
+    print(f"Management API on http://127.0.0.1:{server.port}", file=out)
+    try:
+        actions = sup.reconcile()
+        print(f"Consumers running: {sorted(sup.running)}", file=out)
+        if args.once:
+            sup.process_all_available()
+            return 0
+        deadline = (_time.monotonic() + args.max_seconds
+                    if args.max_seconds else None)
+        while deadline is None or _time.monotonic() < deadline:
+            _time.sleep(args.reconcile_interval)
+            actions = sup.reconcile()
+            for verb in ("started", "stopped", "restarted"):
+                for name in actions[verb]:
+                    print(f"{verb}: {name}", file=out)
+        return 0
+    except KeyboardInterrupt:
+        print("\nShutting down...", file=out)
+        return 0
+    finally:
+        sup.shutdown()
+        server.stop()
+
+
 # ---------------------------------------------------------------------------
 # parser wiring (cli/main.go command registration)
 # ---------------------------------------------------------------------------
@@ -622,6 +691,20 @@ def build_parser() -> argparse.ArgumentParser:
         bp.add_argument("--sink", required=True)
         bp.add_argument("id")
         bp.set_defaults(func=fn)
+
+    # serve
+    serve = sub.add_parser(
+        "serve", help="Run the engine: REST API + supervised streams")
+    serve.add_argument("--config", help="sequin.yaml to apply at boot")
+    serve.add_argument("--events", required=True,
+                       help="parquet directory of canonical events (CDC log)")
+    serve.add_argument("--state-dir", default="/tmp/sequin_spark_serve")
+    serve.add_argument("--port", type=int, default=0)
+    serve.add_argument("--once", action="store_true",
+                       help="reconcile, drain available input, exit")
+    serve.add_argument("--max-seconds", type=float, default=None)
+    serve.add_argument("--reconcile-interval", type=float, default=2.0)
+    serve.set_defaults(func=cmd_serve)
 
     # tunnel
     tun = sub.add_parser("tunnel", help="Create tunnels to the server")
