@@ -155,6 +155,83 @@ def dsir_importance(
     )
 
 
+def nb_quality_classifier(
+    df: DataFrame,
+    positive_pred: F.Column | None = None,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-based quality classifier: multinomial Naive Bayes over
+    hashed-unigram buckets — the deterministic analog of the
+    logistic-regression-on-hashed-features quality filters (GPT-3's
+    WebText classifier, fastText quality models); NB's closed-form
+    counts need no iterative fit, so training is two B-row rollups and
+    scoring is one broadcast join, all exactly reproducible.
+
+    ``positive_pred`` labels the high-quality training rows (default:
+    the curated-source list). Per-doc score = log prior odds + Σ_tokens
+    log P(b|hq)/P(b|lq) with add-one smoothing; predicted_hq = score>0.
+    """
+    if positive_pred is None:
+        positive_pred = F.col("source").isin(
+            "src0", "src1", "src2", "src3", "src4")
+    toks = df.select(
+        F.col(id_col),
+        positive_pred.alias("is_hq"),
+        F.explode(_tokens(text_col)).alias("token"),
+    ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
+    counts = toks.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_hq"), 1).otherwise(0))
+        .cast("double").alias("n_pos"),
+        F.sum(F.when(F.col("is_hq"), 0).otherwise(1))
+        .cast("double").alias("n_neg"),
+    )
+    doc_counts = df.select(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum(positive_pred.cast("int")).cast("double").alias("n_hq"),
+    )
+    totals = counts.agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg"))
+    rates = (
+        counts.withColumn("_k", F.floor(F.col("n_pos") * 0).cast("long"))
+        .join(
+            F.broadcast(totals.withColumn(
+                "_k", F.floor(F.col("t_pos") * 0).cast("long"))),
+            "_k",
+        )
+        .drop("_k")
+        .select(
+            "bucket",
+            (F.log((F.col("n_pos") + 1.0) / (F.col("t_pos") + n_buckets))
+             - F.log((F.col("n_neg") + 1.0) / (F.col("t_neg") + n_buckets))
+             ).alias("llr"),
+        )
+    )
+    prior = F.log((F.col("n_hq") + 1.0)
+                  / (F.col("n_docs") - F.col("n_hq") + 1.0))
+    return (
+        toks.join(F.broadcast(rates), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("llr").alias("_sum_llr"),
+        )
+        .withColumn("_k", F.floor(F.col("_sum_llr") * 0).cast("long"))
+        .join(
+            F.broadcast(doc_counts.withColumn(
+                "_k", F.floor(F.col("n_docs") * 0).cast("long"))),
+            "_k",
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.round(F.col("_sum_llr") + prior, 4).alias("nb_score"),
+            ((F.col("_sum_llr") + prior) > 0).alias("predicted_hq"),
+        )
+    )
+
+
 def repeated_span_metrics(
     df: DataFrame,
     window: int = 15,

@@ -1758,6 +1758,58 @@ GROUP BY split
 """
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes quality classifier on hashed-unigram buckets
+    (closed-form counts — the deterministic analog of LR-on-hashed-
+    features quality filters); labels = the curated source list."""
+    from sequin_spark.datapipe.selection import nb_quality_classifier
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return nb_quality_classifier(docs, n_buckets=256)
+
+
+def _sql_quality_classifier(n_buckets: int = 256) -> str:
+    h16 = _sql_h16_of("token")
+    hq = "source IN ('src0','src1','src2','src3','src4')"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, ({hq}) AS is_hq,
+         unnest(string_split({D_NORM}, ' ')) AS token
+  FROM documents
+),
+b AS (SELECT doc_id, is_hq, ({h16}) % {n_buckets} AS bucket FROM tok),
+counts AS (
+  SELECT bucket,
+         CAST(sum(CASE WHEN is_hq THEN 1 ELSE 0 END) AS DOUBLE) AS n_pos,
+         CAST(sum(CASE WHEN is_hq THEN 0 ELSE 1 END) AS DOUBLE) AS n_neg
+  FROM b GROUP BY bucket
+),
+totals AS (SELECT sum(n_pos) AS t_pos, sum(n_neg) AS t_neg FROM counts),
+rates AS (
+  SELECT bucket,
+         ln((n_pos + 1) / (t_pos + {n_buckets}))
+           - ln((n_neg + 1) / (t_neg + {n_buckets})) AS llr
+  FROM counts CROSS JOIN totals
+),
+dc AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CASE WHEN {hq} THEN 1 ELSE 0 END) AS DOUBLE) AS n_hq
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         sum(llr) AS sum_llr
+  FROM b JOIN rates USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(sum_llr + ln((n_hq + 1) / (n_docs - n_hq + 1)), 4) AS nb_score,
+       (sum_llr + ln((n_hq + 1) / (n_docs - n_hq + 1))) > 0 AS predicted_hq
+FROM scored CROSS JOIN dc
+"""
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer training: BPE merge learning (datapipe/tokenizer.py)
 
@@ -1852,6 +1904,7 @@ DATAPIPE_QUERIES = {
     "dedup_repeated_spans": q_dedup_repeated_spans,
     "corpus_split_leakage": q_corpus_split_leakage,
     "tokenizer_bpe_merges": q_bpe_merges,
+    "quality_classifier": q_quality_classifier,
 }
 
 DATAPIPE_ORACLES = {
@@ -1894,4 +1947,5 @@ DATAPIPE_ORACLES = {
     "dedup_repeated_spans": _sql_dedup_repeated_spans(),
     "corpus_split_leakage": _sql_corpus_split_leakage(),
     "tokenizer_bpe_merges": _sql_bpe_merges(),
+    "quality_classifier": _sql_quality_classifier(),
 }

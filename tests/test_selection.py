@@ -96,3 +96,28 @@ def test_split_leakage_clean_corpus_has_none(spark):
     out = split_leakage(df).collect()
     assert all(r["n_leaked_docs"] == 0 for r in out)
     assert all(r["n_unique_fp"] == r["n_docs"] for r in out)
+
+
+def test_nb_quality_classifier_separates_vocabularies(spark):
+    from sequin_spark.datapipe.selection import nb_quality_classifier
+
+    # two disjoint vocabularies: 'clean' docs vs 'spam' docs, plus one
+    # unlabeled doc of each vocabulary to classify
+    rows = (
+        [(i, "insight analysis rigor method evidence", "src0")
+         for i in range(10)]
+        + [(100 + i, "buy click free winner prize", "src9")
+           for i in range(10)]
+        + [(200, "insight evidence method", "srcX"),
+           (201, "free prize click", "srcX")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["doc_id"]: r for r in nb_quality_classifier(
+        df, positive_pred=None, n_buckets=64).collect()}
+    # the clean-vocabulary doc classifies high-quality, the spammy one not
+    assert out[200]["predicted_hq"] is True
+    assert out[201]["predicted_hq"] is False
+    assert out[200]["nb_score"] > 0 > out[201]["nb_score"]
+    # training rows classify consistently with their own labels
+    assert all(out[i]["predicted_hq"] for i in range(10))
+    assert not any(out[100 + i]["predicted_hq"] for i in range(10))
