@@ -529,6 +529,31 @@ def cmd_tunnel(args, out) -> int:
     return 0
 
 
+def cmd_functions_test(args, out) -> int:
+    """``sequin functions test`` — run a function against sample
+    messages via POST /api/functions/test (the console function-editor
+    test panel over the wire)."""
+    ctx = load_context(args.context)
+    if args.code_file:
+        with open(args.code_file) as f:
+            code = f.read()
+    elif args.code:
+        code = args.code
+    else:
+        raise CliError("provide --code or --code-file")
+    body = {"type": args.type, "code": code}
+    if args.message:
+        msgs = []
+        for path in args.message:
+            with open(path) as f:
+                msgs.append(json.load(f))
+        body["messages"] = msgs
+    status, payload = _request(ctx, "POST", "/api/functions/test", body)
+    _fail_on_error(status, payload)
+    _print(out, payload["results"])
+    return 0
+
+
 def cmd_serve(args, out) -> int:
     """``sequin serve`` — boot the whole engine from a YAML config: a
     SparkSession, the management REST API, and a ConsumerSupervisor
@@ -667,6 +692,20 @@ def build_parser() -> argparse.ArgumentParser:
     srm = sinks_sub.add_parser("rm", aliases=["delete"])
     srm.add_argument("name")
     srm.set_defaults(func=cmd_sinks_rm)
+
+    # functions
+    fns = sub.add_parser("functions", help="Functions")
+    fns_sub = fns.add_subparsers(dest="verb", required=True)
+    ftest = fns_sub.add_parser(
+        "test", help="Run a function against sample messages")
+    ftest.add_argument("--type", default="transform",
+                       choices=["transform", "filter", "routing"])
+    ftest.add_argument("--code")
+    ftest.add_argument("--code-file")
+    ftest.add_argument("--message", action="append",
+                       help="JSON message file (repeatable); defaults "
+                            "to a synthetic message")
+    ftest.set_defaults(func=cmd_functions_test)
 
     # backfills
     bf = sub.add_parser("backfills", help="Backfill jobs")

@@ -207,7 +207,7 @@ class ConfigApiServer:
                  backfills=None, databases=None, endpoints=None,
                  api_keys=None, require_auth=False,
                  replications=None, health_check=None,
-                 messages=None, users=None, tracer=None,
+                 messages=None, users=None, tracer=None, spark=None,
                  version: str = "0.3.0"):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
@@ -240,11 +240,15 @@ class ConfigApiServer:
         PATCH /api/users/password.
         ``tracer``: optional streaming.trace.Tracer — enables
         GET /api/sinks/:name/trace (the console trace tab,
-        show.ex:160,273, over trace.ex rings)."""
+        show.ex:160,273, over trace.ex rings). ``spark``: optional
+        SparkSession — enables POST /api/functions/test (the function-
+        editor test panel, functions/edit.ex:246-380, running code
+        against submitted or synthetic messages)."""
         self.registry = registry or ConfigRegistry()
         self.messages = messages
         self.users = users
         self.tracer = tracer
+        self.spark = spark
         self.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
@@ -763,6 +767,26 @@ class ConfigApiServer:
                     except ValueError as e:
                         return self._json(422, {"error": str(e)})
                     return self._json(201, ep.to_external())
+                # function tester (functions/edit.ex test panel)
+                if self.path.split("?")[0] == "/api/functions/test":
+                    if outer.spark is None:
+                        return self._json(
+                            404, {"error": "function testing not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    from sequin_spark.functions.tester import run_function
+
+                    ftype = body.get("type", "transform")
+                    code = body.get("code") or ""
+                    msgs = body.get("messages")
+                    if msgs is not None and not isinstance(msgs, list):
+                        return self._json(
+                            400, {"error": "messages must be a list"})
+                    results = run_function(outer.spark, ftype, code, msgs)
+                    if len(results) == 1 and "error" in results[0]:
+                        return self._json(422, results[0])
+                    return self._json(200, {"results": results})
                 # postgres_replications create (controller create/2)
                 if self.path.split("?")[0] == "/api/postgres_replications":
                     if outer.replications is None:

@@ -24,6 +24,24 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 
+def cursor_columns(pk_cols: list[str],
+                   sort_col: str | None = None) -> list[str]:
+    """Cursor column order (keyset_cursor.ex cursor_columns/1): the
+    sort column leads, then the PKs in attnum order; a sort column that
+    IS a PK isn't repeated; no sort column ⇒ PKs alone. The pages this
+    cursor walks are then strictly ordered and restartable regardless
+    of which column carries the user-visible progress."""
+    if sort_col is None:
+        return list(pk_cols)
+    return [sort_col] + [c for c in pk_cols if c != sort_col]
+
+
+def cursor_from_row(cursor_cols: list[str], row) -> list:
+    """Cursor value from a page's last row (keyset_cursor.ex
+    cursor_from_result): positional values in cursor-column order."""
+    return [row[c] for c in cursor_cols]
+
+
 def keyset_predicate(cursor_cols: list[str], cursor_vals: list) -> Column:
     """Row-wise ``(c1, c2, ...) > (v1, v2, ...)`` as a Catalyst predicate.
 

@@ -86,3 +86,57 @@ def test_fast_count_estimate(spark, sf_dir):
     # unknown path falls back to a distributed count
     assert count_or_estimate(cust, None) == cust.count()
     assert count_or_estimate(cust, "/nonexistent") == cust.count()
+
+
+# -- cursor-column policy (keyset_cursor_test.exs ports) --------------------
+
+def test_cursor_columns_sort_column_leads():
+    """Sort column first, then PKs (where_sql/order_by_sql ports:
+    ("updated_at","id1","id2") > (?,?,?))."""
+    from sequin_spark.sources.backfill import cursor_columns
+
+    assert cursor_columns(["id1", "id2"], "updated_at") == [
+        "updated_at", "id1", "id2"]
+
+
+def test_cursor_columns_sort_column_is_pk():
+    """A sort column that is itself a PK is not repeated
+    (keyset_cursor_test 'handles sort column as primary key')."""
+    from sequin_spark.sources.backfill import cursor_columns
+
+    assert cursor_columns(["id1", "id2"], "id1") == ["id1", "id2"]
+
+
+def test_cursor_columns_no_sort_column():
+    """nil sort column ⇒ PKs only (keyset_cursor_test 'handles nil
+    sort column by using only primary keys')."""
+    from sequin_spark.sources.backfill import cursor_columns
+
+    assert cursor_columns(["id1", "id2"], None) == ["id1", "id2"]
+
+
+def test_cursor_round_trip_pages(spark):
+    """cursor_from_row feeds the next page's keyset predicate: walking
+    pages by (sort_col, pk) covers every row exactly once even with
+    duplicate sort values (the reason PKs tail the cursor)."""
+    from sequin_spark.sources.backfill import (
+        cursor_columns,
+        cursor_from_row,
+        keyset_page,
+    )
+
+    # duplicate updated_at values across ids — sort alone is ambiguous
+    df = spark.createDataFrame(
+        [(ts, i) for i in range(30) for ts in [i // 3]],
+        "updated_at long, id long",
+    )
+    cols = cursor_columns(["id"], "updated_at")
+    seen, cursor = [], None
+    for _ in range(50):
+        page = keyset_page(df, cols, cursor, 7).collect()
+        if not page:
+            break
+        seen += [r["id"] for r in page]
+        cursor = cursor_from_row(cols, page[-1])
+    assert sorted(seen) == sorted(r["id"] for r in df.collect())
+    assert len(seen) == len(set(seen))  # exactly once
