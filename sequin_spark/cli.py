@@ -41,6 +41,7 @@ import os
 import re
 import sys
 import urllib.error
+import urllib.parse
 import urllib.request
 
 
@@ -529,6 +530,58 @@ def cmd_tunnel(args, out) -> int:
     return 0
 
 
+def cmd_messages_receive(args, out) -> int:
+    """Pull-consumer receive (the legacy `sequin consumer receive`
+    surface over the sequin_streams routes, router.ex:180-189)."""
+    ctx = load_context(args.context)
+    body: dict = {"max_batch_size": args.batch_size}
+    if args.wait_for:
+        body["wait_for"] = args.wait_for
+    status, payload = _request(
+        ctx, "POST", f"/api/sequin_streams/{args.sink}/receive", body)
+    _fail_on_error(status, payload)
+    _print(out, payload["data"])
+    return 0
+
+
+def _messages_ack(args, out, action: str) -> int:
+    ctx = load_context(args.context)
+    status, payload = _request(
+        ctx, "POST", f"/api/sequin_streams/{args.sink}/{action}",
+        {"ack_ids": args.ack_ids})
+    _fail_on_error(status, payload)
+    print(f"{action}ed {len(args.ack_ids)} message(s)", file=out)
+    return 0
+
+
+def cmd_messages_ack(args, out) -> int:
+    return _messages_ack(args, out, "ack")
+
+
+def cmd_messages_nack(args, out) -> int:
+    return _messages_ack(args, out, "nack")
+
+
+def cmd_messages_peek(args, out) -> int:
+    """Browse a sink's messages (the console message tab / legacy
+    `sequin consumer peek`)."""
+    ctx = load_context(args.context)
+    qs = [f"limit={args.limit}"]
+    if args.state:
+        qs.append(f"state={urllib.parse.quote(args.state)}")
+    status, payload = _request(
+        ctx, "GET", f"/api/sinks/{args.sink}/messages?{'&'.join(qs)}")
+    _fail_on_error(status, payload)
+    if args.json:
+        _print(out, payload["data"])
+        return 0
+    for m in payload.get("data", []):
+        print(f"{str(m.get('seq', '')):<12} {m.get('state', ''):<18} "
+              f"{m.get('id', '')}", file=out)
+    print(f"total: {payload.get('total_count', 0)}", file=out)
+    return 0
+
+
 def cmd_functions_test(args, out) -> int:
     """``sequin functions test`` — run a function against sample
     messages via POST /api/functions/test (the console function-editor
@@ -692,6 +745,26 @@ def build_parser() -> argparse.ArgumentParser:
     srm = sinks_sub.add_parser("rm", aliases=["delete"])
     srm.add_argument("name")
     srm.set_defaults(func=cmd_sinks_rm)
+
+    # messages (pull consume + browse)
+    msgs = sub.add_parser("messages", help="Consume / browse messages")
+    msgs_sub = msgs.add_subparsers(dest="verb", required=True)
+    recv = msgs_sub.add_parser("receive", help="Lease messages")
+    recv.add_argument("--sink", required=True)
+    recv.add_argument("--batch-size", type=int, default=1)
+    recv.add_argument("--wait-for", help="long-poll, e.g. 5s / 1000ms")
+    recv.set_defaults(func=cmd_messages_receive)
+    for verb, fn in (("ack", cmd_messages_ack), ("nack", cmd_messages_nack)):
+        p_ = msgs_sub.add_parser(verb)
+        p_.add_argument("--sink", required=True)
+        p_.add_argument("ack_ids", nargs="+")
+        p_.set_defaults(func=fn)
+    peek = msgs_sub.add_parser("peek", help="Browse messages")
+    peek.add_argument("--sink", required=True)
+    peek.add_argument("--limit", type=int, default=50)
+    peek.add_argument("--state")
+    peek.add_argument("--json", action="store_true")
+    peek.set_defaults(func=cmd_messages_peek)
 
     # functions
     fns = sub.add_parser("functions", help="Functions")

@@ -208,7 +208,7 @@ class ConfigApiServer:
                  api_keys=None, require_auth=False,
                  replications=None, health_check=None,
                  messages=None, users=None, tracer=None, spark=None,
-                 version: str = "0.3.0"):
+                 pull=None, version: str = "0.3.0"):
         """``backfills``: optional plans.backfill_api.BackfillManager —
         enables the /api/sinks/:name/backfills management routes
         (router.ex:173, backfill_controller.ex).
@@ -243,12 +243,20 @@ class ConfigApiServer:
         show.ex:160,273, over trace.ex rings). ``spark``: optional
         SparkSession — enables POST /api/functions/test (the function-
         editor test panel, functions/edit.ex:246-380, running code
-        against submitted or synthetic messages)."""
+        against submitted or synthetic messages). ``pull``: optional
+        streaming.pull_api.PullRouter (or dict name → PullQueue) —
+        mounts the sequin_stream receive/ack/nack routes on this API
+        (router.ex:180-189 puts them in the same :api scope)."""
         self.registry = registry or ConfigRegistry()
         self.messages = messages
         self.users = users
         self.tracer = tracer
         self.spark = spark
+        if pull is not None and not hasattr(pull, "handle"):
+            from sequin_spark.streaming.pull_api import PullRouter
+
+            pull = PullRouter(pull)
+        self.pull = pull
         self.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
@@ -306,6 +314,18 @@ class ConfigApiServer:
                     return self._json(200, user.to_external())
                 if self._blocked():
                     return
+                # pull-API receive over GET (router.ex:181)
+                m = re.match(
+                    r"^/api/(?:sequin_streams|http_pull_consumers)/"
+                    r"([^/]+)/(receive|ack|nack)$", u.path)
+                if m:
+                    if outer.pull is None:
+                        return self._json(
+                            404, {"error": "pull consumers not enabled"})
+                    params = dict(parse_qsl(u.query))
+                    status, payload = outer.pull.handle(
+                        m.group(1), m.group(2), params)
+                    return self._json(status, payload)
                 # info_controller.ex version/info (single-node: no peers)
                 if u.path == "/api/info/version":
                     return self._json(200, {"version": outer.version})
@@ -767,6 +787,20 @@ class ConfigApiServer:
                     except ValueError as e:
                         return self._json(422, {"error": str(e)})
                     return self._json(201, ep.to_external())
+                # pull-API receive/ack/nack over POST (router.ex:180-189)
+                m = re.match(
+                    r"^/api/(?:sequin_streams|http_pull_consumers)/"
+                    r"([^/]+)/(receive|ack|nack)$", self.path.split("?")[0])
+                if m:
+                    if outer.pull is None:
+                        return self._json(
+                            404, {"error": "pull consumers not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    status, payload = outer.pull.handle(
+                        m.group(1), m.group(2), body)
+                    return self._json(status, payload)
                 # function tester (functions/edit.ex test panel)
                 if self.path.split("?")[0] == "/api/functions/test":
                     if outer.spark is None:

@@ -44,58 +44,24 @@ def parse_duration_ms(v) -> int | None:
     return n * {"ms": 1, "s": 1000, "m": 60_000}[unit]
 
 
-class PullApiServer:
-    """Serve receive/ack/nack for a registry of named PullQueues."""
+class PullRouter:
+    """The receive/ack/nack controller logic, shared by the standalone
+    PullApiServer and the management ConfigApiServer (router.ex mounts
+    the pull routes on the same :api scope, router.ex:180-189)."""
 
-    def __init__(self, queues: dict[str, PullQueue], host: str = "127.0.0.1", port: int = 0):
-        self.queues = dict(queues)
+    def __init__(self, queues: dict[str, PullQueue] | None = None):
+        self.queues = dict(queues or {})
         self._lock = threading.Lock()
-        outer = self
 
-        class Handler(BaseHTTPRequestHandler):
-            def log_message(self, *args):  # silence
-                pass
-
-            def _json(self, code: int, payload: dict) -> None:
-                body = json.dumps(payload).encode()
-                self.send_response(code)
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                self.wfile.write(body)
-
-            def _handle(self, params: dict) -> None:
-                m = _ROUTE.match(self.path.split("?")[0])
-                if not m:
-                    return self._json(404, {"error": "not found"})
-                name, action = m.group(1), m.group(2)
-                queue = outer.queues.get(name)
-                if queue is None:
-                    return self._json(404, {"error": f"no sequin_stream consumer {name!r}"})
-                try:
-                    result = outer._dispatch(queue, action, params)
-                except _BadRequest as e:
-                    return self._json(400, {"error": str(e)})
-                self._json(200, result)
-
-            def do_GET(self):  # noqa: N802 - receive is also GET (router.ex:181)
-                from urllib.parse import parse_qsl, urlsplit
-
-                params = dict(parse_qsl(urlsplit(self.path).query))
-                self._handle(params)
-
-            def do_POST(self):  # noqa: N802
-                n = int(self.headers.get("Content-Length") or 0)
-                raw = self.rfile.read(n) if n else b"{}"
-                try:
-                    params = json.loads(raw or b"{}")
-                except json.JSONDecodeError:
-                    return self._json(400, {"error": "invalid JSON body"})
-                self._handle(params if isinstance(params, dict) else {})
-
-        self._httpd = ThreadingHTTPServer((host, port), Handler)
-        self.port = self._httpd.server_address[1]
-        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+    def handle(self, name: str, action: str, params: dict) -> tuple[int, dict]:
+        """(status, payload) for one pull-API call."""
+        queue = self.queues.get(name)
+        if queue is None:
+            return 404, {"error": f"no sequin_stream consumer {name!r}"}
+        try:
+            return 200, self._dispatch(queue, action, params)
+        except _BadRequest as e:
+            return 400, {"error": str(e)}
 
     # --- controller actions ----------------------------------------------
     def _dispatch(self, queue: PullQueue, action: str, params: dict) -> dict:
@@ -159,7 +125,56 @@ class PullApiServer:
         while queue.depth() == 0 and time.time() < deadline:
             time.sleep(0.05)
 
-    # --- lifecycle --------------------------------------------------------
+
+class PullApiServer:
+    """Standalone HTTP server over a PullRouter."""
+
+    def __init__(self, queues: dict[str, PullQueue], host: str = "127.0.0.1", port: int = 0):
+        self.router = PullRouter(queues)
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *args):  # silence
+                pass
+
+            def _json(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _handle(self, params: dict) -> None:
+                m = _ROUTE.match(self.path.split("?")[0])
+                if not m:
+                    return self._json(404, {"error": "not found"})
+                status, payload = outer.router.handle(m.group(1), m.group(2), params)
+                self._json(status, payload)
+
+            def do_GET(self):  # noqa: N802 - receive is also GET (router.ex:181)
+                from urllib.parse import parse_qsl, urlsplit
+
+                params = dict(parse_qsl(urlsplit(self.path).query))
+                self._handle(params)
+
+            def do_POST(self):  # noqa: N802
+                n = int(self.headers.get("Content-Length") or 0)
+                raw = self.rfile.read(n) if n else b"{}"
+                try:
+                    params = json.loads(raw or b"{}")
+                except json.JSONDecodeError:
+                    return self._json(400, {"error": "invalid JSON body"})
+                self._handle(params if isinstance(params, dict) else {})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def queues(self):
+        return self.router.queues
+
     def start(self) -> "PullApiServer":
         self._thread.start()
         return self

@@ -319,3 +319,48 @@ def test_backfills_cli_unknown_sink(backfill_api):
     rc, _ = run_cli("backfills", "create", "--sink", "nope",
                     "--table", "public.customer")
     assert rc == 1
+
+
+# -- messages verbs (pull consume + browse over the management API) ---------
+
+def test_messages_receive_ack_peek_cli(spark, tmp_path):
+    from sequin_spark.plans.messages_api import MessageBrowser
+    from sequin_spark.plans.spec import ConsumerSpec
+    from sequin_spark.streaming.pull_queue import PullQueue
+
+    df = spark.createDataFrame(
+        [(f"g{i}", 100 + i, 0, json.dumps({"n": i})) for i in range(5)],
+        "group_id string, commit_lsn long, commit_idx long, value string",
+    )
+    queue = PullQueue(str(tmp_path / "pq"), ack_wait_s=30.0)
+    queue.ingest(df)
+    registry = ConfigRegistry()
+    registry.apply([ConsumerSpec(name="orders-pull",
+                                 sink_type="sequin_stream")])
+    srv = ConfigApiServer(
+        registry=registry, pull={"orders-pull": queue},
+        messages={"orders-pull": MessageBrowser(queue=queue)}).start()
+    try:
+        _add_local_context(srv.port)
+        rc, out = run_cli("messages", "receive", "--sink", "orders-pull",
+                          "--batch-size", "3")
+        assert rc == 0
+        leased = json.loads(out)
+        assert len(leased) == 3
+        ack_ids = [m["ack_id"] for m in leased]
+        # nack one, ack two
+        rc, out = run_cli("messages", "nack", "--sink", "orders-pull",
+                          ack_ids[0])
+        assert rc == 0 and "nacked 1" in out
+        rc, out = run_cli("messages", "ack", "--sink", "orders-pull",
+                          *ack_ids[1:])
+        assert rc == 0 and "acked 2" in out
+        # peek shows remaining depth (5 - 2 acked = 3)
+        rc, out = run_cli("messages", "peek", "--sink", "orders-pull",
+                          "--json")
+        assert rc == 0 and len(json.loads(out)) == 3
+        # unknown sink → error exit
+        rc, _ = run_cli("messages", "receive", "--sink", "nope")
+        assert rc == 1
+    finally:
+        srv.stop()
