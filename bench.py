@@ -122,6 +122,27 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         pass
 
+    # Streaming latency FIRST, in a clean JVM: r3 measured it after 65
+    # queries in-process and recorded p50 3275 ms; the same pipeline
+    # measured warm-but-uncontaminated is ~1.2-1.3 s. A short discarded
+    # warmup run absorbs first-batch codegen/python-worker spin-up so the
+    # measured window is steady state.
+    try:
+        streaming_latency(spark, seconds=12, rows_per_second=5_000,
+                          prefix="warmup")
+        stream_stats = streaming_latency(spark)
+    except Exception:  # noqa: BLE001
+        stream_stats = {}
+    # capacity probe: drive the source at 2x the reference headline to
+    # measure the pipeline's ceiling rather than the source rate
+    try:
+        cap = streaming_latency(spark, seconds=25, rows_per_second=100_000,
+                                prefix="cap")
+        stream_stats["stream_capacity_rows_per_sec"] = cap.get(
+            "stream_rows_per_sec", 0)
+    except Exception:  # noqa: BLE001
+        pass
+
     per_query: dict[str, float] = {}
     total = 0.0
     for name, fn in QUERIES.items():
@@ -150,19 +171,6 @@ def main() -> None:
     pipe_sec, pipe_rows = pipeline_throughput(spark, sf_dir)
     ops_per_sec = int(pipe_rows / pipe_sec) if pipe_sec > 0 else 0
 
-    try:
-        stream_stats = streaming_latency(spark)
-    except Exception:  # noqa: BLE001
-        stream_stats = {}
-    # capacity probe: drive the source at 2x the reference headline to
-    # measure the pipeline's ceiling rather than the source rate
-    try:
-        cap = streaming_latency(spark, seconds=25, rows_per_second=100_000)
-        stream_stats["stream_capacity_rows_per_sec"] = cap.get(
-            "stream_rows_per_sec", 0)
-    except Exception:  # noqa: BLE001
-        pass
-
     summary = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -182,10 +190,17 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    # full map on an EARLIER line; compact summary is the FINAL line so a
-    # tail-buffered reader always gets complete JSON
-    print(json.dumps(full))
-    print(json.dumps(summary))
+    # the driver reads stdout through a ~3KB tail buffer (r3's
+    # space-padded 3.1KB line got its front cut and parsed as null);
+    # compact separators keep the full per-query map ≈2.1KB so the
+    # contract line ({"metric",...,"queries":{...}}) survives intact.
+    # If the registry ever grows the compact line past 2.8KB, drop the
+    # map to the earlier line and keep the summary last.
+    line = json.dumps(full, separators=(",", ":"))
+    if len(line) > 2800:
+        print(line)
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     sys.stdout.flush()
 
 

@@ -167,7 +167,11 @@ class DeliveryEngine:
 
     def read_ledger(self, spark: SparkSession) -> DataFrame | None:
         if os.path.isdir(self.ledger_dir) and os.listdir(self.ledger_dir):
-            return spark.read.parquet(self.ledger_dir)
+            # explicit schema: the ledger layout is fixed (IDENTITY), and
+            # schema inference costs a footer-read job per micro-batch
+            return spark.read.schema(
+                "commit_lsn long, commit_idx long, idempotency_key string"
+            ).parquet(self.ledger_dir)
         return None
 
     def _ledger_for_antijoin(self, spark: SparkSession) -> DataFrame | None:
@@ -276,12 +280,14 @@ class DeliveryEngine:
 
         # idempotency ledger anti-join (broadcast — bounded by the trim
         # watermark under streaming)
+        # No dropDuplicates on the build side: left_anti only probes for
+        # existence, so ledger duplicates (task-retry double-writes) are
+        # harmless — deduping them cost a full shuffle per micro-batch
+        # (~0.3 s fixed at 50k rows/s, the largest addBatch overhead)
         ledger = self._ledger_for_antijoin(spark)
         if ledger is not None:
             new_rows = new_rows.join(
-                F.broadcast(ledger.select(*IDENTITY).dropDuplicates()),
-                IDENTITY,
-                "left_anti",
+                F.broadcast(ledger.select(*IDENTITY)), IDENTITY, "left_anti",
             )
 
         # pending retries: due ones re-enter delivery; not-due (still
