@@ -70,6 +70,73 @@ def sample_to_budget(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    budget_docs: int = 2000,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-smoothed multinomial mixing (the mT5/XLM-R α-sampling
+    rule): stratum i's target share ∝ p_i^α where p_i = n_i/N, flattening
+    the head so low-resource strata are over-represented relative to
+    their natural frequency. α is fixed at 0.5 — i.e. sqrt(p) — because
+    IEEE sqrt is correctly rounded in every engine, keeping the keep/drop
+    hash boundary bit-identical between Spark and the SQL oracle
+    (pow(x, α) for arbitrary α is libm-dependent in the last ulp, which
+    can flip a doc across ``floor(rate·65536)``).
+
+    Doc selection is the same deterministic ``h16(id) < floor(p·65536)``
+    scan as sample_to_budget: per-stratum counts are one tiny
+    aggregation broadcast back, then a narrow filter — no RNG, no sort,
+    rerunnable at any scale. Returns per-stratum rows: natural count,
+    smoothed target share, keep probability, and the sampled count.
+    """
+    base = df.select(F.col(id_col), F.col(stratum_col).alias("stratum"))
+    counts = base.groupBy("stratum").agg(F.count("*").cast("long").alias("n_docs"))
+    # Σn is an exact integer sum; Σshare is a SORTED left-fold of the k
+    # per-stratum doubles — floating addition isn't associative, so an
+    # unordered SUM could differ from the oracle's in the last ulp and
+    # flip a doc across the floor(p·65536) keep boundary. A sorted fold
+    # with 0.0 init is bit-identical in any engine (0.0+x == x exactly).
+    totals = counts.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+    )
+    shares = counts.crossJoin(F.broadcast(totals)).withColumn(
+        "share", F.sqrt(F.col("n_docs") / F.col("n_total"))
+    )
+    share_sum = shares.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list("share")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("share_total")
+    )
+    rated = shares.crossJoin(F.broadcast(share_sum)).withColumn(
+        "target_share", F.col("share") / F.col("share_total")
+    ).withColumn(
+        "keep_p",
+        F.least(F.lit(1.0), F.col("target_share") * budget_docs / F.col("n_docs")),
+    ).withColumn(
+        "rate_scaled", F.floor(F.col("keep_p") * _HASH_SPAN).cast("long")
+    )
+    sampled = (
+        base.join(F.broadcast(rated), "stratum")
+        .filter(_h16(F.col(id_col)) < F.col("rate_scaled"))
+        .groupBy("stratum")
+        .agg(F.count("*").cast("long").alias("n_sampled"))
+    )
+    return (
+        rated.join(sampled, "stratum", "left")
+        .select(
+            "stratum",
+            "n_docs",
+            F.round("target_share", 4).alias("target_share"),
+            F.round("keep_p", 4).alias("keep_p"),
+            F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     seq_len: int = 512,

@@ -420,6 +420,38 @@ class SemDedupIndex:
         )
 
 
+def ann_recall(
+    ground: DataFrame,
+    approx: DataFrame,
+    k: int,
+) -> DataFrame:
+    """Recall@k of an ANN result against exact ground truth — the
+    standard quality gauge for any approximate index (IVF probes, LSH
+    planes, PQ bits are all recall/cost dials; this measures the dial).
+
+    Both inputs are (q_id, n_id, rnk, ...) top-k frames. Returns one
+    row per query: hits = |approx ∩ ground|, recall = hits/k. The
+    intersection is a (q_id, n_id) semi-join — per-query candidate
+    lists are ≤ k rows, so this is a broadcast-scale comparison no
+    matter the corpus size behind the two searches."""
+    g = ground.select("q_id", "n_id")
+    a = approx.select("q_id", "n_id")
+    hits = (
+        g.join(a, ["q_id", "n_id"], "left_semi")
+        .groupBy("q_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        g.select("q_id").distinct()
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4).alias("recall"),
+        )
+    )
+
+
 def build_semdedup_index(
     emb: DataFrame,
     k: int = 8,

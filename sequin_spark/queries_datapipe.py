@@ -452,7 +452,8 @@ af AS (
 
 
 def _sql_ann_ivf_det(k_cent: int = 8, iters: int = 1, n_probe: int = 4,
-                     topk: int = 3, dims: int = 64) -> str:
+                     topk: int = 3, dims: int = 64,
+                     final_select: bool = True) -> str:
     """Full SQL replica of ann_ivf_det_topk: md5-seeded centroids,
     `iters` Lloyd iterations, final assignment, probe-n_probe search."""
     def dist(va: str, vb: str) -> str:
@@ -479,10 +480,12 @@ cand AS (
 ),
 r AS (SELECT q_id, n_id, cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
-      FROM cand)
+      FROM cand)"""
+    if not final_select:
+        return sql
+    return sql + f"""
 SELECT q_id, n_id, rnk, round(cos, 3) AS cos FROM r WHERE rnk <= {topk}
 """
-    return sql
 
 
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -856,6 +859,123 @@ best AS (
 )
 SELECT n.doc_id, b.corpus_id AS duplicate_of, b.jaccard
 FROM newd n LEFT JOIN best b ON n.doc_id = b.new_id AND b.rk = 1
+"""
+
+
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed multinomial mixing (mT5/XLM-R α-sampling,
+    α=0.5): per-lang target share ∝ sqrt(n_i/N), deterministic
+    hash-predicate selection toward a document budget."""
+    from sequin_spark.datapipe.curation import temperature_mix
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(docs, budget_docs=2000)
+
+
+def _sql_corpus_temperature_mix(budget_docs: int = 2000) -> str:
+    h16 = _sql_h16_of("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH counts AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+tot AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total FROM counts),
+sh AS (
+  SELECT stratum, n_docs, sqrt(n_docs / n_total) AS share
+  FROM counts CROSS JOIN tot
+),
+-- sorted left-fold with 0.0 init: bit-identical to Spark's
+-- aggregate(sort_array(collect_list(share)), 0.0, +) — an unordered
+-- SUM() could differ in the last ulp and flip a keep boundary
+ssum AS (
+  SELECT list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list_sort(list(CAST(share AS DOUBLE)))),
+           (a, b) -> a + b) AS share_total
+  FROM sh
+),
+rated AS (
+  SELECT stratum, n_docs,
+         share / share_total AS target_share,
+         least(CAST(1.0 AS DOUBLE),
+               share / share_total * {budget_docs} / n_docs) AS keep_p
+  FROM sh CROSS JOIN ssum
+),
+r2 AS (
+  SELECT stratum, n_docs, target_share, keep_p,
+         CAST(floor(keep_p * 65536) AS BIGINT) AS rate_scaled
+  FROM rated
+),
+samp AS (
+  SELECT d.lang AS stratum, CAST(count(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN r2 ON d.lang = r2.stratum
+  WHERE ({h16}) < r2.rate_scaled
+  GROUP BY d.lang
+)
+SELECT r2.stratum, r2.n_docs,
+       round(r2.target_share, 4) AS target_share,
+       round(r2.keep_p, 4) AS keep_p,
+       CAST(coalesce(samp.n_sampled, 0) AS BIGINT) AS n_sampled
+FROM r2 LEFT JOIN samp USING (stratum)
+"""
+
+
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the deterministic-IVF index (n_probe=2 of 8 lists)
+    against exact brute force — the quality gauge every approximate
+    index ships with. Both searches and the recall join are
+    deterministic, so per-query recall is hash-checked end-to-end."""
+    from sequin_spark.datapipe.similarity import (
+        SemDedupIndex,
+        ann_ivf_det_topk,
+        ann_recall,
+        brute_force_topk,
+        build_semdedup_index,
+    )
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    idx_path = _index_cache_path(sf_dir, "ivfdet_index", "c8i1-v1")
+    if not os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS")):
+        build_semdedup_index(emb, k=8, iters=1).save(idx_path)
+    idx = SemDedupIndex.load(spark, idx_path)
+    approx = ann_ivf_det_topk(emb, queries, k=10, n_probe=2, index=idx)
+    ground = brute_force_topk(emb, queries, k=10)
+    return ann_recall(ground, approx, k=10)
+
+
+def _sql_ann_recall_eval(topk: int = 10, n_probe: int = 2) -> str:
+    # det-IVF chain (shared with the ann_ivf_topk oracle) ends at CTE
+    # `r`; append the exact ground truth + (q_id, n_id) intersection
+    ivf = _sql_ann_ivf_det(k_cent=8, iters=1, n_probe=n_probe,
+                           topk=topk, final_select=False)
+    return ivf + f""",
+ivf AS (SELECT q_id, n_id FROM r WHERE rnk <= {topk}),
+gcand AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         {_sql_cos('q.embedding', 'n.embedding')} AS cos
+  FROM embeddings q JOIN embeddings n ON q.vec_id != n.vec_id
+  WHERE q.vec_id < 10
+),
+ground AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rnk
+    FROM gcand) t
+  WHERE rnk <= {topk}
+),
+hits AS (
+  SELECT g.q_id, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ground g JOIN ivf USING (q_id, n_id)
+  GROUP BY g.q_id
+)
+SELECT q.q_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       round(coalesce(h.n_hits, 0) / {topk}, 4) AS recall
+FROM (SELECT DISTINCT q_id FROM ground) q
+LEFT JOIN hits h USING (q_id)
 """
 
 
@@ -1908,6 +2028,8 @@ DATAPIPE_QUERIES = {
     "skew_salted_agg": q_skew_salted_agg,
     "corpus_curation": q_corpus_curation,
     "corpus_sample_mix": q_corpus_sample_mix,
+    "corpus_temperature_mix": q_corpus_temperature_mix,
+    "ann_recall_eval": q_ann_recall_eval,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
@@ -1951,6 +2073,8 @@ DATAPIPE_ORACLES = {
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "corpus_curation": SQL_CORPUS_CURATION,
     "corpus_sample_mix": _sql_corpus_sample_mix(),
+    "corpus_temperature_mix": _sql_corpus_temperature_mix(),
+    "ann_recall_eval": _sql_ann_recall_eval(),
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),

@@ -564,3 +564,55 @@ def test_ivfpq_recall_and_probe_restriction(spark, sf_dir):
     approx = {(r.q_id, r.n_id) for r in got}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.15, f"IVF-PQ recall suspiciously low: {recall}"
+
+
+def test_temperature_mix_flattens_head(spark, sf_dir):
+    """α=0.5 smoothing: the low-resource stratum's sampled share must
+    exceed its natural share; selection is deterministic; per-stratum
+    sampled counts track keep_p · n_docs."""
+    from sequin_spark.datapipe.curation import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = temperature_mix(docs, budget_docs=200).collect()
+    rows = {r.stratum: r for r in out}
+    n_total = sum(r.n_docs for r in out)
+    smallest = min(out, key=lambda r: r.n_docs)
+    # smoothed target share > natural share for the tail stratum
+    assert smallest.target_share > smallest.n_docs / n_total
+    # shares sum to ~1
+    assert abs(sum(r.target_share for r in out) - 1.0) < 1e-3
+    # determinism
+    again = {r.stratum: r for r in temperature_mix(docs, budget_docs=200).collect()}
+    for s, r in rows.items():
+        assert again[s].n_sampled == r.n_sampled
+    # hash selection lands near keep_p · n (3-sigma binomial tolerance)
+    import math
+
+    for r in out:
+        exp = r.keep_p * r.n_docs
+        tol = 3 * math.sqrt(max(exp, 1)) + 2
+        assert abs(r.n_sampled - exp) <= tol, (r.stratum, r.n_sampled, exp)
+
+
+def test_ann_recall_bounds_and_self_agreement(spark, sf_dir):
+    """recall == 1.0 when the approx result IS the ground truth; the
+    IVF-probed result's recall is in (0, 1] and counts only true
+    intersections."""
+    from sequin_spark.datapipe.similarity import (
+        ann_ivf_det_topk,
+        ann_recall,
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5)
+    ground = brute_force_topk(emb, queries, k=5)
+    perfect = ann_recall(ground, ground, k=5).collect()
+    assert all(r.recall == 1.0 and r.n_hits == 5 for r in perfect)
+
+    approx = ann_ivf_det_topk(emb, queries, k=5, n_centroids=8, n_probe=2, iters=1)
+    got = ann_recall(ground, approx, k=5).collect()
+    assert {r.q_id for r in got} == {r.q_id for r in perfect}
+    for r in got:
+        assert 0 <= r.n_hits <= 5
+        assert r.recall == round(r.n_hits / 5, 4)
