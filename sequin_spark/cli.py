@@ -426,6 +426,64 @@ def cmd_sinks_show(args, out) -> int:
     return 0
 
 
+def _spec_from_args(args) -> dict:
+    """Sink spec from --file (JSON/YAML) and/or repeated --set k=v
+    overrides (values JSON-parsed when possible, raw string otherwise)."""
+    import json as _json
+
+    spec: dict = {}
+    if getattr(args, "file", None):
+        with open(args.file) as f:
+            raw = f.read()
+        try:
+            spec = _json.loads(raw)
+        except ValueError:
+            import yaml
+
+            spec = yaml.safe_load(raw)
+        if not isinstance(spec, dict):
+            raise CliError(f"{args.file}: expected a mapping at top level")
+    for kv in getattr(args, "set", None) or []:
+        if "=" not in kv:
+            raise CliError(f"--set expects key=value, got {kv!r}")
+        k, v = kv.split("=", 1)
+        try:
+            spec[k] = _json.loads(v)
+        except ValueError:
+            spec[k] = v
+    if not spec:
+        raise CliError("nothing to submit: pass --file and/or --set")
+    return spec
+
+
+def cmd_sinks_add(args, out) -> int:
+    """``sequin consumer add`` analog (consumer_command.go:35): create a
+    sink consumer from a spec file / flags via POST /api/sinks."""
+    ctx = load_context(args.context)
+    spec = _spec_from_args(args)
+    status, payload = _request(ctx, "POST", "/api/sinks", spec)
+    _fail_on_error(status, payload)
+    if args.json:
+        _print(out, payload)
+    else:
+        print(f"Sink {payload.get('name', '?')!r} created.", file=out)
+    return 0
+
+
+def cmd_sinks_edit(args, out) -> int:
+    """``sequin consumer edit`` analog (consumer_command.go:86): partial
+    update of a sink consumer via PATCH /api/sinks/:name."""
+    ctx = load_context(args.context)
+    spec = _spec_from_args(args)
+    status, payload = _request(ctx, "PATCH", f"/api/sinks/{args.name}", spec)
+    _fail_on_error(status, payload)
+    if args.json:
+        _print(out, payload)
+    else:
+        print(f"Sink {payload.get('name', args.name)!r} updated.", file=out)
+    return 0
+
+
 def cmd_sinks_rm(args, out) -> int:
     ctx = load_context(args.context)
     status, payload = _request(ctx, "DELETE", f"/api/sinks/{args.name}")
@@ -742,6 +800,19 @@ def build_parser() -> argparse.ArgumentParser:
     sshow = sinks_sub.add_parser("show")
     sshow.add_argument("name")
     sshow.set_defaults(func=cmd_sinks_show)
+    sadd = sinks_sub.add_parser("add", help="Create a sink consumer")
+    sadd.add_argument("--file", help="JSON/YAML spec file")
+    sadd.add_argument("--set", action="append", metavar="KEY=VALUE",
+                      help="Field override (repeatable; value JSON-parsed)")
+    sadd.add_argument("--json", action="store_true")
+    sadd.set_defaults(func=cmd_sinks_add)
+    sedit = sinks_sub.add_parser("edit", help="Update a sink consumer")
+    sedit.add_argument("name")
+    sedit.add_argument("--file", help="JSON/YAML patch file")
+    sedit.add_argument("--set", action="append", metavar="KEY=VALUE",
+                       help="Field override (repeatable; value JSON-parsed)")
+    sedit.add_argument("--json", action="store_true")
+    sedit.set_defaults(func=cmd_sinks_edit)
     srm = sinks_sub.add_parser("rm", aliases=["delete"])
     srm.add_argument("name")
     srm.set_defaults(func=cmd_sinks_rm)

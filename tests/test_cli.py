@@ -364,3 +364,40 @@ def test_messages_receive_ack_peek_cli(spark, tmp_path):
         assert rc == 1
     finally:
         srv.stop()
+
+
+# -- sinks add / edit (consumer_command.go:35,86 analogs) -------------------
+
+def test_sinks_add_and_edit(api, tmp_path):
+    _add_local_context(api.port)
+    spec = tmp_path / "sink.json"
+    spec.write_text(json.dumps({
+        "name": "cli-made",
+        "sink_type": "benchmark",
+        "batch_size": 5,
+    }))
+    rc, out = run_cli("sinks", "add", "--file", str(spec))
+    assert rc == 0 and "created" in out
+
+    # --set overrides the file field (JSON-parsed value)
+    rc, out = run_cli("sinks", "add", "--file", str(spec),
+                      "--set", "name=cli-made-2", "--set", "batch_size=25")
+    assert rc == 0
+    rc, out = run_cli("sinks", "show", "cli-made-2")
+    assert json.loads(out)["batch_size"] == 25
+
+    # duplicate name → API 422 surfaces as CLI failure
+    rc, out = run_cli("sinks", "add", "--file", str(spec))
+    assert rc == 1
+
+    rc, out = run_cli("sinks", "edit", "cli-made", "--set", "batch_size=99")
+    assert rc == 0 and "updated" in out
+    rc, out = run_cli("sinks", "show", "cli-made")
+    assert json.loads(out)["batch_size"] == 99
+
+    # edit of a missing sink → 404 → failure
+    rc, _ = run_cli("sinks", "edit", "ghost", "--set", "batch_size=1")
+    assert rc == 1
+    # no payload at all → CLI-side error
+    rc, _ = run_cli("sinks", "edit", "cli-made")
+    assert rc == 1
