@@ -91,36 +91,45 @@ def temperature_mix(
     rerunnable at any scale. Returns per-stratum rows: natural count,
     smoothed target share, keep probability, and the sampled count.
     """
+    import math
+
     base = df.select(F.col(id_col), F.col(stratum_col).alias("stratum"))
-    counts = base.groupBy("stratum").agg(F.count("*").cast("long").alias("n_docs"))
-    # Σn is an exact integer sum; Σshare is a SORTED left-fold of the k
-    # per-stratum doubles — floating addition isn't associative, so an
-    # unordered SUM could differ from the oracle's in the last ulp and
-    # flip a doc across the floor(p·65536) keep boundary. A sorted fold
-    # with 0.0 init is bit-identical in any engine (0.0+x == x exactly).
-    totals = counts.agg(
-        F.sum("n_docs").cast("double").alias("n_total"),
+    # The per-stratum rate table is k rows (k = #languages/domains) — a
+    # bounded aggregate computed driver-side, the same class of collect
+    # as k-means centroids. Doing the share arithmetic in chained
+    # DataFrame steps instead costs a shuffle + NLJ per tiny stage
+    # (measured: 30 shuffles / 12 NLJs for what is k rows of math).
+    counts = sorted(
+        (r["stratum"], int(r["n_docs"]))
+        for r in base.groupBy("stratum")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .collect()
     )
-    shares = counts.crossJoin(F.broadcast(totals)).withColumn(
-        "share", F.sqrt(F.col("n_docs") / F.col("n_total"))
-    )
-    share_sum = shares.agg(
-        F.aggregate(
-            F.sort_array(F.collect_list("share")),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ).alias("share_total")
-    )
-    rated = shares.crossJoin(F.broadcast(share_sum)).withColumn(
-        "target_share", F.col("share") / F.col("share_total")
-    ).withColumn(
-        "keep_p",
-        F.least(F.lit(1.0), F.col("target_share") * budget_docs / F.col("n_docs")),
-    ).withColumn(
-        "rate_scaled", F.floor(F.col("keep_p") * _HASH_SPAN).cast("long")
+    n_total = float(sum(n for _s, n in counts))
+    # Σshare is a SORTED left-fold with 0.0 init — floating addition
+    # isn't associative, so an arbitrary-order SUM could differ from the
+    # oracle's in the last ulp and flip a doc across the floor(p·65536)
+    # keep boundary. Python doubles, JVM doubles and the SQL oracle all
+    # follow IEEE-754 (sqrt correctly rounded), so the sorted fold is
+    # bit-identical across all three.
+    shares = {s: math.sqrt(n / n_total) for s, n in counts}
+    share_total = 0.0
+    for x in sorted(shares.values()):
+        share_total += x
+    rows = []
+    for s, n in counts:
+        target_share = shares[s] / share_total
+        keep_p = min(1.0, target_share * budget_docs / n)
+        rows.append((s, n, target_share, keep_p,
+                     int(math.floor(keep_p * _HASH_SPAN))))
+    spark = df.sparkSession
+    rated = spark.createDataFrame(
+        rows,
+        "stratum string, n_docs long, target_share double, keep_p double, "
+        "rate_scaled long",
     )
     sampled = (
-        base.join(F.broadcast(rated), "stratum")
+        base.join(F.broadcast(rated.select("stratum", "rate_scaled")), "stratum")
         .filter(_h16(F.col(id_col)) < F.col("rate_scaled"))
         .groupBy("stratum")
         .agg(F.count("*").cast("long").alias("n_sampled"))
@@ -130,6 +139,8 @@ def temperature_mix(
         .select(
             "stratum",
             "n_docs",
+            # rounding stays in Spark: F.round is HALF_UP like the
+            # oracle's round(); Python's round() is HALF_EVEN
             F.round("target_share", 4).alias("target_share"),
             F.round("keep_p", 4).alias("keep_p"),
             F.coalesce("n_sampled", F.lit(0)).cast("long").alias("n_sampled"),

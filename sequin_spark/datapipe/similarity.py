@@ -434,21 +434,17 @@ def ann_recall(
     intersection is a (q_id, n_id) semi-join — per-query candidate
     lists are ≤ k rows, so this is a broadcast-scale comparison no
     matter the corpus size behind the two searches."""
-    g = ground.select("q_id", "n_id")
-    a = approx.select("q_id", "n_id")
-    hits = (
-        g.join(a, ["q_id", "n_id"], "left_semi")
-        .groupBy("q_id")
-        .agg(F.count("*").cast("long").alias("n_hits"))
+    # ONE pass over the ground frame: a left join with a hit marker,
+    # then count(marker) per query. A semi-join + separate distinct-q
+    # scan would evaluate the (expensive, all-pairs) ground search twice.
+    flagged = ground.select("q_id", "n_id").join(
+        approx.select("q_id", "n_id").withColumn("_hit", F.lit(1)),
+        ["q_id", "n_id"],
+        "left",
     )
-    return (
-        g.select("q_id").distinct()
-        .join(hits, "q_id", "left")
-        .select(
-            "q_id",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(F.coalesce("n_hits", F.lit(0)) / F.lit(k), 4).alias("recall"),
-        )
+    return flagged.groupBy("q_id").agg(
+        F.count("_hit").cast("long").alias("n_hits"),
+        F.round(F.count("_hit") / F.lit(k), 4).alias("recall"),
     )
 
 

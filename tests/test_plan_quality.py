@@ -24,6 +24,7 @@ ALLOW_NESTED_LOOP = {
     "backfill_keyset_page",  # driver-built single-row cursor predicate
     "ann_pq_adc",            # ADC scan: corpus codes × broadcast query LUTs
     "ann_ivfpq_topk",        # query-side × n_centroids=8 coarse-centroid table
+    "ann_recall_eval",       # ground truth IS the exact all-pairs baseline
 }
 
 
