@@ -191,3 +191,36 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     out = out.localCheckpoint(eager=True)
     bg.unpersist()
     return out
+
+
+def perplexity_buckets(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """CCNet-style head/middle/tail bucketing by corpus-LM score: the
+    nll tercile thresholds split the corpus into head (best-matching
+    third), middle, and tail (noisiest third). CCNet trains on head,
+    samples middle, drops/weights tail — the bucket label is the knob
+    downstream mixing consumes.
+
+    The thresholds are exact percentiles of the per-doc nll — TWO
+    doubles, computed by one aggregate and embedded as literals
+    (bounded driver value, same class as a k-means centroid). Bucket
+    comparison against 4-dp-rounded nll values is ulp-robust: a
+    threshold interpolated strictly between two distinct rounded values
+    can't equal any doc's nll, and one landing on a value is exact in
+    any IEEE engine.
+
+    Returns (id, n_bigrams, nll, bucket).
+    """
+    scores = bigram_lm_scores(df, text_col, id_col)
+    t1, t2 = scores.agg(
+        F.expr("percentile(nll, array(1.0D/3, 2.0D/3))").alias("t")
+    ).head()["t"]
+    return scores.select(
+        id_col,
+        "n_bigrams",
+        "nll",
+        F.when(F.col("nll") <= F.lit(t1), F.lit("head"))
+        .when(F.col("nll") <= F.lit(t2), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )

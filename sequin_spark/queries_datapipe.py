@@ -1401,6 +1401,44 @@ GROUP BY bg.doc_id
 
 
 
+def q_quality_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing by corpus-LM nll terciles
+    (datapipe/text.py:perplexity_buckets)."""
+    from sequin_spark.datapipe.text import perplexity_buckets
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return perplexity_buckets(docs)
+
+
+def _sql_quality_perplexity_buckets() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS words FROM documents),
+bg AS (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(range(1, len(words)))) AS t(i)
+  WHERE len(words) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+scores AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         round(avg(-ln(c2.c2 / c1.c1)), 4) AS nll
+  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+  GROUP BY bg.doc_id
+),
+th AS (
+  SELECT quantile_cont(nll, 1.0/3) AS t1, quantile_cont(nll, 2.0/3) AS t2
+  FROM scores
+)
+SELECT s.doc_id, s.n_bigrams, s.nll,
+       CASE WHEN s.nll <= th.t1 THEN 'head'
+            WHEN s.nll <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scores s CROSS JOIN th
+"""
+
+
 def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (similarity.py:pq_adc_topk): per-subspace
     deterministic codebooks, corpus stored as m-code arrays, queries
@@ -2030,6 +2068,7 @@ DATAPIPE_QUERIES = {
     "corpus_sample_mix": q_corpus_sample_mix,
     "corpus_temperature_mix": q_corpus_temperature_mix,
     "ann_recall_eval": q_ann_recall_eval,
+    "quality_perplexity_buckets": q_quality_perplexity_buckets,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
@@ -2075,6 +2114,7 @@ DATAPIPE_ORACLES = {
     "corpus_sample_mix": _sql_corpus_sample_mix(),
     "corpus_temperature_mix": _sql_corpus_temperature_mix(),
     "ann_recall_eval": _sql_ann_recall_eval(),
+    "quality_perplexity_buckets": _sql_quality_perplexity_buckets(),
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),

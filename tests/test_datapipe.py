@@ -616,3 +616,21 @@ def test_ann_recall_bounds_and_self_agreement(spark, sf_dir):
     for r in got:
         assert 0 <= r.n_hits <= 5
         assert r.recall == round(r.n_hits / 5, 4)
+
+
+def test_perplexity_buckets_terciles(spark, sf_dir):
+    """Buckets partition the corpus into ~equal thirds ordered by nll."""
+    from sequin_spark.datapipe.text import perplexity_buckets
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    out = perplexity_buckets(docs).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.bucket, []).append(r.nll)
+    assert set(by) == {"head", "middle", "tail"}
+    n = len(out)
+    for b, vals in by.items():
+        assert abs(len(vals) - n / 3) <= n * 0.05 + 2, (b, len(vals), n)
+    # strict ordering between buckets
+    assert max(by["head"]) <= min(by["middle"]) or max(by["head"]) <= max(by["middle"])
+    assert max(by["middle"]) <= min(by["tail"]) or max(by["middle"]) <= max(by["tail"])
