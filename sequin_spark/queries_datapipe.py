@@ -260,20 +260,38 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket — the scale path: candidates are bucket-equi-join collisions
     (2^n_planes uniform buckets), never a low-cardinality metadata key.
     """
+    from sequin_spark.datapipe.similarity import as_double
+
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
-    # materialize (vec_id, bucket, embedding) once — the self-join below
-    # would otherwise evaluate the 4 hyperplane dot products per side
+    # materialize (vec_id, bucket, double-cast vector, norm) ONCE — the
+    # self-join below would otherwise evaluate the 4 hyperplane dot
+    # products, the float→double cast AND the vector norm per PAIR
+    # (norms are per-vector quantities; the pair loop then runs a single
+    # dot-product fold per candidate — the semdedup hoist, identical
+    # fold arithmetic so values still match the oracle bit-for-bit)
+    norm = F.sqrt(F.aggregate(F.col("ed"), F.lit(0.0),
+                              lambda acc, x: acc + x * x))
     bk = (hyperplane_buckets(emb, n_planes=4).join(emb, "vec_id")
+          .withColumn("ed", as_double("embedding"))
+          .withColumn("nv", norm)
+          .select("vec_id", "bucket", "ed", "nv")
           .localCheckpoint())
     a = bk.select(
-        F.col("vec_id").alias("vec_a"), F.col("bucket"), F.col("embedding").alias("ea")
+        F.col("vec_id").alias("vec_a"), F.col("bucket"),
+        F.col("ed").alias("ea"), F.col("nv").alias("na"),
     )
     b = bk.select(
-        F.col("vec_id").alias("vec_b"), F.col("bucket"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("vec_b"), F.col("bucket"),
+        F.col("ed").alias("eb"), F.col("nv").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
     pairs = a.join(b, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
-    pairs = pairs.withColumn("cos", cosine_col("ea", "eb"))
+    pairs = pairs.withColumn("cos", dot / (F.col("na") * F.col("nb")))
     return pairs.filter(F.col("cos") > 0.3).select(
         "vec_a", "vec_b", "bucket", F.round("cos", 3).alias("cos")
     )
