@@ -15,7 +15,7 @@ exact_dedup — holds at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # query parameters that never identify content (analytics/click tracking)
@@ -73,4 +73,43 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
         df.select(id_col, url_col, canon)
         .withColumn("keep_id", F.min(id_col).over(w))
         .withColumn("is_dup", F.col(id_col) != F.col("keep_id"))
+    )
+
+
+def domain_of(col: Column) -> Column:
+    """Registrable host of a URL for per-domain policies: lowercase,
+    scheme and leading ``www.`` stripped, everything from the first
+    ``/``, ``?`` or ``#`` on dropped. Pure string built-ins (same
+    non-regex discipline as canonicalize_url)."""
+    x = F.lower(col)
+    x = F.substring_index(x, "://", -1)
+    x = F.when(x.startswith("www."), x.substr(F.lit(5), F.length(x))).otherwise(x)
+    x = F.substring_index(x, "/", 1)
+    x = F.substring_index(x, "?", 1)
+    return F.substring_index(x, "#", 1)
+
+
+def domain_caps(
+    df: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style per-domain document cap: keep at most ``max_per_domain``
+    docs per registrable domain (deterministic — lowest ids win), so a
+    single crawl-heavy host can't dominate the corpus mix.
+
+    One window shuffle keyed by domain. Domains are the natural unit of
+    crawl skew — a monster domain still ranks inside one partition, but
+    ranking truncates at the cap so the output is bounded; if one host
+    is a large fraction of the entire corpus, pre-filter it by count
+    (a groupBy the size of the domain table) before ranking.
+
+    Returns (id, domain, domain_rank, keep) for every input row.
+    """
+    w = Window.partitionBy("domain").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), domain_of(F.col(url_col)).alias("domain"))
+        .withColumn("domain_rank", F.row_number().over(w))
+        .withColumn("keep", F.col("domain_rank") <= max_per_domain)
     )

@@ -1578,6 +1578,87 @@ SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= {topk}
 
 
 
+def q_url_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style per-domain document cap (datapipe/web.py:domain_caps):
+    host extracted by string ops from the noisy synthetic URL; oracle
+    derives the domain independently from the synthesis residues."""
+    from sequin_spark.datapipe.web import domain_caps
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return domain_caps(docs.withColumn("url", _url_expr_spark()),
+                       max_per_domain=15)
+
+
+def _sql_url_domain_caps(cap: int = 15) -> str:
+    return f"""
+WITH d AS (
+  SELECT doc_id, source || '.example.com' AS domain,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS domain_rank
+  FROM documents
+)
+SELECT doc_id, domain, CAST(domain_rank AS BIGINT) AS domain_rank,
+       domain_rank <= {cap} AS keep
+FROM d
+"""
+
+
+def q_corpus_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard contamination matrix: content fingerprints appearing
+    in more than one shard of the deterministic Knuth-hash sharding —
+    per shard pair, the count of shared fingerprints. The audit a
+    pipeline runs after sharding to prove shard-level independence
+    (train/eval shard contamination).
+
+    Scale shape: distinct (fp, shard) pairs, then an fp-keyed self-join
+    that only fans out on actually-duplicated fingerprints — never an
+    all-pairs of shards × docs. The synthetic corpus has no exact
+    duplicates, so every 25th doc is unioned back under a shifted id
+    (same text, different shard; the shift is ≢ 0 mod n_shards — an
+    offset divisible by 8 would hash every copy back into its original
+    shard under the multiplicative-mod-2^32 scheme) — deterministic
+    planted contamination the audit must find."""
+    _prep(spark)
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 25 == 0)
+        .select((F.col("doc_id") + 1_000_003).alias("doc_id"), "text")
+    )
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    fps = docs.select(
+        F.pmod(h, F.lit(8)).cast("int").alias("shard"),
+        F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
+    ).distinct()
+    a = fps.select(F.col("fp"), F.col("shard").alias("shard_a"))
+    b = fps.select(F.col("fp"), F.col("shard").alias("shard_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("shard_a") < F.col("shard_b"))
+        .groupBy("shard_a", "shard_b")
+        .agg(F.count("*").cast("long").alias("n_shared_fps"))
+    )
+
+
+def _sql_corpus_shard_overlap() -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000003 AS doc_id, text FROM documents WHERE doc_id % 25 = 0
+),
+fps AS (
+  SELECT DISTINCT
+         CAST((doc_id * 2654435761) % 4294967296 % 8 AS INTEGER) AS shard,
+         md5({D_NORM}) AS fp
+  FROM docs
+)
+SELECT a.shard AS shard_a, b.shard AS shard_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM fps a JOIN fps b ON a.fp = b.fp AND a.shard < b.shard
+GROUP BY 1, 2
+"""
+
+
 def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global shuffle + shard assignment — the last step
     of a training-data pipeline (write N balanced shards in a
@@ -2087,6 +2168,8 @@ DATAPIPE_QUERIES = {
     "corpus_temperature_mix": q_corpus_temperature_mix,
     "ann_recall_eval": q_ann_recall_eval,
     "quality_perplexity_buckets": q_quality_perplexity_buckets,
+    "url_domain_caps": q_url_domain_caps,
+    "corpus_shard_overlap": q_corpus_shard_overlap,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
@@ -2133,6 +2216,8 @@ DATAPIPE_ORACLES = {
     "corpus_temperature_mix": _sql_corpus_temperature_mix(),
     "ann_recall_eval": _sql_ann_recall_eval(),
     "quality_perplexity_buckets": _sql_quality_perplexity_buckets(),
+    "url_domain_caps": _sql_url_domain_caps(),
+    "corpus_shard_overlap": _sql_corpus_shard_overlap(),
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),

@@ -145,3 +145,25 @@ def test_corpus_stats_profile_percentiles(spark, sf_dir):
     for r in rows:
         assert r.p50_chars <= r.p90_chars <= r.p99_chars
         assert r.total_chars >= r.n_docs  # non-empty docs
+
+
+def test_domain_of_and_caps(spark):
+    from pyspark.sql import functions as F
+
+    from sequin_spark.datapipe.web import domain_caps, domain_of
+
+    df = spark.createDataFrame(
+        [(1, "https://www.Heavy.com/a"), (2, "http://heavy.com/b?x=1"),
+         (3, "heavy.com/c#f"), (4, "https://tiny.org/only"),
+         (5, "https://heavy.com/d")],
+        "doc_id long, url string",
+    )
+    doms = {r.doc_id: r.d for r in df.select("doc_id", domain_of(F.col("url")).alias("d")).collect()}
+    assert doms == {1: "heavy.com", 2: "heavy.com", 3: "heavy.com",
+                    4: "tiny.org", 5: "heavy.com"}
+
+    out = {r.doc_id: r for r in domain_caps(df, max_per_domain=2).collect()}
+    # lowest ids win; rank is per-domain
+    assert [out[i].keep for i in (1, 2, 3, 5)] == [True, True, False, False]
+    assert out[4].keep and out[4].domain_rank == 1
+    assert out[3].domain_rank == 3 and out[5].domain_rank == 4
