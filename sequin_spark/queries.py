@@ -494,6 +494,54 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase (operators/funnel.py):
+    earliest-match strict-ordering semantics, per-step user counts and
+    conversion rates. Timestamps compared as unix-µs longs on both
+    sides so tie behavior is engine-exact."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.operators.funnel import funnel_conversion
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return funnel_conversion(ev, ["view", "click", "purchase"], ts_col="ts_us")
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH e AS (
+  SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+),
+s1 AS (
+  SELECT user_id, min(ts_us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT s1.user_id, s1.t1,
+         min(CASE WHEN c.ts_us > s1.t1 THEN c.ts_us END) AS t2
+  FROM s1 LEFT JOIN e c ON c.user_id = s1.user_id AND c.event_type = 'click'
+  GROUP BY s1.user_id, s1.t1
+),
+s3 AS (
+  SELECT s2.user_id, s2.t1, s2.t2,
+         min(CASE WHEN p.ts_us > s2.t2 THEN p.ts_us END) AS t3
+  FROM s2 LEFT JOIN e p ON p.user_id = s2.user_id AND p.event_type = 'purchase'
+  GROUP BY s2.user_id, s2.t1, s2.t2
+),
+c AS (
+  SELECT CAST(count(t1) AS BIGINT) AS n1, CAST(count(t2) AS BIGINT) AS n2,
+         CAST(count(t3) AS BIGINT) AS n3
+  FROM s3
+)
+SELECT 1 AS step, 'view' AS step_name, n1 AS n_users,
+       round(n1 / n1, 4) AS pct_of_first, round(n1 / n1, 4) AS pct_of_prev FROM c
+UNION ALL
+SELECT 2, 'click', n2, round(n2 / n1, 4), round(n2 / n1, 4) FROM c
+UNION ALL
+SELECT 3, 'purchase', n3, round(n3 / n1, 4), round(n3 / n2, 4) FROM c
+"""
+
+
 SQL_SESSIONIZE_EVENTS = """
 WITH e AS (
   SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
@@ -1011,6 +1059,7 @@ QUERIES: dict[str, callable] = {
     "minipy_modules": q_minipy_modules,
     "asof_last_click": q_asof_last_click,
     "sessionize_events": q_sessionize_events,
+    "funnel_conversion": q_funnel_conversion,
     "backfill_keyset_page": q_backfill_keyset_page,
     "backfill_fence_merge": q_backfill_fence_merge,
     "wal_pipeline_log": q_wal_pipeline_log,
@@ -1046,6 +1095,7 @@ ORACLES: dict[str, str] = {
     "minipy_modules": SQL_MINIPY_MODULES,
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
+    "funnel_conversion": SQL_FUNNEL_CONVERSION,
     "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,
     "backfill_fence_merge": SQL_BACKFILL_FENCE_MERGE,
     "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,

@@ -186,3 +186,36 @@ def test_sessionize_gap_boundaries(spark):
     assert out[3]["session_seq"] == 1 and out[4]["session_seq"] == 1
     assert out[5]["session_seq"] == 0  # fresh key starts at 0
     assert out[3]["session_start_ts"] == 200 and out[4]["session_start_ts"] == 200
+
+
+def test_funnel_strict_ordering(spark):
+    """Earliest-match semantics: a user converts to step i only with an
+    event strictly after step i-1; out-of-order events don't count."""
+    from sequin_spark.operators.funnel import funnel_conversion, funnel_times
+
+    rows = [
+        # u1 completes in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2 clicked BEFORE viewing — click must not count; later click does
+        (2, "click", 5), (2, "view", 10), (2, "click", 40),
+        # u3 purchase before click → no purchase conversion
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        # u4 never views → not in funnel at all
+        (4, "click", 1), (4, "purchase", 2),
+        # u5 simultaneous view/click (tie) → strict > rejects the click
+        (5, "view", 10), (5, "click", 10),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts_us long")
+    t = {r.user_id: r for r in
+         funnel_times(ev, ["view", "click", "purchase"], ts_col="ts_us").collect()}
+    assert set(t) == {1, 2, 3, 5}
+    assert (t[1].t_1, t[1].t_2, t[1].t_3) == (10, 20, 30)
+    assert (t[2].t_1, t[2].t_2, t[2].t_3) == (10, 40, None)
+    assert (t[3].t_1, t[3].t_2, t[3].t_3) == (10, 20, None)
+    assert (t[5].t_1, t[5].t_2, t[5].t_3) == (10, None, None)
+
+    conv = {r.step: r for r in
+            funnel_conversion(ev, ["view", "click", "purchase"], ts_col="ts_us").collect()}
+    assert conv[1].n_users == 4 and conv[1].pct_of_first == 1.0
+    assert conv[2].n_users == 3 and conv[2].pct_of_prev == 0.75
+    assert conv[3].n_users == 1 and conv[3].pct_of_first == 0.25
