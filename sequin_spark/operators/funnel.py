@@ -82,3 +82,49 @@ def funnel_conversion(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def cohort_retention(
+    events: DataFrame,
+    bucket_us: int = 7 * 24 * 3600 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention: users grouped by first-activity bucket (week by
+    default), retention = share of the cohort active again N buckets
+    later. All bucket math is integer division on unix-µs, so the
+    result is exact in any engine.
+
+    Two user-keyed aggregations (first-seen, then distinct activity
+    buckets) and one broadcast-scale join of the per-cohort sizes —
+    the activity frame is (user, bucket)-distinct, bounded by
+    users × active-buckets, never the raw event count.
+
+    Returns (cohort, week_offset, n_active, retention) — offset 0 rows
+    carry the cohort size (retention 1.0 by construction).
+    """
+    first = events.groupBy(user_col).agg(F.min(ts_col).alias("_first"))
+    # integer division (div), not floor(double /): µs values near 2^50
+    # divided as doubles can land on a .9999… boundary; div is exact
+    first = first.select(
+        user_col, F.expr(f"_first div {bucket_us}").cast("long").alias("cohort")
+    )
+    activity = (
+        events.select(user_col, F.expr(f"{ts_col} div {bucket_us}")
+                      .cast("long").alias("_b"))
+        .distinct()
+        .join(first, user_col)
+        .select("cohort", (F.col("_b") - F.col("cohort")).alias("week_offset"))
+    )
+    sizes = first.groupBy("cohort").agg(F.count("*").cast("long").alias("_size"))
+    return (
+        activity.groupBy("cohort", "week_offset")
+        .agg(F.count("*").cast("long").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "n_active",
+            F.round(F.col("n_active") / F.col("_size"), 4).alias("retention"),
+        )
+    )

@@ -509,6 +509,40 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_conversion(ev, ["view", "click", "purchase"], ts_col="ts_us")
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events (operators/funnel.py:
+    cohort_retention) — exact integer bucket arithmetic on unix-µs."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.operators.funnel import cohort_retention
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    return cohort_retention(ev, ts_col="ts_us")
+
+
+SQL_COHORT_RETENTION = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
+),
+first AS (
+  SELECT user_id, min(ts_us) // 604800000000 AS cohort FROM e GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, e.ts_us // 604800000000 AS b FROM e
+),
+sizes AS (SELECT cohort, CAST(count(*) AS BIGINT) AS sz FROM first GROUP BY cohort)
+SELECT f.cohort, a.b - f.cohort AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_active,
+       round(count(*) / any_value(s.sz), 4) AS retention
+FROM activity a
+JOIN first f ON a.user_id = f.user_id
+JOIN sizes s ON s.cohort = f.cohort
+GROUP BY f.cohort, a.b - f.cohort
+"""
+
+
 SQL_FUNNEL_CONVERSION = """
 WITH e AS (
   SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us FROM events
@@ -1060,6 +1094,7 @@ QUERIES: dict[str, callable] = {
     "asof_last_click": q_asof_last_click,
     "sessionize_events": q_sessionize_events,
     "funnel_conversion": q_funnel_conversion,
+    "cohort_retention": q_cohort_retention,
     "backfill_keyset_page": q_backfill_keyset_page,
     "backfill_fence_merge": q_backfill_fence_merge,
     "wal_pipeline_log": q_wal_pipeline_log,
@@ -1096,6 +1131,7 @@ ORACLES: dict[str, str] = {
     "asof_last_click": SQL_ASOF_LAST_CLICK,
     "sessionize_events": SQL_SESSIONIZE_EVENTS,
     "funnel_conversion": SQL_FUNNEL_CONVERSION,
+    "cohort_retention": SQL_COHORT_RETENTION,
     "backfill_keyset_page": SQL_BACKFILL_KEYSET_PAGE,
     "backfill_fence_merge": SQL_BACKFILL_FENCE_MERGE,
     "wal_pipeline_log": SQL_WAL_PIPELINE_LOG,

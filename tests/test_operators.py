@@ -219,3 +219,23 @@ def test_funnel_strict_ordering(spark):
     assert conv[1].n_users == 4 and conv[1].pct_of_first == 1.0
     assert conv[2].n_users == 3 and conv[2].pct_of_prev == 0.75
     assert conv[3].n_users == 1 and conv[3].pct_of_first == 0.25
+
+
+def test_cohort_retention_buckets(spark):
+    from sequin_spark.operators.funnel import cohort_retention
+
+    WEEK = 7 * 24 * 3600 * 1_000_000
+    rows = [
+        # cohort 0: u1 active weeks 0,1,2 ; u2 active week 0 only
+        (1, 0), (1, WEEK + 5), (1, 2 * WEEK + 5),
+        (2, 10),
+        # cohort 1: u3 active weeks 1 and 3 (offset 0 and 2)
+        (3, WEEK + 1), (3, 3 * WEEK + 1),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_us long")
+    got = {(r.cohort, r.week_offset): r for r in cohort_retention(ev, ts_col="ts_us").collect()}
+    assert got[(0, 0)].n_active == 2 and got[(0, 0)].retention == 1.0
+    assert got[(0, 1)].n_active == 1 and got[(0, 1)].retention == 0.5
+    assert got[(0, 2)].n_active == 1
+    assert got[(1, 0)].n_active == 1 and got[(1, 2)].retention == 1.0
+    assert (1, 1) not in got
