@@ -182,3 +182,68 @@ def pack_sequences(
         "n_tokens",
         (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long").alias("offset"),
     ).withColumn("seq_id", (F.col("offset") / seq_len).cast("long"))
+
+
+def unimax_allocation(
+    df: DataFrame,
+    budget_docs: int,
+    max_epochs: int = 4,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    spread a total budget as uniformly as possible across strata, but
+    never take more than ``max_epochs`` passes over any stratum's data —
+    the principled alternative to temperature mixing for low-resource
+    tails (no stratum is oversampled into memorization).
+
+    Waterfilling in closed form over the capacity-ascending order: with
+    strata sorted by capacity c_i = n_i·max_epochs, the capped set is a
+    prefix, so alloc_i = min(c_i, (B − Σ_{j<i} alloc_j) / #remaining)
+    needs only prefix sums — exact integer arithmetic until the final
+    division, identical in any IEEE engine (no iterated float folds).
+
+    The k-row allocation table is computed driver-side (bounded
+    aggregate, as temperature_mix) and returned as
+    (stratum, n_docs, capacity, alloc, epochs, capped), alloc/epochs
+    rounded to 4 decimals.
+    """
+    counts = sorted(
+        ((int(r["n_docs"]) * max_epochs, r["stratum"], int(r["n_docs"]))
+         for r in df.select(F.col(id_col), F.col(stratum_col).alias("stratum"))
+         .groupBy("stratum")
+         .agg(F.count("*").cast("long").alias("n_docs"))
+         .collect())
+    )
+    k = len(counts)
+    rows = []
+    prefix = 0  # Σ capacities of capped (smaller) strata — exact int
+    frozen_share = None
+    for j, (cap, stratum, n) in enumerate(counts, start=1):
+        if frozen_share is None:
+            # capping test in INTEGER form (cap·remaining ≤ B − prefix),
+            # not cap ≤ (B−prefix)/remaining: the float quotient can
+            # round up onto cap exactly at a boundary and flip the
+            # decision vs an engine testing the exact integers
+            if cap * (k - j + 1) <= budget_docs - prefix:
+                prefix += cap
+                rows.append((stratum, n, cap, float(cap), cap / n, True))
+                continue
+            share = (budget_docs - prefix) / (k - j + 1)
+            # first stratum whose capacity exceeds its fair share: every
+            # larger one does too (ascending order), and redistribution
+            # stops — THIS share is final for all remaining strata
+            frozen_share = share
+        rows.append((stratum, n, cap, frozen_share, frozen_share / n, False))
+    spark = df.sparkSession
+    out = spark.createDataFrame(
+        rows,
+        "stratum string, n_docs long, capacity long, alloc double, "
+        "epochs double, capped boolean",
+    )
+    return out.select(
+        "stratum", "n_docs", "capacity",
+        F.round("alloc", 4).alias("alloc"),
+        F.round("epochs", 4).alias("epochs"),
+        "capped",
+    )

@@ -997,6 +997,54 @@ LEFT JOIN hits h USING (q_id)
 """
 
 
+def q_corpus_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (curation.py:unimax_allocation):
+    closed-form waterfilling with a 4-epoch cap per language."""
+    from sequin_spark.datapipe.curation import unimax_allocation
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_allocation(docs, budget_docs=1300, max_epochs=4)
+
+
+def _sql_corpus_unimax(budget: int = 1300, epochs: int = 4) -> str:
+    return f"""
+WITH counts AS (
+  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+caps AS (
+  SELECT stratum, n_docs, n_docs * {epochs} AS capacity,
+         row_number() OVER (ORDER BY n_docs * {epochs}, stratum) AS j,
+         count(*) OVER () AS k,
+         coalesce(sum(n_docs * {epochs}) OVER (
+           ORDER BY n_docs * {epochs}, stratum
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+  FROM counts
+),
+-- integer capping test; the capped set is the ascending prefix before
+-- the FIRST failure (later rows can pass it spuriously because their
+-- prefix includes uncapped capacities — minimality makes that moot)
+flags AS (
+  SELECT *, capacity * (k - j + 1) <= {budget} - prefix AS self_ok FROM caps
+),
+m AS (SELECT min(j) AS m FROM flags WHERE NOT self_ok),
+fs AS (
+  SELECT (CAST({budget} AS DOUBLE) - prefix) / (k - j + 1) AS frozen_share
+  FROM flags, m WHERE flags.j = m.m
+)
+SELECT stratum, n_docs, capacity,
+       round(CASE WHEN f.j < coalesce(m.m, f.k + 1)
+                  THEN CAST(capacity AS DOUBLE)
+                  ELSE (SELECT frozen_share FROM fs) END, 4) AS alloc,
+       round(CASE WHEN f.j < coalesce(m.m, f.k + 1)
+                  THEN CAST(capacity AS DOUBLE)
+                  ELSE (SELECT frozen_share FROM fs) END / n_docs, 4) AS epochs,
+       f.j < coalesce(m.m, f.k + 1) AS capped
+FROM flags f, m
+"""
+
+
 def q_corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Budgeted stratified sampling: 12k-token budget at weights
     en=.5, others=.125 — deterministic hash selection, oracle-exact."""
@@ -2166,6 +2214,7 @@ DATAPIPE_QUERIES = {
     "corpus_curation": q_corpus_curation,
     "corpus_sample_mix": q_corpus_sample_mix,
     "corpus_temperature_mix": q_corpus_temperature_mix,
+    "corpus_unimax": q_corpus_unimax,
     "ann_recall_eval": q_ann_recall_eval,
     "quality_perplexity_buckets": q_quality_perplexity_buckets,
     "url_domain_caps": q_url_domain_caps,
@@ -2214,6 +2263,7 @@ DATAPIPE_ORACLES = {
     "corpus_curation": SQL_CORPUS_CURATION,
     "corpus_sample_mix": _sql_corpus_sample_mix(),
     "corpus_temperature_mix": _sql_corpus_temperature_mix(),
+    "corpus_unimax": _sql_corpus_unimax(),
     "ann_recall_eval": _sql_ann_recall_eval(),
     "quality_perplexity_buckets": _sql_quality_perplexity_buckets(),
     "url_domain_caps": _sql_url_domain_caps(),

@@ -634,3 +634,29 @@ def test_perplexity_buckets_terciles(spark, sf_dir):
     # strict ordering between buckets
     assert max(by["head"]) <= min(by["middle"]) or max(by["head"]) <= max(by["middle"])
     assert max(by["middle"]) <= min(by["tail"]) or max(by["middle"]) <= max(by["tail"])
+
+
+def test_unimax_waterfilling(spark):
+    from sequin_spark.datapipe.curation import unimax_allocation
+
+    rows = [(i, "tiny") for i in range(10)] + \
+           [(100 + i, "small") for i in range(50)] + \
+           [(1000 + i, "big") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    # capacities: tiny 20, small 100, big 1000 (E=2). Budget 600:
+    #  tiny: 20*3=60 <= 600 → capped (prefix 20)
+    #  small: 100*2=200 <= 580 → capped (prefix 120)
+    #  big: 1000*1=1000 > 480 → share frozen at 480
+    out = {r.stratum: r for r in
+           unimax_allocation(df, budget_docs=600, max_epochs=2).collect()}
+    assert out["tiny"].capped and out["tiny"].alloc == 20.0 and out["tiny"].epochs == 2.0
+    assert out["small"].capped and out["small"].alloc == 100.0
+    assert not out["big"].capped and out["big"].alloc == 480.0
+    assert out["big"].epochs == round(480 / 500, 4)
+    # total allocation exhausts the budget when any stratum is uncapped
+    assert sum(r.alloc for r in out.values()) == 600.0
+
+    # budget above total capacity → everything capped at max_epochs
+    all_capped = {r.stratum: r for r in
+                  unimax_allocation(df, budget_docs=10_000, max_epochs=2).collect()}
+    assert all(r.capped and r.epochs == 2.0 for r in all_capped.values())
