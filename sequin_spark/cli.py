@@ -433,14 +433,22 @@ def _spec_from_args(args) -> dict:
 
     spec: dict = {}
     if getattr(args, "file", None):
-        with open(args.file) as f:
-            raw = f.read()
+        try:
+            with open(args.file) as f:
+                raw = f.read()
+        except OSError as e:
+            raise CliError(f"cannot read {args.file}: {e}") from None
         try:
             spec = _json.loads(raw)
         except ValueError:
-            import yaml
+            try:
+                import yaml
 
-            spec = yaml.safe_load(raw)
+                spec = yaml.safe_load(raw)
+            except Exception as e:  # YAMLError / missing PyYAML
+                raise CliError(
+                    f"{args.file}: neither valid JSON nor YAML ({e})"
+                ) from None
         if not isinstance(spec, dict):
             raise CliError(f"{args.file}: expected a mapping at top level")
     for kv in getattr(args, "set", None) or []:

@@ -99,11 +99,16 @@ def temperature_mix(
     # as k-means centroids. Doing the share arithmetic in chained
     # DataFrame steps instead costs a shuffle + NLJ per tiny stage
     # (measured: 30 shuffles / 12 NLJs for what is k rows of math).
+    # NULL-safe sort key: a NULL stratum (kept by groupBy, like SQL's
+    # NULL group) would make sorted() compare None with str and crash
     counts = sorted(
-        (r["stratum"], int(r["n_docs"]))
-        for r in base.groupBy("stratum")
-        .agg(F.count("*").cast("long").alias("n_docs"))
-        .collect()
+        (
+            (r["stratum"], int(r["n_docs"]))
+            for r in base.groupBy("stratum")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .collect()
+        ),
+        key=lambda sn: (sn[0] is None, sn[0] or ""),
     )
     n_total = float(sum(n for _s, n in counts))
     # Σshare is a SORTED left-fold with 0.0 init — floating addition
@@ -208,12 +213,15 @@ def unimax_allocation(
     (stratum, n_docs, capacity, alloc, epochs, capped), alloc/epochs
     rounded to 4 decimals.
     """
+    # capacity-ascending order; NULL-safe stratum tie-break (a NULL
+    # stratum in a capacity tie would crash None-vs-str comparison)
     counts = sorted(
         ((int(r["n_docs"]) * max_epochs, r["stratum"], int(r["n_docs"]))
          for r in df.select(F.col(id_col), F.col(stratum_col).alias("stratum"))
          .groupBy("stratum")
          .agg(F.count("*").cast("long").alias("n_docs"))
-         .collect())
+         .collect()),
+        key=lambda t: (t[0], t[1] is None, t[1] or ""),
     )
     k = len(counts)
     rows = []

@@ -79,10 +79,12 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
 def domain_of(col: Column) -> Column:
     """Registrable host of a URL for per-domain policies: lowercase,
     scheme and leading ``www.`` stripped, everything from the first
-    ``/``, ``?`` or ``#`` on dropped. Pure string built-ins (same
-    non-regex discipline as canonicalize_url)."""
+    ``/``, ``?`` or ``#`` on dropped. The scheme strip is an ANCHORED
+    prefix removal — taking text after the last ``://`` would attribute
+    ``https://a.com/r?next=https://evil.com`` to the embedded
+    (attacker-controllable) domain and defeat the cap."""
     x = F.lower(col)
-    x = F.substring_index(x, "://", -1)
+    x = F.regexp_replace(x, r"^[a-z0-9+.-]+://", "")
     x = F.when(x.startswith("www."), x.substr(F.lit(5), F.length(x))).otherwise(x)
     x = F.substring_index(x, "/", 1)
     x = F.substring_index(x, "?", 1)

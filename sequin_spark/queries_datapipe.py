@@ -39,18 +39,40 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def _index_cache_path(sf_dir: str, kind: str, version: str) -> str:
-    """Per-corpus maintained-index cache dir (keyed by sf dir + scheme
-    version so an index built under an older scheme is never reused)."""
+def _index_cache_path(sf_dir: str, kind: str, version: str,
+                      src_table: str = "embeddings") -> str:
+    """Per-corpus maintained-index cache dir, keyed by sf dir + scheme
+    version + a fingerprint (mtime_ns, size) of the source parquet: an
+    index built under an older scheme OR against since-regenerated data
+    is never reused (a stale assignments join would silently drop rows
+    whose ids changed, corrupting results without an error)."""
     import hashlib
 
+    src = os.path.join(os.path.realpath(sf_dir), f"{src_table}.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "nosrc"
     key = hashlib.sha256(
-        (os.path.realpath(sf_dir) + "|" + version).encode()
+        (os.path.realpath(sf_dir) + "|" + version + "|" + fp).encode()
     ).hexdigest()[:12]
     return os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         ".cache", kind, key,
     )
+
+
+def _maintained_index(spark, sf_dir: str, kind: str, version: str,
+                      build, load, src_table: str = "embeddings"):
+    """Build-once/load-after lifecycle for a persisted index. The
+    completeness probe is meta.json — the LAST artifact every index
+    save() writes — so a save killed mid-way (benchmark timeouts) leaves
+    an incomplete dir that is rebuilt, never half-loaded."""
+    path = _index_cache_path(sf_dir, kind, version, src_table)
+    if not os.path.exists(os.path.join(path, "meta.json")):
+        build(path)
+    return load(spark, path)
 
 
 def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,10 +415,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     # the coarse quantizer + inverted-list assignments persist per
     # corpus (DedupIndex pattern) — searches skip the k-means fit
-    idx_path = _index_cache_path(sf_dir, "ivfdet_index", "c8i1-v1")
-    if not os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS")):
-        build_semdedup_index(emb, k=8, iters=1).save(idx_path)
-    idx = SemDedupIndex.load(spark, idx_path)
+    idx = _maintained_index(
+        spark, sf_dir, "ivfdet_index", "c8i1-v1",
+        lambda path: build_semdedup_index(emb, k=8, iters=1).save(path),
+        SemDedupIndex.load,
+    )
     return ann_ivf_det_topk(emb, queries, k=3, n_probe=4, index=idx)
 
 
@@ -525,11 +548,12 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The fitted quantizer is MAINTAINED per corpus (DedupIndex
     # pattern): built+saved on first use, loaded afterwards — repeat
     # dedup passes skip the k-means fit and assignment scan.
-    idx_path = _index_cache_path(sf_dir, "semdedup_index", "k16t125i1-v1")
-    if not os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS")):
-        build_semdedup_index(emb, k=16, iters=1,
-                             target_cluster_size=125).save(idx_path)
-    idx = SemDedupIndex.load(spark, idx_path)
+    idx = _maintained_index(
+        spark, sf_dir, "semdedup_index", "k16t125i1-v1",
+        lambda path: build_semdedup_index(
+            emb, k=16, iters=1, target_cluster_size=125).save(path),
+        SemDedupIndex.load,
+    )
     return semdedup(emb, threshold=0.3, index=idx)
 
 
@@ -799,9 +823,6 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache dir keyed by the sf dir on first use (one shingle pass feeds
     both band keys and verify grams), then every subsequent ingest
     ``DedupIndex.load``s it — the corpus text is never re-read."""
-    import hashlib
-    import os
-
     from sequin_spark.datapipe.dedup import (
         DedupIndex,
         build_dedup_index,
@@ -814,15 +835,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 10000).alias("doc_id"),
         F.expr("replace(text, ' the ', ' thy ')").alias("text"),
     )
-    # v2: universal-hash signature scheme — versioned so a cached index
-    # built under an older scheme is never joined against
-    key = hashlib.sha256(
-        (os.path.realpath(sf_dir) + "|sig-v2").encode()
-    ).hexdigest()[:12]
-    idx_path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        ".cache", "dedup_index", key,
-    )
+    # v2: universal-hash signature scheme — versioned (and keyed on the
+    # documents fingerprint) so a cached index built under an older
+    # scheme or against regenerated data is never joined against.
+    # grams/_SUCCESS is DedupIndex.save's LAST artifact, so the probe is
+    # crash-safe.
+    idx_path = _index_cache_path(sf_dir, "dedup_index", "sig-v2",
+                                 src_table="documents")
     if not os.path.exists(os.path.join(idx_path, "grams", "_SUCCESS")):
         build_dedup_index(corpus).save(idx_path)
     return incremental_dedup(
@@ -955,10 +974,11 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    idx_path = _index_cache_path(sf_dir, "ivfdet_index", "c8i1-v1")
-    if not os.path.exists(os.path.join(idx_path, "assignments", "_SUCCESS")):
-        build_semdedup_index(emb, k=8, iters=1).save(idx_path)
-    idx = SemDedupIndex.load(spark, idx_path)
+    idx = _maintained_index(
+        spark, sf_dir, "ivfdet_index", "c8i1-v1",
+        lambda path: build_semdedup_index(emb, k=8, iters=1).save(path),
+        SemDedupIndex.load,
+    )
     approx = ann_ivf_det_topk(emb, queries, k=10, n_probe=2, index=idx)
     ground = brute_force_topk(emb, queries, k=10)
     return ann_recall(ground, approx, k=10)
@@ -1521,10 +1541,12 @@ def q_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     # codebooks + corpus codes are MAINTAINED per corpus (the DedupIndex
     # pattern): fitted and saved on first use, loaded afterwards — the
     # index lifecycle PQ exists for (codes ARE the stored corpus)
-    idx_path = _index_cache_path(sf_dir, "pq_index", "m16k16i2-v1")
-    if not os.path.exists(os.path.join(idx_path, "codes", "_SUCCESS")):
-        build_pq_index(emb, m=16, ksub=16, iters=2, dims=64).save(idx_path)
-    idx = PQIndex.load(spark, idx_path)
+    idx = _maintained_index(
+        spark, sf_dir, "pq_index", "m16k16i2-v1",
+        lambda path: build_pq_index(emb, m=16, ksub=16, iters=2,
+                                    dims=64).save(path),
+        PQIndex.load,
+    )
     queries = emb.filter(F.col("vec_id") < 10)
     return pq_adc_topk(emb, queries, idx.books, k=3, dims=64, codes=idx.codes)
 
@@ -1866,15 +1888,15 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quantizers + encoded inverted lists persist per corpus; searches
     # load the index (corpus parquet is c_id-partitioned, so probing 4
     # of 8 lists prunes half the scan at the file layer)
-    idx_path = _index_cache_path(sf_dir, "ivfpq_index", "c8m16k16-v1")
-    if not os.path.exists(os.path.join(idx_path, "centroids", "_SUCCESS")):
-        build_ivfpq_index(
+    idx = _maintained_index(
+        spark, sf_dir, "ivfpq_index", "c8m16k16-v1",
+        lambda path: build_ivfpq_index(
             emb, n_centroids=8, m=16, ksub=16,
             iters_coarse=1, iters_pq=2, dims=64,
-        ).save(idx_path)
-    return ann_ivfpq_topk(
-        emb, queries, k=3, n_probe=4, index=IVFPQIndex.load(spark, idx_path)
+        ).save(path),
+        IVFPQIndex.load,
     )
+    return ann_ivfpq_topk(emb, queries, k=3, n_probe=4, index=idx)
 
 
 def _sql_ivfpq(k_cent: int = 8, iters_coarse: int = 1, n_probe: int = 4,

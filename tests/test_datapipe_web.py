@@ -155,15 +155,18 @@ def test_domain_of_and_caps(spark):
     df = spark.createDataFrame(
         [(1, "https://www.Heavy.com/a"), (2, "http://heavy.com/b?x=1"),
          (3, "heavy.com/c#f"), (4, "https://tiny.org/only"),
-         (5, "https://heavy.com/d")],
+         (5, "https://heavy.com/d"),
+         # embedded URL in a query param must NOT become the domain
+         (6, "https://heavy.com/r?next=https://evil.com/x")],
         "doc_id long, url string",
     )
     doms = {r.doc_id: r.d for r in df.select("doc_id", domain_of(F.col("url")).alias("d")).collect()}
     assert doms == {1: "heavy.com", 2: "heavy.com", 3: "heavy.com",
-                    4: "tiny.org", 5: "heavy.com"}
+                    4: "tiny.org", 5: "heavy.com", 6: "heavy.com"}
 
     out = {r.doc_id: r for r in domain_caps(df, max_per_domain=2).collect()}
     # lowest ids win; rank is per-domain
     assert [out[i].keep for i in (1, 2, 3, 5)] == [True, True, False, False]
     assert out[4].keep and out[4].domain_rank == 1
     assert out[3].domain_rank == 3 and out[5].domain_rank == 4
+    assert out[6].domain == "heavy.com" and not out[6].keep
