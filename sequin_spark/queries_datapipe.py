@@ -42,16 +42,26 @@ def _prep(spark: SparkSession) -> None:
 def _index_cache_path(sf_dir: str, kind: str, version: str,
                       src_table: str = "embeddings") -> str:
     """Per-corpus maintained-index cache dir, keyed by sf dir + scheme
-    version + a fingerprint (mtime_ns, size) of the source parquet: an
-    index built under an older scheme OR against since-regenerated data
-    is never reused (a stale assignments join would silently drop rows
-    whose ids changed, corrupting results without an error)."""
+    version + a CONTENT fingerprint of the source parquet (size + head
+    and tail bytes — the tail holds the parquet footer/statistics, so
+    any regeneration changes it): an index built under an older scheme
+    OR against since-regenerated data is never reused (a stale
+    assignments join would silently drop rows whose ids changed,
+    corrupting results without an error). Content bytes, not mtime:
+    this filesystem's attribute cache reports flapping mtime_ns values
+    across processes, which caused a spurious rebuild per process."""
     import hashlib
 
     src = os.path.join(os.path.realpath(sf_dir), f"{src_table}.parquet")
     try:
-        st = os.stat(src)
-        fp = f"{st.st_mtime_ns}:{st.st_size}"
+        size = os.path.getsize(src)
+        h = hashlib.sha256()
+        with open(src, "rb") as f:
+            h.update(f.read(4096))
+            if size > 8192:
+                f.seek(-4096, os.SEEK_END)
+            h.update(f.read(4096))
+        fp = f"{size}:{h.hexdigest()[:16]}"
     except OSError:
         fp = "nosrc"
     key = hashlib.sha256(
