@@ -98,10 +98,12 @@ class FakeWalSender:
     `self.acks` (list of (written, flushed, applied, reply) tuples).
     """
 
-    def __init__(self, script, password="s3cret", restart_lsn="0/0"):
+    def __init__(self, script, password="s3cret", restart_lsn="0/0",
+                 missing_slot=False):
         self.script = script
         self.password = password
         self.restart_lsn = restart_lsn
+        self.missing_slot = missing_slot
         self.acks = []
         self.queries = []
         self.startup_params = {}
@@ -165,6 +167,15 @@ class FakeWalSender:
             sql = payload[:-1].decode()
             self.queries.append(sql)
             if sql.startswith("START_REPLICATION"):
+                if self.missing_slot:
+                    # ERROR 42704 undefined_object — what a real walsender
+                    # sends for START_REPLICATION on a nonexistent slot
+                    conn.sendall(msg(
+                        b"E",
+                        b"SERROR\x00C42704\x00Mreplication slot "
+                        b"\"sequin_slot\" does not exist\x00\x00",
+                    ))
+                    continue
                 conn.sendall(msg(b"W", struct.pack(">BH", 0, 0)))
                 self.streaming_started.set()
                 self._stream(conn)

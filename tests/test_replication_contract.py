@@ -767,3 +767,62 @@ def test_events_from_messages_batch_matches_incremental(spark):
     for m in msgs:
         inc.extend(folder.push(m))
     assert batch == inc and len(batch) == 1
+
+
+def test_contract_missing_slot_fails_to_start(spark):
+    """exs 'fails to start when replication slot does not exist':
+    START_REPLICATION on a nonexistent slot must surface the server's
+    42704 error as a clean ReplicationError, not hang or crash."""
+    from sequin_spark.sources.replication import ReplicationError
+
+    srv = FakeWalSender([], missing_slot=True)
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="replicator", database="postgres",
+        password="s3cret", receive_timeout=0.05,
+    )
+    client.connect()
+    with pytest.raises(ReplicationError, match="does not exist"):
+        client.start_replication("sequin_slot", "sequin_pub")
+    client.close()
+    srv.close()
+
+
+def test_contract_column_filtered_consumer(spark, tmp_path):
+    """exs 'consumer with column filter only receives relevant
+    messages': the filter applies to events that travelled the full
+    socket → decoder → ingest-worker path, not a synthetic frame."""
+    from sequin_spark.operators.column_filter import ColumnFilter, apply_column_filters
+
+    rel = relation_frame(oid=77, name="characters",
+                         cols=[(1, "id", 23), (0, "name", 25), (0, "rank", 23)])
+    L = 5000
+    frames = [
+        xlog(L, begin_frame(L, xid=9)),
+        xlog(L, rel),
+        xlog(L, insert_frame(77, "1", "Paul", "10")),
+        xlog(L, insert_frame(77, "2", "Gurney", "3")),
+        xlog(L, insert_frame(77, "3", "Leto", "50")),
+        xlog(L, commit_frame(L)),
+        keepalive(L + 1, True),
+    ]
+    srv = FakeWalSender(frames)
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="replicator", database="postgres",
+        password="s3cret", receive_timeout=0.05,
+    )
+    client.connect()
+    worker = ReplicationIngestWorker(
+        client, str(tmp_path / "wal"), flush_seconds=0.05, ack_interval=0.1
+    )
+    client.start_replication("sequin_slot", "sequin_pub")
+    worker.run(max_seconds=5, stop_when=lambda: any(a[1] == L + 1 for a in srv.acks))
+    client.close()
+    srv.close()
+
+    ev = read_cdc_log(spark, str(tmp_path / "wal"))
+    kept = apply_column_filters(
+        ev, [ColumnFilter("rank", ">", 5, "integer")]
+    )
+    names = sorted(r["n"] for r in
+                   kept.selectExpr("record['name'] as n").collect())
+    assert names == ["Leto", "Paul"]  # Gurney (rank 3) filtered out
