@@ -73,3 +73,62 @@ def stateful_group_dedup(events: DataFrame, output_cols: list[str] | None = None
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of operators/funnel.funnel_times: per-user funnel
+    conversion times maintained as keyed state, one row emitted whenever
+    a user's funnel advances (the live-dashboard shape of the batch
+    operator).
+
+    The incremental rule — fill the first unreached step when a
+    matching event arrives strictly after the previous step's time — is
+    the batch earliest-match semantics applied greedily, so given
+    event-time-ordered arrival (or any single batch, which is sorted
+    here) the final row per user equals the batch funnel_times row.
+    State is one long per step per active user, partitioned by user:
+    scales with users, not stream length.
+    """
+    k = len(steps)
+    if not k:
+        raise ValueError("steps must be non-empty")
+    state_schema = ", ".join(f"t_{i} long" for i in range(1, k + 1))
+    out_schema = f"{user_col} long, " + state_schema
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        times = list(state.get) if state.exists else [None] * k
+        changed = False
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for typ, ts in zip(pdf[type_col], pdf[ts_col]):
+                # first unreached step
+                i = next((j for j in range(k) if times[j] is None), None)
+                if i is None:
+                    break
+                if typ == steps[i] and (i == 0 or ts > times[i - 1]):
+                    times[i] = int(ts)
+                    changed = True
+        if changed:
+            state.update(tuple(times))
+            yield pd.DataFrame(
+                [[key[0], *times]],
+                columns=[user_col] + [f"t_{i}" for i in range(1, k + 1)],
+            )
+
+    return (
+        events.select(user_col, type_col, ts_col)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -98,3 +98,62 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
         assert keys == ["k1", "k2", "k3"]  # the k1 replay was dropped
     finally:
         q.stop()
+
+
+def test_streaming_funnel_matches_batch(spark, tmp_path):
+    """Events fed in event-time order over two micro-batches: the last
+    emitted row per user equals the batch funnel_times result; a step
+    completed across the batch boundary proves the state carry."""
+    from sequin_spark.operators.funnel import funnel_times
+    from sequin_spark.streaming.stateful import streaming_funnel
+
+    schema = "user_id long, event_type string, ts_us long"
+    rows1 = [
+        (1, "view", 10), (1, "click", 20),
+        (2, "click", 5), (2, "view", 10),        # click-before-view ignored
+        (3, "view", 10), (3, "purchase", 15),    # purchase too early
+    ]
+    rows2 = [
+        (1, "purchase", 30),                     # completes u1 across batches
+        (2, "click", 40),
+        (3, "click", 20), (3, "purchase", 25),   # now in order
+        (1, "click", 35),                        # already past click — ignored
+    ]
+    src = str(tmp_path / "fsrc")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = streaming_funnel(stream, ["view", "click", "purchase"])
+    q = (
+        out.writeStream.format("memory").queryName("funnel_out")
+        .option("checkpointLocation", str(tmp_path / "fckpt"))
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows2, schema).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    import pandas as pd
+
+    emitted = spark.sql("SELECT * FROM funnel_out").toPandas()
+    # last emitted row per user = current funnel state
+    final = emitted.groupby("user_id").last()
+    batch = funnel_times(
+        spark.createDataFrame(rows1 + rows2, schema),
+        ["view", "click", "purchase"], ts_col="ts_us",
+    ).toPandas().set_index("user_id")
+    for uid in batch.index:
+        for c in ("t_1", "t_2", "t_3"):
+            b = batch.loc[uid, c]
+            s = final.loc[uid, c] if uid in final.index else None
+            assert (pd.isna(b) and pd.isna(s)) or b == s, (uid, c, b, s)
+    # u1's completion row was emitted in the SECOND batch (state carried)
+    u1_rows = emitted[emitted["user_id"] == 1]
+    assert u1_rows["t_3"].notna().sum() >= 1
