@@ -673,6 +673,78 @@ def cmd_functions_test(args, out) -> int:
     return 0
 
 
+INDEX_KINDS = ("dedup", "semdedup", "pq", "ivfpq")
+
+
+def cmd_index_build(args, out) -> int:
+    """``sequin index build`` — fit and persist a maintained datapipe
+    index (the build-once / search-many lifecycle; see docs/SCALE.md).
+    Runs a local SparkSession; at cluster scale the same call runs in a
+    spark-submit job."""
+    from sequin_spark.session import get_spark
+
+    spark = get_spark("sequin-index")
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(args.corpus)
+    if args.kind == "dedup":
+        from sequin_spark.datapipe.dedup import build_dedup_index
+
+        build_dedup_index(df.select(args.id_col, args.text_col)).save(args.dest)
+    elif args.kind == "semdedup":
+        from sequin_spark.datapipe.similarity import build_semdedup_index
+
+        build_semdedup_index(
+            df, k=args.k, iters=args.iters, id_col=args.id_col,
+            vec_col=args.vec_col,
+            target_cluster_size=args.target_cluster_size,
+        ).save(args.dest)
+    elif args.kind == "pq":
+        from sequin_spark.datapipe.similarity import build_pq_index
+
+        build_pq_index(df, m=args.m, ksub=args.ksub, iters=args.iters,
+                       dims=args.dims, id_col=args.id_col,
+                       vec_col=args.vec_col).save(args.dest)
+    elif args.kind == "ivfpq":
+        from sequin_spark.datapipe.similarity import build_ivfpq_index
+
+        build_ivfpq_index(df, n_centroids=args.k, m=args.m, ksub=args.ksub,
+                          dims=args.dims, id_col=args.id_col,
+                          vec_col=args.vec_col).save(args.dest)
+    print(f"Index ({args.kind}) written to {args.dest}", file=out)
+    return 0
+
+
+def cmd_index_info(args, out) -> int:
+    """``sequin index info`` — summarize a persisted index dir without
+    booting Spark (reads the meta.json sidecar + file layout)."""
+    import glob as _glob
+
+    meta_path = os.path.join(args.path, "meta.json")
+    info = {"path": args.path, "complete": os.path.exists(meta_path)}
+    if info["complete"]:
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if "books" in meta:
+                info["subspaces"] = len(meta["books"])
+                info["ksub"] = len(meta["books"][0]) if meta["books"] else 0
+            if "centroids" in meta:
+                info["centroids"] = len(meta["centroids"])
+        except (OSError, ValueError) as e:
+            info["error"] = str(e)
+    parts = {}
+    for sub in ("assignments", "codes", "corpus", "bands", "grams",
+                "books", "centroids"):
+        files = _glob.glob(os.path.join(args.path, sub, "**", "*.parquet"),
+                           recursive=True)
+        if files:
+            parts[sub] = {"files": len(files),
+                          "bytes": sum(os.path.getsize(f) for f in files)}
+    info["parts"] = parts
+    _print(out, info)
+    return 0
+
+
 def cmd_serve(args, out) -> int:
     """``sequin serve`` — boot the whole engine from a YAML config: a
     SparkSession, the management REST API, and a ConsumerSupervisor
@@ -824,6 +896,29 @@ def build_parser() -> argparse.ArgumentParser:
     srm = sinks_sub.add_parser("rm", aliases=["delete"])
     srm.add_argument("name")
     srm.set_defaults(func=cmd_sinks_rm)
+
+    # maintained datapipe indexes
+    idx = sub.add_parser("index", help="Build / inspect maintained indexes")
+    idx_sub = idx.add_subparsers(dest="verb", required=True)
+    ib = idx_sub.add_parser("build", help="Fit and persist an index")
+    ib.add_argument("--kind", required=True, choices=INDEX_KINDS)
+    ib.add_argument("--corpus", required=True, help="Input parquet path")
+    ib.add_argument("--dest", required=True, help="Index output dir")
+    ib.add_argument("--id-col", dest="id_col", default="vec_id")
+    ib.add_argument("--vec-col", dest="vec_col", default="embedding")
+    ib.add_argument("--text-col", dest="text_col", default="text")
+    ib.add_argument("--k", type=int, default=8,
+                    help="centroids (semdedup/ivfpq coarse)")
+    ib.add_argument("--target-cluster-size", dest="target_cluster_size",
+                    type=int, default=None, help="auto-k (semdedup)")
+    ib.add_argument("--iters", type=int, default=1)
+    ib.add_argument("--m", type=int, default=16, help="PQ subspaces")
+    ib.add_argument("--ksub", type=int, default=16, help="PQ codebook size")
+    ib.add_argument("--dims", type=int, default=64)
+    ib.set_defaults(func=cmd_index_build)
+    ii = idx_sub.add_parser("info", help="Summarize a persisted index")
+    ii.add_argument("path")
+    ii.set_defaults(func=cmd_index_info)
 
     # messages (pull consume + browse)
     msgs = sub.add_parser("messages", help="Consume / browse messages")

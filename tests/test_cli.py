@@ -401,3 +401,24 @@ def test_sinks_add_and_edit(api, tmp_path):
     # no payload at all → CLI-side error
     rc, _ = run_cli("sinks", "edit", "cli-made")
     assert rc == 1
+
+
+# -- index build / info -----------------------------------------------------
+
+def test_index_build_and_info(tmp_path):
+    dest = str(tmp_path / "pqidx")
+    rc, out = run_cli("index", "build", "--kind", "pq",
+                      "--corpus", "/root/testdata/sf0.001/embeddings.parquet",
+                      "--dest", dest, "--m", "4", "--ksub", "4")
+    assert rc == 0 and "written" in out
+
+    rc, out = run_cli("index", "info", dest)
+    assert rc == 0
+    info = json.loads(out)
+    assert info["complete"] is True
+    assert info["subspaces"] == 4 and info["ksub"] == 4
+    assert info["parts"]["codes"]["files"] >= 1
+
+    # incomplete dir → complete: false
+    rc, out = run_cli("index", "info", str(tmp_path / "nothing"))
+    assert rc == 0 and json.loads(out)["complete"] is False

@@ -239,3 +239,48 @@ def test_cohort_retention_buckets(spark):
     assert got[(0, 2)].n_active == 1
     assert got[(1, 0)].n_active == 1 and got[(1, 2)].retention == 1.0
     assert (1, 1) not in got
+
+
+def test_funnel_differential_random(spark):
+    """Differential: funnel_times over random event streams must equal a
+    pure-Python earliest-match reference (one deterministic seed sweep,
+    batch-Spark vs sequential scan)."""
+    import random
+
+    from sequin_spark.operators.funnel import funnel_times
+
+    steps = ["a", "b", "c"]
+    rng = random.Random(42)
+    rows = []
+    for uid in range(40):
+        n = rng.randint(0, 12)
+        ts = 0
+        for _ in range(n):
+            ts += rng.randint(1, 5)
+            rows.append((uid, rng.choice(["a", "b", "c", "x"]), ts))
+    # ties across users are fine; within a user ts strictly increases
+
+    def py_funnel(evts):
+        times = {}
+        for uid in {r[0] for r in evts}:
+            seq = sorted((r[2], r[1]) for r in evts if r[0] == uid)
+            t = [None, None, None]
+            for ts, typ in seq:
+                i = next((j for j in range(3) if t[j] is None), None)
+                if i is None:
+                    break
+                if typ == steps[i] and (i == 0 or ts > t[i - 1]):
+                    t[i] = ts
+            if t[0] is not None:
+                times[uid] = tuple(t)
+        return times
+
+    expected = py_funnel(rows)
+    got = {
+        r.user_id: (r.t_1, r.t_2, r.t_3)
+        for r in funnel_times(
+            spark.createDataFrame(rows, "user_id long, event_type string, ts_us long"),
+            steps, ts_col="ts_us",
+        ).collect()
+    }
+    assert got == expected
