@@ -194,15 +194,16 @@ def main() -> None:
             json.dump(full, f, indent=1)
     except OSError:
         pass
-    # the driver reads stdout through a ~3KB tail buffer (r3's
-    # space-padded 3.1KB line got its front cut and parsed as null);
-    # compact separators keep the full per-query map ≈2.1KB so the
-    # contract line ({"metric",...,"queries":{...}}) survives intact.
-    # If the registry ever grows the compact line past 2.8KB, drop the
-    # map to the earlier line and keep the summary last.
-    line = json.dumps(full, separators=(",", ":"))
-    if len(line) > 2800:
-        print(line)
+    # the driver captures exactly the LAST 2000 chars of stdout (r3 and
+    # r4 both had the final line front-cut => BENCH_r0{3,4}.json
+    # "parsed": null).  Contract: the full per-query map goes to an
+    # earlier line + BENCH_QUERIES.json; the FINAL line is ALWAYS the
+    # compact ~350-char summary, unconditionally.
+    print(json.dumps(full, separators=(",", ":")))
+    slowest = dict(sorted(per_query.items(), key=lambda kv: -kv[1])[:10])
+    final = {**summary, "queries": slowest}
+    line = json.dumps(final, separators=(",", ":"))
+    if len(line) > 1800:  # belt-and-braces: never exceed the window
         line = json.dumps(summary, separators=(",", ":"))
     print(line)
     sys.stdout.flush()

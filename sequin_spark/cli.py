@@ -686,10 +686,23 @@ def cmd_index_build(args, out) -> int:
     spark = get_spark("sequin-index")
     spark.sparkContext.setLogLevel("ERROR")
     df = spark.read.parquet(args.corpus)
+    # per-kind id default: text indexes key on doc_id, vector ones on vec_id
+    if args.id_col is None:
+        args.id_col = "doc_id" if args.kind == "dedup" else "vec_id"
+    need = ([args.id_col, args.text_col] if args.kind == "dedup"
+            else [args.id_col, args.vec_col])
+    missing = [c for c in need if c not in df.columns]
+    if missing:
+        raise CliError(
+            f"column(s) {missing} not in {args.corpus} "
+            f"(has: {df.columns}); use --id-col/--text-col/--vec-col")
     if args.kind == "dedup":
         from sequin_spark.datapipe.dedup import build_dedup_index
 
-        build_dedup_index(df.select(args.id_col, args.text_col)).save(args.dest)
+        build_dedup_index(
+            df.select(args.id_col, args.text_col),
+            id_col=args.id_col, text_col=args.text_col,
+        ).save(args.dest)
     elif args.kind == "semdedup":
         from sequin_spark.datapipe.similarity import build_semdedup_index
 
@@ -708,6 +721,7 @@ def cmd_index_build(args, out) -> int:
         from sequin_spark.datapipe.similarity import build_ivfpq_index
 
         build_ivfpq_index(df, n_centroids=args.k, m=args.m, ksub=args.ksub,
+                          iters_coarse=args.iters, iters_pq=args.iters_pq,
                           dims=args.dims, id_col=args.id_col,
                           vec_col=args.vec_col).save(args.dest)
     print(f"Index ({args.kind}) written to {args.dest}", file=out)
@@ -904,14 +918,18 @@ def build_parser() -> argparse.ArgumentParser:
     ib.add_argument("--kind", required=True, choices=INDEX_KINDS)
     ib.add_argument("--corpus", required=True, help="Input parquet path")
     ib.add_argument("--dest", required=True, help="Index output dir")
-    ib.add_argument("--id-col", dest="id_col", default="vec_id")
+    ib.add_argument("--id-col", dest="id_col", default=None,
+                    help="default: doc_id (dedup) / vec_id (vector kinds)")
     ib.add_argument("--vec-col", dest="vec_col", default="embedding")
     ib.add_argument("--text-col", dest="text_col", default="text")
     ib.add_argument("--k", type=int, default=8,
                     help="centroids (semdedup/ivfpq coarse)")
     ib.add_argument("--target-cluster-size", dest="target_cluster_size",
                     type=int, default=None, help="auto-k (semdedup)")
-    ib.add_argument("--iters", type=int, default=1)
+    ib.add_argument("--iters", type=int, default=1,
+                    help="k-means iterations (semdedup/pq/ivfpq coarse)")
+    ib.add_argument("--iters-pq", dest="iters_pq", type=int, default=2,
+                    help="PQ codebook iterations (ivfpq)")
     ib.add_argument("--m", type=int, default=16, help="PQ subspaces")
     ib.add_argument("--ksub", type=int, default=16, help="PQ codebook size")
     ib.add_argument("--dims", type=int, default=64)

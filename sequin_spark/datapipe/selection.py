@@ -210,13 +210,29 @@ def nb_quality_classifier(
     )
     prior = F.log((F.col("n_hq") + 1.0)
                   / (F.col("n_docs") - F.col("n_hq") + 1.0))
+    # per-(doc,bucket) integer counts, then a bucket-sorted left-fold:
+    # an unordered double sum over per-token llr could differ in the
+    # last ulp between runs/engines and flip round(...,4) or the
+    # predicted_hq>0 boundary (same hazard class as the r4
+    # corpus_stats_profile driver flake)
+    per_bucket = toks.groupBy(id_col, "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
     return (
-        toks.join(F.broadcast(rates), "bucket")
+        per_bucket.join(F.broadcast(rates), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum("llr").alias("_sum_llr"),
+            F.sum("cnt").alias("n_tokens"),
+            F.collect_list(
+                F.struct(F.col("bucket"),
+                         (F.col("cnt") * F.col("llr")).alias("v"))
+            ).alias("_terms"),
         )
+        .withColumn(
+            "_sum_llr",
+            F.aggregate(F.sort_array("_terms"), F.lit(0.0),
+                        lambda acc, x: acc + x["v"]),
+        )
+        .drop("_terms")
         .withColumn("_k", F.floor(F.col("_sum_llr") * 0).cast("long"))
         .join(
             F.broadcast(doc_counts.withColumn(

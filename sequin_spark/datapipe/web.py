@@ -78,17 +78,29 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
 
 def domain_of(col: Column) -> Column:
     """Registrable host of a URL for per-domain policies: lowercase,
-    scheme and leading ``www.`` stripped, everything from the first
-    ``/``, ``?`` or ``#`` on dropped. The scheme strip is an ANCHORED
-    prefix removal — taking text after the last ``://`` would attribute
-    ``https://a.com/r?next=https://evil.com`` to the embedded
-    (attacker-controllable) domain and defeat the cap."""
+    scheme stripped, everything from the first ``/``, ``?`` or ``#`` on
+    dropped, then userinfo (``user:pass@``), a trailing ``:port`` and a
+    leading ``www.`` removed — so ``heavy.com``, ``heavy.com:8080`` and
+    ``user@heavy.com`` all count as one domain and per-domain caps
+    can't be evaded by varying port/userinfo in crawl URLs.
+
+    The scheme strip is an ANCHORED prefix removal — taking text after
+    the last ``://`` would attribute ``https://a.com/r?next=https://
+    evil.com`` to the embedded (attacker-controllable) domain and
+    defeat the cap. Userinfo/port strips happen AFTER the path/query
+    truncation: an ``@`` or ``:`` inside a path or query must not cut
+    the host. (Bracketed IPv6 literal hosts are out of scope — crawl
+    corpora key on registrable names.)"""
     x = F.lower(col)
     x = F.regexp_replace(x, r"^[a-z0-9+.-]+://", "")
-    x = F.when(x.startswith("www."), x.substr(F.lit(5), F.length(x))).otherwise(x)
     x = F.substring_index(x, "/", 1)
     x = F.substring_index(x, "?", 1)
-    return F.substring_index(x, "#", 1)
+    x = F.substring_index(x, "#", 1)
+    x = F.substring_index(x, "@", -1)   # drop userinfo
+    x = F.substring_index(x, ":", 1)    # drop port
+    return F.when(
+        x.startswith("www."), x.substr(F.lit(5), F.length(x))
+    ).otherwise(x)
 
 
 def domain_caps(

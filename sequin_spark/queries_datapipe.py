@@ -52,17 +52,39 @@ def _index_cache_path(sf_dir: str, kind: str, version: str,
     across processes, which caused a spurious rebuild per process."""
     import hashlib
 
-    src = os.path.join(os.path.realpath(sf_dir), f"{src_table}.parquet")
-    try:
-        size = os.path.getsize(src)
+    def _fp_file(p: str) -> str:
+        size = os.path.getsize(p)
         h = hashlib.sha256()
-        with open(src, "rb") as f:
+        with open(p, "rb") as f:
             h.update(f.read(4096))
             if size > 8192:
                 f.seek(-4096, os.SEEK_END)
             h.update(f.read(4096))
-        fp = f"{size}:{h.hexdigest()[:16]}"
+        return f"{size}:{h.hexdigest()[:16]}"
+
+    src = os.path.join(os.path.realpath(sf_dir), f"{src_table}.parquet")
+    try:
+        if os.path.isdir(src):
+            # directory-style parquet dataset: fingerprint the sorted
+            # (name, size) listing — a constant fallback here would
+            # silently reinstate the stale-index reuse hazard the
+            # fingerprint exists to prevent
+            ent = sorted(
+                (n, os.path.getsize(os.path.join(src, n)))
+                for n in os.listdir(src)
+                if not n.startswith((".", "_"))
+            )
+            fp = "dir:" + hashlib.sha256(
+                repr(ent).encode()).hexdigest()[:16]
+        else:
+            fp = _fp_file(src)
     except OSError:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "index cache: cannot fingerprint %s; falling back to "
+            "'nosrc' (stale-index reuse possible if data regenerated)",
+            src)
         fp = "nosrc"
     key = hashlib.sha256(
         (os.path.realpath(sf_dir) + "|" + version + "|" + fp).encode()
@@ -1845,38 +1867,64 @@ FROM dd JOIN st USING (label)
 
 def q_corpus_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus profiling — the monitoring query every ingestion pipeline
-    runs per batch: per (source, lang) doc counts, char volume, and
-    exact interpolated length percentiles (p50/p90/p99). One keyed agg;
-    `F.percentile` is the exact type-7 interpolation DuckDB's
-    quantile_cont also implements, so the oracle is value-exact."""
+    runs per batch: per (source, lang) doc counts, char volume, mean and
+    interpolated type-7 length percentiles (p50/p90/p99).
+
+    Hash-determinism (r4 driver flake): `n_chars` is integral, and for
+    p in {.50,.90,.99} the type-7 rank h=(n-1)*p has an EXACT
+    hundredths part, so the interpolated percentile ×100 is the exact
+    integer a*(100-f) + b*f with f = ((n-1)*P) mod 100.  We emit the
+    ×100 longs (and half-up-rounded mean ×100 via pure integer
+    arithmetic) — no float fold touches the output, so Spark and DuckDB
+    agree bit-for-bit on every environment."""
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    pct = F.percentile("n_chars", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
-    return (
-        docs.groupBy("source", "lang")
-        .agg(
-            F.count("*").alias("n_docs"),
-            F.sum("n_chars").alias("total_chars"),
-            F.round(F.avg("n_chars"), 2).alias("mean_chars"),
-            pct.alias("_p"),
-        )
-        .select(
-            "source", "lang", "n_docs", "total_chars", "mean_chars",
-            F.round(F.col("_p")[0], 2).alias("p50_chars"),
-            F.round(F.col("_p")[1], 2).alias("p90_chars"),
-            F.round(F.col("_p")[2], 2).alias("p99_chars"),
-        )
+    agg = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sort_array(F.collect_list("n_chars")).alias("_a"),
+    )
+
+    def pct_x100(p100: int) -> str:
+        # all-long `div`/`%` arithmetic — no double ever enters
+        h = f"((n_docs - 1L) * {p100}L)"
+        lo, f = f"({h} div 100L)", f"({h} % 100L)"
+        va = f"cast(element_at(_a, cast({lo} + 1 as int)) as long)"
+        vb = (f"if({f} = 0L, {va}, "
+              f"cast(element_at(_a, cast({lo} + 2 as int)) as long))")
+        return f"{va} * (100L - {f}) + {vb} * {f}"
+
+    return agg.select(
+        "source", "lang", "n_docs", "total_chars",
+        F.expr("(200L * total_chars + n_docs) div (2L * n_docs)")
+        .alias("mean_chars_x100"),
+        F.expr(pct_x100(50)).alias("p50_chars_x100"),
+        F.expr(pct_x100(90)).alias("p90_chars_x100"),
+        F.expr(pct_x100(99)).alias("p99_chars_x100"),
     )
 
 
 SQL_CORPUS_STATS_PROFILE = """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       round(avg(n_chars), 2) AS mean_chars,
-       round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
-       round(quantile_cont(n_chars, 0.9), 2) AS p90_chars,
-       round(quantile_cont(n_chars, 0.99), 2) AS p99_chars
-FROM documents
-GROUP BY source, lang
+WITH g AS (
+  SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+         list(n_chars ORDER BY n_chars) AS a
+  FROM documents GROUP BY source, lang
+)
+SELECT source, lang, n_docs, total_chars,
+       (200 * total_chars + n_docs) // (2 * n_docs) AS mean_chars_x100,
+       a[((n_docs-1)*50)//100 + 1] * (100 - ((n_docs-1)*50)%100)
+         + CASE WHEN ((n_docs-1)*50)%100 = 0 THEN 0
+                ELSE a[((n_docs-1)*50)//100 + 2] * (((n_docs-1)*50)%100) END
+         AS p50_chars_x100,
+       a[((n_docs-1)*90)//100 + 1] * (100 - ((n_docs-1)*90)%100)
+         + CASE WHEN ((n_docs-1)*90)%100 = 0 THEN 0
+                ELSE a[((n_docs-1)*90)//100 + 2] * (((n_docs-1)*90)%100) END
+         AS p90_chars_x100,
+       a[((n_docs-1)*99)//100 + 1] * (100 - ((n_docs-1)*99)%100)
+         + CASE WHEN ((n_docs-1)*99)%100 = 0 THEN 0
+                ELSE a[((n_docs-1)*99)//100 + 2] * (((n_docs-1)*99)%100) END
+         AS p99_chars_x100
+FROM g
 """
 
 
@@ -2155,10 +2203,19 @@ dc AS (
          CAST(sum(CASE WHEN {hq} THEN 1 ELSE 0 END) AS DOUBLE) AS n_hq
   FROM documents
 ),
+pb AS (
+  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM b GROUP BY doc_id, bucket
+),
+-- bucket-sorted left-fold with 0.0 init: bit-identical to Spark's
+-- aggregate(sort_array(collect_list(struct(bucket, cnt*llr))), 0.0, +)
 scored AS (
-  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         sum(llr) AS sum_llr
-  FROM b JOIN rates USING (bucket)
+  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(CAST(cnt * llr AS DOUBLE) ORDER BY bucket)),
+           (a, x) -> a + x) AS sum_llr
+  FROM pb JOIN rates USING (bucket)
   GROUP BY doc_id
 )
 SELECT doc_id, n_tokens,

@@ -143,8 +143,13 @@ def test_corpus_stats_profile_percentiles(spark, sf_dir):
     rows = m.queries()["corpus_stats_profile"](spark, sf_dir).collect()
     assert rows and all(r.n_docs > 0 for r in rows)
     for r in rows:
-        assert r.p50_chars <= r.p90_chars <= r.p99_chars
+        assert r.p50_chars_x100 <= r.p90_chars_x100 <= r.p99_chars_x100
         assert r.total_chars >= r.n_docs  # non-empty docs
+        # exact-integer mean: round-half-up(100*sum/n)
+        num, den = 200 * r.total_chars + r.n_docs, 2 * r.n_docs
+        assert r.mean_chars_x100 == num // den
+        # percentile ×100 brackets the mean's order of magnitude sanely
+        assert r.p50_chars_x100 >= 100  # at least one char
 
 
 def test_domain_of_and_caps(spark):
@@ -157,12 +162,21 @@ def test_domain_of_and_caps(spark):
          (3, "heavy.com/c#f"), (4, "https://tiny.org/only"),
          (5, "https://heavy.com/d"),
          # embedded URL in a query param must NOT become the domain
-         (6, "https://heavy.com/r?next=https://evil.com/x")],
+         (6, "https://heavy.com/r?next=https://evil.com/x"),
+         # port / userinfo / both must not create distinct domains
+         (7, "https://heavy.com:8080/a"),
+         (8, "http://user@heavy.com/b"),
+         (9, "https://user:pw@www.heavy.com:443/c"),
+         # '@' or ':' later in path/query must not cut the host
+         (10, "https://heavy.com/u/@handle"),
+         (11, "https://heavy.com/s?t=a:b@c")],
         "doc_id long, url string",
     )
     doms = {r.doc_id: r.d for r in df.select("doc_id", domain_of(F.col("url")).alias("d")).collect()}
     assert doms == {1: "heavy.com", 2: "heavy.com", 3: "heavy.com",
-                    4: "tiny.org", 5: "heavy.com", 6: "heavy.com"}
+                    4: "tiny.org", 5: "heavy.com", 6: "heavy.com",
+                    7: "heavy.com", 8: "heavy.com", 9: "heavy.com",
+                    10: "heavy.com", 11: "heavy.com"}
 
     out = {r.doc_id: r for r in domain_caps(df, max_per_domain=2).collect()}
     # lowest ids win; rank is per-domain
