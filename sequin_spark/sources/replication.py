@@ -5,8 +5,10 @@ streaming-replication sub-protocol, per the public documentation
 (protocol.sgml §"Streaming Replication Protocol" and §"Message
 Formats"):
 
+- optional TLS via SSLRequest (ssl_mode disable/prefer/require/
+  verify-full, libpq semantics),
 - startup handshake with ``replication=database`` (trust / cleartext /
-  md5 auth),
+  md5 / SCRAM-SHA-256 auth — scram.py, RFC 5802/7677),
 - simple queries over the replication connection (``IDENTIFY_SYSTEM``,
   slot-metadata lookups),
 - ``START_REPLICATION SLOT … LOGICAL …`` entering copy-both mode,
@@ -53,6 +55,11 @@ PROTO_V3 = 196608
 AUTH_OK = 0
 AUTH_CLEARTEXT = 3
 AUTH_MD5 = 5
+AUTH_SASL = 10
+AUTH_SASL_CONTINUE = 11
+AUTH_SASL_FINAL = 12
+
+SSL_REQUEST_CODE = 80877103  # public protocol: SSLRequest magic
 
 
 def lsn_to_int(lsn: str) -> int:
@@ -107,15 +114,30 @@ class ReplicationClient:
         connect_timeout: float = 10.0,
         receive_timeout: float = 0.5,
         replication: bool = True,
+        ssl_mode: str = "disable",
+        ssl_context: "object | None" = None,
     ):
+        """``ssl_mode``: ``disable`` (no SSLRequest), ``prefer`` (TLS if
+        the server accepts, else continue in the clear), ``require``
+        (TLS or fail, no certificate verification — libpq semantics),
+        ``verify-full`` (TLS + CA + hostname check).  ``ssl_context``
+        overrides the default ``ssl.SSLContext`` (tests pass one trusting
+        a self-signed CA).  Parity: the reference exposes the same knob
+        through Postgrex connection opts
+        (lib/sequin/databases/postgres_database.ex:33-51)."""
+        if ssl_mode not in ("disable", "prefer", "require", "verify-full"):
+            raise ValueError(f"unknown ssl_mode {ssl_mode!r}")
         self.host, self.port = host, port
         self.user, self.database, self.password = user, database, password
         self.connect_timeout = connect_timeout
         self.receive_timeout = receive_timeout
         self.replication = replication  # False → plain simple-query session
+        self.ssl_mode = ssl_mode
+        self.ssl_context = ssl_context
         self._sock: socket.socket | None = None
         self._buf = b""
         self.streaming = False
+        self.tls_active = False
         self.last_sent_ack_lsn: int | None = None
 
     # --- low-level framing ------------------------------------------------
@@ -164,6 +186,8 @@ class ReplicationClient:
             (self.host, self.port), timeout=self.connect_timeout
         )
         self._sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        if self.ssl_mode != "disable":
+            self._negotiate_tls()
         params = {
             "user": self.user,
             "database": self.database,
@@ -177,7 +201,37 @@ class ReplicationClient:
         self._send(struct.pack(">i", len(body) + 4) + body)
         self._auth_loop()
 
+    def _negotiate_tls(self) -> None:
+        """SSLRequest (len=8, magic 80877103) → single-byte 'S'/'N'
+        answer → TLS-wrap the socket (public protocol §'SSL Session
+        Encryption').  Must run before the startup packet."""
+        import ssl
+
+        assert self._sock is not None
+        self._send(struct.pack(">ii", 8, SSL_REQUEST_CODE))
+        answer = self._recv_exact(1)
+        if answer == b"N":
+            if self.ssl_mode == "prefer":
+                return  # server without SSL support; continue in the clear
+            raise ReplicationError(
+                f"server refused SSL but ssl_mode={self.ssl_mode!r}")
+        if answer != b"S":
+            raise ReplicationError(f"unexpected SSLRequest answer {answer!r}")
+        if self.ssl_context is not None:
+            ctx = self.ssl_context
+        elif self.ssl_mode == "verify-full":
+            ctx = ssl.create_default_context()
+        else:  # prefer/require: encrypt without verification (libpq parity)
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+            ctx.check_hostname = False
+            ctx.verify_mode = ssl.CERT_NONE
+        assert not self._buf, "data buffered before TLS handshake"
+        self._sock.settimeout(self.connect_timeout)
+        self._sock = ctx.wrap_socket(self._sock, server_hostname=self.host)
+        self.tls_active = True
+
     def _auth_loop(self) -> None:
+        scram = None
         while True:
             mtype, payload = self._read_message()
             if mtype == b"R":
@@ -193,6 +247,28 @@ class ReplicationClient:
                     ).hexdigest()
                     digest = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send_password(b"md5" + digest.encode())
+                elif code == AUTH_SASL:
+                    from sequin_spark.sources.scram import ScramClient
+
+                    mechs = [m.decode() for m in
+                             payload[4:].split(b"\x00") if m]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise ReplicationError(
+                            f"no supported SASL mechanism in {mechs}")
+                    scram = ScramClient(password=self.password or "")
+                    initial = scram.first().encode()
+                    body = (b"SCRAM-SHA-256\x00"
+                            + struct.pack(">i", len(initial)) + initial)
+                    self._send_password(body, raw=True)
+                elif code == AUTH_SASL_CONTINUE:
+                    if scram is None:
+                        raise ReplicationError("SASLContinue before SASL")
+                    final = scram.final(payload[4:].decode())
+                    self._send_password(final.encode(), raw=True)
+                elif code == AUTH_SASL_FINAL:
+                    if scram is None:
+                        raise ReplicationError("SASLFinal before SASL")
+                    scram.verify_server(payload[4:].decode())
                 else:
                     raise ReplicationError(f"unsupported auth method {code}")
             elif mtype in (b"S", b"K", b"N"):
@@ -204,8 +280,10 @@ class ReplicationClient:
             else:
                 raise ReplicationError(f"unexpected message {mtype!r} during startup")
 
-    def _send_password(self, pw: bytes) -> None:
-        body = pw + b"\x00"
+    def _send_password(self, pw: bytes, raw: bool = False) -> None:
+        """'p' frame: PasswordMessage (NUL-terminated) or, for SASL
+        responses, the raw mechanism bytes (no terminator)."""
+        body = pw if raw else pw + b"\x00"
         self._send(b"p" + struct.pack(">i", len(body) + 4) + body)
 
     def close(self) -> None:

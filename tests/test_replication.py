@@ -99,11 +99,15 @@ class FakeWalSender:
     """
 
     def __init__(self, script, password="s3cret", restart_lsn="0/0",
-                 missing_slot=False):
+                 missing_slot=False, auth="cleartext", ssl_ctx=None,
+                 ssl_refuse=False):
         self.script = script
         self.password = password
         self.restart_lsn = restart_lsn
         self.missing_slot = missing_slot
+        self.auth = auth  # "cleartext" | "scram"
+        self.ssl_ctx = ssl_ctx  # server-side SSLContext → handle SSLRequest
+        self.ssl_refuse = ssl_refuse  # answer 'N' to SSLRequest
         self.acks = []
         self.queries = []
         self.startup_params = {}
@@ -114,6 +118,34 @@ class FakeWalSender:
         self.port = s.getsockname()[1]
         self._srv = s
         threading.Thread(target=self._serve, daemon=True).start()
+
+    def _auth_scram(self, conn) -> bool:
+        """Full 4-leg SCRAM-SHA-256 exchange (AuthenticationSASL →
+        SASLInitialResponse → SASLContinue → SASLResponse → SASLFinal)
+        using the repo's ScramServer verifier."""
+        from sequin_spark.sources.scram import ScramError, ScramServer
+
+        srv = ScramServer(self.password)
+        conn.sendall(msg(b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00"))
+        mtype, payload = self._read_msg(conn)
+        assert mtype == b"p"
+        mech_end = payload.index(b"\x00")
+        self.sasl_mechanism = payload[:mech_end].decode()
+        (ilen,) = struct.unpack_from(">i", payload, mech_end + 1)
+        client_first = payload[mech_end + 5 : mech_end + 5 + ilen].decode()
+        server_first = srv.first(client_first)
+        conn.sendall(msg(b"R", struct.pack(">i", 11) + server_first.encode()))
+        mtype, payload = self._read_msg(conn)
+        assert mtype == b"p"
+        try:
+            server_final = srv.final(payload.decode())
+        except ScramError:
+            conn.sendall(msg(
+                b"E",
+                b"SFATAL\x00C28P01\x00Mpassword authentication failed\x00\x00"))
+            return False
+        conn.sendall(msg(b"R", struct.pack(">i", 12) + server_final.encode()))
+        return True
 
     # --- protocol plumbing ---
     def _read_exact(self, n):
@@ -128,6 +160,12 @@ class FakeWalSender:
         return head[:1], self._read_exact(ln - 4)
 
     def _serve(self):
+        try:
+            self._serve_inner()
+        except (ConnectionError, OSError, struct.error):
+            pass  # client hung up mid-handshake (expected in refuse tests)
+
+    def _serve_inner(self):
         conn, _ = self._srv.accept()
         conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._rd = conn.makefile("rb")
@@ -135,20 +173,35 @@ class FakeWalSender:
         (ln,) = struct.unpack(">i", self._read_exact(4))
         body = self._read_exact(ln - 4)
         (proto,) = struct.unpack_from(">i", body, 0)
+        if proto == 80877103:  # SSLRequest before the startup packet
+            if self.ssl_refuse or self.ssl_ctx is None:
+                conn.sendall(b"N")
+            else:
+                conn.sendall(b"S")
+                conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
+                self._rd = conn.makefile("rb")
+            (ln,) = struct.unpack(">i", self._read_exact(4))
+            body = self._read_exact(ln - 4)
+            (proto,) = struct.unpack_from(">i", body, 0)
         assert proto == 196608
         parts = body[4:].split(b"\x00")[:-2]
         self.startup_params = {
             parts[i].decode(): parts[i + 1].decode() for i in range(0, len(parts), 2)
         }
-        # cleartext password auth
-        conn.sendall(msg(b"R", struct.pack(">i", 3)))
-        mtype, payload = self._read_msg(conn)
-        if mtype != b"p" or payload[:-1].decode() != self.password:
-            conn.sendall(
-                msg(b"E", b"SFATAL\x00C28P01\x00Mpassword authentication failed\x00\x00")
-            )
-            conn.close()
-            return
+        if self.auth == "scram":
+            if not self._auth_scram(conn):
+                conn.close()
+                return
+        else:
+            # cleartext password auth
+            conn.sendall(msg(b"R", struct.pack(">i", 3)))
+            mtype, payload = self._read_msg(conn)
+            if mtype != b"p" or payload[:-1].decode() != self.password:
+                conn.sendall(
+                    msg(b"E", b"SFATAL\x00C28P01\x00Mpassword authentication failed\x00\x00")
+                )
+                conn.close()
+                return
         conn.sendall(msg(b"R", struct.pack(">i", 0)))
         conn.sendall(msg(b"S", _cstr("server_version") + _cstr("16.3")))
         conn.sendall(msg(b"K", struct.pack(">ii", 1234, 5678)))
