@@ -18,6 +18,11 @@ own default murmur2 partitioner (what the Java client does), which
 preserves the invariant that matters: one group → one partition →
 per-group order.
 
+Auth: TLS from byte 0 (`tls`, optional `ssl_context`/`tls_insecure`)
+and SASL PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512 via SaslHandshake v1 +
+SaslAuthenticate v0 (KIP-43/KIP-152), the reference's mechanism list
+(kafka_sink.ex:16-28) minus aws-msk-iam (explicit NotImplementedError).
+
 Only the produce path is implemented (the engine never consumes);
 tests run against a fake broker speaking the same frames
 (tests/test_kafka.py), like the NATS/AMQP sinks.
@@ -31,6 +36,18 @@ import struct
 from sequin_spark.sinks.base import Sink, SinkBatch, register_sink
 
 API_PRODUCE, API_METADATA, API_VERSIONS = 0, 3, 18
+API_SASL_HANDSHAKE, API_SASL_AUTHENTICATE = 17, 36
+
+# config `sasl_mechanism` → (wire mechanism, scram hash | None);
+# mirrors the reference's mechanism list minus aws-msk-iam
+# (lib/sequin/consumers/kafka_sink.ex:16-28,99) — IAM signing needs AWS
+# credentials plumbing the sandbox can't exercise, so it stays an
+# explicit NotImplementedError rather than untested code.
+SASL_MECHANISMS = {
+    "plain": ("PLAIN", None),
+    "scram-sha-256": ("SCRAM-SHA-256", "sha256"),
+    "scram-sha-512": ("SCRAM-SHA-512", "sha512"),
+}
 
 
 # --- CRC32C (Castagnoli, reflected 0x1EDC6F41) — required by the v2
@@ -217,15 +234,97 @@ class KafkaSink(Sink):
         self._client_id = self.config.get("client_id", "sequin_spark")
         self._corr = 0
         self._partition_counts: dict[str, int] = {}
-        self._sock = socket.create_connection((host, int(port or 9092)), timeout=10)
-        self._buf = self._sock.makefile("rb")
+        self._open_socket(host, int(port or 9092))
         # ApiVersions handshake (ignore the advertised ranges — we only
         # speak pinned versions, like the reference pins its brod vsn)
         try:
             self._request(API_VERSIONS, 0, b"")
         except Exception:  # noqa: BLE001 - some brokers close on v0; reconnect
-            self._sock = socket.create_connection((host, int(port or 9092)), timeout=10)
-            self._buf = self._sock.makefile("rb")
+            self._open_socket(host, int(port or 9092))
+        if self.config.get("sasl_mechanism"):
+            self._sasl_auth()
+
+    def _open_socket(self, host: str, port: int) -> None:
+        """TCP connect, TLS-wrapped from byte 0 when `tls` is set (Kafka
+        has no STARTTLS — an encrypted listener speaks TLS immediately).
+        `ssl_context` overrides (tests / custom CAs); `tls_insecure`
+        skips verification (rung below verify, like ssl_mode=require)."""
+        sock = socket.create_connection((host, port), timeout=10)
+        if self.config.get("tls"):
+            import ssl
+
+            ctx = self.config.get("ssl_context")
+            if ctx is None:
+                if self.config.get("tls_insecure"):
+                    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+                    ctx.check_hostname = False
+                    ctx.verify_mode = ssl.CERT_NONE
+                else:
+                    ctx = ssl.create_default_context()
+            sock = ctx.wrap_socket(sock, server_hostname=host)
+        self._sock = sock
+        self._buf = self._sock.makefile("rb")
+
+    def _sasl_auth(self) -> None:
+        """SaslHandshake v1 + SaslAuthenticate v0 per the public
+        protocol (KIP-43/KIP-152). PLAIN is one authenticate round;
+        SCRAM is client-first/server-first/client-final/server-final
+        with the server signature verified (scram.py)."""
+        mech_cfg = str(self.config.get("sasl_mechanism", "")).lower().replace("_", "-")
+        if mech_cfg == "aws-msk-iam":
+            raise NotImplementedError(
+                "aws-msk-iam SASL needs AWS SigV4 credentials plumbing; "
+                "use plain/scram-sha-256/scram-sha-512")
+        if mech_cfg not in SASL_MECHANISMS:
+            raise ValueError(
+                f"unknown sasl_mechanism {mech_cfg!r}; "
+                f"supported: {sorted(SASL_MECHANISMS)}")
+        wire, algo = SASL_MECHANISMS[mech_cfg]
+        user = self.config.get("username", "")
+        password = self.config.get("password", "")
+        resp = self._request(API_SASL_HANDSHAKE, 1, _str(wire))
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err:
+            (n,) = struct.unpack_from(">i", resp, 2)
+            pos, offered = 6, []
+            for _ in range(n):
+                (ln,) = struct.unpack_from(">h", resp, pos)
+                offered.append(resp[pos + 2:pos + 2 + ln].decode())
+                pos += 2 + ln
+            raise RuntimeError(
+                f"kafka: broker rejected SASL mechanism {wire} "
+                f"(error {err}; broker offers {offered})")
+        if algo is None:  # PLAIN: authzid NUL user NUL password
+            self._sasl_round(
+                b"\x00" + user.encode() + b"\x00" + password.encode())
+        else:
+            from sequin_spark.sources.scram import ScramClient
+
+            # Kafka SCRAM authenticates the n= attribute itself (unlike
+            # Postgres, which takes the user from the startup packet)
+            sc = ScramClient(username=user, password=password, algo=algo)
+            server_first = self._sasl_round(sc.first().encode()).decode()
+            server_final = self._sasl_round(
+                sc.final(server_first).encode()).decode()
+            sc.verify_server(server_final)
+
+    def _sasl_round(self, auth_bytes: bytes) -> bytes:
+        resp = self._request(API_SASL_AUTHENTICATE, 0, _bytes(auth_bytes))
+        (err,) = struct.unpack_from(">h", resp, 0)
+        pos = 2
+        (mlen,) = struct.unpack_from(">h", resp, pos)
+        pos += 2
+        message = None
+        if mlen >= 0:
+            message = resp[pos:pos + mlen].decode()
+            pos += mlen
+        (blen,) = struct.unpack_from(">i", resp, pos)
+        pos += 4
+        data = resp[pos:pos + blen] if blen >= 0 else b""
+        if err:
+            raise RuntimeError(
+                f"kafka: SASL authentication failed (error {err}): {message}")
+        return data
 
     def _request(self, api_key: int, api_version: int, body: bytes) -> bytes:
         self._corr += 1

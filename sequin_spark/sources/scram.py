@@ -32,18 +32,21 @@ def _b64(b: bytes) -> str:
     return base64.b64encode(b).decode()
 
 
-def _hmac(key: bytes, msg: bytes) -> bytes:
-    return hmac.new(key, msg, hashlib.sha256).digest()
+def _hmac(key: bytes, msg: bytes, algo: str = "sha256") -> bytes:
+    return hmac.new(key, msg, getattr(hashlib, algo)).digest()
 
 
 def _xor(a: bytes, b: bytes) -> bytes:
     return bytes(x ^ y for x, y in zip(a, b))
 
 
-def salted_password(password: str, salt: bytes, iterations: int) -> bytes:
-    """Hi() from RFC 5802 == PBKDF2-HMAC-SHA256."""
+def salted_password(password: str, salt: bytes, iterations: int,
+                    algo: str = "sha256") -> bytes:
+    """Hi() from RFC 5802 == PBKDF2-HMAC-<algo>.  ``algo`` is sha256
+    for Postgres and Kafka SCRAM-SHA-256, sha512 for Kafka
+    SCRAM-SHA-512."""
     return hashlib.pbkdf2_hmac(
-        "sha256", password.encode("utf-8"), salt, iterations)
+        algo, password.encode("utf-8"), salt, iterations)
 
 
 class ScramClient:
@@ -58,12 +61,13 @@ class ScramClient:
     GS2_HEADER = "n,,"  # no channel binding, no authzid
 
     def __init__(self, username: str = "", password: str = "",
-                 nonce: str | None = None):
+                 nonce: str | None = None, algo: str = "sha256"):
         # Postgres ignores the SCRAM n= attribute (the startup-packet
         # user wins) and libpq sends it empty; we do the same unless a
         # caller (e.g. the RFC test vectors) supplies one.
         self.username = username
         self.password = password
+        self.algo = algo
         self.nonce = nonce if nonce is not None else _b64(os.urandom(18))
         self._client_first_bare: str | None = None
         self._auth_message: bytes | None = None
@@ -88,16 +92,18 @@ class ScramClient:
             raise ScramError("server nonce does not extend client nonce")
         if iterations < 1:
             raise ScramError(f"invalid iteration count {iterations}")
-        self._salted = salted_password(self.password, salt, iterations)
-        client_key = _hmac(self._salted, b"Client Key")
-        stored_key = hashlib.sha256(client_key).digest()
+        self._salted = salted_password(
+            self.password, salt, iterations, self.algo)
+        client_key = _hmac(self._salted, b"Client Key", self.algo)
+        stored_key = hashlib.new(self.algo, client_key).digest()
         channel = _b64(self.GS2_HEADER.encode())  # "biws"
         without_proof = f"c={channel},r={combined}"
         assert self._client_first_bare is not None
         self._auth_message = ",".join(
             [self._client_first_bare, server_first, without_proof]
         ).encode()
-        proof = _xor(client_key, _hmac(stored_key, self._auth_message))
+        proof = _xor(client_key,
+                     _hmac(stored_key, self._auth_message, self.algo))
         return f"{without_proof},p={_b64(proof)}"
 
     def verify_server(self, server_final: str) -> None:
@@ -109,8 +115,8 @@ class ScramClient:
         if "v" not in attrs:
             raise ScramError(f"malformed server-final: {server_final!r}")
         assert self._salted is not None and self._auth_message is not None
-        server_key = _hmac(self._salted, b"Server Key")
-        expect = _b64(_hmac(server_key, self._auth_message))
+        server_key = _hmac(self._salted, b"Server Key", self.algo)
+        expect = _b64(_hmac(server_key, self._auth_message, self.algo))
         if not hmac.compare_digest(expect, attrs["v"]):
             raise ScramError("server signature mismatch")
 
@@ -129,8 +135,10 @@ class ScramServer:
     a full, honest 4-leg exchange including the server signature."""
 
     def __init__(self, password: str, iterations: int = 4096,
-                 salt: bytes | None = None, nonce_ext: str | None = None):
+                 salt: bytes | None = None, nonce_ext: str | None = None,
+                 algo: str = "sha256"):
         self.password = password
+        self.algo = algo
         self.iterations = iterations
         self.salt = salt if salt is not None else os.urandom(16)
         self.nonce_ext = nonce_ext if nonce_ext is not None else _b64(os.urandom(18))
@@ -152,16 +160,18 @@ class ScramServer:
         attrs = _attrs(client_final)
         if attrs.get("r") != self._combined:
             raise ScramError("nonce mismatch")
-        salted = salted_password(self.password, self.salt, self.iterations)
-        client_key = _hmac(salted, b"Client Key")
-        stored_key = hashlib.sha256(client_key).digest()
+        salted = salted_password(
+            self.password, self.salt, self.iterations, self.algo)
+        client_key = _hmac(salted, b"Client Key", self.algo)
+        stored_key = hashlib.new(self.algo, client_key).digest()
         without_proof = client_final.rsplit(",p=", 1)[0]
         auth_message = ",".join(
             [self._client_first_bare or "", self._server_first or "",
              without_proof]).encode()
         proof = base64.b64decode(attrs.get("p", ""))
-        recovered_key = _xor(proof, _hmac(stored_key, auth_message))
-        if hashlib.sha256(recovered_key).digest() != stored_key:
+        recovered_key = _xor(
+            proof, _hmac(stored_key, auth_message, self.algo))
+        if hashlib.new(self.algo, recovered_key).digest() != stored_key:
             raise ScramError("invalid client proof")
-        server_key = _hmac(salted, b"Server Key")
-        return f"v={_b64(_hmac(server_key, auth_message))}"
+        server_key = _hmac(salted, b"Server Key", self.algo)
+        return f"v={_b64(_hmac(server_key, auth_message, self.algo))}"

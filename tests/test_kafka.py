@@ -12,6 +12,8 @@ from sequin_spark.sinks.base import SinkBatch, create_sink
 from sequin_spark.sinks.kafka import (
     API_METADATA,
     API_PRODUCE,
+    API_SASL_AUTHENTICATE,
+    API_SASL_HANDSHAKE,
     API_VERSIONS,
     crc32c,
     murmur2,
@@ -29,10 +31,16 @@ class FakeKafka:
     """Single-node fake broker: answers ApiVersions/Metadata, records
     Produce payloads after verifying the RecordBatch CRC."""
 
-    def __init__(self, n_partitions=3, fail_codes=None):
+    def __init__(self, n_partitions=3, fail_codes=None, sasl=None,
+                 sasl_user="kuser", sasl_password="kpass", ssl_ctx=None):
         self.n_partitions = n_partitions
         self.produced = []  # (topic, partition, key, value)
         self.fail_codes = list(fail_codes or [])
+        self.sasl = sasl  # "plain" | "scram-sha-256" | "scram-sha-512"
+        self.sasl_user, self.sasl_password = sasl_user, sasl_password
+        self.ssl_ctx = ssl_ctx  # server SSLContext -> TLS from byte 0
+        self.authenticated = False
+        self.handshook_mechanism = None
         s = socket.socket()
         s.bind(("127.0.0.1", 0))
         s.listen(4)
@@ -49,7 +57,13 @@ class FakeKafka:
             threading.Thread(target=self._serve, args=(conn,), daemon=True).start()
 
     def _serve(self, conn):
+        if self.ssl_ctx is not None:
+            try:
+                conn = self.ssl_ctx.wrap_socket(conn, server_side=True)
+            except OSError:
+                return  # client gave up during the TLS handshake
         buf = conn.makefile("rb")
+        scram_srv = None
         while True:
             head = buf.read(4)
             if len(head) < 4:
@@ -59,7 +73,31 @@ class FakeKafka:
             api_key, api_version, corr = struct.unpack_from(">hhi", req, 0)
             (cid_len,) = struct.unpack_from(">h", req, 8)
             body = req[10 + cid_len:]
-            if api_key == API_VERSIONS:
+            if api_key == API_SASL_HANDSHAKE:
+                (mlen,) = struct.unpack_from(">h", body, 0)
+                mech = body[2:2 + mlen].decode()
+                self.handshook_mechanism = mech
+                want = (self.sasl or "").upper()
+                if mech == want:
+                    resp = struct.pack(">hi", 0, 1) + _str(want)
+                else:  # 33 = UNSUPPORTED_SASL_MECHANISM
+                    resp = struct.pack(">hi", 33, 1) + _str(want)
+            elif api_key == API_SASL_AUTHENTICATE:
+                (alen,) = struct.unpack_from(">i", body, 0)
+                auth = body[4:4 + alen]
+                ok, out = self._sasl_step(auth, lambda: scram_srv)
+                if ok is None:  # SCRAM continue: out = (srv, bytes)
+                    scram_srv, data = out
+                    resp = struct.pack(">hh", 0, -1) + struct.pack(">i", len(data)) + data
+                elif ok:
+                    self.authenticated = True
+                    resp = struct.pack(">hh", 0, -1) + struct.pack(">i", len(out)) + out
+                else:
+                    em = b"Authentication failed"
+                    resp = (struct.pack(">h", 58)  # SASL_AUTHENTICATION_FAILED
+                            + struct.pack(">h", len(em)) + em
+                            + struct.pack(">i", -1))
+            elif api_key == API_VERSIONS:
                 resp = struct.pack(">hi", 0, 3) + b"".join(
                     struct.pack(">hhh", k, 0, 9) for k in (0, 3, 18)
                 )
@@ -116,6 +154,26 @@ class FakeKafka:
                 resp = b""
             payload = struct.pack(">i", corr) + resp
             conn.sendall(struct.pack(">i", len(payload)) + payload)
+
+    def _sasl_step(self, auth, get_scram):
+        """Returns (True, final_bytes) | (None, (srv, continue_bytes)) |
+        (False, None)."""
+        if self.sasl == "plain":
+            parts = auth.split(b"\x00")
+            ok = (len(parts) == 3 and parts[1].decode() == self.sasl_user
+                  and parts[2].decode() == self.sasl_password)
+            return (True, b"") if ok else (False, None)
+        from sequin_spark.sources.scram import ScramError, ScramServer
+
+        algo = "sha512" if self.sasl == "scram-sha-512" else "sha256"
+        srv = get_scram()
+        try:
+            if srv is None:
+                srv = ScramServer(self.sasl_password, algo=algo)
+                return None, (srv, srv.first(auth.decode()).encode())
+            return True, srv.final(auth.decode()).encode()
+        except ScramError:
+            return False, None
 
     def close(self):
         self._srv.close()
