@@ -89,3 +89,17 @@ def test_bpe_encode_counts(spark):
         assert out[i]["n_words"] == len(words)
         # merges only ever shrink the symbol stream
         assert out[i]["n_bpe_tokens"] <= sum(len(w) for w in words)
+
+
+def test_bpe_batched_matches_python_reference_64_merges(spark, sf_dir):
+    """Scan batching must be invisible in the result: 64 merges over the
+    real documents table equal the sequential pure-Python reference."""
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/documents.parquet"
+    texts = pq.read_table(path, columns=["text"]).column("text").to_pylist()
+    df = spark.read.parquet(path)
+    got = [tuple(r) for r in
+           bpe_learn_merges(df, spark, n_merges=64).orderBy("rank").collect()]
+    want, _ = _py_bpe(texts, 64)
+    assert got == want
