@@ -81,43 +81,80 @@ def streaming_funnel(
     user_col: str = "user_id",
     ts_col: str = "ts_us",
     type_col: str = "event_type",
+    max_candidates: int = 32,
 ) -> DataFrame:
     """Streaming twin of operators/funnel.funnel_times: per-user funnel
     conversion times maintained as keyed state, one row emitted whenever
-    a user's funnel advances (the live-dashboard shape of the batch
-    operator).
+    a user's funnel result changes (the live-dashboard shape of the
+    batch operator).
 
-    The incremental rule — fill the first unreached step when a
-    matching event arrives strictly after the previous step's time — is
-    the batch earliest-match semantics applied greedily, so given
-    event-time-ordered arrival (or any single batch, which is sorted
-    here) the final row per user equals the batch funnel_times row.
-    State is one long per step per active user, partitioned by user:
-    scales with users, not stream length.
+    State per (user, step) is the sorted set of the ``max_candidates``
+    EARLIEST event times seen for that step; the chain t_1..t_k is
+    re-derived from those sets on every update (t_i = smallest
+    candidate strictly after t_{i-1} — exactly funnel_times).  Because
+    chain times are monotone non-increasing as events accumulate, the
+    smallest-C candidate sets are a sufficient statistic for exact
+    batch equivalence under ANY arrival order — micro-batch shuffling,
+    a late step-1 event arriving after step 2 was seen, anything —
+    provided no user accumulates more than ``max_candidates`` step-i
+    events earlier than their final step-(i-1) time.  Past that cap the
+    operator degrades gracefully (it may report a step's conversion
+    later than batch; pinned in
+    tests/test_stateful.py::test_streaming_funnel_candidate_cap).
+
+    Per-batch work is vectorized: one boolean mask + merge per step
+    (numpy), no per-event Python loop.  State is ≤ k·max_candidates
+    longs per active user, partitioned by user: scales with users, not
+    stream length.
     """
+    import numpy as np
+
     k = len(steps)
     if not k:
         raise ValueError("steps must be non-empty")
-    state_schema = ", ".join(f"t_{i} long" for i in range(1, k + 1))
-    out_schema = f"{user_col} long, " + state_schema
+    state_schema = ", ".join(f"c_{i} array<bigint>" for i in range(1, k + 1))
+    out_schema = f"{user_col} long, " + ", ".join(
+        f"t_{i} long" for i in range(1, k + 1))
+
+    def _chain(cands: list) -> list:
+        times: list = []
+        prev = None
+        for i in range(k):
+            arr = cands[i]
+            if i == 0:
+                t = int(arr[0]) if len(arr) else None
+            elif prev is None:
+                t = None
+            else:
+                j = int(np.searchsorted(arr, prev, side="right"))
+                t = int(arr[j]) if j < len(arr) else None
+            times.append(t)
+            prev = t
+        return times
 
     def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-        times = list(state.get) if state.exists else [None] * k
-        changed = False
+        if state.exists:
+            cands = [np.asarray(a if a is not None else [], dtype="int64")
+                     for a in state.get]
+        else:
+            cands = [np.empty(0, dtype="int64") for _ in range(k)]
+        old = _chain(cands)
+        touched = False
         for pdf in pdfs:
-            pdf = pdf.sort_values(ts_col)
-            for typ, ts in zip(pdf[type_col], pdf[ts_col]):
-                # first unreached step
-                i = next((j for j in range(k) if times[j] is None), None)
-                if i is None:
-                    break
-                if typ == steps[i] and (i == 0 or ts > times[i - 1]):
-                    times[i] = int(ts)
-                    changed = True
-        if changed:
-            state.update(tuple(times))
+            types = pdf[type_col].to_numpy()
+            ts = pdf[ts_col].to_numpy(dtype="int64")
+            for i, s in enumerate(steps):
+                new_ts = ts[types == s]
+                if len(new_ts):
+                    merged = np.unique(np.concatenate([cands[i], new_ts]))
+                    cands[i] = merged[:max_candidates]
+                    touched = True
+        if touched:
+            state.update(tuple(c.tolist() for c in cands))
+        new = _chain(cands)
+        if new != old:
             yield pd.DataFrame(
-                [[key[0], *times]],
+                [[key[0], *new]],
                 columns=[user_col] + [f"t_{i}" for i in range(1, k + 1)],
             )
 

@@ -157,3 +157,85 @@ def test_streaming_funnel_matches_batch(spark, tmp_path):
     # u1's completion row was emitted in the SECOND batch (state carried)
     u1_rows = emitted[emitted["user_id"] == 1]
     assert u1_rows["t_3"].notna().sum() >= 1
+
+
+def _run_funnel_batches(spark, tmp_path, batches, steps, **kw):
+    """Feed each batch as one file through streaming_funnel; return the
+    last emitted row per user as a pandas frame."""
+    from sequin_spark.streaming.stateful import streaming_funnel
+
+    schema = "user_id long, event_type string, ts_us long"
+    src = str(tmp_path / "src")
+    spark.createDataFrame(batches[0], schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    name = f"funnel_ooo_{abs(hash(str(batches))) % 10**8}"
+    q = (streaming_funnel(stream, steps, **kw)
+         .writeStream.format("memory").queryName(name)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append").parquet(src)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = spark.sql(f"SELECT * FROM {name}").toPandas()
+    return emitted.groupby("user_id").last()
+
+
+def test_streaming_funnel_out_of_order_across_batches(spark, tmp_path):
+    """Late earlier-step events arriving in LATER micro-batches must
+    back-fill the chain: the final per-user state equals batch
+    funnel_times on the union, for every shuffling of events across
+    micro-batch boundaries."""
+    import pandas as pd
+
+    from sequin_spark.operators.funnel import funnel_times
+
+    steps = ["view", "click", "purchase"]
+    # u1: purchase and click arrive BEFORE the view that anchors them.
+    # u2: a late early view (ts 5) lowers t_1 after click was consumed,
+    #     re-deriving t_2 to an earlier click.
+    # u3: control — in order.
+    batches = [
+        [(1, "purchase", 30), (2, "click", 8), (3, "view", 10)],
+        [(1, "click", 20), (2, "view", 50), (2, "click", 60), (3, "click", 20)],
+        [(1, "view", 10), (2, "view", 5), (3, "purchase", 25)],
+    ]
+    final = _run_funnel_batches(spark, tmp_path, batches, steps)
+    schema = "user_id long, event_type string, ts_us long"
+    batch = funnel_times(
+        spark.createDataFrame([r for b in batches for r in b], schema),
+        steps, ts_col="ts_us",
+    ).toPandas().set_index("user_id")
+    assert set(batch.index) == set(final.index)
+    for uid in batch.index:
+        for c in ("t_1", "t_2", "t_3"):
+            b, s = batch.loc[uid, c], final.loc[uid, c]
+            assert (pd.isna(b) and pd.isna(s)) or b == s, (uid, c, b, s)
+    # u2 specifically proves the back-fill: batch t_1=5, t_2=8
+    assert batch.loc[2, "t_1"] == 5 and batch.loc[2, "t_2"] == 8
+
+
+def test_streaming_funnel_candidate_cap(spark, tmp_path):
+    """Pin the documented degradation: with max_candidates=2, a user
+    with 2 step-2 events earlier than their final t_1 loses the true
+    earliest valid click and reports a LATER (still valid) one."""
+    steps = ["view", "click"]
+    batches = [
+        # clicks at 11,12 fill the 2-slot candidate set for step 2
+        [(1, "click", 11), (1, "click", 12), (1, "click", 40)],
+        [(1, "view", 20)],  # final t_1=20; true t_2=40 was evicted
+    ]
+    final = _run_funnel_batches(
+        spark, tmp_path, batches, steps, max_candidates=2)
+    assert final.loc[1, "t_1"] == 20
+    # exact answer is 40; capped state kept only {11,12} -> no valid
+    # click above 20 -> t_2 unreported (None), never a WRONG value
+    import pandas as pd
+
+    assert pd.isna(final.loc[1, "t_2"])
