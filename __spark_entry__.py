@@ -45,12 +45,22 @@ def _rotation_order(names: list[str]) -> list[str]:
         return names
     try:
         with open(latest) as f:
-            covered = set(json.load(f))
+            rows = json.load(f)
     except (OSError, ValueError):
         return names
-    return [n for n in names if n not in covered] + [
-        n for n in names if n in covered
-    ]
+    covered = set(rows)
+
+    def _green(r) -> bool:
+        return (isinstance(r, dict) and not r.get("err")
+                and r.get("rows_match") and r.get("schema_match")
+                and r.get("hash_match", True))
+
+    red = {n for n in covered if not _green(rows[n])}
+    # non-green rows FIRST (their fixes must land in the next driver
+    # window), then never-covered entries, then the verified tail
+    return ([n for n in names if n in red]
+            + [n for n in names if n not in covered]
+            + [n for n in names if n in covered and n not in red])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
