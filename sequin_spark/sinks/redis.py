@@ -6,15 +6,61 @@ Reference semantics:
   redis_string.ex:26-43) — an always-fresh cache of the source rows;
 - redis_stream: XADD stream_key * data payload (redis_stream_pipeline.ex).
 
-Command construction is pure (tested without a server); transport uses
-redis-py when installed, else the sink fails loudly at open(). Commands
-are emitted pipelined — one round trip per SinkBatch, the same batching
-the reference's pipeline shell does.
+Command construction is pure (tested without a server); the transport
+is a minimal RESP2 client over a raw socket (the public Redis protocol:
+arrays of bulk strings out; +simple/-error/:int/$bulk/*array replies
+in), with optional AUTH (``password`` / ``username``+``password``,
+Redis 6 ACL form) and SELECT from the url db path. Commands are emitted
+pipelined — all writes flushed, then all replies read: one round trip
+per SinkBatch, the same batching the reference's pipeline shell does
+(redis_stream_pipeline.ex pipelines via eredis). An -ERR reply raises,
+nacking the batch.
 """
 
 from __future__ import annotations
 
+import socket
+
 from sequin_spark.sinks.base import Sink, SinkBatch
+
+
+def encode_command(cmd: tuple) -> bytes:
+    """RESP2 request: *<n>\\r\\n then $<len>\\r\\n<arg>\\r\\n per arg."""
+    out = [b"*%d\r\n" % len(cmd)]
+    for a in cmd:
+        b = a if isinstance(a, bytes) else str(a).encode()
+        out.append(b"$%d\r\n%s\r\n" % (len(b), b))
+    return b"".join(out)
+
+
+class RespError(RuntimeError):
+    pass
+
+
+def read_reply(buf):
+    """Parse one RESP2 reply from a readable; raises RespError on -."""
+    line = buf.readline()
+    if not line:
+        raise RespError("redis: connection closed")
+    t, rest = line[:1], line[1:-2]
+    if t == b"+":
+        return rest.decode()
+    if t == b"-":
+        raise RespError(rest.decode())
+    if t == b":":
+        return int(rest)
+    if t == b"$":
+        n = int(rest)
+        if n == -1:
+            return None
+        data = buf.read(n + 2)
+        return data[:n]
+    if t == b"*":
+        n = int(rest)
+        if n == -1:
+            return None
+        return [read_reply(buf) for _ in range(n)]
+    raise RespError(f"redis: unknown reply type {t!r}")
 
 
 def build_string_commands(rows: list[dict]) -> list[tuple]:
@@ -39,22 +85,51 @@ def build_stream_commands(rows: list[dict]) -> list[tuple]:
     ]
 
 
+def parse_redis_url(url: str) -> dict:
+    """redis://[user:pass@]host[:port][/db] (+ rediss:// for TLS)."""
+    from urllib.parse import unquote, urlsplit
+
+    u = urlsplit(url)
+    if u.scheme not in ("redis", "rediss"):
+        raise ValueError(f"unsupported redis url scheme {u.scheme!r}")
+    db = (u.path or "/").lstrip("/")
+    return {
+        "host": u.hostname or "127.0.0.1",
+        "port": u.port or 6379,
+        "username": unquote(u.username) if u.username else None,
+        "password": unquote(u.password) if u.password else None,
+        "db": int(db) if db else 0,
+        "tls": u.scheme == "rediss",
+    }
+
+
 class _RedisBase(Sink):
     def open(self) -> None:
-        try:
-            import redis
-        except ImportError as e:
-            raise NotImplementedError(
-                f"sink {self.sink_type!r} requires redis-py, not installed here "
-                "(command construction is tested; see build_*_commands)"
-            ) from e
-        self._client = redis.Redis.from_url(self.config.get("url", "redis://localhost:6379/0"))
+        cfg = parse_redis_url(self.config.get("url", "redis://localhost:6379/0"))
+        sock = socket.create_connection((cfg["host"], cfg["port"]), timeout=10)
+        if cfg["tls"]:
+            import ssl
 
-    def _execute(self, cmds: list[tuple]) -> None:
-        pipe = self._client.pipeline(transaction=False)
-        for cmd in cmds:
-            pipe.execute_command(*cmd)
-        pipe.execute()
+            ctx = self.config.get("ssl_context") or ssl.create_default_context()
+            sock = ctx.wrap_socket(sock, server_hostname=cfg["host"])
+        self._sock = sock
+        self._buf = sock.makefile("rb")
+        if cfg["password"] is not None:
+            auth = (("AUTH", cfg["username"], cfg["password"])
+                    if cfg["username"] else ("AUTH", cfg["password"]))
+            self._execute([auth])
+        if cfg["db"]:
+            self._execute([("SELECT", cfg["db"])])
+
+    def _execute(self, cmds: list[tuple]) -> list:
+        self._sock.sendall(b"".join(encode_command(c) for c in cmds))
+        return [read_reply(self._buf) for _ in cmds]
+
+    def close(self) -> None:
+        try:
+            self._sock.close()
+        except OSError:
+            pass
 
 
 class RedisStringSink(_RedisBase):
