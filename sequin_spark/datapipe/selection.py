@@ -343,3 +343,46 @@ def split_leakage(
             .cast("long").alias("n_leaked_docs"),
         )
     )
+
+
+def split_assign_content(
+    df: DataFrame,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Leakage-proof split assignment: the split bucket derives from the
+    CONTENT fingerprint (md5 of normalized text), not the document id,
+    so byte-identical duplicates always land in the SAME split — the
+    exact-dup train/test contamination ``split_leakage`` audits is
+    structurally impossible here (near-dups can still cross; run the
+    fuzzy-dedup family first).  The SlimPajama/RefinedWeb practice of
+    splitting after content hashing, as an assignment operator.
+
+    One fingerprint-keyed shuffle for the per-split summary; the
+    assignment itself is a narrow map (fp → h16 → bucket).  Returns one
+    row per split: sizes, distinct fingerprints, and the cross-split
+    fingerprint count (0 by construction for exact duplicates —
+    computed, not asserted, so the oracle proves it).
+    """
+    fp = F.md5(normalized(text_col))
+    bucket = _h16(fp) % 100
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    base = df.select(F.col(id_col), fp.alias("fp"), split.alias("split"))
+    fp_span = base.groupBy("fp").agg(
+        F.count_distinct("split").alias("n_splits"))
+    return (
+        base.join(fp_span, "fp")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count_distinct("fp").alias("n_unique_fp"),
+            F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+            .cast("long").alias("n_cross_split_docs"),
+        )
+    )

@@ -2164,6 +2164,103 @@ GROUP BY split
 """
 
 
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof split assignment (selection.split_assign_content):
+    buckets derive from the content fingerprint, so the injected exact
+    copies always share a split — n_cross_split_docs is computed 0 by
+    both engines, proving the property rather than asserting it."""
+    from sequin_spark.datapipe.selection import split_assign_content
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"), "text")
+    return split_assign_content(docs.unionByName(copies))
+
+
+def _sql_corpus_split_assign(train_pct: int = 80, val_pct: int = 10) -> str:
+    h16 = _sql_h16_of(f"md5({D_NORM})")
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000, text FROM documents WHERE doc_id % 25 = 0
+),
+base AS (
+  SELECT doc_id,
+         CASE WHEN ({h16}) % 100 < {train_pct} THEN 'train'
+              WHEN ({h16}) % 100 < {train_pct + val_pct} THEN 'val'
+              ELSE 'test' END AS split,
+         md5({D_NORM}) AS fp
+  FROM corpus
+),
+span AS (SELECT fp, count(DISTINCT split) AS n_splits FROM base GROUP BY fp)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_fp,
+       CAST(sum(CASE WHEN n_splits >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_split_docs
+FROM base JOIN span USING (fp)
+GROUP BY split
+"""
+
+
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE tokens per word under the
+    corpus-learned 8-merge table (tokenizer.bpe_learn_merges +
+    bpe_encode) — the standard multilingual-tokenizer health metric
+    (high fertility = the vocabulary underserves that language).  The
+    merge table is a bounded 8-row collect; encode is one pass over the
+    exploded word stream; the rollup is a k-row lang aggregation."""
+    from sequin_spark.datapipe.tokenizer import bpe_encode, bpe_learn_merges
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = [tuple(r) for r in
+              bpe_learn_merges(docs, spark, n_merges=8).collect()]
+    enc = bpe_encode(docs, merges)
+    langs = docs.select("doc_id", "lang")
+    return (
+        enc.join(langs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("n_words").alias("n_words"),
+            F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang", "n_words", "n_bpe_tokens",
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 4)
+            .alias("fertility"),
+        )
+    )
+
+
+def _sql_tokenizer_fertility(n_merges: int = 8) -> str:
+    """Reuses the sequential merge-replay CTE chain (w0..wN) of
+    _sql_bpe_merges, then encodes every document word through the final
+    word→syms table."""
+    chain = _sql_bpe_merges(n_merges)
+    # keep the WITH ... w{n} chain, drop the UNION ALL merge listing
+    body = chain[: chain.rindex("\nSELECT CAST(1 AS INTEGER) AS rank")]
+    return body + f""",
+tok AS (
+  SELECT doc_id, lang, unnest(string_split({D_NORM}, ' ')) AS word
+  FROM documents
+),
+enc AS (
+  SELECT t.doc_id, t.lang,
+         len(string_split(w.syms, '|')) AS n_syms
+  FROM tok t JOIN w{n_merges} w USING (word)
+  WHERE t.word <> ''
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(CAST(sum(n_syms) AS DOUBLE) / count(*), 4) AS fertility
+FROM enc
+GROUP BY lang
+"""
+
+
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Naive-Bayes quality classifier on hashed-unigram buckets
     (closed-form counts — the deterministic analog of LR-on-hashed-
@@ -2324,6 +2421,8 @@ DATAPIPE_QUERIES = {
     "select_dsir": q_select_dsir,
     "dedup_repeated_spans": q_dedup_repeated_spans,
     "corpus_split_leakage": q_corpus_split_leakage,
+    "corpus_split_assign": q_corpus_split_assign,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "tokenizer_bpe_merges": q_bpe_merges,
     "quality_classifier": q_quality_classifier,
 }
@@ -2373,6 +2472,8 @@ DATAPIPE_ORACLES = {
     "select_dsir": _sql_select_dsir(),
     "dedup_repeated_spans": _sql_dedup_repeated_spans(),
     "corpus_split_leakage": _sql_corpus_split_leakage(),
+    "corpus_split_assign": _sql_corpus_split_assign(),
+    "tokenizer_fertility": _sql_tokenizer_fertility(),
     "tokenizer_bpe_merges": _sql_bpe_merges(),
     "quality_classifier": _sql_quality_classifier(),
 }

@@ -121,3 +121,39 @@ def test_nb_quality_classifier_separates_vocabularies(spark):
     # training rows classify consistently with their own labels
     assert all(out[i]["predicted_hq"] for i in range(10))
     assert not any(out[100 + i]["predicted_hq"] for i in range(10))
+
+
+def test_split_assign_content_is_leakage_proof(spark):
+    """Content-keyed assignment puts byte-identical duplicates in one
+    split (n_cross_split_docs == 0 over many dup pairs), while the
+    id-keyed split demonstrably leaks on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.datapipe.selection import (
+        split_assign_content,
+        split_leakage,
+    )
+
+    base = spark.range(400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc text number "), (F.col("id") % 50).cast("string"))
+        .alias("text"),  # 50 distinct texts x 8 exact copies each
+    )
+    content = {r.split: r for r in split_assign_content(base).collect()}
+    assert sum(r.n_docs for r in content.values()) == 400
+    assert all(r.n_cross_split_docs == 0 for r in content.values())
+    # the id-keyed split scatters copies of the same text across splits
+    leaky = split_leakage(base).collect()
+    assert sum(r.n_leaked_docs for r in leaky) > 0
+
+
+def test_tokenizer_fertility_sanity(spark, sf_dir):
+    import __spark_entry__ as m
+
+    rows = m.queries()["tokenizer_fertility"](spark, sf_dir).collect()
+    assert rows and {r.lang for r in rows} >= {"en"}
+    for r in rows:
+        # merges only ever shrink the symbol count: 1 <= fertility <= max word len
+        assert 1.0 <= r.fertility
+        assert r.n_bpe_tokens <= r.n_words * 40
+        assert r.n_bpe_tokens >= r.n_words  # every word >= 1 token
