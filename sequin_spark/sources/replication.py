@@ -463,6 +463,7 @@ class ReplicationIngestWorker:
         on_relation=None,
         metrics=None,
         slot_name: str = "slot",
+        heartbeat=None,
     ):
         self.client = client
         self.out_dir = out_dir
@@ -471,6 +472,9 @@ class ReplicationIngestWorker:
         self.ack_interval = ack_interval
         self.metrics = metrics  # ConsumerMetrics-shaped (observe_ingestion_latency)
         self.slot_name = slot_name
+        # optional heartbeat.HeartbeatMonitor: fed every decoded message
+        # (round-trip detection) and the flushed commit cursor
+        self.heartbeat = heartbeat
         self.ingestion_latency_us: float | None = None
         self.folder = EventFolder(on_relation=on_relation)
         self._committed: list[dict] = []  # events of committed txns, unflushed
@@ -483,6 +487,8 @@ class ReplicationIngestWorker:
 
     def _handle_xlog(self, x: XLogData) -> None:
         msg = decode(x.payload)
+        if self.heartbeat is not None:
+            self.heartbeat.on_wal_message(msg)
         in_txn_before = self.folder.in_txn
         events = self.folder.push(msg)
         self._open_txn.extend(events)
@@ -541,6 +547,8 @@ class ReplicationIngestWorker:
         os.replace(tmp, final)
         self.files_written += 1
         self.flushed_lsn = self.folder.last_commit_lsn or self.flushed_lsn
+        if self.heartbeat is not None and self.flushed_lsn:
+            self.heartbeat.on_flushed(self.flushed_lsn)
         return final
 
     # --- main loop --------------------------------------------------------

@@ -255,6 +255,9 @@ class FakeWalSender:
         if sql == "IDENTIFY_SYSTEM":
             conn.sendall(row_desc(["systemid", "timeline", "xlogpos", "dbname"]))
             conn.sendall(data_row(["7000", "1", "0/5000", "postgres"]))
+        elif "pg_logical_emit_message" in sql:
+            conn.sendall(row_desc(["pg_logical_emit_message"]))
+            conn.sendall(data_row(["0/9000"]))
         elif "pg_replication_slots" in sql:
             conn.sendall(row_desc(["restart_lsn"]))
             conn.sendall(data_row([self.restart_lsn]))
