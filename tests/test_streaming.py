@@ -392,7 +392,10 @@ def test_sink_registry_coverage():
     for st in reference_sinks:
         sink = create_sink(st)
         assert sink is not None
-    with pytest.raises(NotImplementedError, match="redis"):
+    # redis has a real RESP2 socket transport now: open() against a
+    # port nothing listens on must fail loudly with a connection error,
+    # not silently no-op.
+    with pytest.raises(OSError):
         create_sink("redis_string").open()
     with pytest.raises(ValueError):
         create_sink("nope")
