@@ -19,9 +19,11 @@ preserves the invariant that matters: one group → one partition →
 per-group order.
 
 Auth: TLS from byte 0 (`tls`, optional `ssl_context`/`tls_insecure`)
-and SASL PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512 via SaslHandshake v1 +
-SaslAuthenticate v0 (KIP-43/KIP-152), the reference's mechanism list
-(kafka_sink.ex:16-28) minus aws-msk-iam (explicit NotImplementedError).
+and SASL PLAIN / SCRAM-SHA-256 / SCRAM-SHA-512 / AWS_MSK_IAM via
+SaslHandshake v1 + SaslAuthenticate v0 (KIP-43/KIP-152) — the
+reference's full mechanism list (kafka_sink.ex:16-28); MSK IAM is the
+SigV4-signed JSON payload of msk_iam.py and, like the reference,
+requires TLS (kafka_sink.ex:110-121).
 
 Only the produce path is implemented (the engine never consumes);
 tests run against a fake broker speaking the same frames
@@ -39,10 +41,9 @@ API_PRODUCE, API_METADATA, API_VERSIONS = 0, 3, 18
 API_SASL_HANDSHAKE, API_SASL_AUTHENTICATE = 17, 36
 
 # config `sasl_mechanism` → (wire mechanism, scram hash | None);
-# mirrors the reference's mechanism list minus aws-msk-iam
-# (lib/sequin/consumers/kafka_sink.ex:16-28,99) — IAM signing needs AWS
-# credentials plumbing the sandbox can't exercise, so it stays an
-# explicit NotImplementedError rather than untested code.
+# the reference's list (lib/sequin/consumers/kafka_sink.ex:16-28,99).
+# aws-msk-iam is dispatched separately (_sasl_msk_iam) — it is a
+# single-round signed-payload mechanism, not a username/password one.
 SASL_MECHANISMS = {
     "plain": ("PLAIN", None),
     "scram-sha-256": ("SCRAM-SHA-256", "sha256"),
@@ -229,8 +230,22 @@ class KafkaSink(Sink):
     default_batch_size = 200  # max_demand/batch defaults, kafka_pipeline parity
 
     def open(self) -> None:
+        mech = str(self.config.get("sasl_mechanism", "")).lower().replace("_", "-")
+        if mech == "aws-msk-iam":
+            # validate before dialing: the reference requires TLS with
+            # :aws_msk_iam (kafka_sink.ex:110-121) and the three AWS
+            # fields; failing fast beats a confusing TLS handshake error
+            if not self.config.get("tls"):
+                raise ValueError(
+                    "aws-msk-iam requires tls=true (the signed payload is "
+                    "a bearer credential; kafka_sink.ex requires TLS too)")
+            for k in ("aws_access_key_id", "aws_secret_access_key",
+                      "aws_region"):
+                if not self.config.get(k):
+                    raise ValueError(f"aws-msk-iam requires config {k!r}")
         hosts = self.config.get("hosts", "127.0.0.1:9092")
         host, _, port = hosts.split(",")[0].partition(":")
+        self._host = host
         self._client_id = self.config.get("client_id", "sequin_spark")
         self._corr = 0
         self._partition_counts: dict[str, int] = {}
@@ -272,9 +287,7 @@ class KafkaSink(Sink):
         with the server signature verified (scram.py)."""
         mech_cfg = str(self.config.get("sasl_mechanism", "")).lower().replace("_", "-")
         if mech_cfg == "aws-msk-iam":
-            raise NotImplementedError(
-                "aws-msk-iam SASL needs AWS SigV4 credentials plumbing; "
-                "use plain/scram-sha-256/scram-sha-512")
+            return self._sasl_msk_iam()
         if mech_cfg not in SASL_MECHANISMS:
             raise ValueError(
                 f"unknown sasl_mechanism {mech_cfg!r}; "
@@ -307,6 +320,30 @@ class KafkaSink(Sink):
             server_final = self._sasl_round(
                 sc.final(server_first).encode()).decode()
             sc.verify_server(server_final)
+
+    def _sasl_msk_iam(self) -> None:
+        """AWS_MSK_IAM: handshake then ONE authenticate round carrying
+        the SigV4-signed JSON payload (msk_iam.py).  The reference
+        requires TLS with this mechanism (kafka_sink.ex:110-121) —
+        the payload is a bearer credential, so we enforce it too."""
+        from sequin_spark.sinks.msk_iam import build_payload
+
+        resp = self._request(API_SASL_HANDSHAKE, 1, _str("AWS_MSK_IAM"))
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err:
+            raise RuntimeError(
+                f"kafka: broker rejected SASL mechanism AWS_MSK_IAM "
+                f"(error {err})")
+        payload = build_payload(
+            self._host,
+            self.config["aws_access_key_id"],
+            self.config["aws_secret_access_key"],
+            self.config["aws_region"],
+            session_token=self.config.get("aws_session_token"),
+            user_agent=f"sequin-spark/{self._client_id}",
+            now=self.config.get("_msk_iam_now"),  # test clock override
+        )
+        self._sasl_round(payload)
 
     def _sasl_round(self, auth_bytes: bytes) -> bytes:
         resp = self._request(API_SASL_AUTHENTICATE, 0, _bytes(auth_bytes))

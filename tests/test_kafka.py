@@ -32,12 +32,16 @@ class FakeKafka:
     Produce payloads after verifying the RecordBatch CRC."""
 
     def __init__(self, n_partitions=3, fail_codes=None, sasl=None,
-                 sasl_user="kuser", sasl_password="kpass", ssl_ctx=None):
+                 sasl_user="kuser", sasl_password="kpass", ssl_ctx=None,
+                 iam_secrets=None):
         self.n_partitions = n_partitions
         self.produced = []  # (topic, partition, key, value)
         self.fail_codes = list(fail_codes or [])
-        self.sasl = sasl  # "plain" | "scram-sha-256" | "scram-sha-512"
+        # "plain" | "scram-sha-256" | "scram-sha-512" | "aws-msk-iam"
+        self.sasl = sasl
         self.sasl_user, self.sasl_password = sasl_user, sasl_password
+        # access-key-id -> secret, for aws-msk-iam signature verification
+        self.iam_secrets = dict(iam_secrets or {})
         self.ssl_ctx = ssl_ctx  # server SSLContext -> TLS from byte 0
         self.authenticated = False
         self.handshook_mechanism = None
@@ -77,7 +81,8 @@ class FakeKafka:
                 (mlen,) = struct.unpack_from(">h", body, 0)
                 mech = body[2:2 + mlen].decode()
                 self.handshook_mechanism = mech
-                want = (self.sasl or "").upper()
+                want = {"aws-msk-iam": "AWS_MSK_IAM"}.get(
+                    self.sasl, (self.sasl or "").upper())
                 if mech == want:
                     resp = struct.pack(">hi", 0, 1) + _str(want)
                 else:  # 33 = UNSUPPORTED_SASL_MECHANISM
@@ -163,6 +168,15 @@ class FakeKafka:
             ok = (len(parts) == 3 and parts[1].decode() == self.sasl_user
                   and parts[2].decode() == self.sasl_password)
             return (True, b"") if ok else (False, None)
+        if self.sasl == "aws-msk-iam":
+            from sequin_spark.sinks.msk_iam import MskIamError, verify_payload
+
+            try:
+                verify_payload(auth, "127.0.0.1", self.iam_secrets)
+            except MskIamError:
+                return False, None
+            return True, (b'{"version":"2020_10_22",'
+                          b'"request-id":"fake-0001"}')
         from sequin_spark.sources.scram import ScramError, ScramServer
 
         algo = "sha512" if self.sasl == "scram-sha-512" else "sha256"
