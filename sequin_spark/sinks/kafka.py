@@ -167,15 +167,85 @@ def encode_record(offset_delta: int, key: bytes | None, value: bytes) -> bytes:
     return _varint(len(body)) + bytes(body)
 
 
-def encode_record_batch(records: list[tuple[bytes | None, bytes]], base_ts_ms: int = 0) -> bytes:
-    """Message-format v2 RecordBatch (magic=2) with CRC32C."""
+# RecordBatch attributes bits 0-2 (public protocol "compression" enum,
+# the reference sink's codec list kafka_sink.ex:28)
+COMPRESSION_CODECS = {"none": 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
+
+
+def _compress(codec: str, data: bytes) -> bytes:
+    if codec == "gzip":  # Kafka's GZIP codec = RFC 1952 (gzip.compress)
+        import gzip
+
+        # mtime=0: deterministic bytes (gzip embeds a timestamp header)
+        return gzip.compress(data, mtime=0)
+    # snappy/lz4/zstd need non-stdlib codecs — honest import-try gate
+    try:
+        if codec == "zstd":
+            from compression import zstd  # Python >= 3.14
+
+            return zstd.compress(data)
+        if codec == "snappy":
+            import snappy
+
+            return snappy.compress(data)
+        if codec == "lz4":
+            import lz4.frame
+
+            return lz4.frame.compress(data)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"kafka compression codec {codec!r} needs a {codec} library "
+            f"not present in this environment; use none or gzip") from e
+    raise ValueError(f"unknown kafka compression codec {codec!r}; "
+                     f"supported: {sorted(COMPRESSION_CODECS)}")
+
+
+def _decompress(codec_bits: int, data: bytes) -> bytes:
+    if codec_bits == 0:
+        return data
+    if codec_bits == 1:
+        import gzip
+
+        return gzip.decompress(data)
+    try:
+        if codec_bits == 4:
+            from compression import zstd
+
+            return zstd.decompress(data)
+        if codec_bits == 2:
+            import snappy
+
+            return snappy.decompress(data)
+        if codec_bits == 3:
+            import lz4.frame
+
+            return lz4.frame.decompress(data)
+    except ImportError as e:
+        raise NotImplementedError(
+            f"codec bits {codec_bits} need a non-stdlib library") from e
+    raise ValueError(f"unknown codec bits {codec_bits}")
+
+
+def encode_record_batch(records: list[tuple[bytes | None, bytes]],
+                        base_ts_ms: int = 0,
+                        compression: str = "none") -> bytes:
+    """Message-format v2 RecordBatch (magic=2) with CRC32C; when a
+    codec is set, the records block is compressed as a unit and the
+    codec goes in attributes bits 0-2 (public protocol; reference
+    kafka_sink.ex:28 `compression` field)."""
     recs = b"".join(
         encode_record(i, k, v) for i, (k, v) in enumerate(records)
     )
+    codec = COMPRESSION_CODECS.get(compression)
+    if codec is None:
+        raise ValueError(f"unknown kafka compression codec {compression!r}; "
+                         f"supported: {sorted(COMPRESSION_CODECS)}")
+    if codec:
+        recs = _compress(compression, recs)
     # everything from attributes onward is CRC'd
     after_crc = (
-        struct.pack(">hiqqqhii", 0, len(records) - 1, base_ts_ms, base_ts_ms,
-                    -1, -1, -1, len(records))
+        struct.pack(">hiqqqhii", codec, len(records) - 1, base_ts_ms,
+                    base_ts_ms, -1, -1, -1, len(records))
         + recs
     )
     head = struct.pack(">ib", -1, 2)  # partitionLeaderEpoch, magic
@@ -194,10 +264,13 @@ def parse_record_batch(data: bytes) -> list[tuple[bytes | None, bytes]]:
     after = data[21:12 + batch_len]
     if crc32c(after) != crc:
         raise ValueError("record batch CRC mismatch")
-    (_attrs, _last_delta, _bts, _mts, _pid, _pepoch, _bseq, n) = struct.unpack_from(
+    (attrs, _last_delta, _bts, _mts, _pid, _pepoch, _bseq, n) = struct.unpack_from(
         ">hiqqqhii", after, 0
     )
-    pos = struct.calcsize(">hiqqqhii")
+    head_len = struct.calcsize(">hiqqqhii")
+    if attrs & 0x07:  # compressed records block (CRC covers the wire bytes)
+        after = after[:head_len] + _decompress(attrs & 0x07, after[head_len:])
+    pos = head_len
     out = []
     for _ in range(n):
         _rec_len, pos = read_varint(after, pos)
@@ -243,6 +316,12 @@ class KafkaSink(Sink):
                       "aws_region"):
                 if not self.config.get(k):
                     raise ValueError(f"aws-msk-iam requires config {k!r}")
+        comp = self.config.get("compression", "none")
+        if comp not in COMPRESSION_CODECS:
+            raise ValueError(f"unknown kafka compression codec {comp!r}; "
+                             f"supported: {sorted(COMPRESSION_CODECS)}")
+        if comp != "none":
+            _compress(comp, b"")  # fail fast if the codec lib is absent
         hosts = self.config.get("hosts", "127.0.0.1:9092")
         host, _, port = hosts.split(",")[0].partition(":")
         self._host = host
@@ -416,7 +495,8 @@ class KafkaSink(Sink):
             self._partition_counts[name] = n_parts
 
     def _produce(self, topic: str, partition: int, records: list[tuple[bytes | None, bytes]]) -> None:
-        batch = encode_record_batch(records)
+        batch = encode_record_batch(
+            records, compression=self.config.get("compression", "none"))
         body = (
             _str(None)  # transactional_id
             + struct.pack(">hi", -1, int(self.config.get("timeout_ms", 30000)))  # acks=all
