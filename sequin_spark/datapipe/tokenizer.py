@@ -168,22 +168,33 @@ def bpe_learn_merges(
 
 def bpe_encode(df: DataFrame, merges: list[tuple], text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
-    """Token counts under a learned merge table: apply the merges in
-    rank order to every word, count resulting symbols per document.
+    """Token counts under a learned merge table.
     ``merges``: [(rank, x, y, merged, cnt), ...] from bpe_learn_merges.
-    """
-    out = df.select(
+
+    The merge folds run ONCE per DISTINCT word (the fold chain is the
+    expensive part — K chained string-aggregate exprs), and the
+    (word → token count) result broadcast-joins back onto the exploded
+    corpus word stream — so the corpus-scale side is explode + BHJ +
+    sum, and fold cost scales with |vocabulary|, not corpus size."""
+    corpus_words = df.select(
         F.col(id_col), F.explode(F.split(normalized(text_col), " ")).alias("word")
     ).filter(F.col("word") != "")
     chars = F.expr(
         "array_join(transform(sequence(1, length(word)), "
         "i -> substr(word, i, 1)), '|')"
     )
-    out = out.withColumn("syms", chars)
+    distinct = corpus_words.select("word").distinct().withColumn("syms", chars)
     for _, x, y, _, _ in sorted(merges):
-        out = out.withColumn("syms", _merge_expr(x, y))
-    n_syms = F.size(F.expr("split(syms, '\\\\|')"))
-    return out.groupBy(id_col).agg(
-        F.sum(n_syms).cast("long").alias("n_bpe_tokens"),
-        F.count(F.lit(1)).cast("long").alias("n_words"),
+        distinct = distinct.withColumn("syms", _merge_expr(x, y))
+    word_tokens = distinct.select(
+        "word",
+        F.size(F.expr("split(syms, '\\\\|')")).alias("n_syms"),
+    )
+    return (
+        corpus_words.join(F.broadcast(word_tokens), "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n_syms").cast("long").alias("n_bpe_tokens"),
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+        )
     )

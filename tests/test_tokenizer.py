@@ -91,6 +91,147 @@ def test_bpe_encode_counts(spark):
         assert out[i]["n_bpe_tokens"] <= sum(len(w) for w in words)
 
 
+def _py_unigram(texts, vocab_size, seed_size, max_len, n_iters,
+                prune_frac=0.25):
+    """Independent pure-Python unigram-LM EM (Kudo 2018, plain MLE) —
+    same spec as datapipe/unigram.py but written against dicts, no
+    shared helpers."""
+    import math
+
+    words = Counter()
+    for t in texts:
+        for w in re.sub(r"\s+", " ", t.lower()).split(" "):
+            if w:
+                words[w] += 1
+    subs = Counter()
+    for w, n in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(len(w), i + max_len) + 1):
+                subs[w[i:j]] += n
+    chars = {p: c for p, c in subs.items() if len(p) == 1}
+    multi = dict(sorted(((p, c) for p, c in subs.items() if len(p) > 1),
+                        key=lambda t: (-t[1], t[0]))[:seed_size])
+    total = sum(chars.values()) + sum(multi.values())
+    logp = {p: math.log(c / total) for p, c in {**chars, **multi}.items()}
+
+    def fb(word):
+        n = len(word)
+        alpha = [-math.inf] * (n + 1)
+        alpha[0] = 0.0
+        edges = []
+        for i in range(1, n + 1):
+            for j in range(max(0, i - max_len), i):
+                piece = word[j:i]
+                if piece in logp:
+                    edges.append((j, i, piece))
+                    s = alpha[j] + logp[piece]
+                    alpha[i] = (s if alpha[i] == -math.inf
+                                else max(alpha[i], s) + math.log1p(
+                                    math.exp(-abs(alpha[i] - s))))
+        beta = [-math.inf] * (n + 1)
+        beta[n] = 0.0
+        for j, i, piece in reversed(edges):
+            s = beta[i] + logp[piece]
+            beta[j] = (s if beta[j] == -math.inf
+                       else max(beta[j], s) + math.log1p(
+                           math.exp(-abs(beta[j] - s))))
+        out = Counter()
+        z = alpha[n]
+        for j, i, piece in edges:
+            out[piece] += math.exp(alpha[j] + logp[piece] + beta[i] - z)
+        return out
+
+    exp = {}
+    for it in range(n_iters):
+        exp = Counter()
+        for w, n in words.items():
+            for p, c in fb(w).items():
+                exp[p] += n * c
+        items = sorted(exp.items())
+        total = math.fsum(c for _, c in items)
+        logp = {p: math.log(c / total) for p, c in items if c > 0.0}
+        if len(logp) > vocab_size:
+            m = sorted(((p, exp[p]) for p in logp if len(p) > 1),
+                       key=lambda t: (t[1], t[0]))
+            n_chars = sum(1 for p in logp if len(p) == 1)
+            target = (max(vocab_size - n_chars,
+                          int(len(m) * (1.0 - prune_frac)))
+                      if it < n_iters - 1 else max(0, vocab_size - n_chars))
+            drop = {p for p, _ in m[:max(0, len(m) - target)]}
+            kept = {p: lp for p, lp in logp.items() if p not in drop}
+            t2 = math.fsum(math.exp(lp) for lp in kept.values())
+            logp = {p: lp - math.log(t2) for p, lp in kept.items()}
+    return logp, exp
+
+
+def test_unigram_em_matches_pure_python(spark):
+    """2 EM rounds on the toy corpus: piece set identical, log-probs and
+    expected counts equal to float tolerance."""
+    from sequin_spark.datapipe.unigram import train_unigram
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string")
+    got = {r["piece"]: (r["logprob"], r["expected_cnt"]) for r in
+           train_unigram(df, spark, vocab_size=24, seed_size=40,
+                         max_piece_len=4, n_iters=2).collect()}
+    want_logp, want_exp = _py_unigram(TEXTS, 24, 40, 4, 2)
+    assert set(got) == set(want_logp)
+    for p in got:
+        assert got[p][0] == pytest.approx(want_logp[p], abs=1e-9)
+        assert got[p][1] == pytest.approx(want_exp[p], abs=1e-4)
+
+
+def test_unigram_learns_frequent_words_as_pieces(spark):
+    from sequin_spark.datapipe.unigram import train_unigram
+
+    texts = ["the cat sat on the mat", "the bat and the cat",
+             "mat bat cat hat"] * 5
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = train_unigram(df, spark, vocab_size=24, seed_size=40,
+                         max_piece_len=4, n_iters=3).collect()
+    top = sorted(rows, key=lambda r: -r["expected_cnt"])[:4]
+    assert {r["piece"] for r in top} == {"the", "cat", "bat", "mat"}
+
+
+def test_unigram_encode_viterbi_counts_and_plan(spark):
+    """Encode = 1 token per learned whole word; corpus side of the plan
+    is a broadcast hash join (Viterbi only touches the distinct-word
+    table)."""
+    from sequin_spark.datapipe.unigram import train_unigram, unigram_encode
+
+    texts = ["the cat sat on the mat", "the bat and the cat"] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    rows = train_unigram(df, spark, vocab_size=24, seed_size=40,
+                         max_piece_len=4, n_iters=3).collect()
+    vocab = [(r["piece"], r["logprob"]) for r in rows]
+    enc = unigram_encode(df, vocab, max_piece_len=4)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    out = {r["doc_id"]: r for r in enc.collect()}
+    for i, t in enumerate(texts):
+        n_words = len([w for w in t.split() if w])
+        assert out[i]["n_words"] == n_words
+        # every word in this corpus is learned whole -> 1 token/word
+        assert out[i]["n_unigram_tokens"] == n_words
+
+
+def test_unigram_viterbi_prefers_max_prob_segmentation():
+    import math
+
+    from sequin_spark.datapipe.unigram import _viterbi
+
+    logp = {"ab": math.log(0.4), "c": math.log(0.2), "abc": math.log(0.05),
+            "a": math.log(0.2), "bc": math.log(0.15)}
+    # ab+c = 0.08 > abc = 0.05 > a+bc = 0.03
+    assert _viterbi("abc", logp, 3) == ["ab", "c"]
+    # decisive the other way: ab+c = 0.04 < abc = 0.05
+    logp2 = {"ab": math.log(0.1), "c": math.log(0.4), "abc": math.log(0.05)}
+    assert _viterbi("abc", logp2, 3) == ["abc"]
+    assert _viterbi("zz", logp2, 3) is None  # unsegmentable
+
+
 def test_bpe_batched_matches_python_reference_64_merges(spark, sf_dir):
     """Scan batching must be invisible in the result: 64 merges over the
     real documents table equal the sequential pure-Python reference."""
