@@ -33,14 +33,18 @@ table; everything after runs over that |distinct words|-bounded table:
   corpus-scale side is pure Catalyst (explode + broadcast hash join +
   sum), no Python in the hot path.
 
-Deterministic: no sampling, ties broken lexicographically, and the
-E-step accumulates in per-word-independent float64 (word order cannot
-change sums because each word's contribution is computed in isolation
-and the final piece-keyed sum is over ≤|vocab| values the driver sorts
-before reducing) — two runs produce identical vocabularies.  The
-registry entry is rows-only checked (no DuckDB oracle: forward-
-backward EM is genuinely non-SQL-expressible); exactness is pinned by
-the pure-Python differential test in tests/test_tokenizer.py instead.
+Determinism, honestly stated: there is no sampling and ties break
+lexicographically, but the E-step's piece-keyed float sum is a Spark
+aggregation whose cross-partition merge order is not fixed, so
+expected counts are reproducible only to float-merge noise (last-ulp).
+That can matter solely at an EXACT prune-boundary tie between two
+pieces' counts — everywhere else the (count, piece) sort is stable
+under ulp perturbation.  Hence the differential test compares with
+tolerance, the persisted-vocab cache stores the artifact rather than
+assuming re-training is bit-identical, and the registry entry is
+rows-only checked (no DuckDB oracle: forward-backward EM is genuinely
+non-SQL-expressible); exact math is pinned by the pure-Python
+differential test in tests/test_tokenizer.py.
 """
 
 from __future__ import annotations
@@ -259,7 +263,13 @@ def unigram_encode(
 
     Viterbi runs ONCE per distinct word (mapInPandas over the bounded
     word table); the corpus-scale side is explode + broadcast hash
-    join + sum — pure Catalyst."""
+    join + sum — pure Catalyst.
+
+    Words the vocab cannot segment (a character never seen in
+    training) fall back to their character count — the byte/char
+    fallback every production tokenizer applies to OOV input — and are
+    surfaced per doc as ``n_oov_words`` so callers can monitor
+    coverage instead of silently absorbing it."""
     spark = df.sparkSession
     corpus_words = (
         df.select(F.col(id_col),
@@ -274,17 +284,21 @@ def unigram_encode(
 
         logp = bc.value
         for pdf in pdfs:
-            toks = []
+            toks, oov = [], []
             for word in pdf["word"]:
                 seg = _viterbi(word, logp, max_piece_len)
-                toks.append(len(seg) if seg is not None else -1)
-            yield pd.DataFrame({"word": pdf["word"], "n_tokens": toks})
+                toks.append(len(seg) if seg is not None else len(word))
+                oov.append(seg is None)
+            yield pd.DataFrame({"word": pdf["word"], "n_tokens": toks,
+                                "is_oov": oov})
 
     word_tokens = distinct_words.mapInPandas(
-        gen, "word string, n_tokens int")
+        gen, "word string, n_tokens int, is_oov boolean")
     return (
         corpus_words.join(F.broadcast(word_tokens), "word")
         .groupBy(id_col)
         .agg(F.sum("n_tokens").cast("long").alias("n_unigram_tokens"),
-             F.count(F.lit(1)).cast("long").alias("n_words"))
+             F.count(F.lit(1)).cast("long").alias("n_words"),
+             F.sum(F.col("is_oov").cast("long")).cast("long")
+             .alias("n_oov_words"))
     )

@@ -2325,61 +2325,75 @@ FROM scored CROSS JOIN dc
 # Tokenizer training: BPE merge learning (datapipe/tokenizer.py)
 
 
+def _cached_json_artifact(sf_dir: str, kind: str, version: str, build):
+    """Maintained trained-artifact lifecycle for small JSON-serializable
+    results (trained tokenizers) — the scalar sibling of
+    _maintained_index: content-fingerprinted cache key, build once per
+    corpus, atomic meta.json write (the ONLY artifact, so a killed
+    build can never be half-loaded), load after.  ``version`` MUST
+    encode every hyperparameter that shapes the artifact — a changed
+    hyperparameter under an unchanged version silently reuses the
+    stale result."""
+    import json as _json
+
+    path = _index_cache_path(sf_dir, kind, version, src_table="documents")
+    mf = os.path.join(path, "meta.json")
+    if not os.path.exists(mf):
+        result = build()
+        os.makedirs(path, exist_ok=True)
+        tmp = mf + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(result, f)
+        os.replace(tmp, mf)
+    with open(mf) as f:
+        return _json.load(f)
+
+
 def _bpe_merges_cached(spark: SparkSession, sf_dir: str,
                        n_merges: int = 8) -> list[tuple]:
     """Maintained trained-tokenizer artifact: the merge table is learned
     once per corpus and persisted (content-fingerprinted cache key, the
     ANN-codebook pattern) — a tokenizer is trained once and reused by
-    every downstream job, so steady-state queries load, not re-fit.
-    meta.json is written atomically and is the ONLY artifact, so a
-    killed build can never be half-loaded."""
-    import json as _json
-
+    every downstream job, so steady-state queries load, not re-fit."""
     from sequin_spark.datapipe.tokenizer import bpe_learn_merges
 
-    path = _index_cache_path(sf_dir, "bpe_merges", f"m{n_merges}-v1",
-                             src_table="documents")
-    mf = os.path.join(path, "meta.json")
-    if not os.path.exists(mf):
+    def build():
         docs = load_table(spark, sf_dir, "documents")
-        merges = [list(r) for r in
-                  bpe_learn_merges(docs, spark, n_merges=n_merges).collect()]
-        os.makedirs(path, exist_ok=True)
-        tmp = mf + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(merges, f)
-        os.replace(tmp, mf)
-    with open(mf) as f:
-        return [tuple(m) for m in _json.load(f)]
+        return [list(r) for r in
+                bpe_learn_merges(docs, spark, n_merges=n_merges).collect()]
+
+    return [tuple(m) for m in _cached_json_artifact(
+        sf_dir, "bpe_merges", f"m{n_merges}-v1", build)]
 
 
-def _unigram_vocab_cached(spark: SparkSession, sf_dir: str,
-                          vocab_size: int = 96, max_piece_len: int = 4,
-                          ) -> list[tuple[str, float]]:
-    """Maintained unigram-LM vocabulary (same persisted-artifact
-    lifecycle as _bpe_merges_cached: trained once per corpus, atomic
-    meta.json, content-fingerprinted key)."""
-    import json as _json
+# training and encode MUST share the Viterbi/EM edge window — pieces
+# longer than the encode-side limit would silently never be considered
+_UNIGRAM_MAX_PIECE_LEN = 4
+_UNIGRAM_VOCAB_SIZE = 96
+_UNIGRAM_SEED_SIZE = 160
+_UNIGRAM_N_ITERS = 2
 
+
+def _unigram_vocab_cached(spark: SparkSession,
+                          sf_dir: str) -> list[tuple[str, float]]:
+    """Maintained unigram-LM vocabulary (_cached_json_artifact
+    lifecycle; the version key encodes EVERY training hyperparameter)."""
     from sequin_spark.datapipe.unigram import train_unigram
 
-    path = _index_cache_path(
-        sf_dir, "unigram_vocab", f"v{vocab_size}l{max_piece_len}-v1",
-        src_table="documents")
-    mf = os.path.join(path, "meta.json")
-    if not os.path.exists(mf):
+    version = (f"v{_UNIGRAM_VOCAB_SIZE}l{_UNIGRAM_MAX_PIECE_LEN}"
+               f"s{_UNIGRAM_SEED_SIZE}i{_UNIGRAM_N_ITERS}-v1")
+
+    def build():
         docs = load_table(spark, sf_dir, "documents")
         rows = train_unigram(
-            docs, spark, vocab_size=vocab_size, seed_size=160,
-            max_piece_len=max_piece_len, n_iters=2).collect()
-        vocab = [[r["piece"], r["logprob"]] for r in rows]
-        os.makedirs(path, exist_ok=True)
-        tmp = mf + ".tmp"
-        with open(tmp, "w") as f:
-            _json.dump(vocab, f)
-        os.replace(tmp, mf)
-    with open(mf) as f:
-        return [(p, lp) for p, lp in _json.load(f)]
+            docs, spark, vocab_size=_UNIGRAM_VOCAB_SIZE,
+            seed_size=_UNIGRAM_SEED_SIZE,
+            max_piece_len=_UNIGRAM_MAX_PIECE_LEN,
+            n_iters=_UNIGRAM_N_ITERS).collect()
+        return [[r["piece"], r["logprob"]] for r in rows]
+
+    return [(p, lp) for p, lp in _cached_json_artifact(
+        sf_dir, "unigram_vocab", version, build)]
 
 
 def q_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2398,7 +2412,7 @@ def q_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
     vocab = _unigram_vocab_cached(spark, sf_dir)
-    enc = unigram_encode(docs, vocab, max_piece_len=4)
+    enc = unigram_encode(docs, vocab, max_piece_len=_UNIGRAM_MAX_PIECE_LEN)
     langs = docs.select("doc_id", "lang")
     return (
         enc.join(langs, "doc_id")
@@ -2406,9 +2420,10 @@ def q_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("n_words").alias("n_words"),
             F.sum("n_unigram_tokens").alias("n_unigram_tokens"),
+            F.sum("n_oov_words").alias("n_oov_words"),
         )
         .select(
-            "lang", "n_words", "n_unigram_tokens",
+            "lang", "n_words", "n_unigram_tokens", "n_oov_words",
             F.round(F.col("n_unigram_tokens") / F.col("n_words"), 4)
             .alias("fertility"),
         )

@@ -374,18 +374,7 @@ class KafkaSink(Sink):
         wire, algo = SASL_MECHANISMS[mech_cfg]
         user = self.config.get("username", "")
         password = self.config.get("password", "")
-        resp = self._request(API_SASL_HANDSHAKE, 1, _str(wire))
-        (err,) = struct.unpack_from(">h", resp, 0)
-        if err:
-            (n,) = struct.unpack_from(">i", resp, 2)
-            pos, offered = 6, []
-            for _ in range(n):
-                (ln,) = struct.unpack_from(">h", resp, pos)
-                offered.append(resp[pos + 2:pos + 2 + ln].decode())
-                pos += 2 + ln
-            raise RuntimeError(
-                f"kafka: broker rejected SASL mechanism {wire} "
-                f"(error {err}; broker offers {offered})")
+        self._sasl_handshake(wire)
         if algo is None:  # PLAIN: authzid NUL user NUL password
             self._sasl_round(
                 b"\x00" + user.encode() + b"\x00" + password.encode())
@@ -407,12 +396,7 @@ class KafkaSink(Sink):
         the payload is a bearer credential, so we enforce it too."""
         from sequin_spark.sinks.msk_iam import build_payload
 
-        resp = self._request(API_SASL_HANDSHAKE, 1, _str("AWS_MSK_IAM"))
-        (err,) = struct.unpack_from(">h", resp, 0)
-        if err:
-            raise RuntimeError(
-                f"kafka: broker rejected SASL mechanism AWS_MSK_IAM "
-                f"(error {err})")
+        self._sasl_handshake("AWS_MSK_IAM")
         payload = build_payload(
             self._host,
             self.config["aws_access_key_id"],
@@ -423,6 +407,22 @@ class KafkaSink(Sink):
             now=self.config.get("_msk_iam_now"),  # test clock override
         )
         self._sasl_round(payload)
+
+    def _sasl_handshake(self, wire: str) -> None:
+        """SaslHandshake v1; on rejection the error lists the broker's
+        offered mechanisms (same diagnostic for every mechanism)."""
+        resp = self._request(API_SASL_HANDSHAKE, 1, _str(wire))
+        (err,) = struct.unpack_from(">h", resp, 0)
+        if err:
+            (n,) = struct.unpack_from(">i", resp, 2)
+            pos, offered = 6, []
+            for _ in range(n):
+                (ln,) = struct.unpack_from(">h", resp, pos)
+                offered.append(resp[pos + 2:pos + 2 + ln].decode())
+                pos += 2 + ln
+            raise RuntimeError(
+                f"kafka: broker rejected SASL mechanism {wire} "
+                f"(error {err}; broker offers {offered})")
 
     def _sasl_round(self, auth_bytes: bytes) -> bytes:
         resp = self._request(API_SASL_AUTHENTICATE, 0, _bytes(auth_bytes))

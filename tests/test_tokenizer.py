@@ -217,6 +217,26 @@ def test_unigram_encode_viterbi_counts_and_plan(spark):
         assert out[i]["n_unigram_tokens"] == n_words
 
 
+def test_unigram_encode_oov_char_fallback(spark):
+    """A word containing a character unseen in training falls back to
+    its character count and is surfaced in n_oov_words — never a silent
+    negative-sentinel corruption of the token sum."""
+    import math
+
+    from sequin_spark.datapipe.unigram import unigram_encode
+
+    vocab = [("a", math.log(0.4)), ("b", math.log(0.4)),
+             ("ab", math.log(0.2))]
+    df = spark.createDataFrame(
+        [(0, "ab ab zzzz"), (1, "ab ab")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           unigram_encode(df, vocab, max_piece_len=2).collect()}
+    assert out[1]["n_oov_words"] == 0
+    assert out[0]["n_oov_words"] == 1
+    # 'zzzz' contributes its 4 chars; each 'ab' is 1 piece
+    assert out[0]["n_unigram_tokens"] == out[1]["n_unigram_tokens"] + 4
+
+
 def test_unigram_viterbi_prefers_max_prob_segmentation():
     import math
 
