@@ -34,6 +34,33 @@ def get_spark(app_name: str = "sequin_spark", shuffle_partitions: int | None = N
     return builder.getOrCreate()
 
 
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def enable_rocksdb_state(spark: SparkSession) -> SparkSession:
+    """Switch stateful streaming to the RocksDB state store.
+
+    The default HDFSBackedStateStoreProvider keeps every key's state in
+    executor heap — fine for tests, a hard wall at 100 TB where keyed
+    state (per-group delivery cursors, per-user funnel candidates,
+    dedup band indexes) far exceeds memory.  RocksDB spills to local
+    SSD with incremental checkpointing to the checkpoint location, so
+    state scales with disk, not heap — the standard production setting
+    for large-state Structured Streaming.  Runtime-settable; applies to
+    streaming queries STARTED after the call (running queries keep the
+    provider they were planned with)."""
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                   ROCKSDB_PROVIDER)
+    # bound per-task memtable+block-cache memory so 32 concurrent state
+    # partitions per executor can't OOM the node
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+    return spark
+
+
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable conf to an externally provided session.
 

@@ -61,3 +61,42 @@ def test_enrichment_broadcasts(spark, sf_dir):
     shuffle the event stream."""
     plan = _physical_plan(QUERIES["enrichment_join"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """Co-located join via bucketing — the 100 TB recipe when BOTH join
+    sides are too big to broadcast: bucketBy(join key) + sortBy at
+    write time lets a later sort-merge join read both sides already
+    partitioned, with NO Exchange (shuffle) in the plan.  This pins the
+    recipe docs/SCALE.md prescribes for the fact-to-fact joins
+    (events↔orders) so a Spark upgrade or conf drift that silently
+    reinstates the shuffle fails the build."""
+    from sequin_spark.cdc import load_table
+
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{tmp_path}'")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        lineitem = load_table(spark, sf_dir, "lineitem")
+        (orders.write.mode("overwrite").bucketBy(8, "o_orderkey")
+         .sortBy("o_orderkey").saveAsTable("bkt.orders_b"))
+        (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey")
+         .sortBy("l_orderkey").saveAsTable("bkt.lineitem_b"))
+        joined = (
+            spark.table("bkt.orders_b")
+            .join(spark.table("bkt.lineitem_b"),
+                  spark.table("bkt.orders_b").o_orderkey
+                  == spark.table("bkt.lineitem_b").l_orderkey)
+            .select("o_orderkey", "l_quantity")
+        )
+        plan = _physical_plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, (
+            "bucketed join shuffled anyway:\n" + plan)
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
+        spark.sql("DROP DATABASE IF EXISTS bkt")

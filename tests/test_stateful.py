@@ -54,6 +54,61 @@ def test_stateful_dedup_across_microbatches(spark, tmp_path):
         q.stop()
 
 
+def test_stateful_dedup_under_rocksdb_state_store(spark, tmp_path):
+    """The same cross-micro-batch dedup runs (and checkpoints/restores
+    state) under the RocksDB state store — the 100 TB setting where
+    keyed state lives on executor disk, not heap.  Provider is set
+    before the query starts and restored after (other tests rely on
+    the default)."""
+    from sequin_spark.session import ROCKSDB_PROVIDER, enable_rocksdb_state
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    enable_rocksdb_state(spark)
+    try:
+        src = str(tmp_path / "src")
+        spark.createDataFrame(
+            [("g1", 10, 0), ("g2", 11, 0)],
+            "group_id string, commit_lsn long, commit_idx long",
+        ).coalesce(1).write.mode("append").parquet(src)
+        stream = (
+            spark.readStream
+            .schema("group_id string, commit_lsn long, commit_idx long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stateful_group_dedup(stream).writeStream.format("memory")
+            .queryName("rocks_dedup_out")
+            .option("checkpointLocation", str(tmp_path / "ckpt_rocks"))
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # replayed + new rows: RocksDB-backed state must dedup the
+            # replay exactly like the heap-backed provider
+            spark.createDataFrame(
+                [("g1", 10, 0), ("g1", 12, 0), ("g2", 11, 0)],
+                "group_id string, commit_lsn long, commit_idx long",
+            ).coalesce(1).write.mode("append").parquet(src)
+            q.processAllAvailable()
+            # the running query really planned with RocksDB
+            assert spark.conf.get(key) == ROCKSDB_PROVIDER
+            rows = spark.sql(
+                "SELECT group_id, commit_lsn FROM rocks_dedup_out "
+                "ORDER BY group_id, commit_lsn").collect()
+            assert [(r.group_id, r.commit_lsn) for r in rows] == [
+                ("g1", 10), ("g1", 12), ("g2", 11)]
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """Spark-native streaming dedup twin: dropDuplicatesWithinWatermark
     on the idempotency key bounds state by event time (the ledger's
