@@ -782,6 +782,11 @@ def cmd_serve(args, out) -> int:
 
     spark = get_spark("sequin-serve")
     spark.sparkContext.setLogLevel("ERROR")
+    if getattr(args, "rocksdb_state", False):
+        from sequin_spark.session import enable_rocksdb_state
+
+        enable_rocksdb_state(spark)
+        print("State store: RocksDB (disk-backed keyed state)", file=out)
     registry = ConfigRegistry()
     if args.config:
         functions, specs = load_config(preprocess_yaml(args.config))
@@ -1008,6 +1013,9 @@ def build_parser() -> argparse.ArgumentParser:
                        help="reconcile, drain available input, exit")
     serve.add_argument("--max-seconds", type=float, default=None)
     serve.add_argument("--reconcile-interval", type=float, default=2.0)
+    serve.add_argument("--rocksdb-state", action="store_true",
+                       help="disk-backed RocksDB state store for "
+                            "stateful streams (large keyed state)")
     serve.set_defaults(func=cmd_serve)
 
     # tunnel

@@ -41,6 +41,39 @@ def test_serve_once_applies_and_drains(spark, sf_dir, tmp_path):
     assert _count(out_dir) == 60
 
 
+def test_serve_once_with_rocksdb_state(spark, sf_dir, tmp_path):
+    """--rocksdb-state boots the engine with the disk-backed state
+    store and delivers identically; the provider conf is restored so
+    later tests keep the default."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    src = tmp_path / "events"
+    ev = eventize_orders(spark, sf_dir).limit(40).localCheckpoint()
+    ev.coalesce(1).write.mode("append").parquet(str(src))
+    out_dir = tmp_path / "delivered"
+    cfg = tmp_path / "sequin.yaml"
+    cfg.write_text(
+        "consumers:\n"
+        "  - name: orders-log\n"
+        "    sink_type: file_log\n"
+        f"    sink_config: {{path: \"{out_dir}\"}}\n"
+        "    transform: record_only\n"
+    )
+    out = io.StringIO()
+    try:
+        rc = main(["serve", "--config", str(cfg), "--events", str(src),
+                   "--state-dir", str(tmp_path / "state"), "--once",
+                   "--rocksdb-state"], out=out)
+        assert rc == 0
+        assert "State store: RocksDB" in out.getvalue()
+        assert _count(out_dir) == 40
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def test_serve_picks_up_rest_applied_consumer(spark, sf_dir, tmp_path):
     src = tmp_path / "events"
     ev = eventize_orders(spark, sf_dir).limit(40).localCheckpoint()
