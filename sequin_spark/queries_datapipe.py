@@ -66,11 +66,15 @@ def _index_cache_path(sf_dir: str, kind: str, version: str,
     try:
         if os.path.isdir(src):
             # directory-style parquet dataset: fingerprint the sorted
-            # (name, size) listing — a constant fallback here would
-            # silently reinstate the stale-index reuse hazard the
-            # fingerprint exists to prevent
+            # per-file (name, size, head+tail CONTENT hash) — name+size
+            # alone would reuse a stale index when a dataset is
+            # regenerated with identical layout (same part names, same
+            # sizes, different values), the exact hazard this key
+            # exists to prevent; the tail bytes hold each part's
+            # parquet footer/statistics, so any regeneration changes
+            # them
             ent = sorted(
-                (n, os.path.getsize(os.path.join(src, n)))
+                (n, _fp_file(os.path.join(src, n)))
                 for n in os.listdir(src)
                 if not n.startswith((".", "_"))
             )

@@ -345,16 +345,11 @@ class KafkaSink(Sink):
         skips verification (rung below verify, like ssl_mode=require)."""
         sock = socket.create_connection((host, port), timeout=10)
         if self.config.get("tls"):
-            import ssl
+            from sequin_spark.tlsutil import make_client_context
 
-            ctx = self.config.get("ssl_context")
-            if ctx is None:
-                if self.config.get("tls_insecure"):
-                    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-                    ctx.check_hostname = False
-                    ctx.verify_mode = ssl.CERT_NONE
-                else:
-                    ctx = ssl.create_default_context()
+            ctx = make_client_context(
+                not self.config.get("tls_insecure"),
+                self.config.get("ssl_context"))
             sock = ctx.wrap_socket(sock, server_hostname=host)
         self._sock = sock
         self._buf = self._sock.makefile("rb")

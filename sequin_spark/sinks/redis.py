@@ -122,12 +122,35 @@ class _RedisBase(Sink):
             self._execute([("SELECT", cfg["db"])])
 
     def _execute(self, cmds: list[tuple]) -> list:
+        """Pipelined round trip that NEVER leaves the connection
+        desynchronized: on a -ERR reply mid-batch the remaining replies
+        are still drained before the first error is raised — otherwise
+        a retry on the same socket would match leftover '+OK's of this
+        batch to the next batch's commands and report failed writes as
+        delivered.  A dead connection (EOF) aborts the drain; the
+        socket is useless either way and close() is safe."""
         self._sock.sendall(b"".join(encode_command(c) for c in cmds))
-        return [read_reply(self._buf) for _ in cmds]
+        replies: list = []
+        first_err: RespError | None = None
+        for _ in cmds:
+            try:
+                replies.append(read_reply(self._buf))
+            except RespError as e:
+                if "connection closed" in str(e):
+                    raise first_err or e from None
+                if first_err is None:
+                    first_err = e
+                replies.append(e)
+        if first_err is not None:
+            raise first_err
+        return replies
 
     def close(self) -> None:
+        sock = getattr(self, "_sock", None)  # open() may have failed first
+        if sock is None:
+            return
         try:
-            self._sock.close()
+            sock.close()
         except OSError:
             pass
 

@@ -90,27 +90,41 @@ class HeartbeatMonitor:
 
     # --- verification (the :verify_heartbeat cond chain) ------------------
 
-    def verify(self) -> tuple[bool, str]:
-        """(alive?, reason) — port of slot_processor_server.ex:454-494,
-        clause order preserved."""
+    def verify(self) -> tuple[str, str]:
+        """(status, reason) with status ∈ {"ok", "indeterminate",
+        "fail"} — port of slot_processor_server.ex:454-494, clause
+        order preserved.
+
+        ``too_soon`` is INDETERMINATE, not a failure: the reference's
+        caller (slot_processor_server.ex:403-408) logs it at info and
+        keeps running — a heartbeat still inside the emit-to-receive
+        window on a quiet slot proves nothing either way.  A supervisor
+        that restarted on it would tear down a healthy connection after
+        every emit (perpetual churn on idle databases); restart only on
+        "fail" (see ``is_alive``)."""
         now = self._clock()
         cur, emitted = self.current_heartbeat_id, self.emitted_at
         if cur is None and emitted is not None:
             if now - emitted <= MAX_EMISSION_AGE_S:
-                return True, "last heartbeat was received"
-            return False, "no_recent_heartbeat"
+                return "ok", "last heartbeat was received"
+            return "fail", "no_recent_heartbeat"
         if cur is None and emitted is None:
-            return False, "no_heartbeat"
+            return "fail", "no_heartbeat"
         if (self.emitted_lsn is not None
                 and self.last_flushed_commit_lsn is not None
                 and self.last_flushed_commit_lsn > self.emitted_lsn):
             # the slot advanced PAST our heartbeat without us seeing it
-            return False, "lsn_advanced"
+            return "fail", "lsn_advanced"
         if cur is not None and self.message_received_since_last_heartbeat:
-            return True, "outstanding heartbeat but messages received"
+            return "ok", "outstanding heartbeat but messages received"
         if cur is not None and emitted is not None and (
                 now - emitted <= MAX_EMIT_TO_RECEIVE_S):
-            return False, "too_soon"
+            return "indeterminate", "too_soon"
         if cur is not None:
-            return False, "stale_connection"
-        return False, "no_last_commit_lsn"  # pragma: no cover
+            return "fail", "stale_connection"
+        return "fail", "no_last_commit_lsn"  # pragma: no cover
+
+    def is_alive(self) -> bool:
+        """Restart predicate: only a definite failure counts as dead —
+        ok and indeterminate both keep the connection."""
+        return self.verify()[0] != "fail"

@@ -205,8 +205,6 @@ class ReplicationClient:
         """SSLRequest (len=8, magic 80877103) → single-byte 'S'/'N'
         answer → TLS-wrap the socket (public protocol §'SSL Session
         Encryption').  Must run before the startup packet."""
-        import ssl
-
         assert self._sock is not None
         self._send(struct.pack(">ii", 8, SSL_REQUEST_CODE))
         answer = self._recv_exact(1)
@@ -217,20 +215,30 @@ class ReplicationClient:
                 f"server refused SSL but ssl_mode={self.ssl_mode!r}")
         if answer != b"S":
             raise ReplicationError(f"unexpected SSLRequest answer {answer!r}")
-        if self.ssl_context is not None:
-            ctx = self.ssl_context
-        elif self.ssl_mode == "verify-full":
-            ctx = ssl.create_default_context()
-        else:  # prefer/require: encrypt without verification (libpq parity)
-            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
-            ctx.check_hostname = False
-            ctx.verify_mode = ssl.CERT_NONE
+        from sequin_spark.tlsutil import make_client_context
+
+        # prefer/require encrypt without verification (libpq parity);
+        # verify-full uses platform verification
+        ctx = make_client_context(self.ssl_mode == "verify-full",
+                                  self.ssl_context)
         assert not self._buf, "data buffered before TLS handshake"
         self._sock.settimeout(self.connect_timeout)
         self._sock = ctx.wrap_socket(self._sock, server_hostname=self.host)
         self.tls_active = True
 
     def _auth_loop(self) -> None:
+        from sequin_spark.sources.scram import ScramError
+
+        try:
+            self._auth_loop_inner()
+        except ScramError as e:
+            # keep the supervision contract: every auth failure is a
+            # ReplicationError so run_supervised's backoff-retry catches
+            # it (a malformed SASL payload from a proxy mid-restart must
+            # not kill the supervised loop)
+            raise ReplicationError(f"SCRAM authentication failed: {e}") from e
+
+    def _auth_loop_inner(self) -> None:
         scram = None
         while True:
             mtype, payload = self._read_message()

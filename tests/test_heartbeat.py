@@ -47,11 +47,12 @@ def test_emit_over_wire_and_roundtrip():
         assert payload["id"] == mon.current_heartbeat_id
         assert payload["version"] == "1.0"
         # outstanding and too recent to verify
-        assert mon.verify() == (False, "too_soon")
+        assert mon.verify() == ("indeterminate", "too_soon")
+        assert mon.is_alive()  # indeterminate must NOT trigger a restart
         # the heartbeat comes back through the slot stream
         mon.on_wal_message(_hb_msg(mon.current_heartbeat_id))
         assert mon.current_heartbeat_id is None and mon.received_count == 1
-        assert mon.verify() == (True, "last heartbeat was received")
+        assert mon.verify() == ("ok", "last heartbeat was received")
     finally:
         client.close()
         srv.close()
@@ -60,29 +61,30 @@ def test_emit_over_wire_and_roundtrip():
 def test_verify_chain_clauses():
     clock = Clock()
     mon = HeartbeatMonitor(clock=clock)
-    assert mon.verify() == (False, "no_heartbeat")
+    assert mon.verify() == ("fail", "no_heartbeat")
 
     # received round trip, then time passes beyond the emission window
     mon.emitted_at = clock()
     mon.current_heartbeat_id = None
     clock.t += MAX_EMISSION_AGE_S + 1
-    assert mon.verify() == (False, "no_recent_heartbeat")
+    assert mon.verify() == ("fail", "no_recent_heartbeat")
 
     # outstanding + other traffic flowing = lagging but alive
     mon.current_heartbeat_id = "hb-1"
     mon.emitted_at = clock.t
     mon.emitted_lsn = 100
     mon.on_wal_message(LogicalMessage(True, 5, "other.prefix", b"{}"))
-    assert mon.verify()[0] is True
+    assert mon.verify()[0] == "ok"
 
     # outstanding, silent, past the receive window = stale connection
     mon.message_received_since_last_heartbeat = False
     clock.t += MAX_EMIT_TO_RECEIVE_S + 1
-    assert mon.verify() == (False, "stale_connection")
+    assert mon.verify() == ("fail", "stale_connection")
+    assert not mon.is_alive()
 
     # slot advanced past our heartbeat without us seeing it
     mon.last_flushed_commit_lsn = 200
-    assert mon.verify() == (False, "lsn_advanced")
+    assert mon.verify() == ("fail", "lsn_advanced")
 
 
 def test_heartbeat_of_other_instance_ignored():
@@ -131,7 +133,7 @@ def test_worker_feeds_monitor(tmp_path):
         assert mon.received_count == 1
         assert mon.message_received_since_last_heartbeat  # txn traffic
         assert mon.last_flushed_commit_lsn == worker.flushed_lsn > 0
-        assert mon.verify()[0] is True
+        assert mon.verify()[0] == "ok"
     finally:
         client.close()
         srv.close()

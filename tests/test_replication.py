@@ -192,6 +192,16 @@ class FakeWalSender:
             if not self._auth_scram(conn):
                 conn.close()
                 return
+        elif self.auth == "scram_garbage":
+            # a proxy mid-restart: offers SCRAM then answers the
+            # client-first with a malformed server-first payload
+            conn.sendall(msg(
+                b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00"))
+            self._read_msg(conn)  # client SASLInitialResponse
+            conn.sendall(msg(
+                b"R", struct.pack(">i", 11) + b"this-is-not-scram"))
+            conn.close()
+            return
         else:
             # cleartext password auth
             conn.sendall(msg(b"R", struct.pack(">i", 3)))

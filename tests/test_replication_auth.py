@@ -253,3 +253,21 @@ def test_sasl_without_supported_mechanism_raises():
     finally:
         client.close()
         s.close()
+
+
+def test_malformed_scram_payload_raises_replication_error():
+    """A garbage SASL server-first (proxy mid-restart) must surface as
+    ReplicationError — the exception class run_supervised's
+    backoff-retry catches — never a raw ScramError that would kill the
+    supervision loop."""
+    from tests.test_replication import FakeWalSender
+
+    srv = FakeWalSender([], auth="scram_garbage")
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="u", database="d", password="s3cret")
+    try:
+        with pytest.raises(ReplicationError, match="SCRAM"):
+            client.connect()
+    finally:
+        client.close()
+        srv.close()

@@ -201,8 +201,9 @@ class FakeRedis:
     """Minimal RESP2 server: parses command arrays, records them,
     answers +OK (or scripted errors); AUTH checks a password."""
 
-    def __init__(self, password=None):
+    def __init__(self, password=None, fail_key=None):
         self.password = password
+        self.fail_key = fail_key  # SET/DEL on this key answers -WRONGTYPE
         self.commands = []
         s = socket.socket()
         s.bind(("127.0.0.1", 0))
@@ -237,6 +238,10 @@ class FakeRedis:
                     conn.sendall(b"-NOAUTH Authentication required.\r\n")
                 elif args[0] == "XADD":
                     conn.sendall(b"$15\r\n1526919030474-0\r\n")
+                elif (self.fail_key is not None and len(args) > 1
+                        and args[1] == self.fail_key):
+                    conn.sendall(b"-WRONGTYPE Operation against a key "
+                                 b"holding the wrong kind of value\r\n")
                 else:
                     conn.sendall(b"+OK\r\n")
         except (OSError, ConnectionError):
@@ -275,6 +280,54 @@ def test_redis_sinks_deliver_over_resp():
     finally:
         stream.close()
         srv2.close()
+
+
+def test_redis_error_mid_batch_keeps_connection_synchronized():
+    """A -ERR on one command of a pipelined batch raises, but the
+    remaining replies are drained — the NEXT batch on the same
+    connection must match its own replies, not this batch's leftovers
+    (otherwise a failed write could be acked as delivered)."""
+    from sequin_spark.sinks.redis import RespError
+
+    srv = FakeRedis(fail_key="sequin:bad")
+    sink = create_sink("redis_string", {"url": f"redis://127.0.0.1:{srv.port}"})
+    sink.open()
+    try:
+        with pytest.raises(RespError, match="WRONGTYPE"):
+            sink.deliver(SinkBatch(rows=[
+                {"key": "sequin:bad", "value": "x"},     # -WRONGTYPE
+                {"key": "sequin:t:2", "value": "y"},     # +OK (drained)
+                {"key": "sequin:t:3", "value": "z"},     # +OK (drained)
+            ], routing={}))
+        # the retry batch succeeds and sees ITS replies, not leftovers
+        sink.deliver(SinkBatch(rows=[
+            {"key": "sequin:t:4", "value": "w"}], routing={}))
+        assert srv.commands[-1] == ("SET", "sequin:t:4", "w")
+    finally:
+        sink.close()
+        srv.close()
+
+
+def test_redis_close_before_successful_open_is_safe():
+    sink = create_sink("redis_string",
+                       {"url": "redis://127.0.0.1:1"})  # nothing listens
+    with pytest.raises(OSError):
+        sink.open()
+    sink.close()  # must not raise AttributeError
+
+
+def test_postgres_dsn_sslmode_honored():
+    from sequin_spark.sinks.postgres import parse_dsn
+
+    assert parse_dsn("postgresql://u@h/db?sslmode=require")["ssl_mode"] == "require"
+    # verify-ca upgrades to full verification, never silently weakens
+    assert parse_dsn("postgres://u@h/db?sslmode=verify-ca")["ssl_mode"] == "verify-full"
+    assert parse_dsn("postgres://u@h/db?sslmode=disable")["ssl_mode"] == "disable"
+    with pytest.raises(ValueError, match="sslmode"):
+        parse_dsn("postgres://u@h/db?sslmode=bogus")
+    # unknown params must refuse, not silently drop a guarantee
+    with pytest.raises(ValueError, match="sslrootcert"):
+        parse_dsn("postgres://u@h/db?sslrootcert=/x.pem")
 
 
 def test_redis_wrong_password_raises():
