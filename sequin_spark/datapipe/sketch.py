@@ -1,0 +1,151 @@
+"""One-pass bounded-memory sketches — cardinality (KMV, HyperLogLog)
+and frequency (count-min) estimation, the workhorse operators for
+profiling a 100 TB corpus without a full distinct/groupBy shuffle:
+vocabulary sizes, distinct-URL counts, heavy-hitter tokens.
+
+Cross-engine exactness is the design constraint (the DuckDB oracle
+hash-compares values): every sketch is built on a deterministic 60-bit
+md5-derived hash (``h60``), all register/counter state is INTEGER, and
+the only floating-point steps are single multiply/divide/round chains
+on identical operands — IEEE-exact on both engines (no float folds, no
+libm transcendentals; the HLL small-range ``ln`` correction is
+deliberately omitted and documented below).
+
+Scale shape:
+* KMV — one ``h < threshold``-prunable pass; the k smallest distinct
+  hashes are a TakeOrdered (no full sort); merge = union + re-take-k.
+* HLL — one pass folding to m=256 integer registers (groupBy on an
+  8-bit key, map-side partial max); merge = element-wise register max;
+  estimate from the EXACT integer S = Σ 2^(53−ρ) (≤ 256·2^53 < 2^62,
+  no float fold).  Small-range correction (m·ln(m/V)) is omitted
+  because ``ln`` is not correctly-rounded identically across engines —
+  callers counting < ~3·m distinct values should use KMV (exact there).
+* Count-min — d=4 × w=1024 integer counter matrix (one groupBy over
+  (row, bucket)), point estimate = min over rows; merge = element-wise
+  add.  Overestimate-only by construction.
+
+References: Bar-Yossef et al. 2002 (KMV), Flajolet et al. 2007 (HLL),
+Cormode & Muthukrishnan 2005 (count-min) — all public papers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_M = 256          # registers (8-bit bucket index)
+CM_DEPTH = 4         # count-min hash rows
+CM_WIDTH = 1024      # count-min buckets per row
+_ALPHA_256 = 0.7182725932495458  # 0.7213 / (1 + 1.079/256), HLL constant
+_POW2_53 = float(2 ** 53)
+_POW2_60 = float(2 ** 60)
+
+
+def h60(col) -> F.Column:
+    """Deterministic 60-bit hash: first 15 hex chars of md5 — portable
+    to the DuckDB oracle digit-for-digit (verified in tests)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct estimate: one row
+    (k, kth_min_hash, est_distinct).  est = (k−1)·2^60 / h_k — exact
+    product (k−1 ≤ 2^10, 2^60 a power of two), one IEEE division."""
+    hashes = df.select(h60(F.col(col)).alias("h")).distinct()
+    kth = (hashes.orderBy("h").limit(k)
+           .agg(F.max("h").alias("hk"), F.count("*").alias("n")))
+    return kth.select(
+        F.lit(k).alias("k"),
+        F.col("hk").alias("kth_min_hash"),
+        F.when(F.col("n") < k, F.col("n").cast("double"))  # fewer than k: exact
+        .otherwise(F.round(F.lit(float(k - 1)) * F.lit(_POW2_60) / F.col("hk"), 2))
+        .alias("est_distinct"),
+    )
+
+
+def hll_registers(df: DataFrame, col: str) -> DataFrame:
+    """The m=256 integer HLL register table (register, max_rho):
+    register = h60 % 256, ρ = leading-zero count of the remaining
+    52-bit word + 1 (= 53 − bitlength(w), via length(bin(w)) — exact
+    integer on both engines; w = 0 → ρ = 53).  Mergeable by
+    element-wise max."""
+    base = df.select(h60(F.col(col)).alias("_h")).select(
+        (F.col("_h") % HLL_M).cast("int").alias("register"),
+        F.expr(f"_h div {HLL_M}").alias("_w"),  # top 52 bits, integer div
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(_w)")))
+    return (
+        base.select("register", rho.cast("int").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One row (m, s_int, n_zero_registers, est_distinct) from a
+    register table.  S = Σ_m 2^(53−ρ) with ρ=0 for absent registers —
+    an EXACT bigint; est = α·m²·2^53 / S (two exact products of
+    literals, one IEEE division, one round)."""
+    s_present = registers.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - max_rho)")).alias("s_p"),
+        F.count("*").alias("n_present"),
+        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias("z_p"),
+    )
+    return s_present.select(
+        F.lit(HLL_M).alias("m"),
+        # absent registers contribute 2^53 each (rho = 0)
+        (F.col("s_p") + (F.lit(HLL_M) - F.col("n_present")) * F.lit(2 ** 53))
+        .cast("long").alias("s_int"),
+        (F.lit(HLL_M) - F.col("n_present") + F.col("z_p"))
+        .cast("long").alias("n_zero_registers"),
+    ).select(
+        "m", "s_int", "n_zero_registers",
+        F.round(F.lit(_ALPHA_256 * HLL_M * HLL_M) * F.lit(_POW2_53)
+                / F.col("s_int"), 1).alias("est_distinct"),
+    )
+
+
+def hll_distinct(df: DataFrame, col: str) -> DataFrame:
+    return hll_estimate(hll_registers(df, col))
+
+
+def cm_counters(df: DataFrame, col: str, weight: str | None = None) -> DataFrame:
+    """The d×w count-min counter table (row, bucket, cnt): row r uses
+    h60(r || '_' || value) % w.  Mergeable by element-wise add."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("row")
+    wcol = F.col(weight) if weight else F.lit(1)
+    return (
+        df.select(F.col(col).cast("string").alias("_v"), wcol.alias("_w"))
+        .select("_v", "_w", rows)
+        .select(
+            "row",
+            (h60(F.concat_ws("_", F.col("row"), F.col("_v"))) % CM_WIDTH)
+            .cast("int").alias("bucket"),
+            "_w",
+        )
+        .groupBy("row", "bucket")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cm_point_estimates(counters: DataFrame, candidates: DataFrame,
+                       col: str) -> DataFrame:
+    """min over rows of counter[r, h_r(value)] for each candidate —
+    the count-min point query (never under-estimates)."""
+    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("row")
+    probes = (
+        candidates.select(F.col(col).cast("string").alias("_v"))
+        .select("_v", rows)
+        .select(
+            "_v", "row",
+            (h60(F.concat_ws("_", F.col("row"), F.col("_v"))) % CM_WIDTH)
+            .cast("int").alias("bucket"),
+        )
+    )
+    return (
+        probes.join(counters, ["row", "bucket"])
+        .groupBy("_v")
+        .agg(F.min("cnt").alias("cm_estimate"))
+        .select(F.col("_v").alias(col), "cm_estimate")
+    )

@@ -2020,6 +2020,151 @@ SELECT q_id, n_id, rnk, adc FROM r WHERE rnk <= {topk}
 # (datapipe/selection.py)
 
 
+def _sql_h60_of(expr: str) -> str:
+    """int(md5(expr)[0:15], 16) — the portable 60-bit sketch hash
+    (datapipe/sketch.h60) as a DuckDB expression (per-hex-digit
+    polynomial; engine parity pinned in tests/test_sketch.py)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i}, 1)) - 1)"
+        f" * {16 ** (15 - i)}"
+        for i in range(1, 16)
+    ) + ")"
+
+
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-cardinality sketch over the corpus vocabulary
+    (datapipe/sketch.py, Bar-Yossef et al. 2002): the 256 smallest
+    60-bit word hashes estimate |vocab| in one prunable pass — the
+    bounded-memory alternative to a full countDistinct shuffle at
+    100 TB.  Exact distinct included for the error to be visible."""
+    from sequin_spark.datapipe.sketch import kmv_distinct
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.expr(
+            "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    est = kmv_distinct(words, "w", k=256)
+    exact = words.agg(F.countDistinct("w").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _sql_sketch_kmv() -> str:
+    h = _sql_h60_of("w")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split({D_NORM}, ' ')) AS w FROM documents
+), wnz AS (SELECT w FROM words WHERE w <> ''),
+h AS (SELECT DISTINCT {h} AS h FROM wnz),
+kk AS (SELECT max(h) AS hk, count(*) AS n
+       FROM (SELECT h FROM h ORDER BY h LIMIT 256))
+SELECT 256 AS k, hk AS kth_min_hash,
+       CASE WHEN n < 256 THEN CAST(n AS DOUBLE)
+            ELSE round(255.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 2)
+       END AS est_distinct,
+       (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM wnz) AS exact_distinct
+FROM kk
+"""
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality sketch (Flajolet et al. 2007) over the
+    corpus vocabulary: 256 integer registers folded in one pass
+    (map-side partial max), estimate from the EXACT integer
+    S = Σ 2^(53−ρ) — no float fold, so the DuckDB oracle matches
+    bit-for-bit (sketch.py docstring documents the omitted ln
+    small-range correction)."""
+    from sequin_spark.datapipe.sketch import hll_distinct
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.expr(
+            "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    est = hll_distinct(words, "w")
+    exact = words.agg(F.countDistinct("w").alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
+def _sql_sketch_hll() -> str:
+    h = _sql_h60_of("w")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split({D_NORM}, ' ')) AS w FROM documents
+), wnz AS (SELECT w FROM words WHERE w <> ''),
+h AS (SELECT {h} AS h FROM wnz),
+reg AS (SELECT h % 256 AS register, h // 256 AS w FROM h),
+rho AS (SELECT register,
+               CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+        FROM reg),
+r AS (SELECT register, max(rho) AS max_rho FROM rho GROUP BY register),
+s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) AS s_p,
+             count(*) AS n_present,
+             sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS z_p
+      FROM r)
+SELECT 256 AS m,
+       CAST(s_p + (256 - n_present) * 9007199254740992 AS BIGINT) AS s_int,
+       CAST(256 - n_present + z_p AS BIGINT) AS n_zero_registers,
+       round((CAST(0.7182725932495458 AS DOUBLE) * CAST(65536 AS DOUBLE))
+             * CAST(9007199254740992 AS DOUBLE)
+             / CAST(s_p + (256 - n_present) * 9007199254740992 AS DOUBLE), 1)
+         AS est_distinct,
+       (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM wnz) AS exact_distinct
+FROM s
+"""
+
+
+def q_sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min heavy hitters (Cormode & Muthukrishnan 2005): a 4×1024
+    integer counter matrix over the token stream, point-queried for the
+    exact top-20 tokens — demonstrating the overestimate-only bound on
+    real data.  All-integer state; merge = element-wise add."""
+    from sequin_spark.datapipe.sketch import cm_counters, cm_point_estimates
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.expr(
+            "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    exact = (words.groupBy("w").agg(F.count("*").cast("long").alias("exact_cnt"))
+             .orderBy(F.desc("exact_cnt"), F.asc("w")).limit(20))
+    counters = cm_counters(words, "w")
+    est = cm_point_estimates(counters, exact.select("w"), "w")
+    return exact.join(est, "w").select(
+        F.col("w").alias("token"), "exact_cnt", "cm_estimate")
+
+
+def _sql_sketch_cm() -> str:
+    h = _sql_h60_of("CAST(r AS VARCHAR) || '_' || w")
+    return f"""
+WITH words AS (
+  SELECT unnest(string_split({D_NORM}, ' ')) AS w FROM documents
+), wnz AS (SELECT w FROM words WHERE w <> ''),
+exact AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS exact_cnt
+  FROM wnz GROUP BY w ORDER BY exact_cnt DESC, w ASC LIMIT 20
+),
+rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
+counters AS (
+  SELECT r, {h} % 1024 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM wnz CROSS JOIN rows_
+  GROUP BY r, {h} % 1024
+),
+probes AS (
+  SELECT exact.w, r, {h} % 1024 AS bucket FROM exact CROSS JOIN rows_
+)
+SELECT probes.w AS token, exact.exact_cnt,
+       CAST(min(counters.cnt) AS BIGINT) AS cm_estimate
+FROM probes
+JOIN counters USING (r, bucket)
+JOIN exact ON exact.w = probes.w
+GROUP BY probes.w, exact.exact_cnt
+"""
+
+
 def _sql_h16_of(expr: str) -> str:
     """int(md5(expr)[0:4], 16) — the portable h16 used by curation's
     deterministic sampling, as a DuckDB expression."""
@@ -2533,6 +2678,9 @@ DATAPIPE_QUERIES = {
     "tokenizer_fertility": q_tokenizer_fertility,
     "tokenizer_unigram": q_tokenizer_unigram,
     "tokenizer_bpe_merges": q_bpe_merges,
+    "sketch_kmv_distinct": q_sketch_kmv_distinct,
+    "sketch_hll_distinct": q_sketch_hll_distinct,
+    "sketch_cm_heavy_hitters": q_sketch_cm_heavy_hitters,
     "quality_classifier": q_quality_classifier,
 }
 
@@ -2584,5 +2732,8 @@ DATAPIPE_ORACLES = {
     "corpus_split_assign": _sql_corpus_split_assign(),
     "tokenizer_fertility": _sql_tokenizer_fertility(),
     "tokenizer_bpe_merges": _sql_bpe_merges(),
+    "sketch_kmv_distinct": _sql_sketch_kmv(),
+    "sketch_hll_distinct": _sql_sketch_hll(),
+    "sketch_cm_heavy_hitters": _sql_sketch_cm(),
     "quality_classifier": _sql_quality_classifier(),
 }
