@@ -87,10 +87,16 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     register table.  S = Σ_m 2^(53−ρ) with ρ=0 for absent registers —
     an EXACT bigint; est = α·m²·2^53 / S (two exact products of
     literals, one IEEE division, one round)."""
+    # coalesce: sum() over an EMPTY register table is NULL — without it
+    # an empty corpus yields NULL s_int/est instead of the all-absent-
+    # registers state (S = m·2^53, est = α·m² — the defined HLL answer)
     s_present = registers.agg(
-        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - max_rho)")).alias("s_p"),
+        F.coalesce(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - max_rho)")),
+            F.lit(0)).alias("s_p"),
         F.count("*").alias("n_present"),
-        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias("z_p"),
+        F.coalesce(F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)),
+                   F.lit(0)).alias("z_p"),
     )
     return s_present.select(
         F.lit(HLL_M).alias("m"),

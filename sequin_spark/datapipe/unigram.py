@@ -231,7 +231,13 @@ def train_unigram(
         # — summation order fixed ⇒ deterministic)
         items = sorted(exp_counts.items())
         total = math.fsum(c for _, c in items)
-        vocab = [(p, math.log(c / total)) for p, c in items if c > 0.0]
+        # segmentation totality: a single char whose expected count
+        # underflows to exactly 0.0 must still survive the M-step
+        # (dropping it would silently turn every word containing it
+        # into an OOV fallback) — floor it at a tiny positive count
+        # instead of filtering it out; multi-char pieces still drop.
+        vocab = [(p, math.log((c if c > 0.0 else 1e-12) / total))
+                 for p, c in items if c > 0.0 or len(p) == 1]
         # prune: drop lowest-count multi-char pieces, keep chars
         if len(vocab) > vocab_size:
             multi = sorted(

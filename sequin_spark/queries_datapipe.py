@@ -1910,24 +1910,29 @@ def q_corpus_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CORPUS_STATS_PROFILE = """
 WITH g AS (
-  SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+  -- CAST: DuckDB types sum(INTEGER) as HUGEINT (int128); Spark emits
+  -- BIGINT.  A typed value-hash differs on type alone (r4/r5 driver
+  -- flake), so every integer sum/product chain is pinned to BIGINT.
+  SELECT source, lang, count(*) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
          list(n_chars ORDER BY n_chars) AS a
   FROM documents GROUP BY source, lang
 )
 SELECT source, lang, n_docs, total_chars,
-       (200 * total_chars + n_docs) // (2 * n_docs) AS mean_chars_x100,
-       a[((n_docs-1)*50)//100 + 1] * (100 - ((n_docs-1)*50)%100)
+       CAST((200 * total_chars + n_docs) // (2 * n_docs) AS BIGINT)
+         AS mean_chars_x100,
+       CAST(a[((n_docs-1)*50)//100 + 1] * (100 - ((n_docs-1)*50)%100)
          + CASE WHEN ((n_docs-1)*50)%100 = 0 THEN 0
                 ELSE a[((n_docs-1)*50)//100 + 2] * (((n_docs-1)*50)%100) END
-         AS p50_chars_x100,
-       a[((n_docs-1)*90)//100 + 1] * (100 - ((n_docs-1)*90)%100)
+         AS BIGINT) AS p50_chars_x100,
+       CAST(a[((n_docs-1)*90)//100 + 1] * (100 - ((n_docs-1)*90)%100)
          + CASE WHEN ((n_docs-1)*90)%100 = 0 THEN 0
                 ELSE a[((n_docs-1)*90)//100 + 2] * (((n_docs-1)*90)%100) END
-         AS p90_chars_x100,
-       a[((n_docs-1)*99)//100 + 1] * (100 - ((n_docs-1)*99)%100)
+         AS BIGINT) AS p90_chars_x100,
+       CAST(a[((n_docs-1)*99)//100 + 1] * (100 - ((n_docs-1)*99)%100)
          + CASE WHEN ((n_docs-1)*99)%100 = 0 THEN 0
                 ELSE a[((n_docs-1)*99)//100 + 2] * (((n_docs-1)*99)%100) END
-         AS p99_chars_x100
+         AS BIGINT) AS p99_chars_x100
 FROM g
 """
 
@@ -2047,6 +2052,9 @@ def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     est = kmv_distinct(words, "w", k=256)
     exact = words.agg(F.countDistinct("w").alias("exact_distinct"))
+    # 1-row × 1-row combine of two global aggregates; Catalyst folds any
+    # literal equi-key to `true`, so this is unavoidably a nested-loop
+    # join — benign by construction and allow-listed in the plan gate.
     return est.crossJoin(exact)
 
 
@@ -2085,6 +2093,9 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("w") != "")
     est = hll_distinct(words, "w")
     exact = words.agg(F.countDistinct("w").alias("exact_distinct"))
+    # 1-row × 1-row combine of two global aggregates; Catalyst folds any
+    # literal equi-key to `true`, so this is unavoidably a nested-loop
+    # join — benign by construction and allow-listed in the plan gate.
     return est.crossJoin(exact)
 
 
@@ -2100,9 +2111,10 @@ rho AS (SELECT register,
                CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
         FROM reg),
 r AS (SELECT register, max(rho) AS max_rho FROM rho GROUP BY register),
-s AS (SELECT CAST(sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT) AS s_p,
+s AS (SELECT COALESCE(CAST(sum(CAST(1 AS BIGINT) << (53 - max_rho))
+                           AS BIGINT), 0) AS s_p,
              count(*) AS n_present,
-             sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END) AS z_p
+             COALESCE(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END), 0) AS z_p
       FROM r)
 SELECT 256 AS m,
        CAST(s_p + (256 - n_present) * 9007199254740992 AS BIGINT) AS s_int,
@@ -2523,44 +2535,46 @@ _UNIGRAM_SEED_SIZE = 160
 _UNIGRAM_N_ITERS = 2
 
 
-def _unigram_vocab_cached(spark: SparkSession,
-                          sf_dir: str) -> list[tuple[str, float]]:
-    """Maintained unigram-LM vocabulary (_cached_json_artifact
-    lifecycle; the version key encodes EVERY training hyperparameter)."""
-    from sequin_spark.datapipe.unigram import train_unigram
+_UNIGRAM_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "datapipe", "fixtures", "unigram_vocab_v1.json")
 
-    version = (f"v{_UNIGRAM_VOCAB_SIZE}l{_UNIGRAM_MAX_PIECE_LEN}"
-               f"s{_UNIGRAM_SEED_SIZE}i{_UNIGRAM_N_ITERS}-v1")
 
-    def build():
-        docs = load_table(spark, sf_dir, "documents")
-        rows = train_unigram(
-            docs, spark, vocab_size=_UNIGRAM_VOCAB_SIZE,
-            seed_size=_UNIGRAM_SEED_SIZE,
-            max_piece_len=_UNIGRAM_MAX_PIECE_LEN,
-            n_iters=_UNIGRAM_N_ITERS).collect()
-        return [[r["piece"], r["logprob"]] for r in rows]
+def _unigram_vocab_fixture() -> list[tuple[str, float]]:
+    """The pipeline's versioned PRETRAINED unigram-LM vocabulary —
+    committed to the repo like any production tokenizer artifact
+    (pipelines encode with a fixed tokenizer; they do not retrain per
+    batch).  Trained once by datapipe/unigram.train_unigram (provenance
+    in the fixture header); training math itself stays pinned by the
+    pure-Python differential test in tests/test_tokenizer.py.  Freezing
+    the vocab is what makes the encode side fully oracle-checkable:
+    the DuckDB replica embeds the same (piece, logprob) table."""
+    import json as _json
 
-    return [(p, lp) for p, lp in _cached_json_artifact(
-        sf_dir, "unigram_vocab", version, build)]
+    with open(_UNIGRAM_FIXTURE) as f:
+        return [(p, lp) for p, lp in _json.load(f)["vocab"]]
 
 
 def q_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unigram-LM tokenizer fertility per language (SentencePiece EM,
-    Kudo 2018 — datapipe/unigram.py): train the 96-piece vocabulary
-    (persisted per corpus), Viterbi-encode every document, roll up
-    tokens/word by lang.  The EM counterpart to tokenizer_fertility's
-    BPE — together they cover both tokenizer families.
+    """Unigram-LM tokenizer fertility per language (SentencePiece,
+    Kudo 2018 — datapipe/unigram.py): Viterbi-encode every document
+    with the committed 96-piece pretrained vocabulary
+    (_unigram_vocab_fixture), roll up tokens/word by lang.  The EM
+    counterpart to tokenizer_fertility's BPE — together they cover
+    both tokenizer families.
 
-    NO DuckDB oracle (rows-only driver check): forward-backward EM and
-    Viterbi are dynamic programs genuinely outside SQL; exact math is
-    pinned by the pure-Python differential test
-    (tests/test_tokenizer.py::test_unigram_em_matches_pure_python)."""
+    Fully oracle-checked: with the vocab frozen, Viterbi is a bounded
+    DP the DuckDB replica replays position-by-position as a generated
+    CTE chain (_sql_unigram_fertility) — same double additions in the
+    same order, same (score, piece-length) tie-break, bit-identical.
+    EM *training* (float log-sum-exp whose cross-partition merge order
+    Spark does not fix) stays out of the checked surface by design and
+    is pinned by tests/test_tokenizer.py's pure-Python differential."""
     from sequin_spark.datapipe.unigram import unigram_encode
 
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    vocab = _unigram_vocab_cached(spark, sf_dir)
+    vocab = _unigram_vocab_fixture()
     enc = unigram_encode(docs, vocab, max_piece_len=_UNIGRAM_MAX_PIECE_LEN)
     langs = docs.select("doc_id", "lang")
     return (
@@ -2577,6 +2591,100 @@ def q_tokenizer_unigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("fertility"),
         )
     )
+
+
+def _sql_unigram_fertility(max_word_len: int = 12) -> str:
+    """DuckDB replica of q_tokenizer_unigram: embeds the committed
+    pretrained vocab as a VALUES table and replays Viterbi as a
+    generated position-by-position CTE chain (the _sql_bpe_merges
+    pattern applied to a DP).
+
+    Exactness argument: dp[i] = best over j∈[i-L, i-1] of dp[j]+lp,
+    ties broken by longer piece (distinct j ⇒ distinct piece length,
+    so the order is strict; the Spark side's lexicographic third key
+    is unreachable).  Every candidate score is ONE double addition on
+    operands both engines hold bit-identically (the fixture's logprob
+    literals round-trip through repr/strtod), and argmax is
+    order-independent — so the replay is bit-exact, not approximate.
+    Words longer than ``max_word_len`` would fall off the chain (the
+    corpus word pool caps at 8 chars; 12 is slack), and unreachable
+    final positions replicate the char-count OOV fallback."""
+    vocab = _unigram_vocab_fixture()
+    ll = _UNIGRAM_MAX_PIECE_LEN
+    vals = ",\n    ".join(
+        f"('{p}', CAST({lp!r} AS DOUBLE))" for p, lp in vocab)
+    parts = [f"""
+WITH vocab(piece, lp) AS (VALUES
+    {vals}),
+words AS (
+  SELECT DISTINCT word FROM (
+    SELECT unnest(string_split({D_NORM}, ' ')) AS word FROM documents)
+  WHERE word <> ''
+),
+edges AS (
+  SELECT w.word, g.lo, g.lo + length(v.piece) AS hi,
+         length(v.piece) AS plen, v.lp
+  FROM words w
+  CROSS JOIN (SELECT unnest(generate_series(0, {max_word_len - 1}))
+              AS lo) g
+  JOIN vocab v
+    ON g.lo + length(v.piece) <= length(w.word)
+   AND substr(w.word, g.lo + 1, length(v.piece)) = v.piece
+),
+d0 AS (SELECT word, CAST(0.0 AS DOUBLE) AS s0, 0 AS t0 FROM words)"""]
+    for i in range(1, max_word_len + 1):
+        lo_min = max(0, i - ll)
+        prev_s = " ".join(f"WHEN {j} THEN d.s{j}" for j in range(lo_min, i))
+        prev_t = " ".join(f"WHEN {j} THEN d.t{j}" for j in range(lo_min, i))
+        keep_d = ", ".join(f"d.s{j}, d.t{j}" for j in range(0, i))
+        keep = ", ".join(f"s{j}, t{j}" for j in range(0, i))
+        parts.append(f""",
+c{i} AS (
+  SELECT d.word, {keep_d},
+         (CASE e.lo {prev_s} END) + e.lp AS cs,
+         (CASE e.lo {prev_t} END) + 1 AS ct,
+         row_number() OVER (
+           PARTITION BY d.word
+           ORDER BY ((CASE e.lo {prev_s} END) + e.lp) DESC NULLS LAST,
+                    e.plen DESC
+         ) AS rn
+  FROM d{i - 1} d LEFT JOIN edges e ON e.word = d.word AND e.hi = {i}
+),
+d{i} AS (SELECT word, {keep}, cs AS s{i}, ct AS t{i}
+         FROM c{i} WHERE rn = 1)""")
+    fin_s = " ".join(f"WHEN {i} THEN s{i}"
+                     for i in range(1, max_word_len + 1))
+    fin_t = " ".join(f"WHEN {i} THEN t{i}"
+                     for i in range(1, max_word_len + 1))
+    parts.append(f""",
+fin AS (
+  SELECT word, CASE length(word) {fin_s} END AS s_fin,
+               CASE length(word) {fin_t} END AS t_fin
+  FROM d{max_word_len}
+),
+wtok AS (
+  SELECT word,
+         CASE WHEN s_fin IS NULL THEN length(word) ELSE t_fin END
+           AS n_tokens,
+         (s_fin IS NULL) AS is_oov
+  FROM fin
+),
+tok AS (
+  SELECT lang, unnest(string_split({D_NORM}, ' ')) AS word
+  FROM documents
+),
+enc AS (
+  SELECT t.lang, w.n_tokens, w.is_oov
+  FROM tok t JOIN wtok w USING (word) WHERE t.word <> ''
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_tokens) AS BIGINT) AS n_unigram_tokens,
+       CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov_words,
+       round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS fertility
+FROM enc GROUP BY lang
+""")
+    return "".join(parts)
 
 
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2731,6 +2839,7 @@ DATAPIPE_ORACLES = {
     "corpus_split_leakage": _sql_corpus_split_leakage(),
     "corpus_split_assign": _sql_corpus_split_assign(),
     "tokenizer_fertility": _sql_tokenizer_fertility(),
+    "tokenizer_unigram": _sql_unigram_fertility(),
     "tokenizer_bpe_merges": _sql_bpe_merges(),
     "sketch_kmv_distinct": _sql_sketch_kmv(),
     "sketch_hll_distinct": _sql_sketch_hll(),

@@ -99,9 +99,12 @@ def parse_dsn(dsn: str) -> dict:
     fields (the subset of the libpq URI scheme the sink accepts).
 
     ``sslmode`` is honored — a DSN that demands TLS must never be
-    silently downgraded to cleartext.  Any OTHER query parameter raises
-    rather than being dropped: ignoring an explicit connection
-    guarantee the caller asked for is worse than refusing it."""
+    silently downgraded to cleartext.  Known-COSMETIC libpq params
+    (application_name, connect_timeout, …) are accepted and ignored so
+    DSNs copied from existing estates keep working; any param outside
+    that list raises rather than being dropped: silently ignoring an
+    explicit connection guarantee (sslrootcert, channel_binding,
+    target_session_attrs…) is worse than refusing it."""
     from urllib.parse import parse_qsl, unquote, urlsplit
 
     u = urlsplit(dsn)
@@ -114,14 +117,22 @@ def parse_dsn(dsn: str) -> dict:
         "password": unquote(u.password) if u.password else None,
         "database": (u.path or "/postgres").lstrip("/") or "postgres",
     }
+    # cosmetic/behavioral-noop params: affect labels or client-side
+    # timeouts, never what is connected to or how it is secured
+    ignored = {"application_name", "fallback_application_name",
+               "connect_timeout", "client_encoding", "options",
+               "keepalives", "keepalives_idle", "keepalives_interval",
+               "keepalives_count", "tcp_user_timeout"}
     for k, v in parse_qsl(u.query):
         if k == "sslmode":
             if v not in _SSLMODE_MAP:
                 raise ValueError(f"unknown sslmode {v!r}")
             out["ssl_mode"] = _SSLMODE_MAP[v]
-        else:
+        elif k not in ignored:
             raise ValueError(
-                f"unsupported dsn parameter {k!r} (supported: sslmode)")
+                f"unsupported dsn parameter {k!r} "
+                f"(supported: sslmode; ignored-cosmetic: "
+                f"{', '.join(sorted(ignored))})")
     return out
 
 

@@ -37,11 +37,20 @@ class RespError(RuntimeError):
     pass
 
 
+class RespConnectionClosed(RespError):
+    """EOF mid-reply — a DEAD connection, distinct from a server -ERR
+    reply (which leaves the connection alive and in sync).  A separate
+    class, not a message substring: a genuine Redis error whose text
+    happens to contain 'connection closed' must not be misclassified
+    as EOF (that would abort the drain and desynchronize the retry)."""
+
+
 def read_reply(buf):
-    """Parse one RESP2 reply from a readable; raises RespError on -."""
+    """Parse one RESP2 reply from a readable; raises RespError on -,
+    RespConnectionClosed on EOF."""
     line = buf.readline()
     if not line:
-        raise RespError("redis: connection closed")
+        raise RespConnectionClosed("redis: connection closed")
     t, rest = line[:1], line[1:-2]
     if t == b"+":
         return rest.decode()
@@ -135,9 +144,9 @@ class _RedisBase(Sink):
         for _ in cmds:
             try:
                 replies.append(read_reply(self._buf))
+            except RespConnectionClosed as e:
+                raise first_err or e from None
             except RespError as e:
-                if "connection closed" in str(e):
-                    raise first_err or e from None
                 if first_err is None:
                     first_err = e
                 replies.append(e)

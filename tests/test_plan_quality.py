@@ -25,6 +25,12 @@ ALLOW_NESTED_LOOP = {
     "ann_pq_adc",            # ADC scan: corpus codes × broadcast query LUTs
     "ann_ivfpq_topk",        # query-side × n_centroids=8 coarse-centroid table
     "ann_recall_eval",       # ground truth IS the exact all-pairs baseline
+    # 1×1 global-aggregate joins by design: the sketch estimate (1 row)
+    # is combined with the exact countDistinct baseline (1 row); Catalyst
+    # folds any literal equi-key to `true`, so a nested-loop join is the
+    # only shape this can take — and it is O(1) by construction.
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
 }
 
 

@@ -328,6 +328,11 @@ def test_postgres_dsn_sslmode_honored():
     # unknown params must refuse, not silently drop a guarantee
     with pytest.raises(ValueError, match="sslrootcert"):
         parse_dsn("postgres://u@h/db?sslrootcert=/x.pem")
+    # ...but known-cosmetic libpq params pass through (ADVICE r5):
+    # DSNs copied from existing estates keep working
+    out = parse_dsn("postgres://u@h/db?application_name=app"
+                    "&connect_timeout=5&sslmode=require")
+    assert out["ssl_mode"] == "require" and out["database"] == "db"
 
 
 def test_redis_wrong_password_raises():

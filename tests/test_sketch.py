@@ -1,0 +1,163 @@
+"""Cross-engine parity for the bounded-memory sketches
+(datapipe/sketch.py): the 60-bit md5 hash, KMV, HyperLogLog, and
+count-min must produce BIT-IDENTICAL values on Spark and DuckDB —
+these are the unit-level twins of the registry oracle rows
+(sketch_kmv_distinct / sketch_hll_distinct / sketch_cm_heavy_hitters),
+pinning h60 digit-for-digit and each estimator end-to-end on data
+small enough to hand-audit.
+"""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.sketch import (
+    CM_DEPTH,
+    CM_WIDTH,
+    HLL_M,
+    cm_counters,
+    cm_point_estimates,
+    h60,
+    hll_distinct,
+    hll_estimate,
+    hll_registers,
+    kmv_distinct,
+)
+from sequin_spark.queries_datapipe import _sql_h60_of
+
+VALUES = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+          "eta", "theta", "iota", "kappa", "42", "hello world", ""]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    return duckdb.connect()
+
+
+def test_h60_matches_duckdb_digit_for_digit(spark, duck):
+    sdf = spark.createDataFrame([(v,) for v in VALUES], "v string")
+    got = {r["v"]: r["h"] for r in
+           sdf.select("v", h60(F.col("v")).alias("h")).collect()}
+    expr = _sql_h60_of("v")
+    vals = ", ".join(f"('{v}')" for v in VALUES)
+    want = dict(duck.sql(
+        f"SELECT v, {expr} AS h FROM (VALUES {vals}) t(v)").fetchall())
+    assert got == want
+    # 60-bit range: strictly below 2^60, non-negative
+    assert all(0 <= h < 2 ** 60 for h in got.values())
+
+
+def _word_stream(n=400, distinct=57):
+    # skewed repeated stream with a known distinct count
+    return [(f"tok{i % distinct}",) for i in range(n)]
+
+
+def test_kmv_matches_duckdb(spark, duck):
+    rows = _word_stream()
+    sdf = spark.createDataFrame(rows, "w string")
+    got = kmv_distinct(sdf, "w", k=16).collect()[0].asDict()
+    h = _sql_h60_of("w")
+    vals = ", ".join(f"('{w}')" for (w,) in rows)
+    want = duck.sql(f"""
+WITH src(w) AS (VALUES {vals}),
+h AS (SELECT DISTINCT {h} AS h FROM src),
+kk AS (SELECT max(h) AS hk, count(*) AS n
+       FROM (SELECT h FROM h ORDER BY h LIMIT 16))
+SELECT 16 AS k, hk AS kth_min_hash,
+       CASE WHEN n < 16 THEN CAST(n AS DOUBLE)
+            ELSE round(15.0 * 1152921504606846976.0 / CAST(hk AS DOUBLE), 2)
+       END AS est_distinct
+FROM kk""").fetchall()[0]
+    assert (got["k"], got["kth_min_hash"], got["est_distinct"]) == want
+
+
+def test_kmv_exact_below_k(spark):
+    sdf = spark.createDataFrame([(f"x{i}",) for i in range(9)], "w string")
+    row = kmv_distinct(sdf, "w", k=64).collect()[0]
+    assert row["est_distinct"] == 9.0  # fewer than k distinct → exact
+
+
+def test_hll_matches_duckdb(spark, duck):
+    rows = _word_stream()
+    sdf = spark.createDataFrame(rows, "w string")
+    got = hll_distinct(sdf, "w").collect()[0].asDict()
+    h = _sql_h60_of("w")
+    vals = ", ".join(f"('{w}')" for (w,) in rows)
+    want = duck.sql(f"""
+WITH src(w) AS (VALUES {vals}),
+h AS (SELECT {h} AS h FROM (SELECT DISTINCT w FROM src) t),
+reg AS (SELECT h % 256 AS register, h // 256 AS w FROM h),
+rho AS (SELECT register,
+               CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+        FROM reg),
+r AS (SELECT register, max(rho) AS max_rho FROM rho GROUP BY register),
+s AS (SELECT COALESCE(CAST(sum(CAST(1 AS BIGINT) << (53 - max_rho))
+                           AS BIGINT), 0) AS s_p,
+             count(*) AS n_present,
+             COALESCE(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END), 0) AS z_p
+      FROM r)
+SELECT CAST(s_p + (256 - n_present) * 9007199254740992 AS BIGINT) AS s_int,
+       CAST(256 - n_present + z_p AS BIGINT) AS n_zero_registers,
+       round((CAST(0.7182725932495458 AS DOUBLE) * CAST(65536 AS DOUBLE))
+             * CAST(9007199254740992 AS DOUBLE)
+             / CAST(s_p + (256 - n_present) * 9007199254740992 AS DOUBLE), 1)
+         AS est_distinct
+FROM s""").fetchall()[0]
+    assert (got["s_int"], got["n_zero_registers"], got["est_distinct"]) == want
+    assert got["m"] == HLL_M
+
+
+def test_hll_registers_mergeable_by_max(spark):
+    """merge(A, B) register-wise max == registers(A ∪ B) — the property
+    that makes HLL a one-pass mergeable fold across partitions/batches."""
+    a = spark.createDataFrame([(f"a{i}",) for i in range(80)], "w string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(70)], "w string")
+    ra, rb = hll_registers(a, "w"), hll_registers(b, "w")
+    merged = (ra.unionByName(rb).groupBy("register")
+              .agg(F.max("max_rho").alias("max_rho")))
+    direct = hll_registers(a.unionByName(b), "w")
+    assert (hll_estimate(merged).collect()[0].asDict()
+            == hll_estimate(direct).collect()[0].asDict())
+
+
+def test_hll_empty_input_returns_defined_estimate(spark):
+    """ADVICE r5: an empty corpus must yield the all-absent-registers
+    state (S = m·2^53), not NULL."""
+    empty = spark.createDataFrame([], "w string")
+    row = hll_estimate(hll_registers(empty, "w")).collect()[0]
+    assert row["s_int"] == HLL_M * 2 ** 53
+    assert row["n_zero_registers"] == HLL_M
+    assert row["est_distinct"] is not None and row["est_distinct"] > 0
+
+
+def test_cm_matches_duckdb_and_never_underestimates(spark, duck):
+    rows = _word_stream(n=300, distinct=23)
+    sdf = spark.createDataFrame(rows, "w string")
+    counters = cm_counters(sdf, "w")
+    cands = sdf.distinct()
+    got = {r["w"]: r["cm_estimate"] for r in
+           cm_point_estimates(counters, cands, "w").collect()}
+    from collections import Counter
+
+    true = Counter(w for (w,) in rows)
+    # overestimate-only bound
+    assert all(got[w] >= c for w, c in true.items())
+    # duckdb replica of the counter fold + point query
+    h = _sql_h60_of("concat(CAST(r.row AS VARCHAR), '_', src.w)")
+    vals = ", ".join(f"('{w}')" for (w,) in rows)
+    want = dict(duck.sql(f"""
+WITH src(w) AS (VALUES {vals}),
+rows_t AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS row),
+cell AS (
+  SELECT r.row AS row, {h} % {CM_WIDTH} AS bucket, count(*) AS cnt
+  FROM src, rows_t r GROUP BY 1, 2
+),
+probe AS (
+  SELECT src.w AS w, r.row AS row, {h} % {CM_WIDTH} AS bucket
+  FROM (SELECT DISTINCT w FROM src) src, rows_t r
+)
+SELECT p.w, CAST(min(c.cnt) AS BIGINT)
+FROM probe p JOIN cell c USING (row, bucket)
+GROUP BY p.w""").fetchall())
+    assert got == want

@@ -149,7 +149,10 @@ def _py_unigram(texts, vocab_size, seed_size, max_len, n_iters,
                 exp[p] += n * c
         items = sorted(exp.items())
         total = math.fsum(c for _, c in items)
-        logp = {p: math.log(c / total) for p, c in items if c > 0.0}
+        # mirror unigram.py: single chars floor at a tiny count (never
+        # dropped — segmentation totality), multi-char pieces drop at 0
+        logp = {p: math.log((c if c > 0.0 else 1e-12) / total)
+                for p, c in items if c > 0.0 or len(p) == 1}
         if len(logp) > vocab_size:
             m = sorted(((p, exp[p]) for p in logp if len(p) > 1),
                        key=lambda t: (t[1], t[0]))

@@ -1,8 +1,11 @@
 """Local replica of the driver's correctness gate.
 
 Runs every queries() entry on Spark and its oracle_sql() on DuckDB at the
-given sf dir, compares row count, sorted column names, and an
-order-insensitive multiset of rows (values normalized to strings).
+given sf dir, compares row count, sorted column names, per-column TYPES
+(the driver hashes typed values — DuckDB HUGEINT vs Spark BIGINT differs
+even when every value is numerically identical, the r4/r5
+`corpus_stats_profile` flake), and an order-insensitive multiset of rows
+(values normalized to strings).
 
 Usage: python tools/oracle_check.py [sf_dir] [query ...]
 """
@@ -21,6 +24,44 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
+
+
+# Canonical type tokens.  Signed ints ≤64-bit collapse to one class —
+# the driver's typed hash equates them (empirically: 16 registry
+# queries with Spark int vs DuckDB BIGINT are driver-green) — but
+# HUGEINT (int128) deliberately maps to a token no Spark type
+# produces, so sum(INTEGER) chains left uncast in an oracle fail HERE
+# instead of only in the driver's typed hash (the r4/r5
+# corpus_stats_profile flake).
+_DUCK_TO_CANON = {
+    "BIGINT": "int~", "INTEGER": "int~", "SMALLINT": "int~",
+    "TINYINT": "int~", "HUGEINT": "hugeint(int128!)",
+    "UBIGINT": "ubigint", "UINTEGER": "uint",
+    "DOUBLE": "double", "FLOAT": "float", "REAL": "float",
+    "VARCHAR": "string", "BOOLEAN": "boolean",
+    "DATE": "date", "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp", "BLOB": "binary",
+}
+_SPARK_TO_CANON = {
+    "bigint": "int~", "int": "int~", "smallint": "int~",
+    "tinyint": "int~",
+}
+
+
+def duck_type_to_canon(t: str) -> str:
+    t = str(t).strip()
+    if t.endswith("[]"):
+        return f"array<{duck_type_to_canon(t[:-2])}>"
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    return _DUCK_TO_CANON.get(t, t.lower())
+
+
+def spark_type_to_canon(t: str) -> str:
+    t = t.strip()
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{spark_type_to_canon(t[6:-1])}>"
+    return _SPARK_TO_CANON.get(t, t)
 
 
 def norm(v):
@@ -56,6 +97,8 @@ def main() -> int:
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
+            stypes = {f.name: spark_type_to_canon(f.dataType.simpleString())
+                      for f in sdf.schema.fields}
             srows = [tuple(norm(r[c]) for c in scols) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
@@ -66,9 +109,11 @@ def main() -> int:
             print(f"OK?   {name}: rows-only check, {len(srows)} rows")
             continue
         try:
-            cur = con.execute(sql)
-            dcols_raw = [d[0] for d in cur.description]
-            drows_raw = cur.fetchall()
+            rel = con.sql(sql)
+            dcols_raw = list(rel.columns)
+            dtypes = {c: duck_type_to_canon(t)
+                      for c, t in zip(rel.columns, rel.types)}
+            drows_raw = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
@@ -78,6 +123,13 @@ def main() -> int:
         drows = [tuple(norm(r[i]) for i in order) for r in drows_raw]
         if scols != dcols:
             print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
+            failures += 1
+            continue
+        tmism = {c: (stypes[c], dtypes[c]) for c in scols
+                 if stypes[c] != dtypes[c]}
+        if tmism:
+            print(f"FAIL  {name}: TYPE mismatch (driver hashes typed "
+                  f"values): {tmism}")
             failures += 1
             continue
         if len(srows) != len(drows):
