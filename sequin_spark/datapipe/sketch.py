@@ -89,7 +89,9 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
     literals, one IEEE division, one round)."""
     # coalesce: sum() over an EMPTY register table is NULL — without it
     # an empty corpus yields NULL s_int/est instead of the all-absent-
-    # registers state (S = m·2^53, est = α·m² — the defined HLL answer)
+    # registers state (S = m·2^53, est = α·m²/m = α·m ≈ 183.9 for
+    # m=256 — the defined raw-HLL answer; we document the
+    # no-small-range-correction tradeoff rather than special-case it)
     s_present = registers.agg(
         F.coalesce(
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - max_rho)")),

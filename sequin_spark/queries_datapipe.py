@@ -2621,6 +2621,18 @@ words AS (
     SELECT unnest(string_split({D_NORM}, ' ')) AS word FROM documents)
   WHERE word <> ''
 ),
+-- loud guard: the CTE chain only reaches position {max_word_len};
+-- a longer word would silently score OOV here while Spark segments
+-- it normally, turning a corpus/normalization change into a
+-- confusing value diff.  Fail with a clear message instead.
+len_guard AS (
+  SELECT CASE WHEN max(length(word)) > {max_word_len}
+              THEN error('unigram oracle: word exceeds max_word_len='
+                         || '{max_word_len} — regenerate the oracle '
+                         || 'CTE chain with a larger bound')
+              ELSE 0 END AS ok
+  FROM words
+),
 edges AS (
   SELECT w.word, g.lo, g.lo + length(v.piece) AS hi,
          length(v.piece) AS plen, v.lp
@@ -2682,7 +2694,7 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
        CAST(sum(CASE WHEN is_oov THEN 1 ELSE 0 END) AS BIGINT)
          AS n_oov_words,
        round(CAST(sum(n_tokens) AS DOUBLE) / count(*), 4) AS fertility
-FROM enc GROUP BY lang
+FROM enc, len_guard GROUP BY lang
 """)
     return "".join(parts)
 

@@ -118,9 +118,14 @@ def parse_dsn(dsn: str) -> dict:
         "database": (u.path or "/postgres").lstrip("/") or "postgres",
     }
     # cosmetic/behavioral-noop params: affect labels or client-side
-    # timeouts, never what is connected to or how it is secured
+    # timeouts, never what is connected to or how it is secured.
+    # NOT here: `options` (carries server runtime settings such as
+    # -c search_path / statement_timeout / default_transaction_read_only
+    # that change where and how unqualified DML executes) and
+    # `client_encoding` (changes the bytes the server returns) — both
+    # are behavioral and must raise, like sslrootcert.
     ignored = {"application_name", "fallback_application_name",
-               "connect_timeout", "client_encoding", "options",
+               "connect_timeout",
                "keepalives", "keepalives_idle", "keepalives_interval",
                "keepalives_count", "tcp_user_timeout"}
     for k, v in parse_qsl(u.query):

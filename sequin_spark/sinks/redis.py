@@ -63,6 +63,11 @@ def read_reply(buf):
         if n == -1:
             return None
         data = buf.read(n + 2)
+        # EOF mid-bulk must be a dead connection, not a truncated
+        # "successful" reply — otherwise a batch whose last reply (e.g.
+        # an XADD id) is cut off reports delivered on a dead socket.
+        if len(data) != n + 2:
+            raise RespConnectionClosed("redis: connection closed mid-bulk")
         return data[:n]
     if t == b"*":
         n = int(rest)

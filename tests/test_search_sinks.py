@@ -333,6 +333,34 @@ def test_postgres_dsn_sslmode_honored():
     out = parse_dsn("postgres://u@h/db?application_name=app"
                     "&connect_timeout=5&sslmode=require")
     assert out["ssl_mode"] == "require" and out["database"] == "db"
+    # `options` carries server runtime settings (-c search_path=...,
+    # statement_timeout, default_transaction_read_only) that change
+    # where/how the sink's unqualified INSERT executes — behavioral,
+    # must refuse like sslrootcert (ADVICE r6)
+    with pytest.raises(ValueError, match="options"):
+        parse_dsn("postgres://u@h/db?options=-csearch_path%3Dother")
+    # client_encoding changes the bytes the server returns — behavioral
+    with pytest.raises(ValueError, match="client_encoding"):
+        parse_dsn("postgres://u@h/db?client_encoding=latin1")
+
+
+def test_redis_eof_mid_bulk_is_connection_closed():
+    """EOF inside a bulk-string body must classify as a DEAD connection
+    (RespConnectionClosed), never as a truncated successful reply —
+    otherwise a batch whose final reply (e.g. an XADD id) is cut off
+    reports delivered on a dead socket (ADVICE r6)."""
+    import io
+
+    from sequin_spark.sinks.redis import RespConnectionClosed, read_reply
+
+    # full reply parses fine
+    assert read_reply(io.BytesIO(b"$5\r\nhello\r\n")) == b"hello"
+    # header promises 5 bytes + CRLF but the socket died after 3
+    with pytest.raises(RespConnectionClosed, match="mid-bulk"):
+        read_reply(io.BytesIO(b"$5\r\nhel"))
+    # died exactly between payload and trailing CRLF — still dead
+    with pytest.raises(RespConnectionClosed, match="mid-bulk"):
+        read_reply(io.BytesIO(b"$5\r\nhello"))
 
 
 def test_redis_wrong_password_raises():
