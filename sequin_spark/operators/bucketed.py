@@ -1,0 +1,87 @@
+"""Bucketed (co-located) fact tables — the 100 TB join recipe when BOTH
+sides are too big to broadcast.
+
+``bucketBy(k, key)`` + ``sortBy(key)`` at write time stores each side
+pre-partitioned and pre-sorted on the join key, so a later sort-merge
+join between two tables bucketed the same way reads both sides already
+co-located: the physical plan has **zero Exchange** (no shuffle), which
+at 1000 executors turns the dominant network cost of a fact-to-fact
+join into pure local merge.  This is the Spark-native analog of the
+reference keeping per-table slot streams partitioned by PK so
+same-entity work never crosses workers
+(lib/sequin/runtime/slot_processor/: one partition owns a key's
+ordering end-to-end).
+
+Tables are built once per corpus and persisted as EXTERNAL tables under
+the repo ``.cache/`` dir, keyed by a content fingerprint of the source
+parquet (the ``_index_cache_path`` scheme shared with the ANN indexes)
+— a regenerated corpus never reuses stale buckets.  Because bucketing
+metadata lives in the session catalog, not the files, a fresh process
+re-declares the table over the existing files with ``CREATE TABLE …
+CLUSTERED BY … INTO n BUCKETS LOCATION …`` — truthful, since the files
+were written with exactly that spec.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+BUCKET_VERSION = "v1"
+
+
+def bucketed_table(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    key_col: str,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Return ``table`` from ``sf_dir`` as a catalog table bucketed and
+    sorted on ``key_col``, building/persisting it on first use.
+
+    ``n_buckets`` is a layout constant, not a tuning knob per query:
+    both sides of a co-located join must use the SAME bucket count or
+    Spark re-shuffles one side.  At 100 TB you pick it once per subject
+    area (e.g. 4096) and every fact table shares it.
+    """
+    from sequin_spark.cdc import load_table
+    from sequin_spark.queries_datapipe import _index_cache_path
+
+    cache = _index_cache_path(
+        sf_dir, "bucketed", f"{BUCKET_VERSION}:{table}:{key_col}:{n_buckets}",
+        src_table=table)
+    name = f"bkt_{table}_{os.path.basename(cache)}"
+    if spark.catalog.tableExists(name):
+        return spark.table(name)
+
+    src = load_table(spark, sf_dir, table)
+    data_dir = os.path.join(cache, "data")
+    meta = os.path.join(cache, "meta.json")
+    if not os.path.exists(meta):
+        # external table (explicit path): DROP in some later session
+        # must never delete the cached files, unlike a managed table
+        (src.write.mode("overwrite")
+            .bucketBy(n_buckets, key_col).sortBy(key_col)
+            .option("path", data_dir).saveAsTable(name))
+        # meta.json LAST — the completeness probe; a build killed
+        # mid-write leaves no meta and is rebuilt, never half-loaded
+        os.makedirs(cache, exist_ok=True)
+        with open(meta, "w") as f:
+            json.dump({"table": table, "key": key_col,
+                       "n_buckets": n_buckets,
+                       "version": BUCKET_VERSION}, f)
+        return spark.table(name)
+
+    # files already on disk from an earlier process: re-declare the
+    # bucketed external table over them (bucket spec lives in the
+    # catalog, not the parquet files)
+    ddl_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields)
+    spark.sql(
+        f"CREATE TABLE {name} ({ddl_cols}) USING parquet "
+        f"CLUSTERED BY ({key_col}) SORTED BY ({key_col}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'")
+    return spark.table(name)

@@ -1068,6 +1068,55 @@ LIMIT 10
 """
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact co-located join on bucketed tables — post-purchase
+    engagement per customer: every (order, event) pair for a customer,
+    counting and valuing the events at-or-after the order date.
+
+    Both sides are FACT tables (orders × events), the case where
+    broadcast is impossible at 100 TB; the tables are pre-bucketed and
+    pre-sorted on the join key (operators/bucketed.py), so the physical
+    plan is a SortMergeJoin with ZERO Exchange — no shuffle at any
+    scale (tests/test_plan_quality.py pins this).  The merge hint pins
+    SMJ at test scale too, where either side would otherwise fit under
+    the broadcast threshold; at production scale SMJ is what Catalyst
+    picks unhinted.  The group-by key IS the bucket key, so the
+    aggregate also runs shuffle-free.  Reference parity: the slot
+    processor keeps per-table streams partitioned by PK so same-entity
+    joins never cross workers (lib/sequin/runtime/slot_processor/)."""
+    _prep(spark)
+    from sequin_spark.operators.bucketed import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    eb = bucketed_table(spark, sf_dir, "events", "user_id")
+    post = F.col("ts") >= F.col("o_orderdate").cast("timestamp")
+    return (
+        ob.hint("merge")
+        .join(eb.hint("merge"), ob["o_custkey"] == eb["user_id"])
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(post, 1).otherwise(0)).alias("n_post_pairs"),
+            F.round(F.sum(F.when(post, F.col("value")).otherwise(0.0)), 2)
+            .alias("post_value"),
+        )
+        .select(F.col("o_custkey").alias("cust_id"),
+                "n_pairs", "n_post_pairs", "post_value")
+    )
+
+
+SQL_BUCKETED_COLOCATED_JOIN = """
+SELECT o_custkey AS cust_id,
+       count(*) AS n_pairs,
+       CAST(sum(CASE WHEN e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_post_pairs,
+       round(sum(CASE WHEN e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+                      THEN e.value ELSE 0 END), 2) AS post_value
+FROM orders o JOIN events e ON o.o_custkey = e.user_id
+GROUP BY o_custkey
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -1107,6 +1156,7 @@ QUERIES: dict[str, callable] = {
     "exists_semi_join": q_exists_semi_join,
     "anti_join_inactive": q_anti_join_inactive,
     "top_revenue_orders": q_top_revenue_orders,
+    "bucketed_colocated_join": q_bucketed_colocated_join,
     **DATAPIPE_QUERIES,
 }
 
@@ -1144,5 +1194,6 @@ ORACLES: dict[str, str] = {
     "exists_semi_join": SQL_EXISTS_SEMI_JOIN,
     "anti_join_inactive": SQL_ANTI_JOIN_INACTIVE,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
+    "bucketed_colocated_join": SQL_BUCKETED_COLOCATED_JOIN,
     **DATAPIPE_ORACLES,
 }

@@ -69,6 +69,45 @@ def test_enrichment_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_registry_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """The REGISTRY query `bucketed_colocated_join` (not just the
+    recipe below) must plan as SortMergeJoin with zero Exchange: join
+    key = bucket key on both sides, group-by key = bucket key, so
+    neither the join nor the aggregate shuffles.  This is the plan a
+    100 TB fact-to-fact join needs — a conf drift or bucketed-table
+    cache bug that silently reinstates the shuffle fails here, not at
+    the cluster."""
+    plan = _physical_plan(QUERIES["bucketed_colocated_join"](spark, sf_dir))
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, (
+        "bucketed registry join shuffled anyway:\n" + plan)
+
+
+def test_bucketed_table_redeclare_roundtrip(spark, sf_dir):
+    """A fresh catalog (new process) must re-declare the persisted
+    bucketed files as an external bucketed table and keep the
+    shuffle-free plan AND the rows.  Simulated by dropping the catalog
+    entry (external table: files survive) and re-resolving."""
+    from sequin_spark.operators.bucketed import bucketed_table
+
+    ob = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    n_before = ob.count()
+    assert n_before > 0
+    # find the registered name and drop ONLY the catalog entry
+    names = [t.name for t in spark.catalog.listTables()
+             if t.name.startswith("bkt_orders_")]
+    assert names
+    for t in names:
+        spark.sql(f"DROP TABLE {t}")
+    ob2 = bucketed_table(spark, sf_dir, "orders", "o_custkey")
+    assert ob2.count() == n_before, "external files lost on DROP TABLE"
+    eb = bucketed_table(spark, sf_dir, "events", "user_id")
+    j = (ob2.hint("merge")
+         .join(eb.hint("merge"), ob2["o_custkey"] == eb["user_id"]))
+    plan = _physical_plan(j)
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+
+
 def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
     """Co-located join via bucketing — the 100 TB recipe when BOTH join
     sides are too big to broadcast: bucketBy(join key) + sortBy at
