@@ -47,11 +47,12 @@ def h60(col) -> F.Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("long")
 
 
-def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
-    """K-minimum-values distinct estimate: one row
+def kmv_from_hashes(hashes: DataFrame, k: int = 256) -> DataFrame:
+    """KMV estimate from a DISTINCT-hash column ``h``: one row
     (k, kth_min_hash, est_distinct).  est = (k−1)·2^60 / h_k — exact
-    product (k−1 ≤ 2^10, 2^60 a power of two), one IEEE division."""
-    hashes = df.select(h60(F.col(col)).alias("h")).distinct()
+    product (k−1 ≤ 2^10, 2^60 a power of two), one IEEE division.
+    Shared by the batch sketch and the streaming twin's finalize so the
+    estimate arithmetic cannot diverge between the two paths."""
     kth = (hashes.orderBy("h").limit(k)
            .agg(F.max("h").alias("hk"), F.count("*").alias("n")))
     return kth.select(
@@ -61,6 +62,11 @@ def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
         .otherwise(F.round(F.lit(float(k - 1)) * F.lit(_POW2_60) / F.col("hk"), 2))
         .alias("est_distinct"),
     )
+
+
+def kmv_distinct(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct estimate over a raw column."""
+    return kmv_from_hashes(df.select(h60(F.col(col)).alias("h")).distinct(), k)
 
 
 def hll_registers(df: DataFrame, col: str) -> DataFrame:

@@ -33,7 +33,8 @@ def throughput_rollup(
     if events.isStreaming:
         src = events.withWatermark(ts_col, watermark_delay)
     # exact distinct is unsupported on streams → HLL sketch there,
-    # exact in batch (where the oracle checks it)
+    # exact in batch (where the oracle checks it); for a standalone
+    # cross-micro-batch register sketch see datapipe/streaming_sketch.py
     n_groups = (
         F.approx_count_distinct("group_id") if events.isStreaming else F.countDistinct("group_id")
     )
