@@ -23,14 +23,116 @@ def entry(spark: SparkSession) -> DataFrame:
     return _q.q_pipeline_flagship(spark, "/root/testdata/sf0.001")
 
 
+def _parse_hunk_ranges(diff_text: str) -> list[tuple[int, int]]:
+    """New-file line ranges touched by a unified diff (-U0 hunks).
+
+    ``@@ -a,b +c,d @@`` → (c, c+max(d,1)-1); pure-deletion hunks (d=0)
+    still map to the single line at the deletion point, so removing a
+    line inside a query function marks that function as touched."""
+    import re
+
+    out: list[tuple[int, int]] = []
+    for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@",
+                         diff_text, re.MULTILINE):
+        start = int(m.group(1))
+        count = int(m.group(2)) if m.group(2) is not None else 1
+        out.append((max(start, 1), max(start, 1) + max(count, 1) - 1))
+    return out
+
+
+def _spans_overlap(span: tuple[int, int], ranges: list[tuple[int, int]]) -> bool:
+    lo, hi = span
+    return any(a <= hi and lo <= b for a, b in ranges)
+
+
+def _changed_files_and_hunks(here: str, since_paths: list[str]) -> tuple[set[str], dict[str, list[tuple[int, int]]]] | None:
+    """(changed repo-relative .py files, per-file new-line hunk ranges)
+    since the commit that last touched any of ``since_paths`` (the
+    newest driver correctness file) — committed AND working-tree
+    changes.  None on any git failure (callers fall back)."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=here, capture_output=True, text=True,
+            timeout=30, check=True).stdout
+
+    try:
+        base = ""
+        for p in since_paths:
+            sha = _git("log", "-1", "--format=%H", "--", p).strip()
+            if sha:
+                base = sha
+                break
+        if not base:
+            return None
+        diff = _git("diff", "-U0", base, "--", "sequin_spark",
+                    "__spark_entry__.py")
+    except Exception:  # noqa: BLE001 — any git hiccup → no prioritization
+        return None
+    files: set[str] = set()
+    hunks: dict[str, list[tuple[int, int]]] = {}
+    cur: str | None = None
+    for line in diff.splitlines():
+        if line.startswith("+++ b/"):
+            cur = line[6:]
+            files.add(cur)
+            hunks.setdefault(cur, [])
+        elif line.startswith("@@") and cur is not None:
+            hunks[cur].extend(_parse_hunk_ranges(line + "\n"))
+    return files, hunks
+
+
+def _touched_queries(registry: dict[str, Callable], here: str,
+                     changed: tuple[set[str], dict[str, list[tuple[int, int]]]]) -> set[str]:
+    """Queries whose implementation changed: the hunks intersect the
+    query function's own source span, OR the function references a
+    ``sequin_spark.<module>`` whose file changed at all (queries import
+    their operators inside the function body, so a source-scan for
+    module references is the dependency map)."""
+    import inspect
+    import re
+
+    files, hunks = changed
+    touched: set[str] = set()
+    mod_file = {f: f.replace("/", ".").removesuffix(".py")
+                for f in files if f.endswith(".py")}
+    changed_mods = set(mod_file.values())
+    for name, fn in registry.items():
+        try:
+            src_file = os.path.relpath(inspect.getsourcefile(fn), here)
+            src, first = inspect.getsourcelines(fn)
+        except (TypeError, OSError):
+            continue
+        span = (first, first + len(src) - 1)
+        if src_file in hunks and _spans_overlap(span, hunks[src_file]):
+            touched.add(name)
+            continue
+        refs = set(re.findall(r"sequin_spark\.[\w.]+", "".join(src)))
+        for mod in changed_mods:
+            if any(r == mod or r.startswith(mod + ".") or mod.startswith(r)
+                   for r in refs):
+                touched.add(name)
+                break
+    return touched
+
+
 def _rotation_order(names: list[str]) -> list[str]:
-    """Order the registry so entries absent from the latest
-    CORRECTNESS_r*.json come FIRST. The driver's correctness file caps
-    at 50 queries taken in dict order, so with a 71-entry registry a
-    static order leaves the same tail unverified every round; rotating
-    by last-verified means every query gets a driver-recorded row at
-    least every other round (the full set is also checked each round by
-    tools/oracle_check.py, committed as CORRECTNESS_FULL_r*.txt)."""
+    """Order the registry so the driver's 50-query window covers what
+    most needs independent verification.  Tiers, first to last:
+
+    1. entries whose latest driver row is NON-GREEN (fixes must land in
+       the next window);
+    2. entries whose IMPLEMENTATION CHANGED since the last driver
+       correctness round (git diff of the query function's span or of a
+       sequin_spark module it references) — a matched-pair query+oracle
+       edit can never miss its next driver window;
+    3. entries never covered by the latest round's window;
+    4. the verified, unchanged tail.
+
+    The full set is independently checked by tools/snapshot_check.py
+    --write, committed as CORRECTNESS_FULL_r*.txt and gated by
+    tests/test_full_audit.py."""
     import glob
     import json
     import re
@@ -56,11 +158,29 @@ def _rotation_order(names: list[str]) -> list[str]:
                 and r.get("hash_match", True))
 
     red = {n for n in covered if not _green(rows[n])}
-    # non-green rows FIRST (their fixes must land in the next driver
-    # window), then never-covered entries, then the verified tail
+    changed = _changed_files_and_hunks(here, [latest])
+    touched: set[str] = set()
+    if changed is not None:
+        try:
+            touched = _touched_queries(
+                {n: _q.QUERIES[n] for n in names if n in _q.QUERIES},
+                here, changed)
+        except Exception:  # noqa: BLE001 — prioritization is best-effort
+            touched = set()
+    return _tiered(names, red, covered, touched)
+
+
+def _tiered(names: list[str], red: set[str], covered: set[str],
+            touched: set[str]) -> list[str]:
+    """Pure tier ordering: red, then changed-implementation, then
+    never-covered, then the verified unchanged tail (stable within
+    tiers)."""
     return ([n for n in names if n in red]
-            + [n for n in names if n not in covered]
-            + [n for n in names if n in covered and n not in red])
+            + [n for n in names if n in touched and n not in red]
+            + [n for n in names
+               if n not in covered and n not in red and n not in touched]
+            + [n for n in names
+               if n in covered and n not in red and n not in touched])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,113 @@
+"""Driver-window rotation: changed-implementation queries are
+prioritized into the next correctness window (judge r6 task #6 — a
+matched-pair query+oracle edit must never miss its next driver
+window)."""
+
+import json
+import os
+import subprocess
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+
+def test_parse_hunk_ranges():
+    diff = (
+        "@@ -10,2 +12,3 @@ def f():\n"
+        "@@ -20 +25 @@\n"
+        "@@ -30,4 +33,0 @@\n"   # pure deletion → single line at point
+    )
+    assert entry_mod._parse_hunk_ranges(diff) == [
+        (12, 14), (25, 25), (33, 33)]
+
+
+def test_spans_overlap():
+    assert entry_mod._spans_overlap((10, 20), [(1, 5), (18, 25)])
+    assert not entry_mod._spans_overlap((10, 20), [(1, 9), (21, 30)])
+    assert entry_mod._spans_overlap((10, 10), [(10, 10)])
+
+
+def test_tiered_ordering():
+    names = list("abcdefg")
+    out = entry_mod._tiered(
+        names,
+        red={"e"},
+        covered={"a", "b", "e"},
+        touched={"b", "d"},       # b: covered-green but changed
+    )
+    # red first, then touched, then never-covered, then verified tail
+    assert out == ["e", "b", "d", "c", "f", "g", "a"]
+
+
+def test_changed_files_and_hunks_synthetic_git(tmp_path):
+    """End-to-end over a synthetic git history: commit a correctness
+    file, then change a query source — the changed file and its hunk
+    lines are reported relative to that commit."""
+    repo = str(tmp_path)
+
+    def git(*args):
+        subprocess.run(["git", *args], cwd=repo, check=True,
+                       capture_output=True)
+
+    git("init", "-q")
+    git("config", "user.email", "t@t")
+    git("config", "user.name", "t")
+    os.makedirs(os.path.join(repo, "sequin_spark"))
+    qfile = os.path.join(repo, "sequin_spark", "queries.py")
+    with open(qfile, "w") as f:
+        f.write("def q_a():\n    return 1\n\n\ndef q_b():\n    return 2\n")
+    with open(os.path.join(repo, "CORRECTNESS_r01.json"), "w") as f:
+        json.dump({"q_a": {"rows_match": True}}, f)
+    git("add", "-A")
+    git("commit", "-qm", "round 1")
+
+    # edit q_b's body (line 5-6 region) after the correctness commit
+    with open(qfile, "w") as f:
+        f.write("def q_a():\n    return 1\n\n\ndef q_b():\n    return 99\n")
+
+    changed = entry_mod._changed_files_and_hunks(
+        repo, ["CORRECTNESS_r01.json"])
+    assert changed is not None
+    files, hunks = changed
+    assert files == {"sequin_spark/queries.py"}
+    # the touched line (6) falls inside q_b's span (5-6), not q_a's (1-2)
+    assert entry_mod._spans_overlap((5, 6), hunks["sequin_spark/queries.py"])
+    assert not entry_mod._spans_overlap(
+        (1, 2), hunks["sequin_spark/queries.py"])
+
+
+def test_touched_queries_by_span_and_module_ref():
+    """Against the real registry: a hunk inside one query function's
+    span touches exactly that query; a changed operator module touches
+    the queries that reference it."""
+    import inspect
+
+    from sequin_spark import queries as q
+
+    fn = q.QUERIES["bucketed_colocated_join"]
+    src, first = inspect.getsourcelines(fn)
+    span_mid = first + len(src) // 2
+    qfile = os.path.relpath(inspect.getsourcefile(fn), HERE)
+
+    touched = entry_mod._touched_queries(
+        q.QUERIES, HERE,
+        ({qfile}, {qfile: [(span_mid, span_mid)]}))
+    assert "bucketed_colocated_join" in touched
+    assert "agg_pricing_summary" not in touched
+
+    # module-reference path: operators/bucketed.py changed wholesale
+    mod = "sequin_spark/operators/bucketed.py"
+    touched2 = entry_mod._touched_queries(q.QUERIES, HERE, ({mod}, {}))
+    assert "bucketed_colocated_join" in touched2
+    assert "agg_pricing_summary" not in touched2
+
+
+def test_rotation_order_still_covers_everything():
+    """Whatever the git state, the rotation is a permutation of the
+    registry — nothing dropped, nothing duplicated."""
+    names = list(entry_mod._q.QUERIES)
+    order = entry_mod._rotation_order(names)
+    assert sorted(order) == sorted(names)

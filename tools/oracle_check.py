@@ -74,10 +74,13 @@ def norm(v):
     return str(v)
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def run_checks(sf_dir: str, only: set[str] | None = None,
+               progress=print) -> list[tuple[str, str, str]]:
+    """Run every queries() entry vs its oracle at ``sf_dir``.
 
+    Returns [(name, status, detail)] with status in {"OK", "OK?",
+    "FAIL"} ("OK?" = rows-only check, no oracle entry).  ``progress``
+    receives one line per query as it completes."""
     import __spark_entry__ as entry_mod
     from sequin_spark.session import get_spark
 
@@ -90,7 +93,12 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    failures = 0
+    results: list[tuple[str, str, str]] = []
+
+    def emit(name: str, status: str, detail: str) -> None:
+        results.append((name, status, detail))
+        progress(f"{status:<5} {name}: {detail}")
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -101,12 +109,11 @@ def main() -> int:
                       for f in sdf.schema.fields}
             srows = [tuple(norm(r[c]) for c in scols) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {e}")
-            failures += 1
+            emit(name, "FAIL", f"spark error: {e}")
             continue
         sql = oracles.get(name)
         if sql is None:
-            print(f"OK?   {name}: rows-only check, {len(srows)} rows")
+            emit(name, "OK?", f"rows-only check, {len(srows)} rows")
             continue
         try:
             rel = con.sql(sql)
@@ -115,35 +122,40 @@ def main() -> int:
                       for c, t in zip(rel.columns, rel.types)}
             drows_raw = rel.fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {e}")
-            failures += 1
+            emit(name, "FAIL", f"duckdb error: {e}")
             continue
         dcols = sorted(dcols_raw)
         order = [dcols_raw.index(c) for c in dcols]
         drows = [tuple(norm(r[i]) for i in order) for r in drows_raw]
         if scols != dcols:
-            print(f"FAIL  {name}: columns spark={scols} duck={dcols}")
-            failures += 1
+            emit(name, "FAIL", f"columns spark={scols} duck={dcols}")
             continue
         tmism = {c: (stypes[c], dtypes[c]) for c in scols
                  if stypes[c] != dtypes[c]}
         if tmism:
-            print(f"FAIL  {name}: TYPE mismatch (driver hashes typed "
-                  f"values): {tmism}")
-            failures += 1
+            emit(name, "FAIL",
+                 f"TYPE mismatch (driver hashes typed values): {tmism}")
             continue
         if len(srows) != len(drows):
-            print(f"FAIL  {name}: rowcount spark={len(srows)} duck={len(drows)}")
-            failures += 1
+            emit(name, "FAIL",
+                 f"rowcount spark={len(srows)} duck={len(drows)}")
             continue
         if Counter(srows) != Counter(drows):
             sset, dset = Counter(srows), Counter(drows)
             sonly = list((sset - dset).keys())[:3]
             donly = list((dset - sset).keys())[:3]
-            print(f"FAIL  {name}: value mismatch; spark-only={sonly} duck-only={donly}")
-            failures += 1
+            emit(name, "FAIL",
+                 f"value mismatch; spark-only={sonly} duck-only={donly}")
             continue
-        print(f"OK    {name}: {len(srows)} rows, {len(scols)} cols")
+        emit(name, "OK", f"{len(srows)} rows, {len(scols)} cols")
+    return results
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    results = run_checks(sf_dir, only or None)
+    failures = sum(1 for _, s, _ in results if s == "FAIL")
     print(f"\n{'PASS' if failures == 0 else 'FAIL'} ({failures} failures)")
     return 1 if failures else 0
 

@@ -1,0 +1,179 @@
+"""Pre-snapshot guard: the FULL-registry oracle audit the per-round
+driver window (50 of N queries) cannot provide.
+
+The driver's CORRECTNESS_r*.json covers at most 50 queries per round;
+the rotation in __spark_entry__._rotation_order guarantees every query
+a driver row at least every other round, but matched-pair edits (a
+query and its oracle changed in the same commit) can ship with no
+independent full-run evidence unless the full set is re-checked.  This
+tool makes that un-skippable:
+
+* ``python tools/snapshot_check.py --write`` runs tools/oracle_check
+  over the ENTIRE registry at sf0.01 and writes
+  ``CORRECTNESS_FULL_r{N}.txt`` (N = latest driver round + 1, i.e. the
+  round in progress), stamped with a sha256 digest of every source
+  file the results depend on (sequin_spark/**, __spark_entry__.py,
+  fixtures).  It REFUSES to write the file if any row fails.
+* ``python tools/snapshot_check.py`` verifies the committed file:
+  exists for the current round, covers every registry query, all rows
+  PASS, and the source digest matches the working tree.  Exit 1 with
+  the reason otherwise.
+* ``tests/test_full_audit.py`` runs the same verification as a fast
+  pytest (no Spark) — so a snapshot whose audit file is stale or
+  missing fails the suite, not just a convention.
+
+Regenerating takes a few minutes of Spark+DuckDB time; that cost is
+the point — it is the independent referee for every oracle pair.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import re
+import sys
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SNAPSHOT_SF_DIR", "/root/testdata/sf0.01")
+
+
+def current_round() -> int:
+    """Round in progress = latest driver CORRECTNESS_r*.json + 1."""
+    n = 0
+    for p in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m:
+            n = max(n, int(m.group(1)))
+    return n + 1
+
+
+def source_digest() -> str:
+    """sha256 over every file the oracle results can depend on: the
+    package source (queries, operators, fixtures) and the entry file.
+    Tests/docs/tools are excluded — they cannot change query results."""
+    h = hashlib.sha256()
+    roots = [os.path.join(HERE, "sequin_spark")]
+    files = [os.path.join(HERE, "__spark_entry__.py")]
+    for root in roots:
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = sorted(d for d in dirnames
+                                 if d != "__pycache__")
+            for fn in sorted(filenames):
+                if fn.endswith((".pyc", ".pyo")):
+                    continue
+                files.append(os.path.join(dirpath, fn))
+    for p in sorted(files):
+        h.update(os.path.relpath(p, HERE).encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def audit_path(round_n: int) -> str:
+    return os.path.join(HERE, f"CORRECTNESS_FULL_r{round_n:02d}.txt")
+
+
+def write_audit() -> int:
+    sys.path.insert(0, HERE)
+    from tools.oracle_check import run_checks
+
+    digest = source_digest()
+    results = run_checks(SF_DIR)
+    failures = [(n, d) for n, s, d in results if s == "FAIL"]
+    if failures:
+        for n, d in failures:
+            print(f"REFUSING to write audit file: FAIL {n}: {d}")
+        return 1
+    round_n = current_round()
+    path = audit_path(round_n)
+    with open(path, "w") as f:
+        f.write(f"# CORRECTNESS_FULL r{round_n:02d} — full-registry "
+                f"oracle audit (tools/snapshot_check.py --write)\n")
+        f.write(f"# sf_dir: {SF_DIR}\n")
+        f.write(f"# source_digest: {digest}\n")
+        f.write(f"# queries: {len(results)}\n")
+        for name, status, detail in results:
+            f.write(f"{status:<5} {name}: {detail}\n")
+        f.write(f"SUMMARY PASS {len(results)}/{len(results)}\n")
+    print(f"\nwrote {path} ({len(results)} queries, digest {digest})")
+    return 0
+
+
+def latest_audit() -> tuple[int, str] | None:
+    best = None
+    for p in glob.glob(os.path.join(HERE, "CORRECTNESS_FULL_r*.txt")):
+        m = re.search(r"CORRECTNESS_FULL_r(\d+)\.txt$", p)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    return best
+
+
+def verify_audit() -> list[str]:
+    """Return a list of problems (empty = audit is fresh and green).
+
+    Freshness is the SOURCE DIGEST, not the round number: the latest
+    committed audit must have been generated from exactly the query
+    source in the working tree.  The round check is loose (>= the last
+    completed driver round) so a driver commit landing CORRECTNESS_rN
+    after the snapshot does not retroactively invalidate the audit."""
+    sys.path.insert(0, HERE)
+    import __spark_entry__ as entry_mod
+
+    problems: list[str] = []
+    found = latest_audit()
+    if found is None:
+        return ["no CORRECTNESS_FULL_r*.txt — run "
+                "`python tools/snapshot_check.py --write`"]
+    round_n, path = found
+    if round_n < current_round() - 1:
+        problems.append(
+            f"latest audit is r{round_n:02d}, older than the last "
+            f"completed round — re-run with --write")
+    digest = None
+    rows: dict[str, str] = {}
+    summary_ok = False
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if line.startswith("# source_digest:"):
+                digest = line.split(":", 1)[1].strip()
+            elif line.startswith(("OK ", "OK? ", "FAIL ")):
+                status, rest = line.split(" ", 1)
+                name = rest.strip().split(":", 1)[0].strip()
+                rows[name] = status
+            elif line.startswith("SUMMARY PASS"):
+                summary_ok = True
+    if digest != source_digest():
+        problems.append(
+            f"{os.path.basename(path)} is STALE: source digest "
+            f"{digest} != working tree {source_digest()} — query source "
+            f"changed since the audit ran; re-run with --write")
+    registry = set(entry_mod.queries())
+    missing = registry - set(rows)
+    if missing:
+        problems.append(f"audit does not cover {sorted(missing)}")
+    red = sorted(n for n, s in rows.items() if s == "FAIL")
+    if red:
+        problems.append(f"audit has FAIL rows: {red}")
+    if not summary_ok:
+        problems.append("audit has no `SUMMARY PASS` line "
+                        "(incomplete run?)")
+    return problems
+
+
+def main() -> int:
+    if "--write" in sys.argv:
+        return write_audit()
+    problems = verify_audit()
+    if problems:
+        for p in problems:
+            print(f"STALE-AUDIT: {p}")
+        return 1
+    found = latest_audit()
+    print(f"audit {os.path.basename(found[1])} is fresh and green")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
