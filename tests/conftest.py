@@ -21,3 +21,10 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir():
     return SF_DIR
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: retraining/regeneration checks (minutes); included in the "
+        "default run, deselectable with -m 'not slow'")
