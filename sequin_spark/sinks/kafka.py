@@ -178,16 +178,20 @@ def _compress(codec: str, data: bytes) -> bytes:
 
         # mtime=0: deterministic bytes (gzip embeds a timestamp header)
         return gzip.compress(data, mtime=0)
-    # snappy/lz4/zstd need non-stdlib codecs — honest import-try gate
+    if codec == "snappy":
+        # vendored pure-Python codec with XERIAL stream framing — the
+        # framing the Kafka JVM client's SnappyOutputStream wraps
+        # snappy batches in (raw snappy blocks alone would be rejected
+        # by JVM consumers); see sinks/snappy_py.py
+        from sequin_spark.sinks import snappy_py
+
+        return snappy_py.compress(data)
+    # lz4/zstd need non-stdlib codecs — honest import-try gate
     try:
         if codec == "zstd":
             from compression import zstd  # Python >= 3.14
 
             return zstd.compress(data)
-        if codec == "snappy":
-            import snappy
-
-            return snappy.compress(data)
         if codec == "lz4":
             import lz4.frame
 
@@ -195,7 +199,8 @@ def _compress(codec: str, data: bytes) -> bytes:
     except ImportError as e:
         raise NotImplementedError(
             f"kafka compression codec {codec!r} needs a {codec} library "
-            f"not present in this environment; use none or gzip") from e
+            f"not present in this environment; use none, gzip or snappy"
+        ) from e
     raise ValueError(f"unknown kafka compression codec {codec!r}; "
                      f"supported: {sorted(COMPRESSION_CODECS)}")
 
@@ -207,15 +212,16 @@ def _decompress(codec_bits: int, data: bytes) -> bytes:
         import gzip
 
         return gzip.decompress(data)
+    if codec_bits == 2:
+        from sequin_spark.sinks import snappy_py
+
+        # accepts xerial-framed (JVM producers) and bare-block snappy
+        return snappy_py.decompress(data)
     try:
         if codec_bits == 4:
             from compression import zstd
 
             return zstd.decompress(data)
-        if codec_bits == 2:
-            import snappy
-
-            return snappy.decompress(data)
         if codec_bits == 3:
             import lz4.frame
 
