@@ -318,7 +318,19 @@ class ReplicationClient:
         rows: list[tuple] = []
         error: str | None = None
         while True:
-            mtype, payload = self._read_message()
+            try:
+                mtype, payload = self._read_message()
+            except ReplicationError:
+                # connection died mid-cycle: a PENDING ErrorResponse is
+                # the real failure cause (the server reported it, then
+                # hung up before ReadyForQuery) — surfacing a generic
+                # "server closed connection" instead would hide e.g.
+                # the constraint/permission error that explains a WAL
+                # insert failure (wal_pipeline_server.ex:393-442 keeps
+                # the Postgrex error detail through the retry path)
+                if error:
+                    raise ReplicationError(error) from None
+                raise
             if mtype == b"T" or mtype == b"C" or mtype == b"N":
                 continue
             if mtype == b"D":

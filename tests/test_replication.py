@@ -100,8 +100,12 @@ class FakeWalSender:
 
     def __init__(self, script, password="s3cret", restart_lsn="0/0",
                  missing_slot=False, auth="cleartext", ssl_ctx=None,
-                 ssl_refuse=False):
+                 ssl_refuse=False, fail_query_then_die=None):
         self.script = script
+        # disconnect-with-pending-error: a query containing this
+        # substring gets an ErrorResponse and then the server hangs up
+        # WITHOUT ReadyForQuery (crash-after-error shape)
+        self.fail_query_then_die = fail_query_then_die
         self.password = password
         self.restart_lsn = restart_lsn
         self.missing_slot = missing_slot
@@ -246,6 +250,18 @@ class FakeWalSender:
             self._answer_query(conn, sql)
 
     def _answer_query(self, conn, sql):
+        if (self.fail_query_then_die
+                and self.fail_query_then_die in sql):
+            conn.sendall(msg(
+                b"E",
+                b"SERROR\x00C53100\x00Mcould not extend file "
+                b"\"base/16384/wal_events\": No space left on device"
+                b"\x00\x00"))
+            # an open makefile() handle defers socket.close(); shutdown
+            # sends the FIN regardless, so the client sees EOF not a hang
+            conn.shutdown(socket.SHUT_RDWR)
+            conn.close()
+            return
         def row_desc(names):
             body = struct.pack(">h", len(names))
             for n in names:
