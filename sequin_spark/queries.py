@@ -1117,6 +1117,151 @@ GROUP BY o_custkey
 """
 
 
+def q_acked_ring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acknowledged-messages ring at relational scale: each partitioned
+    delivery task keeps only the LAST ``ring_size`` acked identities in
+    (commit_lsn, commit_idx) order, older entries trimmed — the
+    reference's per-consumer 1000-entry ring
+    (lib/sequin/runtime/acknowledged_messages/: ring per consumer for
+    the console), partitioned like streaming/delivery.py's per-task
+    acked ring (``DeliveryEngine.acked_ring``, ring tails ≤ partitions
+    × ring size).  Ring membership is a per-partition window row_number
+    — one shuffle on the task key, state bounded by tasks × ring."""
+    _prep(spark)
+    from pyspark.sql import Window
+
+    ring_size, n_tasks = 16, 4
+    ev = eventize_events(spark, sf_dir)
+    w = Window.partitionBy("task_id").orderBy(
+        F.col("commit_lsn").desc(), F.col("commit_idx").desc())
+    return (
+        ev.withColumn("task_id", F.pmod(F.col("commit_lsn"), F.lit(n_tasks)))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ring_size)
+        .select("task_id", "commit_lsn", "commit_idx",
+                "idempotency_key", "rk")
+    )
+
+
+SQL_ACKED_RING_TRIM = f"""
+WITH ev AS ({EV_EVENTS}),
+r AS (
+  SELECT commit_lsn % 4 AS task_id, commit_lsn, commit_idx,
+         idempotency_key,
+         row_number() OVER (PARTITION BY commit_lsn % 4
+                            ORDER BY commit_lsn DESC, commit_idx DESC)
+           AS rk
+  FROM ev
+)
+SELECT task_id, commit_lsn, commit_idx, idempotency_key, rk
+FROM r WHERE rk <= 16
+"""
+
+
+def q_visibility_timeout_leases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pull-queue lease table (streaming/pull_queue.py receive/
+    nack_stale semantics; reference visibility timeout in
+    consumers.ex `ack_wait_ms` + nack_stale_produced_messages): every
+    un-acked delivered message holds a lease until
+    ``delivered_at + ack_wait``; leases past "now" are redeliverable
+    (returned to available), the rest still leased.  Deterministic
+    replica: deliveries happen at the event's own commit_timestamp,
+    acked = every 3rd event (removed from the table), now = max
+    commit_timestamp (a 1-row driver aggregate — bounded), ack_wait =
+    3 days so both statuses are populated at every sf."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    now = ev.agg(F.max("commit_timestamp")).collect()[0][0]
+    eid = F.col("record").getItem("event_id").cast("long")
+    return (
+        ev.filter(eid % 3 != 0)  # acked messages leave the lease table
+        .select(
+            "idempotency_key", "group_id",
+            (F.col("commit_timestamp") + F.expr("INTERVAL 3 DAYS"))
+            .alias("not_visible_until"))
+        .withColumn(
+            "status",
+            F.when(F.col("not_visible_until") <= F.lit(now),
+                   "redeliverable").otherwise("leased"))
+    )
+
+
+SQL_VISIBILITY_TIMEOUT_LEASES = f"""
+WITH ev AS ({EV_EVENTS})
+SELECT idempotency_key, group_id,
+       ts + INTERVAL 3 DAY AS not_visible_until,
+       CASE WHEN ts + INTERVAL 3 DAY <=
+                 (SELECT max(ts) FROM ev)
+            THEN 'redeliverable' ELSE 'leased' END AS status
+FROM ev WHERE event_id % 3 <> 0
+"""
+
+
+def q_consistency_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-vs-delivered reconciliation
+    (streaming/consistency.verify_consistency as a relational query;
+    the reference's verification workflow compares slot stream against
+    delivered state): per action, how many source events exist, how
+    many were delivered, how many are MISSING (never delivered — here
+    every 97th key) and how many DUPLICATED (delivered twice — every
+    89th key).  Missing = left_anti join on the idempotency key;
+    duplicates = delivered-side key counts > 1.  All joins key on the
+    idempotency identity, aggregates are action-bounded."""
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir)
+    k = F.col("record").getItem("o_orderkey").cast("long")
+    delivered = (ev.filter(k % 97 != 0)
+                 .unionByName(ev.filter(k % 89 == 0)))
+    n_source = ev.groupBy("action").agg(F.count("*").alias("n_source"))
+    n_delivered = delivered.groupBy("action").agg(
+        F.count("*").alias("n_delivered"))
+    missing = (ev.join(delivered.select("idempotency_key").distinct(),
+                       "idempotency_key", "left_anti")
+               .groupBy("action").agg(F.count("*").alias("n_missing")))
+    dups = (delivered.groupBy("action", "idempotency_key")
+            .agg(F.count("*").alias("c"))
+            .filter(F.col("c") > 1)
+            .groupBy("action").agg(F.count("*").alias("n_duplicated")))
+    return (n_source.join(n_delivered, "action", "left")
+            .join(missing, "action", "left")
+            .join(dups, "action", "left")
+            .select(
+                "action", "n_source",
+                F.coalesce("n_delivered", F.lit(0)).alias("n_delivered"),
+                F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
+                F.coalesce("n_duplicated", F.lit(0)).alias("n_duplicated")))
+
+
+SQL_CONSISTENCY_RECONCILIATION = f"""
+WITH ev AS ({EV_ORDERS}),
+delivered AS (
+  SELECT * FROM ev WHERE o_orderkey % 97 <> 0
+  UNION ALL
+  SELECT * FROM ev WHERE o_orderkey % 89 = 0
+),
+src AS (SELECT action, count(*) AS n_source FROM ev GROUP BY action),
+del AS (SELECT action, count(*) AS n_delivered FROM delivered
+        GROUP BY action),
+mis AS (
+  SELECT action, count(*) AS n_missing FROM ev
+  WHERE idempotency_key NOT IN (SELECT idempotency_key FROM delivered)
+  GROUP BY action),
+dup AS (
+  SELECT action, count(*) AS n_duplicated FROM (
+    SELECT action, idempotency_key FROM delivered
+    GROUP BY action, idempotency_key HAVING count(*) > 1)
+  GROUP BY action)
+SELECT s.action, s.n_source,
+       coalesce(d.n_delivered, 0) AS n_delivered,
+       coalesce(m.n_missing, 0) AS n_missing,
+       coalesce(p.n_duplicated, 0) AS n_duplicated
+FROM src s
+LEFT JOIN del d ON s.action = d.action
+LEFT JOIN mis m ON s.action = m.action
+LEFT JOIN dup p ON s.action = p.action
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -1157,6 +1302,9 @@ QUERIES: dict[str, callable] = {
     "anti_join_inactive": q_anti_join_inactive,
     "top_revenue_orders": q_top_revenue_orders,
     "bucketed_colocated_join": q_bucketed_colocated_join,
+    "acked_ring_trim": q_acked_ring_trim,
+    "visibility_timeout_leases": q_visibility_timeout_leases,
+    "consistency_reconciliation": q_consistency_reconciliation,
     **DATAPIPE_QUERIES,
 }
 
@@ -1195,5 +1343,8 @@ ORACLES: dict[str, str] = {
     "anti_join_inactive": SQL_ANTI_JOIN_INACTIVE,
     "top_revenue_orders": SQL_TOP_REVENUE_ORDERS,
     "bucketed_colocated_join": SQL_BUCKETED_COLOCATED_JOIN,
+    "acked_ring_trim": SQL_ACKED_RING_TRIM,
+    "visibility_timeout_leases": SQL_VISIBILITY_TIMEOUT_LEASES,
+    "consistency_reconciliation": SQL_CONSISTENCY_RECONCILIATION,
     **DATAPIPE_ORACLES,
 }
