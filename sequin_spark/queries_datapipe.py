@@ -2749,7 +2749,84 @@ w{k} AS (
     return "WITH " + "".join(parts) + "\n" + finals
 
 
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact-k uniform corpus sample: the 100 smallest
+    60-bit doc_id hashes (hash order statistic — no RNG/seed state,
+    identical on every rerun; datapipe/sampling.reservoir_sample).
+    Plan = per-partition top-k + k-row merge (TakeOrdered), never a
+    global sort — the eval-holdout primitive at 100 TB."""
+    from sequin_spark.datapipe.sampling import reservoir_sample
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return reservoir_sample(docs, "doc_id", 100).select(
+        "doc_id", "lang", "source")
+
+
+def _sql_sample_reservoir() -> str:
+    h = _sql_h60_of("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id, lang, source
+FROM documents ORDER BY {h} LIMIT 100
+"""
+
+
+def q_sample_stratified_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 docs per language — hash order statistic ranked
+    WITHIN the stratum (datapipe/sampling.stratified_exact_k): one
+    shuffle on the stratum key, deterministic across reruns.  The
+    "n per class" counterpart of curation's rate-based mixers."""
+    from sequin_spark.datapipe.sampling import stratified_exact_k
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_exact_k(docs, "lang", "doc_id", 50).select(
+        "lang", "doc_id")
+
+
+def _sql_sample_stratified_k() -> str:
+    h = _sql_h60_of("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY {h}) AS rk
+  FROM documents)
+SELECT lang, doc_id FROM r WHERE rk <= 50
+"""
+
+
+def q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact length quantiles (q in {.25,.5,.75,.9}),
+    quantile_disc semantics: the element at rank ⌈q·n⌉ — an actual
+    data value, so it hash-compares exactly across engines
+    (datapipe/sampling.exact_quantiles; one within-group sort pass for
+    ALL quantiles).  The corpus-profiling op behind length filters."""
+    from sequin_spark.datapipe.sampling import exact_quantiles
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_quantiles(docs, "lang", "n_chars",
+                           [0.25, 0.5, 0.75, 0.9])
+
+
+SQL_LENGTH_QUANTILES = """
+WITH r AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents),
+qs AS (SELECT unnest([CAST(0.25 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                      CAST(0.75 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q)
+SELECT lang, q, n_chars AS value
+FROM r CROSS JOIN qs
+WHERE rn = CAST(ceil(q * n) AS BIGINT)
+"""
+
+
 DATAPIPE_QUERIES = {
+    "sample_reservoir": q_sample_reservoir,
+    "sample_stratified_k": q_sample_stratified_k,
+    "length_quantiles": q_length_quantiles,
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cluster_components": q_dedup_cluster_components,
@@ -2805,6 +2882,9 @@ DATAPIPE_QUERIES = {
 }
 
 DATAPIPE_ORACLES = {
+    "sample_reservoir": _sql_sample_reservoir(),
+    "sample_stratified_k": _sql_sample_stratified_k(),
+    "length_quantiles": SQL_LENGTH_QUANTILES,
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _sql_minhash(),
     "dedup_cluster_components": _sql_cluster_components(),

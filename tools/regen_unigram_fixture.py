@@ -9,8 +9,9 @@ matching its own header while every gate stayed green (judge verdict r6
 "What's wrong #2").
 
 This tool retrains at exactly those hyperparameters and asserts
-piece-for-piece, logprob-for-logprob (bit-exact repr round-trip)
-equality with the committed fixture:
+piece-for-piece equality with the committed fixture, logprobs within
+1e-9 relative (see ``diff`` for why bitwise equality is not a stable
+contract across JVM histories):
 
 * ``python tools/regen_unigram_fixture.py``          — verify (exit 1 on drift)
 * ``python tools/regen_unigram_fixture.py --write``  — regenerate the fixture
@@ -61,11 +62,11 @@ def retrain(spark=None) -> list[tuple[str, float]]:
         spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # The E-step's per-piece expected counts are Spark double sums whose
-    # partial-aggregation order follows the shuffle layout; a different
-    # spark.sql.shuffle.partitions shifts the last ULP.  The fixture is
-    # pinned to the layout it was trained under (32, the production
-    # default in session.get_spark), so bit-exact reproduction requires
-    # pinning it here too — restore the caller's setting afterwards.
+    # partial-aggregation order follows the shuffle layout; pin the
+    # partition count the fixture was trained under (32, the production
+    # default in session.get_spark) to minimize last-ULP drift — the
+    # residual session-history noise is absorbed by diff()'s 1e-9
+    # tolerance.  Restore the caller's setting afterwards.
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "32")
     try:
@@ -86,9 +87,19 @@ def committed() -> list[tuple[str, float]]:
 
 def diff(got: list[tuple[str, float]],
          want: list[tuple[str, float]]) -> list[str]:
-    """Piece-for-piece, logprob-for-logprob (exact float equality — the
-    trainer is deterministic driver math over fsum of a sorted list, so
-    any difference is drift, not noise)."""
+    """Piece set EXACT; logprobs within 1e-9 relative.
+
+    The driver-side M-step is deterministic (fsum over a sorted list),
+    but the E-step's per-piece expected counts are Spark double sums
+    whose partial-aggregation order varies with session history (which
+    tasks ran before, not just shuffle-partition count) — last-ULP
+    noise, observed as ~1e-16 relative.  Real trainer drift (an
+    algorithm change) moves logprobs by many orders of magnitude more
+    than 1e-9 or changes the piece set, so the tolerance separates the
+    two cleanly without chasing bitwise reproducibility across
+    arbitrary JVM histories."""
+    import math
+
     problems = []
     gd, wd = dict(got), dict(want)
     for p in sorted(set(wd) - set(gd)):
@@ -96,7 +107,7 @@ def diff(got: list[tuple[str, float]],
     for p in sorted(set(gd) - set(wd)):
         problems.append(f"newly trained piece {p!r} not in fixture")
     for p in sorted(set(gd) & set(wd)):
-        if gd[p] != wd[p]:
+        if not math.isclose(gd[p], wd[p], rel_tol=1e-9, abs_tol=1e-12):
             problems.append(
                 f"logprob drift for {p!r}: trained {gd[p]!r} "
                 f"!= fixture {wd[p]!r}")
@@ -123,8 +134,7 @@ def main() -> int:
               f"change or regenerate with --write (and update the oracle "
               f"in lockstep).")
         return 1
-    print(f"OK: fixture matches pinned retraining ({len(got)} pieces, "
-          f"bit-exact logprobs)")
+    print(f"OK: fixture matches pinned retraining ({len(got)} pieces)")
     return 0
 
 
