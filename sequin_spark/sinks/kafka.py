@@ -186,21 +186,24 @@ def _compress(codec: str, data: bytes) -> bytes:
         from sequin_spark.sinks import snappy_py
 
         return snappy_py.compress(data)
-    # lz4/zstd need non-stdlib codecs — honest import-try gate
+    if codec == "lz4":
+        # vendored pure-Python LZ4 FRAME codec (magic + descriptor +
+        # XXH32 checksums) — the format the Kafka JVM client reads for
+        # message-format v2 batches; see sinks/lz4_py.py
+        from sequin_spark.sinks import lz4_py
+
+        return lz4_py.compress(data)
+    # zstd needs a non-stdlib codec — honest import-try gate
     try:
         if codec == "zstd":
             from compression import zstd  # Python >= 3.14
 
             return zstd.compress(data)
-        if codec == "lz4":
-            import lz4.frame
-
-            return lz4.frame.compress(data)
     except ImportError as e:
         raise NotImplementedError(
             f"kafka compression codec {codec!r} needs a {codec} library "
-            f"not present in this environment; use none, gzip or snappy"
-        ) from e
+            f"not present in this environment; use none, gzip, snappy "
+            f"or lz4") from e
     raise ValueError(f"unknown kafka compression codec {codec!r}; "
                      f"supported: {sorted(COMPRESSION_CODECS)}")
 
@@ -217,15 +220,15 @@ def _decompress(codec_bits: int, data: bytes) -> bytes:
 
         # accepts xerial-framed (JVM producers) and bare-block snappy
         return snappy_py.decompress(data)
+    if codec_bits == 3:
+        from sequin_spark.sinks import lz4_py
+
+        return lz4_py.decompress(data)
     try:
         if codec_bits == 4:
             from compression import zstd
 
             return zstd.decompress(data)
-        if codec_bits == 3:
-            import lz4.frame
-
-            return lz4.frame.decompress(data)
     except ImportError as e:
         raise NotImplementedError(
             f"codec bits {codec_bits} need a non-stdlib library") from e

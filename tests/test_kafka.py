@@ -292,6 +292,34 @@ def test_kafka_snappy_batch_is_xerial_framed_and_roundtrips():
     assert parse_record_batch(sn1) == records
 
 
+def test_kafka_lz4_compression_roundtrip():
+    """compression=lz4 (kafka_sink.ex:28): vendored pure-Python LZ4
+    FRAME codec (sinks/lz4_py.py — magic, descriptor, XXH32 header +
+    content checksums, the format JVM consumers read); fake-broker
+    e2e + deterministic framed batch round-trip."""
+    from sequin_spark.sinks.kafka import encode_record_batch, parse_record_batch
+    from sequin_spark.sinks.lz4_py import LZ4_MAGIC
+    import struct as _struct
+
+    fake = FakeKafka(n_partitions=1)
+    sink = create_sink("kafka", {"hosts": f"127.0.0.1:{fake.port}",
+                                 "topic": "t", "compression": "lz4"})
+    sink.open()
+    rows = [{"key": "g", "value": json.dumps({"i": i, "pad": "x" * 200})}
+            for i in range(20)]
+    sink.deliver(SinkBatch(routing={"topic": "t"}, rows=rows))
+    sink.close()
+    fake.close()
+    assert [json.loads(v)["i"] for _, _, _, v in fake.produced] == list(range(20))
+
+    records = [(b"k%d" % i, b"v" * 300) for i in range(10)]
+    fr1 = encode_record_batch(records, compression="lz4")
+    assert fr1 == encode_record_batch(records, compression="lz4")
+    assert _struct.pack("<I", LZ4_MAGIC) in fr1  # really frame-formatted
+    assert len(fr1) < len(encode_record_batch(records))
+    assert parse_record_batch(fr1) == records
+
+
 def test_kafka_unavailable_codec_fails_fast_at_open():
     """When a non-stdlib codec's library is absent, open() must raise
     the honest gate, not fail mid-delivery; when it IS installed the
@@ -299,13 +327,16 @@ def test_kafka_unavailable_codec_fails_fast_at_open():
     import importlib.util
 
     fake = FakeKafka(n_partitions=1)
-    # snappy no longer gates: sinks/snappy_py.py vendors the codec
-    for codec in ("lz4",):
-        if importlib.util.find_spec(codec) is not None:
-            continue  # library present: the fail-fast gate doesn't apply
+    # snappy/lz4 no longer gate: sinks/snappy_py.py + sinks/lz4_py.py
+    # vendor those codecs; only zstd still needs a library
+    try:
+        zstd_present = importlib.util.find_spec("compression.zstd") is not None
+    except ModuleNotFoundError:  # no `compression` package at all (<3.14)
+        zstd_present = False
+    if not zstd_present:
         sink = create_sink("kafka", {"hosts": f"127.0.0.1:{fake.port}",
-                                     "topic": "t", "compression": codec})
-        with pytest.raises(NotImplementedError, match=codec):
+                                     "topic": "t", "compression": "zstd"})
+        with pytest.raises(NotImplementedError, match="zstd"):
             sink.open()
     sink = create_sink("kafka", {"hosts": f"127.0.0.1:{fake.port}",
                                  "topic": "t", "compression": "brotli"})
