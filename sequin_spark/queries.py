@@ -1262,6 +1262,59 @@ LEFT JOIN dup p ON s.action = p.action
 """
 
 
+def q_retry_backoff_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retry state machine relationally
+    (streaming/delivery.backoff_s, BACKOFF 1s→3min =
+    lib/sequin/time.ex:101; discard after max_retry_count =
+    slot_message_store.ex:1177-1190): each message's deliver_count
+    (deterministic replica: event_id % 6) maps to state 'delivered'
+    (count ≤ 1 needed), 'pending_retry' with backoff_ms =
+    min(1000·2^(count−1), 180000) and next_attempt_at = ts + backoff,
+    or 'discarded' (count > max_retry_count = 3).  Pure per-row
+    arithmetic — a narrow scan, no shuffle."""
+    _prep(spark)
+    ev = eventize_events(spark, sf_dir)
+    count = (F.col("record").getItem("event_id").cast("long") % 6)
+    backoff_ms = F.least(
+        F.lit(1000) * F.pow(F.lit(2.0), (count - 1).cast("double")),
+        F.lit(180_000.0)).cast("long")
+    return ev.select(
+        "idempotency_key",
+        count.cast("int").alias("deliver_count"),
+        F.when(count <= 1, "delivered")
+        .when(count > 3, "discarded")
+        .otherwise("pending_retry").alias("state"),
+        F.when((count > 1) & (count <= 3), backoff_ms)
+        .alias("backoff_ms"),
+        F.when(
+            (count > 1) & (count <= 3),
+            F.timestamp_micros(
+                F.unix_micros(F.col("commit_timestamp"))
+                + backoff_ms * 1000))
+        .alias("next_attempt_at"),
+    )
+
+
+SQL_RETRY_BACKOFF_DISCARD = f"""
+WITH ev AS ({EV_EVENTS}),
+b AS (
+  SELECT idempotency_key, ts, event_id % 6 AS cnt,
+         CAST(least(1000 * power(2.0, event_id % 6 - 1), 180000.0)
+              AS BIGINT) AS bo
+  FROM ev
+)
+SELECT idempotency_key,
+       CAST(cnt AS INTEGER) AS deliver_count,
+       CASE WHEN cnt <= 1 THEN 'delivered'
+            WHEN cnt > 3 THEN 'discarded'
+            ELSE 'pending_retry' END AS state,
+       CASE WHEN cnt > 1 AND cnt <= 3 THEN bo END AS backoff_ms,
+       CASE WHEN cnt > 1 AND cnt <= 3
+            THEN ts + to_milliseconds(bo) END AS next_attempt_at
+FROM b
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -1305,6 +1358,7 @@ QUERIES: dict[str, callable] = {
     "acked_ring_trim": q_acked_ring_trim,
     "visibility_timeout_leases": q_visibility_timeout_leases,
     "consistency_reconciliation": q_consistency_reconciliation,
+    "retry_backoff_discard": q_retry_backoff_discard,
     **DATAPIPE_QUERIES,
 }
 
@@ -1346,5 +1400,6 @@ ORACLES: dict[str, str] = {
     "acked_ring_trim": SQL_ACKED_RING_TRIM,
     "visibility_timeout_leases": SQL_VISIBILITY_TIMEOUT_LEASES,
     "consistency_reconciliation": SQL_CONSISTENCY_RECONCILIATION,
+    "retry_backoff_discard": SQL_RETRY_BACKOFF_DISCARD,
     **DATAPIPE_ORACLES,
 }
