@@ -1212,24 +1212,22 @@ def q_consistency_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.col("record").getItem("o_orderkey").cast("long")
     delivered = (ev.filter(k % 97 != 0)
                  .unionByName(ev.filter(k % 89 == 0)))
-    n_source = ev.groupBy("action").agg(F.count("*").alias("n_source"))
-    n_delivered = delivered.groupBy("action").agg(
-        F.count("*").alias("n_delivered"))
-    missing = (ev.join(delivered.select("idempotency_key").distinct(),
-                       "idempotency_key", "left_anti")
-               .groupBy("action").agg(F.count("*").alias("n_missing")))
-    dups = (delivered.groupBy("action", "idempotency_key")
-            .agg(F.count("*").alias("c"))
-            .filter(F.col("c") > 1)
-            .groupBy("action").agg(F.count("*").alias("n_duplicated")))
-    return (n_source.join(n_delivered, "action", "left")
-            .join(missing, "action", "left")
-            .join(dups, "action", "left")
-            .select(
-                "action", "n_source",
-                F.coalesce("n_delivered", F.lit(0)).alias("n_delivered"),
-                F.coalesce("n_missing", F.lit(0)).alias("n_missing"),
-                F.coalesce("n_duplicated", F.lit(0)).alias("n_duplicated")))
+    # single key-level reconciliation join + one action rollup: the
+    # per-key delivered count carries everything (NULL = missing, >1 =
+    # duplicated), so the whole audit is 1 count-shuffle + 1 key join
+    # + 1 three-row rollup — not four independent aggregate pipelines
+    # (the r7 plan audit showed the naive form costing 12 Exchanges)
+    del_counts = (delivered.groupBy("action", "idempotency_key")
+                  .agg(F.count("*").alias("c")))
+    keyed = (ev.select("action", "idempotency_key")
+             .join(del_counts, ["action", "idempotency_key"], "left"))
+    return (keyed.groupBy("action").agg(
+        F.count("*").alias("n_source"),
+        F.sum(F.coalesce("c", F.lit(0))).alias("n_delivered"),
+        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+        .alias("n_missing"),
+        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        .alias("n_duplicated")))
 
 
 SQL_CONSISTENCY_RECONCILIATION = f"""
