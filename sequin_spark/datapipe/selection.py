@@ -149,8 +149,12 @@ def dsir_importance(
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.round(F.avg(F.col("log_p") - F.col("log_q")), 4)
-            .alias("dsir_weight"),
+            # + 0.0 after the round: IEEE normalizes −0.0 + 0.0 → +0.0,
+            # so a ~1e-12 sum whose SIGN differs between engines (float
+            # fold order) can't surface as a "0.0 vs -0.0" hash mismatch
+            # (observed at sf0.001; oracle applies the same normalization)
+            (F.round(F.avg(F.col("log_p") - F.col("log_q")), 4)
+             + F.lit(0.0)).alias("dsir_weight"),
         )
     )
 

@@ -2252,7 +2252,7 @@ rates AS (
   FROM counts CROSS JOIN totals
 )
 SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(log_p - log_q), 4) AS dsir_weight
+       round(avg(log_p - log_q), 4) + 0.0 AS dsir_weight
 FROM b JOIN rates USING (bucket)
 GROUP BY doc_id
 """
