@@ -72,7 +72,10 @@ def streaming_cm_counters(events: DataFrame, col: str,
 def _kmv_fn(k: int):
     def fn(key, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        mins: list[int] = list(state.get[0]) if state.exists else []
+        if state.exists:
+            mins, n_updates = list(state.get[0]), int(state.get[1])
+        else:
+            mins, n_updates = [], 0
         have = set(mins)
         for pdf in pdfs:
             for h in pdf["h"]:
@@ -82,13 +85,16 @@ def _kmv_fn(k: int):
                     mins.append(h)
         mins.sort()
         if len(mins) > k:
-            dropped = mins[k:]
             mins = mins[:k]
-            have.difference_update(dropped)
-        state.update((mins,))
+        # monotone per-invocation counter — "latest emission" selector.
+        # len(mins) is NOT usable for that: it saturates at k while the
+        # set keeps improving (smaller hashes displacing larger), so a
+        # stale emission could tie with the newest one.
+        n_updates += 1
+        state.update((mins, n_updates))
         yield pd.DataFrame({
             "salt": [int(key[0])],
-            "n_seen": [len(mins)],
+            "n_updates": [n_updates],
             "min_hashes": [mins],
         })
     return fn
@@ -97,11 +103,11 @@ def _kmv_fn(k: int):
 def streaming_kmv_state(events: DataFrame, col: str,
                         k: int = 256) -> DataFrame:
     """Per-salt k-minimum-hash state over a stream
-    (applyInPandasWithState): emits one (salt, n_seen, min_hashes) row
-    per salt per micro-batch that touches it — ``n_seen`` is monotone
-    non-decreasing, so "latest state" = max-``n_seen`` row per salt
-    (ties carry identical arrays: state only re-emits unchanged when a
-    batch adds no new minimum).
+    (applyInPandasWithState): emits one (salt, n_updates, min_hashes)
+    row per salt per micro-batch that touches it — ``n_updates`` is a
+    strictly-increasing per-salt invocation counter, so "latest state"
+    = max-``n_updates`` row per salt (a set-size counter would
+    saturate at k and let stale emissions tie).
 
     State per salt is ≤k int64s; per-batch Python work is set-insert on
     the batch's hashes only (the heavy hash fold stays in Catalyst via
@@ -112,8 +118,9 @@ def streaming_kmv_state(events: DataFrame, col: str,
         hashed.groupBy("salt")
         .applyInPandasWithState(
             _kmv_fn(k),
-            outputStructType="salt int, n_seen long, min_hashes array<long>",
-            stateStructType="min_hashes array<long>",
+            outputStructType=("salt int, n_updates long, "
+                              "min_hashes array<long>"),
+            stateStructType="min_hashes array<long>, n_updates long",
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
@@ -129,3 +136,68 @@ def streaming_kmv_finalize(latest_states: DataFrame,
     hashes = latest_states.select(
         F.explode("min_hashes").alias("h")).distinct()
     return kmv_from_hashes(hashes, k)
+
+
+def _reservoir_fn(k: int):
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            hs, keys, n_updates = (list(state.get[0]), list(state.get[1]),
+                                   int(state.get[2]))
+        else:
+            hs, keys, n_updates = [], [], 0
+        pairs = dict(zip(hs, keys))
+        for pdf in pdfs:
+            for h, v in zip(pdf["h"], pdf["v"]):
+                pairs.setdefault(int(h), str(v))
+        mins = sorted(pairs)[:k]
+        n_updates += 1  # monotone latest-emission selector (see _kmv_fn)
+        state.update((mins, [pairs[h] for h in mins], n_updates))
+        yield pd.DataFrame({
+            "salt": [int(key[0])],
+            "n_updates": [n_updates],
+            "min_hashes": [mins],
+            "min_keys": [[pairs[h] for h in mins]],
+        })
+    return fn
+
+
+def streaming_reservoir_state(events: DataFrame, col: str,
+                              k: int = 256) -> DataFrame:
+    """Streaming twin of datapipe/sampling.reservoir_sample: because
+    the batch sampler is a hash ORDER STATISTIC (the k smallest
+    ``h60(key)`` ARE the uniform k-sample), the streaming form is the
+    same per-salt k-min state as the KMV twin, additionally carrying
+    each retained hash's KEY VALUE.  The finalized sample over any
+    prefix of the stream is IDENTICAL to the batch sample of that
+    prefix — no RNG, no Algorithm-R bookkeeping, restart-safe via the
+    state store."""
+    hashed = events.select(
+        h60(F.col(col)).alias("h"),
+        F.col(col).cast("string").alias("v"),
+    ).select((F.col("h") % KMV_SALTS).cast("int").alias("salt"), "h", "v")
+    return (
+        hashed.groupBy("salt")
+        .applyInPandasWithState(
+            _reservoir_fn(k),
+            outputStructType=("salt int, n_updates long, "
+                              "min_hashes array<long>, "
+                              "min_keys array<string>"),
+            stateStructType=("min_hashes array<long>, "
+                             "min_keys array<string>, n_updates long"),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_reservoir_finalize(latest_states: DataFrame,
+                                 k: int = 256) -> DataFrame:
+    """The global k-sample from the latest per-salt states: k smallest
+    hashes across salts, returning their key values — exactly the
+    batch ``reservoir_sample`` membership."""
+    pairs = latest_states.select(
+        F.explode(F.arrays_zip("min_hashes", "min_keys")).alias("p")
+    ).select(F.col("p.min_hashes").alias("h"),
+             F.col("p.min_keys").alias("v")).distinct()
+    return pairs.orderBy("h").limit(k).select("v")

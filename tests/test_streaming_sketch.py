@@ -96,9 +96,9 @@ def test_streaming_cm_equals_batch(spark, tmp_path):
 
 def _latest_kmv_states(spark, rows):
     df = spark.createDataFrame(
-        rows, "salt int, n_seen long, min_hashes array<long>")
+        rows, "salt int, n_updates long, min_hashes array<long>")
     from pyspark.sql import Window
-    w = Window.partitionBy("salt").orderBy(F.col("n_seen").desc())
+    w = Window.partitionBy("salt").orderBy(F.col("n_updates").desc())
     return (df.withColumn("rn", F.row_number().over(w))
             .filter("rn = 1").drop("rn"))
 
@@ -160,3 +160,33 @@ def test_streaming_sketch_under_rocksdb(spark, tmp_path, twin):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+def test_streaming_reservoir_equals_batch(spark, tmp_path):
+    """The streaming reservoir (per-salt k-min state carrying key
+    values) finalizes to EXACTLY the batch hash-order-statistic
+    sample of the same rows — same membership, any micro-batch split,
+    replays included."""
+    from sequin_spark.datapipe.sampling import reservoir_sample
+    from sequin_spark.datapipe.streaming_sketch import (
+        streaming_reservoir_finalize,
+        streaming_reservoir_state,
+    )
+
+    k = 40
+    got_rows = _run_stream(
+        spark, tmp_path, lambda s: streaming_reservoir_state(s, "v", k=k),
+        "update", "resv_twin_out")
+    from pyspark.sql import Window
+    w = Window.partitionBy("salt").orderBy(F.col("n_updates").desc())
+    latest = (spark.createDataFrame(
+        got_rows, "salt int, n_updates long, min_hashes array<long>, "
+                  "min_keys array<string>")
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").drop("rn"))
+    got = sorted(r["v"] for r in
+                 streaming_reservoir_finalize(latest, k=k).collect())
+    want = sorted(
+        r["v"] for r in
+        reservoir_sample(_union_df(spark).distinct(), "v", k).collect())
+    assert got == want and len(got) == k
