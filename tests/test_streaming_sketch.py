@@ -190,3 +190,47 @@ def test_streaming_reservoir_equals_batch(spark, tmp_path):
         r["v"] for r in
         reservoir_sample(_union_df(spark).distinct(), "v", k).collect())
     assert got == want and len(got) == k
+
+
+def test_streaming_kmv_survives_checkpoint_restart(spark, tmp_path):
+    """Kill the streaming query between micro-batches and restart from
+    the checkpoint: the per-salt k-min state must be RESTORED (not
+    rebuilt from the post-restart batches alone), so the finalized
+    estimate still equals the batch sketch over ALL batches.  This is
+    the restart contract the state store exists for."""
+    k = 64
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    emissions: list = []
+
+    def start():
+        stream = (spark.readStream.schema("v string")
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return (streaming_kmv_state(stream, "v", k=k)
+                .writeStream
+                # foreachBatch: the memory sink refuses checkpoint
+                # recovery; collecting per-batch keeps restart support
+                .foreachBatch(
+                    lambda df, _id: emissions.extend(df.collect()))
+                .option("checkpointLocation", ckpt)
+                .outputMode("update").start())
+
+    _write_batch(spark, src, BATCHES[0])
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # batches 2..3 arrive while the query is DOWN; the restart must
+    # resume from checkpointed state + offsets
+    for batch in BATCHES[1:]:
+        _write_batch(spark, src, batch)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    est = streaming_kmv_finalize(
+        _latest_kmv_states(spark, emissions), k=k).collect()
+    assert est == kmv_distinct(_union_df(spark), "v", k=k).collect()
