@@ -22,7 +22,10 @@ Scale shape:
   callers counting < ~3·m distinct values should use KMV (exact there).
 * Count-min — d=4 × w=1024 integer counter matrix (one groupBy over
   (row, bucket)), point estimate = min over rows; merge = element-wise
-  add.  Overestimate-only by construction.
+  add.  Overestimate-only by construction.  The d row hashes are
+  disjoint 20-bit slices of ONE md5 digest (Kirsch & Mitzenmacher
+  2006: two—here d—hash functions derived from a single digest keep
+  the CM guarantees), so the token stream is hashed once, not d times.
 
 References: Bar-Yossef et al. 2002 (KMV), Flajolet et al. 2007 (HLL),
 Cormode & Muthukrishnan 2005 (count-min) — all public papers.
@@ -124,20 +127,35 @@ def hll_distinct(df: DataFrame, col: str) -> DataFrame:
     return hll_estimate(hll_registers(df, col))
 
 
+def _cm_row_buckets(digest: F.Column) -> F.Column:
+    """array of (row, bucket) structs from ONE md5 digest: row r's
+    bucket is the r-th disjoint 20-bit (5-hex-digit) slice mod w.
+    Kirsch–Mitzenmacher-style derivation of the d hash functions from a
+    single digest — 1 md5 per value instead of d, which is 4× less
+    hashing on the 100 TB token stream; each slice is exactly uniform
+    mod w because 2^20 % CM_WIDTH == 0."""
+    assert (1 << 20) % CM_WIDTH == 0
+    return F.array(*[
+        F.struct(
+            F.lit(r).alias("row"),
+            (F.conv(F.substring(digest, 1 + 5 * r, 5), 16, 10)
+             .cast("long") % CM_WIDTH).cast("int").alias("bucket"),
+        )
+        for r in range(CM_DEPTH)
+    ])
+
+
 def cm_counters(df: DataFrame, col: str, weight: str | None = None) -> DataFrame:
-    """The d×w count-min counter table (row, bucket, cnt): row r uses
-    h60(r || '_' || value) % w.  Mergeable by element-wise add."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("row")
+    """The d×w count-min counter table (row, bucket, cnt); the d row
+    hashes are disjoint slices of one md5 digest (_cm_row_buckets).
+    Mergeable by element-wise add."""
     wcol = F.col(weight) if weight else F.lit(1)
     return (
-        df.select(F.col(col).cast("string").alias("_v"), wcol.alias("_w"))
-        .select("_v", "_w", rows)
-        .select(
-            "row",
-            (h60(F.concat_ws("_", F.col("row"), F.col("_v"))) % CM_WIDTH)
-            .cast("int").alias("bucket"),
-            "_w",
-        )
+        df.select(F.md5(F.col(col).cast("string")).alias("_m"),
+                  wcol.alias("_w"))
+        .select(F.explode(_cm_row_buckets(F.col("_m"))).alias("rb"), "_w")
+        .select(F.col("rb.row").alias("row"),
+                F.col("rb.bucket").alias("bucket"), "_w")
         .groupBy("row", "bucket")
         .agg(F.sum("_w").cast("long").alias("cnt"))
     )
@@ -147,15 +165,12 @@ def cm_point_estimates(counters: DataFrame, candidates: DataFrame,
                        col: str) -> DataFrame:
     """min over rows of counter[r, h_r(value)] for each candidate —
     the count-min point query (never under-estimates)."""
-    rows = F.explode(F.array(*[F.lit(i) for i in range(CM_DEPTH)])).alias("row")
     probes = (
         candidates.select(F.col(col).cast("string").alias("_v"))
-        .select("_v", rows)
-        .select(
-            "_v", "row",
-            (h60(F.concat_ws("_", F.col("row"), F.col("_v"))) % CM_WIDTH)
-            .cast("int").alias("bucket"),
-        )
+        .select("_v", F.explode(_cm_row_buckets(
+            F.md5(F.col("_v")))).alias("rb"))
+        .select("_v", F.col("rb.row").alias("row"),
+                F.col("rb.bucket").alias("bucket"))
     )
     return (
         probes.join(counters, ["row", "bucket"])

@@ -2149,8 +2149,22 @@ def q_sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("token"), "exact_cnt", "cm_estimate")
 
 
+def _sql_cm_bucket(expr: str, r: int) -> str:
+    """Row r's count-min bucket: the r-th disjoint 5-hex-digit (20-bit)
+    slice of md5(expr), mod 1024 — the single-digest hash derivation of
+    datapipe/sketch._cm_row_buckets, digit-for-digit."""
+    poly = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {1 + 5 * r + i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(5)
+    )
+    return f"(({poly}) % 1024)"
+
+
 def _sql_sketch_cm() -> str:
-    h = _sql_h60_of("CAST(r AS VARCHAR) || '_' || w")
+    buckets = " ".join(
+        f"WHEN {r} THEN {_sql_cm_bucket('w', r)}" for r in range(4))
+    h = f"(CASE r {buckets} END)"
     return f"""
 WITH words AS (
   SELECT unnest(string_split({D_NORM}, ' ')) AS w FROM documents
@@ -2161,12 +2175,12 @@ exact AS (
 ),
 rows_ AS (SELECT unnest(generate_series(0, 3)) AS r),
 counters AS (
-  SELECT r, {h} % 1024 AS bucket, CAST(count(*) AS BIGINT) AS cnt
+  SELECT r, {h} AS bucket, CAST(count(*) AS BIGINT) AS cnt
   FROM wnz CROSS JOIN rows_
-  GROUP BY r, {h} % 1024
+  GROUP BY r, {h}
 ),
 probes AS (
-  SELECT exact.w, r, {h} % 1024 AS bucket FROM exact CROSS JOIN rows_
+  SELECT exact.w, r, {h} AS bucket FROM exact CROSS JOIN rows_
 )
 SELECT probes.w AS token, exact.exact_cnt,
        CAST(min(counters.cnt) AS BIGINT) AS cm_estimate

@@ -143,18 +143,23 @@ def test_cm_matches_duckdb_and_never_underestimates(spark, duck):
     true = Counter(w for (w,) in rows)
     # overestimate-only bound
     assert all(got[w] >= c for w, c in true.items())
-    # duckdb replica of the counter fold + point query
-    h = _sql_h60_of("concat(CAST(r.row AS VARCHAR), '_', src.w)")
+    # duckdb replica of the counter fold + point query (single-digest
+    # slice hashing, mirroring _sql_cm_bucket)
+    from sequin_spark.queries_datapipe import _sql_cm_bucket
+
+    case = " ".join(f"WHEN {r} THEN {_sql_cm_bucket('src.w', r)}"
+                    for r in range(CM_DEPTH))
+    h = f"(CASE r.row {case} END)"
     vals = ", ".join(f"('{w}')" for (w,) in rows)
     want = dict(duck.sql(f"""
 WITH src(w) AS (VALUES {vals}),
 rows_t AS (SELECT unnest(generate_series(0, {CM_DEPTH - 1})) AS row),
 cell AS (
-  SELECT r.row AS row, {h} % {CM_WIDTH} AS bucket, count(*) AS cnt
+  SELECT r.row AS row, {h} AS bucket, count(*) AS cnt
   FROM src, rows_t r GROUP BY 1, 2
 ),
 probe AS (
-  SELECT src.w AS w, r.row AS row, {h} % {CM_WIDTH} AS bucket
+  SELECT src.w AS w, r.row AS row, {h} AS bucket
   FROM (SELECT DISTINCT w FROM src) src, rows_t r
 )
 SELECT p.w, CAST(min(c.cnt) AS BIGINT)
