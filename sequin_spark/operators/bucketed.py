@@ -85,3 +85,70 @@ def bucketed_table(
         f"CLUSTERED BY ({key_col}) SORTED BY ({key_col}) "
         f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'")
     return spark.table(name)
+
+
+def bucketed_stream_writer(
+    events: DataFrame,
+    table_name: str,
+    path: str,
+    key_col: str,
+    n_buckets: int = 8,
+):
+    """foreachBatch writer that maintains an incrementally-appended
+    BUCKETED fact table from a CDC stream — so the replicated table
+    stays co-located on its join key and every downstream fact-to-fact
+    join keeps the zero-Exchange SortMergeJoin plan as data streams in.
+    This is the CDC→analytics bridge for the bucketing recipe: the
+    reference lands WAL events in ordinary tables
+    (lib/sequin/runtime/wal_pipeline_server.ex); Spark-side we land
+    them pre-partitioned for the joins that follow.
+
+    Exactly-once: Structured Streaming replays the last uncommitted
+    micro-batch after a crash, and a blind append would duplicate it.
+    Each appended batch writes a ``_batch_<id>`` marker AFTER the
+    append; a replayed batchId whose marker exists is skipped.  (The
+    append→marker window is the same checkpoint-commit-is-ack
+    exposure the delivery engine documents; downstream exact dedup
+    absorbs it.)
+
+    Compaction: each micro-batch adds ≤ n_buckets files; long-running
+    streams should compact periodically (read table, overwrite with
+    the same bucket spec) — same lifecycle as the delivery ledger's
+    file compaction.
+
+    Returns a ``DataStreamWriter`` — caller sets checkpointLocation
+    and calls ``start()``.
+    """
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        append_bucketed_batch(batch_df, table_name, path, key_col,
+                              n_buckets, batch_id)
+
+    return events.writeStream.foreachBatch(_append)
+
+
+def append_bucketed_batch(
+    batch_df: DataFrame,
+    table_name: str,
+    path: str,
+    key_col: str,
+    n_buckets: int,
+    batch_id: int,
+) -> bool:
+    """One idempotent bucketed append (the foreachBatch body of
+    bucketed_stream_writer, public so crash-replay semantics are
+    directly testable).  Returns False when the batch id was already
+    committed (replay skip)."""
+    import json as _json
+
+    markers = os.path.join(path, "_batches")
+    marker = os.path.join(markers, f"_batch_{batch_id}")
+    if os.path.exists(marker):
+        return False  # replay of a committed batch: idempotent skip
+    (batch_df.write.mode("append")
+        .bucketBy(n_buckets, key_col).sortBy(key_col)
+        .option("path", os.path.join(path, "data"))
+        .saveAsTable(table_name))
+    os.makedirs(markers, exist_ok=True)
+    with open(marker, "w") as f:
+        _json.dump({"batch_id": batch_id}, f)
+    return True

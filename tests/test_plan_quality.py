@@ -145,3 +145,67 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bkt.orders_b")
         spark.sql("DROP TABLE IF EXISTS bkt.lineitem_b")
         spark.sql("DROP DATABASE IF EXISTS bkt")
+
+
+def test_bucketed_stream_writer_keeps_colocated_plan(spark, sf_dir, tmp_path):
+    """CDC→analytics bridge: micro-batches appended through
+    bucketed_stream_writer land pre-bucketed, so a fact-to-fact join
+    against another bucketed table keeps the zero-Exchange
+    SortMergeJoin WHILE the stream grows; a replayed micro-batch (crash
+    recovery) is appended exactly once (marker idempotence)."""
+    from sequin_spark.operators.bucketed import (
+        bucketed_stream_writer,
+        bucketed_table,
+    )
+
+    src = str(tmp_path / "src")
+    tbl_path = str(tmp_path / "facts")
+    name = "bkt_stream_facts_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+    def write_batch(lo, hi):
+        spark.createDataFrame(
+            [(i, i % 150, float(i)) for i in range(lo, hi)],
+            "order_id long, cust_id long, amount double",
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    write_batch(0, 500)
+    stream = (spark.readStream
+              .schema("order_id long, cust_id long, amount double")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (bucketed_stream_writer(stream, name, tbl_path, "cust_id")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        write_batch(500, 900)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    t = spark.table(name)
+    assert t.count() == 900
+
+    # crash-replay simulation: re-running a committed batch id is a no-op
+    import glob as _glob
+
+    from sequin_spark.operators.bucketed import append_bucketed_batch
+
+    markers = _glob.glob(str(tmp_path / "facts" / "_batches" / "_batch_*"))
+    assert len(markers) >= 2
+    batch0 = spark.createDataFrame([(0, 0, 0.0)],
+                                   "order_id long, cust_id long, amount double")
+    assert append_bucketed_batch(batch0, name, tbl_path, "cust_id",
+                                 8, 0) is False
+    assert spark.table(name).count() == 900  # nothing appended
+
+    # the join against an independently bucketed dim-fact stays
+    # shuffle-free as the streamed table grows
+    eb = bucketed_table(spark, sf_dir, "events", "user_id")
+    j = (t.hint("merge")
+         .join(eb.hint("merge"), t["cust_id"] == eb["user_id"]))
+    plan = _physical_plan(j)
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+    assert j.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
