@@ -126,6 +126,56 @@ def bucketed_stream_writer(
     return events.writeStream.foreachBatch(_append)
 
 
+def compact_bucketed(
+    spark: SparkSession,
+    table_name: str,
+    path: str,
+    key_col: str,
+    n_buckets: int = 8,
+) -> int:
+    """Rewrite an incrementally-appended bucketed table into one file
+    per bucket (same bucket spec, same rows) and reset the batch
+    markers.  A long-running bucketed_stream_writer adds ≤ n_buckets
+    files per micro-batch; at some point the scan cost is file-count
+    bound, the same lifecycle the delivery ledger solves with
+    count-threshold compaction.  Returns the number of data files
+    after compaction.
+
+    Rewrite-then-swap: the table is staged next to the live directory
+    and moved into place, so a crash mid-compaction leaves the
+    original table intact (markers are only cleared after the swap —
+    a replayed batch after compaction is re-appended, which downstream
+    exact dedup absorbs; same at-least-once posture as the writer)."""
+    import shutil
+
+    data_dir = os.path.join(path, "data")
+    stage_dir = os.path.join(path, "data_compacting")
+    old_dir = os.path.join(path, "data_old")
+    stage_name = f"{table_name}__compact"
+    rows = spark.table(table_name)
+    (rows.repartition(n_buckets, key_col)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, key_col).sortBy(key_col)
+        .option("path", stage_dir).saveAsTable(stage_name))
+    spark.sql(f"DROP TABLE {stage_name}")   # external: files survive
+    spark.sql(f"DROP TABLE {table_name}")
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(data_dir, old_dir)
+    os.rename(stage_dir, data_dir)
+    shutil.rmtree(old_dir, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
+    # re-register over the compacted files
+    ddl_cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in rows.schema.fields)
+    spark.sql(
+        f"CREATE TABLE {table_name} ({ddl_cols}) USING parquet "
+        f"CLUSTERED BY ({key_col}) SORTED BY ({key_col}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'")
+    return len([f for f in os.listdir(data_dir)
+                if not f.startswith(("_", "."))])
+
+
 def append_bucketed_batch(
     batch_df: DataFrame,
     table_name: str,

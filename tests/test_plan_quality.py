@@ -209,3 +209,49 @@ def test_bucketed_stream_writer_keeps_colocated_plan(spark, sf_dir, tmp_path):
     assert "Exchange" not in plan, plan
     assert j.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_compact_bucketed_preserves_rows_and_plan(spark, tmp_path):
+    """Compaction rewrites the appended bucketed table to ~1 file per
+    bucket with identical rows, clears the batch markers, and the
+    re-registered table still joins shuffle-free."""
+    import os
+
+    from sequin_spark.operators.bucketed import (
+        append_bucketed_batch,
+        compact_bucketed,
+    )
+
+    name = "bkt_compact_t"
+    path = str(tmp_path / "facts")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    for b in range(5):
+        df = spark.createDataFrame(
+            [(i + 200 * b, (i + 200 * b) % 40) for i in range(200)],
+            "order_id long, cust_id long")
+        assert append_bucketed_batch(df, name, path, "cust_id", 8, b)
+    data_dir = os.path.join(path, "data")
+    files_before = len([f for f in os.listdir(data_dir)
+                        if not f.startswith(("_", "."))])
+    before = sorted(r["order_id"] for r in spark.table(name).collect())
+
+    n_files = compact_bucketed(spark, name, path, "cust_id", 8)
+    assert n_files < files_before
+    after = sorted(r["order_id"] for r in spark.table(name).collect())
+    assert after == before
+    assert not os.path.exists(os.path.join(path, "_batches"))
+
+    # still co-located: self-shaped join against another bucketed table
+    other = spark.createDataFrame(
+        [(i, i % 40) for i in range(100)], "k long, cust2 long")
+    spark.sql("DROP TABLE IF EXISTS bkt_compact_o")
+    (other.write.mode("overwrite").bucketBy(8, "cust2").sortBy("cust2")
+     .option("path", str(tmp_path / "other")).saveAsTable("bkt_compact_o"))
+    t = spark.table(name)
+    o = spark.table("bkt_compact_o")
+    j = t.hint("merge").join(o.hint("merge"), t["cust_id"] == o["cust2"])
+    plan = _physical_plan(j)
+    assert "SortMergeJoin" in plan and "Exchange" not in plan, plan
+    assert j.count() > 0
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql("DROP TABLE IF EXISTS bkt_compact_o")
