@@ -1260,6 +1260,48 @@ LEFT JOIN dup p ON s.action = p.action
 """
 
 
+def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (interval) join via binning
+    (operators/rangejoin.interval_bin_join): 15 OVERLAPPING value
+    bands (50% sliding overlap — width_bucket can't express this, a
+    real range join can) matched to every event whose value falls
+    inside, without a cartesian product: intervals explode to covered
+    bins, events map to their one bin, equi-join + exact predicate.
+    Band edges are computed once driver-side from a 1-row min/max
+    aggregate (bounded) with the same IEEE arithmetic the oracle uses,
+    so boundaries compare bit-identically."""
+    _prep(spark)
+    from sequin_spark.operators.rangejoin import interval_bin_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    mn, mx = ev.agg(F.min("value"), F.max("value")).collect()[0]
+    delta = (mx - mn) / 8
+    bands = [(k, mn + (k * (mx - mn)) / 16,
+              (mn + (k * (mx - mn)) / 16) + delta) for k in range(15)]
+    iv = spark.createDataFrame(bands, "band_id int, lo double, hi double")
+    j = interval_bin_join(ev, broadcast(iv), "value",
+                          bin_width=max(delta / 2, 1e-9))
+    return (j.groupBy("band_id")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("value_sum")))
+
+
+SQL_RANGE_JOIN_VALUE_BANDS = """
+WITH mm AS (SELECT min(value) AS mn, max(value) AS mx FROM events),
+bands AS (
+  SELECT k AS band_id,
+         mn + (k * (mx - mn)) / 16 AS lo,
+         (mn + (k * (mx - mn)) / 16) + (mx - mn) / 8 AS hi
+  FROM mm CROSS JOIN (SELECT unnest(generate_series(0, 14)) AS k)
+)
+SELECT CAST(band_id AS INTEGER) AS band_id,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS value_sum
+FROM bands JOIN events e ON e.value >= bands.lo AND e.value <= bands.hi
+GROUP BY band_id
+"""
+
+
 def q_retry_backoff_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The retry state machine relationally
     (streaming/delivery.backoff_s, BACKOFF 1s→3min =
@@ -1357,6 +1399,7 @@ QUERIES: dict[str, callable] = {
     "visibility_timeout_leases": q_visibility_timeout_leases,
     "consistency_reconciliation": q_consistency_reconciliation,
     "retry_backoff_discard": q_retry_backoff_discard,
+    "range_join_value_bands": q_range_join_value_bands,
     **DATAPIPE_QUERIES,
 }
 
@@ -1399,5 +1442,6 @@ ORACLES: dict[str, str] = {
     "visibility_timeout_leases": SQL_VISIBILITY_TIMEOUT_LEASES,
     "consistency_reconciliation": SQL_CONSISTENCY_RECONCILIATION,
     "retry_backoff_discard": SQL_RETRY_BACKOFF_DISCARD,
+    "range_join_value_bands": SQL_RANGE_JOIN_VALUE_BANDS,
     **DATAPIPE_ORACLES,
 }

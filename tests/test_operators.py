@@ -284,3 +284,40 @@ def test_funnel_differential_random(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_interval_bin_join_matches_naive(spark):
+    """Binned interval join must equal the naive range predicate on
+    overlapping, touching, and disjoint intervals — including values
+    exactly on interval boundaries — and never use a cartesian plan."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from sequin_spark.operators.rangejoin import interval_bin_join
+
+    ev = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(
+            [0.0, 1.0, 2.5, 5.0, 5.0001, 7.5, 10.0, -3.0, 100.0])],
+        "event_id long, value double")
+    iv = spark.createDataFrame(
+        [(0, 0.0, 5.0), (1, 2.5, 7.5), (2, 5.0, 10.0), (3, 50.0, 60.0),
+         (4, -10.0, -1.0)],
+        "band_id int, lo double, hi double")
+    for bin_width in (0.7, 2.0, 5.0, 20.0):
+        got = {(r["event_id"], r["band_id"]) for r in
+               interval_bin_join(ev, iv, "value",
+                                 bin_width=bin_width).collect()}
+        want = {(r["event_id"], r["band_id"]) for r in
+                ev.crossJoin(iv).filter(
+                    (F.col("value") >= F.col("lo"))
+                    & (F.col("value") <= F.col("hi"))).collect()}
+        assert got == want, f"bin_width={bin_width}"
+    # plan: equi-join on the bin, not a cartesian product
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        interval_bin_join(ev, iv, "value", bin_width=2.0).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
