@@ -58,7 +58,8 @@ def pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
 
 def streaming_latency(spark, seconds: int = 35,
                       rows_per_second: int = 50_000,
-                      prefix: str = "stream") -> dict:
+                      prefix: str = "stream",
+                      row_bytes: int = 200) -> dict:
     """Synthetic-source → full pipeline → noop sink as a real streaming
     query (the reference's BenchmarkSource → benchmark-sink harness):
     sustained rows/s + per-microbatch p50/p99 trigger latency.
@@ -79,7 +80,7 @@ def streaming_latency(spark, seconds: int = 35,
     spark.streams.addListener(listener)
     tmp = tempfile.mkdtemp(prefix="sequin_bench_")
     stream = benchmark_stream(spark, rows_per_second=rows_per_second,
-                              num_partitions=8)
+                              num_partitions=8, row_bytes=row_bytes)
     name = f"bench_{prefix}_{rows_per_second}"
     spec = ConsumerSpec(name=name, sink_type="benchmark", batch_size=200)
     pipe = ConsumerPipeline(spec, state_dir=f"{tmp}/state")
@@ -149,6 +150,21 @@ def main() -> None:
                                 prefix="cap")
         stream_stats["stream_capacity_rows_per_sec"] = cap.get(
             "stream_rows_per_sec", 0)
+    except Exception:  # noqa: BLE001
+        pass
+    # row-size sensitivity sweep, mirroring the reference's published
+    # table (docs/performance.mdx:36-39: 100 B / 200 B / 400 B / 1.6 kB
+    # rows on a 16-vCPU box): capacity-driven so the figure is the
+    # pipeline ceiling at that row size, reported as rows/s and MB/s
+    try:
+        for rb in (100, 400, 1600):  # 200 B ≈ the capacity probe above
+            r = streaming_latency(spark, seconds=15,
+                                  rows_per_second=100_000,
+                                  prefix=f"rb{rb}", row_bytes=rb)
+            rps = r.get("stream_rows_per_sec", 0)
+            stream_stats[f"stream_rows_per_sec_{rb}B"] = rps
+            stream_stats[f"stream_mb_per_sec_{rb}B"] = round(
+                rps * rb / 1e6, 2)
     except Exception:  # noqa: BLE001
         pass
 
