@@ -102,3 +102,102 @@ def frame_sample(media: DataFrame, every_n: int = 4) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Container-header probing — REAL metadata extraction, stdlib-only.
+
+PROBE_SCHEMA = (
+    "doc_id long, n_bytes long, format string, width int, height int, "
+    "n_channels int, sample_rate int, status string"
+)
+
+
+def probe_header(blob: bytes) -> dict:
+    """Parse width/height/channels/sample-rate from the CONTAINER
+    HEADER of a media blob — PNG, JPEG, GIF, BMP, WAV — using nothing
+    but struct offsets from the public file-format specifications
+    (what `file(1)` / `identify -ping` do).  This is genuine metadata
+    extraction, not the decode stub: pixel/sample DECODE still needs
+    PIL/librosa/ffmpeg and stays gated in decode_media, but dimension
+    probing — the metadata a curation pipeline filters on (min
+    resolution, aspect ratio, sample rate) — needs only the header.
+
+    Returns {format,width,height,n_channels,sample_rate,status};
+    unknown containers get format='unknown', status='unrecognized'."""
+    import struct as _s
+
+    out = {"format": "unknown", "width": None, "height": None,
+           "n_channels": None, "sample_rate": None, "status": "probed"}
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and blob[12:16] == b"IHDR":
+            w, h = _s.unpack_from(">II", blob, 16)
+            bit_depth, color_type = blob[24], blob[25]
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+            out.update(format="png", width=w, height=h,
+                       n_channels=channels)
+        elif blob[:3] == b"\xff\xd8\xff":  # JPEG SOI
+            i = 2
+            while i + 9 < len(blob):
+                if blob[i] != 0xFF:
+                    i += 1
+                    continue
+                marker = blob[i + 1]
+                if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seg_len,) = _s.unpack_from(">H", blob, i + 2)
+                # SOF0-3/5-7/9-11/13-15 carry the frame dimensions
+                if marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                              0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    h, w = _s.unpack_from(">HH", blob, i + 5)
+                    out.update(format="jpeg", width=w, height=h,
+                               n_channels=blob[i + 9])
+                    break
+                i += 2 + seg_len
+            else:
+                out["status"] = "truncated"
+            if out["format"] == "unknown":
+                out.update(format="jpeg", status="truncated")
+        elif blob[:6] in (b"GIF87a", b"GIF89a"):
+            w, h = _s.unpack_from("<HH", blob, 6)
+            out.update(format="gif", width=w, height=h)
+        elif blob[:2] == b"BM" and len(blob) >= 26:
+            w, h = _s.unpack_from("<ii", blob, 18)
+            out.update(format="bmp", width=w, height=abs(h))
+        elif (blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+              and blob[12:16] == b"fmt "):
+            channels, rate = _s.unpack_from("<HI", blob, 22)
+            out.update(format="wav", n_channels=channels,
+                       sample_rate=rate)
+        else:
+            out["status"] = "unrecognized"
+    except (IndexError, _s.error):
+        out["status"] = "truncated"
+    return out
+
+
+def probe_media_headers(media: DataFrame) -> DataFrame:
+    """Arrow-batched header probe over a media table (blob column
+    rides through Arrow; each task probes its partition independently —
+    no shuffle, same plan shape as decode_media)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            probed = [probe_header(bytes(b) if b is not None else b"")
+                      for b in batch["blob"]]
+            yield pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "n_bytes": batch["n_bytes"],
+                "format": [p["format"] for p in probed],
+                "width": pd.array([p["width"] for p in probed],
+                                  dtype="Int32"),
+                "height": pd.array([p["height"] for p in probed],
+                                   dtype="Int32"),
+                "n_channels": pd.array([p["n_channels"] for p in probed],
+                                       dtype="Int32"),
+                "sample_rate": pd.array([p["sample_rate"] for p in probed],
+                                        dtype="Int32"),
+                "status": [p["status"] for p in probed],
+            })
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)
