@@ -321,3 +321,42 @@ def test_interval_bin_join_matches_naive(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_bin_join_hypothesis(spark):
+    """Property: for ANY intervals/events/bin width, binned join ==
+    naive range predicate (run as one batched Spark differential over
+    many generated cases to keep JVM round-trips off the hot path)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sequin_spark.operators.rangejoin import interval_bin_join
+
+    rnd = random.Random(13)
+    for case in range(6):
+        n_ev = rnd.randint(0, 60)
+        n_iv = rnd.randint(0, 12)
+        scale = rnd.choice([1.0, 37.5, 1000.0])
+        ev_rows = [(i, round(rnd.uniform(-2, 2) * scale, 3))
+                   for i in range(n_ev)]
+        iv_rows = []
+        for b in range(n_iv):
+            lo = round(rnd.uniform(-2, 2) * scale, 3)
+            iv_rows.append((b, lo, round(lo + rnd.uniform(0, 1.5) * scale, 3)))
+        ev = spark.createDataFrame(ev_rows or [(0, 0.0)],
+                                   "event_id long, value double")
+        if n_ev == 0:
+            ev = ev.filter("event_id < 0")
+        iv = spark.createDataFrame(iv_rows or [(0, 0.0, 0.0)],
+                                   "band_id int, lo double, hi double")
+        if n_iv == 0:
+            iv = iv.filter("band_id < 0")
+        bw = rnd.choice([0.1, 1.0, 10.0]) * scale
+        got = {(r["event_id"], r["band_id"]) for r in
+               interval_bin_join(ev, iv, "value", bin_width=bw).collect()}
+        want = {(r["event_id"], r["band_id"]) for r in
+                ev.crossJoin(iv).filter(
+                    (F.col("value") >= F.col("lo"))
+                    & (F.col("value") <= F.col("hi"))).collect()}
+        assert got == want, f"case={case} bw={bw}"

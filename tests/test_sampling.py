@@ -83,3 +83,25 @@ def test_exact_quantiles_one_sort_pass(spark, sf_dir):
     assert plan.count("windowspecdefinition") == 2
     import re
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_exact_quantiles_random_differential(spark):
+    """Randomized: per-group quantile_disc values equal the sorted-list
+    rank ⌈q·n⌉ for arbitrary duplicates/negative values/group sizes."""
+    import math
+    import random
+
+    rnd = random.Random(99)
+    rows = []
+    groups = {}
+    for g in ["a", "b", "c", "d"]:
+        vals = [rnd.randint(-50, 50) for _ in range(rnd.randint(1, 40))]
+        groups[g] = sorted(vals)
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, v long")
+    qs = [0.01, 0.25, 0.33, 0.5, 0.9, 1.0]
+    got = {(r["g"], r["q"]): r["value"]
+           for r in exact_quantiles(df, "g", "v", qs).collect()}
+    for g, vals in groups.items():
+        for q in qs:
+            assert got[(g, q)] == vals[math.ceil(q * len(vals)) - 1], (g, q)
