@@ -4,7 +4,8 @@ Round 5's "streaming regression" took a bespoke hand-run investigation
 (docs/perf_notes_r06.md) to adjudicate as host noise; this tool is that
 protocol as a command:
 
-    python tools/bench_ab.py <ref> [--rounds 2] [--section stream|chain]
+    python tools/bench_ab.py <ref> [--rounds 2]
+                             [--section stream|chain|query --query NAME]
 
 * checks out ``<ref>`` into a throwaway git worktree (HEAD stays
   untouched),
@@ -19,6 +20,9 @@ Sections:
   warmup + 35 s measured window; reports sustained rows/s, p50, p99.
 * ``chain``: ``bench.pipeline_throughput`` at $SPARK_GRAFT_SF_DIR —
   reports operator-chain ops/s.
+* ``query`` (with ``--query NAME``): one registry query at
+  $SPARK_GRAFT_SF_DIR, warmed once, best of two timed runs — for
+  bisecting a single BENCH_QUERIES.json regression.
 
 Interpretation rule (from perf_notes_r06): a real code regression
 shows BOTH HEAD runs worse than BOTH ref runs; anything overlapping is
@@ -50,6 +54,26 @@ r = bench.streaming_latency(spark, prefix="ab")
 print("AB_RESULT " + json.dumps(r))
 """
 
+_QUERY_SNIPPET = """
+import json, os, sys, time
+sys.path.insert(0, {root!r})
+from sequin_spark.session import get_spark
+spark = get_spark("bench_ab")
+spark.sparkContext.setLogLevel("ERROR")
+from sequin_spark.queries import QUERIES
+sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+fn = QUERIES[{qname!r}]
+fn(spark, "/root/testdata/sf0.001").collect()  # warm codegen/caches
+best = None
+for _ in range(2):
+    spark.catalog.clearCache()
+    t0 = time.time()
+    fn(spark, sf_dir).collect()
+    dt = time.time() - t0
+    best = dt if best is None else min(best, dt)
+print("AB_RESULT " + json.dumps({{"query_sec": round(best, 3)}}))
+"""
+
 _CHAIN_SNIPPET = """
 import json, os, sys
 sys.path.insert(0, {root!r})
@@ -65,9 +89,13 @@ print("AB_RESULT " + json.dumps(
 """
 
 
-def _run_arm(root: str, section: str) -> dict:
-    snippet = (_STREAM_SNIPPET if section == "stream"
-               else _CHAIN_SNIPPET).format(root=root)
+def _run_arm(root: str, section: str, qname: str | None = None) -> dict:
+    if section == "stream":
+        snippet = _STREAM_SNIPPET.format(root=root)
+    elif section == "chain":
+        snippet = _CHAIN_SNIPPET.format(root=root)
+    else:
+        snippet = _QUERY_SNIPPET.format(root=root, qname=qname)
     out = subprocess.run(
         [sys.executable, "-c", snippet], cwd=root, capture_output=True,
         text=True, timeout=900)
@@ -84,9 +112,12 @@ def main() -> int:
     ap.add_argument("ref", help="git ref for the B arm (e.g. a round tag)")
     ap.add_argument("--rounds", type=int, default=2,
                     help="HEAD/ref pairs to run (default 2)")
-    ap.add_argument("--section", choices=["stream", "chain"],
+    ap.add_argument("--section", choices=["stream", "chain", "query"],
                     default="stream")
+    ap.add_argument("--query", help="registry query name (section=query)")
     args = ap.parse_args()
+    if args.section == "query" and not args.query:
+        ap.error("--section query requires --query NAME")
 
     wt = tempfile.mkdtemp(prefix="bench_ab_")
     subprocess.run(["git", "worktree", "add", "--detach", wt, args.ref],
@@ -97,15 +128,16 @@ def main() -> int:
             for arm, root in (("HEAD", HERE), (args.ref, wt)):
                 print(f"[{i + 1}/{args.rounds}] running {arm} "
                       f"({args.section})...", flush=True)
-                r = _run_arm(root, args.section)
+                r = _run_arm(root, args.section, args.query)
                 runs.append((arm, r))
                 print(f"    {r}")
     finally:
         subprocess.run(["git", "worktree", "remove", "--force", wt],
                        cwd=HERE, capture_output=True)
 
-    key = ("stream_rows_per_sec" if args.section == "stream"
-           else "chain_ops_per_sec")
+    key = {"stream": "stream_rows_per_sec",
+           "chain": "chain_ops_per_sec",
+           "query": "query_sec"}[args.section]
     print(f"\n{'arm':<12} " + " ".join(f"{k:>22}" for k in runs[0][1]))
     for arm, r in runs:
         print(f"{arm:<12} " + " ".join(f"{v:>22}" for v in r.values()))
@@ -113,9 +145,15 @@ def main() -> int:
     for arm, r in runs:
         by_arm.setdefault(arm, []).append(float(r.get(key, 0)))
     meds = {arm: statistics.median(v) for arm, v in by_arm.items()}
+    fmt = "{:.3f}" if args.section == "query" else "{:,.0f}"
     print(f"\nmedian {key}: " +
-          ", ".join(f"{a}={m:,.0f}" for a, m in meds.items()))
-    head, ref = meds.get("HEAD", 0), meds.get(args.ref, 0)
+          ", ".join(f"{a}={fmt.format(m)}" for a, m in meds.items()))
+    # normalize to higher-is-better for the verdict (query_sec: invert)
+    if args.section == "query":
+        head = 1.0 / max(meds.get("HEAD", 0), 1e-9)
+        ref = 1.0 / max(meds.get(args.ref, 0), 1e-9)
+    else:
+        head, ref = meds.get("HEAD", 0), meds.get(args.ref, 0)
     overlap = (max(by_arm["HEAD"]) >= min(by_arm[args.ref])
                and max(by_arm[args.ref]) >= min(by_arm["HEAD"]))
     if overlap:
