@@ -1260,6 +1260,74 @@ LEFT JOIN dup p ON s.action = p.action
 """
 
 
+def q_payload_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WIRE BYTES of the default and record_only payload envelopes
+    (transforms/message.ex; streaming/pipeline.transform_column +
+    operators/payload.with_metadata, consumer_event_data.ex:19-58):
+    the oracle reconstructs the exact serialized JSON string — field
+    order, null-field omission (changes only on updates), numeric vs
+    quoted fields — so the hash gate pins what a sink actually
+    receives, not just the relational content.  Runs over a projection
+    with unambiguous string forms (ints + enum strings, no
+    floats/timestamps) so byte equality is well-defined cross-engine."""
+    _prep(spark)
+    from sequin_spark.operators.payload import with_metadata
+    from sequin_spark.plans.spec import ConsumerSpec
+    from sequin_spark.streaming.pipeline import transform_column
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    ev = cdc.eventize(base, "orders", pk_cols=["o_orderkey"],
+                      order_expr="o_orderkey",
+                      changed_col="o_orderstatus")
+    ev = with_metadata(ev, consumer_id="c-1",
+                       consumer_name="orders-consumer")
+    return ev.select(
+        "idempotency_key", "action",
+        transform_column(ConsumerSpec(name="d", transform="default"))
+        .alias("payload_default"),
+        transform_column(ConsumerSpec(name="r", transform="record_only"))
+        .alias("payload_record_only"),
+    )
+
+
+SQL_PAYLOAD_SHAPES = """
+WITH ev AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CASE WHEN o_orderkey % 10 <= 5 THEN 'insert'
+              WHEN o_orderkey % 10 <= 8 THEN 'update'
+              ELSE 'delete' END AS action,
+         1000000 + (o_orderkey // 8) AS commit_lsn,
+         o_orderkey % 8 AS commit_idx
+  FROM orders
+),
+j AS (
+  SELECT *,
+    base64(encode(CAST(commit_lsn AS VARCHAR) || ':'
+                  || CAST(commit_idx AS VARCHAR))) AS idempotency_key,
+    '{"o_orderkey":"' || o_orderkey || '","o_orderstatus":"'
+      || o_orderstatus || '","o_orderpriority":"' || o_orderpriority
+      || '"}' AS record_json
+  FROM ev
+)
+SELECT idempotency_key, action,
+  '{"record":' || record_json
+  || CASE WHEN action = 'update'
+          THEN ',"changes":{"o_orderstatus":"old:' || o_orderstatus || '"}'
+          ELSE '' END
+  || ',"action":"' || action || '","metadata":{"table_schema":"public",'
+  || '"table_name":"orders","commit_lsn":' || commit_lsn
+  || ',"commit_idx":' || commit_idx
+  || ',"database_name":"postgres","idempotency_key":"' || idempotency_key
+  || '","record_pks":["' || o_orderkey || '"],'
+  || '"consumer":{"id":"c-1","name":"orders-consumer"},'
+  || '"database":{"id":"00000000-0000-0000-0000-000000000000",'
+  || '"name":"postgres"}}}' AS payload_default,
+  record_json AS payload_record_only
+FROM j
+"""
+
+
 def q_range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure range (interval) join via binning
     (operators/rangejoin.interval_bin_join): 15 OVERLAPPING value
@@ -1400,6 +1468,7 @@ QUERIES: dict[str, callable] = {
     "consistency_reconciliation": q_consistency_reconciliation,
     "retry_backoff_discard": q_retry_backoff_discard,
     "range_join_value_bands": q_range_join_value_bands,
+    "payload_shapes": q_payload_shapes,
     **DATAPIPE_QUERIES,
 }
 
@@ -1443,5 +1512,6 @@ ORACLES: dict[str, str] = {
     "consistency_reconciliation": SQL_CONSISTENCY_RECONCILIATION,
     "retry_backoff_discard": SQL_RETRY_BACKOFF_DISCARD,
     "range_join_value_bands": SQL_RANGE_JOIN_VALUE_BANDS,
+    "payload_shapes": SQL_PAYLOAD_SHAPES,
     **DATAPIPE_ORACLES,
 }
