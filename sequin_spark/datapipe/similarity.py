@@ -1012,3 +1012,47 @@ def ann_ivfpq_topk(
         .select("q_id", "n_id", "rnk", "adc")
     )
     return out
+
+
+def top_principal_component(
+    e: DataFrame,
+    col: str = "embedding",
+    dims: int = 64,
+    iters: int = 4,
+    quant: int = 6,
+) -> list[float]:
+    """Top principal direction of the embedding corpus's (uncentered)
+    second moment via power iteration — the anisotropy direction that
+    "All-but-the-Top" (Mu & Viswanath 2018, arXiv:1702.01417) removes
+    before similarity search.
+
+    v_{t+1} = quantize(normalize(Σ_i x_i (x_i · v_t))).  Each iteration
+    is ONE corpus pass: a per-row dot-product fold against the
+    broadcast-literal v_t plus dims map-side-combined sum aggregates;
+    the driver collects dims values per round (bounded, the same
+    truncate-the-lineage shape as the deterministic Lloyd fits) and
+    QUANTIZES to ``quant`` decimals, so both engines' next-iteration
+    input is literal-identical and float drift cannot compound across
+    iterations.  Sign is canonicalized (largest-|component| dim made
+    positive) because an eigenvector's sign is arbitrary."""
+    import math
+
+    x = e.select(F.col(col).cast("array<double>").alias("x"))
+    v = [round(1.0 / math.sqrt(dims), quant)] * dims
+    for _ in range(iters):
+        varr = F.array(*[
+            F.expr(f"cast('{float(c)!r}' as double)") for c in v])
+        dot = F.aggregate(
+            F.zip_with(F.col("x"), varr, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, y: acc + y)
+        row = (x.withColumn("_dot", dot)
+               .agg(*[F.sum(F.col("x")[d] * F.col("_dot")).alias(f"w{d}")
+                      for d in range(dims)])
+               .collect()[0])
+        w = [float(row[f"w{d}"]) for d in range(dims)]
+        norm = math.sqrt(math.fsum(c * c for c in w))
+        v = [round(c / norm, quant) for c in w]
+    mi = max(range(dims), key=lambda d: (abs(v[d]), -d))
+    if v[mi] < 0:
+        v = [c * -1.0 for c in v]
+    return [round(c + 0.0, quant) for c in v]  # −0.0 → +0.0

@@ -2837,7 +2837,57 @@ WHERE rn = CAST(ceil(q * n) AS BIGINT)
 """
 
 
+def q_embed_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus (power
+    iteration; the anisotropy direction "All-but-the-Top" removes,
+    arXiv:1702.01417 — datapipe/similarity.top_principal_component).
+    Per-iteration quantization to 6 decimals makes the trajectory
+    engine-exact: the DuckDB oracle replays the same four iterations
+    as chained CTEs and must land on the identical vector."""
+    from sequin_spark.datapipe.similarity import top_principal_component
+
+    _prep(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    v = top_principal_component(e, "embedding", dims=64, iters=4)
+    return spark.createDataFrame(
+        [(d, v[d]) for d in range(64)], "dim int, component double")
+
+
+def _sql_embed_top_component(dims: int = 64, iters: int = 4) -> str:
+    """Replay the quantized power iteration as chained CTEs: per
+    iteration one dot-product pass, dims weighted sums, an in-SQL
+    normalize + round(…, 6) — the quantization that pins the
+    trajectory across engines."""
+    v0 = round(1.0 / dims ** 0.5, 6)
+    parts = [f"""
+WITH dims_t AS (SELECT unnest(generate_series(0, {dims - 1})) AS d),
+x AS (SELECT vec_id, embedding::DOUBLE[] AS xv FROM embeddings),
+v0 AS (SELECT d, CAST({v0!r} AS DOUBLE) AS c FROM dims_t)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT vec_id, xv,
+         list_dot_product(xv,
+           (SELECT list(c ORDER BY d) FROM v{t - 1})) AS dot
+  FROM x),
+w{t} AS (
+  SELECT dm.d, sum(xv[dm.d + 1] * dot) AS w
+  FROM d{t} CROSS JOIN dims_t dm GROUP BY dm.d),
+v{t} AS (
+  SELECT d, round(w / sqrt((SELECT sum(w * w) FROM w{t})), 6) AS c
+  FROM w{t})""")
+    parts.append(f""",
+sign_t AS (
+  SELECT CASE WHEN c < 0 THEN -1.0 ELSE 1.0 END AS s
+  FROM v{iters} ORDER BY abs(c) DESC, d ASC LIMIT 1)
+SELECT CAST(d AS INTEGER) AS dim, round(c * s, 6) + 0.0 AS component
+FROM v{iters} CROSS JOIN sign_t
+""")
+    return "".join(parts)
+
+
 DATAPIPE_QUERIES = {
+    "embed_top_component": q_embed_top_component,
     "sample_reservoir": q_sample_reservoir,
     "sample_stratified_k": q_sample_stratified_k,
     "length_quantiles": q_length_quantiles,
@@ -2896,6 +2946,7 @@ DATAPIPE_QUERIES = {
 }
 
 DATAPIPE_ORACLES = {
+    "embed_top_component": _sql_embed_top_component(),
     "sample_reservoir": _sql_sample_reservoir(),
     "sample_stratified_k": _sql_sample_stratified_k(),
     "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -733,3 +733,34 @@ def test_probe_media_headers_real_containers(spark):
     assert got[3]["height"] == 480
     assert got[4]["status"] == "unrecognized"
     assert got[4]["width"] is None
+
+
+def test_top_principal_component_is_dominant_eigendirection(spark):
+    """The quantized power iteration converges to the dominant
+    eigendirection of XᵀX: compare against numpy's exact
+    eigendecomposition on a synthetic corpus with a planted dominant
+    direction; sign-canonical and unit-norm."""
+    import numpy as np
+
+    from sequin_spark.datapipe.similarity import top_principal_component
+
+    rng = np.random.default_rng(5)
+    dom = rng.normal(size=16)
+    dom /= np.linalg.norm(dom)
+    # 400 vectors: strong component along `dom` + small isotropic noise
+    coeffs = rng.normal(scale=5.0, size=(400, 1))
+    xs = coeffs * dom + rng.normal(scale=0.3, size=(400, 16))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(xs)],
+        "vec_id long, embedding array<float>")
+    got = np.array(top_principal_component(df, dims=16, iters=8))
+    assert abs(np.linalg.norm(got) - 1.0) < 1e-4
+    # eigenvector of the uncentered second moment, up to sign
+    m = (xs.astype(np.float32).astype(np.float64)).T @ \
+        (xs.astype(np.float32).astype(np.float64))
+    evals, evecs = np.linalg.eigh(m)
+    top = evecs[:, -1]
+    assert abs(abs(float(got @ top)) - 1.0) < 1e-3
+    # sign canon: the largest-|component| dim is positive
+    mi = int(np.argmax(np.abs(got)))
+    assert got[mi] > 0
