@@ -1056,3 +1056,25 @@ def top_principal_component(
     if v[mi] < 0:
         v = [c * -1.0 for c in v]
     return [round(c + 0.0, quant) for c in v]  # −0.0 → +0.0
+
+
+def remove_top_component(
+    e: DataFrame,
+    v: list[float],
+    col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-Top debias (arXiv:1702.01417): x' = x − (x·v)v for
+    the corpus anisotropy direction ``v`` (top_principal_component).
+    Narrow map — one dot fold + one zip_with per row, no shuffle; the
+    projection literal rides in the plan like the Lloyd centroids."""
+    varr = F.array(*[
+        F.expr(f"cast('{float(c)!r}' as double)") for c in v])
+    x = F.col(col).cast("array<double>")
+    dot = F.aggregate(F.zip_with(x, varr, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, y: acc + y)
+    return (e.withColumn("_dot", dot)
+            .withColumn(
+                "debiased",
+                F.zip_with(x, varr,
+                           lambda a, b: a - F.col("_dot") * b))
+            .drop("_dot"))

@@ -2886,8 +2886,76 @@ FROM v{iters} CROSS JOIN sign_t
     return "".join(parts)
 
 
+def q_embed_debias_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-but-the-Top debias effect, measured: per label, the mean
+    |cosine| of raw vs debiased vectors against the corpus anisotropy
+    direction (similarity.remove_top_component).  After removal the
+    alignment collapses to ~0 (bounded by the 1e-6 quantization of v),
+    the isotropy gain the technique exists for.  One narrow projection
+    pass + a label rollup; v comes from the quantized power iteration
+    so the oracle can replay it exactly."""
+    from sequin_spark.datapipe.similarity import (
+        remove_top_component,
+        top_principal_component,
+    )
+
+    _prep(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    v = top_principal_component(e, "embedding", dims=64, iters=4)
+    deb = remove_top_component(e, v, "embedding")
+    varr = F.array(*[
+        F.expr(f"cast('{float(c)!r}' as double)") for c in v])
+
+    def _align(col):
+        x = F.col(col) if col == "debiased" else F.col(col).cast("array<double>")
+        dot = F.aggregate(F.zip_with(x, varr, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, y: acc + y)
+        nrm = F.sqrt(F.aggregate(
+            F.zip_with(x, x, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, y: acc + y))
+        return F.abs(dot) / nrm
+
+    return (deb.select("label",
+                       _align("embedding").alias("_b"),
+                       _align("debiased").alias("_a"))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("_b"), 4).alias("mean_align_before"),
+                 F.round(F.avg("_a"), 4).alias("mean_align_after")))
+
+
+def _sql_embed_debias(dims: int = 64, iters: int = 4) -> str:
+    base = _sql_embed_top_component(dims, iters)
+    # reuse the iteration chain up to the final SELECT, then project
+    head = base[:base.index("SELECT CAST(d AS INTEGER)")]
+    return head + f"""
+, vfin AS (SELECT list(round(c * s, 6) + 0.0 ORDER BY d) AS v
+           FROM v{iters} CROSS JOIN sign_t),
+scored AS (
+  SELECT label,
+         abs(list_dot_product(xv, v)) / sqrt(list_dot_product(xv, xv))
+           AS b,
+         abs(list_dot_product(
+               list_transform(range(1, {dims + 1}),
+                 i -> xv[i] - list_dot_product(xv, v) * v[i]), v))
+           / sqrt(list_dot_product(
+               list_transform(range(1, {dims + 1}),
+                 i -> xv[i] - list_dot_product(xv, v) * v[i]),
+               list_transform(range(1, {dims + 1}),
+                 i -> xv[i] - list_dot_product(xv, v) * v[i]))) AS a
+  FROM (SELECT e.label, x.xv FROM embeddings e
+        JOIN x ON x.vec_id = e.vec_id) CROSS JOIN vfin
+)
+SELECT label, count(*) AS n,
+       round(avg(b), 4) AS mean_align_before,
+       round(avg(a), 4) AS mean_align_after
+FROM scored GROUP BY label
+"""
+
+
 DATAPIPE_QUERIES = {
     "embed_top_component": q_embed_top_component,
+    "embed_debias_isotropy": q_embed_debias_isotropy,
     "sample_reservoir": q_sample_reservoir,
     "sample_stratified_k": q_sample_stratified_k,
     "length_quantiles": q_length_quantiles,
@@ -2947,6 +3015,7 @@ DATAPIPE_QUERIES = {
 
 DATAPIPE_ORACLES = {
     "embed_top_component": _sql_embed_top_component(),
+    "embed_debias_isotropy": _sql_embed_debias(),
     "sample_reservoir": _sql_sample_reservoir(),
     "sample_stratified_k": _sql_sample_stratified_k(),
     "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -764,3 +764,25 @@ def test_top_principal_component_is_dominant_eigendirection(spark):
     # sign canon: the largest-|component| dim is positive
     mi = int(np.argmax(np.abs(got)))
     assert got[mi] > 0
+
+
+def test_remove_top_component_orthogonalizes(spark):
+    """x' = x − (x·v)v has (near-)zero component along v — exact up to
+    the 1e-6 quantization of v — and leaves orthogonal content alone."""
+    import numpy as np
+
+    from sequin_spark.datapipe.similarity import remove_top_component
+
+    v = [0.6, 0.8, 0.0]
+    df = spark.createDataFrame(
+        [(0, [2.0, 1.0, 3.0]), (1, [-1.0, 4.0, 0.5])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: np.array(r["debiased"])
+           for r in remove_top_component(df, v).collect()}
+    va = np.array(v)
+    for i, x in ((0, np.array([2.0, 1.0, 3.0])),
+                 (1, np.array([-1.0, 4.0, 0.5]))):
+        assert abs(float(out[i] @ va)) < 1e-9
+        # orthogonal part untouched
+        want = x - (x @ va) * va
+        assert np.allclose(out[i], want, atol=1e-9)
