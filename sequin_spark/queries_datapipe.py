@@ -2763,6 +2763,69 @@ w{k} AS (
     return "WITH " + "".join(parts) + "\n" + finals
 
 
+def q_corpus_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity profile per source: token count, type count
+    (distinct vocab), type-token ratio, and the top token's share —
+    the Zipf-head / diversity statistics quality pipelines threshold
+    on (low TTR or a dominant head token = boilerplate/spam source).
+    One token pass; per-source counts are map-side combined; the
+    top-token share is a window rank over the bounded (source, token)
+    count table."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.expr(
+            "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    per_tok = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    top = (per_tok
+           .withColumn("rk", F.row_number().over(
+               Window.partitionBy("source")
+               .orderBy(F.col("c").desc(), F.col("w").asc())))
+           .filter(F.col("rk") == 1)
+           .select("source", F.col("c").alias("top_c")))
+    agg = per_tok.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_types"))
+    return (agg.join(top, "source")
+            .select(
+                "source",
+                F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.col("n_types").cast("long").alias("n_types"),
+                F.round(F.col("n_types") / F.col("n_tokens"), 4)
+                .alias("ttr"),
+                F.round(F.col("top_c") / F.col("n_tokens"), 4)
+                .alias("top_token_share")))
+
+
+SQL_CORPUS_ZIPF_TTR = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split({D_NORM}, ' ')) AS w
+  FROM documents
+), wnz AS (SELECT source, w FROM toks WHERE w <> ''),
+per_tok AS (
+  SELECT source, w, count(*) AS c FROM wnz GROUP BY source, w
+),
+top AS (
+  SELECT source, c AS top_c FROM (
+    SELECT source, c,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, w ASC) AS rk
+    FROM per_tok) WHERE rk = 1
+),
+agg AS (
+  SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM per_tok GROUP BY source
+)
+SELECT agg.source, n_tokens, n_types,
+       round(CAST(n_types AS DOUBLE) / n_tokens, 4) AS ttr,
+       round(CAST(top_c AS DOUBLE) / n_tokens, 4) AS top_token_share
+FROM agg JOIN top ON agg.source = top.source
+"""
+
+
 def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic exact-k uniform corpus sample: the 100 smallest
     60-bit doc_id hashes (hash order statistic — no RNG/seed state,
@@ -2956,6 +3019,7 @@ FROM scored GROUP BY label
 DATAPIPE_QUERIES = {
     "embed_top_component": q_embed_top_component,
     "embed_debias_isotropy": q_embed_debias_isotropy,
+    "corpus_zipf_ttr": q_corpus_zipf_ttr,
     "sample_reservoir": q_sample_reservoir,
     "sample_stratified_k": q_sample_stratified_k,
     "length_quantiles": q_length_quantiles,
@@ -3016,6 +3080,7 @@ DATAPIPE_QUERIES = {
 DATAPIPE_ORACLES = {
     "embed_top_component": _sql_embed_top_component(),
     "embed_debias_isotropy": _sql_embed_debias(),
+    "corpus_zipf_ttr": SQL_CORPUS_ZIPF_TTR,
     "sample_reservoir": _sql_sample_reservoir(),
     "sample_stratified_k": _sql_sample_stratified_k(),
     "length_quantiles": SQL_LENGTH_QUANTILES,
