@@ -178,3 +178,49 @@ def cm_point_estimates(counters: DataFrame, candidates: DataFrame,
         .agg(F.min("cnt").alias("cm_estimate"))
         .select(F.col("_v").alias(col), "cm_estimate")
     )
+
+
+def kmv_jaccard(df_a: DataFrame, df_b: DataFrame, col: str,
+                k: int = 256) -> DataFrame:
+    """KMV set-operation sketch (Beyer et al. 2007 "On synopses for
+    distinct-value estimation"): from the k smallest hashes of A∪B,
+    the fraction also present in BOTH sides estimates Jaccard
+    similarity, and |A∪B|·J estimates the intersection size — the
+    vocabulary-overlap probe between two corpora without a full
+    distinct-join.  One row: (k, n_union_sample, jaccard,
+    est_union, est_intersection).
+
+    All-integer membership logic on the shared h60 hash; the only
+    float steps are the same exact-product/divide/round chains as
+    kmv_from_hashes — cross-engine exact."""
+    # origin flags folded in the SAME groupBy that dedups the union —
+    # one shuffle on h, then a TakeOrdered for the k-sample; no outer
+    # joins (which would shuffle the big sides a second time)
+    tagged = (
+        df_a.select(h60(F.col(col)).alias("h"),
+                    F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+        .unionByName(
+            df_b.select(h60(F.col(col)).alias("h"),
+                        F.lit(0).alias("_a"), F.lit(1).alias("_b")))
+        .groupBy("h")
+        .agg(F.max("_a").alias("_a"), F.max("_b").alias("_b"))
+    )
+    marked = tagged.orderBy("h").limit(k)
+    agg = marked.agg(
+        F.count("*").alias("n"),
+        F.max("h").alias("hk"),
+        F.sum(F.when((F.col("_a") == 1) & (F.col("_b") == 1), 1)
+              .otherwise(0)).alias("n_both"),
+    )
+    est_union = (
+        F.when(F.col("n") < k, F.col("n").cast("double"))
+        .otherwise(F.round(F.lit(float(k - 1)) * F.lit(_POW2_60)
+                           / F.col("hk"), 2)))
+    return agg.select(
+        F.lit(k).alias("k"),
+        F.col("n").cast("long").alias("n_union_sample"),
+        F.round(F.col("n_both") / F.col("n"), 4).alias("jaccard"),
+        est_union.alias("est_union"),
+        F.round(est_union * F.col("n_both") / F.col("n"), 2)
+        .alias("est_intersection"),
+    )

@@ -2763,6 +2763,70 @@ w{k} AS (
     return "WITH " + "".join(parts) + "\n" + finals
 
 
+def q_sketch_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set-operation sketch (Beyer et al. 2007): estimated Jaccard
+    similarity and intersection size between the ENGLISH and
+    NON-ENGLISH vocabularies from the k smallest union hashes — the
+    corpus-overlap probe that needs no full distinct-join at 100 TB
+    (datapipe/sketch.kmv_jaccard; exact-distinct baselines included so
+    the error is visible)."""
+    from sequin_spark.datapipe.sketch import kmv_jaccard
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.expr(
+            "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    a = words.filter(F.col("lang") == "en").select("w")
+    b = words.filter(F.col("lang") != "en").select("w")
+    est = kmv_jaccard(a, b, "w", k=256)
+    exact = a.select("w").intersect(b.select("w")).agg(
+        F.count("*").cast("long").alias("exact_intersection"))
+    return est.join(exact)
+
+
+def _sql_sketch_vocab_overlap(k: int = 256) -> str:
+    h = _sql_h60_of("w")
+    return f"""
+WITH words AS (
+  SELECT lang, unnest(string_split({D_NORM}, ' ')) AS w FROM documents
+), wnz AS (SELECT lang, w FROM words WHERE w <> ''),
+tagged AS (
+  SELECT {h} AS h,
+         max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+         max(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS b
+  FROM wnz GROUP BY {h}
+),
+samp AS (SELECT * FROM tagged ORDER BY h LIMIT {k}),
+agg AS (
+  SELECT count(*) AS n, max(h) AS hk,
+         sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n_both
+  FROM samp
+),
+est AS (
+  SELECT {k} AS k, CAST(n AS BIGINT) AS n_union_sample,
+         round(CAST(n_both AS DOUBLE) / n, 4) AS jaccard,
+         CASE WHEN n < {k} THEN CAST(n AS DOUBLE)
+              ELSE round({float(k - 1)!r} * 1152921504606846976.0
+                         / CAST(hk AS DOUBLE), 2) END AS est_union,
+         n_both
+  FROM agg
+)
+SELECT k, n_union_sample, jaccard,
+       est_union,
+       round(est_union * n_both / n_union_sample, 2)
+         AS est_intersection,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT DISTINCT w FROM wnz WHERE lang = 'en'
+          INTERSECT
+          SELECT DISTINCT w FROM wnz WHERE lang <> 'en'))
+         AS exact_intersection
+FROM est
+"""
+
+
 def q_corpus_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity profile per source: token count, type count
     (distinct vocab), type-token ratio, and the top token's share —
@@ -3020,6 +3084,7 @@ DATAPIPE_QUERIES = {
     "embed_top_component": q_embed_top_component,
     "embed_debias_isotropy": q_embed_debias_isotropy,
     "corpus_zipf_ttr": q_corpus_zipf_ttr,
+    "sketch_vocab_overlap": q_sketch_vocab_overlap,
     "sample_reservoir": q_sample_reservoir,
     "sample_stratified_k": q_sample_stratified_k,
     "length_quantiles": q_length_quantiles,
@@ -3081,6 +3146,7 @@ DATAPIPE_ORACLES = {
     "embed_top_component": _sql_embed_top_component(),
     "embed_debias_isotropy": _sql_embed_debias(),
     "corpus_zipf_ttr": SQL_CORPUS_ZIPF_TTR,
+    "sketch_vocab_overlap": _sql_sketch_vocab_overlap(),
     "sample_reservoir": _sql_sample_reservoir(),
     "sample_stratified_k": _sql_sample_stratified_k(),
     "length_quantiles": SQL_LENGTH_QUANTILES,

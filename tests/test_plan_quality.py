@@ -31,6 +31,7 @@ ALLOW_NESTED_LOOP = {
     # only shape this can take — and it is O(1) by construction.
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
+    "sketch_vocab_overlap",  # 1-row estimate × 1-row exact baseline
 }
 
 

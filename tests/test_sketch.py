@@ -166,3 +166,23 @@ SELECT p.w, CAST(min(c.cnt) AS BIGINT)
 FROM probe p JOIN cell c USING (row, bucket)
 GROUP BY p.w""").fetchall())
     assert got == want
+
+
+def test_kmv_jaccard_estimates_overlap(spark):
+    """Set-operation sketch on a synthetic pair with known overlap:
+    A = 0..999, B = 500..1499 → true J = 1/3, intersection 500.  The
+    k=256 estimate must land near truth (union sample is uniform), and
+    a disjoint pair must report exactly zero overlap."""
+    from sequin_spark.datapipe.sketch import kmv_jaccard
+
+    a = spark.createDataFrame([(f"w{i}",) for i in range(1000)], "w string")
+    b = spark.createDataFrame([(f"w{i}",) for i in range(500, 1500)],
+                              "w string")
+    r = kmv_jaccard(a, b, "w", k=256).collect()[0]
+    assert r["n_union_sample"] == 256  # estimate branch exercised
+    assert abs(r["jaccard"] - 1 / 3) < 0.12
+    assert abs(r["est_union"] - 1500) / 1500 < 0.25
+    assert abs(r["est_intersection"] - 500) / 500 < 0.4
+    c = spark.createDataFrame([(f"z{i}",) for i in range(1000)], "w string")
+    r2 = kmv_jaccard(a, c, "w", k=256).collect()[0]
+    assert r2["jaccard"] == 0.0 and r2["est_intersection"] == 0.0
