@@ -2827,6 +2827,66 @@ FROM est
 """
 
 
+def q_embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus
+    (the storage layout vector stores ship by default — 4× smaller
+    than float32): code = clip(round((x − min_d)/scale_d), 0, 255)
+    with scale_d = (max_d − min_d)/255, reporting per dim the range
+    and the mean absolute reconstruction error.  min/max are exact
+    data values, the code rounding is identical half-up on both
+    engines for non-negative operands, and the error mean is rounded —
+    fully hash-checkable.  One posexplode pass + a 64-row broadcast
+    back."""
+    _prep(spark)
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("dim", "val"))
+    stats = x.groupBy("dim").agg(F.min("val").alias("mn"),
+                                 F.max("val").alias("mx"))
+    j = x.join(F.broadcast(stats), "dim")
+    scale = (F.col("mx") - F.col("mn")) / F.lit(255.0)
+    code = F.when(
+        scale == 0, F.lit(0.0)
+    ).otherwise(
+        F.least(F.greatest(F.round((F.col("val") - F.col("mn")) / scale, 0),
+                           F.lit(0.0)), F.lit(255.0)))
+    recon = F.col("mn") + code * scale
+    return (j.select("dim", "mn", "mx",
+                     F.abs(F.col("val") - recon).alias("_err"))
+            .groupBy("dim")
+            .agg(F.round(F.min("mn"), 6).alias("dim_min"),
+                 F.round(F.min("mx"), 6).alias("dim_max"),
+                 F.round(F.avg("_err"), 6).alias("mean_abs_err"))
+            .select(F.col("dim").cast("int").alias("dim"),
+                    "dim_min", "dim_max", "mean_abs_err"))
+
+
+SQL_EMBED_INT8_QUANTIZE = """
+WITH x AS (
+  SELECT d - 1 AS dim, embedding[d]::DOUBLE AS val
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d)
+),
+stats AS (
+  SELECT dim, min(val) AS mn, max(val) AS mx FROM x GROUP BY dim
+),
+q AS (
+  SELECT x.dim, val, mn, mx,
+         CASE WHEN mx = mn THEN 0.0
+              ELSE least(greatest(
+                     round((val - mn) / ((mx - mn) / 255.0), 0),
+                     0.0), 255.0) END AS code
+  FROM x JOIN stats ON x.dim = stats.dim
+)
+SELECT CAST(dim AS INTEGER) AS dim,
+       round(min(mn), 6) AS dim_min,
+       round(min(mx), 6) AS dim_max,
+       round(avg(abs(val - (mn + code * ((mx - mn) / 255.0)))), 6)
+         AS mean_abs_err
+FROM q GROUP BY dim
+"""
+
+
 def q_corpus_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity profile per source: token count, type count
     (distinct vocab), type-token ratio, and the top token's share —
@@ -3085,6 +3145,7 @@ DATAPIPE_QUERIES = {
     "embed_debias_isotropy": q_embed_debias_isotropy,
     "corpus_zipf_ttr": q_corpus_zipf_ttr,
     "sketch_vocab_overlap": q_sketch_vocab_overlap,
+    "embed_int8_quantize": q_embed_int8_quantize,
     "sample_reservoir": q_sample_reservoir,
     "sample_stratified_k": q_sample_stratified_k,
     "length_quantiles": q_length_quantiles,
@@ -3147,6 +3208,7 @@ DATAPIPE_ORACLES = {
     "embed_debias_isotropy": _sql_embed_debias(),
     "corpus_zipf_ttr": SQL_CORPUS_ZIPF_TTR,
     "sketch_vocab_overlap": _sql_sketch_vocab_overlap(),
+    "embed_int8_quantize": SQL_EMBED_INT8_QUANTIZE,
     "sample_reservoir": _sql_sample_reservoir(),
     "sample_stratified_k": _sql_sample_stratified_k(),
     "length_quantiles": SQL_LENGTH_QUANTILES,

@@ -786,3 +786,16 @@ def test_remove_top_component_orthogonalizes(spark):
         # orthogonal part untouched
         want = x - (x @ va) * va
         assert np.allclose(out[i], want, atol=1e-9)
+
+
+def test_embed_int8_quantize_error_bound(spark, sf_dir):
+    """Scalar quantization error is bounded by scale/2 per element, so
+    the per-dim mean must be too; ranges sane."""
+    from sequin_spark.queries_datapipe import q_embed_int8_quantize
+
+    rows = q_embed_int8_quantize(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 64
+    for r in rows:
+        scale = (r["dim_max"] - r["dim_min"]) / 255.0
+        assert r["dim_max"] >= r["dim_min"]
+        assert r["mean_abs_err"] <= scale / 2 + 1e-9, r
