@@ -3024,6 +3024,25 @@ WHERE rn = CAST(ceil(q * n) AS BIGINT)
 """
 
 
+# (applicationId, sf_dir) → the 64-float anisotropy direction: the
+# power iteration is a FIT (4 corpus passes) shared by the
+# top-component and debias queries — fit once per corpus per session,
+# like _TABLE_CACHE / the maintained indexes
+_TOP_COMPONENT_CACHE: dict = {}
+
+
+def _top_component_cached(spark: SparkSession, sf_dir: str) -> list[float]:
+    from sequin_spark.datapipe.similarity import top_principal_component
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    v = _TOP_COMPONENT_CACHE.get(key)
+    if v is None:
+        e = load_table(spark, sf_dir, "embeddings")
+        v = top_principal_component(e, "embedding", dims=64, iters=4)
+        _TOP_COMPONENT_CACHE[key] = v
+    return v
+
+
 def q_embed_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal direction of the embedding corpus (power
     iteration; the anisotropy direction "All-but-the-Top" removes,
@@ -3031,11 +3050,8 @@ def q_embed_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-iteration quantization to 6 decimals makes the trajectory
     engine-exact: the DuckDB oracle replays the same four iterations
     as chained CTEs and must land on the identical vector."""
-    from sequin_spark.datapipe.similarity import top_principal_component
-
     _prep(spark)
-    e = load_table(spark, sf_dir, "embeddings")
-    v = top_principal_component(e, "embedding", dims=64, iters=4)
+    v = _top_component_cached(spark, sf_dir)
     return spark.createDataFrame(
         [(d, v[d]) for d in range(64)], "dim int, component double")
 
@@ -3081,14 +3097,11 @@ def q_embed_debias_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     the isotropy gain the technique exists for.  One narrow projection
     pass + a label rollup; v comes from the quantized power iteration
     so the oracle can replay it exactly."""
-    from sequin_spark.datapipe.similarity import (
-        remove_top_component,
-        top_principal_component,
-    )
+    from sequin_spark.datapipe.similarity import remove_top_component
 
     _prep(spark)
     e = load_table(spark, sf_dir, "embeddings")
-    v = top_principal_component(e, "embedding", dims=64, iters=4)
+    v = _top_component_cached(spark, sf_dir)
     deb = remove_top_component(e, v, "embedding")
     varr = F.array(*[
         F.expr(f"cast('{float(c)!r}' as double)") for c in v])
