@@ -224,3 +224,33 @@ def kmv_jaccard(df_a: DataFrame, df_b: DataFrame, col: str,
         F.round(est_union * F.col("n_both") / F.col("n"), 2)
         .alias("est_intersection"),
     )
+
+
+def hll_union_intersection(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFrame:
+    """HLL set operations: |A∪B| from the element-wise MAX of the two
+    register tables (the lossless HLL merge), |A∩B| by
+    inclusion–exclusion est_A + est_B − est_union.  One row:
+    (est_a, est_b, est_union, est_intersection).
+
+    Inclusion–exclusion inherits both sketches' error and can go
+    slightly negative for near-disjoint sets — standard HLL behavior
+    (callers wanting guarded overlap estimates use kmv_jaccard, whose
+    intersection estimate is nonnegative by construction); we clamp at
+    0 like every production HLL library.  The merge itself is the same
+    register-max the streaming twin exercises across micro-batches."""
+    ra = hll_registers(df_a, col)
+    rb = hll_registers(df_b, col)
+    merged = (ra.unionByName(rb)
+              .groupBy("register")
+              .agg(F.max("max_rho").alias("max_rho")))
+    ea = hll_estimate(ra).select(F.col("est_distinct").alias("est_a"))
+    eb = hll_estimate(rb).select(F.col("est_distinct").alias("est_b"))
+    eu = hll_estimate(merged).select(
+        F.col("est_distinct").alias("est_union"))
+    return (ea.join(eb).join(eu)
+            .select(
+                "est_a", "est_b", "est_union",
+                F.greatest(
+                    F.round(F.col("est_a") + F.col("est_b")
+                            - F.col("est_union"), 1),
+                    F.lit(0.0)).alias("est_intersection")))

@@ -2887,6 +2887,67 @@ FROM q GROUP BY dim
 """
 
 
+def q_sketch_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set operations between the English and non-English
+    vocabularies: union = element-wise register max (the same lossless
+    merge the streaming twin performs across micro-batches),
+    intersection = inclusion–exclusion, clamped at 0
+    (datapipe/sketch.hll_union_intersection).  The KMV twin
+    (sketch_vocab_overlap) gives the guarded estimate; this is the
+    merge-native one."""
+    from sequin_spark.datapipe.sketch import hll_union_intersection
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang",
+        F.explode(F.split(F.expr(
+            "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return hll_union_intersection(
+        words.filter(F.col("lang") == "en").select("w"),
+        words.filter(F.col("lang") != "en").select("w"), "w")
+
+
+def _sql_sketch_hll_setops() -> str:
+    h = _sql_h60_of("w")
+    # literal DECIMAL multiplication overflows DuckDB's DECIMAL(18);
+    # force DOUBLE like the existing _sql_sketch_hll oracle does
+    alpha_m2_p53 = ("CAST(0.7182725932495458 AS DOUBLE) "
+                    "* CAST(65536 AS DOUBLE) "
+                    "* CAST(9007199254740992 AS DOUBLE)")
+
+    def reg(alias: str, pred: str) -> str:
+        return (f"{alias} AS (SELECT h % 256 AS register, "
+                f"max(CASE WHEN h // 256 = 0 THEN 53 "
+                f"ELSE 53 - length(bin(h // 256)) END) AS max_rho "
+                f"FROM (SELECT {h} AS h FROM wnz WHERE {pred}) "
+                f"GROUP BY h % 256)")
+
+    def est(regcte: str) -> str:
+        s = (f"(SELECT COALESCE(sum(CAST(1 AS BIGINT) << (53 - max_rho)), 0)"
+             f" + (256 - count(*)) * 9007199254740992 FROM {regcte})")
+        return f"round({alpha_m2_p53} / CAST({s} AS DOUBLE), 1)"
+
+    return f"""
+WITH words AS (
+  SELECT lang, unnest(string_split({D_NORM}, ' ')) AS w FROM documents
+), wnz AS (SELECT lang, w FROM words WHERE w <> ''),
+{reg('ra', "lang = 'en'")},
+{reg('rb', "lang <> 'en'")},
+rm AS (
+  SELECT register, max(max_rho) AS max_rho FROM (
+    SELECT * FROM ra UNION ALL SELECT * FROM rb) GROUP BY register
+),
+e AS (SELECT {est('ra')} AS est_a, {est('rb')} AS est_b,
+             {est('rm')} AS est_union)
+SELECT est_a, est_b, est_union,
+       greatest(round(est_a + est_b - est_union, 1), 0.0)
+         AS est_intersection
+FROM e
+"""
+
+
 def q_corpus_zipf_ttr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexical-diversity profile per source: token count, type count
     (distinct vocab), type-token ratio, and the top token's share —
@@ -3158,6 +3219,7 @@ DATAPIPE_QUERIES = {
     "embed_debias_isotropy": q_embed_debias_isotropy,
     "corpus_zipf_ttr": q_corpus_zipf_ttr,
     "sketch_vocab_overlap": q_sketch_vocab_overlap,
+    "sketch_hll_setops": q_sketch_hll_setops,
     "embed_int8_quantize": q_embed_int8_quantize,
     "sample_reservoir": q_sample_reservoir,
     "sample_stratified_k": q_sample_stratified_k,
@@ -3221,6 +3283,7 @@ DATAPIPE_ORACLES = {
     "embed_debias_isotropy": _sql_embed_debias(),
     "corpus_zipf_ttr": SQL_CORPUS_ZIPF_TTR,
     "sketch_vocab_overlap": _sql_sketch_vocab_overlap(),
+    "sketch_hll_setops": _sql_sketch_hll_setops(),
     "embed_int8_quantize": SQL_EMBED_INT8_QUANTIZE,
     "sample_reservoir": _sql_sample_reservoir(),
     "sample_stratified_k": _sql_sample_stratified_k(),

@@ -32,6 +32,7 @@ ALLOW_NESTED_LOOP = {
     "sketch_kmv_distinct",
     "sketch_hll_distinct",
     "sketch_vocab_overlap",  # 1-row estimate × 1-row exact baseline
+    "sketch_hll_setops",     # three 1-row estimates combined
 }
 
 

@@ -186,3 +186,20 @@ def test_kmv_jaccard_estimates_overlap(spark):
     c = spark.createDataFrame([(f"z{i}",) for i in range(1000)], "w string")
     r2 = kmv_jaccard(a, c, "w", k=256).collect()[0]
     assert r2["jaccard"] == 0.0 and r2["est_intersection"] == 0.0
+
+
+def test_hll_union_intersection_known_overlap(spark):
+    """A = 0..999, B = 500..1499: union ≈ 1500, intersection ≈ 500
+    within HLL's ~1/√m error band; disjoint pair clamps at ≥ 0."""
+    from sequin_spark.datapipe.sketch import hll_union_intersection
+
+    a = spark.createDataFrame([(f"w{i}",) for i in range(1000)], "w string")
+    b = spark.createDataFrame([(f"w{i}",) for i in range(500, 1500)],
+                              "w string")
+    r = hll_union_intersection(a, b, "w").collect()[0]
+    assert abs(r["est_union"] - 1500) / 1500 < 0.25
+    assert abs(r["est_intersection"] - 500) / 500 < 0.6  # IE compounds error
+    c = spark.createDataFrame([(f"z{i}",) for i in range(1000)], "w string")
+    r2 = hll_union_intersection(a, c, "w").collect()[0]
+    assert r2["est_intersection"] >= 0.0
+    assert abs(r2["est_union"] - 2000) / 2000 < 0.25
