@@ -35,14 +35,27 @@ from pyspark.sql import functions as F
 from sequin_spark.datapipe.sketch import h60
 
 
+def _row_tiebreak(df: DataFrame):
+    """Deterministic secondary sort key: a 64-bit hash of the FULL row.
+    When ``key_col`` has duplicate values the duplicates share ``_h``,
+    and orderBy/limit (or row_number) would break the tie by partition
+    order — different rows could survive across reruns/partitionings.
+    Hashing every column pins which duplicate wins.  (Rows identical in
+    every column remain interchangeable — any choice is the same row.)
+    """
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
 def reservoir_sample(df: DataFrame, key_col: str, k: int) -> DataFrame:
     """Exactly min(k, n) rows — those with the k smallest 60-bit hashes
-    of ``key_col``.  Deterministic; plan = TakeOrderedAndProject."""
+    of ``key_col``.  Deterministic (full-row hash tiebreak for
+    duplicate keys); plan = TakeOrderedAndProject."""
     return (
         df.withColumn("_h", h60(F.col(key_col)))
-        .orderBy("_h")
+        .withColumn("_h2", _row_tiebreak(df))
+        .orderBy("_h", "_h2")
         .limit(k)
-        .drop("_h")
+        .drop("_h", "_h2")
     )
 
 
@@ -50,13 +63,14 @@ def stratified_exact_k(df: DataFrame, stratum_col: str, key_col: str,
                        k: int) -> DataFrame:
     """Exactly min(k, n_stratum) rows per stratum — the k smallest
     hashes within each stratum (uniform within stratum, deterministic
-    across reruns)."""
-    w = Window.partitionBy(stratum_col).orderBy("_h")
+    across reruns — duplicate keys tie-broken by a full-row hash)."""
+    w = Window.partitionBy(stratum_col).orderBy("_h", "_h2")
     return (
         df.withColumn("_h", h60(F.col(key_col)))
+        .withColumn("_h2", _row_tiebreak(df))
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= k)
-        .drop("_h", "_rk")
+        .drop("_h", "_h2", "_rk")
     )
 
 

@@ -142,36 +142,45 @@ def compact_bucketed(
     after compaction.
 
     Rewrite-then-swap: the table is staged next to the live directory
-    and moved into place, so a crash mid-compaction leaves the
-    original table intact (markers are only cleared after the swap —
-    a replayed batch after compaction is re-appended, which downstream
-    exact dedup absorbs; same at-least-once posture as the writer)."""
+    and moved into place.  The catalog registration is NEVER dropped —
+    the bucket spec is unchanged, so after the directory swap a
+    ``REFRESH TABLE`` is all the catalog needs.  Crash points:
+    before the first rename the original table is intact; between the
+    two renames the registered path is briefly empty, and the
+    self-heal preamble below promotes the surviving directory on the
+    next call (re-running compaction IS the recovery); after the
+    second rename the compacted table is live.  Markers are only
+    cleared after the swap — a replayed batch after compaction is
+    re-appended, which downstream exact dedup absorbs; same
+    at-least-once posture as the writer."""
     import shutil
 
     data_dir = os.path.join(path, "data")
     stage_dir = os.path.join(path, "data_compacting")
     old_dir = os.path.join(path, "data_old")
     stage_name = f"{table_name}__compact"
+    # self-heal a previously interrupted swap: if the live directory is
+    # missing, promote whichever complete copy survived (the staged
+    # compacted data, else the pre-swap original) before proceeding
+    if not os.path.isdir(data_dir):
+        if os.path.isdir(stage_dir):
+            os.rename(stage_dir, data_dir)
+        elif os.path.isdir(old_dir):
+            os.rename(old_dir, data_dir)
+        spark.sql(f"REFRESH TABLE {table_name}")
     rows = spark.table(table_name)
+    shutil.rmtree(stage_dir, ignore_errors=True)
     (rows.repartition(n_buckets, key_col)
         .write.mode("overwrite")
         .bucketBy(n_buckets, key_col).sortBy(key_col)
         .option("path", stage_dir).saveAsTable(stage_name))
     spark.sql(f"DROP TABLE {stage_name}")   # external: files survive
-    spark.sql(f"DROP TABLE {table_name}")
     shutil.rmtree(old_dir, ignore_errors=True)
     os.rename(data_dir, old_dir)
     os.rename(stage_dir, data_dir)
+    spark.sql(f"REFRESH TABLE {table_name}")  # registration kept live
     shutil.rmtree(old_dir, ignore_errors=True)
     shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
-    # re-register over the compacted files
-    ddl_cols = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in rows.schema.fields)
-    spark.sql(
-        f"CREATE TABLE {table_name} ({ddl_cols}) USING parquet "
-        f"CLUSTERED BY ({key_col}) SORTED BY ({key_col}) "
-        f"INTO {n_buckets} BUCKETS LOCATION '{data_dir}'")
     return len([f for f in os.listdir(data_dir)
                 if not f.startswith(("_", "."))])
 

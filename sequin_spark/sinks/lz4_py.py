@@ -203,7 +203,7 @@ def decompress_block(data: bytes, max_size: int | None = None) -> bytes:
 # frame format
 
 _BLOCK_MAX = 4 * 1024 * 1024  # BD block-max-size code 7
-_FLG = 0b01000100  # version 01, block-independence 1, content-checksum 1
+_FLG = 0b01100100  # version 01, block-independence (bit 5) 1, content-checksum (bit 2) 1
 _BD = 7 << 4
 
 
@@ -237,6 +237,8 @@ def decompress(data: bytes) -> bytes:
     has_content_size = bool(flg & 0x08)
     has_content_checksum = bool(flg & 0x04)
     has_block_checksum = bool(flg & 0x10)
+    if flg & 0x01:
+        raise ValueError("lz4: dictionaries unsupported")
     pos = 6  # magic + FLG + BD
     if has_content_size:
         pos += 8

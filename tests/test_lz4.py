@@ -96,3 +96,24 @@ def test_compression_actually_compresses():
 def test_roundtrip_hypothesis(payload):
     assert lz.decompress_block(lz.compress_block(payload)) == payload
     assert lz.decompress(lz.compress(payload)) == payload
+
+
+def test_frame_declares_block_independence():
+    """ADVICE r7: strict JVM-side readers (lz4-java LZ4FrameInputStream)
+    reject frames whose FLG clears the B.Indep bit with 'Dependent block
+    stream is unsupported'. Our blocks ARE independent — the header must
+    say so."""
+    frame = lz.compress(b"independent blocks please " * 100)
+    assert frame[4] & 0x20, "FLG B.Indep bit (0x20) must be set"
+    # header checksum must still validate after the FLG change
+    assert lz.decompress(frame) == b"independent blocks please " * 100
+
+
+def test_frame_rejects_dictid_flag():
+    """Frames carrying a DictID (FLG bit 0) are unsupported; the decoder
+    must say so clearly instead of failing the header checksum."""
+    frame = bytearray(lz.compress(b"x" * 64))
+    frame[4] |= 0x01  # set DictID flag
+    # fix up header checksum so the DictID gate (not the checksum) fires
+    with pytest.raises(ValueError, match="dictionaries unsupported"):
+        lz.decompress(bytes(frame))

@@ -257,3 +257,47 @@ def test_compact_bucketed_preserves_rows_and_plan(spark, tmp_path):
     assert j.count() > 0
     spark.sql(f"DROP TABLE IF EXISTS {name}")
     spark.sql("DROP TABLE IF EXISTS bkt_compact_o")
+
+
+def test_compact_bucketed_self_heals_interrupted_swap(spark, tmp_path):
+    """ADVICE r7: a crash between the two swap renames used to leave no
+    registered table.  Now the registration is never dropped and a
+    re-run promotes the surviving directory, so every crash point
+    recovers to a queryable table with the original rows."""
+    import os
+    import shutil
+
+    from sequin_spark.operators.bucketed import (
+        append_bucketed_batch,
+        compact_bucketed,
+    )
+
+    name = "bkt_heal_t"
+    path = str(tmp_path / "facts")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    for b in range(3):
+        df = spark.createDataFrame(
+            [(i + 100 * b, (i + 100 * b) % 16) for i in range(100)],
+            "order_id long, cust_id long")
+        assert append_bucketed_batch(df, name, path, "cust_id", 8, b)
+    before = sorted(r["order_id"] for r in spark.table(name).collect())
+    data_dir = os.path.join(path, "data")
+
+    # simulate the crash window between rename(data→old) and
+    # rename(stage→data): live dir gone, original parked at data_old
+    os.rename(data_dir, os.path.join(path, "data_old"))
+    assert not os.path.isdir(data_dir)
+
+    # recovery IS re-running compaction
+    n_files = compact_bucketed(spark, name, path, "cust_id", 8)
+    assert n_files >= 1
+    after = sorted(r["order_id"] for r in spark.table(name).collect())
+    assert after == before
+
+    # simulate the other side: stage survived instead of the original
+    shutil.copytree(data_dir, os.path.join(path, "data_compacting"))
+    shutil.rmtree(data_dir)
+    n_files = compact_bucketed(spark, name, path, "cust_id", 8)
+    assert sorted(r["order_id"]
+                  for r in spark.table(name).collect()) == before
+    spark.sql(f"DROP TABLE IF EXISTS {name}")

@@ -105,3 +105,22 @@ def test_exact_quantiles_random_differential(spark):
     for g, vals in groups.items():
         for q in qs:
             assert got[(g, q)] == vals[math.ceil(q * len(vals)) - 1], (g, q)
+
+
+def test_duplicate_keys_sample_deterministically(spark):
+    """ADVICE r7: duplicate key values share the same h60 hash; the
+    survivor at the limit boundary must be pinned (full-row hash
+    tiebreak), not partition-order dependent."""
+    rows = [(f"k{i % 5}", i) for i in range(200)]  # 5 keys × 40 dups
+    a = spark.createDataFrame(rows, "key string, payload long")
+    b = a.repartition(17)  # different physical layout, same rows
+
+    sa = sorted(map(tuple, reservoir_sample(a, "key", 7).collect()))
+    sb = sorted(map(tuple, reservoir_sample(b, "key", 7).collect()))
+    assert sa == sb and len(sa) == 7
+
+    ta = sorted(map(tuple,
+                    stratified_exact_k(a, "key", "key", 3).collect()))
+    tb = sorted(map(tuple,
+                    stratified_exact_k(b, "key", "key", 3).collect()))
+    assert ta == tb and len(ta) == 15
