@@ -1423,6 +1423,171 @@ FROM b
 """
 
 
+def q_hw_cursor_advancement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restart-cursor advancement (slot_message_store.ex:418-440
+    ``min_unpersisted_wal_cursors`` reduced across consumers ×
+    partitions; slot_producer.ex:629-659 ``init_restart_wal_cursor``;
+    slot_message_store.ex:441-448 high-watermark fallback): the slot's
+    restart cursor is the MIN unpersisted (lsn, idx) over every
+    consumer's every message-store partition — a partition with no
+    unpersisted messages contributes nothing, and when NO partition has
+    one the cursor falls back to the high watermark.  Relational form:
+    fan the event stream out to 3 consumers, route each message to a
+    partition by key hash (slot_message_store.ex:224-300 phash2
+    sharding analog), mark a deterministic per-consumer subset
+    unpersisted, and take one 12-group aggregate + one global min.
+    Plan: a single map-side-combined hash aggregate over one event
+    pass (the ×3 consumer explode collapses in partial agg), then a
+    global-window reduce over the 12 AGGREGATED rows (consumers ×
+    partitions — a bounded state table, never event-cardinality) — no
+    second full-data shuffle at any scale."""
+    from pyspark.sql import Window
+
+    _prep(spark)
+    ev = eventize_orders(spark, sf_dir)
+    key = F.col("group_id").cast("long")
+    cur = F.col("commit_lsn") * 8 + F.col("commit_idx")
+    cid = F.explode(F.array(*[F.lit(i) for i in range(3)])).alias(
+        "consumer_id")
+    m = ev.select(
+        cid, key.alias("k"), cur.alias("cur"),
+    ).withColumn(
+        "unp",
+        ((F.col("k") + 7 * F.col("consumer_id"))
+         % (11 + F.col("consumer_id")) < 3).cast("int"),
+    ).withColumn("partition_id", F.pmod(F.col("k"), F.lit(4)))
+    g = m.groupBy("consumer_id", "partition_id").agg(
+        F.count("*").alias("n_msgs"),
+        F.sum("unp").cast("long").alias("n_unpersisted"),
+        F.min(F.when(F.col("unp") == 1, F.col("cur")))
+        .alias("_min_unp_cur"),
+        F.max("cur").alias("_hw_cur"),
+    )
+    w = Window.partitionBy()  # 12 rows: bounded by consumers × partitions
+    out = g.withColumn(
+        "_rc",
+        F.coalesce(F.min("_min_unp_cur").over(w),
+                   F.max("_hw_cur").over(w)))
+    return out.select(
+        "consumer_id", "partition_id", "n_msgs", "n_unpersisted",
+        (F.col("_min_unp_cur") / 8).cast("long")
+        .alias("min_unpersisted_lsn"),
+        F.pmod(F.col("_min_unp_cur"), F.lit(8)).cast("long")
+        .alias("min_unpersisted_idx"),
+        (F.col("_rc") / 8).cast("long").alias("restart_lsn"),
+        F.pmod(F.col("_rc"), F.lit(8)).cast("long").alias("restart_idx"),
+    )
+
+
+SQL_HW_CURSOR_ADVANCEMENT = f"""
+WITH ev AS ({EV_ORDERS}),
+m AS (
+  SELECT c.cid AS consumer_id,
+         o_orderkey % 4 AS partition_id,
+         commit_lsn * 8 + commit_idx AS cur,
+         CASE WHEN (o_orderkey + 7 * c.cid) % (11 + c.cid) < 3
+              THEN 1 ELSE 0 END AS unp
+  FROM ev CROSS JOIN (VALUES (0), (1), (2)) AS c(cid)
+),
+g AS (
+  SELECT consumer_id, partition_id, count(*) AS n_msgs,
+         CAST(sum(unp) AS BIGINT) AS n_unpersisted,
+         min(CASE WHEN unp = 1 THEN cur END) AS min_unp_cur,
+         max(cur) AS hw_cur
+  FROM m GROUP BY consumer_id, partition_id
+),
+r AS (SELECT coalesce(min(min_unp_cur), max(hw_cur)) AS rc FROM g)
+SELECT CAST(consumer_id AS INTEGER) AS consumer_id,
+       partition_id, n_msgs, n_unpersisted,
+       min_unp_cur // 8 AS min_unpersisted_lsn,
+       min_unp_cur % 8 AS min_unpersisted_idx,
+       rc // 8 AS restart_lsn, rc % 8 AS restart_idx
+FROM g CROSS JOIN r
+"""
+
+
+def q_consumer_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer fan-out accounting (message_handler.ex:215-251
+    ``messages_by_consumer``): each slot message is matched against
+    every consumer's filters (``Consumers.matches_message?``), fanned
+    out to one consumer-message per match, size-guarded
+    (message_handler.ex:161-169 ``violates_payload_size?``), and
+    grouped by consumer.  Four consumers: (0) firehose, (1)
+    insert+update, (2) delete-only, (3) a column filter
+    (urgent/high priority) with a tight 51-byte payload cap that
+    rejects the long-key tail.  Runs over a projected record (ints +
+    enum strings) so payload bytes are engine-exact, the same device
+    as payload_shapes.  Plan: the match array + explode is a narrow
+    map (no per-consumer rescan), then one 4-group map-side-combined
+    aggregate — one shuffle of 4×|consumers| partial rows total."""
+    _prep(spark)
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority")
+    ev = cdc.eventize(base, "orders", pk_cols=["o_orderkey"],
+                      order_expr="o_orderkey")
+    size = F.aggregate(
+        F.map_entries(F.col("record")),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + F.length(e.getField("key"))
+        + F.length(e.getField("value")),
+    )
+    prio = F.col("record").getItem("o_orderpriority")
+    conds = [
+        F.lit(True),
+        F.col("action").isin("insert", "update"),
+        F.col("action") == "delete",
+        (F.col("action") == "update")
+        & prio.isin("1-URGENT", "2-HIGH"),
+    ]
+    match_arr = F.array(*[
+        F.when(c, F.lit(i)) for i, c in enumerate(conds)])
+    m = (ev.withColumn("payload_bytes", size)
+         .withColumn("consumer_id",
+                     F.explode(F.filter(match_arr,
+                                        lambda x: x.isNotNull()))))
+    rejected = (
+        (F.col("consumer_id") == 3) & (F.col("payload_bytes") > 51)
+    ).cast("int")
+    return (m.withColumn("rej", rejected)
+            .groupBy("consumer_id").agg(
+                F.count("*").alias("n_matched"),
+                F.sum("rej").cast("long").alias("n_rejected"),
+                (F.count("*") - F.sum("rej")).cast("long")
+                .alias("n_ingested"),
+                F.countDistinct(
+                    F.when(F.col("rej") == 0, F.col("group_id")))
+                .alias("n_groups")))
+
+
+SQL_CONSUMER_FANOUT_COUNTS = f"""
+WITH ev AS ({EV_ORDERS}),
+sized AS (
+  SELECT action, group_id,
+         38 + length(cast(o_orderkey AS varchar)) + length(o_orderstatus)
+            + length(o_orderpriority) AS payload_bytes,
+         o_orderpriority
+  FROM ev
+),
+m AS (
+  SELECT c.cid AS consumer_id, action, group_id, payload_bytes,
+         CASE WHEN c.cid = 3 AND payload_bytes > 51
+              THEN 1 ELSE 0 END AS rej
+  FROM sized CROSS JOIN (VALUES (0), (1), (2), (3)) AS c(cid)
+  WHERE (c.cid = 0)
+     OR (c.cid = 1 AND action IN ('insert', 'update'))
+     OR (c.cid = 2 AND action = 'delete')
+     OR (c.cid = 3 AND action = 'update'
+         AND o_orderpriority IN ('1-URGENT', '2-HIGH'))
+)
+SELECT CAST(consumer_id AS INTEGER) AS consumer_id,
+       count(*) AS n_matched,
+       CAST(sum(rej) AS BIGINT) AS n_rejected,
+       CAST(count(*) - sum(rej) AS BIGINT) AS n_ingested,
+       count(DISTINCT CASE WHEN rej = 0 THEN group_id END) AS n_groups
+FROM m GROUP BY consumer_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -1469,6 +1634,8 @@ QUERIES: dict[str, callable] = {
     "retry_backoff_discard": q_retry_backoff_discard,
     "range_join_value_bands": q_range_join_value_bands,
     "payload_shapes": q_payload_shapes,
+    "hw_cursor_advancement": q_hw_cursor_advancement,
+    "consumer_fanout_counts": q_consumer_fanout_counts,
     **DATAPIPE_QUERIES,
 }
 
@@ -1513,5 +1680,7 @@ ORACLES: dict[str, str] = {
     "retry_backoff_discard": SQL_RETRY_BACKOFF_DISCARD,
     "range_join_value_bands": SQL_RANGE_JOIN_VALUE_BANDS,
     "payload_shapes": SQL_PAYLOAD_SHAPES,
+    "hw_cursor_advancement": SQL_HW_CURSOR_ADVANCEMENT,
+    "consumer_fanout_counts": SQL_CONSUMER_FANOUT_COUNTS,
     **DATAPIPE_ORACLES,
 }

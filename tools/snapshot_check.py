@@ -36,6 +36,11 @@ import sys
 
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SNAPSHOT_SF_DIR", "/root/testdata/sf0.01")
+# Second-scale sweep (VERDICT r7 task #8): the r7 cross-SF run caught a
+# sign-of-zero bug (DSIR −0.0) the single-SF gate could not — every
+# matched-pair edit is now checked at TWO scales by default.
+SF_DIR2 = os.environ.get("SNAPSHOT_SF_DIR2", "/root/testdata/sf0.001")
+SF2_TAG = os.path.basename(SF_DIR2.rstrip("/"))
 
 
 def current_round() -> int:
@@ -80,7 +85,10 @@ def write_audit() -> int:
 
     digest = source_digest()
     results = run_checks(SF_DIR)
-    failures = [(n, d) for n, s, d in results if s == "FAIL"]
+    results2 = run_checks(SF_DIR2)
+    failures = ([(n, d) for n, s, d in results if s == "FAIL"]
+                + [(f"{n}@{SF2_TAG}", d)
+                   for n, s, d in results2 if s == "FAIL"])
     if failures:
         for n, d in failures:
             print(f"REFUSING to write audit file: FAIL {n}: {d}")
@@ -90,13 +98,17 @@ def write_audit() -> int:
     with open(path, "w") as f:
         f.write(f"# CORRECTNESS_FULL r{round_n:02d} — full-registry "
                 f"oracle audit (tools/snapshot_check.py --write)\n")
-        f.write(f"# sf_dir: {SF_DIR}\n")
+        f.write(f"# sf_dir: {SF_DIR} (+ cross-SF sweep at {SF_DIR2})\n")
         f.write(f"# source_digest: {digest}\n")
         f.write(f"# queries: {len(results)}\n")
         for name, status, detail in results:
             f.write(f"{status:<5} {name}: {detail}\n")
-        f.write(f"SUMMARY PASS {len(results)}/{len(results)}\n")
-    print(f"\nwrote {path} ({len(results)} queries, digest {digest})")
+        for name, status, detail in results2:
+            f.write(f"{status:<5} {name}@{SF2_TAG}: {detail}\n")
+        f.write(f"SUMMARY PASS {len(results) + len(results2)}"
+                f"/{len(results) + len(results2)}\n")
+    print(f"\nwrote {path} ({len(results)} queries × 2 scales, "
+          f"digest {digest})")
     return 0
 
 
@@ -153,6 +165,11 @@ def verify_audit() -> list[str]:
     missing = registry - set(rows)
     if missing:
         problems.append(f"audit does not cover {sorted(missing)}")
+    missing2 = {f"{n}@{SF2_TAG}" for n in registry} - set(rows)
+    if missing2:
+        problems.append(
+            f"audit lacks the cross-SF ({SF2_TAG}) sweep for "
+            f"{sorted(missing2)} — re-run with --write")
     red = sorted(n for n, s in rows.items() if s == "FAIL")
     if red:
         problems.append(f"audit has FAIL rows: {red}")
