@@ -193,17 +193,14 @@ def _compress(codec: str, data: bytes) -> bytes:
         from sequin_spark.sinks import lz4_py
 
         return lz4_py.compress(data)
-    # zstd needs a non-stdlib codec — honest import-try gate
-    try:
-        if codec == "zstd":
-            from compression import zstd  # Python >= 3.14
+    if codec == "zstd":
+        # decode side is vendored pure-Python (sinks/zstd_py.py, RFC
+        # 8878); encode uses libzstd via ctypes and raises a clear
+        # NotImplementedError when no shared library is loadable —
+        # writing a zstd ENCODER in Python is out of scope
+        from sequin_spark.sinks import zstd_py
 
-            return zstd.compress(data)
-    except ImportError as e:
-        raise NotImplementedError(
-            f"kafka compression codec {codec!r} needs a {codec} library "
-            f"not present in this environment; use none, gzip, snappy "
-            f"or lz4") from e
+        return zstd_py.compress(data)
     raise ValueError(f"unknown kafka compression codec {codec!r}; "
                      f"supported: {sorted(COMPRESSION_CODECS)}")
 
@@ -224,14 +221,12 @@ def _decompress(codec_bits: int, data: bytes) -> bytes:
         from sequin_spark.sinks import lz4_py
 
         return lz4_py.decompress(data)
-    try:
-        if codec_bits == 4:
-            from compression import zstd
+    if codec_bits == 4:
+        # vendored pure-Python RFC 8878 decoder — JVM-producer zstd
+        # batches decode with no native library present
+        from sequin_spark.sinks import zstd_py
 
-            return zstd.decompress(data)
-    except ImportError as e:
-        raise NotImplementedError(
-            f"codec bits {codec_bits} need a non-stdlib library") from e
+        return zstd_py.decompress(data)
     raise ValueError(f"unknown codec bits {codec_bits}")
 
 

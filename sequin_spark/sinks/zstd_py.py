@@ -1,0 +1,669 @@
+"""Zstandard codec for the Kafka sink — the last compression-parity gap
+with the reference (kafka_sink.ex:28 supports none/gzip/snappy/lz4/zstd).
+
+Two halves, gated honestly:
+
+* ``decompress`` — a self-contained pure-Python RFC 8878 decoder
+  (frame header, raw/RLE/compressed blocks, FSE table reads, Huffman
+  literals incl. FSE-compressed weights and 4-stream mode, sequence
+  execution with repeated-offset history, XXH64 content checksum).
+  Always available: a consumer of JVM-producer zstd batches needs no
+  native library.  Decode speed is Python-speed — fine for the sink
+  path's bounded batches, not a bulk-scan codec.
+* ``compress`` — one-shot via ``libzstd`` through ctypes when the
+  shared library is present (it is on any host with the zstd CLI or a
+  JVM Kafka client); otherwise raises NotImplementedError with the
+  reason.  Writing a zstd ENCODER in Python is out of scope — the
+  format's encoder-side search is the complex half — and the decoder
+  below can verify any frame the library produces.
+
+Conformance: tests/data/zstd/ holds frames produced by the real zstd
+CLI over deterministic payloads (levels 1/3/19, checksummed and not);
+tests/test_zstd.py replays them through this decoder byte-for-byte and
+fuzzes live against libzstd when present.
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZSTD_MAGIC = 0xFD2FB528
+_SKIPPABLE_LO = 0x184D2A50
+_SKIPPABLE_HI = 0x184D2A5F
+
+
+class ZstdError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# XXH64 (content checksum; RFC 8878 uses the low 32 bits of XXH64 seed 0)
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round64(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl64(acc, 31) * _P1) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed
+        v4 = (seed - _P1) & _M64
+        lim = n - 32
+        while i <= lim:
+            a, b, c, d = struct.unpack_from("<QQQQ", data, i)
+            v1, v2, v3, v4 = (_round64(v1, a), _round64(v2, b),
+                              _round64(v3, c), _round64(v4, d))
+            i += 32
+        h = (_rotl64(v1, 1) + _rotl64(v2, 7)
+             + _rotl64(v3, 12) + _rotl64(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            h = ((h ^ _round64(0, v)) * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        (k,) = struct.unpack_from("<Q", data, i)
+        h = ((_rotl64(h ^ _round64(0, k), 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        (k,) = struct.unpack_from("<I", data, i)
+        h = ((_rotl64(h ^ (k * _P1) & _M64, 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl64(h ^ (data[i] * _P5) & _M64, 11)) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+# ---------------------------------------------------------------------------
+# Backward bitstream (zstd bitstreams are written forward, read backward
+# from a 1-bit sentinel in the last byte)
+
+
+class _BackBits:
+    __slots__ = ("val", "off")
+
+    def __init__(self, data: bytes):
+        if not data:
+            raise ZstdError("empty bitstream")
+        last = data[-1]
+        if last == 0:
+            raise ZstdError("bitstream has no sentinel bit")
+        self.val = int.from_bytes(data, "little")
+        # drop leading zero bits of the last byte + the sentinel 1
+        self.off = len(data) * 8 - (8 - last.bit_length()) - 1
+
+    def read(self, n: int) -> int:
+        """Read n bits below the cursor.  Reading past the start pads
+        with zeros on the LOW side and leaves ``off`` negative — the
+        FSE interleaved-weights loop uses that as its end signal."""
+        if n == 0:
+            return 0
+        self.off -= n
+        if self.off >= 0:
+            return (self.val >> self.off) & ((1 << n) - 1)
+        avail = n + self.off  # bits actually available
+        if avail <= 0:
+            return 0
+        return (self.val & ((1 << avail) - 1)) << (n - avail)
+
+
+# ---------------------------------------------------------------------------
+# FSE
+
+
+class _FSETable:
+    __slots__ = ("acc", "sym", "nbits", "base")
+
+    def __init__(self, acc: int, freqs: list[int]):
+        self.acc = acc
+        size = 1 << acc
+        sym = [0] * size
+        high = size - 1
+        state_desc = [0] * len(freqs)
+        for s, p in enumerate(freqs):
+            if p == -1:
+                sym[high] = s
+                high -= 1
+                state_desc[s] = 1
+            else:
+                state_desc[s] = p
+        step = (size >> 1) + (size >> 3) + 3
+        mask = size - 1
+        pos = 0
+        for s, p in enumerate(freqs):
+            for _ in range(max(p, 0)):
+                sym[pos] = s
+                pos = (pos + step) & mask
+                while pos > high:
+                    pos = (pos + step) & mask
+        if pos != 0:
+            raise ZstdError("corrupt FSE distribution")
+        nbits = [0] * size
+        base = [0] * size
+        for i in range(size):
+            s = sym[i]
+            nxt = state_desc[s]
+            state_desc[s] += 1
+            nb = acc - (nxt.bit_length() - 1)
+            nbits[i] = nb
+            base[i] = (nxt << nb) - size
+        self.sym, self.nbits, self.base = sym, nbits, base
+
+    @classmethod
+    def rle(cls, symbol: int) -> "_FSETable":
+        t = cls.__new__(cls)
+        t.acc = 0
+        t.sym = [symbol]
+        t.nbits = [0]
+        t.base = [0]
+        return t
+
+
+def _read_fse_freqs(data: bytes, pos: int, max_acc: int
+                    ) -> tuple[list[int], int, int]:
+    """Parse an FSE table description (RFC 8878 §4.1.1) from a FORWARD
+    bitstream at byte ``pos``; returns (freqs, accuracy_log, next_pos)."""
+    bitpos = 0
+
+    def read(n: int) -> int:
+        nonlocal bitpos
+        byte = pos + (bitpos >> 3)
+        chunk = int.from_bytes(data[byte:byte + 4].ljust(4, b"\0"),
+                               "little")
+        v = (chunk >> (bitpos & 7)) & ((1 << n) - 1)
+        bitpos += n
+        return v
+
+    acc = read(4) + 5
+    if acc > max_acc:
+        raise ZstdError(f"FSE accuracy {acc} > max {max_acc}")
+    remaining = (1 << acc) + 1
+    freqs: list[int] = []
+    while remaining > 1 and len(freqs) < 256:
+        bits = remaining.bit_length()
+        v = read(bits)
+        low_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if (v & low_mask) < threshold:
+            bitpos -= 1  # value fit in bits-1; give the top bit back
+            v &= low_mask
+        elif v > low_mask:
+            v -= threshold
+        proba = v - 1
+        remaining -= -proba if proba < 0 else proba
+        freqs.append(proba)
+        if proba == 0:
+            while True:
+                rep = read(2)
+                freqs.extend([0] * rep)
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ZstdError("FSE distribution does not sum to table size")
+    return freqs, acc, pos + ((bitpos + 7) >> 3)
+
+
+def _fse_decode_interleaved(table: _FSETable, data: bytes,
+                            max_out: int = 256) -> list[int]:
+    """Two interleaved FSE states over one backward stream — the
+    Huffman-weights encoding (RFC 8878 §4.2.1.2)."""
+    bs = _BackBits(data)
+    s1 = bs.read(table.acc)
+    s2 = bs.read(table.acc)
+    if bs.off < 0:
+        raise ZstdError("FSE weight stream too short")
+    out: list[int] = []
+    while len(out) < max_out:
+        out.append(table.sym[s1])
+        s1 = table.base[s1] + bs.read(table.nbits[s1])
+        if bs.off < 0:
+            out.append(table.sym[s2])
+            break
+        out.append(table.sym[s2])
+        s2 = table.base[s2] + bs.read(table.nbits[s2])
+        if bs.off < 0:
+            out.append(table.sym[s1])
+            break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+
+
+class _HufTable:
+    __slots__ = ("max_bits", "sym", "nbits")
+
+    def __init__(self, weights: list[int]):
+        # weights exclude the last symbol; deduce it so the weight sum
+        # reaches the NEXT power of two (RFC §4.2.1: the last weight is
+        # always >= 1, so "next" is strict)
+        total = sum((1 << (w - 1)) for w in weights if w > 0)
+        if total == 0:
+            raise ZstdError("huffman weights sum to zero")
+        next_p2 = 1 << total.bit_length()
+        rem = next_p2 - total
+        if rem & (rem - 1):
+            raise ZstdError("corrupt huffman weights (non-pow2 remainder)")
+        weights = weights + [rem.bit_length()]
+        max_bits = next_p2.bit_length() - 1
+        bits = [max_bits + 1 - w if w > 0 else 0 for w in weights]
+        size = 1 << max_bits
+        sym = [0] * size
+        nbits = [0] * size
+        rank_count = [0] * (max_bits + 2)
+        for b in bits:
+            if b:
+                rank_count[b] += 1
+        rank_idx = [0] * (max_bits + 2)
+        for b in range(max_bits, 0, -1):
+            rank_idx[b - 1] = rank_idx[b] + rank_count[b] * (
+                1 << (max_bits - b))
+        for s, b in enumerate(bits):
+            if b == 0:
+                continue
+            code = rank_idx[b]
+            ln = 1 << (max_bits - b)
+            for j in range(code, code + ln):
+                sym[j] = s
+                nbits[j] = b
+            rank_idx[b] += ln
+        self.max_bits, self.sym, self.nbits = max_bits, sym, nbits
+
+    def decode_stream(self, data: bytes, n_out: int) -> bytearray:
+        bs = _BackBits(data)
+        out = bytearray()
+        mb = self.max_bits
+        sym, nbits = self.sym, self.nbits
+        while len(out) < n_out:
+            idx = bs.read(mb)
+            bs.off += mb  # peek
+            out.append(sym[idx])
+            bs.off -= nbits[idx]
+            if bs.off < -mb:
+                raise ZstdError("huffman stream underrun")
+        return out
+
+
+def _read_huf_table(data: bytes, pos: int) -> tuple[_HufTable, int]:
+    hdr = data[pos]
+    pos += 1
+    if hdr >= 128:
+        n = hdr - 127
+        nb = (n + 1) // 2
+        raw = data[pos:pos + nb]
+        pos += nb
+        weights = []
+        for i in range(n):
+            b = raw[i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+    else:
+        comp = data[pos:pos + hdr]
+        pos += hdr
+        freqs, acc, after = _read_fse_freqs(comp, 0, 6)
+        table = _FSETable(acc, freqs)
+        weights = _fse_decode_interleaved(table, comp[after:], 255)
+    return _HufTable(weights), pos
+
+
+# ---------------------------------------------------------------------------
+# Sequences (literal-length / match-length / offset codes, RFC §3.1.1.3.2)
+
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024,
+    2048, 4096, 8192, 16384, 32768, 65536]
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+
+_LL_DEFAULT = [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+               2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+               -1, -1, -1, -1]
+_ML_DEFAULT = [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+               -1, -1, -1, -1, -1]
+_OF_DEFAULT = [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+               1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1]
+
+_LL_DEFAULT_ACC, _ML_DEFAULT_ACC, _OF_DEFAULT_ACC = 6, 6, 5
+_LL_MAX_ACC, _ML_MAX_ACC, _OF_MAX_ACC = 9, 9, 8
+
+
+def _seq_table(data: bytes, pos: int, mode: int, kind: str,
+               prev: _FSETable | None) -> tuple[_FSETable, int]:
+    defaults = {
+        "ll": (_LL_DEFAULT, _LL_DEFAULT_ACC, _LL_MAX_ACC),
+        "ml": (_ML_DEFAULT, _ML_DEFAULT_ACC, _ML_MAX_ACC),
+        "of": (_OF_DEFAULT, _OF_DEFAULT_ACC, _OF_MAX_ACC),
+    }[kind]
+    if mode == 0:  # predefined
+        return _FSETable(defaults[1], defaults[0]), pos
+    if mode == 1:  # RLE: one byte symbol
+        return _FSETable.rle(data[pos]), pos + 1
+    if mode == 2:  # FSE-described
+        freqs, acc, pos = _read_fse_freqs(data, pos, defaults[2])
+        return _FSETable(acc, freqs), pos
+    if prev is None:  # mode 3: repeat
+        raise ZstdError(f"repeat {kind} table with no previous table")
+    return prev, pos
+
+
+# ---------------------------------------------------------------------------
+# Frame decoding
+
+
+class _FrameState:
+    """Tables that persist across blocks within one frame (treeless
+    literals, repeat FSE modes, repeated offsets)."""
+
+    def __init__(self) -> None:
+        self.huf: _HufTable | None = None
+        self.ll: _FSETable | None = None
+        self.ml: _FSETable | None = None
+        self.of: _FSETable | None = None
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(data: bytes, pos: int, st: _FrameState
+                     ) -> tuple[bytes, int]:
+    b0 = data[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            regen = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            regen = (b0 >> 4) | (data[pos + 1] << 4)
+            pos += 2
+        else:
+            regen = (b0 >> 4) | (data[pos + 1] << 4) | (
+                data[pos + 2] << 12)
+            pos += 3
+        if ltype == 0:
+            return bytes(data[pos:pos + regen]), pos + regen
+        return bytes([data[pos]]) * regen, pos + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        n_streams = 1
+        regen = (b0 >> 4) | ((data[pos + 1] & 0x3F) << 4)
+        csize = (data[pos + 1] >> 6) | (data[pos + 2] << 2)
+        pos += 3
+    elif sf == 1:
+        n_streams = 4
+        regen = (b0 >> 4) | ((data[pos + 1] & 0x3F) << 4)
+        csize = (data[pos + 1] >> 6) | (data[pos + 2] << 2)
+        pos += 3
+    elif sf == 2:
+        n_streams = 4
+        regen = (b0 >> 4) | (data[pos + 1] << 4) | (
+            (data[pos + 2] & 0x3) << 12)
+        csize = (data[pos + 2] >> 2) | (data[pos + 3] << 6)
+        pos += 4
+    else:
+        n_streams = 4
+        regen = (b0 >> 4) | (data[pos + 1] << 4) | (
+            (data[pos + 2] & 0x3F) << 12)
+        csize = (data[pos + 2] >> 6) | (data[pos + 3] << 2) | (
+            data[pos + 4] << 10)
+        pos += 5
+    end = pos + csize
+    if ltype == 2:
+        st.huf, pos = _read_huf_table(data, pos)
+    elif st.huf is None:
+        raise ZstdError("treeless literals with no previous huffman table")
+    huf = st.huf
+    streams = data[pos:end]
+    if n_streams == 1:
+        lits = huf.decode_stream(streams, regen)
+    else:
+        s1, s2, s3 = struct.unpack_from("<HHH", streams, 0)
+        body = streams[6:]
+        if s1 + s2 + s3 > len(body):
+            raise ZstdError("literal jump table overruns section")
+        per = (regen + 3) // 4
+        parts = [body[:s1], body[s1:s1 + s2],
+                 body[s1 + s2:s1 + s2 + s3], body[s1 + s2 + s3:]]
+        sizes = [per, per, per, regen - 3 * per]
+        lits = bytearray()
+        for part, sz in zip(parts, sizes):
+            lits += huf.decode_stream(part, sz)
+    if len(lits) != regen:
+        raise ZstdError("literal regeneration size mismatch")
+    return bytes(lits), end
+
+
+def _decode_block(data: bytes, pos: int, size: int, out: bytearray,
+                  st: _FrameState) -> None:
+    block = data[pos:pos + size]
+    lits, p = _decode_literals(block, 0, st)
+    # sequence count
+    b0 = block[p]
+    if b0 < 128:
+        nseq = b0
+        p += 1
+    elif b0 < 255:
+        nseq = ((b0 - 128) << 8) + block[p + 1]
+        p += 2
+    else:
+        nseq = block[p + 1] + (block[p + 2] << 8) + 0x7F00
+        p += 3
+    if nseq == 0:
+        out += lits
+        return
+    modes = block[p]
+    p += 1
+    ll_t, p = _seq_table(block, p, modes >> 6, "ll", st.ll)
+    of_t, p = _seq_table(block, p, (modes >> 4) & 3, "of", st.of)
+    ml_t, p = _seq_table(block, p, (modes >> 2) & 3, "ml", st.ml)
+    st.ll, st.of, st.ml = ll_t, of_t, ml_t
+    bs = _BackBits(block[p:])
+    ll_s = bs.read(ll_t.acc)
+    of_s = bs.read(of_t.acc)
+    ml_s = bs.read(ml_t.acc)
+    if bs.off < 0:
+        raise ZstdError("sequence stream too short for state init")
+    lit_pos = 0
+    reps = st.reps
+    for i in range(nseq):
+        of_code = of_t.sym[of_s]
+        offset_value = (1 << of_code) + bs.read(of_code)
+        ml_code = ml_t.sym[ml_s]
+        ml = _ML_BASE[ml_code] + bs.read(_ML_BITS[ml_code])
+        ll_code = ll_t.sym[ll_s]
+        ll = _LL_BASE[ll_code] + bs.read(_LL_BITS[ll_code])
+        if bs.off < 0:
+            raise ZstdError("sequence stream underrun")
+        # resolve offset against the repeated-offset history
+        if offset_value > 3:
+            offset = offset_value - 3
+            reps = [offset, reps[0], reps[1]]
+        else:
+            idx = offset_value - 1 if ll != 0 else offset_value
+            # ll==0 shifts the repcode index by one; idx==3 → rep1 - 1
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                reps = [offset, reps[0], reps[2]]
+            elif idx == 2:
+                offset = reps[2]
+                reps = [offset, reps[0], reps[1]]
+            else:
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ZstdError("repcode underflow (offset 0)")
+                reps = [offset, reps[0], reps[1]]
+        out += lits[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ZstdError("match offset beyond window")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start:start + ml]
+        else:
+            for _ in range(ml):
+                out.append(out[-offset])
+        if i != nseq - 1:
+            ll_s = ll_t.base[ll_s] + bs.read(ll_t.nbits[ll_s])
+            ml_s = ml_t.base[ml_s] + bs.read(ml_t.nbits[ml_s])
+            of_s = of_t.base[of_s] + bs.read(of_t.nbits[of_s])
+            if bs.off < 0:
+                raise ZstdError("sequence state update underrun")
+    out += lits[lit_pos:]
+    st.reps = reps
+
+
+def decompress(data: bytes) -> bytes:
+    """Decode a zstd frame (or a concatenation of frames / skippable
+    frames) — pure Python, RFC 8878."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if n - pos < 4:
+            raise ZstdError("truncated frame magic")
+        (magic,) = struct.unpack_from("<I", data, pos)
+        pos += 4
+        if _SKIPPABLE_LO <= magic <= _SKIPPABLE_HI:
+            (sz,) = struct.unpack_from("<I", data, pos)
+            pos += 4 + sz
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ZstdError(f"bad zstd magic 0x{magic:08x}")
+        fhd = data[pos]
+        pos += 1
+        fcs_flag = fhd >> 6
+        single_segment = bool(fhd & 0x20)
+        has_checksum = bool(fhd & 0x04)
+        did_flag = fhd & 0x03
+        if fhd & 0x18:
+            raise ZstdError("reserved frame-header bits set")
+        if not single_segment:
+            pos += 1  # window descriptor (we keep the whole output)
+        pos += (0, 1, 2, 4)[did_flag]
+        fcs_len = (0, 2, 4, 8)[fcs_flag]
+        if fcs_flag == 0 and single_segment:
+            fcs_len = 1
+        content_size = None
+        if fcs_len:
+            content_size = int.from_bytes(data[pos:pos + fcs_len],
+                                          "little")
+            if fcs_len == 2:
+                content_size += 256
+            pos += fcs_len
+        frame_start = len(out)
+        st = _FrameState()
+        while True:
+            if pos + 3 > n:
+                raise ZstdError("truncated block header")
+            bh = int.from_bytes(data[pos:pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # raw
+                out += data[pos:pos + bsize]
+                pos += bsize
+            elif btype == 1:  # RLE: bsize is the REGENERATED size
+                out += bytes([data[pos]]) * bsize
+                pos += 1
+            elif btype == 2:
+                _decode_block(data, pos, bsize, out, st)
+                pos += bsize
+            else:
+                raise ZstdError("reserved block type")
+            if last:
+                break
+        if content_size is not None and \
+                len(out) - frame_start != content_size:
+            raise ZstdError(
+                f"content size mismatch: header {content_size}, "
+                f"decoded {len(out) - frame_start}")
+        if has_checksum:
+            (want,) = struct.unpack_from("<I", data, pos)
+            pos += 4
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ZstdError(
+                    f"content checksum mismatch: 0x{got:08x} != "
+                    f"0x{want:08x}")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Compression — libzstd via ctypes (gated)
+
+_LIB = None
+_LIB_ERR: str | None = None
+
+
+def _libzstd():
+    global _LIB, _LIB_ERR
+    if _LIB is not None or _LIB_ERR is not None:
+        return _LIB
+    import ctypes
+    import ctypes.util
+
+    name = ctypes.util.find_library("zstd") or "libzstd.so.1"
+    try:
+        lib = ctypes.CDLL(name)
+        lib.ZSTD_compressBound.restype = ctypes.c_size_t
+        lib.ZSTD_compressBound.argtypes = [ctypes.c_size_t]
+        lib.ZSTD_compress.restype = ctypes.c_size_t
+        lib.ZSTD_compress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t, ctypes.c_int]
+        lib.ZSTD_isError.restype = ctypes.c_uint
+        lib.ZSTD_isError.argtypes = [ctypes.c_size_t]
+        _LIB = lib
+    except OSError as e:
+        _LIB_ERR = str(e)
+    return _LIB
+
+
+def compress(data: bytes, level: int = 3) -> bytes:
+    """One-shot zstd compression via libzstd (ctypes).  Raises
+    NotImplementedError when no libzstd is loadable — producing zstd
+    without the native library is out of scope; consuming (decompress
+    above) never needs it."""
+    import ctypes
+
+    lib = _libzstd()
+    if lib is None:
+        raise NotImplementedError(
+            f"zstd compression needs libzstd (ctypes load failed: "
+            f"{_LIB_ERR}); decode-side zstd works without it")
+    bound = lib.ZSTD_compressBound(len(data))
+    buf = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(buf, bound, data, len(data), level)
+    if lib.ZSTD_isError(n):
+        raise ZstdError(f"libzstd compress error code {n}")
+    return buf.raw[:n]

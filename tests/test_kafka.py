@@ -326,17 +326,15 @@ def test_kafka_unavailable_codec_fails_fast_at_open():
     probe must pass (skip that codec — both outcomes are correct)."""
     import importlib.util
 
+    from sequin_spark.sinks import zstd_py
+
     fake = FakeKafka(n_partitions=1)
-    # snappy/lz4 no longer gate: sinks/snappy_py.py + sinks/lz4_py.py
-    # vendor those codecs; only zstd still needs a library
-    try:
-        zstd_present = importlib.util.find_spec("compression.zstd") is not None
-    except ModuleNotFoundError:  # no `compression` package at all (<3.14)
-        zstd_present = False
-    if not zstd_present:
+    # snappy/lz4/zstd-decode are vendored pure-Python; zstd ENCODE is
+    # the one remaining gate (needs libzstd via ctypes)
+    if zstd_py._libzstd() is None:
         sink = create_sink("kafka", {"hosts": f"127.0.0.1:{fake.port}",
                                      "topic": "t", "compression": "zstd"})
-        with pytest.raises(NotImplementedError, match="zstd"):
+        with pytest.raises(NotImplementedError, match="zstd|libzstd"):
             sink.open()
     sink = create_sink("kafka", {"hosts": f"127.0.0.1:{fake.port}",
                                  "topic": "t", "compression": "brotli"})
@@ -383,3 +381,38 @@ def test_kafka_delivery_engine_e2e(spark, tmp_path):
         ns = [json.loads(v)["n"] for _, _, k, v in fake.produced if k == f"g{g}"]
         assert ns == sorted(ns)
     fake.close()
+
+
+def test_kafka_zstd_compression_roundtrip():
+    """compression=zstd (kafka_sink.ex:28): encode via libzstd
+    (ctypes), decode via the vendored pure-Python RFC 8878 decoder
+    (sinks/zstd_py.py) — so parse_record_batch here exercises the
+    decoder on a REAL library-produced frame, and JVM-producer zstd
+    batches decode with no native dependency."""
+    import struct as _struct
+
+    from sequin_spark.sinks import zstd_py
+    from sequin_spark.sinks.kafka import (
+        encode_record_batch,
+        parse_record_batch,
+    )
+
+    if zstd_py._libzstd() is None:
+        pytest.skip("libzstd not available for the encode side")
+
+    fake = FakeKafka(n_partitions=1)
+    sink = create_sink("kafka", {"hosts": f"127.0.0.1:{fake.port}",
+                                 "topic": "t", "compression": "zstd"})
+    sink.open()
+    rows = [{"key": "g", "value": json.dumps({"i": i, "pad": "x" * 200})}
+            for i in range(20)]
+    sink.deliver(SinkBatch(routing={"topic": "t"}, rows=rows))
+    sink.close()
+    fake.close()
+    assert [json.loads(v)["i"] for _, _, _, v in fake.produced] == list(range(20))
+
+    records = [(b"k%d" % i, b"v" * 300) for i in range(10)]
+    fr1 = encode_record_batch(records, compression="zstd")
+    assert _struct.pack("<I", zstd_py.ZSTD_MAGIC) in fr1
+    assert len(fr1) < len(encode_record_batch(records))
+    assert parse_record_batch(fr1) == records

@@ -1,0 +1,133 @@
+"""Vendored zstd codec (sinks/zstd_py.py) — RFC 8878 decode conformance.
+
+The committed vectors in tests/data/zstd/ were produced by the real
+zstd CLI (v1.5, levels 1/3/19, checksummed and not) over payloads this
+file regenerates deterministically; the decoder must reproduce every
+payload byte-for-byte with no native library.  When libzstd is present
+(ctypes), the compress half round-trips live and a fuzz pass runs.
+"""
+
+import hashlib
+import json
+import os
+import random
+import struct
+
+import pytest
+
+from sequin_spark.sinks import zstd_py
+
+DATA = os.path.join(os.path.dirname(__file__), "data", "zstd")
+
+
+def _payloads() -> dict[str, bytes]:
+    """MUST mirror the generator that produced tests/data/zstd/ —
+    manifest.json sha256s pin the equivalence."""
+    random.seed(20260814)
+    return {
+        "empty": b"",
+        "one": b"z",
+        "ascii_small": b"hello zstd conformance vector ",
+        "rep_long": b"abcabcabd" * 4000,
+        "random_2k": bytes(random.getrandbits(8) for _ in range(2048)),
+        "lowent_20k": bytes(random.choice(b"aaab") for _ in range(20000)),
+        "text_60k": (b"the quick brown fox jumps over the lazy dog; "
+                     b"pack my box with five dozen liquor jugs. ") * 700,
+        "multiblock_200k": (b"0123456789" * 3 + b"#") * 6452,
+    }
+
+
+def test_payload_generator_matches_manifest():
+    with open(os.path.join(DATA, "manifest.json")) as f:
+        manifest = json.load(f)
+    pl = _payloads()
+    assert set(manifest) == set(pl)
+    for name, want in manifest.items():
+        assert len(pl[name]) == want["len"], name
+        assert hashlib.sha256(pl[name]).hexdigest() == want["sha256"], name
+
+
+@pytest.mark.parametrize("level", ["l1", "l3", "l19", "l3nc"])
+def test_conformance_vectors(level):
+    pl = _payloads()
+    for name, payload in pl.items():
+        with open(os.path.join(DATA, f"{name}.{level}.zst"), "rb") as f:
+            frame = f.read()
+        assert zstd_py.decompress(frame) == payload, (name, level)
+
+
+def test_xxh64_published_vectors():
+    assert zstd_py.xxh64(b"") == 0xEF46DB3751D8E999
+    assert zstd_py.xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert zstd_py.xxh64(b"abc") == 0x44BC2CF5AD770999
+    # seeded variant (frame format always uses seed 0, but pin it)
+    assert zstd_py.xxh64(b"a", seed=1) != zstd_py.xxh64(b"a")
+
+
+def test_multi_frame_and_skippable():
+    if zstd_py._libzstd() is None:
+        pytest.skip("libzstd not available for frame generation")
+    p1, p2 = b"frame one " * 100, b"frame two " * 50
+    skip = struct.pack("<II", 0x184D2A50, 5) + b"JUNK!"
+    blob = zstd_py.compress(p1) + skip + zstd_py.compress(p2)
+    assert zstd_py.decompress(blob) == p1 + p2
+
+
+def test_corrupted_frame_rejected():
+    with open(os.path.join(DATA, "text_60k.l3.zst"), "rb") as f:
+        frame = bytearray(f.read())
+    frame[-10] ^= 0xFF
+    with pytest.raises(zstd_py.ZstdError):
+        zstd_py.decompress(bytes(frame))
+
+
+def test_bad_magic_rejected():
+    with pytest.raises(zstd_py.ZstdError, match="magic"):
+        zstd_py.decompress(b"\x00\x01\x02\x03rest")
+
+
+def test_content_size_mismatch_rejected():
+    if zstd_py._libzstd() is None:
+        pytest.skip("libzstd not available")
+    frame = bytearray(zstd_py.compress(b"x" * 100))
+    # single-segment frames carry the content size right after the
+    # descriptor byte; nudge it
+    assert frame[4] & 0x20  # single segment
+    frame[5] ^= 0x01
+    with pytest.raises(zstd_py.ZstdError):
+        zstd_py.decompress(bytes(frame))
+
+
+def test_live_roundtrip_all_levels():
+    if zstd_py._libzstd() is None:
+        pytest.skip("libzstd not available")
+    payloads = list(_payloads().values())
+    for lvl in (1, 3, 9, 19):
+        for p in payloads:
+            assert zstd_py.decompress(zstd_py.compress(p, lvl)) == p
+
+
+def test_live_fuzz():
+    if zstd_py._libzstd() is None:
+        pytest.skip("libzstd not available")
+    rng = random.Random(99)
+    for trial in range(60):
+        n = rng.randint(0, 8000)
+        kind = trial % 3
+        if kind == 0:
+            p = bytes(rng.getrandbits(8) for _ in range(n))
+        elif kind == 1:
+            p = bytes(rng.choice(b"abcdefgh ") for _ in range(n))
+        else:
+            unit = bytes(rng.getrandbits(8)
+                         for _ in range(rng.randint(1, 40)))
+            p = (unit * (n // max(len(unit), 1) + 1))[:n]
+        lvl = rng.choice([1, 3, 7, 19])
+        assert zstd_py.decompress(zstd_py.compress(p, lvl)) == p
+
+
+def test_compress_gate_message_when_unavailable(monkeypatch):
+    monkeypatch.setattr(zstd_py, "_LIB", None)
+    monkeypatch.setattr(zstd_py, "_LIB_ERR", "forced for test")
+    with pytest.raises(NotImplementedError, match="libzstd"):
+        zstd_py.compress(b"data")
