@@ -23,3 +23,9 @@ bench:
 
 plan-audit:
 	python tools/plan_audit.py
+
+# NOTE: bench.py writes BENCH_QUERIES.json (full per-query seconds) as
+# an UNTRACKED scratch artifact (.gitignore) so driver-run benches at
+# round close leave the tree clean; to preserve a round's per-query
+# map, copy it to docs/BENCH_QUERIES_r{N}_final.json and commit that
+# deliberately (r7's map is kept there).
