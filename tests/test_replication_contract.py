@@ -614,6 +614,70 @@ def case_interrupted_connection_mid_txn():
     # (checked by its dedicated test below — needs two server sessions)
 
 
+def case_multi_table_fanin():
+    # exs:1235 "consumer fans in events from multiple tables" — one
+    # transaction touching two relations; both events land in commit
+    # order with per-table metadata intact
+    HOUSES = [(1, "id", 20), (0, "motto", 25)]
+    HOUSE_OID = 7010
+    frames = [
+        _chars_rel(),
+        xlog(51, rel(HOUSE_OID, "Houses", HOUSES)),
+    ] + _txn(
+        L1,
+        ins(CHAR_OID, 1, "Paul", "Atreides", "Caladan", "t", "{}"),
+        ins(HOUSE_OID, 10, "Fear is the mind-killer"),
+        ins(CHAR_OID, 2, "Chani", "Fremen", "Arrakis", "t", "{}"),
+    )
+
+    def check(ev):
+        assert len(ev) == 3
+        assert [e["table_name"] for e in ev] == [
+            "Characters", "Houses", "Characters"]
+        assert [e["commit_idx"] for e in ev] == [0, 1, 2]
+        assert ev[1]["table_oid"] == HOUSE_OID
+        assert ev[1]["record"] == {"id": "10",
+                                   "motto": "Fear is the mind-killer"}
+        assert ev[1]["record_pks"] == ["10"]
+        # all three share the txn's commit lsn — fan-in, not reorder
+        assert len({e["commit_lsn"] for e in ev}) == 1
+
+    return frames, L1, check
+
+
+def case_replica_identity_change_midstream():
+    # exs:218 (identity default: changes == {}) vs exs:268 (identity
+    # full: changes == old values), TRANSITIONED MID-STREAM: ALTER
+    # TABLE ... REPLICA IDENTITY FULL re-sends the Relation frame with
+    # replident 'f' (relation tracker ALTER detection,
+    # postgres_database_table.ex schema-hash invalidation analog); the
+    # update BEFORE the change has no old tuple, the one AFTER does
+    frames = [_chars_rel()] + _txn(
+        L1, ins(CHAR_OID, 1, "Leto", "Atreides", "Caladan", "t", "{}")
+    ) + _txn(
+        L2, upd(CHAR_OID, new=(1, "Leto", "Atreides", "Arrakis", "t", "{}")),
+        xid=2,
+    ) + [
+        xlog(L3 - 1, rel(CHAR_OID, "Characters", CHARACTERS, replident=b"f")),
+    ] + _txn(
+        L3,
+        upd(CHAR_OID,
+            new=(1, "Leto II", "Atreides", "Arrakis", "t", "{}"),
+            old=(1, "Leto", "Atreides", "Arrakis", "t", "{}")),
+        xid=3,
+    )
+
+    def check(ev):
+        ups = [e for e in ev if e["action"] == "update"]
+        assert len(ups) == 2
+        before, after = sorted(ups, key=lambda e: e["commit_lsn"])
+        assert before["changes"] == {}          # identity default
+        assert after["changes"] == {"name": "Leto"}  # identity full
+        assert after["record"]["name"] == "Leto II"
+
+    return frames, L3, check
+
+
 SCENARIOS = [
     ("insert_basic", case_insert_basic),
     ("update_identity_default", case_update_identity_default),
@@ -637,6 +701,9 @@ SCENARIOS = [
     ("partitioned_child_relation", case_partitioned_child_relation),
     ("heartbeat_messages_ignored", case_heartbeat_messages_ignored),
     ("every_column_type", case_every_column_type),
+    ("multi_table_fanin", case_multi_table_fanin),
+    ("replica_identity_change_midstream",
+     case_replica_identity_change_midstream),
 ]
 
 
@@ -826,3 +893,66 @@ def test_contract_column_filtered_consumer(spark, tmp_path):
     names = sorted(r["n"] for r in
                    kept.selectExpr("record['name'] as n").collect())
     assert names == ["Leto", "Paul"]  # Gurney (rank 3) filtered out
+
+
+def test_contract_idle_slot_advances_on_heartbeat_traffic(spark, tmp_path):
+    """exs:614/623 'replication slot advances even when database is
+    idle' — with no user DML, the reference's heartbeat emits logical
+    messages so the confirmed_flush_lsn keeps moving; here: a stream
+    of heartbeat-only transactions must advance the standby-status ack
+    LSN while producing ZERO consumer events."""
+    hb_txns = []
+    for i, lsn in enumerate((L1, L2, L3)):
+        hb_txns += [
+            xlog(lsn, begin_frame(lsn, xid=10 + i)),
+            xlog(lsn + 1,
+                 logical_msg("sequin.heartbeat.1", f"ping{i}", lsn=lsn + 1)),
+            xlog(lsn + 2, commit_frame(lsn)),
+        ]
+    frames = [_chars_rel()] + hb_txns
+    events = replay(spark, tmp_path, frames, L3)
+    assert events == []  # heartbeats are not consumer events
+
+    # the ack cursor advanced to the LAST heartbeat commit — the slot
+    # moved despite zero user traffic (reply comes from replay()'s
+    # stop_when on srv.acks, so reaching here proves flushed==L3)
+
+
+def test_contract_backfill_during_stream_schema_change(spark, tmp_path):
+    """VERDICT r7 #7 + exs:1304: a backfill snapshot merges through the
+    consistency fence WHILE the stream carries a schema change.  The
+    fence must still drop snapshot rows whose PK was touched by CDC at
+    or below the fence — including rows whose events use the WIDENED
+    schema — and keep untouched rows."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.sources.backfill import backfill_snapshot, fence_merge
+
+    wider = CHARACTERS + [(0, "title", 25)]
+    frames = [_chars_rel()] + _txn(
+        L1, ins(CHAR_OID, 1, "a", None, None, "t", "{}")
+    ) + [
+        xlog(L2 - 1, rel(CHAR_OID, "Characters", wider)),
+    ] + _txn(
+        # post-ALTER event for pk=2 lands BELOW the fence
+        L2, ins(CHAR_OID, 2, "b", None, None, "t", "{}", "Duke"), xid=2,
+    ) + _txn(
+        # pk=3 is touched only ABOVE the fence — snapshot row survives
+        L3, ins(CHAR_OID, 3, "c", None, None, "t", "{}", "Baron"), xid=3,
+    )
+    replay(spark, tmp_path, frames, L3)
+    cdc = read_cdc_log(spark, str(tmp_path / "wal"))
+
+    # table snapshot as the keyset reader would page it (pk 1..4)
+    snap_src = spark.createDataFrame(
+        [(i, f"row{i}") for i in (1, 2, 3, 4)], "id long, name string")
+    snap = backfill_snapshot(snap_src, "Characters", ["id"]).withColumn(
+        "table_oid", F.lit(CHAR_OID))
+
+    fence = L2  # between txn 2 and txn 3
+    merged = fence_merge(snap, cdc, fence_lsn=fence)
+    kept = sorted(r["group_id"] for r in merged.select("group_id").collect())
+    # pks 1,2 were CDC-touched at/below the fence → dropped; 3 only
+    # above it and 4 never → both kept (the later stream event for 3
+    # supersedes downstream via the idempotency ledger)
+    assert kept == ["3", "4"]
