@@ -141,7 +141,8 @@ class ConsumerPipeline:
         self.health.observe_batch(stats)
         return stats
 
-    def start_stream(self, events: DataFrame, checkpoint_dir: str, trigger_seconds: int = 1):
+    def start_stream(self, events: DataFrame, checkpoint_dir: str,
+                     trigger_seconds: float = 1.0):
         """One standing writeStream per consumer (reference: one Broadway
         pipeline per SinkConsumer); checkpoint commit = ack.
 
@@ -162,7 +163,7 @@ class ConsumerPipeline:
         return (
             compiled.writeStream.foreachBatch(_batch)
             .option("checkpointLocation", checkpoint_dir)
-            .trigger(processingTime=f"{trigger_seconds} seconds")
+            .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
             .start()
         )
 

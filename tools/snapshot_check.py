@@ -41,6 +41,12 @@ SF_DIR = os.environ.get("SNAPSHOT_SF_DIR", "/root/testdata/sf0.01")
 # matched-pair edit is now checked at TWO scales by default.
 SF_DIR2 = os.environ.get("SNAPSHOT_SF_DIR2", "/root/testdata/sf0.001")
 SF2_TAG = os.path.basename(SF_DIR2.rstrip("/"))
+# Large-scale spot rows (VERDICT r7 task #10): queries whose oracle is
+# cheap enough to hash-gate at the BENCH scale too, so the surface is
+# checked at the same sf the perf numbers come from.
+SF_DIR3 = os.environ.get("SNAPSHOT_SF_DIR3", "/root/testdata/sf0.1")
+SF3_TAG = os.path.basename(SF_DIR3.rstrip("/"))
+SF3_SPOT = ["tokenizer_unigram", "tokenizer_fertility"]
 
 
 def current_round() -> int:
@@ -86,9 +92,12 @@ def write_audit() -> int:
     digest = source_digest()
     results = run_checks(SF_DIR)
     results2 = run_checks(SF_DIR2)
+    results3 = run_checks(SF_DIR3, set(SF3_SPOT))
     failures = ([(n, d) for n, s, d in results if s == "FAIL"]
                 + [(f"{n}@{SF2_TAG}", d)
-                   for n, s, d in results2 if s == "FAIL"])
+                   for n, s, d in results2 if s == "FAIL"]
+                + [(f"{n}@{SF3_TAG}", d)
+                   for n, s, d in results3 if s == "FAIL"])
     if failures:
         for n, d in failures:
             print(f"REFUSING to write audit file: FAIL {n}: {d}")
@@ -105,10 +114,12 @@ def write_audit() -> int:
             f.write(f"{status:<5} {name}: {detail}\n")
         for name, status, detail in results2:
             f.write(f"{status:<5} {name}@{SF2_TAG}: {detail}\n")
-        f.write(f"SUMMARY PASS {len(results) + len(results2)}"
-                f"/{len(results) + len(results2)}\n")
-    print(f"\nwrote {path} ({len(results)} queries × 2 scales, "
-          f"digest {digest})")
+        for name, status, detail in results3:
+            f.write(f"{status:<5} {name}@{SF3_TAG}: {detail}\n")
+        total = len(results) + len(results2) + len(results3)
+        f.write(f"SUMMARY PASS {total}/{total}\n")
+    print(f"\nwrote {path} ({len(results)} queries × 2 scales "
+          f"+ {len(results3)} {SF3_TAG} spot rows, digest {digest})")
     return 0
 
 
@@ -170,6 +181,12 @@ def verify_audit() -> list[str]:
         problems.append(
             f"audit lacks the cross-SF ({SF2_TAG}) sweep for "
             f"{sorted(missing2)} — re-run with --write")
+    missing3 = ({f"{n}@{SF3_TAG}" for n in SF3_SPOT if n in registry}
+                - set(rows))
+    if missing3:
+        problems.append(
+            f"audit lacks the {SF3_TAG} spot rows {sorted(missing3)} "
+            f"— re-run with --write")
     red = sorted(n for n, s in rows.items() if s == "FAIL")
     if red:
         problems.append(f"audit has FAIL rows: {red}")
