@@ -248,6 +248,62 @@ def ngram_jaccard_lsh_pairs(
     )
 
 
+def ngram_containment_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+    threshold: float = 0.7,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT over MinHash-LSH candidates:
+    containment(A⊂B) = |grams(A) ∩ grams(B)| / |grams(A)| for the
+    SMALLER document A.  The quote/fragment detector Jaccard cannot
+    be: a half-document fragment has containment ≈ 1.0 but Jaccard
+    ≈ 0.5, below any sane near-dup threshold (Broder 1997 separates
+    "resemblance" from "containment" for exactly this case).
+
+    Emits (doc_small, doc_large, containment, jaccard) for candidate
+    pairs with containment ≥ threshold — jaccard alongside so the
+    "contained but not near-dup" cases are visible.  Scale shape:
+    identical to ngram_jaccard_lsh_pairs — band-bucket candidates
+    only, one gram build per doc, never all-pairs.  (LSH banding
+    recalls containment pairs at the JACCARD collision rate — a
+    fragment at c=1.0, j=0.5 collides at 1−(1−j^r)^b; production
+    containment search over very small fragments uses the repeated-
+    spans operator instead, which indexes windows, not whole docs.)"""
+    cand = minhash_candidate_pairs(df, text_col, id_col, bands,
+                                   rows_per_band, shingle_k)
+    grams = (
+        df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("w"))
+        .select(id_col, F.array_distinct(word_shingles("w", n)).alias("grams"))
+        .withColumn("n_grams", F.size("grams"))
+    )
+    ga = grams.select(F.col(id_col).alias("doc_a"),
+                      F.col("grams").alias("ga"), F.col("n_grams").alias("na"))
+    gb = grams.select(F.col(id_col).alias("doc_b"),
+                      F.col("grams").alias("gb"), F.col("n_grams").alias("nb"))
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb")))
+    small_first = F.col("na") <= F.col("nb")
+    joined = (
+        cand.join(ga, "doc_a").join(gb, "doc_b")
+        .withColumn("containment",
+                    F.round(inter / F.least("na", "nb"), 4))
+        .withColumn("jaccard",
+                    F.round(inter / (F.col("na") + F.col("nb") - inter), 4))
+        .filter(F.col("containment") >= threshold)
+    )
+    return joined.select(
+        F.when(small_first, F.col("doc_a")).otherwise(F.col("doc_b"))
+        .alias("doc_small"),
+        F.when(small_first, F.col("doc_b")).otherwise(F.col("doc_a"))
+        .alias("doc_large"),
+        "containment", "jaccard",
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     bucket_col: str,

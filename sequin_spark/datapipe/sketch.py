@@ -254,3 +254,148 @@ def hll_union_intersection(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFr
                     F.round(F.col("est_a") + F.col("est_b")
                             - F.col("est_union"), 1),
                     F.lit(0.0)).alias("est_intersection")))
+
+
+def sample_quantile_sketch(df: DataFrame, key_col: str, value_col: str,
+                           k: int = 256,
+                           quantiles: tuple = (0.5, 0.9, 0.99)) -> DataFrame:
+    """Mergeable quantile ESTIMATION — the sketch family KMV/HLL/CM do
+    not cover: empirical quantiles of a hash-order-statistic uniform
+    k-sample (the same device as reservoir_sample/KMV: the k smallest
+    h60(key) rows ARE a uniform sample, deterministic, mergeable by
+    keeping the k smallest of any union).  No global sort ever touches
+    the value column — the plan is a TakeOrdered on the hash (k·
+    partitions rows to the driver-side merge) + a ≤k-row quantile
+    rank, vs the full per-group sort exact_quantiles pays.  Error is
+    the usual sampling error (≈ ±1.3/√k per quantile at q(1−q)=¼).
+
+    Emits one row per q: (q, k_sample, est_value) — estimate only;
+    pair with exact order statistics outside when measuring error
+    (the registry query does)."""
+    sample = (df.select(h60(F.col(key_col)).alias("_h"),
+                        F.col(value_col).alias("v"))
+              .orderBy("_h").limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy("v")
+    ranked = (sample.select("v")
+              .withColumn("_rn", F.row_number().over(w))
+              .withColumn("_n", F.count("*").over(
+                  Window.partitionBy())))
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    return (ranked.withColumn("q", F.explode(qarr))
+            .filter(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
+            .select("q", F.col("_n").cast("long").alias("k_sample"),
+                    F.col("v").alias("est_value")))
+
+
+def hll_per_key(df: DataFrame, group_col: str, col: str) -> DataFrame:
+    """Per-KEY distinct-count sketch: one m=256 HLL per group value —
+    "distinct users per event type" at 100 TB without a per-group
+    exact distinct shuffle of the full key space.  State is
+    |groups|×256 ints, mergeable register-wise (same fold the
+    streaming twin maintains).  Emits (group, s_int, est_distinct)
+    with the same exact-integer S as the global sketch, PLUS the
+    Flajolet small-range correction the global sketch documents away:
+    per-key cardinalities are routinely ≪ m, where raw HLL floors at
+    α·m ≈ 184 — when raw ≤ 2.5·m and zero registers exist, linear
+    counting m·ln(m/V) applies (V = zero registers; one ln() per
+    GROUP, not per row — the ≤1-ulp libm variance sits under the
+    0.1 rounding for any value off an exact .05 boundary)."""
+    return hll_per_key_finalize(
+        hll_per_key_registers(df, group_col, col), group_col)
+
+
+def hll_per_key_registers(df: DataFrame, group_col: str,
+                          col: str) -> DataFrame:
+    """The (g, register, max_rho) table — a SINGLE max-fold keyed on
+    (group, register), so on a streaming DataFrame the state store
+    maintains it across micro-batches directly (complete mode; Spark
+    allows one streaming aggregation per query, which is exactly what
+    this is — finalize runs on the materialized registers, the KMV
+    pattern)."""
+    return (
+        df.select(F.col(group_col).alias("g"),
+                  h60(F.col(col)).alias("_h"))
+        .select(
+            "g",
+            (F.col("_h") % HLL_M).cast("int").alias("register"),
+            F.expr(f"_h div {HLL_M}").alias("_w"))
+        .select(
+            "g", "register",
+            F.when(F.col("_w") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.expr("bin(_w)")))
+            .cast("int").alias("rho"))
+        .groupBy("g", "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_per_key_finalize(regs: DataFrame, group_col: str) -> DataFrame:
+    """(g, register, max_rho) → (group, s_int, est_distinct) with the
+    small-range correction; shared by batch and the streaming twin so
+    the estimate arithmetic cannot diverge."""
+    per_g = regs.groupBy("g").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - max_rho)"))
+        .alias("s_p"),
+        F.count("*").alias("n_present"),
+    )
+    staged = per_g.select(
+        F.col("g").alias(group_col),
+        (F.col("s_p") + (F.lit(HLL_M) - F.col("n_present"))
+         * F.lit(2 ** 53)).cast("long").alias("s_int"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("_v"),
+    ).withColumn(
+        "_raw",
+        F.lit(_ALPHA_256 * HLL_M * HLL_M) * F.lit(_POW2_53)
+        / F.col("s_int"))
+    corrected = F.when(
+        (F.col("_raw") <= 2.5 * HLL_M) & (F.col("_v") > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / F.col("_v")),
+    ).otherwise(F.col("_raw"))
+    return staged.select(
+        group_col, "s_int",
+        F.round(corrected, 1).alias("est_distinct"))
+
+
+BLOOM_BITS = 1 << 16   # m: 2^16 bits — 2^20 % m == 0 keeps slices uniform
+BLOOM_DEPTH = 4        # d hash functions (the 4 disjoint md5 slices)
+
+
+def bloom_positions(col: F.Column) -> F.Column:
+    """array<int> of the d bit positions for a value — the d hashes are
+    disjoint 20-bit md5 slices mod m (the count-min derivation device;
+    exact uniformity since 2^20 % m == 0)."""
+    assert (1 << 20) % BLOOM_BITS == 0
+    digest = F.md5(col.cast("string"))
+    return F.array(*[
+        (F.conv(F.substring(digest, 1 + 5 * r, 5), 16, 10)
+         .cast("long") % BLOOM_BITS).cast("int")
+        for r in range(BLOOM_DEPTH)
+    ])
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """The set-bit table (bit_pos) of a Bloom filter over ``col`` —
+    distinct positions only, mergeable by UNION (bitwise OR).  At
+    100 TB the build is one map + one distinct on ≤m ints; the result
+    broadcasts (≤ 8 KB packed, ≤ 65k rows relational) to probe any
+    stream without touching the corpus again."""
+    return (df.select(F.explode(bloom_positions(F.col(col)))
+                      .alias("bit_pos"))
+            .dropDuplicates(["bit_pos"]))
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
+    """Probe verdict per candidate: maybe_present ⇔ ALL d positions
+    set.  Join shape: explode probes to (value, pos), broadcast-join
+    the bit table, count hits per value — the corpus never rejoins."""
+    probed = (probes.select(F.col(col).alias("v")).dropDuplicates()
+              .select("v", F.explode(bloom_positions(F.col("v")))
+                      .alias("bit_pos")))
+    from pyspark.sql import functions as _F
+    hits = (probed.join(_F.broadcast(bits), "bit_pos", "left_semi")
+            .groupBy("v").agg(_F.count("*").alias("n_hit")))
+    return (probes.select(_F.col(col).alias("v")).dropDuplicates()
+            .join(hits, "v", "left")
+            .select("v", (_F.coalesce("n_hit", _F.lit(0))
+                          == BLOOM_DEPTH).alias("maybe_present")))

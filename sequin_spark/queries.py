@@ -849,6 +849,50 @@ GROUP BY 1, 3
 """
 
 
+def q_metrics_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput anomaly flags over the hourly event series
+    (streaming/rollup.ewma_anomaly): truncated dyadic-EWMA baseline
+    (α=1/2, 12-step horizon — every term integer/2^k, so the double
+    arithmetic is EXACT and the oracle replays it bit-for-bit), spike
+    = count > 2× baseline, drop = count < ½× baseline.  The alert rule
+    the reference leaves to its Prometheus scraper, as a relational
+    operator.  Plan: one count shuffle + one bounded per-series window
+    — the lag window sees hourly buckets, never events."""
+    _prep(spark)
+    from sequin_spark.streaming.rollup import ewma_anomaly
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma_anomaly(ev, "event_type", ts_col="ts", horizon=12)
+    return out.select(
+        F.col("series").alias("event_type"),
+        F.unix_micros(F.col("bucket")).alias("bucket_um"),
+        "n", "ewma_prior", "status")
+
+
+_EWMA_TERMS = " + ".join(
+    f"lag(n, {k}) OVER w / {float(1 << k)!r}" for k in range(1, 13))
+
+SQL_METRICS_EWMA_ANOMALY = f"""
+WITH c AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+l AS (
+  SELECT event_type, bucket, n,
+         row_number() OVER w AS rn,
+         {_EWMA_TERMS} AS ewma_prior
+  FROM c
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+)
+SELECT event_type, epoch_us(bucket) AS bucket_um, n, ewma_prior,
+       CASE WHEN n > 2 * ewma_prior THEN 'spike'
+            WHEN 2 * n < ewma_prior THEN 'drop'
+            ELSE 'normal' END AS status
+FROM l WHERE rn > 12
+"""
+
+
 def q_value_caster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PG text-protocol value casting (value_caster.ex:9-151): booleans
     't'/'f', money, interval text form, array literals, pgvector."""
@@ -1636,6 +1680,7 @@ QUERIES: dict[str, callable] = {
     "payload_shapes": q_payload_shapes,
     "hw_cursor_advancement": q_hw_cursor_advancement,
     "consumer_fanout_counts": q_consumer_fanout_counts,
+    "metrics_ewma_anomaly": q_metrics_ewma_anomaly,
     **DATAPIPE_QUERIES,
 }
 
@@ -1682,5 +1727,6 @@ ORACLES: dict[str, str] = {
     "payload_shapes": SQL_PAYLOAD_SHAPES,
     "hw_cursor_advancement": SQL_HW_CURSOR_ADVANCEMENT,
     "consumer_fanout_counts": SQL_CONSUMER_FANOUT_COUNTS,
+    "metrics_ewma_anomaly": SQL_METRICS_EWMA_ANOMALY,
     **DATAPIPE_ORACLES,
 }

@@ -132,6 +132,36 @@ FROM documents WHERE doc_id % 25 = 0
 """
 
 
+def _docs_with_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ half-length fragments (every 31st doc: its first
+    ⌈n/2⌉ words as a new doc) — deterministic SUBSET injection: a
+    fragment has n-gram containment ≈ 1.0 in its parent but Jaccard
+    ≈ 0.5, the case the containment operator exists for."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    w = F.split(F.col("text"), " ")
+    frags = docs.filter(F.col("doc_id") % 31 == 0).select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.array_join(
+            F.slice(w, 1, F.ceil(F.size(w) / 2).cast("int")), " ")
+        .alias("text"),
+        "lang", "source",
+    )
+    return docs.unionByName(frags)
+
+
+SQL_DOCS_WITH_FRAGMENTS = """
+SELECT doc_id, text, lang, source FROM documents
+UNION ALL
+SELECT doc_id + 20000,
+       array_to_string(
+         (string_split(text, ' '))[1:CAST(ceil(
+            len(string_split(text, ' ')) / 2.0) AS INTEGER)], ' '),
+       lang, source
+FROM documents WHERE doc_id % 31 = 0
+"""
+
+
 # ---------------------------------------------------------------------------
 # Dedup family
 
@@ -167,17 +197,18 @@ def _sql_sig_col(j: int) -> str:
     )
 
 
-def _sql_minhash_cte() -> str:
+def _sql_minhash_cte(docs_sql: str | None = None) -> str:
     """Shared CTE chain ending in `cand(doc_a, doc_b)` — the MinHash-LSH
-    candidate pairs over _docs_with_dupes (bands=4, rows_per_band=2,
-    shingle_k=3), mirroring minhash_candidate_pairs exactly."""
+    candidate pairs over ``docs_sql`` (default: _docs_with_dupes;
+    bands=4, rows_per_band=2, shingle_k=3), mirroring
+    minhash_candidate_pairs exactly."""
     sig_cols = ", ".join(_sql_sig_col(j) for j in range(1, 9))
     band_selects = "\nUNION ALL ".join(
         f"SELECT doc_id, {b} AS band, sig{2 * b - 1} || '|' || sig{2 * b} AS key FROM sig"
         for b in range(1, 5)
     )
     return f"""
-WITH all_docs AS ({SQL_DOCS_WITH_DUPES}),
+WITH all_docs AS ({docs_sql or SQL_DOCS_WITH_DUPES}),
 w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS w FROM all_docs),
 sh AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
        FROM w, unnest(generate_series(1, len(w) - 2)) AS t(i)),
@@ -310,6 +341,45 @@ p AS (
 )
 SELECT doc_a, doc_b, round(CAST(inter AS DOUBLE) / un, 4) AS jaccard
 FROM p WHERE round(CAST(inter AS DOUBLE) / un, 4) >= 0.15
+"""
+
+
+def q_dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment over MinHash-LSH candidates
+    (datapipe/dedup.ngram_containment_lsh_pairs): fragment/quote
+    detection — containment(A⊂B) = |∩|/|grams(A)| ≈ 1.0 where Jaccard
+    ≈ 0.5 (Broder's resemblance-vs-containment split).  Runs over the
+    fragment-injected corpus so the operator has true subsets to
+    find."""
+    from sequin_spark.datapipe.dedup import ngram_containment_lsh_pairs
+
+    _prep(spark)
+    return ngram_containment_lsh_pairs(
+        _docs_with_fragments(spark, sf_dir), n=2, threshold=0.7,
+        bands=4, rows_per_band=2, shingle_k=3,
+    )
+
+
+def _sql_ngram_containment() -> str:
+    return _sql_minhash_cte(SQL_DOCS_WITH_FRAGMENTS) + f"""
+, g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                      i -> w[i] || ' ' || w[i+1])) AS grams
+  FROM (SELECT doc_id, string_split({D_NORM}, ' ') AS w FROM all_docs) t
+),
+p AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(a.grams, b.grams)) AS inter,
+         len(a.grams) AS na, len(b.grams) AS nb
+  FROM cand c JOIN g a ON c.doc_a = a.doc_id JOIN g b ON c.doc_b = b.doc_id
+)
+SELECT CASE WHEN na <= nb THEN doc_a ELSE doc_b END AS doc_small,
+       CASE WHEN na <= nb THEN doc_b ELSE doc_a END AS doc_large,
+       round(CAST(inter AS DOUBLE) / least(na, nb), 4) AS containment,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 4) AS jaccard
+FROM p
+WHERE round(CAST(inter AS DOUBLE) / least(na, nb), 4) >= 0.7
 """
 
 
@@ -1786,6 +1856,200 @@ def q_corpus_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_diff_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-over-crawl corpus diff — the incremental-ingest primitive:
+    version 2 is the corpus with every 25th doc re-crawled with changed
+    text (the dupes fixture's edit), every 41st doc dropped, and the
+    +10000 near-copies newly added; the diff classifies every doc_id
+    as added / removed / modified / unchanged by content-hash compare
+    on a full outer join, then rolls up per source.  At 100 TB this is
+    THE cheap path to incremental processing: only added+modified flow
+    into the (expensive) dedup/quality stages downstream, and the
+    content hash — not mtime — is the change signal.  One join keyed
+    on doc_id (both sides pre-hashed, narrow)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    v1 = docs.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("h1"),
+        F.col("source").alias("src1"))
+    v2_changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 25 == 0,
+               F.expr("replace(text, ' the ', ' thy ')"))
+        .otherwise(F.col("text")))
+    v2 = v2_changed.select(
+        "doc_id", F.md5(F.col("text")).alias("h2"),
+        F.col("source").alias("src2"),
+    ).unionByName(v2_changed.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.md5(F.col("text")).alias("h2"),
+        F.col("source").alias("src2")))
+    joined = v1.join(v2, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h2").isNull(), F.lit("removed"))
+        .when(F.col("h1") != F.col("h2"), F.lit("modified"))
+        .otherwise(F.lit("unchanged")))
+    return (joined
+            .withColumn("status", status)
+            .withColumn("source", F.coalesce("src2", "src1"))
+            .groupBy("source").agg(
+                F.count("*").alias("n_docs"),
+                F.sum(F.when(F.col("status") == "added", 1).otherwise(0))
+                .cast("long").alias("n_added"),
+                F.sum(F.when(F.col("status") == "removed", 1)
+                      .otherwise(0)).cast("long").alias("n_removed"),
+                F.sum(F.when(F.col("status") == "modified", 1)
+                      .otherwise(0)).cast("long").alias("n_modified"),
+                F.sum(F.when(F.col("status") == "unchanged", 1)
+                      .otherwise(0)).cast("long").alias("n_unchanged")))
+
+
+SQL_CORPUS_DIFF_VERSIONS = """
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1, source AS src1 FROM documents
+  WHERE doc_id % 41 <> 0
+),
+v2base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0
+              THEN replace(text, ' the ', ' thy ') ELSE text END AS text,
+         source
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id, md5(text) AS h2, source AS src2 FROM v2base
+  UNION ALL
+  SELECT doc_id + 10000, md5(text), source FROM v2base
+  WHERE doc_id % 25 = 0
+),
+j AS (
+  SELECT coalesce(v2.src2, v1.src1) AS source,
+         CASE WHEN v1.h1 IS NULL THEN 'added'
+              WHEN v2.h2 IS NULL THEN 'removed'
+              WHEN v1.h1 <> v2.h2 THEN 'modified'
+              ELSE 'unchanged' END AS status
+  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_added,
+       CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN status = 'modified' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_modified,
+       CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_unchanged
+FROM j GROUP BY source
+"""
+
+
+def q_corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EPOCH deterministic reshuffle — reproducible dataloader
+    order across training epochs: shard placement is fixed (same Knuth
+    hash as corpus_shard_assign, so files never move between epochs)
+    but the WITHIN-shard read order re-permutes per epoch via an
+    epoch-salted hash.  Rerunning epoch e reproduces its exact order
+    (no RNG state, the reservoir-sampling property applied to
+    ordering); different epochs are distinct permutations.  Plan: the
+    ×E epoch explode is a narrow map; one shuffle on (epoch, shard)
+    for the position window — bounded by shard size, balanced by
+    construction."""
+    _prep(spark)
+    n_shards, n_epochs = 8, 3
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h_place = F.pmod(F.col("doc_id") * F.lit(2654435761),
+                     F.lit(4294967296)).cast("long")
+    epoch = F.explode(F.array(*[F.lit(e) for e in range(n_epochs)]))
+    h_order = F.pmod(
+        (F.col("doc_id") + F.col("epoch") * F.lit(1_000_003))
+        * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    w = Window.partitionBy("epoch", "shard").orderBy("h_order", "doc_id")
+    return (
+        docs.withColumn("shard",
+                        F.pmod(h_place, F.lit(n_shards)).cast("int"))
+        .withColumn("epoch", epoch)
+        .withColumn("h_order", h_order)
+        .withColumn("position", F.row_number().over(w))
+        .select("epoch", "shard", "position", "doc_id")
+    )
+
+
+SQL_CORPUS_EPOCH_SHUFFLE = """
+WITH e AS (
+  SELECT doc_id, epoch,
+         CAST((doc_id * 2654435761) % 4294967296 % 8 AS INTEGER) AS shard,
+         ((doc_id + epoch * 1000003) * 2654435761) % 4294967296 AS h_order
+  FROM documents CROSS JOIN (VALUES (0), (1), (2)) AS t(epoch)
+)
+SELECT CAST(epoch AS INTEGER) AS epoch, shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY h_order, doc_id) AS BIGINT)
+         AS position,
+       doc_id
+FROM e
+"""
+
+
+def q_corpus_takedown_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Takedown/right-to-erasure propagation — the compliance sweep
+    every long-lived corpus needs: a tombstone set (here every 97th
+    doc) is removed from the corpus AND the removal is accounted
+    per-shard so the re-write job knows exactly which shards to
+    rebuild.  The tombstone set is small by nature → broadcast
+    semi/anti-joins, the corpus side never shuffles for the removal
+    itself; the per-shard accounting reuses the shard hash (no second
+    scan)."""
+    _prep(spark)
+    n_shards = 8
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars")
+    tomb = (docs.filter(F.col("doc_id") % 97 == 0)
+            .select(F.col("doc_id").alias("_tomb_id")))
+    shard = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
+        F.lit(n_shards)).cast("int")
+    # broadcast left join against the (small) tombstone set — the
+    # corpus side never shuffles for the removal mark
+    marked = (
+        docs.withColumn("shard", shard)
+        .join(F.broadcast(tomb),
+              F.col("doc_id") == F.col("_tomb_id"), "left")
+        .withColumn("tombstoned",
+                    F.col("_tomb_id").isNotNull().cast("int"))
+        .drop("_tomb_id"))
+    # per-shard accounting: which shard files must be rewritten
+    return (
+        marked.groupBy("shard").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("tombstoned").cast("long").alias("n_tombstoned"),
+            (F.count("*") - F.sum("tombstoned")).cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("tombstoned") == 1, F.col("n_chars"))
+                  .otherwise(0)).cast("long").alias("chars_removed"),
+            F.max("tombstoned").cast("int").alias("needs_rewrite"),
+        )
+    )
+
+
+SQL_CORPUS_TAKEDOWN_SWEEP = """
+WITH m AS (
+  SELECT doc_id, n_chars,
+         CAST((doc_id * 2654435761) % 4294967296 % 8 AS INTEGER) AS shard,
+         CASE WHEN doc_id % 97 = 0 THEN 1 ELSE 0 END AS tombstoned
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+       CAST(sum(tombstoned) AS BIGINT) AS n_tombstoned,
+       CAST(count(*) - sum(tombstoned) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN tombstoned = 1 THEN n_chars ELSE 0 END)
+            AS BIGINT) AS chars_removed,
+       CAST(max(tombstoned) AS INTEGER) AS needs_rewrite
+FROM m GROUP BY shard
+"""
+
+
 SQL_CORPUS_SHARD_ASSIGN = """
 WITH h AS (
   SELECT doc_id, n_chars,
@@ -2125,6 +2389,195 @@ SELECT 256 AS m,
          AS est_distinct,
        (SELECT CAST(count(DISTINCT w) AS BIGINT) FROM wnz) AS exact_distinct
 FROM s
+"""
+
+
+def q_sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation (datapipe/sketch.
+    sample_quantile_sketch): empirical quantiles of a hash-order-
+    statistic uniform 256-sample vs the exact order statistics —
+    the quantile member of the sketch family (KMV=distinct, HLL=
+    cardinality, CM=frequency, this=distribution).  The estimate
+    plan is a TakeOrdered + ≤k-row rank, no global sort of the
+    value column at any scale."""
+    from sequin_spark.datapipe.sampling import exact_quantiles
+    from sequin_spark.datapipe.sketch import sample_quantile_sketch
+
+    _prep(spark)
+    qs = (0.5, 0.9, 0.99)
+    docs = load_table(spark, sf_dir, "documents")
+    est = sample_quantile_sketch(docs, "doc_id", "n_chars", k=256,
+                                 quantiles=qs)
+    exact = exact_quantiles(
+        docs.withColumn("_g", F.lit(1)), "_g", "n_chars", list(qs)
+    ).select("q", F.col("value").alias("exact_value"))
+    return (est.join(exact, "q")
+            .select("q", "k_sample", "est_value", "exact_value",
+                    (F.col("est_value") - F.col("exact_value"))
+                    .cast("long").alias("err")))
+
+
+def _sql_sample_quantiles() -> str:
+    h = "('0x' || substr(md5(cast(doc_id AS varchar)), 1, 15))::BIGINT"
+    return f"""
+WITH s AS (
+  SELECT n_chars AS v FROM documents ORDER BY {h} LIMIT 256
+),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+             count(*) OVER () AS n FROM s),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                 (CAST(0.99 AS DOUBLE))),
+est AS (
+  SELECT q, CAST(n AS BIGINT) AS k_sample, v AS est_value
+  FROM r CROSS JOIN qs WHERE rn = ceil(q * n)
+),
+x AS (SELECT n_chars AS v, row_number() OVER (ORDER BY n_chars) AS rn,
+             count(*) OVER () AS n FROM documents),
+ex AS (SELECT q, v AS exact_value FROM x CROSS JOIN qs
+       WHERE rn = ceil(q * n))
+SELECT est.q, k_sample, est_value, exact_value,
+       CAST(est_value - exact_value AS BIGINT) AS err
+FROM est JOIN ex ON est.q = ex.q
+"""
+
+
+def q_sketch_hll_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cardinality sketch (datapipe/sketch.hll_per_key): one
+    m=256 HLL per event_type estimating distinct users — GROUP-wise
+    distinct counting with |groups|×256 ints of mergeable state
+    instead of a full per-group distinct shuffle.  Paired with the
+    exact per-group countDistinct baseline."""
+    from sequin_spark.datapipe.sketch import hll_per_key
+
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_per_key(ev, "event_type", "user_id")
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct"))
+    return (est.join(exact, "event_type")
+            .select("event_type", "s_int", "est_distinct",
+                    "exact_distinct",
+                    F.round(F.col("est_distinct")
+                            - F.col("exact_distinct"), 1).alias("err")))
+
+
+def _sql_hll_per_key() -> str:
+    h = "('0x' || substr(md5(cast(user_id AS varchar)), 1, 15))::BIGINT"
+    return f"""
+WITH h AS (SELECT event_type AS g, {h} AS h FROM events),
+reg AS (SELECT g, h % 256 AS register, h // 256 AS w FROM h),
+rho AS (SELECT g, register,
+               CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END AS rho
+        FROM reg),
+r AS (SELECT g, register, max(rho) AS max_rho FROM rho
+      GROUP BY g, register),
+s AS (SELECT g,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - max_rho)) AS BIGINT)
+               AS s_p,
+             count(*) AS n_present
+      FROM r GROUP BY g),
+raw AS (
+  SELECT g AS event_type,
+         CAST(s_p + (256 - n_present) * 9007199254740992 AS BIGINT)
+           AS s_int,
+         CAST(256 - n_present AS BIGINT) AS v,
+         (CAST(0.7182725932495458 AS DOUBLE)
+          * CAST(65536 AS DOUBLE)) * CAST(9007199254740992 AS DOUBLE)
+           / CAST(s_p + (256 - n_present) * 9007199254740992
+                  AS DOUBLE) AS raw_est
+  FROM s
+),
+est AS (
+  -- Flajolet small-range correction: linear counting m*ln(m/V)
+  -- when raw <= 2.5m and zero registers remain
+  SELECT event_type, s_int,
+         round(CASE WHEN raw_est <= 640.0 AND v > 0
+                    THEN CAST(256 AS DOUBLE)
+                         * ln(CAST(256 AS DOUBLE) / v)
+                    ELSE raw_est END, 1) AS est_distinct
+  FROM raw
+),
+ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+              AS exact_distinct
+       FROM events GROUP BY event_type)
+SELECT est.event_type, s_int, est_distinct, exact_distinct,
+       round(est_distinct - exact_distinct, 1) AS err
+FROM est JOIN ex ON est.event_type = ex.event_type
+"""
+
+
+def q_sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership (datapipe/sketch.bloom_build/probe):
+    set-bit table over the corpus doc-id set (d=4 disjoint md5 slices
+    mod 2^16 — the count-min hash-derivation device), probed with an
+    equal mix of present and absent ids.  One summary row pins the
+    contract: zero false negatives ALWAYS; false positives only, at
+    the fill-rate-determined rate.  The bit table broadcasts, so
+    membership probes never re-shuffle the corpus."""
+    from sequin_spark.datapipe.sketch import (
+        BLOOM_BITS,
+        BLOOM_DEPTH,
+        bloom_build,
+        bloom_probe,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("member"))
+    bits = bloom_build(docs, "member")
+    probes = docs.select(F.col("member").alias("v")).unionByName(
+        docs.select((F.col("member").cast("long") + 1000000)
+                    .cast("string").alias("v")))
+    verdicts = bloom_probe(bits, probes, "v")
+    truth = verdicts.withColumn(
+        "present", (F.col("v").cast("long") < 1000000).cast("int"))
+    return truth.agg(
+        F.lit(BLOOM_BITS).alias("m_bits"),
+        F.lit(BLOOM_DEPTH).alias("d"),
+        F.count("*").alias("n_probes"),
+        F.sum("present").cast("long").alias("n_present_exact"),
+        F.sum(F.col("maybe_present").cast("int")).cast("long")
+        .alias("n_maybe"),
+        F.sum(F.when(F.col("maybe_present") & (F.col("present") == 0), 1)
+              .otherwise(0)).cast("long").alias("n_false_positive"),
+        F.sum(F.when(~F.col("maybe_present") & (F.col("present") == 1), 1)
+              .otherwise(0)).cast("long").alias("n_false_negative"),
+    ).crossJoin(
+        bits.agg(F.count("*").cast("long").alias("n_set_bits")))
+
+
+def _sql_bloom_probe() -> str:
+    def pos(r, v="v"):
+        return (f"('0x' || substr(md5({v}), {1 + 5 * r}, 5))::BIGINT "
+                f"% 65536")
+    member_pos = ",\n    ".join(pos(r, "cast(doc_id AS varchar)")
+                                for r in range(4))
+    probe_pos = " AND ".join(
+        f"{pos(r)} IN (SELECT bit_pos FROM bits)" for r in range(4))
+    return f"""
+WITH bits AS (
+  SELECT DISTINCT unnest([{member_pos}]) AS bit_pos FROM documents
+),
+probes AS (
+  SELECT cast(doc_id AS varchar) AS v, 1 AS present FROM documents
+  UNION ALL
+  SELECT cast(doc_id + 1000000 AS varchar), 0 FROM documents
+),
+verdict AS (
+  SELECT v, present,
+         CASE WHEN {probe_pos} THEN 1 ELSE 0 END AS maybe
+  FROM probes
+)
+SELECT 65536 AS m_bits, 4 AS d,
+       count(*) AS n_probes,
+       CAST(sum(present) AS BIGINT) AS n_present_exact,
+       CAST(sum(maybe) AS BIGINT) AS n_maybe,
+       CAST(sum(CASE WHEN maybe = 1 AND present = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_positive,
+       CAST(sum(CASE WHEN maybe = 0 AND present = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_negative,
+       (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_set_bits
+FROM verdict
 """
 
 
@@ -3230,6 +3683,7 @@ DATAPIPE_QUERIES = {
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "dedup_ngram_containment": q_dedup_ngram_containment,
     "dedup_incremental": q_dedup_incremental,
     "embed_neardup_cosine": q_embed_neardup_cosine,
     "semdedup": q_semdedup,
@@ -3261,6 +3715,9 @@ DATAPIPE_QUERIES = {
     "quality_ngram_lm": q_quality_ngram_lm,
     "ann_pq_adc": q_ann_pq_adc,
     "corpus_shard_assign": q_corpus_shard_assign,
+    "corpus_epoch_shuffle": q_corpus_epoch_shuffle,
+    "corpus_takedown_sweep": q_corpus_takedown_sweep,
+    "corpus_diff_versions": q_corpus_diff_versions,
     "embed_outliers": q_embed_outliers,
     "corpus_stats_profile": q_corpus_stats_profile,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
@@ -3274,6 +3731,9 @@ DATAPIPE_QUERIES = {
     "tokenizer_bpe_merges": q_bpe_merges,
     "sketch_kmv_distinct": q_sketch_kmv_distinct,
     "sketch_hll_distinct": q_sketch_hll_distinct,
+    "sketch_sample_quantiles": q_sketch_sample_quantiles,
+    "sketch_hll_per_key": q_sketch_hll_per_key,
+    "sketch_bloom_probe": q_sketch_bloom_probe,
     "sketch_cm_heavy_hitters": q_sketch_cm_heavy_hitters,
     "quality_classifier": q_quality_classifier,
 }
@@ -3294,6 +3754,7 @@ DATAPIPE_ORACLES = {
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
+    "dedup_ngram_containment": _sql_ngram_containment(),
     "dedup_incremental": _sql_dedup_incremental(),
     "embed_neardup_cosine": _sql_embed_neardup_cosine(),
     "semdedup": _sql_semdedup(k_cent=16),
@@ -3325,6 +3786,9 @@ DATAPIPE_ORACLES = {
     "quality_ngram_lm": _sql_quality_ngram_lm(),
     "ann_pq_adc": _sql_pq_adc(),
     "corpus_shard_assign": SQL_CORPUS_SHARD_ASSIGN,
+    "corpus_epoch_shuffle": SQL_CORPUS_EPOCH_SHUFFLE,
+    "corpus_takedown_sweep": SQL_CORPUS_TAKEDOWN_SWEEP,
+    "corpus_diff_versions": SQL_CORPUS_DIFF_VERSIONS,
     "embed_outliers": _sql_embed_outliers(),
     "corpus_stats_profile": SQL_CORPUS_STATS_PROFILE,
     "ann_ivfpq_topk": _sql_ivfpq(),
@@ -3338,6 +3802,9 @@ DATAPIPE_ORACLES = {
     "tokenizer_bpe_merges": _sql_bpe_merges(),
     "sketch_kmv_distinct": _sql_sketch_kmv(),
     "sketch_hll_distinct": _sql_sketch_hll(),
+    "sketch_sample_quantiles": _sql_sample_quantiles(),
+    "sketch_hll_per_key": _sql_hll_per_key(),
+    "sketch_bloom_probe": _sql_bloom_probe(),
     "sketch_cm_heavy_hitters": _sql_sketch_cm(),
     "quality_classifier": _sql_quality_classifier(),
 }

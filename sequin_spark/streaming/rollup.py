@@ -91,3 +91,62 @@ def session_rollup(
             "n_events",
         )
     )
+
+
+def ewma_anomaly(
+    events: DataFrame,
+    series_col: str,
+    ts_col: str = "ts",
+    bucket: str = "hour",
+    horizon: int = 12,
+) -> DataFrame:
+    """Per-series throughput anomaly detection: a truncated dyadic EWMA
+    baseline over hourly event counts, flagging buckets whose count
+    spikes above 2× or drops below ½× the trailing average.
+
+    The reference's observability surface exposes raw throughput
+    time-series (metrics.ex Prometheus counters; the rollup twin above)
+    and leaves alerting to the scraper; this is the alert rule as a
+    relational operator, usable batch or streaming-foreachBatch.
+
+    Exactness device: α=1/2 EWMA truncated at ``horizon`` steps —
+    ewma = Σ_{k=1..h} n_{t-k} / 2^k.  Every term is an integer divided
+    by a power of two, so every partial sum is an EXACT double (no
+    rounding at any add, any order) — the oracle reproduces it
+    bit-for-bit from the same lags, which a general-α EWMA (recurrence
+    over floats) cannot guarantee across engines.  Weights sum to
+    1 − 2^−h (documented, not renormalized: renormalizing would leave
+    the dyadic lattice).
+
+    Scale shape: one count shuffle on (series, bucket), then a window
+    over per-series BUCKET COUNTS (bounded: buckets/day × retention,
+    thousands of rows per series, never event-cardinality) — the lag
+    window never sees raw events.  Emits only rows with a full
+    ``horizon`` of history, so the verdict never reflects zero-padded
+    warm-up."""
+    from pyspark.sql import Window
+
+    counts = (
+        events.groupBy(
+            F.col(series_col).alias("series"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("series").orderBy("bucket")
+    ewma = None
+    for k in range(1, horizon + 1):
+        term = F.lag("n", k).over(w) / float(1 << k)
+        ewma = term if ewma is None else ewma + term
+    out = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("ewma_prior", ewma)
+        .filter(F.col("rn") > horizon)
+        .withColumn(
+            "status",
+            F.when(F.col("n") > 2 * F.col("ewma_prior"), F.lit("spike"))
+            .when(2 * F.col("n") < F.col("ewma_prior"), F.lit("drop"))
+            .otherwise(F.lit("normal")),
+        )
+    )
+    return out.select("series", "bucket", "n", "ewma_prior", "status")

@@ -799,3 +799,80 @@ def test_embed_int8_quantize_error_bound(spark, sf_dir):
         scale = (r["dim_max"] - r["dim_min"]) / 255.0
         assert r["dim_max"] >= r["dim_min"]
         assert r["mean_abs_err"] <= scale / 2 + 1e-9, r
+
+
+def test_ngram_containment_finds_fragments(spark, sf_dir):
+    """A half-length fragment must surface with containment ≈ 1.0 while
+    its Jaccard sits near 0.5 — the case plain near-dup misses."""
+    from sequin_spark.datapipe.dedup import ngram_containment_lsh_pairs
+    from sequin_spark.queries_datapipe import _docs_with_fragments
+
+    pairs = ngram_containment_lsh_pairs(
+        _docs_with_fragments(spark, sf_dir), n=2, threshold=0.7,
+        bands=4, rows_per_band=2, shingle_k=3).collect()
+    assert pairs, "no containment pairs found"
+    frag_pairs = [r for r in pairs
+                  if r["doc_small"] >= 20000
+                  and r["doc_large"] == r["doc_small"] - 20000]
+    assert frag_pairs, "no fragment-parent pair recalled by LSH"
+    for r in frag_pairs:
+        assert r["containment"] >= 0.95, r
+        assert r["jaccard"] <= 0.75, r  # the gap containment closes
+    # doc_small is always the smaller gram set → containment >= jaccard
+    assert all(r["containment"] >= r["jaccard"] for r in pairs)
+
+
+def test_ewma_anomaly_dyadic_exactness(spark):
+    """The truncated α=1/2 EWMA must be EXACT double arithmetic: a
+    hand-computed dyadic sum equals the operator's output bit-for-bit,
+    and flags fire on planted spikes/drops."""
+    import datetime
+
+    from sequin_spark.streaming.rollup import ewma_anomaly
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    counts = [8] * 20
+    counts[15] = 100   # spike
+    counts[18] = 1     # drop
+    for h, n in enumerate(counts):
+        for i in range(n):
+            rows.append(("api", base + datetime.timedelta(hours=h,
+                                                          seconds=i)))
+    df = spark.createDataFrame(rows, "series string, ts timestamp")
+    out = {r["bucket"].hour + 24 * (r["bucket"].day - 1): r
+           for r in ewma_anomaly(df, "series", horizon=12).collect()}
+    # bucket 15: trailing 12 buckets are all 8 → ewma = 8 * (1 - 2^-12)
+    want = sum(8 / (1 << k) for k in range(1, 13))
+    assert out[15]["ewma_prior"] == want  # exact, not approx
+    assert out[15]["status"] == "spike"
+    assert out[18]["status"] == "drop"
+    assert out[14]["status"] == "normal"
+    # warm-up rows (fewer than 12 predecessors) are withheld
+    assert min(out) == 12
+
+
+def test_epoch_shuffle_permutes_per_epoch(spark, sf_dir):
+    """Same shard placement every epoch; different within-shard order
+    between epochs; each (epoch, shard) position sequence is 1..n."""
+    from sequin_spark.queries_datapipe import q_corpus_epoch_shuffle
+
+    rows = q_corpus_epoch_shuffle(spark, sf_dir).collect()
+    by_epoch = {}
+    shard_of = {}
+    for r in rows:
+        by_epoch.setdefault(r["epoch"], {})[r["doc_id"]] = (
+            r["shard"], r["position"])
+        prev = shard_of.setdefault(r["doc_id"], r["shard"])
+        assert prev == r["shard"], "shard placement moved between epochs"
+    e0, e1 = by_epoch[0], by_epoch[1]
+    assert set(e0) == set(e1)
+    # the orders genuinely differ between epochs
+    assert any(e0[d][1] != e1[d][1] for d in e0)
+    # positions are a dense 1..n per (epoch, shard)
+    from collections import defaultdict
+    per_shard = defaultdict(list)
+    for d, (s, p) in e0.items():
+        per_shard[s].append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

@@ -203,3 +203,65 @@ def test_hll_union_intersection_known_overlap(spark):
     r2 = hll_union_intersection(a, c, "w").collect()[0]
     assert r2["est_intersection"] >= 0.0
     assert abs(r2["est_union"] - 2000) / 2000 < 0.25
+
+
+def test_sample_quantile_sketch_error_bound(spark, sf_dir):
+    """k=256 hash-sample quantiles land within the sampling error band
+    of the exact order statistics (±1.3/√k quantile mass ≈ ±0.08 →
+    compare by value rank tolerance, loose)."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.sampling import exact_quantiles
+    from sequin_spark.datapipe.sketch import sample_quantile_sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    est = {r["q"]: r["est_value"]
+           for r in sample_quantile_sketch(docs, "doc_id", "n_chars",
+                                           k=256).collect()}
+    import pyspark.sql.functions as F
+    exact = {r["q"]: r["value"] for r in exact_quantiles(
+        docs.withColumn("g", F.lit(1)), "g", "n_chars",
+        [0.5, 0.9, 0.99]).collect()}
+    lo, hi = (docs.agg(F.min("n_chars"), F.max("n_chars")).first())
+    spread = hi - lo
+    for q in est:
+        assert abs(est[q] - exact[q]) <= 0.25 * spread, (q, est, exact)
+    # determinism: same sample across repartitionings
+    est2 = {r["q"]: r["est_value"]
+            for r in sample_quantile_sketch(
+                docs.repartition(13), "doc_id", "n_chars",
+                k=256).collect()}
+    assert est == est2
+
+
+def test_hll_per_key_vs_exact(spark, sf_dir):
+    """Per-key HLL estimates stay within the m=256 error band (~6.5%
+    standard error → assert 20%) of exact per-group distincts."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.sketch import hll_per_key
+
+    import pyspark.sql.functions as F
+    ev = load_table(spark, sf_dir, "events")
+    est = {r["event_type"]: r["est_distinct"]
+           for r in hll_per_key(ev, "event_type", "user_id").collect()}
+    exact = {r["event_type"]: r["n"]
+             for r in ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert set(est) == set(exact)
+    for k in est:
+        assert abs(est[k] - exact[k]) / exact[k] < 0.20, (k, est[k],
+                                                          exact[k])
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """The Bloom contract: every true member reports maybe_present —
+    no exceptions, at any fill rate."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.sketch import bloom_build, bloom_probe
+
+    import pyspark.sql.functions as F
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("member"))
+    bits = bloom_build(docs, "member")
+    verdicts = bloom_probe(bits, docs.select(F.col("member").alias("v")),
+                           "v").collect()
+    assert verdicts and all(r["maybe_present"] for r in verdicts)

@@ -234,3 +234,57 @@ def test_streaming_kmv_survives_checkpoint_restart(spark, tmp_path):
     est = streaming_kmv_finalize(
         _latest_kmv_states(spark, emissions), k=k).collect()
     assert est == kmv_distinct(_union_df(spark), "v", k=k).collect()
+
+
+def test_streaming_hll_per_key_equals_batch(spark, tmp_path):
+    """Per-key HLL registers maintained across micro-batches equal the
+    batch per-key sketch — the group-wise distinct counter 'merged in
+    anger': state key = (group, register), one max-fold streaming
+    aggregation; finalize runs on the materialized registers (the KMV
+    pattern, shared arithmetic)."""
+    from sequin_spark.datapipe.sketch import (
+        hll_per_key,
+        hll_per_key_finalize,
+        hll_per_key_registers,
+    )
+
+    src = str(tmp_path / "src")
+    batches = [
+        [("a", f"u{i}") for i in range(0, 200)]
+        + [("b", f"u{i}") for i in range(0, 40)],
+        [("a", f"u{i}") for i in range(100, 350)]   # replays + new
+        + [("b", f"u{i}") for i in range(20, 60)],
+        [("a", f"u{i}") for i in range(300, 400)]
+        + [("b", f"u{i}") for i in range(0, 80)],
+    ]
+
+    def write(vals):
+        spark.createDataFrame(vals, "g string, v string") \
+            .coalesce(1).write.mode("append").parquet(src)
+
+    write(batches[0])
+    stream = (spark.readStream.schema("g string, v string")
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (hll_per_key_registers(stream, "g", "v")
+         .writeStream.format("memory").queryName("hll_pk_twin")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            write(b)
+            q.processAllAvailable()
+        regs = spark.createDataFrame(
+            spark.table("hll_pk_twin").collect(),
+            "g string, register int, max_rho int")
+    finally:
+        q.stop()
+
+    got = {(r["g"], r["s_int"], r["est_distinct"])
+           for r in hll_per_key_finalize(regs, "g").collect()}
+    allv = [v for b in batches for v in b]
+    want = {(r["g"], r["s_int"], r["est_distinct"])
+            for r in hll_per_key(
+                spark.createDataFrame(allv, "g string, v string"),
+                "g", "v").collect()}
+    assert got == want
