@@ -225,3 +225,131 @@ def repetition_metrics(
         & (F.col("top_word_char_frac") <= REP_THRESHOLDS["top_word_char_frac"])
     )
     return out.withColumn("keep", keep)
+
+
+# ---------------------------------------------------------------------------
+# filter funnel — ordered rule cascade with per-rule accounting
+
+
+def filter_funnel(
+    df: DataFrame,
+    rules: "list[tuple[str, F.Column]]",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ordered quality-rule cascade with per-rule funnel accounting —
+    the "how many documents did each filter drop, in order" table every
+    training-data pipeline publishes next to its corpus (C4 reports
+    per-rule retention, Gopher its appendix-A filter cascade; the
+    reference's closest analog is per-consumer filter metrics,
+    lib/sequin/metrics.ex).
+
+    ``rules`` is an ORDERED list of (name, violation_predicate) pairs
+    evaluated against ``df``'s columns; a document is charged to the
+    FIRST rule it violates (cascade semantics: later rules only see
+    survivors).  A NULL predicate result counts as not-violated (the
+    row cascades on), so metric divisions by zero never silently drop
+    documents.
+
+    Output: one row per rule plus a final ``(kept)`` row —
+    (rule_idx, rule, n_reached, n_dropped, n_survived).
+
+    Scale shape: ONE narrow pass computes the first-violation index
+    (callers should compute metric columns in the same select — see
+    standard_quality_rules), one groupBy over at most len(rules)+1
+    first-violation keys with map-side combine, then a tiny window over
+    the ≤(len(rules)+1)-row funnel table — the funnel never leaves
+    kilobyte scale regardless of corpus size."""
+    from pyspark.sql import Window
+
+    kept_idx = len(rules)
+    first_fail = F.coalesce(
+        F.array_min(F.array(*[
+            F.when(cond, F.lit(i)) for i, (_, cond) in enumerate(rules)
+        ])),
+        F.lit(kept_idx),
+    )
+    drops = (
+        df.select(first_fail.alias("rule_idx"))
+        .groupBy("rule_idx")
+        .agg(F.count("*").alias("_hit"))
+    )
+    spark = df.sparkSession
+    rules_df = spark.createDataFrame(
+        [(i, name) for i, (name, _) in enumerate(rules)]
+        + [(kept_idx, "(kept)")],
+        "rule_idx int, rule string",
+    )
+    joined = (
+        rules_df.join(F.broadcast(drops), "rule_idx", "left")
+        .select("rule_idx", "rule",
+                F.coalesce("_hit", F.lit(0)).cast("long").alias("_hit"))
+    )
+    w_all = Window.orderBy("rule_idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    w_prior = Window.orderBy("rule_idx").rowsBetween(
+        Window.unboundedPreceding, -1)
+    return (
+        joined.select(
+            "rule_idx", "rule",
+            (F.sum("_hit").over(w_all)
+             - F.coalesce(F.sum("_hit").over(w_prior), F.lit(0)))
+            .cast("long").alias("n_reached"),
+            F.when(F.col("rule_idx") == kept_idx, F.lit(0))
+            .otherwise(F.col("_hit")).cast("long").alias("n_dropped"),
+        )
+        .withColumn(
+            "n_survived",
+            (F.col("n_reached") - F.col("n_dropped")).cast("long"))
+    )
+
+
+def standard_quality_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> "tuple[DataFrame, list[tuple[str, F.Column]]]":
+    """The C4/Gopher-shaped rule set over raw text: returns (annotated,
+    rules) ready for filter_funnel.  Every metric is computed in ONE
+    narrow select over the scan (token-array ops, no explode, no join)
+    — the same formulas quality_score / repetition_metrics use, inlined
+    so the funnel is a single-pass plan (joining those operators back
+    on id would shuffle the corpus for columns the scan already had).
+    Thresholds are the published C4/Gopher shapes scaled to the short
+    synthetic docs; production corpora pass their own rule list."""
+    norm = normalized(text_col)
+    sh2 = word_shingles("_w", 2)
+    annotated = df.select(
+        F.col(id_col),
+        norm.alias("_nt"),
+        F.split(norm, " ").alias("_w"),
+    ).select(
+        id_col, "_nt", "_w",
+        F.length("_nt").alias("n_chars"),
+        F.size("_w").alias("n_tokens"),
+        F.size(F.regexp_extract_all("_nt", F.lit(r"[0-9]"), F.lit(0)))
+        .alias("n_digits"),
+        F.size(F.regexp_extract_all(
+            "_nt", F.lit(r"\b(the|a|of|and|in|to)\b"), F.lit(0)))
+        .alias("stop_hits"),
+        F.when(F.size("_w") > 0,
+               F.round(1.0 - F.size(F.array_distinct("_w")) / F.size("_w"),
+                       6))
+        .otherwise(F.lit(0.0)).alias("dup_word_frac"),
+        F.when(F.size(sh2) > 0,
+               F.round(1.0 - F.size(F.array_distinct(sh2)) / F.size(sh2), 6))
+        .otherwise(F.lit(0.0)).alias("dup_2gram_frac"),
+    ).withColumn(
+        "avg_token_len",
+        (F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"),
+    )
+    rules = [
+        ("too_short", F.col("n_tokens") < 16),
+        ("too_long", F.col("n_tokens") > 2000),
+        ("avg_token_len_oob",
+         (F.col("avg_token_len") < 3) | (F.col("avg_token_len") > 10)),
+        ("digit_heavy", F.col("n_digits") / F.col("n_chars") > 0.15),
+        ("low_stopword", F.col("stop_hits") < 2),
+        ("dup_words", F.col("dup_word_frac") > 0.6),
+        ("dup_2grams", F.col("dup_2gram_frac") > 0.35),
+        ("curly_brace", F.col("_nt").contains("{")),
+        ("lorem_ipsum", F.col("_nt").contains("lorem ipsum")),
+    ]
+    return annotated, rules

@@ -201,3 +201,91 @@ def probe_media_headers(media: DataFrame) -> DataFrame:
             })
 
     return media.mapInPandas(run, schema=PROBE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hashing — image near-dup signature over the gated decode path.
+
+DHASH_SCHEMA = "doc_id long, dhash long"
+DHASH_GRID_W, DHASH_GRID_H = 9, 8  # 8 rows x 8 horizontal diffs = 64 bits
+
+
+def dhash_media(media: DataFrame) -> DataFrame:
+    """63-bit perceptual difference-hash (dHash) per blob via
+    Arrow-batched mapInPandas — the image near-dup signature ("is each
+    cell brighter than its left neighbour" over a 9×8 downsample;
+    Krawetz's dHash).  With the pixel decoder gated (see decode_media),
+    the "grayscale downsample" is a deterministic strided-byte sample
+    of the raw blob: cell(r,c) = blob[((r·9+c)·stride) mod n] with
+    stride = max(1, n // 72) — a real decoder plugs into the same
+    kernel by replacing the grid line with resize(decode(blob), 9×8).
+    Only 63 of the 64 difference bits are kept (bit 63 dropped) so the
+    hash stays on the non-negative signed-BIGINT lattice every engine
+    shares.
+
+    Scale shape: embarrassingly parallel scan, no shuffle; the kernel
+    drops the blob so only (doc_id, int64) flows downstream."""
+    import numpy as np
+
+    n_cells = DHASH_GRID_W * DHASH_GRID_H
+    weights = np.int64(1) << np.arange(63, dtype=np.int64)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            hashes = []
+            for blob in batch["blob"]:
+                b = bytes(blob) if blob is not None else b""
+                n = len(b)
+                if n == 0:
+                    hashes.append(0)
+                    continue
+                stride = max(1, n // n_cells)
+                idx = (np.arange(n_cells, dtype=np.int64) * stride) % n
+                grid = np.frombuffer(b, dtype=np.uint8)[idx].reshape(
+                    DHASH_GRID_H, DHASH_GRID_W).astype(np.int16)
+                bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)[:63]
+                hashes.append(int(bits.astype(np.int64) @ weights))
+            yield pd.DataFrame({
+                "doc_id": batch["doc_id"],
+                "dhash": pd.array(hashes, dtype="int64"),
+            })
+
+    return media.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def phash_near_dup_pairs(hashes: DataFrame,
+                         max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate pairs among (doc_id, dhash) rows with Hamming
+    distance ≤ max_hamming — EXACT recall by pigeonhole banding: the
+    63 bits split into (max_hamming + 1) bands, so any pair within the
+    threshold agrees exactly on at least one band (same device as
+    dedup.simhash_pairs); candidates are band-bucket equi-join
+    collisions only, never all-pairs, then one bit_count(xor) verify.
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    bands = max_hamming + 1
+    band_bits = -(-63 // bands)
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        "doc_id", "dhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(j).alias("band"),
+                (F.shiftright("dhash", j * band_bits).bitwiseAND(mask))
+                .alias("band_val"))
+            for j in range(bands)
+        ])).alias("b"),
+    ).select("doc_id", "dhash", "b.band", "b.band_val")
+    a = banded.select(F.col("doc_id").alias("doc_a"),
+                      F.col("dhash").alias("_ha"), "band", "band_val")
+    b = banded.select(F.col("doc_id").alias("doc_b"),
+                      F.col("dhash").alias("_hb"), "band", "band_val")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b",
+                F.bit_count(F.expr("_ha ^ _hb")).cast("int")
+                .alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -3667,6 +3667,144 @@ FROM scored GROUP BY label
 """
 
 
+def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule cascade with per-rule funnel accounting
+    (datapipe/filtering.filter_funnel + standard_quality_rules): the
+    per-rule drop/survive table a C4/Gopher-style curation pipeline
+    publishes next to its corpus.  Cascade semantics: each doc is
+    charged to the FIRST rule it violates.  Plan: one narrow pass over
+    the scan computes every metric (token-array ops, no explode, no
+    join), one ≤10-key groupBy, one ≤10-row window."""
+    from sequin_spark.datapipe.filtering import (filter_funnel,
+                                                 standard_quality_rules)
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    annotated, rules = standard_quality_rules(docs)
+    return filter_funnel(annotated, rules)
+
+
+SQL_TEXT_FILTER_FUNNEL = f"""
+WITH t AS (
+  SELECT doc_id, {D_NORM} AS nt FROM documents
+),
+m AS (
+  SELECT doc_id, nt, string_split(nt, ' ') AS w, length(nt) AS n_chars
+  FROM t
+),
+m2 AS (
+  SELECT doc_id, nt, n_chars, len(w) AS n_tokens,
+         len(regexp_extract_all(nt, '[0-9]')) AS n_digits,
+         len(regexp_extract_all(nt, '\\b(the|a|of|and|in|to)\\b'))
+           AS stop_hits,
+         CASE WHEN len(w) > 0
+              THEN round(1.0 - len(list_distinct(w)) * 1.0 / len(w), 6)
+              ELSE 0.0 END AS dup_word_frac,
+         CASE WHEN len(w) >= 2
+              THEN round(1.0 - len(list_distinct(list_transform(
+                       generate_series(1, len(w) - 1),
+                       i -> w[i] || ' ' || w[i + 1]))) * 1.0
+                       / (len(w) - 1), 6)
+              ELSE 0.0 END AS dup_2gram_frac,
+         (n_chars - (len(w) - 1)) * 1.0 / len(w) AS avg_token_len
+  FROM m
+),
+ff AS (
+  SELECT CASE
+    WHEN n_tokens < 16 THEN 0
+    WHEN n_tokens > 2000 THEN 1
+    WHEN avg_token_len < 3 OR avg_token_len > 10 THEN 2
+    WHEN n_digits * 1.0 / n_chars > 0.15 THEN 3
+    WHEN stop_hits < 2 THEN 4
+    WHEN dup_word_frac > 0.6 THEN 5
+    WHEN dup_2gram_frac > 0.35 THEN 6
+    WHEN contains(nt, '{{') THEN 7
+    WHEN contains(nt, 'lorem ipsum') THEN 8
+    ELSE 9 END AS ffi
+  FROM m2
+),
+rules(rule_idx, rule) AS (VALUES
+  (0, 'too_short'), (1, 'too_long'), (2, 'avg_token_len_oob'),
+  (3, 'digit_heavy'), (4, 'low_stopword'), (5, 'dup_words'),
+  (6, 'dup_2grams'), (7, 'curly_brace'), (8, 'lorem_ipsum'),
+  (9, '(kept)')),
+drops AS (SELECT ffi, count(*) AS n FROM ff GROUP BY ffi),
+j AS (
+  SELECT r.rule_idx, r.rule, coalesce(d.n, 0) AS hit
+  FROM rules r LEFT JOIN drops d ON r.rule_idx = d.ffi
+),
+f AS (
+  SELECT rule_idx, rule,
+         CAST(sum(hit) OVER ()
+              - coalesce(sum(hit) OVER (ORDER BY rule_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_reached,
+         CAST(CASE WHEN rule = '(kept)' THEN 0 ELSE hit END AS BIGINT)
+           AS n_dropped
+  FROM j
+)
+SELECT rule_idx, rule, n_reached, n_dropped,
+       CAST(n_reached - n_dropped AS BIGINT) AS n_survived
+FROM f
+"""
+
+
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (datapipe/multimodal.dhash_media +
+    phash_near_dup_pairs): 63-bit dHash per blob via Arrow-batched
+    mapInPandas (pixel decoder gated — the grid is a deterministic
+    strided byte sample standing in for the 9×8 grayscale downsample),
+    then pigeonhole-banded Hamming ≤ 6 pairs (7 bands ⇒ exact recall,
+    candidates from band-bucket collisions only, never all-pairs).
+    Near-dups planted: every 25th doc re-encoded with one byte changed
+    (same length ⇒ same stride ⇒ at most a few difference bits flip)."""
+    from sequin_spark.datapipe.multimodal import (attach_media, dhash_media,
+                                                  phash_near_dup_pairs)
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    perturbed = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat(F.substring("text", 1, 10), F.lit("#"),
+                 F.expr("substring(text, 12)")).alias("text"))
+    media = attach_media(docs.unionByName(perturbed), "text",
+                         media_type="image")
+    return phash_near_dup_pairs(dhash_media(media), max_hamming=6)
+
+
+SQL_MULTIMODAL_PHASH_DEDUP = """
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000,
+         substr(text, 1, 10) || '#' || substr(text, 12)
+  FROM documents WHERE doc_id % 25 = 0
+),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 71),
+           k -> ascii(substr(text,
+                CAST((k * greatest(1, length(text) // 72)) % length(text)
+                     AS INTEGER) + 1, 1)))
+           AS cells
+  FROM docs2 WHERE length(text) > 0
+),
+h AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 62),
+           i -> CASE WHEN cells[(i // 8) * 9 + (i % 8) + 2]
+                          > cells[(i // 8) * 9 + (i % 8) + 1]
+                     THEN CAST(1 AS BIGINT) << i ELSE 0 END))
+              AS BIGINT) AS dhash
+  FROM g
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+FROM h a JOIN h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+"""
+
+
 DATAPIPE_QUERIES = {
     "embed_top_component": q_embed_top_component,
     "embed_debias_isotropy": q_embed_debias_isotropy,
@@ -3697,6 +3835,7 @@ DATAPIPE_QUERIES = {
     "text_fingerprint": q_text_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "multimodal_frame_sample": q_multimodal_frame_sample,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "skew_salted_agg": q_skew_salted_agg,
     "corpus_curation": q_corpus_curation,
     "corpus_sample_mix": q_corpus_sample_mix,
@@ -3709,6 +3848,7 @@ DATAPIPE_QUERIES = {
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
+    "text_filter_funnel": q_text_filter_funnel,
     "quality_repetition": q_quality_repetition,
     "url_dedup": q_url_dedup,
     "corpus_line_dedup": q_corpus_line_dedup,
@@ -3768,6 +3908,7 @@ DATAPIPE_ORACLES = {
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "multimodal_decode": SQL_MULTIMODAL_DECODE,
     "multimodal_frame_sample": SQL_MULTIMODAL_FRAME_SAMPLE,
+    "multimodal_phash_dedup": SQL_MULTIMODAL_PHASH_DEDUP,
     "skew_salted_agg": SQL_SKEW_SALTED_AGG,
     "corpus_curation": SQL_CORPUS_CURATION,
     "corpus_sample_mix": _sql_corpus_sample_mix(),
@@ -3780,6 +3921,7 @@ DATAPIPE_ORACLES = {
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),
+    "text_filter_funnel": SQL_TEXT_FILTER_FUNNEL,
     "quality_repetition": _sql_quality_repetition(),
     "url_dedup": _sql_url_dedup(),
     "corpus_line_dedup": _sql_corpus_line_dedup(),

@@ -876,3 +876,69 @@ def test_epoch_shuffle_permutes_per_epoch(spark, sf_dir):
         per_shard[s].append(p)
     for s, ps in per_shard.items():
         assert sorted(ps) == list(range(1, len(ps) + 1))
+
+
+def test_dhash_pinned_value(spark):
+    """The dHash kernel's strided-byte grid is deterministic: pin the
+    hash of a known string against an independent pure-Python replay."""
+    import numpy as np
+
+    from sequin_spark.datapipe.multimodal import attach_media, dhash_media
+
+    text = "the quick brown fox jumps over the lazy dog " * 7
+
+    def ref_dhash(t: str) -> int:
+        b = t.encode()
+        n = len(b)
+        stride = max(1, n // 72)
+        idx = (np.arange(72, dtype=np.int64) * stride) % n
+        grid = np.frombuffer(b, dtype=np.uint8)[idx].reshape(8, 9)
+        bits = (grid[:, 1:].astype(int) > grid[:, :-1].astype(int))
+        return sum(1 << i for i, v in enumerate(bits.reshape(-1)[:63]) if v)
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = dhash_media(attach_media(df, "text")).collect()[0]
+    assert got.dhash == ref_dhash(text) == 2767843322059674548
+
+
+def test_phash_banding_exact_recall(spark):
+    """Pigeonhole guarantee: banded candidates find EVERY pair with
+    hamming <= 6 — cross-check against a brute-force all-pairs scan."""
+    import itertools
+
+    from sequin_spark.datapipe.multimodal import phash_near_dup_pairs
+
+    # hashes engineered around the threshold: 0, 1-bit, 6-bit, 7-bit,
+    # and 63-bit flips from a base value
+    base = 0x2A51_F00D_BEEF_1234 & ((1 << 63) - 1)
+    flips = [0, 1 << 5, (1 << 5) | (1 << 20), 0x3F, 0x7F,
+             (1 << 62) | (1 << 61), (1 << 63) - 1]
+    hashes = [(i, base ^ f) for i, f in enumerate(flips)]
+    df = spark.createDataFrame(hashes, "doc_id long, dhash long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in phash_near_dup_pairs(df, max_hamming=6).collect()}
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(hashes, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 6:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want and len(want) >= 5
+
+
+def test_phash_planted_near_dup_found(spark, docs):
+    """A one-byte perturbation of equal length keeps the stride, so the
+    perturbed copy pairs with its source at small hamming distance."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.datapipe.multimodal import (attach_media, dhash_media,
+                                                  phash_near_dup_pairs)
+
+    twisted = docs.select(
+        (F.col("doc_id") + 100).alias("doc_id"),
+        F.concat(F.substring("text", 1, 5), F.lit("#"),
+                 F.expr("substring(text, 7)")).alias("text"))
+    media = attach_media(docs.unionByName(twisted), "text")
+    pairs = phash_near_dup_pairs(dhash_media(media), max_hamming=6)
+    found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    for r in docs.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 100) in found

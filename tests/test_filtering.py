@@ -82,3 +82,61 @@ def test_repetition_metrics_gates_spam(spark):
     assert spam.dup_word_frac > 0.9 and spam.dup_2gram_frac > 0.9
     assert spam.top_word == "ham"  # 40× each; alphabetical tie-break
     assert empty.n_words == 0 and empty.dup_word_frac == 0.0
+
+
+# ---------------------------------------------------------------------------
+# filter funnel
+
+
+def test_filter_funnel_cascade_accounting(spark):
+    """Each doc is charged to its FIRST violated rule; the funnel
+    conserves counts: reached[i+1] == survived[i], drops + kept ==
+    total, and (kept) row carries the survivor count."""
+    from sequin_spark.datapipe.filtering import filter_funnel
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, a=a, b=b) for i, (a, b) in enumerate(
+            [(1, 1), (1, 0), (0, 1), (0, 1), (0, 0), (0, 0), (0, 0)])]
+    )
+    rules = [("rule_a", F.col("a") == 1), ("rule_b", F.col("b") == 1)]
+    rows = {r["rule"]: r for r in filter_funnel(df, rules).collect()}
+    # docs 0,1 violate a (doc 0 also violates b but is charged to a);
+    # docs 2,3 violate b; 4,5,6 pass
+    assert rows["rule_a"]["n_reached"] == 7
+    assert rows["rule_a"]["n_dropped"] == 2
+    assert rows["rule_a"]["n_survived"] == 5
+    assert rows["rule_b"]["n_reached"] == 5
+    assert rows["rule_b"]["n_dropped"] == 2
+    assert rows["rule_b"]["n_survived"] == 3
+    assert rows["(kept)"]["n_reached"] == 3
+    assert rows["(kept)"]["n_dropped"] == 0
+    assert rows["(kept)"]["n_survived"] == 3
+
+
+def test_filter_funnel_null_predicate_cascades_on(spark):
+    """A NULL predicate result (e.g. a ratio whose denominator is 0)
+    must NOT drop the row — it cascades to later rules."""
+    from sequin_spark.datapipe.filtering import filter_funnel
+
+    df = spark.createDataFrame([Row(doc_id=1, x=None), Row(doc_id=2, x=5)])
+    rules = [("null_rule", F.col("x") > 3)]
+    rows = {r["rule"]: r for r in filter_funnel(df, rules).collect()}
+    assert rows["null_rule"]["n_dropped"] == 1   # only doc 2
+    assert rows["(kept)"]["n_survived"] == 1     # doc 1 cascades through
+
+
+def test_standard_quality_rules_single_pass_plan(spark):
+    """The annotated metrics must come from ONE scan — no join, no
+    explode-shuffle: the funnel's only exchange is the ≤10-key groupBy."""
+    from sequin_spark.datapipe.filtering import (filter_funnel,
+                                                 standard_quality_rules)
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="the quick brown fox of a lazy dog " * 4)
+         for i in range(10)])
+    annotated, rules = standard_quality_rules(df)
+    plan = filter_funnel(annotated, rules)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    # corpus-side scan feeds a single hash aggregate; the only joins are
+    # over the <=10-row rules/drops tables (broadcast)
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -956,3 +956,41 @@ def test_contract_backfill_during_stream_schema_change(spark, tmp_path):
     # above it and 4 never → both kept (the later stream event for 3
     # supersedes downstream via the idempotency ledger)
     assert kept == ["3", "4"]
+
+
+def test_contract_at_least_once_redelivery_deduped(spark, tmp_path):
+    """exs:863 'changes are delivered at least once': a server restart
+    from an OLDER restart_lsn resends frames already flushed+acked; the
+    engine must tolerate the duplicate delivery — the raw CDC log holds
+    both copies (at-least-once), and the idempotency dedup collapses
+    them to exactly one canonical event per (commit_lsn, commit_idx)."""
+    from sequin_spark.operators.dedup import dedup_replays
+
+    frames = [_chars_rel()] + _txn(
+        L1, ins(CHAR_OID, 1, "Paul", "Atreides", "Caladan", "t", "{}")
+    )
+
+    for session in range(2):  # second session replays from the old cursor
+        srv = FakeWalSender(frames)
+        client = ReplicationClient(
+            "127.0.0.1", srv.port, user="replicator", database="postgres",
+            password="s3cret", receive_timeout=0.05,
+        )
+        client.connect()
+        worker = ReplicationIngestWorker(
+            client, str(tmp_path / "wal"),
+            flush_seconds=0.05, ack_interval=0.1,
+        )
+        client.start_replication("sequin_slot", "sequin_pub")
+        worker.run(max_seconds=5,
+                   stop_when=lambda: any(a[1] == L1 for a in srv.acks))
+        client.close()
+        srv.close()
+
+    ev = read_cdc_log(spark, str(tmp_path / "wal"))
+    raw = ev.collect()
+    assert len(raw) == 2                      # delivered at least once
+    assert len({(r.commit_lsn, r.commit_idx) for r in raw}) == 1
+    deduped = dedup_replays(ev).collect()
+    assert len(deduped) == 1                  # exactly once downstream
+    assert deduped[0]["record"]["name"] == "Paul"
