@@ -3720,6 +3720,93 @@ FROM s
 """
 
 
+def q_corpus_chunk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental re-chunking — the composition the two operators
+    above exist for: the crawl-over-crawl diff (corpus_diff_versions'
+    construction) selects only ADDED + MODIFIED docs, and only those
+    flow into the chunker (corpus_chunk_windows' 32/24 windows); the
+    rest of the corpus — and its embeddings — is untouched.  Emits the
+    per-source refresh bill: docs re-chunked and chunks to re-embed.
+    At 100 TB this is the difference between re-embedding a corpus and
+    re-embedding a delta.  Plan: one doc_id full-outer join (both sides
+    pre-hashed narrow projections), one zero-shuffle chunk explode,
+    one per-source fold.
+
+    Cross-check device: the oracle derives the chunk count per doc in
+    CLOSED FORM ((n_tokens-1)//24 + 1) while Spark counts the actual
+    exploded windows — they agree only if the chunker emits exactly
+    the stride-lattice windows it promises."""
+    _prep(spark)
+    window, stride = 32, 24
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    v1 = docs.filter(F.col("doc_id") % 41 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("h1"))
+    v2_changed = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 25 == 0,
+               F.expr("replace(text, ' the ', ' thy ')"))
+        .otherwise(F.col("text")))
+    v2 = v2_changed.select(
+        "doc_id", "text", "source", F.md5(F.col("text")).alias("h2"),
+    ).unionByName(v2_changed.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        "text", "source", F.md5(F.col("text")).alias("h2")))
+    changed = (
+        v2.join(v1, "doc_id", "left")
+        .filter(F.col("h1").isNull() | (F.col("h1") != F.col("h2")))
+        .select("doc_id", "text", "source"))
+    return (
+        changed.select(
+            "doc_id", "source",
+            F.split(F.expr(
+                "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")
+            .alias("_w"))
+        .select(
+            "doc_id", "source",
+            F.explode(F.expr(f"sequence(0, size(_w) - 1, {stride})"))
+            .alias("start_tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").cast("long")
+             .alias("n_docs_refreshed"),
+             F.count("*").cast("long").alias("n_chunks_refreshed"))
+    )
+
+
+SQL_CORPUS_CHUNK_REFRESH = f"""
+WITH v1 AS (
+  SELECT doc_id, md5(text) AS h1 FROM documents WHERE doc_id % 41 <> 0
+),
+v2base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 25 = 0
+              THEN replace(text, ' the ', ' thy ') ELSE text END AS text,
+         source
+  FROM documents
+),
+v2 AS (
+  SELECT doc_id, text, source, md5(text) AS h2 FROM v2base
+  UNION ALL
+  SELECT doc_id + 10000, text, source, md5(text) FROM v2base
+  WHERE doc_id % 25 = 0
+),
+changed AS (
+  SELECT v2.doc_id, v2.text, v2.source
+  FROM v2 LEFT JOIN v1 ON v2.doc_id = v1.doc_id
+  WHERE v1.h1 IS NULL OR v1.h1 <> v2.h2
+),
+counted AS (
+  SELECT source, doc_id,
+         (len(string_split({D_NORM}, ' ')) - 1) // 24 + 1 AS n_chunks
+  FROM changed
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_refreshed,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks_refreshed
+FROM counted GROUP BY source
+"""
+
+
 def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-rule cascade with per-rule funnel accounting
     (datapipe/filtering.filter_funnel + standard_quality_rules): the
@@ -3900,6 +3987,7 @@ DATAPIPE_QUERIES = {
     "corpus_shard_overlap": q_corpus_shard_overlap,
     "corpus_pack_sequences": q_corpus_pack_sequences,
     "corpus_chunk_windows": q_corpus_chunk_windows,
+    "corpus_chunk_refresh": q_corpus_chunk_refresh,
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
     "text_filter_funnel": q_text_filter_funnel,
@@ -3974,6 +4062,7 @@ DATAPIPE_ORACLES = {
     "corpus_shard_overlap": _sql_corpus_shard_overlap(),
     "corpus_pack_sequences": SQL_CORPUS_PACK_SEQUENCES,
     "corpus_chunk_windows": SQL_CORPUS_CHUNK_WINDOWS,
+    "corpus_chunk_refresh": SQL_CORPUS_CHUNK_REFRESH,
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),
     "text_filter_funnel": SQL_TEXT_FILTER_FUNNEL,
