@@ -399,3 +399,43 @@ def bloom_probe(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
             .join(hits, "v", "left")
             .select("v", (_F.coalesce("n_hit", _F.lit(0))
                           == BLOOM_DEPTH).alias("maybe_present")))
+
+
+def sample_quantile_sketch_per_key(
+    df: DataFrame, group_col: str, key_col: str, value_col: str,
+    k: int = 128, quantiles: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-GROUP quantile sketch — "p99 latency per event type" at
+    100 TB without a per-group sort of the value column: keep the k
+    smallest h60(key) rows PER GROUP (a deterministic uniform k-sample
+    per group, same hash-order-statistic device as the global sketch),
+    then rank the ≤k-row samples.  Plan: ONE shuffle keyed on the
+    group; the row_number ≤ k filter executes as a partial top-k per
+    partition (WindowGroupLimit), so only k rows per group survive the
+    exchange; the quantile rank then runs over |groups|·k rows.
+    Mergeable: the union of two groups' samples re-ranked is the sample
+    of the union (k smallest of a union of k-smallest sets).
+
+    Emits (group, q, k_sample, est_value) per group × quantile."""
+    from pyspark.sql import Window
+
+    w_h = Window.partitionBy("g").orderBy("_h")
+    sample = (
+        df.select(F.col(group_col).alias("g"),
+                  h60(F.col(key_col)).alias("_h"),
+                  F.col(value_col).alias("v"))
+        .withColumn("_sn", F.row_number().over(w_h))
+        .filter(F.col("_sn") <= k)
+    )
+    w_v = Window.partitionBy("g").orderBy("v")
+    ranked = (
+        sample.select("g", "v")
+        .withColumn("_rn", F.row_number().over(w_v))
+        .withColumn("_n", F.count("*").over(Window.partitionBy("g")))
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    return (ranked.withColumn("q", F.explode(qarr))
+            .filter(F.col("_rn") == F.ceil(F.col("q") * F.col("_n")))
+            .select(F.col("g").alias(group_col), "q",
+                    F.col("_n").cast("long").alias("k_sample"),
+                    F.col("v").alias("est_value")))

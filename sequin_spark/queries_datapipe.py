@@ -2441,6 +2441,63 @@ FROM est JOIN ex ON est.q = ex.q
 """
 
 
+def q_sketch_quantiles_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile sketch (datapipe/sketch.
+    sample_quantile_sketch_per_key): p50/p90/p99 of the event value per
+    event_type from a deterministic 128-sample per group — the
+    group-wise member of the sketch family, one group-keyed shuffle
+    with partial top-k, never a per-group sort of the full value
+    column.  Paired with the exact per-group order statistics and the
+    signed error."""
+    from sequin_spark.datapipe.sampling import exact_quantiles
+    from sequin_spark.datapipe.sketch import sample_quantile_sketch_per_key
+
+    _prep(spark)
+    qs = (0.5, 0.9, 0.99)
+    ev = load_table(spark, sf_dir, "events")
+    est = sample_quantile_sketch_per_key(
+        ev, "event_type", "event_id", "value", k=128, quantiles=qs)
+    exact = exact_quantiles(ev, "event_type", "value", list(qs)).select(
+        F.col("event_type"), "q", F.col("value").alias("exact_value"))
+    return (est.join(exact, ["event_type", "q"])
+            .select("event_type", "q", "k_sample",
+                    F.round("est_value", 4).alias("est_value"),
+                    F.round("exact_value", 4).alias("exact_value"),
+                    F.round(F.col("est_value") - F.col("exact_value"), 4)
+                    .alias("err")))
+
+
+def _sql_quantiles_per_key(k: int = 128) -> str:
+    h = "('0x' || substr(md5(cast(event_id AS varchar)), 1, 15))::BIGINT"
+    return f"""
+WITH s AS (
+  SELECT event_type AS g, value AS v,
+         row_number() OVER (PARTITION BY event_type ORDER BY {h}) AS sn
+  FROM events
+),
+samp AS (SELECT g, v FROM s WHERE sn <= {k}),
+r AS (SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY g) AS n FROM samp),
+qs(q) AS (VALUES (CAST(0.5 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+                 (CAST(0.99 AS DOUBLE))),
+est AS (
+  SELECT g, q, CAST(n AS BIGINT) AS k_sample, v AS est_value
+  FROM r CROSS JOIN qs WHERE rn = ceil(q * n)
+),
+x AS (SELECT event_type AS g, value AS v,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n FROM events),
+ex AS (SELECT g, q, v AS exact_value FROM x CROSS JOIN qs
+       WHERE rn = ceil(q * n))
+SELECT est.g AS event_type, est.q, k_sample,
+       round(est_value, 4) AS est_value,
+       round(exact_value, 4) AS exact_value,
+       round(est_value - exact_value, 4) AS err
+FROM est JOIN ex ON est.g = ex.g AND est.q = ex.q
+"""
+
+
 def q_sketch_hll_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-key cardinality sketch (datapipe/sketch.hll_per_key): one
     m=256 HLL per event_type estimating distinct users — GROUP-wise
@@ -3720,6 +3777,77 @@ FROM s
 """
 
 
+def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval (Kusupati et al. 2022): retrieval
+    recall@10 using only the first d' ∈ {8, 16, 32} dimensions against
+    the full-64-dim exact ground truth — the measurement that decides
+    how small stored vectors can be before retrieval quality collapses
+    (storage/56 GB-per-billion-vector question at corpus scale).
+    Truncation is F.slice on the stored array — no re-embedding; the
+    brute-force passes reuse the ANN baseline (bounded: 10 queries ×
+    corpus per d').  Output: one (dim, recall_at_10) row per d'."""
+    from sequin_spark.datapipe.similarity import brute_force_topk
+
+    _prep(spark)
+    k = 10
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ground = brute_force_topk(emb, queries, k=k).select("q_id", "n_id")
+    outs = []
+    for d in (8, 16, 32):
+        embd = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        qd = queries.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        approx = (brute_force_topk(embd, qd, k=k)
+                  .select("q_id", "n_id", F.lit(1).alias("_hit")))
+        outs.append(
+            ground.join(approx, ["q_id", "n_id"], "left")
+            .agg(F.round(F.sum(F.coalesce("_hit", F.lit(0)))
+                         / F.count("*"), 4).alias("recall_at_10"))
+            .select(F.lit(d).alias("dim"), "recall_at_10"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_matryoshka(k: int = 10, dims=(8, 16, 32)) -> str:
+    def bf(d, name):
+        vec = (f"list_slice(embedding, 1, {d})" if d else "embedding")
+        return f"""
+{name}_c AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         list_sum(list_transform(generate_series(1, len(q.v)),
+                  i -> CAST(q.v[i] AS DOUBLE) * CAST(n.v[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.v)),
+                  i -> CAST(q.v[i] AS DOUBLE) * CAST(q.v[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(n.v)),
+                  i -> CAST(n.v[i] AS DOUBLE) * CAST(n.v[i] AS DOUBLE)))))
+           AS cos
+  FROM (SELECT vec_id, {vec} AS v FROM embeddings WHERE vec_id < 10) q,
+       (SELECT vec_id, {vec} AS v FROM embeddings) n
+  WHERE q.vec_id != n.vec_id
+),
+{name} AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY cos DESC, n_id ASC) AS rnk
+    FROM {name}_c) t
+  WHERE rnk <= {k}
+)"""
+
+    ctes = [bf(None, "exact")] + [bf(d, f"d{d}") for d in dims]
+    selects = " UNION ALL ".join(f"""
+SELECT {d} AS dim,
+       round(sum(CASE WHEN a.n_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+             / count(*), 4) AS recall_at_10
+FROM exact g LEFT JOIN d{d} a ON g.q_id = a.q_id AND g.n_id = a.n_id"""
+                                for d in dims)
+    return "WITH " + ",".join(ctes) + selects
+
+
 def q_corpus_chunk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental re-chunking — the composition the two operators
     above exist for: the crawl-over-crawl diff (corpus_diff_versions'
@@ -3982,6 +4110,7 @@ DATAPIPE_QUERIES = {
     "corpus_temperature_mix": q_corpus_temperature_mix,
     "corpus_unimax": q_corpus_unimax,
     "ann_recall_eval": q_ann_recall_eval,
+    "embed_matryoshka_recall": q_embed_matryoshka_recall,
     "quality_perplexity_buckets": q_quality_perplexity_buckets,
     "url_domain_caps": q_url_domain_caps,
     "corpus_shard_overlap": q_corpus_shard_overlap,
@@ -4015,6 +4144,7 @@ DATAPIPE_QUERIES = {
     "sketch_hll_distinct": q_sketch_hll_distinct,
     "sketch_sample_quantiles": q_sketch_sample_quantiles,
     "sketch_hll_per_key": q_sketch_hll_per_key,
+    "sketch_quantiles_per_key": q_sketch_quantiles_per_key,
     "sketch_bloom_probe": q_sketch_bloom_probe,
     "sketch_cm_heavy_hitters": q_sketch_cm_heavy_hitters,
     "quality_classifier": q_quality_classifier,
@@ -4057,6 +4187,7 @@ DATAPIPE_ORACLES = {
     "corpus_temperature_mix": _sql_corpus_temperature_mix(),
     "corpus_unimax": _sql_corpus_unimax(),
     "ann_recall_eval": _sql_ann_recall_eval(),
+    "embed_matryoshka_recall": _sql_matryoshka(),
     "quality_perplexity_buckets": _sql_quality_perplexity_buckets(),
     "url_domain_caps": _sql_url_domain_caps(),
     "corpus_shard_overlap": _sql_corpus_shard_overlap(),
@@ -4090,6 +4221,7 @@ DATAPIPE_ORACLES = {
     "sketch_hll_distinct": _sql_sketch_hll(),
     "sketch_sample_quantiles": _sql_sample_quantiles(),
     "sketch_hll_per_key": _sql_hll_per_key(),
+    "sketch_quantiles_per_key": _sql_quantiles_per_key(),
     "sketch_bloom_probe": _sql_bloom_probe(),
     "sketch_cm_heavy_hitters": _sql_sketch_cm(),
     "quality_classifier": _sql_quality_classifier(),

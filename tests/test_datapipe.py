@@ -969,3 +969,17 @@ def test_chunk_windows_cover_every_token(spark):
         # neighbouring windows overlap by window - stride = 8 tokens
         for a, b in zip(doc_rows, doc_rows[1:]):
             assert b.start_tok - a.start_tok == 24
+
+
+def test_matryoshka_recall_monotone_in_dim(spark):
+    """Recall@10 must be monotone non-decreasing in the truncation
+    dimension (more dims → never worse retrieval on average here), and
+    every recall sits in [0, 1]."""
+    from sequin_spark.queries_datapipe import q_embed_matryoshka_recall
+
+    rows = {r.dim: r.recall_at_10 for r in
+            q_embed_matryoshka_recall(spark, "/root/testdata/sf0.001")
+            .collect()}
+    assert set(rows) == {8, 16, 32}
+    assert all(0.0 <= v <= 1.0 for v in rows.values())
+    assert rows[8] <= rows[16] <= rows[32]

@@ -94,3 +94,73 @@ def test_deliverable_selection_matches_reference_model(spark):
             heads[g] = (lsn, idx)
     expected = {(g, c[0], c[1]) for g, c in heads.items()} | nulls
     assert got == expected
+
+
+def test_filter_funnel_matches_python_model_randomized(spark):
+    """Seeded random metrics × the standard rule semantics vs a pure
+    Python fold: first-violation attribution and funnel conservation
+    hold for every random draw (one Spark job, 400 rows)."""
+    from sequin_spark.datapipe.filtering import filter_funnel
+
+    rng = random.Random(13)
+    rows = [(i, rng.randint(0, 30), rng.randint(0, 5), rng.random())
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, nt int, sh int, dr double")
+    rules = [
+        ("r_short", F.col("nt") < 8),
+        ("r_stop", F.col("sh") < 1),
+        ("r_dup", F.col("dr") > 0.8),
+    ]
+
+    def py_first(nt, sh, dr):
+        if nt < 8:
+            return "r_short"
+        if sh < 1:
+            return "r_stop"
+        if dr > 0.8:
+            return "r_dup"
+        return "(kept)"
+
+    want = {}
+    for _, nt, sh, dr in rows:
+        want[py_first(nt, sh, dr)] = want.get(py_first(nt, sh, dr), 0) + 1
+    got = {r.rule: r for r in filter_funnel(df, rules).collect()}
+    for name in ("r_short", "r_stop", "r_dup"):
+        assert got[name].n_dropped == want.get(name, 0)
+    assert got["(kept)"].n_survived == want.get("(kept)", 0)
+    # conservation: reached[i+1] == survived[i] in rule order
+    ordered = sorted(got.values(), key=lambda r: r.rule_idx)
+    for a, b in zip(ordered, ordered[1:]):
+        assert a.n_survived == b.n_reached
+    assert ordered[0].n_reached == 400
+
+
+def test_phash_banding_matches_bruteforce_randomized(spark):
+    """Random 63-bit hashes: the banded candidate join returns EXACTLY
+    the brute-force Hamming<=6 pair set (pigeonhole completeness +
+    verify-step soundness) for every draw."""
+    import itertools
+
+    from sequin_spark.datapipe.multimodal import phash_near_dup_pairs
+
+    rng = random.Random(29)
+    base = rng.getrandbits(63)
+    hashes = [(0, base)]
+    for i in range(1, 60):
+        if i % 3 == 0:  # near-dup: flip up to 7 random bits of base
+            h = base
+            for _ in range(rng.randint(1, 7)):
+                h ^= 1 << rng.randrange(63)
+            hashes.append((i, h))
+        else:
+            hashes.append((i, rng.getrandbits(63)))
+    df = spark.createDataFrame(hashes, "doc_id long, dhash long")
+    got = {(r.doc_a, r.doc_b): r.hamming
+           for r in phash_near_dup_pairs(df, max_hamming=6).collect()}
+    want = {}
+    for (ia, ha), (ib, hb) in itertools.combinations(hashes, 2):
+        d = bin(ha ^ hb).count("1")
+        if d <= 6:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert want  # the draw must actually contain near-dup pairs

@@ -265,3 +265,42 @@ def test_bloom_no_false_negatives(spark, sf_dir):
     verdicts = bloom_probe(bits, docs.select(F.col("member").alias("v")),
                            "v").collect()
     assert verdicts and all(r["maybe_present"] for r in verdicts)
+
+
+def test_quantiles_per_key_error_bound(spark, sf_dir):
+    """Each group's 128-sample quantile estimate sits within the
+    sampling-error band of the exact per-group order statistic, and
+    the estimate IS a member of the group's values (quantile_disc)."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.sampling import exact_quantiles
+    from sequin_spark.datapipe.sketch import sample_quantile_sketch_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    est = {(r.event_type, r.q): r.est_value
+           for r in sample_quantile_sketch_per_key(
+               ev, "event_type", "event_id", "value", k=128).collect()}
+    exact = {(r.event_type, r.q): r.value
+             for r in exact_quantiles(
+                 ev, "event_type", "value", [0.5, 0.9, 0.99]).collect()}
+    vals = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")).collect()
+    spread = {r.event_type: r.hi - r.lo for r in vals}
+    assert set(est) == set(exact)
+    for (g, q), v in est.items():
+        # ±1.96·sqrt(q(1-q)/k) rank error mapped to the value spread is
+        # loose for skewed data; use a generous 35%-of-spread band
+        assert abs(v - exact[(g, q)]) <= 0.35 * spread[g] + 1e-9
+
+
+def test_quantiles_per_key_partition_invariant(spark, sf_dir):
+    """The per-group sample is a deterministic hash order statistic —
+    repartitioning must not change a single estimate."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.sketch import sample_quantile_sketch_per_key
+
+    ev = load_table(spark, sf_dir, "events")
+    a = sorted(map(tuple, sample_quantile_sketch_per_key(
+        ev, "event_type", "event_id", "value").collect()))
+    b = sorted(map(tuple, sample_quantile_sketch_per_key(
+        ev.repartition(17), "event_type", "event_id", "value").collect()))
+    assert a == b
