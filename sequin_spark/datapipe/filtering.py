@@ -231,6 +231,20 @@ def repetition_metrics(
 # filter funnel — ordered rule cascade with per-rule accounting
 
 
+def first_violation(rules: "list[tuple[str, F.Column]]") -> F.Column:
+    """Index of the FIRST violated rule (cascade attribution), or
+    len(rules) when every rule passes — NULL predicate results count as
+    not-violated.  Shared by filter_funnel and pipeline compositions
+    (e.g. the corpus report card) so the attribution semantics cannot
+    drift between the funnel table and downstream accounting."""
+    return F.coalesce(
+        F.array_min(F.array(*[
+            F.when(cond, F.lit(i)) for i, (_, cond) in enumerate(rules)
+        ])),
+        F.lit(len(rules)),
+    )
+
+
 def filter_funnel(
     df: DataFrame,
     rules: "list[tuple[str, F.Column]]",
@@ -262,12 +276,7 @@ def filter_funnel(
     from pyspark.sql import Window
 
     kept_idx = len(rules)
-    first_fail = F.coalesce(
-        F.array_min(F.array(*[
-            F.when(cond, F.lit(i)) for i, (_, cond) in enumerate(rules)
-        ])),
-        F.lit(kept_idx),
-    )
+    first_fail = first_violation(rules)
     drops = (
         df.select(first_fail.alias("rule_idx"))
         .groupBy("rule_idx")
@@ -305,6 +314,7 @@ def filter_funnel(
 
 def standard_quality_rules(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    keep_cols: tuple = (),
 ) -> "tuple[DataFrame, list[tuple[str, F.Column]]]":
     """The C4/Gopher-shaped rule set over raw text: returns (annotated,
     rules) ready for filter_funnel.  Every metric is computed in ONE
@@ -318,10 +328,11 @@ def standard_quality_rules(
     sh2 = word_shingles("_w", 2)
     annotated = df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep_cols],
         norm.alias("_nt"),
         F.split(norm, " ").alias("_w"),
     ).select(
-        id_col, "_nt", "_w",
+        id_col, *keep_cols, "_nt", "_w",
         F.length("_nt").alias("n_chars"),
         F.size("_w").alias("n_tokens"),
         F.size(F.regexp_extract_all("_nt", F.lit(r"[0-9]"), F.lit(0)))

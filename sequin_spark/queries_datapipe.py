@@ -3952,16 +3952,24 @@ def q_text_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_funnel(annotated, rules)
 
 
-SQL_TEXT_FILTER_FUNNEL = f"""
-WITH t AS (
-  SELECT doc_id, {D_NORM} AS nt FROM documents
+def _sql_quality_ff_ctes(extra_cols: str = "") -> str:
+    """The shared t/m/m2/ff CTE chain: normalized text → metric columns
+    → first-violation index, with the SAME thresholds as
+    standard_quality_rules — one builder feeds both the funnel oracle
+    and the report-card oracle, so the rule constants cannot drift
+    between them.  ``extra_cols`` (e.g. ", source") rides through every
+    stage."""
+    return f"""
+t AS (
+  SELECT doc_id{extra_cols}, {D_NORM} AS nt FROM documents
 ),
 m AS (
-  SELECT doc_id, nt, string_split(nt, ' ') AS w, length(nt) AS n_chars
+  SELECT doc_id{extra_cols}, nt, string_split(nt, ' ') AS w,
+         length(nt) AS n_chars
   FROM t
 ),
 m2 AS (
-  SELECT doc_id, nt, n_chars, len(w) AS n_tokens,
+  SELECT doc_id{extra_cols}, nt, w, n_chars, len(w) AS n_tokens,
          len(regexp_extract_all(nt, '[0-9]')) AS n_digits,
          len(regexp_extract_all(nt, '\\b(the|a|of|and|in|to)\\b'))
            AS stop_hits,
@@ -3978,7 +3986,7 @@ m2 AS (
   FROM m
 ),
 ff AS (
-  SELECT CASE
+  SELECT doc_id{extra_cols}, nt, w, CASE
     WHEN n_tokens < 16 THEN 0
     WHEN n_tokens > 2000 THEN 1
     WHEN avg_token_len < 3 OR avg_token_len > 10 THEN 2
@@ -3990,7 +3998,11 @@ ff AS (
     WHEN contains(nt, 'lorem ipsum') THEN 8
     ELSE 9 END AS ffi
   FROM m2
-),
+)"""
+
+
+SQL_TEXT_FILTER_FUNNEL = f"""
+WITH {_sql_quality_ff_ctes()},
 rules(rule_idx, rule) AS (VALUES
   (0, 'too_short'), (1, 'too_long'), (2, 'avg_token_len_oob'),
   (3, 'digit_heavy'), (4, 'low_stopword'), (5, 'dup_words'),
@@ -4014,6 +4026,99 @@ f AS (
 SELECT rule_idx, rule, n_reached, n_dropped,
        CAST(n_reached - n_dropped AS BIGINT) AS n_survived
 FROM f
+"""
+
+
+def q_corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source curation REPORT CARD — the end-of-run summary a
+    training-data pipeline publishes: quality funnel → exact dedup
+    (among survivors, min-id keeper) → content-hash split assignment,
+    composed in ONE relational plan.  Per source: docs in, quality
+    drops (first-violation semantics via filtering.first_violation —
+    the same column the funnel charges), duplicate drops, train/val/
+    test sizes of the final corpus, and final token count.  Plan: one
+    narrow metric pass, one fingerprint-window shuffle (dedup keeper +
+    leakage-proof split both derive from the SAME content hash), one
+    per-source fold — 2 shuffles end to end at any scale."""
+    from pyspark.sql import Window
+
+    from sequin_spark.datapipe.filtering import (first_violation,
+                                                 standard_quality_rules)
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source")
+    annotated, rules = standard_quality_rules(docs, keep_cols=("source",))
+    kept_idx = len(rules)
+    staged = annotated.select(
+        "doc_id", "source",
+        (first_violation(rules) == kept_idx).alias("quality_pass"),
+        F.md5("_nt").alias("fp"),
+        F.size("_w").alias("n_toks"))
+    w = Window.partitionBy("fp")
+    keeper = F.min(F.when(F.col("quality_pass"), F.col("doc_id"))).over(w)
+    bucket = (F.conv(F.substring(F.md5("fp"), 1, 4), 16, 10)
+              .cast("long") % 100)
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    s = (staged
+         .withColumn("dedup_keep",
+                     F.col("quality_pass") & (F.col("doc_id") == keeper))
+         .withColumn("split", F.when(F.col("dedup_keep"), split)))
+    return (s.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("quality_pass"), 1).otherwise(0))
+        .cast("long").alias("n_quality_dropped"),
+        F.sum(F.when(F.col("quality_pass") & ~F.col("dedup_keep"), 1)
+              .otherwise(0)).cast("long").alias("n_dup_dropped"),
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long").alias("n_test"),
+        F.sum(F.when(F.col("dedup_keep"), F.col("n_toks")).otherwise(0))
+        .cast("long").alias("n_tokens_final")))
+
+
+def _sql_report_card() -> str:
+    h16_fp = _sql_h16_of("fp")
+    return f"""
+WITH {_sql_quality_ff_ctes(", source")},
+staged AS (
+  SELECT doc_id, source, (ffi = 9) AS quality_pass, md5(nt) AS fp,
+         len(w) AS n_toks
+  FROM ff
+),
+k AS (
+  SELECT *, min(CASE WHEN quality_pass THEN doc_id END)
+              OVER (PARTITION BY fp) AS keeper
+  FROM staged
+),
+s AS (
+  SELECT *, quality_pass AND doc_id = keeper AS dedup_keep,
+         CASE WHEN quality_pass AND doc_id = keeper THEN
+           CASE WHEN ({h16_fp}) % 100 < 80 THEN 'train'
+                WHEN ({h16_fp}) % 100 < 90 THEN 'val'
+                ELSE 'test' END
+         END AS split
+  FROM k
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN NOT quality_pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_dropped,
+       CAST(sum(CASE WHEN quality_pass AND NOT dedup_keep THEN 1 ELSE 0
+                END) AS BIGINT) AS n_dup_dropped,
+       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_val,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test,
+       CAST(sum(CASE WHEN dedup_keep THEN n_toks ELSE 0 END) AS BIGINT)
+         AS n_tokens_final
+FROM s GROUP BY source
 """
 
 
@@ -4120,6 +4225,7 @@ DATAPIPE_QUERIES = {
     "corpus_decontaminate": q_corpus_decontaminate,
     "text_pii_scrub": q_text_pii_scrub,
     "text_filter_funnel": q_text_filter_funnel,
+    "corpus_report_card": q_corpus_report_card,
     "quality_repetition": q_quality_repetition,
     "url_dedup": q_url_dedup,
     "corpus_line_dedup": q_corpus_line_dedup,
@@ -4197,6 +4303,7 @@ DATAPIPE_ORACLES = {
     "corpus_decontaminate": _sql_corpus_decontaminate(),
     "text_pii_scrub": _sql_text_pii_scrub(),
     "text_filter_funnel": SQL_TEXT_FILTER_FUNNEL,
+    "corpus_report_card": _sql_report_card(),
     "quality_repetition": _sql_quality_repetition(),
     "url_dedup": _sql_url_dedup(),
     "corpus_line_dedup": _sql_corpus_line_dedup(),

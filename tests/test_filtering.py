@@ -140,3 +140,81 @@ def test_standard_quality_rules_single_pass_plan(spark):
     # corpus-side scan feeds a single hash aggregate; the only joins are
     # over the <=10-row rules/drops tables (broadcast)
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_report_card_conserves_documents(spark):
+    """Per-source accounting must conserve: docs = quality_dropped +
+    dup_dropped + train + val + test, and the report's quality drops
+    equal the funnel's total drops on the same corpus."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.queries_datapipe import (q_corpus_report_card,
+                                               q_text_filter_funnel)
+
+    sf = "/root/testdata/sf0.001"
+    card = q_corpus_report_card(spark, sf).collect()
+    for r in card:
+        assert r.n_docs == (r.n_quality_dropped + r.n_dup_dropped
+                            + r.n_train + r.n_val + r.n_test)
+    funnel = {r.rule: r for r in q_text_filter_funnel(spark, sf).collect()}
+    total_funnel_drops = sum(
+        r.n_dropped for r in funnel.values() if r.rule != "(kept)")
+    assert sum(r.n_quality_dropped for r in card) == total_funnel_drops
+
+
+def test_filter_funnel_streaming_twin_update_mode(spark, tmp_path):
+    """The funnel's corpus pass is ONE update-mode streaming aggregation:
+    groupBy(first_violation).count over a document stream must equal the
+    batch funnel drop counts over the union of all micro-batches (the
+    metric select is deterministic and narrow, so it streams as-is)."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.datapipe.filtering import (filter_funnel,
+                                                 first_violation,
+                                                 standard_quality_rules)
+
+    docs = [
+        (i, ("the quick brown fox of a lazy dog jumping over fences in "
+             "the morning light with a friend of mine near the old barn "
+             * (1 + i % 3)))
+        for i in range(40)
+    ] + [(100 + i, "tiny doc") for i in range(6)]       # too_short
+    src = str(tmp_path / "src")
+    schema = "doc_id long, text string"
+    half = len(docs) // 2
+    spark.createDataFrame(docs[:half], schema).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    batch_df = spark.createDataFrame(docs, schema)
+    annotated_b, rules = standard_quality_rules(batch_df)
+    want = {r.rule_idx: r.n_dropped
+            for r in filter_funnel(annotated_b, rules).collect()
+            if r.rule != "(kept)"}
+    want[len(rules)] = next(
+        r.n_survived for r in filter_funnel(annotated_b, rules).collect()
+        if r.rule == "(kept)")
+
+    stream = spark.readStream.schema(schema) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    annotated_s, rules_s = standard_quality_rules(stream)
+    counts = (annotated_s
+              .select(first_violation(rules_s).alias("rule_idx"))
+              .groupBy("rule_idx").agg(F.count("*").alias("n")))
+    q = (counts.writeStream.format("memory").queryName("funnel_stream")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("update").start())
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(docs[half:], schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends changed rows; keep the LAST
+    # count per rule_idx via max (counts only grow)
+    got2 = {}
+    for r in spark.sql(
+            "SELECT rule_idx, max(n) AS n FROM funnel_stream "
+            "GROUP BY rule_idx").collect():
+        got2[r.rule_idx] = r.n
+    assert got2 == {k: v for k, v in want.items() if v > 0}
