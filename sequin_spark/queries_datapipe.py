@@ -265,6 +265,159 @@ FROM reach GROUP BY id
 """
 
 
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC eval-set decontamination — the embedding-space
+    complement of the n-gram pass (corpus_decontaminate): corpus
+    vectors whose cosine to any eval vector is ≥ 0.9 are leakage
+    suspects even when no 8-gram matches (paraphrases, translations,
+    near-rewrites).  Scale path: sign-random-projection LSH buckets on
+    BOTH sides, candidates only from bucket collisions (positive
+    scaling preserves signs, so the planted leaks — eval vectors ×1.5
+    injected into the corpus — collide with certainty and score cosine
+    exactly 1.0), then one exact cosine verify per candidate.  Never
+    all-pairs; the eval side is tiny and broadcasts."""
+    from sequin_spark.datapipe.similarity import (cosine_col,
+                                                  hyperplane_buckets)
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    eval_set = emb.filter(F.col("vec_id") < 20)
+    leaks = eval_set.select(
+        (F.col("vec_id") + 50000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.5))
+        .alias("embedding"))
+    corpus = emb.filter(F.col("vec_id") >= 20).unionByName(leaks)
+    b_eval = hyperplane_buckets(eval_set, 8).select(
+        F.col("vec_id").alias("eval_id"), "bucket")
+    b_corp = hyperplane_buckets(corpus, 8).select(
+        F.col("vec_id").alias("corp_id"), "bucket")
+    cand = b_corp.join(F.broadcast(b_eval), "bucket").select(
+        "corp_id", "eval_id")
+    ve = eval_set.select(F.col("vec_id").alias("eval_id"),
+                         F.col("embedding").alias("ev"))
+    vc = corpus.select(F.col("vec_id").alias("corp_id"),
+                       F.col("embedding").alias("cv"))
+    return (cand.join(F.broadcast(ve), "eval_id").join(vc, "corp_id")
+            .withColumn("cos", F.round(cosine_col("cv", "ev"), 3))
+            .filter(F.col("cos") >= 0.9)
+            .select("corp_id", "eval_id", "cos"))
+
+
+def _sql_decontaminate_semantic() -> str:
+    def bucket_bits(vec: str) -> str:
+        bits = []
+        for p in range(8):
+            dot = (
+                f"list_sum(list_transform(generate_series(0, 63), d -> "
+                f"(strpos('0123456789abcdef', "
+                f"substr(md5('{p}_' || CAST(d AS VARCHAR)), 1, 1)) - 1 - 7.5)"
+                f" * CAST({vec}[d + 1] AS DOUBLE)))"
+            )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    cos = ("list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(c.embedding[i] AS DOUBLE)"
+           " * CAST(e.embedding[i] AS DOUBLE)))"
+           " / (sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(c.embedding[i] AS DOUBLE)"
+           " * CAST(c.embedding[i] AS DOUBLE))))"
+           " * sqrt(list_sum(list_transform(generate_series(1, 64), "
+           "i -> CAST(e.embedding[i] AS DOUBLE)"
+           " * CAST(e.embedding[i] AS DOUBLE)))))")
+    return f"""
+WITH eval_set AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20
+),
+corpus AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20
+  UNION ALL
+  SELECT vec_id + 50000,
+         list_transform(embedding, x -> x * CAST(1.5 AS FLOAT))
+  FROM embeddings WHERE vec_id < 20
+),
+be AS (SELECT vec_id AS eval_id, CAST({bucket_bits('embedding')} AS INTEGER)
+         AS bucket, embedding FROM eval_set),
+bc AS (SELECT vec_id AS corp_id, CAST({bucket_bits('embedding')} AS INTEGER)
+         AS bucket, embedding FROM corpus),
+cand AS (
+  SELECT c.corp_id, e.eval_id, round({cos}, 3) AS cos
+  FROM bc c JOIN be e ON c.bucket = e.bucket
+)
+SELECT corp_id, eval_id, cos FROM cand WHERE cos >= 0.9
+"""
+
+
+def q_dedup_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    (MinHash-LSH pairs → connected components) keep the HIGHEST-quality
+    member (quality_score; tie → min doc_id) instead of the min-id
+    policy — the curation rule that keeps the clean original over its
+    degraded re-crawl (the dupes fixture's ' the '→' thy ' edit lowers
+    the copy's stopword ratio, so the original must win).  Plan: the
+    components' label propagation + one quality pass + a per-cluster
+    top-1 window (WindowGroupLimit partial top-k)."""
+    from pyspark.sql import Window
+
+    from sequin_spark.datapipe.dedup import connected_components
+    from sequin_spark.datapipe.text import quality_score
+
+    _prep(spark)
+    corpus = _docs_with_dupes(spark, sf_dir)
+    pairs = minhash_candidate_pairs(corpus, bands=4, rows_per_band=2,
+                                    shingle_k=3)
+    comps = connected_components(pairs)
+    q = quality_score(corpus).select("doc_id", "quality")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc())
+    ranked = (comps.join(q, "doc_id")
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy("cluster_id"))))
+    return (ranked.filter(F.col("rn") == 1)
+            .select("cluster_id",
+                    F.col("doc_id").alias("keeper_doc_id"),
+                    F.col("n").cast("long").alias("n_members"),
+                    F.col("quality").alias("best_quality")))
+
+
+def _sql_quality_keeper() -> str:
+    base = _sql_cluster_components()
+    head = base[:base.index("SELECT id AS doc_id")]
+    head = head.rstrip().rstrip(")").rstrip()  # re-open the CTE list
+    return head + f"""),
+comp AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+),
+qt AS (
+  SELECT doc_id, length(nt) AS n_chars,
+         len(string_split(nt, ' ')) AS n_tokens,
+         len(regexp_extract_all(nt, '[0-9]')) AS n_digits,
+         len(regexp_extract_all(nt, '\\b(the|a|of|and|in|to)\\b'))
+           AS stop_hits
+  FROM (SELECT doc_id, {D_NORM} AS nt FROM all_docs) t
+),
+q AS (
+  SELECT doc_id,
+         round(least(1.0, n_tokens / 100.0)
+               * (0.5 + 0.5 * stop_hits * 1.0 / n_tokens)
+               - n_digits * 1.0 / n_chars, 4) AS quality
+  FROM qt
+),
+ranked AS (
+  SELECT c.cluster_id, c.doc_id, q.quality,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY c.cluster_id) AS n
+  FROM comp c JOIN q ON c.doc_id = q.doc_id
+)
+SELECT cluster_id, doc_id AS keeper_doc_id,
+       CAST(n AS BIGINT) AS n_members, quality AS best_quality
+FROM ranked WHERE rn = 1
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     return simhash(_docs_with_dupes(spark, sf_dir))
@@ -4191,6 +4344,7 @@ DATAPIPE_QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_lsh": q_dedup_minhash_lsh,
     "dedup_cluster_components": q_dedup_cluster_components,
+    "dedup_quality_keeper": q_dedup_quality_keeper,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -4223,6 +4377,7 @@ DATAPIPE_QUERIES = {
     "corpus_chunk_windows": q_corpus_chunk_windows,
     "corpus_chunk_refresh": q_corpus_chunk_refresh,
     "corpus_decontaminate": q_corpus_decontaminate,
+    "decontaminate_semantic": q_decontaminate_semantic,
     "text_pii_scrub": q_text_pii_scrub,
     "text_filter_funnel": q_text_filter_funnel,
     "corpus_report_card": q_corpus_report_card,
@@ -4269,6 +4424,7 @@ DATAPIPE_ORACLES = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash_lsh": _sql_minhash(),
     "dedup_cluster_components": _sql_cluster_components(),
+    "dedup_quality_keeper": _sql_quality_keeper(),
     "dedup_simhash": _sql_simhash(),
     "dedup_simhash_pairs": _sql_simhash_pairs(),
     "dedup_ngram_jaccard": _sql_ngram_jaccard(),
@@ -4301,6 +4457,7 @@ DATAPIPE_ORACLES = {
     "corpus_chunk_windows": SQL_CORPUS_CHUNK_WINDOWS,
     "corpus_chunk_refresh": SQL_CORPUS_CHUNK_REFRESH,
     "corpus_decontaminate": _sql_corpus_decontaminate(),
+    "decontaminate_semantic": _sql_decontaminate_semantic(),
     "text_pii_scrub": _sql_text_pii_scrub(),
     "text_filter_funnel": SQL_TEXT_FILTER_FUNNEL,
     "corpus_report_card": _sql_report_card(),

@@ -983,3 +983,31 @@ def test_matryoshka_recall_monotone_in_dim(spark):
     assert set(rows) == {8, 16, 32}
     assert all(0.0 <= v <= 1.0 for v in rows.values())
     assert rows[8] <= rows[16] <= rows[32]
+
+
+def test_quality_keeper_prefers_original_over_degraded_copy(spark):
+    """The ' the '->' thy ' re-crawl edit lowers the copy's stopword
+    ratio, so in every original+copy cluster the ORIGINAL (lower id,
+    higher quality) must be the keeper — and never by tie-break alone."""
+    from sequin_spark.queries_datapipe import q_dedup_quality_keeper
+
+    rows = q_dedup_quality_keeper(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    pair_clusters = [r for r in rows if r.n_members == 2
+                     and r.cluster_id % 25 == 0 and r.cluster_id < 10000]
+    assert pair_clusters  # original+copy clusters exist
+    for r in pair_clusters:
+        assert r.keeper_doc_id == r.cluster_id  # the original, not +10000
+
+
+def test_decontaminate_semantic_finds_planted_leaks(spark):
+    """Every scaled eval copy must be flagged at cosine exactly 1.0
+    (positive scaling preserves both the LSH bucket and the cosine);
+    no random corpus vector reaches the 0.9 threshold."""
+    from sequin_spark.queries_datapipe import q_decontaminate_semantic
+
+    rows = q_decontaminate_semantic(spark, "/root/testdata/sf0.001").collect()
+    planted = {(r.corp_id, r.eval_id) for r in rows if r.corp_id >= 50000}
+    assert planted == {(i + 50000, i) for i in range(20)}
+    assert all(r.cos == 1.0 for r in rows if r.corp_id >= 50000)
+    assert all(r.corp_id >= 50000 for r in rows)  # no false positives here
