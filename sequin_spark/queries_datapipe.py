@@ -4331,6 +4331,270 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
 """
 
 
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords (smooth-idf; the keyword /
+    topic-tagging primitive; datapipe/selection.tfidf_topk).  Ranking
+    uses the rounded score + lexicographic tiebreak so the top-k cut
+    is engine-exact."""
+    from sequin_spark.datapipe.selection import tfidf_topk
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3, min_len=3)
+
+
+def _sql_tfidf_keywords(k: int = 3, min_len: int = 3) -> str:
+    return f"""
+WITH pairs AS (
+  SELECT doc_id, w AS token, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(string_split({D_NORM}, ' ')) AS w
+        FROM documents)
+  WHERE length(w) >= {min_len}
+  GROUP BY doc_id, w
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+dfreq AS (SELECT token, CAST(count(*) AS DOUBLE) AS df_t
+          FROM pairs GROUP BY token),
+scored AS (
+  SELECT p.doc_id, p.token,
+         round((p.tf / sum(p.tf) OVER (PARTITION BY p.doc_id))
+               * (ln((1 + (SELECT n_docs FROM n)) / (1 + d.df_t)) + 1),
+               4) AS tfidf
+  FROM pairs p JOIN dfreq d USING (token)
+)
+SELECT doc_id, token, tfidf, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT scored.*,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored) WHERE rk <= {k}
+"""
+
+
+def q_select_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training triplet mining (datapipe/similarity.
+    hard_negative_mining): per anchor, top-3 hardest cross-label
+    negatives by cosine + margin vs the hardest same-label positive.
+    Exact mining is the all-pairs eval baseline (allow-listed like
+    ann_topk_bruteforce); the scale path mines within IVF/LSH
+    candidate sets."""
+    from sequin_spark.datapipe.similarity import hard_negative_mining
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return hard_negative_mining(emb, anchors, k=3)
+
+
+_SQL_COS_QN = """list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+                  i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(generate_series(1, len(n.embedding)),
+                  i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE)))))"""
+
+SQL_SELECT_HARD_NEGATIVES = f"""
+WITH c AS (
+  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         q.label AS q_label, n.label AS n_label,
+         {_SQL_COS_QN} AS cos
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 10 AND q.vec_id != n.vec_id
+),
+pos AS (SELECT q_id, max(cos) AS pos_cos FROM c
+        WHERE q_label = n_label GROUP BY q_id),
+negs AS (SELECT q_id, n_id, cos,
+                row_number() OVER (PARTITION BY q_id
+                                   ORDER BY cos DESC, n_id ASC) AS rnk
+         FROM c WHERE q_label != n_label)
+SELECT negs.q_id, n_id, rnk, round(cos, 3) AS neg_cos,
+       round(pos_cos - cos, 3) AS margin
+FROM negs LEFT JOIN pos USING (q_id)
+WHERE rnk <= 3
+"""
+
+
+def q_privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP (source, lang) doc-count histogram via the truncated
+    discrete-Laplace mechanism with a keyed-PRF draw per cell
+    (datapipe/privacy.py): the release-safe corpus summary primitive.
+    One group-keyed shuffle; noise is a narrow array-lambda scan over
+    81 literal CDF thresholds — engine-exact, no RNG state."""
+    from sequin_spark.datapipe.privacy import dp_count_histogram
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_count_histogram(docs, ["source", "lang"])
+
+
+def _sql_privacy_dp_histogram() -> str:
+    from sequin_spark.datapipe.privacy import sql_dp_count_histogram
+
+    return sql_dp_count_histogram("documents", ["source", "lang"], _sql_h60_of)
+
+
+def q_privacy_dp_clamped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP total-characters release per source with contribution
+    bounding (datapipe/privacy.dp_clamped_sum): per-doc n_chars
+    clamped to 2000 before the sum (one row moves the release by at
+    most the clamp), noise = clamp * discrete-Laplace draw from the
+    per-cell keyed PRF."""
+    from sequin_spark.datapipe.privacy import dp_clamped_sum
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_clamped_sum(docs, ["source"], "n_chars", clamp=2000)
+
+
+def _sql_privacy_dp_clamped_sum() -> str:
+    from sequin_spark.datapipe.privacy import sql_dp_clamped_sum
+
+    return sql_dp_clamped_sum(
+        "documents", ["source"], "n_chars", 2000, _sql_h60_of)
+
+
+def q_privacy_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DP median doc length per source via the exponential mechanism
+    (datapipe/privacy.dp_quantile_exponential): candidate = distinct
+    n_chars value, utility = -|rank distance to the median|, weight =
+    an integer decay fold replacing exp(-eps*d/2) — the whole
+    selection trajectory is 64-bit-integer engine-exact, with only the
+    keyed-PRF uniform and one IEEE multiply+floor at the end."""
+    from sequin_spark.datapipe.privacy import dp_quantile_exponential
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_quantile_exponential(docs, ["source"], "n_chars")
+
+
+def _sql_privacy_dp_median() -> str:
+    from sequin_spark.datapipe.privacy import sql_dp_quantile_exponential
+
+    return sql_dp_quantile_exponential(
+        "documents", ["source"], "n_chars", _sql_h60_of)
+
+
+# --- Graph centrality (datapipe/graph.py) ---------------------------------
+
+
+_TRADE_EDGES_CACHE: dict = {}
+
+
+def _trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation trade graph (supplier nation -> customer nation, weight
+    = lineitem count), memoized per (session, sf_dir) and materialized
+    with localCheckpoint so PageRank and HITS share ONE star-join
+    build — the graph analog of the memoized anisotropy fit."""
+    key = (id(spark), os.path.realpath(sf_dir))
+    if key in _TRADE_EDGES_CACHE:
+        return _TRADE_EDGES_CACHE[key]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").cast("long").alias("w"))
+    ).localCheckpoint()
+    _TRADE_EDGES_CACHE[key] = edges
+    return edges
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the nation trade graph (supplier
+    nation -> customer nation, weight = lineitem count): the
+    crawl-frontier / domain-authority centrality primitive, computed
+    in pure 64-bit integer arithmetic so the trajectory is engine-exact
+    (datapipe/graph.py).  Edge build = one shuffle-heavy star join
+    (supplier broadcast), memoized and shared with graph_hits; each of
+    the 5 iterations shuffles only the 25-row contribution table — at
+    100 TB the edge table is the big side, partitioned by dst, and
+    ranks broadcast."""
+    from sequin_spark.datapipe.graph import pagerank_int
+
+    _prep(spark)
+    edges = _trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    pr = pagerank_int(nodes, edges, iters=5)
+    return pr.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+        "node",
+    ).select(
+        F.col("node").alias("nationkey"), "n_name", "rank_int", "rank_val"
+    )
+
+
+_SQL_TRADE_EDGES = (
+    "SELECT s.s_nationkey AS src, c.c_nationkey AS dst, "
+    "CAST(count(*) AS BIGINT) AS w "
+    "FROM lineitem l "
+    "JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
+    "GROUP BY 1, 2"
+)
+
+
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS hubs & authorities over the nation trade graph
+    (datapipe/graph.py:hits_int): exporter-side hub mass vs
+    importer-side authority mass — the link-spam / mutual-reinforcement
+    companion to PageRank, on the same shared memoized edge table and
+    the same engine-exact integer grid (divisor-form max
+    normalization)."""
+    from sequin_spark.datapipe.graph import hits_int
+
+    _prep(spark)
+    edges = _trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ht = hits_int(nodes, edges, iters=4)
+    return ht.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+        "node",
+    ).select(
+        F.col("node").alias("nationkey"), "n_name",
+        "authority_int", "hub_int", "authority", "hub",
+    )
+
+
+def _sql_graph_hits() -> str:
+    from sequin_spark.datapipe.graph import sql_hits_int
+
+    inner = sql_hits_int(
+        edges_cte=_SQL_TRADE_EDGES,
+        nodes_cte="SELECT n_nationkey AS node FROM nation",
+        iters=4,
+    )
+    return f"""
+WITH ht AS ({inner})
+SELECT ht.node AS nationkey, n.n_name, ht.authority_int, ht.hub_int,
+       ht.authority, ht.hub
+FROM ht JOIN nation n ON n.n_nationkey = ht.node
+"""
+
+
+def _sql_graph_pagerank() -> str:
+    from sequin_spark.datapipe.graph import sql_pagerank_int
+
+    inner = sql_pagerank_int(
+        edges_cte=_SQL_TRADE_EDGES,
+        nodes_cte="SELECT n_nationkey AS node FROM nation",
+        iters=5,
+    )
+    return f"""
+WITH pr AS ({inner})
+SELECT pr.node AS nationkey, n.n_name, pr.rank_int, pr.rank_val
+FROM pr JOIN nation n ON n.n_nationkey = pr.node
+"""
+
+
 DATAPIPE_QUERIES = {
     "embed_top_component": q_embed_top_component,
     "embed_debias_isotropy": q_embed_debias_isotropy,
@@ -4409,6 +4673,13 @@ DATAPIPE_QUERIES = {
     "sketch_bloom_probe": q_sketch_bloom_probe,
     "sketch_cm_heavy_hitters": q_sketch_cm_heavy_hitters,
     "quality_classifier": q_quality_classifier,
+    "graph_pagerank": q_graph_pagerank,
+    "text_tfidf_keywords": q_text_tfidf_keywords,
+    "privacy_dp_histogram": q_privacy_dp_histogram,
+    "select_hard_negatives": q_select_hard_negatives,
+    "graph_hits": q_graph_hits,
+    "privacy_dp_clamped_sum": q_privacy_dp_clamped_sum,
+    "privacy_dp_median": q_privacy_dp_median,
 }
 
 DATAPIPE_ORACLES = {
@@ -4489,4 +4760,11 @@ DATAPIPE_ORACLES = {
     "sketch_bloom_probe": _sql_bloom_probe(),
     "sketch_cm_heavy_hitters": _sql_sketch_cm(),
     "quality_classifier": _sql_quality_classifier(),
+    "graph_pagerank": _sql_graph_pagerank(),
+    "text_tfidf_keywords": _sql_tfidf_keywords(),
+    "privacy_dp_histogram": _sql_privacy_dp_histogram(),
+    "select_hard_negatives": SQL_SELECT_HARD_NEGATIVES,
+    "graph_hits": _sql_graph_hits(),
+    "privacy_dp_clamped_sum": _sql_privacy_dp_clamped_sum(),
+    "privacy_dp_median": _sql_privacy_dp_median(),
 }
