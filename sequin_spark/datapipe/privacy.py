@@ -1,0 +1,340 @@
+"""Differentially-private release operators.
+
+Training corpora increasingly ship with per-source / per-cell summary
+statistics; when those summaries leave the trust boundary they need DP
+noise (the same reason the PII scrub in ``datapipe/text.py`` exists).
+This module implements the **discrete Laplace (two-sided geometric)
+mechanism** for count histograms:
+
+    P(K = k)  ∝  alpha^|k|,   alpha = exp(-eps / sensitivity)
+
+Determinism contract: production DP demands cryptographic randomness,
+but a *replayable pipeline* (and a cross-engine oracle) demands a
+seeded draw — the standard practice for testable DP systems is a
+keyed PRF per release cell, which is exactly what we do:
+
+    u(cell) = h60(cell_key || salt) / 2^60  ∈ [0, 1)
+
+and K = the inverse-CDF bucket of ``u``.  The CDF is truncated to
+|k| <= trunc_k and renormalized (a truncated discrete Laplace — still
+a valid mechanism with a slightly tightened epsilon; the tail mass at
+the default alpha=0.9, trunc_k=40 is ~1.3%).  Every threshold is a
+Python-computed double injected as a literal into BOTH the Spark plan
+and the DuckDB oracle, and the bucket lookup is a pure array-lambda
+scan (`size(filter(cums, c -> c <= u))`) — no joins, no RNG state, no
+cross-engine libm calls.
+
+Scale shape: the histogram is one group-keyed shuffle with map-side
+combine; the noise attach is a narrow per-row expression over the
+(bounded, |cells|-row) aggregate.  At 100 TB the cost IS the count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TWO60 = float(1 << 60)
+
+
+def geometric_cdf_thresholds(alpha: float = 0.9, trunc_k: int = 40) -> list[float]:
+    """Cumulative CDF thresholds c_i = P(K <= -trunc_k - 1 + i) of the
+    truncated two-sided geometric, i = 1..2*trunc_k+1 (last = 1.0).
+    Noise k for a uniform u is  -trunc_k + |{c_i <= u}|."""
+    ks = list(range(-trunc_k, trunc_k + 1))
+    weights = [alpha ** abs(k) for k in ks]
+    total = sum(weights)
+    cums, acc = [], 0.0
+    for w in weights:
+        acc += w / total
+        cums.append(min(acc, 1.0))
+    cums[-1] = 1.0
+    return cums
+
+
+def _noise_expr_spark(u_col: str, cums: list[float]) -> str:
+    arr = ", ".join(f"{c!r}D" for c in cums)
+    k0 = (len(cums) - 1) // 2
+    return f"CAST(size(filter(array({arr}), c -> c <= {u_col})) - {k0} AS BIGINT)"
+
+
+def noise_expr_sql(u_expr: str, cums: list[float]) -> str:
+    """The identical inverse-CDF bucket scan as a DuckDB expression."""
+    arr = ", ".join(repr(c) for c in cums)
+    k0 = (len(cums) - 1) // 2
+    return (f"CAST(len(list_filter([{arr}], c -> c <= {u_expr})) - {k0}"
+            " AS BIGINT)")
+
+
+def dp_count_histogram(
+    df: DataFrame,
+    keys: list[str],
+    salt: str = "dp1",
+    alpha: float = 0.9,
+    trunc_k: int = 40,
+) -> DataFrame:
+    """ε-DP count histogram over ``keys`` cells (sensitivity 1: one row
+    added/removed moves one cell count by one).  Returns per cell:
+    n_true (pre-noise, for audit builds only — a production release
+    would drop it), k_noise, and n_dp = max(0, n_true + k_noise)
+    (non-negativity is post-processing, DP-free)."""
+    from sequin_spark.datapipe.sketch import h60
+
+    cums = geometric_cdf_thresholds(alpha, trunc_k)
+    cell_key = F.concat_ws("|", *[F.col(c) for c in keys], F.lit(salt))
+    counts = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+        .withColumn("_u", h60(cell_key) / F.lit(TWO60))
+    )
+    return (
+        counts.withColumn("k_noise", F.expr(_noise_expr_spark("_u", cums)))
+        .select(
+            *keys,
+            "n_true",
+            "k_noise",
+            F.greatest(F.lit(0).cast("long"),
+                       F.col("n_true") + F.col("k_noise")).alias("n_dp"),
+        )
+    )
+
+
+def dp_clamped_sum(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    clamp: int,
+    salt: str = "dpsum1",
+    alpha: float = 0.9,
+    trunc_k: int = 40,
+) -> DataFrame:
+    """DP sum release with contribution bounding: each row's value is
+    clamped to [0, clamp] BEFORE aggregation (the user-level-DP
+    prerequisite — one row can move the sum by at most ``clamp``), then
+    discrete-Laplace noise scaled by the sensitivity is added:
+
+        n_dp = max(0, sum(clamped) + clamp * K)
+
+    with K drawn from the same truncated two-sided geometric as the
+    histogram (scaling the geometric by the sensitivity is the
+    standard integer-valued calibration; effective eps divides by
+    ``clamp``).  Same shape: one keyed shuffle, narrow noise attach."""
+    from sequin_spark.datapipe.sketch import h60
+
+    cums = geometric_cdf_thresholds(alpha, trunc_k)
+    cell_key = F.concat_ws("|", *[F.col(c) for c in keys], F.lit(salt))
+    clamped = F.least(
+        F.greatest(F.col(value_col).cast("long"), F.lit(0).cast("long")),
+        F.lit(int(clamp)).cast("long"))
+    agg = (
+        df.groupBy(*keys)
+        .agg(F.sum(clamped).alias("sum_clamped"),
+             F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .withColumn("_u", h60(cell_key) / F.lit(TWO60))
+    )
+    return (
+        agg.withColumn("k_noise", F.expr(_noise_expr_spark("_u", cums)))
+        .select(
+            *keys,
+            "n_rows",
+            "sum_clamped",
+            "k_noise",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.col("sum_clamped") + F.lit(int(clamp)) * F.col("k_noise"),
+            ).alias("sum_dp"),
+        )
+    )
+
+
+def sql_dp_clamped_sum(
+    table_sql: str,
+    keys: list[str],
+    value_col: str,
+    clamp: int,
+    h60_of,
+    salt: str = "dpsum1",
+    alpha: float = 0.9,
+    trunc_k: int = 40,
+) -> str:
+    cums = geometric_cdf_thresholds(alpha, trunc_k)
+    key_expr = "concat_ws('|', " + ", ".join(keys) + f", '{salt}')"
+    u = f"({h60_of(key_expr)} / {TWO60!r})"
+    noise = noise_expr_sql("u", cums)
+    key_cols = ", ".join(keys)
+    clamped = (f"least(greatest(CAST({value_col} AS BIGINT), 0), {clamp})")
+    return f"""
+WITH agg AS (
+  SELECT {key_cols},
+         CAST(sum({clamped}) AS BIGINT) AS sum_clamped,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         {u} AS u
+  FROM {table_sql} GROUP BY {key_cols}
+)
+SELECT {key_cols}, n_rows, sum_clamped, {noise} AS k_noise,
+       greatest(CAST(0 AS BIGINT), sum_clamped + {clamp} * {noise}) AS sum_dp
+FROM agg
+"""
+
+
+def dp_quantile_exponential(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    decay_num: int = 9,
+    decay_den: int = 10,
+    scale: int = 10**12,
+    salt: str = "dpq1",
+) -> DataFrame:
+    """DP quantile per group via the **exponential mechanism** with a
+    fully integer, engine-exact weight trajectory:
+
+        utility(v)  = -|q_den * cum_le(v) - q_num * n|      (integer d)
+        weight(v)   = fold of  w -> w * decay_num div decay_den,
+                      d times, from ``scale``                 (integer)
+        selection   = first candidate (by value order) whose running
+                      weight sum exceeds floor(u * total_weight)
+
+    The decay fold replaces exp(-eps*d/2): decay = exp(-eps/2), so
+    eps = 2*ln(decay_den/decay_num) per unit of rank distance
+    (~0.211 at the default 9/10 — concentrated within a few ranks of
+    the true quantile at n in the hundreds; use 99/100 for a tighter
+    eps ~0.0201 when the group sizes support it).  Every quantity is a 64-bit integer except u
+    (the keyed-PRF uniform) and the single floor(u*total) product —
+    IEEE multiply+floor, deterministic.  Candidates are the group's
+    distinct values: one keyed count shuffle + two windows over the
+    same group partition (cum + running weight sum); the per-row fold
+    is O(rank distance), bounded by group cardinality.
+
+    Output value column is named ``dp_q``: the DP-selected quantile.
+    """
+    from pyspark.sql import Window
+
+    from sequin_spark.datapipe.sketch import h60
+
+    w_grp = Window.partitionBy(*keys).orderBy(F.col("v").asc())
+    counts = (
+        df.select(*keys, F.col(value_col).cast("long").alias("v"))
+        .groupBy(*keys, "v")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    scored = (
+        counts.withColumn("cum", F.sum("c").over(
+            w_grp.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.sum("c").over(Window.partitionBy(*keys)))
+        .withColumn("d", F.abs(F.lit(q_den) * F.col("cum")
+                               - F.lit(q_num) * F.col("n")))
+        # d = 0 guarded explicitly: Spark's sequence(1, 0) is the
+        # DESCENDING [1, 0], not empty — it would fold twice
+        .withColumn(
+            "wgt",
+            F.when(F.col("d") == 0, F.lit(scale).cast("long")).otherwise(
+                F.expr(
+                    f"aggregate(sequence(1, CAST(d AS INT)), "
+                    f"CAST({scale} AS BIGINT), "
+                    f"(acc, x) -> (acc * {decay_num}) div {decay_den})")),
+        )
+    )
+    cell_key = F.concat_ws("|", *[F.col(c) for c in keys], F.lit(salt))
+    sel = (
+        scored.withColumn("cum_w", F.sum("wgt").over(
+            w_grp.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("tot_w", F.sum("wgt").over(Window.partitionBy(*keys)))
+        .withColumn("_u", h60(cell_key) / F.lit(TWO60))
+        .withColumn("target", F.floor(F.col("_u") * F.col("tot_w")).cast("long"))
+        .filter(F.col("cum_w") > F.col("target"))
+    )
+    w_pick = Window.partitionBy(*keys).orderBy(F.col("v").asc())
+    return (
+        sel.withColumn("_rk", F.row_number().over(w_pick))
+        .filter(F.col("_rk") == 1)
+        .select(*keys, F.col("v").alias("dp_q"), "n")
+    )
+
+
+def sql_dp_quantile_exponential(
+    table_sql: str,
+    keys: list[str],
+    value_col: str,
+    h60_of,
+    q_num: int = 1,
+    q_den: int = 2,
+    decay_num: int = 9,
+    decay_den: int = 10,
+    scale: int = 10**12,
+    salt: str = "dpq1",
+) -> str:
+    """DuckDB oracle: identical integer trajectory (list_reduce fold),
+    identical keyed-PRF draw, identical selection rule."""
+    key_cols = ", ".join(keys)
+    key_expr = "concat_ws('|', " + ", ".join(keys) + f", '{salt}')"
+    u = f"({h60_of(key_expr)} / {TWO60!r})"
+    return f"""
+WITH counts AS (
+  SELECT {key_cols}, CAST({value_col} AS BIGINT) AS v,
+         CAST(count(*) AS BIGINT) AS c
+  FROM {table_sql} GROUP BY {key_cols}, CAST({value_col} AS BIGINT)
+),
+scored AS (
+  SELECT {key_cols}, v, c,
+         CAST(sum(c) OVER (PARTITION BY {key_cols} ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         CAST(sum(c) OVER (PARTITION BY {key_cols}) AS BIGINT) AS n
+  FROM counts
+),
+weighted AS (
+  SELECT *, abs({q_den} * cum - {q_num} * n) AS d,
+         CASE WHEN abs({q_den} * cum - {q_num} * n) = 0
+              THEN CAST({scale} AS BIGINT)
+              ELSE CAST(list_reduce(
+                     list_prepend(CAST({scale} AS BIGINT),
+                       list_transform(generate_series(1,
+                         CAST(abs({q_den} * cum - {q_num} * n) AS INTEGER)),
+                         x -> CAST(0 AS BIGINT))),
+                     (acc, x) -> (acc * {decay_num}) // {decay_den})
+                   AS BIGINT) END AS wgt
+  FROM scored
+),
+sel AS (
+  SELECT *,
+         CAST(sum(wgt) OVER (PARTITION BY {key_cols} ORDER BY v ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_w,
+         CAST(sum(wgt) OVER (PARTITION BY {key_cols}) AS BIGINT) AS tot_w,
+         {u} AS u
+  FROM weighted
+),
+hit AS (
+  SELECT *, row_number() OVER (PARTITION BY {key_cols} ORDER BY v ASC) AS rk
+  FROM sel WHERE cum_w > CAST(floor(u * tot_w) AS BIGINT)
+)
+SELECT {key_cols}, v AS dp_q, n FROM hit WHERE rk = 1
+"""
+
+
+def sql_dp_count_histogram(
+    table_sql: str,
+    keys: list[str],
+    h60_of,
+    salt: str = "dp1",
+    alpha: float = 0.9,
+    trunc_k: int = 40,
+) -> str:
+    """DuckDB oracle: identical hash → identical u → identical bucket.
+    ``h60_of`` is the caller's h60-as-SQL macro (queries_datapipe's)."""
+    cums = geometric_cdf_thresholds(alpha, trunc_k)
+    key_expr = "concat_ws('|', " + ", ".join(keys) + f", '{salt}')"
+    u = f"({h60_of(key_expr)} / {TWO60!r})"
+    noise = noise_expr_sql("u", cums)
+    key_cols = ", ".join(keys)
+    return f"""
+WITH counts AS (
+  SELECT {key_cols}, CAST(count(*) AS BIGINT) AS n_true,
+         {u} AS u
+  FROM {table_sql} GROUP BY {key_cols}
+)
+SELECT {key_cols}, n_true, {noise} AS k_noise,
+       greatest(CAST(0 AS BIGINT), n_true + {noise}) AS n_dp
+FROM counts
+"""

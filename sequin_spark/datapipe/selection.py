@@ -96,6 +96,59 @@ def bm25_topk(
     )
 
 
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords — the keyword-extraction /
+    topic-tagging primitive (sklearn smooth-idf variant):
+
+        idf(t)      = ln((1 + N) / (1 + df_t)) + 1
+        score(d, t) = (tf / dl) * idf(t), rounded to 4
+
+    Tokens shorter than ``min_len`` chars are dropped (punctuation /
+    stopword-ish noise); ``dl`` is the count of QUALIFYING tokens, so
+    the tf normalization matches what was scored.  Ranking uses the
+    ROUNDED score with a token-lexicographic tiebreak, so the top-k cut
+    is engine-exact (no last-ulp reorder can flip membership).
+
+    Plan shape: one explode → (doc, token) count [shuffle 1] → df_t on
+    the pair table [shuffle 2, vocabulary-sized output] → broadcast
+    df_t back onto the pairs (the same bounded-vocabulary broadcast the
+    tokenizer encode path justifies) → dl + row_number as two windows
+    over ONE doc-keyed shuffle [shuffle 3, WindowGroupLimit prunes to
+    k rows per doc map-side].
+    """
+    from pyspark.sql import Window
+
+    n_docs = df.count()  # one long; the oracle uses the same scalar
+    pairs = (
+        df.select(F.col(id_col), F.explode(_tokens(text_col)).alias("token"))
+        .filter(F.length("token") >= min_len)
+        .groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = pairs.groupBy("token").agg(
+        F.count(F.lit(1)).cast("double").alias("df_t"))
+    w_doc = Window.partitionBy(id_col)
+    idf = F.log((1.0 + float(n_docs)) / (1.0 + F.col("df_t"))) + 1.0
+    scored = (
+        pairs.join(F.broadcast(dfreq), "token")
+        .withColumn("dl", F.sum("tf").over(w_doc))
+        .withColumn("tfidf", F.round((F.col("tf") / F.col("dl")) * idf, 4))
+    )
+    rk = F.row_number().over(
+        w_doc.orderBy(F.col("tfidf").desc(), F.col("token").asc()))
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") <= k)
+        .select(id_col, "token", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def dsir_importance(
     df: DataFrame,
     target_pred: F.Column | None = None,

@@ -33,6 +33,64 @@ def cosine_col(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+def hard_negative_mining(
+    emb: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Triplet mining for contrastive training data: per anchor, the
+    top-``k`` HARD NEGATIVES (highest cosine among different-label
+    vectors) plus the margin against the hardest positive
+    (max same-label cosine, self excluded):
+
+        margin = round(pos_cos - neg_cos, 3)
+
+    Small/negative margins mark the triplets that actually move a
+    contrastive loss — the mining criterion of FaceNet/SBERT-style
+    pipelines.  Exact mining is all-pairs BY DESIGN (the eval-scale
+    baseline, same contract as brute_force_topk); at 100 TB restrict
+    the corpus side with hyperplane_buckets / IVF candidates first and
+    mine within the candidate set.
+    """
+    a = anchors.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col(label_col).alias("q_label"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("n_id"),
+        F.col(vec_col).alias("n_vec"),
+        F.col(label_col).alias("n_label"),
+    )
+    joined = (
+        a.crossJoin(c)
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine_col("q_vec", "n_vec"))
+    )
+    pos = (
+        joined.filter(F.col("q_label") == F.col("n_label"))
+        .groupBy("q_id")
+        .agg(F.max("cos").alias("pos_cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc())
+    negs = (
+        joined.filter(F.col("q_label") != F.col("n_label"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    return negs.join(pos, "q_id", "left").select(
+        "q_id",
+        "n_id",
+        "rnk",
+        F.round("cos", 3).alias("neg_cos"),
+        F.round(F.col("pos_cos") - F.col("cos"), 3).alias("margin"),
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,

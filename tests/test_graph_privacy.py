@@ -1,0 +1,216 @@
+"""Kernel tests for datapipe/graph.py (fixed-point PageRank),
+datapipe/privacy.py (DP histogram), selection.tfidf_topk, and
+similarity.hard_negative_mining — pure-Python replays of the exact
+arithmetic the kernels promise, on hand-built inputs."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sequin_spark.datapipe.graph import SCALE, hits_int, pagerank_int
+from sequin_spark.datapipe.privacy import (
+    dp_count_histogram,
+    geometric_cdf_thresholds,
+)
+
+
+def _py_pagerank(nodes, edges, iters=5, d_num=85, d_den=100, scale=SCALE):
+    """Reference replay of the kernel's integer trajectory."""
+    n = len(nodes)
+    teleport = ((d_den - d_num) * scale) // (d_den * n)
+    out_w = {}
+    for s, _, w in edges:
+        out_w[s] = out_w.get(s, 0) + w
+    r = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        s = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            s[v] += (r[u] * w) // out_w[u]
+        r = {v: teleport + (d_num * s[v]) // d_den for v in nodes}
+    return r
+
+
+def test_pagerank_matches_python_replay(spark):
+    nodes = ["a", "b", "c", "d"]  # d is dangling (no out-edges)
+    edges = [("a", "b", 3), ("a", "c", 1), ("b", "c", 2),
+             ("c", "a", 1), ("c", "d", 1)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "w"]).withColumn(
+        "w", F.col("w").cast("long"))
+    got = {r["node"]: r["rank_int"]
+           for r in pagerank_int(ndf, edf, iters=5).collect()}
+    assert got == _py_pagerank(nodes, edges)
+
+
+def test_pagerank_sink_accumulates_more_than_source(spark):
+    # b receives everything a has; a only gets teleport back
+    ndf = spark.createDataFrame([("a",), ("b",)], ["node"])
+    edf = spark.createDataFrame([("a", "b", 1)], ["src", "dst", "w"]).withColumn(
+        "w", F.col("w").cast("long"))
+    got = {r["node"]: r["rank_int"] for r in pagerank_int(ndf, edf, iters=8).collect()}
+    assert got["b"] > got["a"] > 0
+
+
+def _py_hits(nodes, edges, iters=4, scale=SCALE):
+    h = {v: scale for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        a = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            a[v] += h[u] * w
+        a_div = max((max(a.values()) + scale - 1) // scale, 1)
+        a = {v: x // a_div for v, x in a.items()}
+        h = {v: 0 for v in nodes}
+        for u, v, w in edges:
+            h[u] += a[v] * w
+        h_div = max((max(h.values()) + scale - 1) // scale, 1)
+        h = {v: x // h_div for v, x in h.items()}
+    return a, h
+
+
+def test_hits_matches_python_replay(spark):
+    nodes = ["a", "b", "c", "d"]
+    edges = [("a", "b", 2), ("a", "c", 1), ("b", "c", 3),
+             ("d", "c", 1), ("c", "a", 1)]
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "w"]).withColumn(
+        "w", F.col("w").cast("long"))
+    got = {r["node"]: (r["authority_int"], r["hub_int"])
+           for r in hits_int(ndf, edf, iters=4).collect()}
+    ea, eh = _py_hits(nodes, edges)
+    assert got == {v: (ea[v], eh[v]) for v in nodes}
+    # c collects the most in-link mass -> top authority; the top hub
+    # must be a node pointing at c with weight
+    assert max(got, key=lambda v: got[v][0]) == "c"
+
+
+def test_geometric_thresholds_shape():
+    cums = geometric_cdf_thresholds(alpha=0.9, trunc_k=40)
+    assert len(cums) == 81
+    assert cums[-1] == 1.0
+    assert all(b > a for a, b in zip(cums, cums[1:]))
+    # symmetric mechanism: P(K <= -1) == 1 - P(K <= 0) up to float eps
+    assert abs(cums[39] - (1.0 - cums[40])) < 1e-12
+
+
+def _py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_dp_histogram_noise_is_the_keyed_prf_bucket(spark):
+    rows = [("s1", "en")] * 7 + [("s1", "de")] * 2 + [("s2", "en")] * 5
+    df = spark.createDataFrame(rows, ["source", "lang"])
+    out = {(r["source"], r["lang"]): r
+           for r in dp_count_histogram(df, ["source", "lang"]).collect()}
+    cums = geometric_cdf_thresholds()
+    for (src, lang), r in out.items():
+        u = _py_h60(f"{src}|{lang}|dp1") / float(1 << 60)
+        k = -40 + sum(1 for c in cums if c <= u)
+        assert r["k_noise"] == k
+        assert r["n_dp"] == max(0, r["n_true"] + k)
+    assert out[("s1", "en")]["n_true"] == 7
+
+
+def test_dp_clamped_sum_bounds_contribution(spark):
+    from sequin_spark.datapipe.privacy import dp_clamped_sum
+
+    # one row with an outlier value 10_000: clamp=100 must cap it
+    rows = [("s", 50), ("s", 60), ("s", 10_000)]
+    df = spark.createDataFrame(rows, ["source", "val"])
+    r = dp_clamped_sum(df, ["source"], "val", clamp=100).collect()[0]
+    assert r["sum_clamped"] == 50 + 60 + 100
+    assert r["sum_dp"] == max(0, r["sum_clamped"] + 100 * r["k_noise"])
+    # the keyed-PRF draw replays
+    cums = geometric_cdf_thresholds()
+    u = _py_h60("s|dpsum1") / float(1 << 60)
+    assert r["k_noise"] == -40 + sum(1 for c in cums if c <= u)
+
+
+def _py_dp_median(values, key, salt="dpq1", decay=(9, 10), scale=10**12):
+    from collections import Counter
+
+    cnt = sorted(Counter(values).items())
+    n = len(values)
+    cum, cands = 0, []
+    for v, c in cnt:
+        cum += c
+        d = abs(2 * cum - n)
+        w = scale
+        for _ in range(d):
+            w = w * decay[0] // decay[1]
+        cands.append((v, w))
+    tot = sum(w for _, w in cands)
+    u = _py_h60(f"{key}|{salt}") / float(1 << 60)
+    target = int(u * tot)
+    run = 0
+    for v, w in cands:
+        run += w
+        if run > target:
+            return v
+    return cands[-1][0]
+
+
+def test_dp_median_matches_python_replay(spark):
+    from sequin_spark.datapipe.privacy import dp_quantile_exponential
+
+    vals_a = [10, 20, 20, 30, 40, 50, 60, 70, 80, 90]
+    vals_b = [5, 5, 5, 6, 7, 100]
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, ["source", "val"])
+    out = {r["source"]: r["dp_q"]
+           for r in dp_quantile_exponential(df, ["source"], "val").collect()}
+    assert out["a"] == _py_dp_median(vals_a, "a")
+    assert out["b"] == _py_dp_median(vals_b, "b")
+
+
+def test_tfidf_topk_matches_python_replay(spark):
+    from math import log
+
+    from sequin_spark.datapipe.selection import tfidf_topk
+
+    corpus = {1: "alpha beta gamma common common",
+              2: "delta beta gamma common common",
+              3: "epsilon zeta common common common"}
+    docs = spark.createDataFrame(list(corpus.items()), ["doc_id", "text"])
+    out = tfidf_topk(docs, k=2).collect()
+
+    # smooth-idf replay: score = (tf/dl) * (ln((1+N)/(1+df)) + 1)
+    tf = {(d, t): txt.split().count(t)
+          for d, txt in corpus.items() for t in set(txt.split())}
+    df_t = {}
+    for (_, t) in tf:
+        df_t[t] = df_t.get(t, 0) + 1
+    n = len(corpus)
+    expected = {}
+    for d, txt in corpus.items():
+        dl = len(txt.split())
+        scored = sorted(
+            ((round((tf[(d, t)] / dl) * (log((1 + n) / (1 + df_t[t])) + 1), 4), t)
+             for t in set(txt.split())),
+            key=lambda x: (-x[0], x[1]))
+        expected[d] = [(t, s, i + 1) for i, (s, t) in enumerate(scored[:2])]
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append((r["token"], r["tfidf"], r["rk"]))
+    got = {d: sorted(v, key=lambda x: x[2]) for d, v in got.items()}
+    assert got == expected
+
+
+def test_hard_negative_margin_sign(spark):
+    from sequin_spark.datapipe.similarity import hard_negative_mining
+
+    # two tight same-label clusters far apart: positives are near
+    # (cos ~1), negatives are near-orthogonal -> margin strongly > 0
+    rows = [
+        (0, [1.0, 0.0, 0.01], 0), (1, [1.0, 0.01, 0.0], 0),
+        (2, [0.99, 0.0, 0.02], 0),
+        (3, [0.0, 1.0, 0.01], 1), (4, [0.01, 1.0, 0.0], 1),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    anchors = emb.filter(F.col("vec_id") == 0)
+    out = hard_negative_mining(emb, anchors, k=2).collect()
+    assert len(out) == 2
+    assert all(r["margin"] > 0.5 for r in out)
+    assert {r["n_id"] for r in out} == {3, 4}
+    assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2]

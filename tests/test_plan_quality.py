@@ -25,6 +25,8 @@ ALLOW_NESTED_LOOP = {
     "ann_pq_adc",            # ADC scan: corpus codes × broadcast query LUTs
     "ann_ivfpq_topk",        # query-side × n_centroids=8 coarse-centroid table
     "ann_recall_eval",       # ground truth IS the exact all-pairs baseline
+    "select_hard_negatives",  # exact triplet mining = the all-pairs eval
+                              # baseline (scale path mines IVF candidates)
     "embed_matryoshka_recall",  # 4 bounded exact-baseline passes by design
     # 1×1 global-aggregate joins by design: the sketch estimate (1 row)
     # is combined with the exact countDistinct baseline (1 row); Catalyst
