@@ -166,6 +166,106 @@ def hits_int(
     )
 
 
+def triangle_stats(
+    nodes: DataFrame,
+    edges: DataFrame,
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over the
+    UNDIRECTED simple graph induced by ``edges`` (direction and weight
+    collapse to distinct unordered pairs; self-loops dropped) — the
+    mutual-reinforcement / spam-farm signal (a link farm is a dense
+    near-clique; an organic hub has low clustering).
+
+    Enumeration is the classic oriented wedge join: every triangle is
+    counted ONCE as (a < b < c) via two equi-joins on the
+    lexicographically oriented edge list, then exploded to its three
+    corners for the per-node rollup.  At scale the orientation should
+    be by (degree, node) instead of raw id — that bounds the wedge
+    fan-out by the max *oriented* out-degree (arboricity bound) — but
+    the id orientation keeps the oracle trivially identical and the
+    join shape is the same.
+
+    coeff = round(2*T / (deg*(deg-1)), 4), 0 for deg < 2 — integers in,
+    one IEEE division, deterministic.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionAll(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = und.select(F.col("a"), F.col("b"))
+    e2 = und.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = und.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")))
+        .select("a", "b", "c")
+    )
+    per_node = (
+        tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("triangles"))
+    )
+    return (
+        nodes.join(deg, "node", "left")
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce("degree", F.lit(0).cast("long")).alias("degree"),
+            F.coalesce("triangles", F.lit(0).cast("long")).alias("triangles"),
+            F.when(
+                F.coalesce("degree", F.lit(0)) >= 2,
+                F.round(
+                    2.0 * F.coalesce("triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)), 4),
+            ).otherwise(F.lit(0.0)).alias("clustering"),
+        )
+    )
+
+
+def sql_triangle_stats(edges_cte: str, nodes_cte: str) -> str:
+    """DuckDB oracle for :func:`triangle_stats` (materialized CTEs)."""
+    return f"""
+WITH edges AS MATERIALIZED ({edges_cte}),
+nodes AS MATERIALIZED ({nodes_cte}),
+und AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges WHERE src != dst),
+deg AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+  GROUP BY node),
+tris AS MATERIALIZED (
+  SELECT e1.a, e1.b, e2.b AS c
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+per_node AS MATERIALIZED (
+  SELECT node, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS node FROM tris UNION ALL
+    SELECT b FROM tris UNION ALL SELECT c FROM tris)
+  GROUP BY node)
+SELECT nodes.node,
+       coalesce(deg.degree, 0) AS degree,
+       coalesce(per_node.triangles, 0) AS triangles,
+       CASE WHEN coalesce(deg.degree, 0) >= 2
+            THEN round(2.0 * coalesce(per_node.triangles, 0)
+                       / (deg.degree * (deg.degree - 1)), 4)
+            ELSE 0.0 END AS clustering
+FROM nodes LEFT JOIN deg ON deg.node = nodes.node
+LEFT JOIN per_node ON per_node.node = nodes.node
+"""
+
+
 def sql_hits_int(
     edges_cte: str,
     nodes_cte: str,

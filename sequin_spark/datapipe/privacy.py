@@ -66,6 +66,38 @@ def noise_expr_sql(u_expr: str, cums: list[float]) -> str:
             " AS BIGINT)")
 
 
+def attach_dp_noise(
+    counts: DataFrame,
+    keys: list[str],
+    count_col: str = "n_true",
+    salt: str = "dp1",
+    alpha: float = 0.9,
+    trunc_k: int = 40,
+) -> DataFrame:
+    """Attach the keyed-PRF discrete-Laplace noise to an ALREADY
+    AGGREGATED per-cell count table — the release step, shared by the
+    batch histogram and its streaming twin (the noise is a pure
+    deterministic function of the cell key, so releasing from a
+    streaming aggregation's final state produces the identical
+    release the batch path computes)."""
+    from sequin_spark.datapipe.sketch import h60
+
+    cums = geometric_cdf_thresholds(alpha, trunc_k)
+    cell_key = F.concat_ws("|", *[F.col(c) for c in keys], F.lit(salt))
+    return (
+        counts.withColumn("_u", h60(cell_key) / F.lit(TWO60))
+        .withColumn("k_noise", F.expr(_noise_expr_spark("_u", cums)))
+        .select(
+            *keys,
+            F.col(count_col).cast("long").alias("n_true"),
+            "k_noise",
+            F.greatest(F.lit(0).cast("long"),
+                       F.col(count_col).cast("long")
+                       + F.col("k_noise")).alias("n_dp"),
+        )
+    )
+
+
 def dp_count_histogram(
     df: DataFrame,
     keys: list[str],
@@ -78,25 +110,9 @@ def dp_count_histogram(
     n_true (pre-noise, for audit builds only — a production release
     would drop it), k_noise, and n_dp = max(0, n_true + k_noise)
     (non-negativity is post-processing, DP-free)."""
-    from sequin_spark.datapipe.sketch import h60
-
-    cums = geometric_cdf_thresholds(alpha, trunc_k)
-    cell_key = F.concat_ws("|", *[F.col(c) for c in keys], F.lit(salt))
-    counts = (
-        df.groupBy(*keys)
-        .agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-        .withColumn("_u", h60(cell_key) / F.lit(TWO60))
-    )
-    return (
-        counts.withColumn("k_noise", F.expr(_noise_expr_spark("_u", cums)))
-        .select(
-            *keys,
-            "n_true",
-            "k_noise",
-            F.greatest(F.lit(0).cast("long"),
-                       F.col("n_true") + F.col("k_noise")).alias("n_dp"),
-        )
-    )
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"))
+    return attach_dp_noise(counts, keys, "n_true", salt, alpha, trunc_k)
 
 
 def dp_clamped_sum(

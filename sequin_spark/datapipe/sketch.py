@@ -439,3 +439,87 @@ def sample_quantile_sketch_per_key(
             .select(F.col("g").alias(group_col), "q",
                     F.col("_n").cast("long").alias("k_sample"),
                     F.col("v").alias("est_value")))
+
+
+def ams_f2(df: DataFrame, col: str, groups: int = 5,
+           per_group: int = 11) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996),
+    median-of-means form: groups × per_group sign estimators, each
+    est_j = (sum_w s_j(w)·f_w)^2 with the ±1 sign s_j(w) = bit j of
+    h60(w) (one digest feeds all estimators — the same single-digest
+    slicing the count-min rows use; needs groups·per_group <= 60
+    bits).  Group mean = integer-floor sum div per_group; released
+    estimate = the MEDIAN group mean (odd ``groups`` → a pure order
+    statistic).  Everything is 64-bit integer, engine-exact.
+
+    F2 = Σ f_w² is the self-join size / skew statistic query planners
+    and salting heuristics need; the sketch gets it in one pass over
+    a (distinct value, count) table with O(groups·per_group) state
+    per merge.
+
+    Plan: one value-keyed count shuffle → narrow ±f_w array explode
+    (one row per estimator per DISTINCT value, not per token) → one
+    (groups·per_group)-row aggregate.  Returns one row (k, f2_est).
+    """
+    from pyspark.sql import Window
+
+    k = groups * per_group
+    assert k <= 60 and groups % 2 == 1
+    counts = (
+        df.select(F.col(col).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .withColumn("_h", h60(F.col("w")))
+    )
+    signed = counts.select(
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {k - 1}), "
+                "j -> CASE WHEN (shiftright(_h, j) & 1) = 1 "
+                "THEN f ELSE -f END)")
+        ).alias("j", "sf")
+    )
+    gmeans = (
+        signed.groupBy("j")
+        .agg(F.sum("sf").alias("s"))
+        .select((F.col("j") % groups).alias("g"),
+                (F.col("s") * F.col("s")).cast("long").alias("est"))
+        .groupBy("g")
+        .agg(F.expr(f"sum(est) div {per_group}").alias("gmean"))
+    )
+    med = (groups + 1) // 2
+    w_e = Window.orderBy(F.col("gmean").asc(), F.col("g").asc())
+    return (
+        gmeans.withColumn("_rk", F.row_number().over(w_e))
+        .filter(F.col("_rk") == med)
+        .select(F.lit(k).cast("int").alias("k"),
+                F.col("gmean").alias("f2_est"))
+    )
+
+
+def sql_ams_f2(values_cte: str, h60_of, groups: int = 5,
+               per_group: int = 11) -> str:
+    """DuckDB oracle for :func:`ams_f2`: ``values_cte`` yields one row
+    per element (column ``w``); the series cross join replaces the
+    posexplode (DuckDB has no plan gate; values are identical)."""
+    k = groups * per_group
+    med = (groups + 1) // 2
+    return f"""
+WITH vals AS MATERIALIZED ({values_cte}),
+counts AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS f, {h60_of("w")} AS h
+  FROM vals GROUP BY w),
+signed AS (
+  SELECT j, CASE WHEN (h >> j) & 1 = 1 THEN f ELSE -f END AS sf
+  FROM counts, (SELECT unnest(generate_series(0, {k - 1})) AS j)),
+ests AS (
+  SELECT j, CAST(sum(sf) * sum(sf) AS BIGINT) AS est
+  FROM signed GROUP BY j),
+gmeans AS (
+  SELECT j % {groups} AS g, CAST(sum(est) // {per_group} AS BIGINT) AS gmean
+  FROM ests GROUP BY j % {groups}),
+ranked AS (
+  SELECT gmean, row_number() OVER (ORDER BY gmean ASC, g ASC) AS rk
+  FROM gmeans)
+SELECT CAST({k} AS INTEGER) AS k, gmean AS f2_est FROM ranked WHERE rk = {med}
+"""

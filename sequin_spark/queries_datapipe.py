@@ -4432,6 +4432,52 @@ def _sql_privacy_dp_histogram() -> str:
     return sql_dp_count_histogram("documents", ["source", "lang"], _sql_h60_of)
 
 
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 (self-join size / skew moment) sketch over the corpus
+    token frequencies (datapipe/sketch.ams_f2): 55 sign estimators
+    from one digest, integer median-of-means — the statistic a salting
+    heuristic needs before it can size a skew-join.  Exact F2 baseline
+    included; the 1-row × 1-row combine is the usual allow-listed
+    estimate-vs-baseline NLJ."""
+    from sequin_spark.datapipe.sketch import ams_f2
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.expr(
+            "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    est = ams_f2(words, "w", groups=5, per_group=11)
+    exact = (
+        words.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("f"))
+        .agg(F.sum(F.col("f") * F.col("f")).cast("long").alias("f2_exact"))
+    )
+    return est.crossJoin(exact).select(
+        "k", "f2_est", "f2_exact",
+        F.round((F.col("f2_est") - F.col("f2_exact"))
+                / F.col("f2_exact"), 4).alias("rel_err"),
+    )
+
+
+def _sql_sketch_ams_f2() -> str:
+    from sequin_spark.datapipe.sketch import sql_ams_f2
+
+    vals = (f"SELECT w FROM (SELECT unnest(string_split({D_NORM}, ' ')) AS w"
+            " FROM documents) WHERE w <> ''")
+    inner = sql_ams_f2(vals, _sql_h60_of, groups=5, per_group=11)
+    return f"""
+WITH est AS ({inner}),
+exact AS (
+  SELECT CAST(sum(f * f) AS BIGINT) AS f2_exact FROM (
+    SELECT w, CAST(count(*) AS BIGINT) AS f
+    FROM (SELECT unnest(string_split({D_NORM}, ' ')) AS w FROM documents)
+    WHERE w <> '' GROUP BY w))
+SELECT k, f2_est, f2_exact,
+       round(CAST(f2_est - f2_exact AS DOUBLE) / f2_exact, 4) AS rel_err
+FROM est, exact
+"""
+
+
 def q_privacy_dp_clamped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DP total-characters release per source with contribution
     bounding (datapipe/privacy.dp_clamped_sum): per-doc n_chars
@@ -4564,6 +4610,55 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle count + local clustering coefficient over
+    the SPARSIFIED trade graph — edges kept when w >= 5/4 of the mean
+    weight (integer comparison w*4*n_edges >= 5*total_w, engine-exact;
+    keeps ~30% of edges so the clique structure is non-trivial), the
+    spam-farm / link-clique signal (datapipe/graph.py:triangle_stats).
+    Oriented wedge join counts each triangle once; the threshold
+    scalars are a 1-row collect off the memoized edge table."""
+    from sequin_spark.datapipe.graph import triangle_stats
+
+    _prep(spark)
+    edges = _trade_edges(spark, sf_dir)
+    tot, n_e = edges.agg(
+        F.sum("w").cast("long"), F.count(F.lit(1)).cast("long")).collect()[0]
+    strong = edges.filter(
+        F.col("w") * F.lit(4 * int(n_e)) >= F.lit(5 * int(tot)))
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ts = triangle_stats(nodes, strong)
+    return ts.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"), "n_name")),
+        "node",
+    ).select(
+        F.col("node").alias("nationkey"), "n_name",
+        "degree", "triangles", "clustering",
+    )
+
+
+def _sql_graph_triangles() -> str:
+    from sequin_spark.datapipe.graph import sql_triangle_stats
+
+    strong = (
+        f"WITH te AS ({_SQL_TRADE_EDGES}) "
+        "SELECT src, dst, w FROM te "
+        "WHERE w * 4 * (SELECT count(*) FROM te) "
+        ">= 5 * (SELECT CAST(sum(w) AS BIGINT) FROM te)"
+    )
+    inner = sql_triangle_stats(
+        edges_cte=strong,
+        nodes_cte="SELECT n_nationkey AS node FROM nation",
+    )
+    return f"""
+WITH ts AS ({inner})
+SELECT ts.node AS nationkey, n.n_name, ts.degree, ts.triangles,
+       ts.clustering
+FROM ts JOIN nation n ON n.n_nationkey = ts.node
+"""
+
+
 def _sql_graph_hits() -> str:
     from sequin_spark.datapipe.graph import sql_hits_int
 
@@ -4680,6 +4775,8 @@ DATAPIPE_QUERIES = {
     "graph_hits": q_graph_hits,
     "privacy_dp_clamped_sum": q_privacy_dp_clamped_sum,
     "privacy_dp_median": q_privacy_dp_median,
+    "graph_triangles": q_graph_triangles,
+    "sketch_ams_f2": q_sketch_ams_f2,
 }
 
 DATAPIPE_ORACLES = {
@@ -4767,4 +4864,6 @@ DATAPIPE_ORACLES = {
     "graph_hits": _sql_graph_hits(),
     "privacy_dp_clamped_sum": _sql_privacy_dp_clamped_sum(),
     "privacy_dp_median": _sql_privacy_dp_median(),
+    "graph_triangles": _sql_graph_triangles(),
+    "sketch_ams_f2": _sql_sketch_ams_f2(),
 }

@@ -85,6 +85,28 @@ def test_hits_matches_python_replay(spark):
     assert max(got, key=lambda v: got[v][0]) == "c"
 
 
+def test_triangle_stats_clique_plus_pendant(spark):
+    from sequin_spark.datapipe.graph import triangle_stats
+
+    # 4-clique {a,b,c,d} + pendant e-a: clique nodes have deg 3 (a: 4),
+    # 3 triangles each, coefficient 1.0 (a: 3/(4*3/2) = 0.5); e has 0.
+    nodes = [(v,) for v in "abcde"]
+    edges = []
+    for i, u in enumerate("abcd"):
+        for v in "abcd"[i + 1:]:
+            edges.append((v, u, 1))  # reversed + weighted: must not matter
+    edges.append(("a", "e", 7))
+    ndf = spark.createDataFrame(nodes, ["node"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "w"]).withColumn(
+        "w", F.col("w").cast("long"))
+    got = {r["node"]: (r["degree"], r["triangles"], r["clustering"])
+           for r in triangle_stats(ndf, edf).collect()}
+    assert got["a"] == (4, 3, 0.5)
+    for v in "bcd":
+        assert got[v] == (3, 3, 1.0)
+    assert got["e"] == (1, 0, 0.0)
+
+
 def test_geometric_thresholds_shape():
     cums = geometric_cdf_thresholds(alpha=0.9, trunc_k=40)
     assert len(cums) == 81
@@ -162,6 +184,54 @@ def test_dp_median_matches_python_replay(spark):
            for r in dp_quantile_exponential(df, ["source"], "val").collect()}
     assert out["a"] == _py_dp_median(vals_a, "a")
     assert out["b"] == _py_dp_median(vals_b, "b")
+
+
+def test_dp_release_streaming_twin_equals_batch(spark, tmp_path):
+    """The DP release atop a streaming aggregation must equal the
+    batch histogram over the union of all micro-batches: the counts
+    merge across batches (update-mode streaming agg) and the noise is
+    a deterministic function of the cell key, so the final releases
+    are identical rows."""
+    from sequin_spark.datapipe.privacy import (
+        attach_dp_noise,
+        dp_count_histogram,
+    )
+
+    batches = [
+        [("s1", "en")] * 5 + [("s2", "de")] * 3,
+        [("s1", "en")] * 2 + [("s2", "de")] * 4 + [("s3", "fr")] * 6,
+        [("s3", "fr")] * 1 + [("s1", "en")] * 3,
+    ]
+    src = str(tmp_path / "src")
+    schema = "source string, lang string"
+
+    def _write(vals):
+        spark.createDataFrame(vals, schema).coalesce(1) \
+            .write.mode("append").parquet(src)
+
+    _write(batches[0])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    agg = stream.groupBy("source", "lang").count()
+    q = (agg.writeStream.format("memory").queryName("dp_counts")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("complete").start())
+    try:
+        q.processAllAvailable()
+        for b in batches[1:]:
+            _write(b)
+            q.processAllAvailable()
+        final_counts = spark.table("dp_counts")
+        stream_release = attach_dp_noise(
+            final_counts, ["source", "lang"], "count").collect()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(
+        [r for b in batches for r in b], schema)
+    batch_release = dp_count_histogram(union, ["source", "lang"]).collect()
+    assert sorted(map(tuple, stream_release)) == sorted(map(tuple, batch_release))
+    assert len(batch_release) == 3
 
 
 def test_tfidf_topk_matches_python_replay(spark):

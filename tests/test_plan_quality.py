@@ -37,6 +37,7 @@ ALLOW_NESTED_LOOP = {
     "sketch_vocab_overlap",  # 1-row estimate × 1-row exact baseline
     "sketch_hll_setops",     # three 1-row estimates combined
     "sketch_bloom_probe",    # 1-row probe summary × 1-row bit count
+    "sketch_ams_f2",         # 1-row median estimator × 1-row exact F2
 }
 
 

@@ -304,3 +304,35 @@ def test_quantiles_per_key_partition_invariant(spark, sf_dir):
     b = sorted(map(tuple, sample_quantile_sketch_per_key(
         ev.repartition(17), "event_type", "event_id", "value").collect()))
     assert a == b
+
+
+def test_ams_f2_python_replay_and_error_band(spark):
+    """The 55-estimator median-of-means trajectory replays exactly in
+    Python (integer arithmetic end to end), and on a Zipf-ish stream
+    the estimate lands within 50% of exact F2 (the 5x11 construction's
+    loose but honest band)."""
+    import hashlib
+    from collections import Counter
+
+    from sequin_spark.datapipe.sketch import ams_f2
+
+    vals = [f"tok{i}" for i in range(60) for _ in range(60 // (i + 1))]
+    df = spark.createDataFrame([(v,) for v in vals], ["w"])
+    got = ams_f2(df, "w", groups=5, per_group=11).collect()[0]
+
+    cnt = Counter(vals)
+    ests = []
+    for j in range(55):
+        s = 0
+        for w, f in cnt.items():
+            h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+            s += f if (h >> j) & 1 else -f
+        ests.append((j, s * s))
+    gm = {}
+    for j, e in ests:
+        gm.setdefault(j % 5, []).append(e)
+    gmeans = sorted((sum(v) // 11, g) for g, v in gm.items())
+    expected = gmeans[2][0]  # median of 5 (tie -> lower g wins the rank)
+    assert got["f2_est"] == expected
+    f2 = sum(f * f for f in cnt.values())
+    assert abs(got["f2_est"] - f2) <= 0.5 * f2
