@@ -135,26 +135,31 @@ def hits_int(
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        auth = nodes.join(a_raw, "node", "left").select(
-            "node", F.coalesce("s", F.lit(0).cast("long")).alias("a_raw"))
-        a_max = auth.agg(F.max("a_raw")).collect()[0][0] or 1  # one long
+        # checkpoint the RAW table once, then take the max off the
+        # checkpointed data — the normalization select stays a lazy
+        # narrow projection (materializing the raw table for the max
+        # AND separately checkpointing the normalized table would run
+        # the join+agg twice per half-iteration)
+        a_ckpt = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0).cast("long")).alias("a_raw")
+        ).localCheckpoint()
+        a_max = a_ckpt.agg(F.max("a_raw")).collect()[0][0] or 1  # one long
         a_div = max((a_max + scale - 1) // scale, 1)
-        auth = auth.select(
-            "node", F.expr(f"a_raw div {a_div}")
-            .cast("long").alias("a")).localCheckpoint()
+        auth = a_ckpt.select(
+            "node", F.expr(f"a_raw div {a_div}").cast("long").alias("a"))
         h_raw = (
             e.join(auth.withColumnRenamed("node", "dst"), "dst")
             .select(F.col("src").alias("node"), F.expr("a * w").alias("c"))
             .groupBy("node")
             .agg(F.sum("c").alias("s"))
         )
-        hubs = nodes.join(h_raw, "node", "left").select(
-            "node", F.coalesce("s", F.lit(0).cast("long")).alias("h_raw"))
-        h_max = hubs.agg(F.max("h_raw")).collect()[0][0] or 1
+        h_ckpt = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("s", F.lit(0).cast("long")).alias("h_raw")
+        ).localCheckpoint()
+        h_max = h_ckpt.agg(F.max("h_raw")).collect()[0][0] or 1
         h_div = max((h_max + scale - 1) // scale, 1)
-        hubs = hubs.select(
-            "node", F.expr(f"h_raw div {h_div}")
-            .cast("long").alias("h")).localCheckpoint()
+        hubs = h_ckpt.select(
+            "node", F.expr(f"h_raw div {h_div}").cast("long").alias("h"))
     e.unpersist()
     nodes.unpersist()
     return auth.join(hubs, "node").select(

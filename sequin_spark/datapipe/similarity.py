@@ -91,6 +91,100 @@ def hard_negative_mining(
     )
 
 
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez 2-approximation): seed at the
+    smallest id, then repeatedly select the point FARTHEST from the
+    selected set (max over rows of min cosine distance to any center)
+    — the diversity-sampling primitive of coreset / active-learning
+    data selection (picks one point per region instead of k from the
+    densest cluster).
+
+    Determinism: distances are round(1 − cos, 6) with an id tiebreak
+    on the argmax, and the running min-distance column is a `least`
+    of already-rounded values — the DuckDB oracle replays the exact
+    selection sequence.  Each round is one bounded action (a 1-row
+    TakeOrdered argmax that also carries the 64-float center vector),
+    the same bounded-collect contract as the power-iteration fit; the
+    distance update is a narrow projection over the persisted corpus.
+    At 100 TB, k-center runs on the IVF-clustered sample, not the raw
+    corpus (greedy k-center is inherently k sequential passes).
+
+    Returns (sel_round, id, dist_sel): dist_sel = the coverage radius
+    the point closed when selected (0.0 for the seed); max(dist_sel)
+    of later rounds is the final coverage radius.
+    """
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
+    seed = base.orderBy("id").limit(1).collect()[0]
+    picked = [(0, seed["id"], 0.0)]
+
+    def _dist_to(vec) -> F.Column:
+        lit = F.array(*[F.lit(float(x)) for x in vec])
+        return F.round(1.0 - cosine_col_vals(F.col("v"), lit), 6)
+
+    cur = base.withColumn("md", _dist_to(seed["v"]))
+    for r in range(1, k):
+        far = (cur.orderBy(F.col("md").desc(), F.col("id").asc())
+               .limit(1).collect()[0])
+        picked.append((r, far["id"], float(far["md"])))
+        cur = cur.withColumn("md", F.least(F.col("md"), _dist_to(far["v"])))
+    base.unpersist()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        picked, "sel_round int, id long, dist_sel double").select(
+        "sel_round", F.col("id").alias(id_col), "dist_sel")
+
+
+def cosine_col_vals(a: F.Column, b: F.Column) -> F.Column:
+    """cosine_col over Column operands (not names) — same fold."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def sql_kcenter_coreset(emb_cte: str, k: int = 8) -> str:
+    """DuckDB oracle for :func:`kcenter_coreset` — the greedy rounds
+    unrolled as materialized CTEs replaying the identical rounded
+    distance / id-tiebreak selection."""
+
+    def cos(av: str, bv: str) -> str:
+        def dot(x, y):
+            return (f"list_sum(list_transform(generate_series(1, len({x})), "
+                    f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))")
+        return (f"({dot(av, bv)} / (sqrt({dot(av, av)}) "
+                f"* sqrt({dot(bv, bv)})))")
+
+    cte = [
+        f"b AS MATERIALIZED ({emb_cte})",
+        "c0 AS MATERIALIZED (SELECT id, v FROM b ORDER BY id LIMIT 1)",
+        f"""d0 AS MATERIALIZED (
+  SELECT b.id, b.v, round(1 - {cos('b.v', 'c0.v')}, 6) AS md
+  FROM b, c0)""",
+    ]
+    sels = ["SELECT 0 AS sel_round, id, 0.0 AS dist_sel FROM c0"]
+    for r in range(1, k):
+        cte.append(
+            f"c{r} AS MATERIALIZED (SELECT id, v, md FROM d{r - 1} "
+            f"ORDER BY md DESC, id ASC LIMIT 1)")
+        sels.append(f"SELECT {r}, id, md FROM c{r}")
+        if r < k - 1:
+            cte.append(
+                f"""d{r} AS MATERIALIZED (
+  SELECT d.id, d.v, least(d.md, round(1 - {cos('d.v', f'c{r}.v')}, 6)) AS md
+  FROM d{r - 1} d, c{r})""")
+    return ("WITH " + ",\n".join(cte) + "\n"
+            + "\nUNION ALL ".join(sels))
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,

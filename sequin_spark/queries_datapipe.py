@@ -4432,6 +4432,31 @@ def _sql_privacy_dp_histogram() -> str:
     return sql_dp_count_histogram("documents", ["source", "lang"], _sql_h60_of)
 
 
+def q_select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity coreset over the embedding corpus
+    (datapipe/similarity.kcenter_coreset, Gonzalez 2-approx): 8
+    centers, each round selecting the point farthest from the selected
+    set — the active-learning / coreset data-selection primitive.
+    Selection sequence is engine-exact (rounded distances + id
+    tiebreaks); each round is one bounded 1-row argmax action."""
+    from sequin_spark.datapipe.similarity import kcenter_coreset
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kcenter_coreset(emb, k=8)
+
+
+def _sql_select_kcenter() -> str:
+    from sequin_spark.datapipe.similarity import sql_kcenter_coreset
+
+    inner = sql_kcenter_coreset(
+        "SELECT vec_id AS id, embedding AS v FROM embeddings", k=8)
+    return f"""
+WITH sel AS ({inner})
+SELECT sel_round, id AS vec_id, dist_sel FROM sel
+"""
+
+
 def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AMS F2 (self-join size / skew moment) sketch over the corpus
     token frequencies (datapipe/sketch.ams_f2): 55 sign estimators
@@ -4610,6 +4635,47 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_privacy_dp_topk_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded DP top-k release: noisy per-source doc counts,
+    cells below the suppression threshold dropped (the k-anonymity-
+    style suppression production DP releases pair with noise), top-10
+    of the survivors by noisy count.  Rank ties break on source so
+    the released ordering is engine-exact.  Unlike the audit
+    histogram, the release omits the true counts."""
+    from pyspark.sql import Window
+
+    from sequin_spark.datapipe.privacy import dp_count_histogram
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = dp_count_histogram(docs, ["source"], salt="dptk1")
+    w = Window.orderBy(F.col("n_dp").desc(), F.col("source").asc())
+    return (
+        noisy.filter(F.col("n_dp") >= 15)
+        .withColumn("released_rank", F.row_number().over(w))
+        .filter(F.col("released_rank") <= 10)
+        .select("source", "n_dp", F.col("released_rank").cast("int")
+                .alias("released_rank"))
+    )
+
+
+def _sql_privacy_dp_topk_release() -> str:
+    from sequin_spark.datapipe.privacy import sql_dp_count_histogram
+
+    inner = sql_dp_count_histogram(
+        "documents", ["source"], _sql_h60_of, salt="dptk1")
+    return f"""
+WITH noisy AS ({inner}),
+kept AS (
+  SELECT source, n_dp,
+         row_number() OVER (ORDER BY n_dp DESC, source ASC)
+           AS released_rank
+  FROM noisy WHERE n_dp >= 15)
+SELECT source, n_dp, CAST(released_rank AS INTEGER) AS released_rank
+FROM kept WHERE released_rank <= 10
+"""
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-nation triangle count + local clustering coefficient over
     the SPARSIFIED trade graph — edges kept when w >= 5/4 of the mean
@@ -4777,6 +4843,8 @@ DATAPIPE_QUERIES = {
     "privacy_dp_median": q_privacy_dp_median,
     "graph_triangles": q_graph_triangles,
     "sketch_ams_f2": q_sketch_ams_f2,
+    "select_kcenter_coreset": q_select_kcenter_coreset,
+    "privacy_dp_topk_release": q_privacy_dp_topk_release,
 }
 
 DATAPIPE_ORACLES = {
@@ -4866,4 +4934,6 @@ DATAPIPE_ORACLES = {
     "privacy_dp_median": _sql_privacy_dp_median(),
     "graph_triangles": _sql_graph_triangles(),
     "sketch_ams_f2": _sql_sketch_ams_f2(),
+    "select_kcenter_coreset": _sql_select_kcenter(),
+    "privacy_dp_topk_release": _sql_privacy_dp_topk_release(),
 }

@@ -267,6 +267,28 @@ def test_tfidf_topk_matches_python_replay(spark):
     assert got == expected
 
 
+def test_kcenter_coreset_covers_clusters_before_density(spark):
+    """Three well-separated clusters, one of them 10x denser: greedy
+    k-center's first three picks must land in three DIFFERENT clusters
+    (a density-proportional sampler would take all three from the
+    dense one) — the property that makes it the diversity primitive."""
+    from sequin_spark.datapipe.similarity import kcenter_coreset
+
+    rows = []
+    # dense cluster along e1 (ids 0..19), sparse ones at e2, e3
+    for i in range(20):
+        rows.append((i, [1.0, 0.001 * i, 0.0]))
+    rows.append((100, [0.0, 1.0, 0.01]))
+    rows.append((101, [0.01, 1.0, 0.0]))
+    rows.append((200, [0.0, 0.01, 1.0]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    sel = kcenter_coreset(emb, k=3)
+    picked = [r["vec_id"] for r in sel.orderBy("sel_round").collect()]
+    cluster = lambda i: 0 if i < 100 else (1 if i < 200 else 2)  # noqa: E731
+    assert len({cluster(i) for i in picked}) == 3
+    assert picked[0] == 0  # deterministic seed = smallest id
+
+
 def test_hard_negative_margin_sign(spark):
     from sequin_spark.datapipe.similarity import hard_negative_mining
 
