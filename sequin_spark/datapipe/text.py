@@ -224,3 +224,86 @@ def perplexity_buckets(df: DataFrame, text_col: str = "text",
         .otherwise(F.lit("tail"))
         .alias("bucket"),
     )
+
+
+def readability(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease profile: sentence count (runs of [.!?]),
+    word count, and a vowel-group syllable proxy (the classic
+    hyphenation-free approximation), then
+
+        flesch = 206.835 - 1.015*(words/sentences)
+                         - 84.6*(syllables/words)
+
+    rounded to 2.  All three counts are regexp_extract_all sizes over
+    the text — one narrow scan, no shuffle; the same counting runs in
+    the DuckDB oracle (RE2 and Java regex agree on these character-
+    class patterns).  Bands follow the published Flesch scale."""
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[.!?]+"), F.lit(0))),
+        F.lit(1))
+    words = F.greatest(
+        F.size(F.split(normalized("text"), " ")), F.lit(1))
+    syllables = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")),
+                                    F.lit("[aeiouy]+"), F.lit(0))),
+        F.lit(1))
+    # Exact integer rational: flesch = num / (1000*s*w) with
+    #   num = 206835*s*w - 1015*w^2 - 84600*y*s   (clamped at 0 — the
+    # practical floor of the published scale, and it keeps every
+    # integer division positive so Spark's truncating `div` and
+    # DuckDB's flooring `//` agree).  Rounding to hundredths is then
+    # (200*num + den) div (2*den) — pure integer half-up, immune to
+    # the float round-boundary ulp flip a naive round(x, 2) hits.
+    base = df.select(
+        F.col(id_col),
+        sentences.cast("long").alias("n_sentences"),
+        words.cast("long").alias("n_words"),
+        syllables.cast("long").alias("n_syllables"),
+    )
+    num = F.greatest(
+        F.lit(0).cast("long"),
+        (F.lit(206835) * F.col("n_sentences") * F.col("n_words")
+         - F.lit(1015) * F.col("n_words") * F.col("n_words")
+         - F.lit(84600) * F.col("n_syllables") * F.col("n_sentences"))
+        .cast("long"))
+    den = (F.lit(1000) * F.col("n_sentences") * F.col("n_words")).cast("long")
+    base = (base.withColumn("_num", num)
+            .withColumn("_den", den)
+            .withColumn("_h", F.expr("(200 * _num + _den) div (2 * _den)")
+                        .cast("long")))
+    return base.select(
+        F.col(id_col),
+        "n_sentences", "n_words", "n_syllables",
+        (F.col("_h") / F.lit(100.0)).alias("flesch"),
+        F.when(F.col("_h") >= 6000, "easy")
+        .when(F.col("_h") >= 3000, "medium")
+        .otherwise("hard").alias("band"),
+    )
+
+
+def char_entropy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Character-distribution Shannon entropy per document (nats,
+    rounded 4) — the gibberish/noise signal: natural language sits in
+    a narrow band, base64/hex blobs and repeated mash fall outside it.
+    One codepoint explode (regexp '.') over the NORMALIZED text with
+    spaces dropped, a (doc, char) count shuffle, then entropy =
+    -Σ (c/n)·ln(c/n) folded from integer counts (round-4, the
+    bm25/NB-classifier float-sum contract)."""
+    from pyspark.sql import Window
+
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.regexp_extract_all(
+            normalized("text"), F.lit("."), F.lit(0))).alias("ch"),
+    ).filter(F.col("ch") != " ")
+    per = (
+        chars.groupBy(id_col, "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .withColumn("n", F.sum("c").over(Window.partitionBy(id_col)))
+    )
+    return per.groupBy(id_col).agg(
+        F.max("n").cast("long").alias("n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.round(-F.sum((F.col("c") / F.col("n"))
+                       * F.log(F.col("c") / F.col("n"))), 4).alias("entropy"),
+    )

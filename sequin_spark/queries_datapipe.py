@@ -4432,6 +4432,71 @@ def _sql_privacy_dp_histogram() -> str:
     return sql_dp_count_histogram("documents", ["source", "lang"], _sql_h60_of)
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per doc (datapipe/text.readability):
+    sentence/word/vowel-group-syllable counts in one narrow scan, the
+    published banding thresholds."""
+    from sequin_spark.datapipe.text import readability
+
+    _prep(spark)
+    return readability(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_READABILITY = f"""
+WITH cnt AS (
+  SELECT doc_id,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT)
+           AS n_sentences,
+         CAST(greatest(len(string_split({D_NORM}, ' ')), 1) AS BIGINT)
+           AS n_words,
+         CAST(greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+              AS BIGINT) AS n_syllables
+  FROM documents),
+r AS (
+  SELECT *,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(206835 * n_sentences * n_words
+                       - 1015 * n_words * n_words
+                       - 84600 * n_syllables * n_sentences AS BIGINT)) AS num,
+         CAST(1000 * n_sentences * n_words AS BIGINT) AS den
+  FROM cnt),
+h AS (SELECT *, CAST((200 * num + den) // (2 * den) AS BIGINT) AS hh FROM r)
+SELECT doc_id, n_sentences, n_words, n_syllables,
+       hh / 100.0 AS flesch,
+       CASE WHEN hh >= 6000 THEN 'easy'
+            WHEN hh >= 3000 THEN 'medium' ELSE 'hard' END AS band
+FROM h
+"""
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (nats) — the
+    gibberish/noise curation signal (datapipe/text.char_entropy)."""
+    from sequin_spark.datapipe.text import char_entropy
+
+    _prep(spark)
+    return char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+SQL_TEXT_CHAR_ENTROPY = f"""
+WITH chars AS (
+  SELECT doc_id, unnest(regexp_extract_all({D_NORM}, '.')) AS ch
+  FROM documents),
+nosp AS (SELECT doc_id, ch FROM chars WHERE ch <> ' '),
+per AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM nosp
+  GROUP BY doc_id, ch),
+withn AS (
+  SELECT doc_id, ch, c,
+         CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM per)
+SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
+       CAST(count(*) AS BIGINT) AS n_distinct_chars,
+       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 4)
+         AS entropy
+FROM withn GROUP BY doc_id
+"""
+
+
 def q_select_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center diversity coreset over the embedding corpus
     (datapipe/similarity.kcenter_coreset, Gonzalez 2-approx): 8
@@ -4845,6 +4910,8 @@ DATAPIPE_QUERIES = {
     "sketch_ams_f2": q_sketch_ams_f2,
     "select_kcenter_coreset": q_select_kcenter_coreset,
     "privacy_dp_topk_release": q_privacy_dp_topk_release,
+    "text_readability": q_text_readability,
+    "text_char_entropy": q_text_char_entropy,
 }
 
 DATAPIPE_ORACLES = {
@@ -4936,4 +5003,6 @@ DATAPIPE_ORACLES = {
     "sketch_ams_f2": _sql_sketch_ams_f2(),
     "select_kcenter_coreset": _sql_select_kcenter(),
     "privacy_dp_topk_release": _sql_privacy_dp_topk_release(),
+    "text_readability": SQL_TEXT_READABILITY,
+    "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
 }

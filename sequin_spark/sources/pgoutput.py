@@ -101,6 +101,27 @@ class LogicalMessage:
     content: bytes
 
 
+@dataclass
+class Origin:
+    """ORIGIN frame ('O'): emitted on cascading replication setups for
+    changes that originated on another node (decoder.ex:58-71,
+    :290-295).  A control frame — carries the origin commit LSN and
+    name, yields no events."""
+
+    origin_commit_lsn: int
+    name: str
+
+
+@dataclass
+class Unsupported:
+    """Unknown-tag fallthrough (decoder.ex:210-222, :417): the
+    reference decodes unrecognized frames to a raw-data struct and the
+    producer logs-and-skips (slot_producer.ex:515-519) rather than
+    crashing the slot — protocol-forward-compatible by design."""
+
+    data: bytes
+
+
 def _cstr(buf: bytes, off: int) -> tuple[str, int]:
     end = buf.index(b"\x00", off)
     return buf[off:end].decode(), end + 1
@@ -196,7 +217,13 @@ def decode(frame: bytes):
     if tag == b"Y":  # Type message — carried through, types resolve via catalogs
         (oid,) = struct.unpack_from(">I", frame, 1)
         return ("type", oid)
-    raise ValueError(f"unknown pgoutput tag {tag!r}")
+    if tag == b"O":  # Origin — control frame on cascading replication
+        (lsn,) = struct.unpack_from(">Q", frame, 1)
+        name, _ = _cstr(frame + b"\x00", 9)  # name = rest of frame
+        return Origin(lsn, name)
+    # reference parity: unknown tags decode to Unsupported and are
+    # logged-and-skipped upstream, never a slot crash
+    return Unsupported(frame)
 
 
 import base64 as _b64
@@ -276,7 +303,14 @@ class EventFolder:
             elif msg.prefix.endswith("transaction_annotations.clear"):
                 self.annotations = None
             return []
-        if isinstance(msg, Truncate) or isinstance(msg, tuple):
+        if isinstance(msg, (Truncate, Origin, tuple)):
+            return []
+        if isinstance(msg, Unsupported):
+            # log-and-skip, never a slot crash (slot_producer.ex:515-519)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "unsupported pgoutput frame tag %r skipped", msg.data[:1])
             return []
         rel = self.relations[msg.relation_oid]
         if isinstance(msg, Insert):

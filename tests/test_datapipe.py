@@ -1011,3 +1011,39 @@ def test_decontaminate_semantic_finds_planted_leaks(spark):
     assert planted == {(i + 50000, i) for i in range(20)}
     assert all(r.cos == 1.0 for r in rows if r.corp_id >= 50000)
     assert all(r.corp_id >= 50000 for r in rows)  # no false positives here
+
+
+def test_readability_integer_replay(spark):
+    """The Flesch score is an exact integer rational: replay it."""
+    from sequin_spark.datapipe.text import readability
+
+    text = "The cat sat on the mat. It was a very good cat! Was it?"
+    docs = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = readability(docs).collect()[0]
+    s, w, y = r["n_sentences"], r["n_words"], r["n_syllables"]
+    num = max(0, 206835 * s * w - 1015 * w * w - 84600 * y * s)
+    den = 1000 * s * w
+    hh = (200 * num + den) // (2 * den)
+    assert r["flesch"] == hh / 100.0
+    assert r["band"] == ("easy" if hh >= 6000 else
+                         "medium" if hh >= 3000 else "hard")
+    assert s == 3  # three [.!?] runs
+
+
+def test_char_entropy_bounds(spark):
+    """Uniform chars maximize entropy (ln 4 for 4 symbols); a single
+    repeated char is zero; mixed text sits between."""
+    import math
+
+    from sequin_spark.datapipe.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdabcd"), (3, "aabb ccdd aabb")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert out[1]["entropy"] == 0.0
+    assert out[2]["entropy"] == round(math.log(4), 4)
+    assert out[1]["n_distinct_chars"] == 1
+    # spaces excluded from the distribution
+    assert out[3]["n_chars"] == 12
+    assert 0.0 < out[3]["entropy"] <= round(math.log(4), 4)

@@ -116,3 +116,31 @@ def test_toast_marker_constant():
     from sequin_spark.operators.changes import UNCHANGED_TOAST
 
     assert UNCHANGED_TOAST == UNCHANGED_TOAST_MARKER
+
+
+def test_decode_origin_frame():
+    """ORIGIN ('O') is a control frame: 8-byte origin commit LSN +
+    name (decoder.ex:290-295); the folder yields no events for it."""
+    import struct
+
+    from sequin_spark.sources.pgoutput import EventFolder, Origin, decode
+
+    frame = b"O" + struct.pack(">Q", 12345) + b"upstream\x00"
+    msg = decode(frame)
+    assert isinstance(msg, Origin)
+    assert msg.origin_commit_lsn == 12345
+    assert msg.name == "upstream"
+    assert EventFolder().push(msg) == []
+
+
+def test_decode_unknown_tag_is_unsupported_not_crash():
+    """Unknown tags decode to Unsupported and fold to zero events
+    (decoder.ex:417, slot_producer.ex:515-519) — a newer-protocol
+    frame must never crash the slot."""
+    from sequin_spark.sources.pgoutput import EventFolder, Unsupported, decode
+
+    frame = b"Z" + b"\x01\x02\x03"
+    msg = decode(frame)
+    assert isinstance(msg, Unsupported)
+    assert msg.data == frame
+    assert EventFolder().push(msg) == []

@@ -678,7 +678,33 @@ def case_replica_identity_change_midstream():
     return frames, L3, check
 
 
+def origin_frame(lsn, name="upstream_node"):
+    return b"O" + struct.pack(">Q", lsn) + name.encode() + b"\x00"
+
+
+def case_origin_and_unknown_frames_ignored():
+    # decoder.ex:290-295 (Origin decoded as a control struct) +
+    # decoder.ex:417 / slot_producer.ex:515-519 (unknown tags decode to
+    # Unsupported and are logged-and-skipped): cascading-replication
+    # ORIGIN frames and a future-protocol frame ('Z') inside a
+    # transaction must not crash the slot and must yield no events.
+    frames = [_chars_rel()] + [
+        xlog(L1, begin_frame(L1)),
+        xlog(L1 + 1, origin_frame(L1 - 50)),
+        xlog(L1 + 2, ins(CHAR_OID, 1, "casc", None, None, "t", "{}")),
+        xlog(L1 + 3, b"Z" + b"\x07future-proto-payload"),
+        xlog(L1 + 4, commit_frame(L1)),
+    ]
+
+    def check(ev):
+        assert len(ev) == 1 and ev[0]["record"]["name"] == "casc"
+
+    return frames, L1, check
+
+
 SCENARIOS = [
+    ("origin_and_unknown_frames_ignored",
+     case_origin_and_unknown_frames_ignored),
     ("insert_basic", case_insert_basic),
     ("update_identity_default", case_update_identity_default),
     ("update_identity_full", case_update_identity_full),
