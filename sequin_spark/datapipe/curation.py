@@ -255,3 +255,55 @@ def unimax_allocation(
         F.round("epochs", 4).alias("epochs"),
         "capped",
     )
+
+
+def span_corruption(
+    df: DataFrame,
+    rate_pct: int = 15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption mask generation: deterministically
+    select ~``rate_pct``% of token positions via a keyed hash, then
+    coalesce consecutive selected positions into spans and assign
+    sentinel ids in document order — the seq2seq denoising-objective
+    data-prep step (Raffel et al. 2020), reproducible across epochs
+    and engines because the mask is a pure function of
+    (doc, position), not RNG state.
+
+    Plan: one posexplode scan → hash flag (narrow) → the classic
+    gaps-and-islands (pos − row_number over selected positions per
+    doc) → span rollup — all three windows/aggregates share the
+    doc-keyed partitioning, so this is ONE shuffle keyed by doc plus
+    map-side combines.
+
+    Emits (doc, mask_id, span_start, span_len): mask_id is the 0-based
+    sentinel index (<extra_id_0>, <extra_id_1>, ... in encoder order).
+    """
+    from pyspark.sql import Window
+
+    from sequin_spark.datapipe.dedup import normalized
+    from sequin_spark.datapipe.sketch import h60
+
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(normalized(text_col), " ")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    flagged = toks.filter(
+        (h60(F.concat_ws("|", F.col(id_col), F.col("pos"), F.lit("sc1")))
+         % 100) < rate_pct)
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    spans = (
+        flagged.withColumn("_rn", F.row_number().over(w_doc))
+        .withColumn("_grp", F.col("pos") - F.col("_rn"))
+        .groupBy(id_col, "_grp")
+        .agg(F.min("pos").cast("long").alias("span_start"),
+             F.count(F.lit(1)).cast("long").alias("span_len"))
+    )
+    w_sent = Window.partitionBy(id_col).orderBy("span_start")
+    return spans.select(
+        F.col(id_col),
+        (F.row_number().over(w_sent) - 1).cast("int").alias("mask_id"),
+        "span_start",
+        "span_len",
+    )

@@ -4432,6 +4432,84 @@ def _sql_privacy_dp_histogram() -> str:
     return sql_dp_count_histogram("documents", ["source", "lang"], _sql_h60_of)
 
 
+def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeler-QA confusion matrix: the n-gram langid classifier's
+    predictions against the gold `lang` column — per (gold, predicted)
+    cell count and per-gold-language accuracy (the drift monitor a
+    production labeling pipeline runs on every classifier release).
+    One narrow classify scan + a bounded (|langs|²) group-by."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    pred = langid(docs).select("doc_id", "predicted_lang")
+    joined = docs.select("doc_id", F.col("lang").alias("gold")).join(
+        pred, "doc_id")
+    cells = joined.groupBy("gold", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"))
+    from pyspark.sql import Window
+
+    tot = F.sum("n").over(Window.partitionBy("gold"))
+    return cells.select(
+        "gold", "predicted_lang", "n",
+        F.round(F.col("n") / tot, 4).alias("share_of_gold"),
+        (F.col("gold") == F.col("predicted_lang")).alias("is_correct"),
+    )
+
+
+def _sql_eval_langid_confusion() -> str:
+    return f"""
+WITH pred AS ({_sql_langid()}),
+joined AS (
+  SELECT d.doc_id, d.lang AS gold, p.predicted_lang
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id),
+cells AS (
+  SELECT gold, predicted_lang, CAST(count(*) AS BIGINT) AS n
+  FROM joined GROUP BY gold, predicted_lang)
+SELECT gold, predicted_lang, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY gold), 4) AS share_of_gold,
+       gold = predicted_lang AS is_correct
+FROM cells
+"""
+
+
+def q_corpus_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masks (datapipe/curation.
+    span_corruption): ~15% of token positions hash-selected,
+    consecutive picks coalesced to spans, sentinel ids in document
+    order — reproducible denoising-objective data prep, no RNG
+    state."""
+    from sequin_spark.datapipe.curation import span_corruption
+
+    _prep(spark)
+    return span_corruption(load_table(spark, sf_dir, "documents"))
+
+
+def _sql_span_corruption(rate_pct: int = 15) -> str:
+    h = _sql_h60_of("concat_ws('|', doc_id, pos, 'sc1')")
+    return f"""
+WITH t AS (SELECT doc_id, string_split({D_NORM}, ' ') AS toks FROM documents),
+p AS (
+  SELECT doc_id, j - 1 AS pos, toks[j] AS tok
+  FROM t, unnest(generate_series(1, len(toks))) AS u(j)),
+nz AS (SELECT doc_id, pos FROM p WHERE tok <> ''),
+flagged AS (
+  SELECT doc_id, pos FROM nz WHERE ({h}) % 100 < {rate_pct}),
+grp AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM flagged),
+spans AS (
+  SELECT doc_id, g, CAST(min(pos) AS BIGINT) AS span_start,
+         CAST(count(*) AS BIGINT) AS span_len
+  FROM grp GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY span_start) - 1
+            AS INTEGER) AS mask_id,
+       span_start, span_len
+FROM spans
+"""
+
+
 def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per doc (datapipe/text.readability):
     sentence/word/vowel-group-syllable counts in one narrow scan, the
@@ -4912,6 +4990,8 @@ DATAPIPE_QUERIES = {
     "privacy_dp_topk_release": q_privacy_dp_topk_release,
     "text_readability": q_text_readability,
     "text_char_entropy": q_text_char_entropy,
+    "corpus_span_corruption": q_corpus_span_corruption,
+    "eval_langid_confusion": q_eval_langid_confusion,
 }
 
 DATAPIPE_ORACLES = {
@@ -5005,4 +5085,6 @@ DATAPIPE_ORACLES = {
     "privacy_dp_topk_release": _sql_privacy_dp_topk_release(),
     "text_readability": SQL_TEXT_READABILITY,
     "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
+    "corpus_span_corruption": _sql_span_corruption(),
+    "eval_langid_confusion": _sql_eval_langid_confusion(),
 }

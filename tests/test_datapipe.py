@@ -1047,3 +1047,30 @@ def test_char_entropy_bounds(spark):
     # spaces excluded from the distribution
     assert out[3]["n_chars"] == 12
     assert 0.0 < out[3]["entropy"] <= round(math.log(4), 4)
+
+
+def test_span_corruption_layout_invariants(spark):
+    """Spans are disjoint, sentinel ids are dense in start order, and
+    the selected-token fraction lands near the configured rate."""
+    from sequin_spark.datapipe.curation import span_corruption
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}" for j in range(200))) for i in range(20)],
+        ["doc_id", "text"])
+    spans = span_corruption(docs, rate_pct=15).collect()
+    by_doc = {}
+    for r in spans:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    total_masked = 0
+    for d, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r["span_start"])
+        assert [r["mask_id"] for r in rs] == list(range(len(rs)))
+        for a, b in zip(rs, rs[1:]):
+            # disjoint AND non-adjacent (adjacent picks coalesce)
+            assert a["span_start"] + a["span_len"] < b["span_start"]
+        total_masked += sum(r["span_len"] for r in rs)
+    frac = total_masked / (20 * 200)
+    assert 0.10 < frac < 0.20  # hash-binomial around 0.15
+    # determinism: identical rerun
+    again = span_corruption(docs, rate_pct=15).collect()
+    assert sorted(map(tuple, spans)) == sorted(map(tuple, again))
