@@ -306,3 +306,72 @@ def test_hard_negative_margin_sign(spark):
     assert all(r["margin"] > 0.5 for r in out)
     assert {r["n_id"] for r in out} == {3, 4}
     assert [r["rnk"] for r in sorted(out, key=lambda r: r["rnk"])] == [1, 2]
+
+
+def test_pagerank_random_graphs_match_replay(spark):
+    """Seeded random graphs (varying density, dangling nodes, weight
+    skew): the Spark trajectory must equal the pure-Python integer
+    replay exactly — any float sneaking into the kernel breaks this
+    immediately."""
+    import random
+
+    rng = random.Random(80831)
+    for trial in range(4):
+        n = rng.randint(3, 9)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = []
+        for u in nodes:
+            if rng.random() < 0.25:
+                continue  # dangling node
+            for v in rng.sample(nodes, rng.randint(1, n - 1)):
+                if u != v:
+                    edges.append((u, v, rng.randint(1, 1000)))
+        if not edges:
+            edges = [(nodes[0], nodes[-1], 1)]
+        ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+        edf = spark.createDataFrame(edges, ["src", "dst", "w"]).withColumn(
+            "w", F.col("w").cast("long"))
+        got = {r["node"]: r["rank_int"]
+               for r in pagerank_int(ndf, edf, iters=4).collect()}
+        assert got == _py_pagerank(nodes, edges, iters=4), f"trial {trial}"
+
+
+def test_hits_random_graphs_match_replay(spark):
+    import random
+
+    rng = random.Random(41214)
+    for trial in range(3):
+        n = rng.randint(3, 8)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = [(u, v, rng.randint(1, 50))
+                 for u in nodes for v in nodes
+                 if u != v and rng.random() < 0.5]
+        if not edges:
+            edges = [(nodes[0], nodes[-1], 2)]
+        ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+        edf = spark.createDataFrame(edges, ["src", "dst", "w"]).withColumn(
+            "w", F.col("w").cast("long"))
+        got = {r["node"]: (r["authority_int"], r["hub_int"])
+               for r in hits_int(ndf, edf, iters=3).collect()}
+        ea, eh = _py_hits(nodes, edges, iters=3)
+        assert got == {v: (ea[v], eh[v]) for v in nodes}, f"trial {trial}"
+
+
+def test_dp_median_random_groups_match_replay(spark):
+    """Random value multisets (dupes, skew, singleton groups): the
+    exponential-mechanism selection replays exactly."""
+    import random
+
+    rng = random.Random(90125)
+    groups = {}
+    for gi in range(6):
+        size = rng.choice([1, 3, 20, 80])
+        groups[f"g{gi}"] = [rng.randint(0, 50) for _ in range(size)]
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    from sequin_spark.datapipe.privacy import dp_quantile_exponential
+
+    df = spark.createDataFrame(rows, ["source", "val"])
+    out = {r["source"]: r["dp_q"]
+           for r in dp_quantile_exponential(df, ["source"], "val").collect()}
+    for g, vals in groups.items():
+        assert out[g] == _py_dp_median(vals, g), g
