@@ -4432,6 +4432,106 @@ def _sql_privacy_dp_histogram() -> str:
     return sql_dp_count_histogram("documents", ["source", "lang"], _sql_h60_of)
 
 
+def q_privacy_kanon_risk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity re-identification risk audit over the
+    quasi-identifier (source, lang): equivalence-class size per cell,
+    the class-size band it falls in, and the share of ALL docs exposed
+    in classes below k=5 — the release-gating audit that pairs with
+    the DP suppression threshold.  One QI-keyed count shuffle + a
+    bounded per-band rollup."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("class_size"))
+    band = (F.when(F.col("class_size") < 2, "unique")
+            .when(F.col("class_size") < 5, "small_2_4")
+            .when(F.col("class_size") < 20, "mid_5_19")
+            .otherwise("large_20_plus"))
+    from pyspark.sql import Window
+
+    total = F.sum("n_docs").over(
+        Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    return (
+        classes.withColumn("band", band)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"),
+             F.sum("class_size").cast("long").alias("n_docs"))
+        .withColumn("share_of_docs",
+                    F.round(F.col("n_docs") / total, 4))
+        .select("band", "n_classes", "n_docs", "share_of_docs")
+    )
+
+
+def _sql_privacy_kanon_risk() -> str:
+    return """
+WITH classes AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS class_size
+  FROM documents GROUP BY source, lang),
+banded AS (
+  SELECT CASE WHEN class_size < 2 THEN 'unique'
+              WHEN class_size < 5 THEN 'small_2_4'
+              WHEN class_size < 20 THEN 'mid_5_19'
+              ELSE 'large_20_plus' END AS band,
+         class_size
+  FROM classes),
+agg AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS n_classes,
+         CAST(sum(class_size) AS BIGINT) AS n_docs
+  FROM banded GROUP BY band)
+SELECT band, n_classes, n_docs,
+       round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 4)
+         AS share_of_docs
+FROM agg
+"""
+
+
+def q_corpus_shard_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard load-balance audit over the deterministic shard
+    assignment (q_corpus_shard_assign's Knuth hash): per-shard doc and
+    byte totals plus each shard's deviation from the mean byte load —
+    the check a dataloader team runs before shipping shards (one
+    hot shard = one slow epoch).  Deviation is integer-exact:
+    dev_pct_x100 = (bytes*10000) div total - 10000/N-style integer
+    arithmetic avoided by publishing byte share in basis points."""
+    _prep(spark)
+    n_shards = 8
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    per = (
+        docs.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_chars").cast("long").alias("n_bytes"))
+    )
+    from pyspark.sql import Window
+
+    tot = F.sum("n_bytes").over(
+        Window.partitionBy(F.lit(1)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+    return per.select(
+        "shard", "n_docs", "n_bytes",
+        F.expr(f"(n_bytes * 10000) div (sum(n_bytes) OVER ())")
+        .cast("long").alias("share_bp"),
+    ).orderBy("shard")
+
+
+def _sql_corpus_shard_skew(n_shards: int = 8) -> str:
+    return f"""
+WITH per AS (
+  SELECT CAST((doc_id * 2654435761) % 4294967296 % {n_shards} AS INTEGER)
+           AS shard,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_chars) AS BIGINT) AS n_bytes
+  FROM documents
+  GROUP BY 1)
+SELECT shard, n_docs, n_bytes,
+       CAST(n_bytes * 10000 // (SELECT sum(n_bytes) FROM per) AS BIGINT)
+         AS share_bp
+FROM per ORDER BY shard
+"""
+
+
 def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeler-QA confusion matrix: the n-gram langid classifier's
     predictions against the gold `lang` column — per (gold, predicted)
@@ -4992,6 +5092,8 @@ DATAPIPE_QUERIES = {
     "text_char_entropy": q_text_char_entropy,
     "corpus_span_corruption": q_corpus_span_corruption,
     "eval_langid_confusion": q_eval_langid_confusion,
+    "privacy_kanon_risk": q_privacy_kanon_risk,
+    "corpus_shard_skew_audit": q_corpus_shard_skew_audit,
 }
 
 DATAPIPE_ORACLES = {
@@ -5087,4 +5189,6 @@ DATAPIPE_ORACLES = {
     "text_char_entropy": SQL_TEXT_CHAR_ENTROPY,
     "corpus_span_corruption": _sql_span_corruption(),
     "eval_langid_confusion": _sql_eval_langid_confusion(),
+    "privacy_kanon_risk": _sql_privacy_kanon_risk(),
+    "corpus_shard_skew_audit": _sql_corpus_shard_skew(),
 }
