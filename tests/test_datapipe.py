@@ -1074,3 +1074,44 @@ def test_span_corruption_layout_invariants(spark):
     # determinism: identical rerun
     again = span_corruption(docs, rate_pct=15).collect()
     assert sorted(map(tuple, spans)) == sorted(map(tuple, again))
+
+
+def test_span_corruption_matches_python_replay(spark):
+    """The mask is a pure keyed-PRF function of (doc, position):
+    replay the selection + islands coalescing in Python exactly."""
+    import hashlib
+    import re
+
+    from sequin_spark.datapipe.curation import span_corruption
+
+    docs = {7: "the quick brown fox jumps over the lazy dog again and again",
+            9: "  spaced   out   tokens  here  "}
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    got = sorted(map(tuple, span_corruption(df, rate_pct=30).collect()))
+
+    expected = []
+    for d, text in docs.items():
+        norm = re.sub(r"\s+", " ", text.lower())
+        toks = norm.split(" ")
+        picked = []
+        for pos, tok in enumerate(toks):
+            if tok == "":
+                continue
+            h = int(hashlib.md5(f"{d}|{pos}|sc1".encode())
+                    .hexdigest()[:15], 16)
+            if h % 100 < 30:
+                picked.append(pos)
+        spans, start, prev = [], None, None
+        for p in picked:
+            if start is None:
+                start, prev = p, p
+            elif p == prev + 1:
+                prev = p
+            else:
+                spans.append((start, prev - start + 1))
+                start, prev = p, p
+        if start is not None:
+            spans.append((start, prev - start + 1))
+        for mid, (s, ln) in enumerate(sorted(spans)):
+            expected.append((d, mid, s, ln))
+    assert got == sorted(expected)
