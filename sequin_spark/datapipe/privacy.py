@@ -1,4 +1,4 @@
-"""Differentially-private release operators.
+"""DP-mechanism release operators (replayable pseudo-DP).
 
 Training corpora increasingly ship with per-source / per-cell summary
 statistics; when those summaries leave the trust boundary they need DP
@@ -8,17 +8,30 @@ mechanism** for count histograms:
 
     P(K = k)  ∝  alpha^|k|,   alpha = exp(-eps / sensitivity)
 
-Determinism contract: production DP demands cryptographic randomness,
-but a *replayable pipeline* (and a cross-engine oracle) demands a
-seeded draw — the standard practice for testable DP systems is a
-keyed PRF per release cell, which is exactly what we do:
+**What the determinism contract buys — and costs.**  A replayable
+pipeline (and a cross-engine oracle) demands a seeded draw, so noise
+is a keyed PRF per release cell:
 
     u(cell) = h60(cell_key || salt) / 2^60  ∈ [0, 1)
 
-and K = the inverse-CDF bucket of ``u``.  The CDF is truncated to
-|k| <= trunc_k and renormalized (a truncated discrete Laplace — still
-a valid mechanism with a slightly tightened epsilon; the tail mass at
-the default alpha=0.9, trunc_k=40 is ~1.3%).  Every threshold is a
+and K = the inverse-CDF bucket of ``u``.  With the default checked-in
+``salt`` the draw is exactly reconstructible by anyone with the source
+(this repo's own tests replay it), which means the released ``n_dp`` /
+``sum_dp`` reveal the true values to such an observer — the outputs
+here are **replayable pseudo-DP for pipeline testing and shape
+validation, not a privacy guarantee**.  A production release MUST pass
+a caller-supplied secret ``salt`` (kept out of the release artifact);
+under a secret uniformly-chosen salt the PRF draw stands in for the
+mechanism's randomness and the DP analysis below applies against
+observers without the salt.
+
+**Mechanism accounting.**  The CDF is truncated to |k| <= trunc_k and
+renormalized.  Truncation makes outputs beyond the band
+probability-zero, so adjacent datasets can disagree with unbounded
+likelihood ratio at the boundary: the truncated mechanism is NOT pure
+eps-DP but **(eps, delta)-DP with delta ≈ the truncated tail mass**
+(~1.3% at the default alpha=0.9, trunc_k=40; shrink delta by widening
+trunc_k — alpha^trunc_k decays geometrically).  Every threshold is a
 Python-computed double injected as a literal into BOTH the Spark plan
 and the DuckDB oracle, and the bucket lookup is a pure array-lambda
 scan (`size(filter(cums, c -> c <= u))`) — no joins, no RNG state, no
@@ -193,6 +206,21 @@ FROM agg
 """
 
 
+def _fold_zero_steps(scale: int, decay_num: int, decay_den: int) -> int:
+    """Exact number of ``acc -> acc * decay_num div decay_den`` folds
+    after which the integer weight reaches 0 from ``scale`` (263 at the
+    default 1e12 @ 9/10).  Folding past this point keeps acc at 0, so
+    capping the fold length at it is behavior-identical — and it bounds
+    the per-row work at O(cap) instead of O(group size) (an
+    uncapped ``sequence(1, d)`` materializes an O(n) array per row,
+    O(n^2) work per group, and d >= 2^31 would wrap the INT cast)."""
+    acc, steps = scale, 0
+    while acc > 0:
+        acc = (acc * decay_num) // decay_den
+        steps += 1
+    return steps
+
+
 def dp_quantile_exponential(
     df: DataFrame,
     keys: list[str],
@@ -243,12 +271,17 @@ def dp_quantile_exponential(
         .withColumn("d", F.abs(F.lit(q_den) * F.col("cum")
                                - F.lit(q_num) * F.col("n")))
         # d = 0 guarded explicitly: Spark's sequence(1, 0) is the
-        # DESCENDING [1, 0], not empty — it would fold twice
+        # DESCENDING [1, 0], not empty — it would fold twice.  The
+        # fold length is capped at the exact step where the integer
+        # weight floors to 0 (see _fold_zero_steps) — identical output,
+        # O(cap) per row instead of O(group size), no INT wrap.
         .withColumn(
             "wgt",
             F.when(F.col("d") == 0, F.lit(scale).cast("long")).otherwise(
                 F.expr(
-                    f"aggregate(sequence(1, CAST(d AS INT)), "
+                    f"aggregate(sequence(1, CAST(least(d, "
+                    f"{_fold_zero_steps(scale, decay_num, decay_den)}) "
+                    f"AS INT)), "
                     f"CAST({scale} AS BIGINT), "
                     f"(acc, x) -> (acc * {decay_num}) div {decay_den})")),
         )
@@ -282,8 +315,10 @@ def sql_dp_quantile_exponential(
     scale: int = 10**12,
     salt: str = "dpq1",
 ) -> str:
-    """DuckDB oracle: identical integer trajectory (list_reduce fold),
-    identical keyed-PRF draw, identical selection rule."""
+    """DuckDB oracle: identical integer trajectory (list_reduce fold,
+    identical zero-floor fold cap), identical keyed-PRF draw,
+    identical selection rule."""
+    cap = _fold_zero_steps(scale, decay_num, decay_den)
     key_cols = ", ".join(keys)
     key_expr = "concat_ws('|', " + ", ".join(keys) + f", '{salt}')"
     u = f"({h60_of(key_expr)} / {TWO60!r})"
@@ -307,7 +342,8 @@ weighted AS (
               ELSE CAST(list_reduce(
                      list_prepend(CAST({scale} AS BIGINT),
                        list_transform(generate_series(1,
-                         CAST(abs({q_den} * cum - {q_num} * n) AS INTEGER)),
+                         CAST(least(abs({q_den} * cum - {q_num} * n),
+                                    {cap}) AS INTEGER)),
                          x -> CAST(0 AS BIGINT))),
                      (acc, x) -> (acc * {decay_num}) // {decay_den})
                    AS BIGINT) END AS wgt

@@ -135,8 +135,16 @@ def kcenter_coreset(
         cur = cur.withColumn("md", F.least(F.col("md"), _dist_to(far["v"])))
     base.unpersist()
     spark = emb.sparkSession
-    return spark.createDataFrame(
-        picked, "sel_round int, id long, dist_sel double").select(
+    # result id field takes the INPUT id column's type (string / int /
+    # long ids all round-trip; a hardcoded `id long` broke non-long ids)
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("sel_round", T.IntegerType()),
+        T.StructField("id", emb.schema[id_col].dataType),
+        T.StructField("dist_sel", T.DoubleType()),
+    ])
+    return spark.createDataFrame(picked, schema).select(
         "sel_round", F.col("id").alias(id_col), "dist_sel")
 
 

@@ -287,8 +287,14 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     a narrow band, base64/hex blobs and repeated mash fall outside it.
     One codepoint explode (regexp '.') over the NORMALIZED text with
     spaces dropped, a (doc, char) count shuffle, then entropy =
-    -Σ (c/n)·ln(c/n) folded from integer counts (round-4, the
-    bm25/NB-classifier float-sum contract)."""
+    -Σ (c/n)·ln(c/n) folded from integer counts (round-4).
+
+    Order-stabilized: a plain float SUM accumulates in partition order,
+    and a last-ulp difference at a round-4 boundary can flip a row
+    against the oracle (the exact hazard that bit readability's
+    round-2 in r8) — so the per-doc terms are collected, array_sort'ed,
+    and folded left-to-right; both engines sum the identical sorted
+    float list, giving a bit-identical total."""
     from pyspark.sql import Window
 
     chars = df.select(
@@ -301,9 +307,15 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
         .withColumn("n", F.sum("c").over(Window.partitionBy(id_col)))
     )
-    return per.groupBy(id_col).agg(
+    terms = per.groupBy(id_col).agg(
         F.max("n").cast("long").alias("n_chars"),
         F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
-        F.round(-F.sum((F.col("c") / F.col("n"))
-                       * F.log(F.col("c") / F.col("n"))), 4).alias("entropy"),
+        F.array_sort(F.collect_list(
+            (F.col("c") / F.col("n"))
+            * F.log(F.col("c") / F.col("n")))).alias("_terms"),
+    )
+    return terms.select(
+        id_col, "n_chars", "n_distinct_chars",
+        F.round(-F.aggregate("_terms", F.lit(0.0),
+                             lambda acc, x: acc + x), 4).alias("entropy"),
     )

@@ -4414,11 +4414,16 @@ WHERE rnk <= 3
 
 
 def q_privacy_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ε-DP (source, lang) doc-count histogram via the truncated
-    discrete-Laplace mechanism with a keyed-PRF draw per cell
-    (datapipe/privacy.py): the release-safe corpus summary primitive.
-    One group-keyed shuffle; noise is a narrow array-lambda scan over
-    81 literal CDF thresholds — engine-exact, no RNG state."""
+    """DP-mechanism (source, lang) doc-count histogram via the
+    truncated discrete-Laplace mechanism with a keyed-PRF draw per
+    cell (datapipe/privacy.py).  **Replayable pseudo-DP**: with the
+    checked-in default salt the noise is reconstructible from source,
+    so this output is for pipeline testing/shape validation — a real
+    release needs a caller-supplied secret salt, and is then
+    (eps, delta)-DP with delta ≈ the truncated tail mass (see the
+    privacy.py module docstring).  One group-keyed shuffle; noise is
+    a narrow array-lambda scan over 81 literal CDF thresholds —
+    engine-exact, no RNG state."""
     from sequin_spark.datapipe.privacy import dp_count_histogram
 
     _prep(spark)
@@ -4669,7 +4674,10 @@ withn AS (
          CAST(sum(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM per)
 SELECT doc_id, CAST(max(n) AS BIGINT) AS n_chars,
        CAST(count(*) AS BIGINT) AS n_distinct_chars,
-       round(-sum((CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)), 4)
+       round(-list_reduce(
+           list_sort(list((CAST(c AS DOUBLE) / n)
+                          * ln(CAST(c AS DOUBLE) / n))),
+           (acc, x) -> acc + x), 4)
          AS entropy
 FROM withn GROUP BY doc_id
 """
@@ -4751,7 +4759,8 @@ def q_privacy_dp_clamped_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding (datapipe/privacy.dp_clamped_sum): per-doc n_chars
     clamped to 2000 before the sum (one row moves the release by at
     most the clamp), noise = clamp * discrete-Laplace draw from the
-    per-cell keyed PRF."""
+    per-cell keyed PRF.  Replayable pseudo-DP under the default salt —
+    see the privacy.py module docstring for the real-release contract."""
     from sequin_spark.datapipe.privacy import dp_clamped_sum
 
     _prep(spark)
@@ -4772,7 +4781,9 @@ def q_privacy_dp_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars value, utility = -|rank distance to the median|, weight =
     an integer decay fold replacing exp(-eps*d/2) — the whole
     selection trajectory is 64-bit-integer engine-exact, with only the
-    keyed-PRF uniform and one IEEE multiply+floor at the end."""
+    keyed-PRF uniform and one IEEE multiply+floor at the end.
+    Replayable pseudo-DP under the default salt — see the privacy.py
+    module docstring for the real-release contract."""
     from sequin_spark.datapipe.privacy import dp_quantile_exponential
 
     _prep(spark)
@@ -4879,12 +4890,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_privacy_dp_topk_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Thresholded DP top-k release: noisy per-source doc counts,
-    cells below the suppression threshold dropped (the k-anonymity-
-    style suppression production DP releases pair with noise), top-10
-    of the survivors by noisy count.  Rank ties break on source so
-    the released ordering is engine-exact.  Unlike the audit
-    histogram, the release omits the true counts."""
+    """Thresholded DP-mechanism top-k release: noisy per-source doc
+    counts, cells below the suppression threshold dropped (the
+    k-anonymity-style suppression that real DP releases pair with
+    noise), top-10 of the survivors by noisy count.  Rank ties break
+    on source so the released ordering is engine-exact.  Unlike the
+    audit histogram, the release omits the true counts.  Replayable
+    pseudo-DP under the default salt — see privacy.py."""
     from pyspark.sql import Window
 
     from sequin_spark.datapipe.privacy import dp_count_histogram

@@ -375,3 +375,50 @@ def test_dp_median_random_groups_match_replay(spark):
            for r in dp_quantile_exponential(df, ["source"], "val").collect()}
     for g, vals in groups.items():
         assert out[g] == _py_dp_median(vals, g), g
+
+
+def test_fold_zero_steps_is_the_exact_zero_floor():
+    """The cap is the EXACT step count where the integer decay fold
+    reaches 0 — one step earlier it is still positive — so capping
+    sequence length at it is behavior-identical to the full fold."""
+    from sequin_spark.datapipe.privacy import _fold_zero_steps
+
+    for scale, dn, dd in [(10**12, 9, 10), (10**12, 99, 100),
+                          (10**6, 1, 2), (7, 3, 4)]:
+        steps = _fold_zero_steps(scale, dn, dd)
+        acc = scale
+        for _ in range(steps - 1):
+            acc = acc * dn // dd
+        assert acc > 0
+        assert acc * dn // dd == 0
+
+
+def test_dp_median_large_group_past_fold_cap(spark):
+    """A 400-value group drives the rank distance d well past the
+    263-step zero floor; the capped kernel must still match the
+    UNCAPPED python replay exactly (weights are 0 either way)."""
+    import random
+
+    from sequin_spark.datapipe.privacy import dp_quantile_exponential
+
+    rng = random.Random(5150)
+    vals = [rng.randint(0, 1000) for _ in range(400)]
+    df = spark.createDataFrame([("big", v) for v in vals],
+                               ["source", "val"])
+    out = dp_quantile_exponential(df, ["source"], "val").collect()
+    assert out[0]["dp_q"] == _py_dp_median(vals, "big")
+
+
+def test_kcenter_coreset_accepts_string_ids(spark):
+    """The result id field takes the input id column's type (the
+    hardcoded `id long` schema broke string ids at createDataFrame)."""
+    from sequin_spark.datapipe.similarity import kcenter_coreset
+
+    rows = [(f"doc{i}", [float(i % 3) + 1.0, float((i * 7) % 5) + 1.0])
+            for i in range(12)]
+    emb = spark.createDataFrame(rows, "doc string, vec array<float>")
+    out = kcenter_coreset(emb, k=3, id_col="doc", vec_col="vec")
+    got = out.collect()
+    assert len(got) == 3
+    assert out.schema["doc"].dataType.simpleString() == "string"
+    assert all(isinstance(r["doc"], str) for r in got)
