@@ -195,9 +195,9 @@ def _compress(codec: str, data: bytes) -> bytes:
         return lz4_py.compress(data)
     if codec == "zstd":
         # decode side is vendored pure-Python (sinks/zstd_py.py, RFC
-        # 8878); encode uses libzstd via ctypes and raises a clear
-        # NotImplementedError when no shared library is loadable —
-        # writing a zstd ENCODER in Python is out of scope
+        # 8878); encode uses libzstd via ctypes, falling back to
+        # store-mode (raw-block) frames so the codec never gates
+        # (worst case the batch ships framed-but-uncompressed)
         from sequin_spark.sinks import zstd_py
 
         return zstd_py.compress(data)

@@ -12,10 +12,15 @@ Two halves, gated honestly:
   path's bounded batches, not a bulk-scan codec.
 * ``compress`` — one-shot via ``libzstd`` through ctypes when the
   shared library is present (it is on any host with the zstd CLI or a
-  JVM Kafka client); otherwise raises NotImplementedError with the
-  reason.  Writing a zstd ENCODER in Python is out of scope — the
-  format's encoder-side search is the complex half — and the decoder
-  below can verify any frame the library produces.
+  JVM Kafka client); otherwise it falls back to **store-mode frames**:
+  RFC 8878 §3.1.1 permits a frame made entirely of raw (uncompressed)
+  blocks, which every conformant decoder — including JVM Kafka
+  consumers — accepts as zstd.  ``compress`` therefore never raises:
+  worst case the payload ships framed-but-uncompressed (level
+  semantics ignored), flagged as zstd on the wire.  A real entropy
+  ENCODER in Python stays out of scope — the format's encoder-side
+  search is the complex half — and the decoder below verifies any
+  frame either path produces.
 
 Conformance: tests/data/zstd/ holds frames produced by the real zstd
 CLI over deterministic payloads (levels 1/3/19, checksummed and not);
@@ -649,18 +654,51 @@ def _libzstd():
     return _LIB
 
 
+_RAW_BLOCK_MAX = 128 * 1024  # Block_Maximum_Size cap (RFC 8878 §3.1.1.2.4)
+
+
+def compress_store(data: bytes) -> bytes:
+    """Pure-Python STORE-mode zstd frame: single-segment header with
+    the exact content size, the payload as raw (uncompressed) blocks
+    of ≤128 KiB, and the XXH64 content checksum.  Zero compression —
+    but a fully conformant RFC 8878 frame that any zstd decoder
+    (incl. JVM Kafka consumers) accepts; this is the no-libzstd
+    fallback that keeps the kafka codec matrix ungated."""
+    n = len(data)
+    if n < 256:
+        fcs_code, fcs_len = 0, 1       # single-segment: code 0 = 1 byte
+    elif n < 65536 + 256:
+        fcs_code, fcs_len = 1, 2       # stored as size - 256
+    elif n < 1 << 32:
+        fcs_code, fcs_len = 2, 4
+    else:
+        fcs_code, fcs_len = 3, 8
+    # descriptor: FCS code | single-segment (0x20) | checksum (0x04)
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    out.append((fcs_code << 6) | 0x20 | 0x04)
+    out += (n - 256 if fcs_code == 1 else n).to_bytes(fcs_len, "little")
+    if n == 0:
+        out += (1).to_bytes(3, "little")  # last=1, type=raw, size=0
+    else:
+        for off in range(0, n, _RAW_BLOCK_MAX):
+            chunk = data[off:off + _RAW_BLOCK_MAX]
+            last = 1 if off + _RAW_BLOCK_MAX >= n else 0
+            out += (last | (len(chunk) << 3)).to_bytes(3, "little")
+            out += chunk
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
 def compress(data: bytes, level: int = 3) -> bytes:
-    """One-shot zstd compression via libzstd (ctypes).  Raises
-    NotImplementedError when no libzstd is loadable — producing zstd
-    without the native library is out of scope; consuming (decompress
-    above) never needs it."""
+    """One-shot zstd compression: libzstd (ctypes) when loadable,
+    otherwise a store-mode frame (valid zstd, no size reduction —
+    ``level`` is then ignored).  Never raises for lack of a native
+    library; consuming (decompress above) never needs one either."""
     import ctypes
 
     lib = _libzstd()
     if lib is None:
-        raise NotImplementedError(
-            f"zstd compression needs libzstd (ctypes load failed: "
-            f"{_LIB_ERR}); decode-side zstd works without it")
+        return compress_store(data)
     bound = lib.ZSTD_compressBound(len(data))
     buf = ctypes.create_string_buffer(bound)
     n = lib.ZSTD_compress(buf, bound, data, len(data), level)

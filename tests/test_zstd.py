@@ -126,8 +126,53 @@ def test_live_fuzz():
         assert zstd_py.decompress(zstd_py.compress(p, lvl)) == p
 
 
-def test_compress_gate_message_when_unavailable(monkeypatch):
+def test_compress_falls_back_to_store_mode(monkeypatch):
+    """Without libzstd, compress emits a store-mode frame instead of
+    raising — valid zstd that our own decoder round-trips."""
     monkeypatch.setattr(zstd_py, "_LIB", None)
     monkeypatch.setattr(zstd_py, "_LIB_ERR", "forced for test")
-    with pytest.raises(NotImplementedError, match="libzstd"):
-        zstd_py.compress(b"data")
+    payload = b"store mode fallback " * 10
+    frame = zstd_py.compress(payload)
+    assert frame[:4] == struct.pack("<I", zstd_py.ZSTD_MAGIC)
+    assert zstd_py.decompress(frame) == payload
+
+
+def test_store_mode_roundtrip_boundaries():
+    """FCS field-size codes flip at 256 and 65536+256; block chunking
+    at 128 KiB; empty input needs a zero-size last raw block."""
+    sizes = [0, 1, 255, 256, 65791, 65792,
+             zstd_py._RAW_BLOCK_MAX, zstd_py._RAW_BLOCK_MAX + 1,
+             3 * zstd_py._RAW_BLOCK_MAX + 17]
+    rng = random.Random(8878)
+    for n in sizes:
+        p = bytes(rng.getrandbits(8) for _ in range(n))
+        frame = zstd_py.compress_store(p)
+        assert zstd_py.decompress(frame) == p, n
+
+
+def test_store_mode_checksum_detects_corruption():
+    frame = bytearray(zstd_py.compress_store(b"corruption target " * 50))
+    frame[20] ^= 0xFF
+    with pytest.raises(zstd_py.ZstdError):
+        zstd_py.decompress(bytes(frame))
+
+
+def test_store_mode_accepted_by_real_libzstd():
+    """The store frames must be conformant to the REFERENCE decoder,
+    not just our own: round-trip them through libzstd's
+    ZSTD_decompress when the shared library is present."""
+    import ctypes
+
+    lib = zstd_py._libzstd()
+    if lib is None:
+        pytest.skip("libzstd not available")
+    lib.ZSTD_decompress.restype = ctypes.c_size_t
+    lib.ZSTD_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t]
+    for p in list(_payloads().values()):
+        frame = zstd_py.compress_store(p)
+        buf = ctypes.create_string_buffer(max(len(p), 1))
+        n = lib.ZSTD_decompress(buf, len(p), frame, len(frame))
+        assert not lib.ZSTD_isError(n), (len(p), n)
+        assert buf.raw[:n] == p
