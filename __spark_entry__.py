@@ -117,22 +117,60 @@ def _touched_queries(registry: dict[str, Callable], here: str,
     return touched
 
 
+# The driver samples the FIRST ~50 rotation entries each round; the
+# reserve guarantees that many slots always go to the STALEST queries
+# (smallest last-covered round), bounding how long any query can sit
+# outside a driver window: worst case (touched saturating its cap every
+# round) ceil(|registry| / STALENESS_RESERVE) rounds — ~10 at 137
+# queries; typically the whole unchanged tail cycles in ~3.
+WINDOW = 50
+STALENESS_RESERVE = 15
+
+
+def _last_window_rounds(here: str) -> dict[str, int]:
+    """query name → newest driver round whose CORRECTNESS_r*.json
+    covered it (−1 if implied absent) — the staleness signal."""
+    import glob
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for n in rows:
+            if rnd > last.get(n, -1):
+                last[n] = rnd
+    return last
+
+
 def _rotation_order(names: list[str]) -> list[str]:
-    """Order the registry so the driver's 50-query window covers what
+    """Order the registry so the driver's ~50-query window covers what
     most needs independent verification.  Tiers, first to last:
 
     1. entries whose latest driver row is NON-GREEN (fixes must land in
        the next window);
     2. entries whose IMPLEMENTATION CHANGED since the last driver
        correctness round (git diff of the query function's span or of a
-       sequin_spark module it references) — a matched-pair query+oracle
-       edit can never miss its next driver window;
-    3. entries never covered by the latest round's window;
-    4. the verified, unchanged tail.
+       sequin_spark module it references) — capped so tier 3's reserve
+       survives; overflow lands right after the reserve;
+    3. a guaranteed STALENESS_RESERVE of the least-recently-covered
+       entries (never-covered first) — every query appears in some
+       driver window within ceil(N/RESERVE) rounds no matter how much
+       churn tiers 1-2 generate;
+    4. the rest, stalest first.
 
     The full set is independently checked by tools/snapshot_check.py
     --write, committed as CORRECTNESS_FULL_r*.txt and gated by
-    tests/test_full_audit.py."""
+    tests/test_full_audit.py; per-query last-window rounds are surfaced
+    in COVERAGE.md (tools/coverage_windows.py)."""
     import glob
     import json
     import re
@@ -150,14 +188,13 @@ def _rotation_order(names: list[str]) -> list[str]:
             rows = json.load(f)
     except (OSError, ValueError):
         return names
-    covered = set(rows)
 
     def _green(r) -> bool:
         return (isinstance(r, dict) and not r.get("err")
                 and r.get("rows_match") and r.get("schema_match")
                 and r.get("hash_match", True))
 
-    red = {n for n in covered if not _green(rows[n])}
+    red = {n for n in rows if not _green(rows[n])}
     changed = _changed_files_and_hunks(here, [latest])
     touched: set[str] = set()
     if changed is not None:
@@ -167,20 +204,25 @@ def _rotation_order(names: list[str]) -> list[str]:
                 here, changed)
         except Exception:  # noqa: BLE001 — prioritization is best-effort
             touched = set()
-    return _tiered(names, red, covered, touched)
+    return _tiered(names, red, touched, _last_window_rounds(here))
 
 
-def _tiered(names: list[str], red: set[str], covered: set[str],
-            touched: set[str]) -> list[str]:
-    """Pure tier ordering: red, then changed-implementation, then
-    never-covered, then the verified unchanged tail (stable within
-    tiers)."""
-    return ([n for n in names if n in red]
-            + [n for n in names if n in touched and n not in red]
-            + [n for n in names
-               if n not in covered and n not in red and n not in touched]
-            + [n for n in names
-               if n in covered and n not in red and n not in touched])
+def _tiered(names: list[str], red: set[str], touched: set[str],
+            last_round: dict[str, int], window: int = WINDOW,
+            reserve: int = STALENESS_RESERVE) -> list[str]:
+    """Pure tier ordering: red, then changed-implementation (capped at
+    window − |red| − reserve), then the stalest ``reserve`` entries
+    (never-covered first), then touched overflow, then the rest
+    stalest-first (stable within equal staleness)."""
+    idx = {n: i for i, n in enumerate(names)}
+    t1 = [n for n in names if n in red]
+    t2_all = [n for n in names if n in touched and n not in red]
+    cap = max(0, window - len(t1) - reserve)
+    t2, t2_over = t2_all[:cap], t2_all[cap:]
+    rest = sorted((n for n in names if n not in red and n not in touched),
+                  key=lambda n: (last_round.get(n, -1), idx[n]))
+    head_n = max(0, window - len(t1) - len(t2))
+    return t1 + t2 + rest[:head_n] + t2_over + rest[head_n:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

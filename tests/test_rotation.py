@@ -35,11 +35,42 @@ def test_tiered_ordering():
     out = entry_mod._tiered(
         names,
         red={"e"},
-        covered={"a", "b", "e"},
         touched={"b", "d"},       # b: covered-green but changed
+        last_round={"a": 8, "b": 8, "e": 8, "f": 3},
     )
-    # red first, then touched, then never-covered, then verified tail
-    assert out == ["e", "b", "d", "c", "f", "g", "a"]
+    # red first, then touched, then stalest (never-covered c,g before
+    # f@r3 before a@r8)
+    assert out == ["e", "b", "d", "c", "g", "f", "a"]
+
+
+def test_tiered_staleness_reserve_survives_touched_churn():
+    """Even when the changed set saturates the window, the reserve
+    slots go to the stalest queries — no query can starve outside the
+    driver window indefinitely."""
+    names = [f"q{i:03d}" for i in range(137)]
+    touched = set(names[:100])            # massive churn
+    last = {n: 8 for n in names}          # everyone covered at r8...
+    stale = names[120:137]                # ...except these, covered r2
+    for n in stale:
+        last[n] = 2
+    out = entry_mod._tiered(names, red=set(), touched=touched,
+                            last_round=last, window=50, reserve=15)
+    window = set(out[:50])
+    # the cap holds: exactly 35 touched + the 15 stalest make the window
+    assert len(window & touched) == 35
+    assert set(stale[:15]) <= window
+    # touched overflow comes immediately after the reserve
+    assert set(out[50:115]) == set(touched - window)
+    # permutation invariant
+    assert sorted(out) == sorted(names)
+
+
+def test_tiered_never_covered_beats_oldest_round():
+    names = list("abcd")
+    out = entry_mod._tiered(names, red=set(), touched=set(),
+                            last_round={"a": 1, "b": 5, "d": 2})
+    # c never covered → first; then a@r1, d@r2, b@r5
+    assert out == ["c", "a", "d", "b"]
 
 
 def test_changed_files_and_hunks_synthetic_git(tmp_path):
