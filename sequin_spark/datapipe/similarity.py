@@ -221,6 +221,26 @@ def brute_force_topk(
     )
 
 
+def auto_n_planes(n_vectors: int, target_bucket: int = 125,
+                  min_planes: int = 4, max_planes: int = 20) -> int:
+    """Smallest plane count whose 2^p buckets bound the EXPECTED bucket
+    size at ``target_bucket`` vectors — the knob that keeps LSH
+    candidate generation LINEAR in corpus size.
+
+    A fixed plane count is a scale-killer: bucket size grows with the
+    corpus and within-bucket pairs grow quadratically (measured 35× on
+    10× data at the sf0.1→sf1 decade before this rule).  Scaling p with
+    log2(n) keeps bucket size ~constant, so pairs grow ~linearly; the
+    classic LSH recall/plane tradeoff applies (more planes = stricter
+    collisions — production systems pair this with multi-probe).
+    Integer-exact on purpose (no float log2): the DuckDB oracle replays
+    the identical rule from count(*)."""
+    for p in range(min_planes, max_planes + 1):
+        if (1 << p) * target_bucket >= n_vectors:
+            return p
+    return max_planes
+
+
 def hyperplane_dot(plane: int, vec_col: str, dims: int) -> F.Column:
     """Deterministic pseudo-random hyperplane dot product: coefficient
     for (plane, dim) = first md5 hex digit of '{plane}_{dim}' - 7.5."""

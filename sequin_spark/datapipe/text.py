@@ -10,6 +10,29 @@ from pyspark.sql import functions as F
 
 from sequin_spark.datapipe.dedup import normalized
 
+def spread_for_compute(df: DataFrame, min_parts: int | None = None
+                       ) -> DataFrame:
+    """Repartition a CPU-dense projection up to the cluster's
+    parallelism when the SCAN gave fewer partitions.
+
+    Spark sizes scan splits by BYTES (spark.sql.files.maxPartitionBytes,
+    128 MB default) — right for I/O-bound scans, wrong for kernels that
+    do heavy per-row expression work on small-but-dense inputs: the
+    sf0.1 documents table is one ~4 MB parquet file, so the md5-per-
+    char-position fingerprint ran as ONE task on a 32-core box (and the
+    measured sf0.1→sf1 scaling was 13× for 10× data as the second core
+    kicked in).  One round-robin shuffle of the narrow projection buys
+    full-width parallelism; cost is proportional to the projected bytes
+    (trivial next to the compute it unlocks).  On a real cluster where
+    the scan already yields ≥ cores partitions this is a no-op —
+    getNumPartitions() triggers planning but no job."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # n-gram-heuristic stopword inventories (tiny but deterministic;
 # production would load real per-language frequency tables)
 STOPWORDS = {
@@ -96,7 +119,7 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", gram: int = 8) -> DataFra
     """Document fingerprint: content md5 + min character-gram hash
     (winnowing-style rolling fingerprint, portable md5 arithmetic)."""
     norm = normalized("text")
-    out = df.select(F.col(id_col), norm.alias("t"))
+    out = spread_for_compute(df.select(F.col(id_col), norm.alias("t")))
     out = out.withColumn(
         "min_gram_hash",
         F.expr(

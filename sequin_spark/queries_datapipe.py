@@ -540,11 +540,19 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs within an LSH (sign-random-projection)
     bucket — the scale path: candidates are bucket-equi-join collisions
     (2^n_planes uniform buckets), never a low-cardinality metadata key.
-    """
-    from sequin_spark.datapipe.similarity import as_double
+
+    The plane count ADAPTS to corpus size (auto_n_planes: smallest p
+    with 2^p·125 ≥ n, floor 4) so expected bucket size stays bounded
+    and candidate pairs grow linearly, not quadratically — the fix for
+    the measured 35× wall-clock on 10× data at fixed planes (SCALE.md
+    sf1 decade).  Cost of the rule is one bounded 1-row count action;
+    the DuckDB oracle derives the identical p from count(*) with the
+    same integer rule, so results match at every sf."""
+    from sequin_spark.datapipe.similarity import as_double, auto_n_planes
 
     _prep(spark)
     emb = load_table(spark, sf_dir, "embeddings")
+    n_planes = auto_n_planes(emb.count())
     # materialize (vec_id, bucket, double-cast vector, norm) ONCE — the
     # self-join below would otherwise evaluate the 4 hyperplane dot
     # products, the float→double cast AND the vector norm per PAIR
@@ -553,7 +561,7 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold arithmetic so values still match the oracle bit-for-bit)
     norm = F.sqrt(F.aggregate(F.col("ed"), F.lit(0.0),
                               lambda acc, x: acc + x * x))
-    bk = (hyperplane_buckets(emb, n_planes=4).join(emb, "vec_id")
+    bk = (hyperplane_buckets(emb, n_planes=n_planes).join(emb, "vec_id")
           .withColumn("ed", as_double("embedding"))
           .withColumn("nv", norm)
           .select("vec_id", "bucket", "ed", "nv")
@@ -593,9 +601,31 @@ def _sql_bucket_expr(n_planes: int) -> str:
 
 
 def _sql_embed_neardup_cosine() -> str:
-    return f"""
-WITH bk AS (
-  SELECT vec_id, CAST({_sql_bucket_expr(4)} AS INTEGER) AS bucket, embedding
+    """STATIC string, DYNAMIC plane count: the SQL derives the same
+    auto_n_planes(count(*)) integer rule the Spark query applies (the
+    smallest p ≥ 4 with 2^p·125 ≥ n), then folds the p sign-projection
+    bits inside a generate_series lambda — identical md5 hyperplane
+    coefficients, identical buckets at every sf."""
+    return """
+WITH nv AS (SELECT count(*) AS n FROM embeddings),
+pl AS (
+  SELECT min(p) AS np
+  FROM (SELECT unnest(generate_series(4, 20)) AS p), nv
+  WHERE (CAST(1 AS BIGINT) << p) * 125 >= nv.n
+),
+bk AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(
+           generate_series(0, (SELECT np FROM pl) - 1),
+           p -> CASE WHEN list_sum(list_transform(generate_series(0, 63),
+                  d -> (strpos('0123456789abcdef',
+                          substr(md5(CAST(p AS VARCHAR) || '_'
+                                     || CAST(d AS VARCHAR)), 1, 1))
+                        - 1 - 7.5)
+                       * CAST(embedding[d + 1] AS DOUBLE))) > 0
+                THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)) AS INTEGER)
+           AS bucket,
+         embedding
   FROM embeddings
 ),
 p AS (

@@ -157,3 +157,31 @@ def test_tokenizer_fertility_sanity(spark, sf_dir):
         assert 1.0 <= r.fertility
         assert r.n_bpe_tokens <= r.n_words * 40
         assert r.n_bpe_tokens >= r.n_words  # every word >= 1 token
+
+
+def test_auto_n_planes_integer_rule():
+    """Smallest p>=4 with 2^p * 125 >= n; never exceeds max_planes."""
+    from sequin_spark.datapipe.similarity import auto_n_planes
+
+    assert auto_n_planes(0) == 4
+    assert auto_n_planes(2000) == 4        # 16*125 = 2000 exactly
+    assert auto_n_planes(2001) == 5
+    assert auto_n_planes(20000) == 8       # 256*125 = 32000 >= 20000
+    assert auto_n_planes(10**9) == 20      # hits the max_planes cap
+    assert auto_n_planes(5000, target_bucket=10, min_planes=2) == 9
+
+
+def test_spread_for_compute_widens_narrow_scans(spark):
+    """A 1-partition input is repartitioned to cluster width; an input
+    already at/above width is returned unchanged (no extra Exchange)."""
+    from sequin_spark.datapipe.text import spread_for_compute
+
+    narrow = spark.range(1000).coalesce(1)
+    wide = spread_for_compute(narrow.toDF("id"))
+    assert wide.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    assert wide.count() == 1000
+
+    already = spark.range(1000).repartition(64).toDF("id")
+    same = spread_for_compute(already)
+    assert same.rdd.getNumPartitions() == 64
