@@ -555,6 +555,40 @@ def cmd_backfills_cancel(args, out) -> int:
     return _backfill_transition(args, out, "cancelled")
 
 
+def cmd_tokens_create(args, out) -> int:
+    """`sequin tokens create <name>` — account API token CRUD over
+    /api/tokens (api_tokens/api_token.ex parity); the secret prints
+    exactly once, here."""
+    ctx = load_context(args.context)
+    body = {"name": args.name}
+    if args.account:
+        body["account_id"] = args.account
+    status, payload = _request(ctx, "POST", "/api/tokens", body)
+    _fail_on_error(status, payload)
+    _print(out, payload)
+    return 0
+
+
+def cmd_tokens_list(args, out) -> int:
+    ctx = load_context(args.context)
+    status, payload = _request(ctx, "GET", "/api/tokens")
+    _fail_on_error(status, payload)
+    if args.json:
+        _print(out, payload["data"])
+        return 0
+    for t in payload.get("data", []):
+        print(f"{t.get('id', '?'):<36} {t.get('name', '')}", file=out)
+    return 0
+
+
+def cmd_tokens_revoke(args, out) -> int:
+    ctx = load_context(args.context)
+    status, payload = _request(ctx, "DELETE", f"/api/tokens/{args.id}")
+    _fail_on_error(status, payload)
+    _print(out, payload)
+    return 0
+
+
 def cmd_tunnel(args, out) -> int:
     """``sequin tunnel --ports local:nameOrId[,...]`` — reverse tunnels
     to the server's tunnel endpoint (tunnel_command.go:37-117; transport
@@ -1000,6 +1034,21 @@ def build_parser() -> argparse.ArgumentParser:
         bp.add_argument("--sink", required=True)
         bp.add_argument("id")
         bp.set_defaults(func=fn)
+
+    # tokens (account API token resource, api_tokens/api_token.ex)
+    tk = sub.add_parser("tokens", help="Manage account API tokens")
+    tk_sub = tk.add_subparsers(dest="verb", required=True)
+    tcreate = tk_sub.add_parser("create")
+    tcreate.add_argument("name")
+    tcreate.add_argument("--account", help="account id (defaults to the "
+                         "authenticating token's account)")
+    tcreate.set_defaults(func=cmd_tokens_create)
+    tlist = tk_sub.add_parser("list", aliases=["ls"])
+    tlist.add_argument("--json", action="store_true")
+    tlist.set_defaults(func=cmd_tokens_list)
+    trevoke = tk_sub.add_parser("revoke", aliases=["rm"])
+    trevoke.add_argument("id")
+    trevoke.set_defaults(func=cmd_tokens_revoke)
 
     # serve
     serve = sub.add_parser(

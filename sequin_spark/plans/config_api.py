@@ -205,7 +205,7 @@ class ConfigApiServer:
     def __init__(self, registry: ConfigRegistry | None = None,
                  host: str = "127.0.0.1", port: int = 0,
                  backfills=None, databases=None, endpoints=None,
-                 api_keys=None, require_auth=False,
+                 api_keys=None, api_tokens=None, require_auth=False,
                  replications=None, health_check=None,
                  messages=None, users=None, tracer=None, spark=None,
                  pull=None, version: str = "0.3.0"):
@@ -221,6 +221,12 @@ class ConfigApiServer:
         /api/api_keys (router.ex:161); with ``require_auth=True`` every
         request must carry ``Authorization: Bearer <token>`` that verifies
         against it (the :api pipeline's token auth).
+        ``api_tokens``: optional plans.tokens_api.ApiTokenRegistry — the
+        reference's first-class ACCOUNT token resource
+        (api_tokens/api_token.ex): enables /api/tokens CRUD (create/
+        list/revoke, hashed storage), and tokens verify against the
+        same bearer gate; list/delete are scoped to the ACCOUNT the
+        authenticating token belongs to.
         ``replications``: optional plans.replication_api.ReplicationRegistry
         — enables /api/postgres_replications CRUD + /api/local_tunnels
         (router.ex:164-165). ``health_check``: optional callable returning
@@ -261,6 +267,7 @@ class ConfigApiServer:
         self.databases = databases
         self.endpoints = endpoints
         self.api_keys = api_keys
+        self.api_tokens = api_tokens
         self.require_auth = require_auth
         self.replications = replications
         self.health_check = health_check
@@ -289,8 +296,24 @@ class ConfigApiServer:
                 token = auth[7:] if auth.startswith("Bearer ") else None
                 if outer.api_keys is not None and outer.api_keys.verify(token):
                     return False
+                if outer.api_tokens is not None and \
+                        outer.api_tokens.verify(token):
+                    return False
                 self._json(401, {"error": "unauthorized"})
                 return True
+
+            def _token_account(self) -> str:
+                """Account scope for /api/tokens: the account of the
+                authenticating bearer token when it is an ApiToken
+                (the reference's current_account), else 'default'
+                (api-key or unauthenticated single-tenant mode)."""
+                auth = self.headers.get("Authorization") or ""
+                probe = auth[7:] if auth.startswith("Bearer ") else None
+                if outer.api_tokens is not None:
+                    t = outer.api_tokens.find_by_token(probe)
+                    if t is not None:
+                        return t.account_id
+                return "default"
 
             def do_GET(self):  # noqa: N802
                 from urllib.parse import parse_qsl, urlsplit
@@ -473,6 +496,15 @@ class ConfigApiServer:
                         })
                     return self._json(200, {  # tables.json
                         "tables": [t for t in tables if t["schema"] == m.group(3)]
+                    })
+                # account-scoped token index (api_tokens.ex:42-44)
+                if u.path == "/api/tokens":
+                    if outer.api_tokens is None:
+                        return self._json(404, {"error": "tokens not enabled"})
+                    acct = self._token_account()
+                    return self._json(200, {
+                        "data": [t.to_external() for t in
+                                 outer.api_tokens.list_tokens_for_account(acct)]
                     })
                 # api_keys index (api_key_controller.ex:9-13)
                 if u.path == "/api/api_keys":
@@ -681,6 +713,18 @@ class ConfigApiServer:
                     return self._json(200, {"success": True})
                 if self._blocked():
                     return
+                # account-scoped token revoke (api_tokens.ex:56-63:
+                # another account's token is not-found, not forbidden)
+                m = re.match(r"^/api/tokens/([^/]+)$",
+                             self.path.split("?")[0])
+                if m:
+                    if outer.api_tokens is None:
+                        return self._json(404, {"error": "tokens not enabled"})
+                    acct = self._token_account()
+                    if not outer.api_tokens.delete_token_for_account(
+                            acct, m.group(1)):
+                        return self._json(404, {"error": "no such token"})
+                    return self._json(200, {"success": True})
                 # api_keys delete (api_key_controller.ex:23-29)
                 m = re.match(r"^/api/api_keys/([^/]+)$", self.path.split("?")[0])
                 if m:
@@ -763,6 +807,22 @@ class ConfigApiServer:
                                             "user": user.to_external()})
                 if self._blocked():
                     return
+                # token create (ApiTokens.create_for_account):
+                # secret generated server-side unless supplied; rendered
+                # exactly once, in this response
+                if self.path.split("?")[0] == "/api/tokens":
+                    if outer.api_tokens is None:
+                        return self._json(404, {"error": "tokens not enabled"})
+                    body = self._read_json_body()
+                    if body is None:
+                        return self._json(400, {"error": "invalid JSON body"})
+                    acct = body.get("account_id") or self._token_account()
+                    try:
+                        tok = outer.api_tokens.create_for_account(
+                            acct, body.get("name"), token=body.get("token"))
+                    except ValueError as e:
+                        return self._json(422, {"error": str(e)})
+                    return self._json(201, tok.to_created())
                 # api_keys create (api_key_controller.ex:15-21)
                 if self.path.split("?")[0] == "/api/api_keys":
                     if outer.api_keys is None:
