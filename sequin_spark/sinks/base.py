@@ -110,6 +110,67 @@ class FailingSink(Sink):
                 raise RuntimeError(f"injected failure for {key}")
 
 
+class ChaosSink(Sink):
+    """Seeded fault-injection sink (the reference ships lib/sequin/
+    havoc.ex — a non-prod module that randomly kills pipeline processes;
+    this is the deterministic, replayable analog at the delivery
+    boundary).  Every delivered row is appended to ONE durable log file
+    (O_APPEND line writes, so file order is observation order), and the
+    sink raises per a pure schedule of the (seed, key, attempt#) hash:
+
+        fail  iff  md5(seed|key|attempt)%100 < fail_pct
+               and attempt < max_fails_per_key
+
+    The attempt counter is a marker-file count (sink instances are
+    per-task and stateless, like every real sink here), and the cap
+    guarantees eventual success under the engine's max_retry_count.
+    ``partial=True`` appends the FIRST HALF of a multi-row chunk before
+    raising — the mid-chunk crash whose at-least-once duplicates the
+    chaos test's invariants must absorb."""
+
+    sink_type = "chaos"
+
+    def deliver(self, batch: SinkBatch) -> None:
+        import hashlib as _hl
+
+        cfg = self.config
+        log_path = cfg["log_path"]
+        attempt_dir = cfg["attempt_dir"]
+        seed = cfg.get("seed", 0)
+        fail_pct = cfg.get("fail_pct", 30)
+        max_fails = cfg.get("max_fails_per_key", 2)
+        key = batch.rows[0].get("idempotency_key", "") if batch.rows else ""
+        safe = key.replace(":", "_").replace("/", "_")
+        os.makedirs(attempt_dir, exist_ok=True)
+        marker = os.path.join(attempt_dir, f"a_{safe}")
+        attempt = 0
+        if os.path.exists(marker):
+            with open(marker) as f:
+                attempt = int(f.read() or 0)
+        with open(marker, "w") as f:
+            f.write(str(attempt + 1))
+        h = int(_hl.md5(
+            f"{seed}|{key}|{attempt}".encode()).hexdigest(), 16) % 100
+        fail = h < fail_pct and attempt < max_fails
+
+        def _append(rows):
+            with open(log_path, "a") as f:
+                for r in rows:
+                    f.write(json.dumps({
+                        "idempotency_key": r.get("idempotency_key"),
+                        "group_id": r.get("group_id"),
+                        "commit_lsn": r.get("commit_lsn"),
+                        "commit_idx": r.get("commit_idx"),
+                    }) + "\n")
+
+        if fail:
+            if cfg.get("partial", True) and len(batch.rows) > 1:
+                _append(batch.rows[: len(batch.rows) // 2])
+            raise RuntimeError(
+                f"chaos: injected failure key={key} attempt={attempt}")
+        _append(batch.rows)
+
+
 class FileLogSink(Sink):
     """Append-only JSONL event log (the durable test sink; the shape of
     the WalPipeline/sequin_stream delivered-log without a database)."""
@@ -253,6 +314,7 @@ class SqsSink(Sink):
 SINK_REGISTRY: dict[str, type[Sink]] = {
     "benchmark": NoopSink,
     "failing": FailingSink,
+    "chaos": ChaosSink,
     "file_log": FileLogSink,
     "http_push": HttpPushSink,
     "sqs": SqsSink,

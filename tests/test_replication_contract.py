@@ -702,7 +702,55 @@ def case_origin_and_unknown_frames_ignored():
     return frames, L1, check
 
 
+def case_drop_column_schema_change():
+    # exs:1311-1340 — the migration cycle is drop-then-add-then-drop;
+    # the ADD side is case_schema_change_midstream, this is the DROP
+    # side: a narrower Relation frame re-keys subsequent tuples, and
+    # rows decoded before the drop keep the column
+    wider = CHARACTERS + [(0, "title", 25)]
+    frames = [xlog(50, rel(CHAR_OID, "Characters", wider))] + _txn(
+        L1, ins(CHAR_OID, 1, "a", None, None, "t", "{}", "Duke")
+    ) + [xlog(L2 - 1, rel(CHAR_OID, "Characters", CHARACTERS))] + _txn(
+        L2, ins(CHAR_OID, 2, "b", None, None, "t", "{}"), xid=2
+    )
+
+    def check(ev):
+        first = [e for e in ev if e["commit_lsn"] == L1][0]
+        second = [e for e in ev if e["commit_lsn"] == L2][0]
+        assert first["record"]["title"] == "Duke"
+        assert "title" not in second["record"]
+
+    return frames, L2, check
+
+
+def case_relation_change_mid_transaction():
+    # exs:1304 family, concurrent-DDL shape: pgoutput sends a Relation
+    # frame INSIDE an open transaction before the first tuple that uses
+    # the new shape.  Both tuples decode with their own relation
+    # version, in ONE commit with continuous commit_idx.
+    wider = CHARACTERS + [(0, "title", 25)]
+    frames = [_chars_rel()] + [
+        xlog(L1, begin_frame(L1, xid=9)),
+        xlog(L1 + 1, ins(CHAR_OID, 1, "a", None, None, "t", "{}")),
+        xlog(L1 + 2, rel(CHAR_OID, "Characters", wider)),
+        xlog(L1 + 3, ins(CHAR_OID, 2, "b", None, None, "t", "{}", "Duke")),
+        xlog(L1 + 4, commit_frame(L1)),
+    ]
+
+    def check(ev):
+        assert len(ev) == 2
+        assert [e["commit_lsn"] for e in ev] == [L1, L1]
+        assert [e["commit_idx"] for e in ev] == [0, 1]
+        assert "title" not in ev[0]["record"]
+        assert ev[1]["record"]["title"] == "Duke"
+
+    return frames, L1, check
+
+
 SCENARIOS = [
+    ("drop_column_schema_change", case_drop_column_schema_change),
+    ("relation_change_mid_transaction",
+     case_relation_change_mid_transaction),
     ("origin_and_unknown_frames_ignored",
      case_origin_and_unknown_frames_ignored),
     ("insert_basic", case_insert_basic),
@@ -1136,3 +1184,48 @@ def test_contract_single_oversized_event_raises(spark, tmp_path):
     with pytest.raises(PayloadSizeLimitExceeded):
         worker.flush()
     assert len(worker._committed) == 1 and worker.flushed_lsn == 0
+
+
+def test_contract_failed_messages_written_to_disk(spark, tmp_path):
+    """exs:740 'failed messages are written to disk' — a delivery that
+    errors must persist the FULL message (payload included) durably
+    before the batch completes, and a later attempt delivers it without
+    loss.  Here: the engine's per-batch failures dir holds the failed
+    row's payload parquet; after the retry drains, the delivered log
+    holds every message exactly once."""
+    import glob
+    import json as _json
+    import os
+
+    import pyarrow.parquet as papq
+
+    from sequin_spark.streaming.delivery import DeliveryEngine
+
+    schema = ("group_id string, commit_lsn long, commit_idx long, "
+              "idempotency_key string, key string, value string")
+    df = spark.createDataFrame(
+        [("g1", 1, 0, "k1", "g1", '{"n":1}'),
+         ("g2", 1, 1, "k2", "g2", '{"n":2}')], schema)
+    attempt_dir = tmp_path / "attempts"
+    attempt_dir.mkdir()
+    log_dir = tmp_path / "delivered"
+    engine = DeliveryEngine(
+        "failing",
+        {"fail_substring": "g1", "attempt_dir": str(attempt_dir),
+         "path": str(log_dir)},
+        state_dir=str(tmp_path / "state"), batch_size=1,
+        max_retry_count=3, backoff_base_s=0.0,
+    )
+    stats = engine.process_batch(df, 0)
+    assert stats["failed"] == 1 and stats["delivered"] == 1
+    # the failed message is ON DISK with its payload, not in memory:
+    # the executor spills it to the per-batch failures dir and the
+    # batch-close merge folds it into the durable pending parquet
+    # (a fresh engine instance — crash analog — reads the same file)
+    assert glob.glob(engine.pending_path)
+    spilled = papq.read_table(engine.pending_path).to_pandas()
+    assert list(spilled["idempotency_key"]) == ["k1"]
+    assert _json.loads(spilled["value"].iloc[0]) == {"n": 1}
+    # retry (failing sink fails once per key) → delivered without loss
+    stats2 = engine.process_batch(df.limit(0), 1)
+    assert stats2["delivered"] == 1 and stats2["pending"] == 0
