@@ -71,17 +71,51 @@ class PullQueue:
     def spill_dir(self) -> str:
         return os.path.join(self.state_dir, "spill")
 
+    @property
+    def _ack_log_path(self) -> str:
+        return os.path.join(self.state_dir, "acked.log")
+
     def _load(self) -> None:
         if os.path.exists(self._path):
             self._messages = pq.read_table(self._path).to_pandas()
+            # replay the append-only ack log: rows acked since the last
+            # full window save are dropped (lease state is NOT restored —
+            # stale-lease recovery redelivers, the reference's
+            # at-least-once restart semantics)
+            if os.path.exists(self._ack_log_path):
+                with open(self._ack_log_path) as f:
+                    acked = {line.strip() for line in f if line.strip()}
+                if acked:
+                    self._messages = self._messages[
+                        ~self._messages["ack_id"].isin(acked)]
         chunks = self._spill_chunks()
         if chunks:
             self._spill_seq = int(os.path.basename(chunks[-1]).split("-")[1]) + 1
 
     def _save(self) -> None:
+        """Full window snapshot; truncates the ack log (the snapshot
+        already excludes acked rows).  Called on COMPOSITION changes
+        (ingest / refill / compaction) — NOT per receive/ack: the 1 M-
+        backlog stress measured the per-call 50 k-row parquet rewrite at
+        ~0.3 s, capping drain at ~1.3 k rows/s; with the append-only
+        ack log the per-ack durable write is O(batch) and drain is
+        window-rewrite-free."""
         pq.write_table(
             pa.Table.from_pandas(self._messages, preserve_index=False), self._path
         )
+        if os.path.exists(self._ack_log_path):
+            os.remove(self._ack_log_path)
+
+    def _log_acks(self, ack_ids: list[str]) -> None:
+        """O(batch) durable ack record; compacted into the window
+        snapshot once it outgrows the window."""
+        with open(self._ack_log_path, "a") as f:
+            f.write("\n".join(ack_ids) + "\n")
+        try:
+            if os.path.getsize(self._ack_log_path) > 33 * self.max_pending:
+                self._save()  # ~33 B/ack_id line -> compact
+        except OSError:
+            pass
 
     # --- spill ------------------------------------------------------------
     def _spill_chunks(self) -> list[str]:
@@ -129,7 +163,10 @@ class PullQueue:
     def _refill(self) -> None:
         """Pull the oldest spill chunks into the window while capacity
         allows (count + rough byte budget).  pyarrow local read — bounded
-        by chunk size, no Spark job on the receive path."""
+        by chunk size, no Spark job on the receive path.  Consuming a
+        chunk DELETES it, so the window snapshot is saved here whenever
+        any chunk was absorbed — rows must never exist only in memory."""
+        consumed = 0
         budget_rows = self.max_pending - len(self._messages)
         mem_bytes = self._mem_bytes()
         for path in self._spill_chunks():
@@ -155,8 +192,11 @@ class PullQueue:
                 subset=["commit_lsn", "commit_idx"], keep="first"
             )
             os.remove(path)
+            consumed += 1
             budget_rows = self.max_pending - len(self._messages)
             mem_bytes = self._mem_bytes()
+        if consumed:
+            self._save()
 
     # --- ingestion --------------------------------------------------------
     def ingest(self, df: DataFrame) -> int:
@@ -208,36 +248,44 @@ class PullQueue:
         stale = (m["state"] == "delivered") & (m["not_visible_until"] <= now)
         m.loc[stale, "state"] = "available"
 
-        m = m.sort_values(["commit_lsn", "commit_idx"]).reset_index(drop=True)
+        # Vectorized selection (the 1 M-backlog stress measured the old
+        # iterrows + scalar-.loc loop at ~0.4 s per receive over a 50 k
+        # window): cursor order, drop rows of groups with an outstanding
+        # lease, keep the FIRST row per group (one lease per group per
+        # receive), take batch_size.  NaN group = ungrouped: never
+        # blocked, never deduped (duplicated() treats NaNs as equal).
         leased_groups = set(m.loc[m["state"] == "delivered", "group_id"].dropna())
-        out: list[dict] = []
-        for idx, row in m.iterrows():
-            if len(out) >= batch_size:
-                break
-            if row["state"] != "available" or row["not_visible_until"] > now:
-                continue
-            gid = row["group_id"]
-            if gid is not None and not pd.isna(gid) and gid in leased_groups:
-                continue  # group blocked by outstanding lease
-            m.loc[idx, "state"] = "delivered"
-            m.loc[idx, "deliver_count"] = row["deliver_count"] + 1
-            m.loc[idx, "not_visible_until"] = now + self.ack_wait_s
-            if gid is not None and not pd.isna(gid):
-                leased_groups.add(gid)
-            out.append(
-                {"ack_id": row["ack_id"], "data": row["value"],
-                 "group_id": gid, "deliver_count": int(row["deliver_count"]) + 1}
-            )
-        self._messages = m
-        self._save()
+        cand = m[(m["state"] == "available")
+                 & (m["not_visible_until"] <= now)].sort_values(
+            ["commit_lsn", "commit_idx"])
+        grouped = cand["group_id"].notna()
+        if leased_groups:
+            cand = cand[~(grouped & cand["group_id"].isin(leased_groups))]
+            grouped = cand["group_id"].notna()
+        pick = cand[~cand["group_id"].duplicated() | ~grouped].head(batch_size)
+        out = [
+            {"ack_id": r.ack_id, "data": r.value,
+             "group_id": None if pd.isna(r.group_id) else r.group_id,
+             "deliver_count": int(r.deliver_count) + 1}
+            for r in pick.itertuples()
+        ]
+        idxs = pick.index
+        m.loc[idxs, "state"] = "delivered"
+        m.loc[idxs, "deliver_count"] = m.loc[idxs, "deliver_count"] + 1
+        m.loc[idxs, "not_visible_until"] = now + self.ack_wait_s
+        # lease state is deliberately NOT persisted per call: a crash
+        # loses leases, stale-timeout recovery redelivers — the
+        # reference's in-memory store has the same at-least-once
+        # restart contract (slot_message_store.ex rebuild-from-slot)
         return out
 
     def ack(self, ack_ids: list[str]) -> int:
         mask = self._messages["ack_id"].isin(ack_ids)
         removed = int(mask.sum())
         self._messages = self._messages[~mask]
-        self._refill()
-        self._save()
+        if removed:
+            self._log_acks(list(ack_ids))
+        self._refill()  # saves the snapshot itself when it absorbs chunks
         return removed
 
     def nack(self, ack_ids: list[str]) -> int:
@@ -245,7 +293,6 @@ class PullQueue:
         mask = self._messages["ack_id"].isin(ack_ids)
         self._messages.loc[mask, "state"] = "available"
         self._messages.loc[mask, "not_visible_until"] = 0.0
-        self._save()
         return int(mask.sum())
 
     def depth(self) -> int:

@@ -399,3 +399,67 @@ def test_sink_registry_coverage():
         create_sink("redis_string").open()
     with pytest.raises(ValueError):
         create_sink("nope")
+
+
+def test_pull_queue_crash_recovery_ack_log(spark, tmp_path):
+    """The drain path's persistence model: full window snapshots only on
+    composition changes, acks in an append-only log.  A rebuilt queue
+    (crash analog) must (a) never resurrect acked messages — the log
+    replays over the last snapshot — and (b) redeliver unacked LEASED
+    messages after the visibility timeout (lease state is volatile,
+    the reference's at-least-once restart contract)."""
+    df = spark.createDataFrame(
+        [("g1", 1, 0, '{"n":1}'), ("g2", 1, 1, '{"n":2}'),
+         ("g3", 2, 0, '{"n":3}')],
+        "group_id string, commit_lsn long, commit_idx long, value string",
+    )
+    state = str(tmp_path / "pq")
+    q1 = PullQueue(state, ack_wait_s=0.2)
+    q1.ingest(df)
+    got = q1.receive(10)
+    assert len(got) == 3
+    acked = next(g for g in got if g["group_id"] == "g2")
+    q1.ack([acked["ack_id"]])
+
+    # crash: rebuild from disk only
+    q2 = PullQueue(state, ack_wait_s=0.2)
+    assert q2.depth() == 2  # g2 gone (ack log), g1+g3 survive
+    time.sleep(0.25)        # leases were volatile → stale → redeliver
+    redelivered = q2.receive(10)
+    assert {json.loads(g["data"])["n"] for g in redelivered} == {1, 3}
+
+    # ack both; a third rebuild starts empty
+    q2.ack([g["ack_id"] for g in redelivered])
+    q3 = PullQueue(state, ack_wait_s=0.2)
+    assert q3.depth() == 0 and q3.receive(10) == []
+
+
+def test_pull_queue_refill_snapshots_absorbed_chunks(spark, tmp_path):
+    """_refill deletes the spill chunks it absorbs, so it must snapshot
+    the window in the same call — a crash right after a refill may not
+    lose the absorbed rows."""
+    rows = [("g%d" % (i % 7), i, 0, '{"n":%d}' % i) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "group_id string, commit_lsn long, commit_idx long, "
+              "value string")
+    state = str(tmp_path / "pq")
+    q1 = PullQueue(state, ack_wait_s=60.0, max_pending=10)
+    q1.ingest(df)
+    assert q1.spilled() > 0
+    delivered = set()
+    # drain half: acks trigger refills which absorb (and delete) chunks
+    for _ in range(4):
+        got = q1.receive(5)
+        q1.ack([g["ack_id"] for g in got])
+        delivered |= {json.loads(g["data"])["n"] for g in got}
+    # crash: everything not acked must still be recoverable
+    q2 = PullQueue(state, ack_wait_s=60.0, max_pending=10)
+    remaining = set()
+    for _ in range(40):
+        got = q2.receive(5)
+        if not got and q2.depth() == 0:
+            break
+        q2.ack([g["ack_id"] for g in got])
+        remaining |= {json.loads(g["data"])["n"] for g in got}
+    assert delivered | remaining == set(range(40))
+    assert not (delivered & remaining)  # acked rows never resurrected
