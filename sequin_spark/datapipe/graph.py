@@ -360,3 +360,56 @@ SELECT node, r AS rank_int,
        round(CAST(r AS DOUBLE) / {float(scale)}, 6) AS rank_val
 FROM r{iters}"""
     )
+
+
+def degree_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """Per-node degree/strength table over a weighted digraph: out/in
+    edge counts and out/in weight sums, zero-filled for isolated nodes,
+    plus the weight balance (out − in) — the first-look structural
+    audit of any graph build (hubs, sinks, disconnected nodes).
+
+    Scale shape: two grouped aggregations over the edge table (map-side
+    combined) and two broadcast-friendly joins onto the node list —
+    no iteration, no all-pairs; at 100 TB the cost is the two edge
+    shuffles, both keyed on node id."""
+    outs = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("out_deg"),
+        F.sum("w").cast("long").alias("out_w"))
+    ins = edges.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("in_deg"),
+        F.sum("w").cast("long").alias("in_w"))
+    z = F.lit(0).cast("long")
+    return (
+        nodes.join(outs, "node", "left").join(ins, "node", "left")
+        .select(
+            "node",
+            F.coalesce("out_deg", z).alias("out_deg"),
+            F.coalesce("in_deg", z).alias("in_deg"),
+            F.coalesce("out_w", z).alias("out_w"),
+            F.coalesce("in_w", z).alias("in_w"),
+            (F.coalesce("out_w", z) - F.coalesce("in_w", z))
+            .alias("w_balance"),
+        )
+    )
+
+
+def sql_degree_stats(edges_cte: str, nodes_cte: str) -> str:
+    """DuckDB twin of :func:`degree_stats`."""
+    return f"""
+WITH edges AS MATERIALIZED ({edges_cte}),
+nodes AS ({nodes_cte}),
+outs AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS out_deg,
+                CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+ins AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS in_deg,
+               CAST(sum(w) AS BIGINT) AS in_w FROM edges GROUP BY dst)
+SELECT n.node,
+       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+       CAST(coalesce(o.out_w, 0) AS BIGINT) AS out_w,
+       CAST(coalesce(i.in_w, 0) AS BIGINT) AS in_w,
+       CAST(coalesce(o.out_w, 0) - coalesce(i.in_w, 0) AS BIGINT)
+         AS w_balance
+FROM nodes n
+LEFT JOIN outs o ON o.node = n.node
+LEFT JOIN ins i ON i.node = n.node
+"""

@@ -118,8 +118,9 @@ def dp_count_histogram(
     alpha: float = 0.9,
     trunc_k: int = 40,
 ) -> DataFrame:
-    """ε-DP count histogram over ``keys`` cells (sensitivity 1: one row
-    added/removed moves one cell count by one).  Returns per cell:
+    """DP-mechanism count histogram over ``keys`` cells (sensitivity 1:
+    one row added/removed moves one cell count by one; replayable
+    pseudo-DP under the default salt — module docstring).  Per cell:
     n_true (pre-noise, for audit builds only — a production release
     would drop it), k_noise, and n_dp = max(0, n_true + k_noise)
     (non-negativity is post-processing, DP-free)."""
@@ -389,4 +390,129 @@ WITH counts AS (
 SELECT {key_cols}, n_true, {noise} AS k_noise,
        greatest(CAST(0 AS BIGINT), n_true + {noise}) AS n_dp
 FROM counts
+"""
+
+
+def ldp_frequency(
+    df: DataFrame,
+    cat_col: str,
+    id_col: str = "doc_id",
+    p_num: int = 3,
+    p_den: int = 4,
+    salt: str = "ldp1",
+) -> DataFrame:
+    """LOCAL-DP frequency estimation via k-ary randomized response —
+    the other DP model: each ROW perturbs its own category before
+    anything is aggregated (no trusted curator; the
+    RAPPOR/Apple-style client-side mechanism), and the collector
+    UNBIASES the observed counts:
+
+        report = true category with prob p, else uniform over all k
+        P(obs=c) = p·1[true=c] + (1−p)/k
+        n_hat_c  = (obs_c − n·(1−p)/k) / p      (unbiased)
+        eps      = ln((p + (1−p)/k) / ((1−p)/k))
+
+    Same replayable-pseudo-DP contract as the central mechanisms above:
+    the per-row draw is the keyed PRF u = h60(id‖salt)/2^60 (branch:
+    keep if u < p, else category index floor(((u−p)/(1−p))·k) —
+    u is uniform, so the rescaled remainder is uniform over [0,1)),
+    reconstructible under the checked-in default salt; a real
+    deployment draws client-side randomness.  The category index map
+    is the SORTED distinct category list (dense row_number), identical
+    in both engines.
+
+    Scale shape: one distinct scan for the k-row category table
+    (broadcast), a narrow per-row expression, one grouped count —
+    the cost IS the count, like every release here."""
+    from pyspark.sql import Window
+
+    from sequin_spark.datapipe.sketch import h60
+
+    p = p_num / p_den
+    cats = (df.select(F.col(cat_col).alias("cat")).distinct()
+            .withColumn("idx", F.row_number().over(
+                Window.orderBy("cat")) - 1))
+    k = F.sum(F.lit(1)).over(Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    cats = cats.withColumn("k", k.cast("long"))
+    rows = (
+        df.select(F.col(id_col).alias("_id"), F.col(cat_col).alias("cat"))
+        .join(F.broadcast(cats), "cat")
+        .withColumn("_u", h60(F.concat_ws("|", F.col("_id").cast("string"),
+                                          F.lit(salt))) / F.lit(TWO60))
+        .withColumn(
+            "rep_idx",
+            F.when(F.col("_u") < F.lit(p), F.col("idx")).otherwise(
+                F.least(
+                    F.col("k") - 1,
+                    F.floor(((F.col("_u") - F.lit(p)) / F.lit(1.0 - p))
+                            * F.col("k")).cast("long"))),
+        )
+    )
+    obs = rows.groupBy("rep_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"))
+    true = rows.groupBy("idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"))
+    n_tot = F.sum("n_obs").over(Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing))
+    return (
+        cats.join(obs, cats.idx == obs.rep_idx, "left")
+        .join(true, "idx", "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0).cast("long")))
+        .withColumn("n_true", F.coalesce("n_true", F.lit(0).cast("long")))
+        .withColumn("_n", n_tot)
+        .select(
+            F.col("cat"), F.col("idx").cast("int").alias("idx"),
+            "n_true", "n_obs",
+            F.round((F.col("n_obs")
+                     - F.col("_n") * F.lit((1.0 - p)) / F.col("k"))
+                    / F.lit(p), 2).alias("n_hat"),
+        )
+    )
+
+
+def sql_ldp_frequency(
+    table_sql: str,
+    cat_col: str,
+    h60_of,
+    id_col: str = "doc_id",
+    p_num: int = 3,
+    p_den: int = 4,
+    salt: str = "ldp1",
+) -> str:
+    """DuckDB twin: identical sorted-category index map, identical
+    keyed-PRF branch and remainder rescale, identical unbiasing."""
+    p = p_num / p_den
+    key_expr = f"concat_ws('|', CAST({id_col} AS VARCHAR), '{salt}')"
+    u = f"({h60_of(key_expr)} / {TWO60!r})"
+    return f"""
+WITH cats AS (
+  SELECT cat, CAST(row_number() OVER (ORDER BY cat) - 1 AS BIGINT) AS idx
+  FROM (SELECT DISTINCT {cat_col} AS cat FROM {table_sql})
+),
+kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM cats),
+rows_ AS (
+  SELECT c.idx,
+         CASE WHEN {u} < {p!r}
+              THEN c.idx
+              ELSE least((SELECT k FROM kk) - 1,
+                         CAST(floor((({u} - {p!r}) / {1.0 - p!r})
+                                    * (SELECT k FROM kk)) AS BIGINT))
+         END AS rep_idx
+  FROM {table_sql} t JOIN cats c ON c.cat = t.{cat_col}
+),
+obs AS (SELECT rep_idx, CAST(count(*) AS BIGINT) AS n_obs
+        FROM rows_ GROUP BY rep_idx),
+tru AS (SELECT idx, CAST(count(*) AS BIGINT) AS n_true
+        FROM rows_ GROUP BY idx),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM obs)
+SELECT c.cat, CAST(c.idx AS INTEGER) AS idx,
+       CAST(coalesce(t.n_true, 0) AS BIGINT) AS n_true,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       round((coalesce(o.n_obs, 0)
+              - (SELECT n FROM tot) * {1.0 - p!r} / (SELECT k FROM kk))
+             / {p!r}, 2) AS n_hat
+FROM cats c
+LEFT JOIN obs o ON o.rep_idx = c.idx
+LEFT JOIN tru t ON t.idx = c.idx
 """

@@ -33,12 +33,18 @@ def asof_join(
     order_col: str,
     right_payload: list[str],
     suffix: str = "_asof",
+    tolerance: int | None = None,
 ) -> DataFrame:
     """For each ``left`` row, attach the payload of the latest ``right``
     row with equal ``key_cols`` and ``right.ts <= left.ts`` (ties on ts
     broken by the greatest ``order_col``); null payload when no such
     row exists. Returns all left columns + suffixed payload columns.
-    """
+
+    ``tolerance`` (same unit as ``ts_col``): when set, a match older
+    than ``left.ts - tolerance`` is rejected — the whole payload nulls
+    out, exactly pandas ``merge_asof(tolerance=...)`` semantics.  The
+    bound is applied AFTER the fill-forward window, so it adds no
+    shuffle — still one partition-by-key pass."""
     payload = F.struct(*[F.col(c) for c in [ts_col, order_col, *right_payload]])
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
@@ -66,6 +72,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("_carried", F.last("_r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "_carried",
+            F.when(
+                F.col(ts_col) - F.col("_carried")[ts_col] <= F.lit(tolerance),
+                F.col("_carried"),
+            ),
+        )
     out = filled.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in left.columns],
         *[F.col("_carried")[c].alias(f"{c}{suffix}") for c in [ts_col, order_col, *right_payload]],

@@ -5234,3 +5234,514 @@ DATAPIPE_ORACLES = {
     "privacy_kanon_risk": _sql_privacy_kanon_risk(),
     "corpus_shard_skew_audit": _sql_corpus_shard_skew(),
 }
+
+
+# --- Round-9 additions: degree audit, local-DP, RHO-loss selection, ---
+# --- curriculum ordering, watermark late-data accounting -------------
+
+
+def q_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation degree/strength audit of the trade graph
+    (datapipe/graph.degree_stats): out/in edge counts, out/in lineitem
+    weight, and the weight balance — the structural first look that
+    precedes any centrality run (hubs, sinks, isolated nodes), on the
+    same memoized edge table PageRank/HITS share."""
+    from sequin_spark.datapipe.graph import degree_stats
+
+    _prep(spark)
+    edges = _trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    return degree_stats(nodes, edges).join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("node"),
+                                  "n_name")), "node",
+    ).select(F.col("node").alias("nationkey"), "n_name",
+             "out_deg", "in_deg", "out_w", "in_w", "w_balance")
+
+
+def _sql_graph_degree_stats() -> str:
+    from sequin_spark.datapipe.graph import sql_degree_stats
+
+    inner = sql_degree_stats(
+        edges_cte=_SQL_TRADE_EDGES,
+        nodes_cte="SELECT n_nationkey AS node FROM nation")
+    return f"""
+WITH ds AS ({inner})
+SELECT ds.node AS nationkey, n.n_name,
+       ds.out_deg, ds.in_deg, ds.out_w, ds.in_w, ds.w_balance
+FROM ds JOIN nation n ON n.n_nationkey = ds.node
+"""
+
+
+def q_privacy_ldp_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL-DP source-frequency estimation via k-ary randomized
+    response (datapipe/privacy.ldp_frequency) — the no-trusted-curator
+    model (RAPPOR-style): each doc perturbs its own source label with
+    p=3/4 keep probability before aggregation; the collector unbiases
+    the observed histogram.  Replayable pseudo-DP under the default
+    salt (privacy.py module docstring).  One k-row broadcast category
+    map + a narrow per-row keyed-PRF branch + one count shuffle."""
+    from sequin_spark.datapipe.privacy import ldp_frequency
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    return ldp_frequency(docs, "source")
+
+
+def _sql_privacy_ldp_frequency() -> str:
+    from sequin_spark.datapipe.privacy import sql_ldp_frequency
+
+    return sql_ldp_frequency("documents", "source", _sql_h60_of)
+
+
+def q_select_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss-style learnability selection: per-doc EXCESS bigram
+    NLL = mean over shared bigrams of (corpus-LM term − curated-LM
+    term), where the curated LM is trained only on the src0-src4
+    reference slice (the same curated set the NB quality classifier
+    uses).  Positive excess = the reference model explains the text
+    better than the base corpus statistics — the
+    'learnable-and-worth-learning' signal of RHO-1 / DoReMi-style
+    data selection, here in closed count form.
+
+    Plan: ONE exploded bigram stream (persisted), one rollup per LM
+    (both vocab-bounded, AQE-broadcast), one join back per doc.  Only
+    bigrams present in BOTH LMs score (the shared-support contract
+    that keeps the difference finite); round-4 on the single
+    difference mean (the nll float contract)."""
+    from sequin_spark.datapipe.text import doc_bigrams
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    curated = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    bg = doc_bigrams(docs.select("doc_id", "text")).persist()
+    flags = docs.select("doc_id", curated.alias("is_ref"))
+    bgf = bg.join(F.broadcast(flags), "doc_id")
+    # corpus LM counts (all docs) and reference LM counts (curated)
+    # from ONE grouping-sets pass each, as bigram_lm_scores does
+    r_all = bgf.rollup("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(F.col("is_ref").cast("long")).alias("cr"),
+    ).filter(F.col("w1").isNotNull())
+    c2 = (r_all.filter(F.col("w2").isNotNull())
+          .select("w1", "w2", F.col("c").alias("c2"),
+                  F.col("cr").alias("r2")))
+    c1 = (r_all.filter(F.col("w2").isNull())
+          .select("w1", F.col("c").alias("c1"), F.col("cr").alias("r1")))
+    terms = (
+        c2.join(c1, "w1")
+        .filter((F.col("r2") > 0) & (F.col("r1") > 0))
+        .select(
+            "w1", "w2",
+            (-F.log(F.col("c2") / F.col("c1"))
+             + F.log(F.col("r2") / F.col("r1"))).alias("excess_term"),
+        )
+    )
+    out = (
+        bg.join(terms, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
+             F.round(F.avg("excess_term"), 4).alias("excess_nll"))
+        .select("doc_id", "n_terms", "excess_nll",
+                (F.col("excess_nll") > 0).alias("learnable"))
+    )
+    return out
+
+
+def _sql_select_rho_loss() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, string_split({D_NORM}, ' ') AS words
+           FROM documents),
+bg AS MATERIALIZED (
+  SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+  FROM w, LATERAL (SELECT unnest(range(1, len(words)))) AS t(i)
+  WHERE len(words) >= 2
+),
+flags AS (SELECT doc_id,
+                 source IN ('src0','src1','src2','src3','src4') AS is_ref
+          FROM documents),
+bgf AS (SELECT bg.*, f.is_ref FROM bg JOIN flags f USING (doc_id)),
+c2 AS (SELECT w1, w2, count(*) AS c2,
+              sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r2
+       FROM bgf GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1,
+              sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS r1
+       FROM bgf GROUP BY 1),
+terms AS (
+  SELECT c2.w1, c2.w2,
+         -ln(CAST(c2.c2 AS DOUBLE) / c1.c1)
+         + ln(CAST(c2.r2 AS DOUBLE) / c1.r1) AS excess_term
+  FROM c2 JOIN c1 USING (w1)
+  WHERE c2.r2 > 0 AND c1.r1 > 0
+)
+SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       round(avg(excess_term), 4) AS excess_nll,
+       round(avg(excess_term), 4) > 0 AS learnable
+FROM bg JOIN terms USING (w1, w2)
+GROUP BY bg.doc_id
+"""
+
+
+def q_corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic curriculum schedule: docs are staged
+    easy→medium→hard by length tertile (ntile over (n_chars, doc_id) —
+    the standard length-as-difficulty proxy for a first curriculum),
+    then hash-shuffled WITHIN each stage (epoch-shuffle's keyed
+    permutation, so the order is reproducible with no RNG state).
+    Output position is the global dataloader order.  Plan: one ntile
+    window + one (stage)-keyed position window; at 100 TB the global
+    position becomes a range-partitioned zipWithIndex-style two-pass —
+    same contract as corpus_epoch_shuffle."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars")
+    stage = F.ntile(3).over(Window.orderBy("n_chars", "doc_id")) - 1
+    h_order = F.pmod(F.col("doc_id") * F.lit(2654435761),
+                     F.lit(4294967296)).cast("long")
+    w = Window.orderBy("stage", "h_order", "doc_id")
+    return (
+        docs.withColumn("stage", stage.cast("int"))
+        .withColumn("h_order", h_order)
+        .withColumn("position", F.row_number().over(w))
+        .select("position", "stage", "doc_id", "n_chars")
+    )
+
+
+SQL_CORPUS_CURRICULUM_ORDER = """
+WITH staged AS (
+  SELECT doc_id, n_chars,
+         CAST(ntile(3) OVER (ORDER BY n_chars, doc_id) - 1 AS INTEGER)
+           AS stage,
+         (doc_id * 2654435761) % 4294967296 AS h_order
+  FROM documents
+)
+SELECT CAST(row_number() OVER (ORDER BY stage, h_order, doc_id)
+            AS BIGINT) AS position,
+       stage, doc_id, n_chars
+FROM staged
+"""
+
+
+def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting — the batch-relational form of
+    Structured Streaming's watermark semantics, runnable as an audit
+    over any event log: arrival order = event_id, watermark at each
+    arrival = (running max event time over PRIOR arrivals) − 5 min;
+    a row is LATE if its event time is behind the watermark and
+    DROPPED if behind a 2× allowed-lateness horizon.  The per-hour
+    rollup is the number every watermark tuning decision needs (how
+    much data a given delay would admit vs drop).  Plan: one window
+    over arrival order (integer micros, engine-exact comparisons) +
+    one hour-keyed count shuffle."""
+    _prep(spark)
+    delay_us = 300 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    w = (Window.orderBy("event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    ann = (
+        ev.withColumn("wm_us", F.max("ts_us").over(w) - F.lit(delay_us))
+        .withColumn("is_late", F.coalesce(
+            F.col("ts_us") < F.col("wm_us"), F.lit(False)))
+        .withColumn("is_dropped", F.coalesce(
+            F.col("ts_us") < (F.col("wm_us") - F.lit(delay_us)),
+            F.lit(False)))
+    )
+    hour = (F.floor(F.col("ts_us") / F.lit(3_600_000_000))
+            * F.lit(3_600_000_000)).cast("long")
+    return (
+        ann.groupBy(hour.alias("window_start_us"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_total"),
+             F.sum(F.col("is_late").cast("long")).alias("n_late"),
+             F.sum(F.col("is_dropped").cast("long")).alias("n_dropped"))
+        .select("window_start_us", "n_total", "n_late", "n_dropped")
+    )
+
+
+SQL_STREAMING_LATE_DATA_AUDIT = """
+WITH ev AS (
+  SELECT event_id, epoch_us(ts) AS ts_us FROM events
+),
+ann AS (
+  SELECT ts_us,
+         max(ts_us) OVER (ORDER BY event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) - 300000000 AS wm_us
+  FROM ev
+)
+SELECT CAST(floor(ts_us / 3600000000) * 3600000000 AS BIGINT)
+         AS window_start_us,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN wm_us IS NOT NULL AND ts_us < wm_us
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       CAST(sum(CASE WHEN wm_us IS NOT NULL
+                     AND ts_us < wm_us - 300000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM ann
+GROUP BY 1
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "graph_degree_stats": q_graph_degree_stats,
+    "privacy_ldp_frequency": q_privacy_ldp_frequency,
+    "select_rho_loss": q_select_rho_loss,
+    "corpus_curriculum_order": q_corpus_curriculum_order,
+    "streaming_late_data_audit": q_streaming_late_data_audit,
+})
+
+DATAPIPE_ORACLES.update({
+    "graph_degree_stats": _sql_graph_degree_stats(),
+    "privacy_ldp_frequency": _sql_privacy_ldp_frequency(),
+    "select_rho_loss": _sql_select_rho_loss(),
+    "corpus_curriculum_order": SQL_CORPUS_CURRICULUM_ORDER,
+    "streaming_late_data_audit": SQL_STREAMING_LATE_DATA_AUDIT,
+})
+
+
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRENGTH assortativity of the trade graph: Pearson correlation
+    of (out-strength of src, in-strength of dst) across edges — do
+    heavy exporters ship to heavy importers?  (Newman 2002's r on the
+    weighted degree; negative = hub-to-leaf disassortativity.  Raw
+    DEGREE assortativity is degenerate here: the nation graph is
+    complete at every SF, so unweighted degrees have zero variance —
+    strength is the signal.)  Engine-exact by construction: every
+    moment (n, Σx, Σy, Σx², Σy², Σxy) is an INTEGER sum over integer
+    strengths, and only the final correlation is one float expression
+    over those integers, rounded 4 — no float accumulation order
+    anywhere.  Plan: the shared degree/strength table joined onto the
+    bounded edge list, one 1-row aggregate."""
+    from sequin_spark.datapipe.graph import degree_stats
+
+    _prep(spark)
+    edges = _trade_edges(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    deg = degree_stats(
+        nation.select(F.col("n_nationkey").alias("node")), edges)
+    e2 = (
+        edges.join(deg.select(F.col("node").alias("src"),
+                              F.col("out_w").alias("x")), "src")
+        .join(deg.select(F.col("node").alias("dst"),
+                         F.col("in_w").alias("y")), "dst")
+    )
+    m = e2.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = m["n_edges"] * m["sxy"] - m["sx"] * m["sy"]
+    den = (F.sqrt((m["n_edges"] * m["sxx"] - m["sx"] * m["sx"])
+                  .cast("double"))
+           * F.sqrt((m["n_edges"] * m["syy"] - m["sy"] * m["sy"])
+                    .cast("double")))
+    return m.select(
+        "n_edges",
+        F.round(num.cast("double") / den, 4).alias("r_assortativity"),
+    )
+
+
+SQL_GRAPH_ASSORTATIVITY = None  # filled below (needs _SQL_TRADE_EDGES)
+
+
+def _sql_graph_assortativity() -> str:
+    from sequin_spark.datapipe.graph import sql_degree_stats
+
+    deg = sql_degree_stats(
+        edges_cte=_SQL_TRADE_EDGES,
+        nodes_cte="SELECT n_nationkey AS node FROM nation")
+    return f"""
+WITH deg AS MATERIALIZED ({deg}),
+edges AS MATERIALIZED ({_SQL_TRADE_EDGES}),
+e2 AS (
+  SELECT dx.out_w AS x, dy.in_w AS y
+  FROM edges e
+  JOIN deg dx ON dx.node = e.src
+  JOIN deg dy ON dy.node = e.dst
+),
+m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM e2
+)
+SELECT n_edges,
+       round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))), 4)
+         AS r_assortativity
+FROM m
+"""
+
+
+def q_asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a staleness bound (operators/asof.py
+    ``tolerance``, pandas merge_asof semantics): each purchase picks up
+    the user's latest click AT MOST 10 minutes old — older matches
+    null out (attributing a purchase to an hour-old click is exactly
+    the bug tolerance exists to prevent).  Same single
+    user-partitioned fill-forward pass as the unbounded as-of; the
+    bound is a post-window predicate, no extra shuffle."""
+    from sequin_spark.operators.asof import asof_join
+
+    _prep(spark)
+    tol_us = 600 * 1_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+        .drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    out = asof_join(
+        purchases, clicks, key_cols=["user_id"], ts_col="ts_us",
+        order_col="event_id", right_payload=[], tolerance=tol_us)
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.col("event_id_asof").alias("click_id"),
+        (F.col("ts_us") - F.col("ts_us_asof")).alias("gap_us"),
+        F.col("event_id_asof").isNotNull().alias("matched"),
+    )
+
+
+SQL_ASOF_TOLERANCE_JOIN = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+p AS (SELECT event_id, user_id, ts_us FROM ev
+      WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click')
+SELECT p.event_id, p.user_id, p.ts_us,
+       m.click_id, m.gap_us, m.click_id IS NOT NULL AS matched
+FROM p LEFT JOIN LATERAL (
+  SELECT c.event_id AS click_id, p.ts_us - c.ts_us AS gap_us
+  FROM c
+  WHERE c.user_id = p.user_id AND c.ts_us <= p.ts_us
+    AND p.ts_us - c.ts_us <= 600000000
+  ORDER BY c.ts_us DESC, c.event_id DESC LIMIT 1
+) m ON TRUE
+"""
+
+
+def q_session_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution per user — the histogram that
+    justifies a sessionize gap parameter (the knee between
+    within-session and between-session gaps IS the session timeout).
+    Integer band edges (10 s / 60 s / 5 min / 30 min / 2 h), integer
+    microsecond lag arithmetic — engine-exact.  One user-keyed lag
+    window + one bounded band rollup."""
+    _prep(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_micros(F.col("ts")).alias("ts_us"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    # integer `div`, NOT float-divide-then-cast: Spark's double->long
+    # cast truncates while DuckDB's rounds — the off-by-one that
+    # flipped band counts on first run
+    gap_us = F.col("ts_us") - F.lag("ts_us").over(w)
+    g = (ev.withColumn("gap_us", gap_us)
+         .withColumn("gap_s", F.expr("gap_us div 1000000"))
+         .filter(F.col("gap_s").isNotNull()))
+    gc = F.col("gap_s")
+    band = (F.when(gc < 10, "a_lt_10s")
+            .when(gc < 60, "b_10s_1m")
+            .when(gc < 300, "c_1m_5m")
+            .when(gc < 1800, "d_5m_30m")
+            .when(gc < 7200, "e_30m_2h")
+            .otherwise("f_ge_2h"))
+    return (
+        g.groupBy(band.alias("band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gaps"),
+             F.min("gap_s").alias("min_gap_s"),
+             F.max("gap_s").alias("max_gap_s"))
+    )
+
+
+SQL_SESSION_GAP_STATS = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events
+),
+g AS (
+  SELECT CAST((ts_us - lag(ts_us) OVER (PARTITION BY user_id
+               ORDER BY ts_us, event_id)) // 1000000 AS BIGINT) AS gap_s
+  FROM ev
+)
+SELECT CASE WHEN gap_s < 10 THEN 'a_lt_10s'
+            WHEN gap_s < 60 THEN 'b_10s_1m'
+            WHEN gap_s < 300 THEN 'c_1m_5m'
+            WHEN gap_s < 1800 THEN 'd_5m_30m'
+            WHEN gap_s < 7200 THEN 'e_30m_2h'
+            ELSE 'f_ge_2h' END AS band,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY 1
+"""
+
+
+def q_tokenizer_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language compression rate of the frozen corpus BPE: chars
+    per BPE token — the multilingual fairness metric that pairs with
+    fertility (a language the vocabulary underserves pays more tokens
+    per char of content, i.e. more compute per document).  Reuses the
+    memoized 8-merge table and the one-pass encode; adds only a k-row
+    per-lang char rollup."""
+    from sequin_spark.datapipe.tokenizer import bpe_encode
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    merges = _bpe_merges_cached(spark, sf_dir, n_merges=8)
+    enc = bpe_encode(docs, merges)
+    toks = (enc.join(docs.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang")
+            .agg(F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens")))
+    chars = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("long").alias("n_chars"))
+    return toks.join(chars, "lang").select(
+        "lang", "n_chars", "n_bpe_tokens",
+        F.round(F.col("n_chars") / F.col("n_bpe_tokens"), 4)
+        .alias("chars_per_token"),
+    )
+
+
+def _sql_tokenizer_compression(n_merges: int = 8) -> str:
+    chain = _sql_bpe_merges(n_merges)
+    body = chain[: chain.rindex("\nSELECT CAST(1 AS INTEGER) AS rank")]
+    return body + f""",
+tok AS (
+  SELECT doc_id, lang, unnest(string_split({D_NORM}, ' ')) AS word
+  FROM documents
+),
+enc AS (
+  SELECT t.lang, len(string_split(w.syms, '|')) AS n_syms
+  FROM tok t JOIN w{n_merges} w USING (word)
+  WHERE t.word <> ''
+),
+tk AS (SELECT lang, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+       FROM enc GROUP BY lang),
+ch AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS n_chars
+       FROM documents GROUP BY lang)
+SELECT tk.lang, ch.n_chars, tk.n_bpe_tokens,
+       round(CAST(ch.n_chars AS DOUBLE) / tk.n_bpe_tokens, 4)
+         AS chars_per_token
+FROM tk JOIN ch USING (lang)
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "graph_assortativity": q_graph_assortativity,
+    "asof_tolerance_join": q_asof_tolerance_join,
+    "session_gap_stats": q_session_gap_stats,
+    "tokenizer_compression": q_tokenizer_compression,
+})
+
+DATAPIPE_ORACLES.update({
+    "graph_assortativity": _sql_graph_assortativity(),
+    "asof_tolerance_join": SQL_ASOF_TOLERANCE_JOIN,
+    "session_gap_stats": SQL_SESSION_GAP_STATS,
+    "tokenizer_compression": _sql_tokenizer_compression(),
+})

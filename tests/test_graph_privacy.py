@@ -422,3 +422,59 @@ def test_kcenter_coreset_accepts_string_ids(spark):
     assert len(got) == 3
     assert out.schema["doc"].dataType.simpleString() == "string"
     assert all(isinstance(r["doc"], str) for r in got)
+
+
+def test_ldp_frequency_python_replay(spark):
+    """The k-ary randomized-response branch and the unbiasing replay
+    exactly in python: same h60 draw, same sorted-category index map,
+    same floor-rescale for the random branch."""
+    from sequin_spark.datapipe.privacy import TWO60, ldp_frequency
+
+    rows = [(i, ["red", "green", "blue"][i % 3]) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = {r["cat"]: r for r in
+           ldp_frequency(df, "source", p_num=3, p_den=4).collect()}
+
+    cats = sorted({c for _, c in rows})
+    k, p = len(cats), 0.75
+    obs = dict.fromkeys(range(k), 0)
+    for i, c in rows:
+        u = _py_h60(f"{i}|ldp1") / TWO60
+        if u < p:
+            obs[cats.index(c)] += 1
+        else:
+            obs[min(k - 1, int(((u - p) / (1 - p)) * k))] += 1
+    n = len(rows)
+    for ci, cat in enumerate(cats):
+        assert got[cat]["n_obs"] == obs[ci], cat
+        want_hat = round((obs[ci] - n * (1 - p) / k) / p, 2)
+        assert got[cat]["n_hat"] == want_hat, cat
+        assert got[cat]["n_true"] == sum(1 for _, c in rows if c == cat)
+    # unbiased-estimator sanity: estimates sum to ~n
+    assert abs(sum(g["n_hat"] for g in got.values()) - n) < 1e-6
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from sequin_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 1000), (2, "u1", 5000), (3, "u2", 9000)],
+        "event_id long, user_id string, ts long")
+    right = spark.createDataFrame(
+        [(10, "u1", 900), (11, "u1", 4500)],
+        "event_id long, user_id string, ts long")
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, key_cols=["user_id"], ts_col="ts",
+        order_col="event_id", right_payload=[], tolerance=600).collect()}
+    assert out[1]["event_id_asof"] == 10      # gap 100 <= 600
+    assert out[2]["event_id_asof"] == 11      # gap 500 <= 600 (not 10!)
+    assert out[3]["event_id_asof"] is None    # no u2 right rows
+    # and WITHOUT tolerance the stale match would have been kept
+    loose = {r["event_id"]: r for r in asof_join(
+        left, right, key_cols=["user_id"], ts_col="ts",
+        order_col="event_id", right_payload=[]).collect()}
+    assert loose[2]["event_id_asof"] == 11
+    tight = {r["event_id"]: r for r in asof_join(
+        left, right, key_cols=["user_id"], ts_col="ts",
+        order_col="event_id", right_payload=[], tolerance=100).collect()}
+    assert tight[2]["event_id_asof"] is None  # gap 500 > 100
