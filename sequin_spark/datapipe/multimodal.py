@@ -1,13 +1,25 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/feature-extract kernels (PIL/librosa/ffmpeg) are NOT in this
-container, so the decode step is a clearly-marked stub behind
-``SEQUIN_FAKE_DECODE``: with the flag (default here) it produces
-deterministic fake features so the Spark-side plumbing — binary schema,
-Arrow batch transfer through mapInPandas, partitioning, output schema —
-is real and tested end-to-end; without it, it raises NotImplementedError
-at the exact point a real decoder plugs in.
+Three honesty tiers, each clearly marked:
+
+* **Real pixel/sample decode — PNG and WAV** (``decode_png`` /
+  ``decode_wav`` / ``decode_pixels``): pure-stdlib decoders written
+  from the public specs (PNG chunk stream + zlib inflate + the five
+  scanline filters incl. Paeth; RIFF/WAVE PCM via the ``wave``
+  module), producing exact integer pixel/sample statistics.  The same
+  vendored-from-spec engineering as the zstd decoder — no PIL, no
+  libsndfile.
+* **Real header probing — PNG/JPEG/GIF/BMP/WAV** (``probe_header``):
+  dimensions/channels/sample-rate from container headers.
+* **Stubbed decode for everything else** (JPEG/GIF pixel decode,
+  video): the generic ``decode_media`` keeps the deterministic stub
+  behind ``SEQUIN_FAKE_DECODE`` so the Spark-side plumbing — binary
+  schema, Arrow batch transfer through mapInPandas, partitioning,
+  output schema — is tested end-to-end; without the flag it raises
+  NotImplementedError at the exact point an external decoder plugs in
+  (JPEG entropy decode is the complex half, same rationale as zstd
+  ENCODE).
 
 At 100 TB: binary payloads make rows wide → keep
 spark.sql.files.maxPartitionBytes moderate, select() metadata columns
@@ -52,8 +64,10 @@ def attach_media(df: DataFrame, payload_col: str, media_type: str = "image") -> 
 def _decode_batch(batch: pd.DataFrame, fake: bool) -> pd.DataFrame:
     if not fake:
         raise NotImplementedError(
-            "real media decode requires PIL/librosa/ffmpeg — not available in "
-            "this container; set SEQUIN_FAKE_DECODE=1 for the deterministic stub"
+            "generic media decode requires PIL/librosa/ffmpeg — not available "
+            "in this container; set SEQUIN_FAKE_DECODE=1 for the "
+            "deterministic stub, or use decode_pixels() for the REAL "
+            "stdlib PNG/WAV decoders"
         )
     n = batch["n_bytes"]
     return pd.DataFrame(
@@ -118,10 +132,11 @@ def probe_header(blob: bytes) -> dict:
     HEADER of a media blob — PNG, JPEG, GIF, BMP, WAV — using nothing
     but struct offsets from the public file-format specifications
     (what `file(1)` / `identify -ping` do).  This is genuine metadata
-    extraction, not the decode stub: pixel/sample DECODE still needs
-    PIL/librosa/ffmpeg and stays gated in decode_media, but dimension
-    probing — the metadata a curation pipeline filters on (min
-    resolution, aspect ratio, sample rate) — needs only the header.
+    extraction: dimension probing — the metadata a curation pipeline
+    filters on (min resolution, aspect ratio, sample rate) — needs
+    only the header.  Full pixel/sample decode is ALSO real for PNG
+    and WAV (decode_png/decode_wav below); JPEG/GIF pixel decode and
+    video remain gated in decode_media.
 
     Returns {format,width,height,n_channels,sample_rate,status};
     unknown containers get format='unknown', status='unrecognized'."""
@@ -289,3 +304,238 @@ def phash_near_dup_pairs(hashes: DataFrame,
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+# --- real pure-stdlib decoders: PNG pixels, WAV PCM samples ---------------
+
+PIXELS_SCHEMA = (
+    "doc_id long, media_type string, n_bytes long, format string, "
+    "width int, height int, n_channels int, n_pixels long, "
+    "mean_luma_x1000 long, rms_x1000 long, duration_ms long, status string"
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(blob: bytes) -> dict:
+    """REAL PNG pixel decode, stdlib only (zlib + the spec): chunk walk
+    (IHDR/PLTE/IDAT/IEND), one zlib inflate, per-scanline de-filtering
+    (None/Sub/Up/Average/Paeth — the five filters of §9), palette
+    lookup for color type 3.  Supports bit depth 8, color types
+    0/2/3/4/6, non-interlaced (Adam7 and sub-byte depths return an
+    explicit unsupported status rather than wrong pixels).
+
+    Returns exact INTEGER statistics — n_pixels, mean luminance ×1000
+    (luma = value for gray, (r+g+b) div 3 for color, floor division) —
+    so tests replay them bit-for-bit against independently computed
+    pixels."""
+    import struct as _s
+    import zlib as _z
+
+    out = {"format": "png", "width": None, "height": None,
+           "n_channels": None, "n_pixels": None, "mean_luma_x1000": None,
+           "status": "decoded"}
+    if blob[:8] != b"\x89PNG\r\n\x1a\n":
+        out["status"] = "not_png"
+        return out
+    pos, idat, plte = 8, bytearray(), None
+    w = h = bit_depth = color_type = interlace = None
+    try:
+        while pos + 8 <= len(blob):
+            (length,) = _s.unpack_from(">I", blob, pos)
+            ctype = blob[pos + 4:pos + 8]
+            data = blob[pos + 8:pos + 8 + length]
+            pos += 12 + length  # length + type + data + crc
+            if ctype == b"IHDR":
+                w, h = _s.unpack_from(">II", data, 0)
+                bit_depth, color_type = data[8], data[9]
+                interlace = data[12]
+            elif ctype == b"PLTE":
+                plte = bytes(data)
+            elif ctype == b"IDAT":
+                idat += data
+            elif ctype == b"IEND":
+                break
+        if w is None:
+            out["status"] = "truncated"
+            return out
+        out.update(width=w, height=h)
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        out["n_channels"] = {3: 3}.get(color_type, ch)
+        if ch is None or bit_depth != 8 or interlace != 0:
+            out["status"] = (f"unsupported_depth_{bit_depth}"
+                             if bit_depth != 8 else
+                             "unsupported_interlace" if interlace
+                             else "unsupported_color_type")
+            return out
+        raw = _z.decompress(bytes(idat))
+        stride = w * ch
+        luma_sum = 0
+        prev = bytearray(stride)
+        p = 0
+        for _row in range(h):
+            f = raw[p]
+            p += 1
+            cur = bytearray(raw[p:p + stride])
+            p += stride
+            if f == 1:      # Sub
+                for i in range(ch, stride):
+                    cur[i] = (cur[i] + cur[i - ch]) & 0xFF
+            elif f == 2:    # Up
+                for i in range(stride):
+                    cur[i] = (cur[i] + prev[i]) & 0xFF
+            elif f == 3:    # Average
+                for i in range(stride):
+                    left = cur[i - ch] if i >= ch else 0
+                    cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+            elif f == 4:    # Paeth
+                for i in range(stride):
+                    left = cur[i - ch] if i >= ch else 0
+                    ul = prev[i - ch] if i >= ch else 0
+                    cur[i] = (cur[i] + _paeth(left, prev[i], ul)) & 0xFF
+            elif f != 0:
+                out["status"] = f"bad_filter_{f}"
+                return out
+            # luminance accumulation per color type
+            if color_type == 0:
+                luma_sum += sum(cur)
+            elif color_type == 2:
+                for i in range(0, stride, 3):
+                    luma_sum += (cur[i] + cur[i + 1] + cur[i + 2]) // 3
+            elif color_type == 3:
+                for i in range(stride):
+                    base = cur[i] * 3
+                    luma_sum += (plte[base] + plte[base + 1]
+                                 + plte[base + 2]) // 3
+            elif color_type == 4:
+                for i in range(0, stride, 2):
+                    luma_sum += cur[i]
+            else:  # 6: RGBA
+                for i in range(0, stride, 4):
+                    luma_sum += (cur[i] + cur[i + 1] + cur[i + 2]) // 3
+            prev = cur
+        n_px = w * h
+        out.update(n_pixels=n_px,
+                   mean_luma_x1000=(1000 * luma_sum) // n_px)
+    except (_z.error, _s.error, IndexError, TypeError):
+        out["status"] = "truncated"
+    return out
+
+
+def decode_wav(blob: bytes) -> dict:
+    """REAL WAV PCM decode via the stdlib ``wave`` module: frames out,
+    integer sample statistics — duration in ms (integer div), RMS ×1000
+    via math.isqrt of the exact mean square (no float), supporting
+    8-bit unsigned (recentred) and 16-bit signed PCM."""
+    import io as _io
+    import math as _m
+    import struct as _s
+    import wave as _w
+
+    out = {"format": "wav", "n_channels": None, "sample_rate": None,
+           "n_samples": None, "duration_ms": None, "rms_x1000": None,
+           "status": "decoded"}
+    try:
+        with _w.open(_io.BytesIO(blob), "rb") as f:
+            rate, nch = f.getframerate(), f.getnchannels()
+            width, n = f.getsampwidth(), f.getnframes()
+            frames = f.readframes(n)
+        out.update(n_channels=nch, sample_rate=rate)
+        if width == 2:
+            samples = _s.unpack(f"<{len(frames) // 2}h", frames)
+        elif width == 1:
+            samples = [b - 128 for b in frames]
+        else:
+            out["status"] = f"unsupported_width_{width}"
+            return out
+        ns = len(samples)
+        out["n_samples"] = ns
+        out["duration_ms"] = (n * 1000) // rate if rate else None
+        if ns:
+            mean_sq = sum(s * s for s in samples) // ns
+            out["rms_x1000"] = _m.isqrt(mean_sq * 1_000_000)
+    except (_w.Error, EOFError, _s.error, IndexError):
+        out["status"] = "truncated"
+    return out
+
+
+def decode_pixels(media: DataFrame) -> DataFrame:
+    """REAL decode over the media table (Arrow mapInPandas, same
+    plumbing as decode_media): PNG → pixel stats, WAV → sample stats;
+    formats whose pixel decode needs an external library (JPEG/GIF
+    entropy decode, video) get status='decoder_unavailable' —
+    per-ROW honesty instead of a module-wide gate."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, mtype, blob in zip(
+                    batch["doc_id"], batch["media_type"], batch["blob"]):
+                b = bytes(blob) if blob is not None else b""
+                base = {"doc_id": doc_id, "media_type": mtype,
+                        "n_bytes": len(b), "format": "unknown",
+                        "width": None, "height": None, "n_channels": None,
+                        "n_pixels": None, "mean_luma_x1000": None,
+                        "rms_x1000": None, "duration_ms": None,
+                        "status": "unrecognized"}
+                if b[:8] == b"\x89PNG\r\n\x1a\n":
+                    d = decode_png(b)
+                    base.update({k: d.get(k) for k in (
+                        "format", "width", "height", "n_channels",
+                        "n_pixels", "mean_luma_x1000", "status")})
+                elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                    d = decode_wav(b)
+                    base.update({k: d.get(k) for k in (
+                        "format", "n_channels", "rms_x1000",
+                        "duration_ms", "status")})
+                else:
+                    probe = probe_header(b)
+                    if probe["format"] != "unknown":
+                        base.update(format=probe["format"],
+                                    width=probe["width"],
+                                    height=probe["height"],
+                                    n_channels=probe["n_channels"],
+                                    status="decoder_unavailable")
+                rows.append(base)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height", "n_channels"):
+                out[c] = out[c].astype("Int32")
+            for c in ("n_pixels", "mean_luma_x1000", "rms_x1000",
+                      "duration_ms"):
+                out[c] = out[c].astype("Int64")
+            yield out
+
+    return media.mapInPandas(run, schema=PIXELS_SCHEMA)
+
+
+def synth_gray_png(doc_id: int, w: int = 16, h: int = 8) -> bytes:
+    """Deterministic VALID grayscale PNG whose pixel(i,j) =
+    (doc_id·31 + i·7 + j) mod 256 — the closed-form pixel rule that
+    lets a SQL oracle compute the decoded statistics analytically
+    while the engine round-trips ACTUAL bytes through zlib and the
+    real decoder (tests/correctness; production media arrives as
+    blobs, this is the synthesizer for the decode gate)."""
+    import struct as _s
+    import zlib as _z
+
+    raw = bytearray()
+    for i in range(h):
+        raw.append(0)  # filter: None
+        raw += bytes((doc_id * 31 + i * 7 + j) % 256 for j in range(w))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (_s.pack(">I", len(data)) + ctype + data
+                + _s.pack(">I", _z.crc32(ctype + data)))
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(bytes(raw)))
+            + chunk(b"IEND", b""))

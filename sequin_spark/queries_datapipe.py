@@ -5745,3 +5745,65 @@ DATAPIPE_ORACLES.update({
     "session_gap_stats": SQL_SESSION_GAP_STATS,
     "tokenizer_compression": _sql_tokenizer_compression(),
 })
+
+
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, oracle-checked: per doc a deterministic
+    16×8 grayscale PNG (pixel(i,j) = (doc_id·31+i·7+j) mod 256,
+    datapipe/multimodal.synth_gray_png) is ENCODED to actual bytes,
+    shipped through Arrow, and decoded by the pure-stdlib PNG decoder
+    (zlib inflate + scanline de-filtering) — while the DuckDB oracle
+    computes the identical mean-luminance statistic ANALYTICALLY from
+    the pixel rule.  A wrong filter, a chunk-walk bug, or an Arrow
+    binary mangling all surface as a value mismatch.  Plan: two
+    embarrassingly-parallel mapInPandas passes (encode, decode), no
+    shuffle — the exact shape of a production decode stage."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        decode_pixels,
+        synth_gray_png,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "image",
+                "blob": [synth_gray_png(int(d)) for d in b["doc_id"]],
+                "meta_format": "png",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = decode_pixels(media)
+    return out.select(
+        "doc_id", "width", "height", "n_channels", "n_pixels",
+        "mean_luma_x1000", "status")
+
+
+SQL_MULTIMODAL_PNG_DECODE = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(128 AS BIGINT) AS n_pixels,
+       CAST((1000 * list_sum(list_transform(generate_series(0, 127),
+             k -> (doc_id * 31 + (k // 16) * 7 + (k % 16)) % 256)))
+            // 128 AS BIGINT) AS mean_luma_x1000,
+       'decoded' AS status
+FROM documents
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "multimodal_png_decode": q_multimodal_png_decode,
+})
+DATAPIPE_ORACLES.update({
+    "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
+})
