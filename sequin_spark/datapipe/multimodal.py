@@ -539,3 +539,22 @@ def synth_gray_png(doc_id: int, w: int = 16, h: int = 8) -> bytes:
     return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", _z.compress(bytes(raw)))
             + chunk(b"IEND", b""))
+
+
+def synth_pcm_wav(doc_id: int, n: int = 64, rate: int = 8000) -> bytes:
+    """Deterministic VALID 16-bit mono WAV whose sample k =
+    ((doc_id·7 + k) mod 201) − 100 — the closed-form sample rule that
+    lets a SQL oracle compute the decoded RMS analytically while the
+    engine round-trips actual RIFF bytes through the wave module."""
+    import io as _io
+    import struct as _s
+    import wave as _w
+
+    buf = _io.BytesIO()
+    with _w.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(_s.pack(
+            f"<{n}h", *[((doc_id * 7 + k) % 201) - 100 for k in range(n)]))
+    return buf.getvalue()

@@ -5807,3 +5807,68 @@ DATAPIPE_QUERIES.update({
 DATAPIPE_ORACLES.update({
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
 })
+
+
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode, oracle-checked (the audio twin of
+    multimodal_png_decode): per doc a deterministic 64-sample 16-bit
+    WAV (sample k = (doc_id·7+k) mod 201 − 100,
+    datapipe/multimodal.synth_pcm_wav) is written as actual RIFF
+    bytes and decoded by the stdlib wave reader; RMS×1000 is the
+    integer isqrt of the exact mean square, which the DuckDB oracle
+    computes ANALYTICALLY from the sample rule (integer fold +
+    integer sqrt — no float anywhere).  Same no-shuffle two-pass
+    mapInPandas shape as the PNG query."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        decode_pixels,
+        synth_pcm_wav,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "audio",
+                "blob": [synth_pcm_wav(int(d)) for d in b["doc_id"]],
+                "meta_format": "wav",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    return decode_pixels(media).select(
+        "doc_id", "format", "n_channels", "duration_ms",
+        "rms_x1000", "status")
+
+
+SQL_MULTIMODAL_WAV_DECODE = """
+WITH s AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(generate_series(0, 63),
+              k -> ((doc_id * 7 + k) % 201 - 100)
+                   * ((doc_id * 7 + k) % 201 - 100))) AS BIGINT)
+           AS sum_sq
+  FROM documents
+)
+SELECT doc_id, 'wav' AS format, CAST(1 AS INTEGER) AS n_channels,
+       CAST(8 AS BIGINT) AS duration_ms,
+       CAST(floor(sqrt(CAST((sum_sq // 64) * 1000000 AS DOUBLE)))
+            AS BIGINT) AS rms_x1000,
+       'decoded' AS status
+FROM s
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "multimodal_wav_decode": q_multimodal_wav_decode,
+})
+DATAPIPE_ORACLES.update({
+    "multimodal_wav_decode": SQL_MULTIMODAL_WAV_DECODE,
+})
