@@ -119,7 +119,8 @@ def simhash(
     fingerprint (16 bits default — oracle-portable arithmetic; widen to
     16 hex digits / 64 bits in production).
     """
-    toks = df.select(F.col(id_col), F.explode(F.split(normalized(text_col), " ")).alias("tok"))
+    src = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    toks = src.select(F.col(id_col), F.explode(F.split(normalized(text_col), " ")).alias("tok"))
     toks = toks.withColumn("h", F.md5(F.col("tok")))
     for p in range(1, hex_digits + 1):
         toks = toks.withColumn(
@@ -227,7 +228,8 @@ def ngram_jaccard_lsh_pairs(
     """
     cand = minhash_candidate_pairs(df, text_col, id_col, bands, rows_per_band, shingle_k)
     grams = (
-        df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("w"))
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), F.split(normalized(text_col), " ").alias("w"))
         .select(id_col, F.array_distinct(word_shingles("w", n)).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
     )
@@ -429,7 +431,8 @@ def shingle_docs(
     come off this array, so a doc's text is normalized+split exactly
     once per build (the r2 bench's slowest entry was paying this twice).
     """
-    return df.select(
+    src = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    return src.select(
         F.col(id_col), F.split(normalized(text_col), " ").alias("w")
     ).select(F.col(id_col), word_shingles("w", shingle_k).alias("sh"))
 
@@ -444,6 +447,30 @@ every shingle n_hashes times with md5, this is ~n_hashes× less digest
 CPU — at corpus scale the signature pass is md5-bound, and the mul/add/
 mod permutations are whole-stage-codegen JVM arithmetic."""
 MINHASH_PRIME = 4294967311
+
+
+def spread_for_compute(df: DataFrame, min_parts: int | None = None
+                       ) -> DataFrame:
+    """Repartition a CPU-dense projection up to the cluster's
+    parallelism when the SCAN gave fewer partitions.
+
+    Spark sizes scan splits by BYTES (spark.sql.files.maxPartitionBytes,
+    128 MB default) — right for I/O-bound scans, wrong for kernels that
+    do heavy per-row expression work on small-but-dense inputs: at
+    sf0.1 the documents/events/embeddings tables are each ONE ~4 MB
+    parquet split, so every md5-per-shingle / per-token kernel ran as a
+    single task on a 32-core box (measured: text_fingerprint 13× on
+    10× data as the second core kicked in; see docs/SCALE.md).  One
+    round-robin shuffle of the narrow projection buys full-width
+    parallelism; cost is proportional to the projected bytes.  On a
+    real cluster where the scan already yields ≥ cores partitions this
+    is a no-op — getNumPartitions() triggers planning but no job."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 
 def minhash_coeffs(j: int) -> tuple[int, int]:
@@ -660,7 +687,8 @@ def doc_chunks(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     token array is a materialized projection step (see doc_bigrams):
     inlining the split into the slice lambda re-tokenizes per chunk."""
     words = F.col("_w")
-    d = df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
+    src = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    d = src.select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
     n = F.ceil(F.size(words) / F.lit(chunk_words)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n - 1),

@@ -8,30 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sequin_spark.datapipe.dedup import normalized
-
-def spread_for_compute(df: DataFrame, min_parts: int | None = None
-                       ) -> DataFrame:
-    """Repartition a CPU-dense projection up to the cluster's
-    parallelism when the SCAN gave fewer partitions.
-
-    Spark sizes scan splits by BYTES (spark.sql.files.maxPartitionBytes,
-    128 MB default) — right for I/O-bound scans, wrong for kernels that
-    do heavy per-row expression work on small-but-dense inputs: the
-    sf0.1 documents table is one ~4 MB parquet file, so the md5-per-
-    char-position fingerprint ran as ONE task on a 32-core box (and the
-    measured sf0.1→sf1 scaling was 13× for 10× data as the second core
-    kicked in).  One round-robin shuffle of the narrow projection buys
-    full-width parallelism; cost is proportional to the projected bytes
-    (trivial next to the compute it unlocks).  On a real cluster where
-    the scan already yields ≥ cores partitions this is a no-op —
-    getNumPartitions() triggers planning but no job."""
-    spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
+from sequin_spark.datapipe.dedup import normalized, spread_for_compute
 
 # n-gram-heuristic stopword inventories (tiny but deterministic;
 # production would load real per-language frequency tables)
@@ -149,7 +126,8 @@ def doc_bigrams(df: DataFrame, text_col: str = "text",
     re-tokenize the whole document on every element access — O(words²)
     regex work per doc (measured 7× on the bench corpus)."""
     words = F.col("_w")
-    d = df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
+    src = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+    d = src.select(F.col(id_col), F.split(normalized(text_col), " ").alias("_w"))
     pairs = F.when(
         F.size(words) >= 2,
         F.transform(
