@@ -1040,8 +1040,9 @@ def build_parser() -> argparse.ArgumentParser:
     tk_sub = tk.add_subparsers(dest="verb", required=True)
     tcreate = tk_sub.add_parser("create")
     tcreate.add_argument("name")
-    tcreate.add_argument("--account", help="account id (defaults to the "
-                         "authenticating token's account)")
+    tcreate.add_argument("--account", help="account id (admin api-key "
+                         "auth only; tokens are always scoped to the "
+                         "authenticating token's own account)")
     tcreate.set_defaults(func=cmd_tokens_create)
     tlist = tk_sub.add_parser("list", aliases=["ls"])
     tlist.add_argument("--json", action="store_true")

@@ -31,6 +31,90 @@ from sequin_spark.datapipe.dedup import normalized
 _HASH_SPAN = 65536
 
 
+def _range_prepared(df: DataFrame, order_cols, npartitions=None):
+    """Range-repartition df on order_cols and annotate the (ordered)
+    partition id.  RangePartitioner guarantees every key in partition
+    i sorts <= every key in partition i+1, so partition id order IS
+    key order — the precondition both two-pass global operators rely
+    on.  Persisted so the bounded per-partition stats job and the main
+    job see one consistent partitioning without recomputing upstream."""
+    from pyspark import StorageLevel
+
+    spark = df.sparkSession
+    p = int(npartitions
+            or spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    return (df.repartitionByRange(p, *[F.col(c) for c in order_cols])
+            .withColumn("_pid", F.spark_partition_id())
+            .persist(StorageLevel.MEMORY_AND_DISK))
+
+
+def global_row_number(df: DataFrame, order_cols,
+                      out_col: str = "position",
+                      npartitions: int | None = None) -> DataFrame:
+    """Scale-safe global row_number over a TOTAL order (include a
+    unique tiebreak column) — the range-partitioned two-pass
+    zipWithIndex: (1) repartitionByRange on the order keys, (2)
+    per-partition counts (a bounded <=P-row driver collect) folded
+    into cumulative offsets broadcast as a literal map, (3)
+    within-partition row_number + offset.  Replaces the single-task
+    ``row_number().over(Window.orderBy(...))`` funnel that serializes
+    the whole table through ONE executor at 100 TB: here every
+    partition numbers its own slice in parallel and only P count rows
+    ever reach the driver."""
+    d = _range_prepared(df, order_cols, npartitions)
+    counts = dict(d.groupBy("_pid")
+                  .agg(F.count(F.lit(1)).alias("c")).collect())
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    omap = F.create_map(*[F.lit(v) for pid in sorted(offsets)
+                          for v in (pid, offsets[pid])])
+    w = Window.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (d.withColumn(
+        out_col,
+        (F.row_number().over(w)
+         + F.element_at(omap, F.col("_pid"))).cast("long"))
+        .drop("_pid"))
+
+
+def prefix_max_exclusive(df: DataFrame, order_col: str, value_col: str,
+                         out_col: str,
+                         npartitions: int | None = None) -> DataFrame:
+    """Scale-safe running max of value_col over all STRICTLY PRIOR
+    rows in order_col order (the watermark recurrence):
+    range-partition by order_col, take per-partition maxes (a bounded
+    <=P-row collect), broadcast the EXCLUSIVE running max across
+    partition boundaries as a literal map, and combine it with the
+    within-partition exclusive prefix max.  Replaces the unpartitioned
+    ``Window.orderBy(...).rowsBetween(unboundedPreceding, -1)``
+    single-task funnel.  out_col is NULL for the globally first row
+    (no prior data), matching the window form."""
+    d = _range_prepared(df, [order_col], npartitions)
+    parts = dict(d.groupBy("_pid")
+                 .agg(F.max(value_col).alias("m")).collect())
+    run, acc = {}, None
+    for pid in sorted(parts):
+        if acc is not None:
+            run[pid] = acc
+        m = parts[pid]
+        if m is not None:
+            acc = m if acc is None else max(acc, m)
+    w = (Window.partitionBy("_pid").orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    within = F.max(value_col).over(w)
+    if run:
+        rmap = F.create_map(*[F.lit(v) for pid in sorted(run)
+                              for v in (pid, run[pid])])
+        # greatest() skips NULLs: first-in-partition rows take the
+        # boundary max, partition 0 takes its within-partition max,
+        # and the globally first row stays NULL
+        combined = F.greatest(within, F.element_at(rmap, F.col("_pid")))
+    else:
+        combined = within
+    return d.withColumn(out_col, combined).drop("_pid")
+
+
 def _h16(col):
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("long")
 

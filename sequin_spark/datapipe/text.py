@@ -95,8 +95,12 @@ def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def fingerprint(df: DataFrame, id_col: str = "doc_id", gram: int = 8) -> DataFrame:
     """Document fingerprint: content md5 + min character-gram hash
     (winnowing-style rolling fingerprint, portable md5 arithmetic)."""
-    norm = normalized("text")
-    out = spread_for_compute(df.select(F.col(id_col), norm.alias("t")))
+    # spread FIRST, normalize AFTER: projecting normalized(text)
+    # before the repartition would run the regex normalization (the
+    # cost the spread exists to parallelize) on the narrow byte-sized
+    # scan partitions — match the simhash/shingle/chunk/bigram kernels
+    out = spread_for_compute(df.select(F.col(id_col), "text"))
+    out = out.select(F.col(id_col), normalized("text").alias("t"))
     out = out.withColumn(
         "min_gram_hash",
         F.expr(

@@ -302,6 +302,15 @@ class ConfigApiServer:
                 self._json(401, {"error": "unauthorized"})
                 return True
 
+            def _is_admin_key(self) -> bool:
+                """True when the request authenticated with the admin
+                api-key (single-tenant bootstrap auth) rather than an
+                account-scoped ApiToken."""
+                auth = self.headers.get("Authorization") or ""
+                probe = auth[7:] if auth.startswith("Bearer ") else None
+                return (outer.api_keys is not None
+                        and outer.api_keys.verify(probe))
+
             def _token_account(self) -> str:
                 """Account scope for /api/tokens: the account of the
                 authenticating bearer token when it is an ApiToken
@@ -816,7 +825,20 @@ class ConfigApiServer:
                     body = self._read_json_body()
                     if body is None:
                         return self._json(400, {"error": "invalid JSON body"})
-                    acct = body.get("account_id") or self._token_account()
+                    # account scope comes from the AUTHENTICATING
+                    # token, never the body (api_key_controller.ex
+                    # always uses conn.assigns.account_id): a
+                    # client-supplied account_id that differs is a
+                    # cross-account escalation unless the caller is
+                    # the admin api-key (single-tenant bootstrap).
+                    acct = self._token_account()
+                    want = body.get("account_id")
+                    if want and want != acct:
+                        if not self._is_admin_key():
+                            return self._json(403, {
+                                "error": "account_id does not match "
+                                         "the authenticated account"})
+                        acct = want
                     try:
                         tok = outer.api_tokens.create_for_account(
                             acct, body.get("name"), token=body.get("token"))

@@ -609,7 +609,10 @@ def _sql_embed_neardup_cosine() -> str:
     return """
 WITH nv AS (SELECT count(*) AS n FROM embeddings),
 pl AS (
-  SELECT min(p) AS np
+  -- coalesce mirrors auto_n_planes' max_planes=20 fallback: for
+  -- n > 2^20*125 (~131M vectors) no p in 4..20 satisfies the bound
+  -- and a bare min(p) would NULL out every bucket silently
+  SELECT coalesce(min(p), 20) AS np
   FROM (SELECT unnest(generate_series(4, 20)) AS p), nv
   WHERE (CAST(1 AS BIGINT) << p) * 125 >= nv.n
 ),
@@ -2582,8 +2585,11 @@ def q_sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantile member of the sketch family (KMV=distinct, HLL=
     cardinality, CM=frequency, this=distribution).  The estimate
     plan is a TakeOrdered + ≤k-row rank, no global sort of the
-    value column at any scale."""
-    from sequin_spark.datapipe.sampling import exact_quantiles
+    value column at any scale; the EXACT baseline's global order
+    statistic goes through curation.global_row_number (range
+    partition + bounded count collect + within-partition rank), so
+    even the baseline never funnels the corpus through one task."""
+    from sequin_spark.datapipe.curation import global_row_number
     from sequin_spark.datapipe.sketch import sample_quantile_sketch
 
     _prep(spark)
@@ -2591,9 +2597,17 @@ def q_sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     est = sample_quantile_sketch(docs, "doc_id", "n_chars", k=256,
                                  quantiles=qs)
-    exact = exact_quantiles(
-        docs.withColumn("_g", F.lit(1)), "_g", "n_chars", list(qs)
-    ).select("q", F.col("value").alias("exact_value"))
+    # exact rank-⌈q·n⌉ order statistic, two-pass: tie-break by doc_id
+    # is rank-order-only — the VALUE at a given rank is identical
+    # under any tie order, so the oracle is unchanged
+    ranked = global_row_number(
+        docs.select("n_chars", "doc_id"), ["n_chars", "doc_id"], "_rn")
+    n = docs.count()
+    qarr = F.array(*[F.lit(float(q)) for q in qs])
+    exact = (
+        ranked.withColumn("q", F.explode(qarr))
+        .filter(F.col("_rn") == F.ceil(F.col("q") * F.lit(n)))
+        .select("q", F.col("n_chars").alias("exact_value")))
     return (est.join(exact, "q")
             .select("q", "k_sample", "est_value", "exact_value",
                     (F.col("est_value") - F.col("exact_value"))
@@ -5337,11 +5351,19 @@ def q_select_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.log(F.col("r2") / F.col("r1"))).alias("excess_term"),
         )
     )
+    # Order-stabilized mean (the char_entropy contract): a plain
+    # float AVG accumulates in partition order and can flip a row at
+    # a round-4 boundary cross-engine — collect, sort, fold
+    # left-to-right so both engines sum the identical float sequence.
     out = (
         bg.join(terms, ["w1", "w2"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
-             F.round(F.avg("excess_term"), 4).alias("excess_nll"))
+             F.array_sort(F.collect_list("excess_term")).alias("_t"))
+        .withColumn(
+            "excess_nll",
+            F.round(F.aggregate("_t", F.lit(0.0), lambda a, x: a + x)
+                    / F.col("n_terms"), 4))
         .select("doc_id", "n_terms", "excess_nll",
                 (F.col("excess_nll") > 0).alias("learnable"))
     )
@@ -5375,8 +5397,12 @@ terms AS (
   WHERE c2.r2 > 0 AND c1.r1 > 0
 )
 SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-       round(avg(excess_term), 4) AS excess_nll,
-       round(avg(excess_term), 4) > 0 AS learnable
+       round(list_reduce(list_sort(list(excess_term)),
+                         (acc, x) -> acc + x) / count(*), 4)
+         AS excess_nll,
+       round(list_reduce(list_sort(list(excess_term)),
+                         (acc, x) -> acc + x) / count(*), 4) > 0
+         AS learnable
 FROM bg JOIN terms USING (w1, w2)
 GROUP BY bg.doc_id
 """
@@ -5388,23 +5414,38 @@ def q_corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard length-as-difficulty proxy for a first curriculum),
     then hash-shuffled WITHIN each stage (epoch-shuffle's keyed
     permutation, so the order is reproducible with no RNG state).
-    Output position is the global dataloader order.  Plan: one ntile
-    window + one (stage)-keyed position window; at 100 TB the global
-    position becomes a range-partitioned zipWithIndex-style two-pass —
-    same contract as corpus_epoch_shuffle."""
+    Output position is the global dataloader order.  Plan (the
+    range-partitioned two-pass the r9 verdict demanded): BOTH global
+    orders go through curation.global_row_number — range shuffle +
+    bounded per-partition-count collect + within-partition
+    row_number — and ntile(3) is derived arithmetically from that
+    rank and ONE total count, so no unpartitioned window ever touches
+    the corpus-sized table (the old form funneled all of documents
+    through a single task)."""
+    from sequin_spark.datapipe.curation import global_row_number
+
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars")
-    stage = F.ntile(3).over(Window.orderBy("n_chars", "doc_id")) - 1
+    # pass 1: global length rank; ntile(3) from the rank + total n
+    # (ntile semantics: first n%3 buckets take ceil(n/3) rows)
+    ranked = global_row_number(docs, ["n_chars", "doc_id"], "_rk")
+    n = docs.count()
+    q3, r3 = divmod(n, 3)
+    ends, acc = [], 0
+    for k in range(1, 4):
+        acc += q3 + (1 if k <= r3 else 0)
+        ends.append(acc)
+    stage = (F.when(F.col("_rk") <= ends[0], 0)
+             .when(F.col("_rk") <= ends[1], 1).otherwise(2))
     h_order = F.pmod(F.col("doc_id") * F.lit(2654435761),
                      F.lit(4294967296)).cast("long")
-    w = Window.orderBy("stage", "h_order", "doc_id")
-    return (
-        docs.withColumn("stage", stage.cast("int"))
-        .withColumn("h_order", h_order)
-        .withColumn("position", F.row_number().over(w))
-        .select("position", "stage", "doc_id", "n_chars")
-    )
+    staged = (ranked.withColumn("stage", stage.cast("int"))
+              .withColumn("h_order", h_order).drop("_rk"))
+    # pass 2: global dataloader position over (stage, hash, id)
+    out = global_row_number(
+        staged, ["stage", "h_order", "doc_id"], "position")
+    return out.select("position", "stage", "doc_id", "n_chars")
 
 
 SQL_CORPUS_CURRICULUM_ORDER = """
@@ -5430,17 +5471,24 @@ def q_streaming_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a row is LATE if its event time is behind the watermark and
     DROPPED if behind a 2× allowed-lateness horizon.  The per-hour
     rollup is the number every watermark tuning decision needs (how
-    much data a given delay would admit vs drop).  Plan: one window
-    over arrival order (integer micros, engine-exact comparisons) +
-    one hour-keyed count shuffle."""
+    much data a given delay would admit vs drop).  Plan (the
+    range-partitioned two-pass the r9 verdict demanded): the running
+    prefix-max goes through curation.prefix_max_exclusive —
+    range-partition by arrival order, per-partition maxes (bounded
+    <=P-row collect), broadcast exclusive boundary running max,
+    combine within partitions — so no unpartitioned unbounded window
+    touches the event log (the old form was a single-task funnel);
+    then one hour-keyed count shuffle.  Integer micros everywhere, so
+    comparisons stay engine-exact."""
+    from sequin_spark.datapipe.curation import prefix_max_exclusive
+
     _prep(spark)
     delay_us = 300 * 1_000_000
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", F.unix_micros(F.col("ts")).alias("ts_us"))
-    w = (Window.orderBy("event_id")
-         .rowsBetween(Window.unboundedPreceding, -1))
     ann = (
-        ev.withColumn("wm_us", F.max("ts_us").over(w) - F.lit(delay_us))
+        prefix_max_exclusive(ev, "event_id", "ts_us", "_pmax")
+        .withColumn("wm_us", F.col("_pmax") - F.lit(delay_us))
         .withColumn("is_late", F.coalesce(
             F.col("ts_us") < F.col("wm_us"), F.lit(False)))
         .withColumn("is_dropped", F.coalesce(
@@ -5533,14 +5581,20 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
         F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
     )
-    num = m["n_edges"] * m["sxy"] - m["sx"] * m["sy"]
-    den = (F.sqrt((m["n_edges"] * m["sxx"] - m["sx"] * m["sx"])
-                  .cast("double"))
-           * F.sqrt((m["n_edges"] * m["syy"] - m["sy"] * m["sy"])
-                    .cast("double")))
+    # Moments are integer-exact sums; the COMBINE is in doubles —
+    # n_edges*sxx wraps BIGINT silently at sf100 (~2e20) under
+    # Spark's non-ANSI long multiply while DuckDB errors, so cast
+    # each moment to DOUBLE first (identical IEEE rounding on both
+    # engines keeps the cross-engine hash exact).
+    ne = m["n_edges"].cast("double")
+    sx, sy = m["sx"].cast("double"), m["sy"].cast("double")
+    sxx, syy = m["sxx"].cast("double"), m["syy"].cast("double")
+    sxy = m["sxy"].cast("double")
+    num = ne * sxy - sx * sy
+    den = F.sqrt(ne * sxx - sx * sx) * F.sqrt(ne * syy - sy * sy)
     return m.select(
         "n_edges",
-        F.round(num.cast("double") / den, 4).alias("r_assortativity"),
+        F.round(num / den, 4).alias("r_assortativity"),
     )
 
 
@@ -5571,9 +5625,12 @@ m AS (
   FROM e2
 )
 SELECT n_edges,
-       round(CAST(n_edges * sxy - sx * sy AS DOUBLE)
-             / (sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE))
-                * sqrt(CAST(n_edges * syy - sy * sy AS DOUBLE))), 4)
+       round((CAST(n_edges AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (sqrt(CAST(n_edges AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * sqrt(CAST(n_edges AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 4)
          AS r_assortativity
 FROM m
 """

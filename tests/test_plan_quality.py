@@ -41,6 +41,67 @@ ALLOW_NESTED_LOOP = {
 }
 
 
+# Single-partition (unpartitioned) windows allowed ONLY over inputs
+# bounded by construction — each justified; anything else is THE
+# scale-killer plan class (the whole table funnels through one task).
+ALLOW_SINGLE_PARTITION_WINDOW = {
+    "corpus_shard_skew_audit",   # window over the 8 aggregated shard rows
+    "hw_cursor_advancement",     # window over 12 consumer×partition agg rows
+    "privacy_kanon_risk",        # window over <=4 aggregated band rows
+    "privacy_ldp_frequency",     # windows over the bounded category table
+    "sketch_sample_quantiles",   # windows over the 256-row sketch sample
+                                 # (the exact baseline is two-pass ranked)
+    "text_filter_funnel",        # window over the bounded rule table
+}
+
+
+def _single_partition_windows(plan: str) -> list:
+    """Window nodes whose first child Exchange is SinglePartition —
+    i.e. windows Spark could only satisfy by collapsing the input to
+    one task (unpartitioned window spec)."""
+    import re
+
+    lines = plan.splitlines()
+
+    def depth(ln):
+        return re.match(r"^[\s+:|-]*", ln).end()
+
+    hits = []
+    for i, ln in enumerate(lines):
+        if not re.search(r"\bWindow\b", ln):
+            continue
+        d = depth(ln)
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip() and depth(lines[j]) <= d:
+                break
+            if "Exchange" in lines[j]:
+                if "SinglePartition" in lines[j]:
+                    hits.append(ln.strip()[:160])
+                break
+    return hits
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_single_task_global_window(spark, sf_dir, name):
+    """r9 verdict task #1's regression gate: no registry query may
+    plan an unpartitioned unbounded window over a corpus-sized input
+    (Exchange SinglePartition feeding a Window = the whole table
+    through ONE task at 100 TB).  Global orders must use the
+    range-partitioned two-pass forms (curation.global_row_number /
+    prefix_max_exclusive)."""
+    if name in ALLOW_SINGLE_PARTITION_WINDOW:
+        return
+    df = QUERIES[name](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    hits = _single_partition_windows(buf.getvalue())
+    assert not hits, (
+        f"{name}: single-partition window(s) in plan — a one-task "
+        f"global funnel at scale. Use the two-pass helpers or "
+        f"justify in ALLOW_SINGLE_PARTITION_WINDOW:\n" + "\n".join(hits))
+
+
 def _physical_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):

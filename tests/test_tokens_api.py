@@ -151,3 +151,47 @@ def test_gen_token_shape():
     assert len(toks) == 50
     for t in toks:
         assert len(t) == 64 and "=" not in t
+
+
+def test_create_rejects_cross_account_body(monkeypatch):
+    """ADVICE r9 (high): POST /api/tokens must derive the account from
+    the AUTHENTICATING token (api_key_controller.ex uses
+    conn.assigns.account_id unconditionally) — a body account_id for a
+    DIFFERENT account is a cross-account privilege escalation and gets
+    403; only the admin api-key (single-tenant bootstrap) may mint for
+    an explicit account."""
+    from sequin_spark.plans.apikeys_api import ApiKeyRegistry
+
+    reg = ApiTokenRegistry()
+    boot = reg.create_for_account("acct1", "bootstrap")
+    victim = reg.create_for_account("acct2", "victim")
+    keys = ApiKeyRegistry()
+    admin = keys.create("admin")
+    srv = ConfigApiServer(ConfigRegistry(), api_tokens=reg,
+                          api_keys=keys, require_auth=True).start()
+    base = f"http://127.0.0.1:{srv.port}/api/tokens"
+    try:
+        # acct1's token CANNOT mint under acct2
+        code, body = _req(base, "POST",
+                          {"name": "stolen", "account_id": "acct2"},
+                          token=boot.token)
+        assert code == 403, body
+        assert not any(t.name == "stolen" for t in reg.list_tokens_for_account("acct2"))
+        # acct2 stays invisible/untouchable to acct1 (scoping intact)
+        code, idx = _req(base, token=boot.token)
+        assert {t["name"] for t in idx["data"]} == {"bootstrap"}
+        assert _req(f"{base}/{victim.id}", "DELETE",
+                    token=boot.token)[0] == 404
+        # matching account_id is fine (no-op redundancy, not an error)
+        code, made = _req(base, "POST",
+                          {"name": "self", "account_id": "acct1"},
+                          token=boot.token)
+        assert code == 201 and made["account_id"] == "acct1"
+        # the admin api-key may mint for an explicit account
+        code, made = _req(base, "POST",
+                          {"name": "provisioned", "account_id": "acct2"},
+                          token=admin.token)
+        assert code == 201 and made["account_id"] == "acct2"
+        assert any(t.name == "provisioned" for t in reg.list_tokens_for_account("acct2"))
+    finally:
+        srv.stop()
