@@ -3,23 +3,25 @@ columns with typed metadata.
 
 Three honesty tiers, each clearly marked:
 
-* **Real pixel/sample decode — PNG and WAV** (``decode_png`` /
-  ``decode_wav`` / ``decode_pixels``): pure-stdlib decoders written
-  from the public specs (PNG chunk stream + zlib inflate + the five
-  scanline filters incl. Paeth; RIFF/WAVE PCM via the ``wave``
+* **Real pixel/sample decode — PNG, baseline JPEG, and WAV**
+  (``decode_png`` / ``decode_jpeg`` / ``decode_wav`` /
+  ``decode_pixels``): decoders written from the public specs (PNG
+  chunk stream + zlib inflate + the five scanline filters incl.
+  Paeth; T.81 baseline JPEG — canonical Huffman entropy decode with
+  byte unstuffing and restart intervals, dequantization, float IDCT,
+  chroma upsampling, YCbCr→RGB; RIFF/WAVE PCM via the ``wave``
   module), producing exact integer pixel/sample statistics.  The same
-  vendored-from-spec engineering as the zstd decoder — no PIL, no
+  vendored-from-spec engineering as the zstd codec — no PIL, no
   libsndfile.
 * **Real header probing — PNG/JPEG/GIF/BMP/WAV** (``probe_header``):
   dimensions/channels/sample-rate from container headers.
-* **Stubbed decode for everything else** (JPEG/GIF pixel decode,
-  video): the generic ``decode_media`` keeps the deterministic stub
-  behind ``SEQUIN_FAKE_DECODE`` so the Spark-side plumbing — binary
-  schema, Arrow batch transfer through mapInPandas, partitioning,
-  output schema — is tested end-to-end; without the flag it raises
-  NotImplementedError at the exact point an external decoder plugs in
-  (JPEG entropy decode is the complex half, same rationale as zstd
-  ENCODE).
+* **Stubbed decode for everything else** (GIF/BMP pixel decode,
+  progressive JPEG, video): the generic ``decode_media`` keeps the
+  deterministic stub behind ``SEQUIN_FAKE_DECODE`` so the Spark-side
+  plumbing — binary schema, Arrow batch transfer through mapInPandas,
+  partitioning, output schema — is tested end-to-end; without the
+  flag it raises NotImplementedError at the exact point an external
+  decoder plugs in.
 
 At 100 TB: binary payloads make rows wide → keep
 spark.sql.files.maxPartitionBytes moderate, select() metadata columns
@@ -467,12 +469,426 @@ def decode_wav(blob: bytes) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec): REAL pixel
+# decode — marker walk, canonical Huffman entropy decode with byte
+# unstuffing and restart intervals, dequantization, float IDCT
+# (numpy separable basis), level shift, chroma upsampling, YCbCr→RGB.
+# Baseline sequential (SOF0) only; progressive (SOF2), arithmetic
+# coding, and 12-bit precision return an explicit unsupported status.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# Annex K.3 typical Huffman tables (luminance DC/AC): (counts, symbols)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)))
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+
+
+def _huff_canonical(counts: list, symbols: list) -> dict:
+    """Canonical JPEG Huffman code assignment (T.81 Annex C):
+    {(length, code): symbol}."""
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(counts[ln - 1]):
+            table[(ln, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_map(counts: list, symbols: list) -> dict:
+    """symbol -> (code, length), inverse of _huff_canonical."""
+    return {s: (c, ln) for (ln, c), s in
+            _huff_canonical(counts, symbols).items()}
+
+
+class _JpegBitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.acc = (self.acc << (8 - self.n)) | ((1 << (8 - self.n)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over an UNSTUFFED entropy segment."""
+
+    __slots__ = ("data", "pos", "acc", "n")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise IndexError("entropy segment exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude extension (T.81 F.2.2.1): t-bit value v is
+    negative when its top bit is 0."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _idct_basis():
+    import math as _m
+
+    import numpy as _np
+
+    m = _np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / _m.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * _m.cos((2 * x + 1) * u * _m.pi / 16)
+    return m
+
+
+_IDCT_M = None
+
+
+def decode_jpeg(blob: bytes, return_pixels: bool = False) -> dict:
+    """REAL baseline JPEG pixel decode, stdlib + numpy only, written
+    from the public T.81 spec (the PNG/WAV pattern, r9 verdict task
+    #3): marker walk (DQT/DHT/SOF0/DRI/SOS), canonical Huffman entropy
+    decode with 0xFF00 unstuffing and RSTn restart handling, dequant,
+    separable float IDCT, level shift + clamp, nearest-neighbor chroma
+    upsampling, YCbCr→RGB.  Grayscale and 3-component (4:4:4 / 4:2:2 /
+    4:2:0) baseline sequential frames; progressive (SOF2), arithmetic
+    coding, 12-bit, and 4-component frames return an explicit
+    unsupported status instead of wrong pixels.
+
+    Returns integer statistics matching decode_png's contract:
+    width/height/n_channels/n_pixels and mean_luma_x1000 where luma is
+    the gray value for 1-component images and (r+g+b) div 3 after
+    color conversion for 3-component ones."""
+    import numpy as _np
+
+    global _IDCT_M
+    out = {"format": "jpeg", "width": None, "height": None,
+           "n_channels": None, "n_pixels": None, "mean_luma_x1000": None,
+           "status": "decoded"}
+    if blob[:3] != b"\xff\xd8\xff":
+        out["status"] = "not_jpeg"
+        return out
+    if _IDCT_M is None:
+        _IDCT_M = _idct_basis()
+    qt: dict[int, list] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    comps: list[dict] = []
+    w = h = None
+    restart_interval = 0
+    pos = 2
+    try:
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                out["status"] = "bad_marker_stream"
+                return out
+            marker = blob[pos + 1]
+            if marker == 0xD8:
+                pos += 2
+                continue
+            (seg_len,) = __import__("struct").unpack_from(">H", blob, pos + 2)
+            seg = blob[pos + 4:pos + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                sp = 0
+                while sp < len(seg):
+                    pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+                    sp += 1
+                    if pq == 0:
+                        qt[tq] = list(seg[sp:sp + 64])
+                        sp += 64
+                    else:
+                        vals = seg[sp:sp + 128]
+                        qt[tq] = [(vals[i] << 8) | vals[i + 1]
+                                  for i in range(0, 128, 2)]
+                        sp += 128
+            elif marker == 0xC4:  # DHT
+                sp = 0
+                while sp < len(seg):
+                    tc, th = seg[sp] >> 4, seg[sp] & 0xF
+                    counts = list(seg[sp + 1:sp + 17])
+                    nsym = sum(counts)
+                    syms = list(seg[sp + 17:sp + 17 + nsym])
+                    (huff_dc if tc == 0 else huff_ac)[th] = \
+                        _huff_canonical(counts, syms)
+                    sp += 17 + nsym
+            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                prec = seg[0]
+                if prec != 8:
+                    out["status"] = f"unsupported_precision_{prec}"
+                    return out
+                h = (seg[1] << 8) | seg[2]
+                w = (seg[3] << 8) | seg[4]
+                nc = seg[5]
+                if nc not in (1, 3):
+                    out["status"] = f"unsupported_components_{nc}"
+                    return out
+                for ci in range(nc):
+                    b = seg[6 + 3 * ci:9 + 3 * ci]
+                    comps.append({"id": b[0], "hs": b[1] >> 4,
+                                  "vs": b[1] & 0xF, "tq": b[2]})
+            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                out["status"] = "unsupported_progressive" \
+                    if marker == 0xC2 else "unsupported_sof"
+                return out
+            elif marker == 0xDD:  # DRI
+                restart_interval = (seg[0] << 8) | seg[1]
+            elif marker == 0xDA:  # SOS — entropy data follows
+                ns = seg[0]
+                scan = []
+                for ci in range(ns):
+                    cid, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                    comp = next(c for c in comps if c["id"] == cid)
+                    scan.append({**comp, "dc": tabs >> 4, "ac": tabs & 0xF})
+                data_start = pos + 2 + seg_len
+                return _decode_jpeg_scan(
+                    blob, data_start, w, h, scan, qt, huff_dc, huff_ac,
+                    restart_interval, out, _np, return_pixels)
+            # APPn / COM / others: skip
+            pos += 2 + seg_len
+        out["status"] = "truncated"
+        return out
+    except (IndexError, ValueError, StopIteration, KeyError):
+        out["status"] = "truncated"
+        return out
+
+
+def _decode_jpeg_scan(blob, data_start, w, h, scan, qt, huff_dc, huff_ac,
+                      restart_interval, out, _np, return_pixels=False):
+    # split the entropy stream into restart segments, unstuffing FF00
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = data_start
+    n = len(blob)
+    while p < n:
+        b = blob[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        m = blob[p + 1] if p + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or next marker
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c["hs"] for c in scan)
+    vmax = max(c["vs"] for c in scan)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    planes = [
+        _np.zeros((mcus_y * c["vs"] * 8, mcus_x * c["hs"] * 8),
+                  dtype=_np.float64)
+        for c in scan]
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+    preds = [0] * len(scan)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if (restart_interval and mcu_count
+                    and mcu_count % restart_interval == 0):
+                seg_idx += 1
+                reader = _JpegBitReader(segments[seg_idx])
+                preds = [0] * len(scan)
+            for ci, c in enumerate(scan):
+                q = qt[c["tq"]]
+                dct = huff_dc[c["dc"]]
+                act = huff_ac[c["ac"]]
+                for by in range(c["vs"]):
+                    for bx in range(c["hs"]):
+                        coef = _np.zeros(64)
+                        t = reader.huff(dct)
+                        diff = _extend(reader.bits(t), t)
+                        preds[ci] += diff
+                        coef[0] = preds[ci] * q[0]
+                        k = 1
+                        while k < 64:
+                            rs = reader.huff(act)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            coef[_ZIGZAG[k]] = \
+                                _extend(reader.bits(s), s) * q[k]
+                            k += 1
+                        block = _IDCT_M.T @ coef.reshape(8, 8) @ _IDCT_M
+                        y0 = (my * c["vs"] + by) * 8
+                        x0 = (mx * c["hs"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_count += 1
+    # level shift, clamp, upsample to full resolution, crop
+    full = []
+    for ci, c in enumerate(scan):
+        pl = _np.clip(_np.round(planes[ci]) + 128, 0, 255)
+        if c["hs"] != hmax or c["vs"] != vmax:
+            pl = pl.repeat(vmax // c["vs"], axis=0).repeat(
+                hmax // c["hs"], axis=1)
+        full.append(pl[:h, :w])
+    n_px = w * h
+    out.update(width=w, height=h, n_channels=len(scan), n_pixels=n_px)
+    if len(scan) == 1:
+        luma_sum = int(full[0].astype(_np.int64).sum())
+    else:
+        y, cb, cr = full
+        r = _np.clip(_np.round(y + 1.402 * (cr - 128)), 0, 255)
+        g = _np.clip(_np.round(y - 0.344136 * (cb - 128)
+                               - 0.714136 * (cr - 128)), 0, 255)
+        b = _np.clip(_np.round(y + 1.772 * (cb - 128)), 0, 255)
+        rgb_sum = (r.astype(_np.int64) + g.astype(_np.int64)
+                   + b.astype(_np.int64))
+        luma_sum = int((rgb_sum // 3).sum())
+    out["mean_luma_x1000"] = (1000 * luma_sum) // n_px
+    if return_pixels:
+        out["pixels"] = [p.astype(_np.int64) for p in full]
+    return out
+
+
+def synth_gray_jpeg(doc_id: int, blocks_w: int = 2,
+                    blocks_h: int = 2) -> bytes:
+    """Deterministic VALID baseline grayscale JPEG whose 8×8 block
+    (bi, bj) is the CONSTANT value (doc_id·37 + bi·11 + bj·5) mod 256.
+    With an all-ones quantization table a constant block is DC-only
+    and survives the encode→decode round trip EXACTLY (FDCT DC =
+    8·(v−128), IDCT of a DC-only block is flat), so a SQL oracle can
+    compute the decoded mean luminance analytically while the engine
+    round-trips real entropy-coded bytes through the full Huffman +
+    IDCT path.  Uses the Annex K typical luminance tables."""
+    import struct as _s
+
+    w, h = blocks_w * 8, blocks_h * 8
+    dc_map = _huff_encode_map(*_STD_DC_LUMA)
+    ac_map = _huff_encode_map(*_STD_AC_LUMA)
+    bw = _JpegBitWriter()
+    pred = 0
+    for bi in range(blocks_h):
+        for bj in range(blocks_w):
+            v = (doc_id * 37 + bi * 11 + bj * 5) % 256
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            code, ln = dc_map[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+            code, ln = ac_map[0x00]  # EOB: all AC zero
+            bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) \
+            + payload
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    sof = seg(0xC0, bytes([8]) + _s.pack(">HH", h, w)
+              + bytes([1, 0x01, 0x11, 0x00]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0])
+               + bytes(_STD_DC_LUMA[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUMA[0])
+                 + bytes(_STD_AC_LUMA[1])))
+    sos = seg(0xDA, bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + entropy
+            + b"\xff\xd9")
+
+
 def decode_pixels(media: DataFrame) -> DataFrame:
     """REAL decode over the media table (Arrow mapInPandas, same
-    plumbing as decode_media): PNG → pixel stats, WAV → sample stats;
-    formats whose pixel decode needs an external library (JPEG/GIF
-    entropy decode, video) get status='decoder_unavailable' —
-    per-ROW honesty instead of a module-wide gate."""
+    plumbing as decode_media): PNG → pixel stats, baseline JPEG →
+    pixel stats (REAL Huffman+IDCT decode), WAV → sample stats;
+    formats whose pixel decode needs an external library (GIF/BMP
+    pixels, video) get status='decoder_unavailable' — per-ROW honesty
+    instead of a module-wide gate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -488,6 +904,11 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                         "status": "unrecognized"}
                 if b[:8] == b"\x89PNG\r\n\x1a\n":
                     d = decode_png(b)
+                    base.update({k: d.get(k) for k in (
+                        "format", "width", "height", "n_channels",
+                        "n_pixels", "mean_luma_x1000", "status")})
+                elif b[:3] == b"\xff\xd8\xff":
+                    d = decode_jpeg(b)
                     base.update({k: d.get(k) for k in (
                         "format", "width", "height", "n_channels",
                         "n_pixels", "mean_luma_x1000", "status")})

@@ -5858,11 +5858,70 @@ FROM documents
 """
 
 
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, oracle-checked (r9 verdict
+    task #3, the PNG pattern applied to the entropy-coded format): per
+    doc a deterministic 16×16 grayscale JPEG whose four 8×8 blocks are
+    CONSTANT values (doc_id·37 + bi·11 + bj·5) mod 256
+    (multimodal.synth_gray_jpeg — all-ones quant table, Annex K
+    Huffman tables) is encoded to real entropy-coded bytes and decoded
+    by the pure stdlib+numpy T.81 decoder (canonical Huffman + dequant
+    + IDCT).  DC-only constant blocks round-trip EXACTLY (FDCT DC =
+    8·(v−128); IDCT of a DC-only block is flat), so the DuckDB oracle
+    computes the identical mean-luminance statistic analytically from
+    the block rule.  A Huffman table bug, a zigzag/dequant slip, or a
+    bit-reader misalignment all surface as a value mismatch.  Plan:
+    two embarrassingly-parallel mapInPandas passes, no shuffle."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        decode_pixels,
+        synth_gray_jpeg,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "image",
+                "blob": [synth_gray_jpeg(int(d)) for d in b["doc_id"]],
+                "meta_format": "jpeg",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = decode_pixels(media)
+    return out.select(
+        "doc_id", "width", "height", "n_channels", "n_pixels",
+        "mean_luma_x1000", "status")
+
+
+SQL_MULTIMODAL_JPEG_DECODE = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(256 AS BIGINT) AS n_pixels,
+       CAST((1000 * 64 * list_sum(list_transform(generate_series(0, 3),
+             k -> (doc_id * 37 + (k // 2) * 11 + (k % 2) * 5) % 256)))
+            // 256 AS BIGINT) AS mean_luma_x1000,
+       'decoded' AS status
+FROM documents
+"""
+
+
 DATAPIPE_QUERIES.update({
     "multimodal_png_decode": q_multimodal_png_decode,
+    "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
 })
 DATAPIPE_ORACLES.update({
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
+    "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG_DECODE,
 })
 
 

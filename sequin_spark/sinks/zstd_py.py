@@ -689,16 +689,261 @@ def compress_store(data: bytes) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# Pure-Python COMPRESSING encoder (RFC 8878 predefined distributions)
+#
+# Strategy (the tractable spec-conformant subset): greedy LZ77 over a
+# rolling 4-byte hash table produces (literal_len, offset, match_len)
+# sequences; each <=128 KiB block is emitted as a Compressed_Block
+# whose literals section is Raw (no Huffman) and whose sequences are
+# FSE-coded with the PREDEFINED LL/OF/ML distributions (Compression
+# modes 0b00 — no table headers at all).  All the size reduction comes
+# from match-copy elimination, which on the JSON-ish Kafka payloads
+# this sink ships is the bulk of what full zstd finds.  Blocks that
+# don't shrink are emitted Raw, so output never exceeds
+# compress_store's.  Reference behavior: kafka_sink.ex:28 (the
+# reference publishes with compression_type: zstd).
+
+
+class _FSEEncTable:
+    """Encode-side view of an _FSETable: for each symbol, its decoder
+    state indices ordered by state_desc value, so the classic
+    backward FSE encoding walk can pick the predecessor state that
+    reaches a given successor index."""
+
+    def __init__(self, table: _FSETable, freqs: list[int]):
+        self.table = table
+        self.size = 1 << table.acc
+        states: dict[int, list[int]] = {}
+        for i, s in enumerate(table.sym):
+            states.setdefault(s, []).append(i)
+        # k-th lowest index of symbol s has state_desc value cnt+k,
+        # where cnt = freq (or 1 for "less-than-one" -1 entries)
+        self.states = states
+        self.cnt = [1 if p == -1 else p for p in freqs]
+
+    def first_state(self, sym: int) -> int:
+        return self.states[sym][0]
+
+    def step(self, sym: int, nxt_index: int) -> tuple[int, int, int]:
+        """The predecessor state for ``sym`` from which the decoder
+        transitions to ``nxt_index``: returns (prev_index, bits, nb)
+        with nxt_index == base[prev] + bits, 0 <= bits < 2^nb."""
+        cnt = self.cnt[sym]
+        v = nxt_index + self.size
+        nb = 0
+        while (v >> nb) >= 2 * cnt:
+            nb += 1
+        return self.states[sym][(v >> nb) - cnt], v & ((1 << nb) - 1), nb
+
+
+_ENC_LL = _ENC_ML = _ENC_OF = None
+
+
+def _enc_tables():
+    global _ENC_LL, _ENC_ML, _ENC_OF
+    if _ENC_LL is None:
+        _ENC_LL = _FSEEncTable(_FSETable(_LL_DEFAULT_ACC, _LL_DEFAULT),
+                               _LL_DEFAULT)
+        _ENC_ML = _FSEEncTable(_FSETable(_ML_DEFAULT_ACC, _ML_DEFAULT),
+                               _ML_DEFAULT)
+        _ENC_OF = _FSEEncTable(_FSETable(_OF_DEFAULT_ACC, _OF_DEFAULT),
+                               _OF_DEFAULT)
+    return _ENC_LL, _ENC_ML, _ENC_OF
+
+
+def _code_of(value: int, base: list[int]) -> int:
+    """Highest code whose base <= value (the base tables are
+    contiguous: base[c+1] == base[c] + 2^bits[c])."""
+    import bisect
+
+    return bisect.bisect_right(base, value) - 1
+
+
+def _fse_stream(codes: list[int], enc: _FSEEncTable
+                ) -> tuple[int, list[tuple[int, int]]]:
+    """Backward FSE walk over one code stream: returns (init_state,
+    transitions) where transitions[t] = (bits, nb) moves the decoder
+    from its state at sequence t to t+1 (t = 0..n-2)."""
+    n = len(codes)
+    state = enc.first_state(codes[n - 1])
+    trans: list[tuple[int, int]] = [(0, 0)] * (n - 1)
+    for t in range(n - 2, -1, -1):
+        state, bits, nb = enc.step(codes[t], state)
+        trans[t] = (bits, nb)
+    return state, trans
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+    """Sequences section: count + modes byte (all predefined) + the
+    backward-read interleaved bitstream (RFC 8878 §3.1.1.3.2.1.1
+    field order)."""
+    ll_t, ml_t, of_t = _enc_tables()
+    nseq = len(seqs)
+    out = bytearray()
+    if nseq < 128:
+        out.append(nseq)
+    elif nseq < 0x7F00:
+        out += bytes([(nseq >> 8) + 0x80, nseq & 0xFF])
+    else:
+        out += bytes([0xFF]) + (nseq - 0x7F00).to_bytes(2, "little")
+    out.append(0)  # LL/OF/ML all Predefined_Mode
+    ll_codes, of_codes, ml_codes = [], [], []
+    extras: list[tuple[int, int, int, int, int, int]] = []
+    for ll, offset, ml in seqs:
+        lc = ll if ll < 16 else _code_of(ll, _LL_BASE)
+        mc = _code_of(ml, _ML_BASE)
+        ov = offset + 3          # never a repcode: always offset_value>3
+        oc = ov.bit_length() - 1
+        ll_codes.append(lc)
+        ml_codes.append(mc)
+        of_codes.append(oc)
+        extras.append((oc, ov - (1 << oc),
+                       _ML_BITS[mc], ml - _ML_BASE[mc],
+                       _LL_BITS[lc], ll - _LL_BASE[lc]))
+    ll_init, ll_trans = _fse_stream(ll_codes, ll_t)
+    ml_init, ml_trans = _fse_stream(ml_codes, ml_t)
+    of_init, of_trans = _fse_stream(of_codes, of_t)
+    # assemble in DECODE order: each later-read field goes to lower
+    # significance; the sentinel 1 sits above the first-read field
+    acc = 1
+    nbits = 0
+
+    def push(v: int, n: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << n) | v
+        nbits += n
+
+    push(ll_init, ll_t.table.acc)
+    push(of_init, of_t.table.acc)
+    push(ml_init, ml_t.table.acc)
+    for t in range(nseq):
+        onb, ov, mnb, mv, lnb, lv = extras[t]
+        push(ov, onb)
+        push(mv, mnb)
+        push(lv, lnb)
+        if t != nseq - 1:
+            push(*ll_trans[t])
+            push(*ml_trans[t])
+            push(*of_trans[t])
+    out += acc.to_bytes((nbits + 1 + 7) >> 3, "little")
+    return bytes(out)
+
+
+def _encode_literals_raw(lits: bytes) -> bytes:
+    n = len(lits)
+    if n < 32:
+        hdr = bytes([n << 3])                      # size_format 0
+    elif n < 4096:
+        hdr = bytes([0x04 | ((n & 0xF) << 4), n >> 4])   # sf 1
+    else:
+        hdr = bytes([0x0C | ((n & 0xF) << 4),
+                     (n >> 4) & 0xFF, n >> 12])          # sf 3, 20 bits
+    return hdr + lits
+
+
+_MAX_LL = _LL_BASE[-1] + (1 << _LL_BITS[-1]) - 1   # 131071
+_MAX_ML = _ML_BASE[-1] + (1 << _ML_BITS[-1]) - 1   # 131074
+
+
+def _lz_block(data: bytes, start: int, end: int, table: dict
+              ) -> tuple[list[tuple[int, int, int]], bytes]:
+    """Greedy LZ77 over data[start:end] with matches allowed into the
+    already-processed prefix (single-segment window).  ``table`` maps
+    a 4-byte key to its most recent position and persists across
+    blocks.  Returns (sequences, literals)."""
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    pos = start
+    lit_anchor = start
+    limit = end - 4
+    while pos <= limit:
+        key = data[pos:pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is None:
+            pos += 1
+            continue
+        # extend the match forward (key equality is guaranteed by the
+        # bytes-keyed table)
+        ml = 4
+        max_ml = min(end - pos, _MAX_ML)
+        while ml < max_ml and data[cand + ml] == data[pos + ml]:
+            ml += 1
+        ll = pos - lit_anchor
+        if ll > _MAX_LL:
+            # flush an oversized literal run with a zero-literal split:
+            # impossible for <=128 KiB blocks, kept as a guard
+            raise ZstdError("literal run exceeds LL code range")
+        lits += data[lit_anchor:pos]
+        seqs.append((ll, pos - cand, ml))
+        # index interior positions sparsely (every 2nd) for more
+        # back-references without the full per-byte dict cost
+        nxt = pos + ml
+        for p in range(pos + 1, min(nxt, limit), 2):
+            table[data[p:p + 4]] = p
+        pos = nxt
+        lit_anchor = nxt
+    lits += data[lit_anchor:end]
+    return seqs, bytes(lits)
+
+
+def compress_py(data: bytes) -> bytes:
+    """Pure-Python COMPRESSING zstd frame (no native library):
+    single-segment frame, greedy-LZ sequences FSE-coded with the
+    predefined distributions, Raw literals, XXH64 checksum.  Any block
+    the pipeline fails to shrink is emitted as a Raw block, so the
+    result is never materially larger than store mode and always a
+    conformant frame (round-tripped against both the vendored decoder
+    and libzstd/the zstd CLI in tests)."""
+    data = bytes(data)
+    n = len(data)
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    if n < 256:
+        fcs_code, fcs_len = 0, 1
+    elif n < 65536 + 256:
+        fcs_code, fcs_len = 1, 2
+    elif n < 1 << 32:
+        fcs_code, fcs_len = 2, 4
+    else:
+        fcs_code, fcs_len = 3, 8
+    out.append((fcs_code << 6) | 0x20 | 0x04)  # single-segment+checksum
+    out += (n - 256 if fcs_code == 1 else n).to_bytes(fcs_len, "little")
+    if n == 0:
+        out += (1).to_bytes(3, "little")
+        out += struct.pack("<I", xxh64(b"") & 0xFFFFFFFF)
+        return bytes(out)
+    table: dict = {}
+    for off in range(0, n, _RAW_BLOCK_MAX):
+        seg_end = min(off + _RAW_BLOCK_MAX, n)
+        seg_len = seg_end - off
+        last = 1 if seg_end == n else 0
+        seqs, lits = _lz_block(data, off, seg_end, table)
+        body = None
+        if seqs:
+            body = _encode_literals_raw(lits) + _encode_sequences(seqs)
+        if body is None or len(body) >= seg_len:
+            out += (last | (seg_len << 3)).to_bytes(3, "little")
+            out += data[off:seg_end]
+        else:
+            out += (last | (2 << 1) | (len(body) << 3)).to_bytes(
+                3, "little")
+            out += body
+    out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
 def compress(data: bytes, level: int = 3) -> bytes:
     """One-shot zstd compression: libzstd (ctypes) when loadable,
-    otherwise a store-mode frame (valid zstd, no size reduction —
-    ``level`` is then ignored).  Never raises for lack of a native
-    library; consuming (decompress above) never needs one either."""
+    otherwise the pure-Python compressing encoder above (predefined
+    FSE distributions; ``level`` is then ignored).  Never raises for
+    lack of a native library; consuming (decompress above) never
+    needs one either."""
     import ctypes
 
     lib = _libzstd()
     if lib is None:
-        return compress_store(data)
+        return compress_py(data)
     bound = lib.ZSTD_compressBound(len(data))
     buf = ctypes.create_string_buffer(bound)
     n = lib.ZSTD_compress(buf, bound, data, len(data), level)

@@ -169,15 +169,23 @@ def test_decode_pixels_spark_plumbing(spark):
     """Mixed blobs through the Arrow mapInPandas path: PNG rows decode
     for real, WAV rows decode for real, GIF gets decoder_unavailable
     (header still probed), garbage gets unrecognized."""
+    from sequin_spark.datapipe.multimodal import synth_gray_jpeg
+
     rng = random.Random(99)
     px = _rand_pixels(rng, 4, 3, 3)
     png = encode_png(px, 2, [0, 1, 4])
     wav = _make_wav([100, -100, 2000, -2000], rate=16000)
     gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 20
-    rows = [(1, png), (2, wav), (3, gif), (4, b"garbage")]
+    jpg = synth_gray_jpeg(17)
+    rows = [(1, png), (2, wav), (3, gif), (4, b"garbage"), (5, jpg)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     media = attach_media(df, "payload", media_type="image")
     got = {r["doc_id"]: r for r in decode_pixels(media).collect()}
+    assert got[5]["status"] == "decoded"
+    vals = [(17 * 37 + bi * 11 + bj * 5) % 256
+            for bi in range(2) for bj in range(2)]
+    assert got[5]["mean_luma_x1000"] == (1000 * 64 * sum(vals)) // 256
+    assert (got[5]["width"], got[5]["height"]) == (16, 16)
     assert got[1]["status"] == "decoded"
     assert got[1]["mean_luma_x1000"] == _expected_luma(px, 2)
     assert (got[1]["width"], got[1]["height"]) == (4, 3)

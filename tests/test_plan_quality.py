@@ -81,27 +81,6 @@ def _single_partition_windows(plan: str) -> list:
     return hits
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_single_task_global_window(spark, sf_dir, name):
-    """r9 verdict task #1's regression gate: no registry query may
-    plan an unpartitioned unbounded window over a corpus-sized input
-    (Exchange SinglePartition feeding a Window = the whole table
-    through ONE task at 100 TB).  Global orders must use the
-    range-partitioned two-pass forms (curation.global_row_number /
-    prefix_max_exclusive)."""
-    if name in ALLOW_SINGLE_PARTITION_WINDOW:
-        return
-    df = QUERIES[name](spark, sf_dir)
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain()
-    hits = _single_partition_windows(buf.getvalue())
-    assert not hits, (
-        f"{name}: single-partition window(s) in plan — a one-task "
-        f"global funnel at scale. Use the two-pass helpers or "
-        f"justify in ALLOW_SINGLE_PARTITION_WINDOW:\n" + "\n".join(hits))
-
-
 def _physical_plan(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -109,14 +88,67 @@ def _physical_plan(df) -> str:
     return buf.getvalue()
 
 
+def _plan_baseline() -> dict:
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "plan_stats_baseline.json")
+    with open(path) as f:
+        return json.load(f)
+
+
+_BASELINE = _plan_baseline()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_no_accidental_allpairs_join(spark, sf_dir, name):
+def test_plan_shape_gate(spark, sf_dir, name):
+    """One construction, three plan-shape invariants per registry
+    query:
+
+    1. No accidental cartesian/nested-loop join (all-pairs only where
+       documented in ALLOW_NESTED_LOOP).
+    2. No unpartitioned unbounded window over a corpus-sized input
+       (Exchange SinglePartition feeding a Window = the whole table
+       through ONE task at 100 TB) — r9 verdict task #1's gate;
+       global orders use curation.global_row_number /
+       prefix_max_exclusive.
+    3. Plan-stat regression (r9 verdict task #8): shuffle / join node
+       counts must not GROW past tests/data/plan_stats_baseline.json
+       (regenerate with `python tools/plan_stats.py --write` ONLY
+       with a written justification in the same commit).  The
+       baseline stores the max over cold and index-warm
+       constructions, so shrinkage from cached indexes never fails.
+    """
+    from tools.plan_stats import plan_stats
+
     df = QUERIES[name](spark, sf_dir)
     plan = _physical_plan(df)
-    if name in ALLOW_NESTED_LOOP:
-        return
-    assert "CartesianProduct" not in plan, f"{name}: cartesian product in plan"
-    assert "BroadcastNestedLoopJoin" not in plan, f"{name}: nested-loop join in plan"
+    if name not in ALLOW_NESTED_LOOP:
+        assert "CartesianProduct" not in plan, \
+            f"{name}: cartesian product in plan"
+        assert "BroadcastNestedLoopJoin" not in plan, \
+            f"{name}: nested-loop join in plan"
+    if name not in ALLOW_SINGLE_PARTITION_WINDOW:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain()
+        hits = _single_partition_windows(buf.getvalue())
+        assert not hits, (
+            f"{name}: single-partition window(s) in plan — a one-task "
+            f"global funnel at scale. Use the two-pass helpers or "
+            f"justify in ALLOW_SINGLE_PARTITION_WINDOW:\n"
+            + "\n".join(hits))
+    stats = plan_stats(plan)
+    base = _BASELINE.get(name)
+    assert base is not None, (
+        f"{name}: no plan-stat baseline — run "
+        f"`python tools/plan_stats.py --write` and commit the file")
+    grew = {k: (base[k], stats[k]) for k in stats if stats[k] > base[k]}
+    assert not grew, (
+        f"{name}: plan-stat regression (baseline, current) = {grew} — "
+        f"fix the plan or update tests/data/plan_stats_baseline.json "
+        f"with a written justification")
 
 
 def test_keyset_page_pushes_down(spark, sf_dir):

@@ -176,3 +176,116 @@ def test_store_mode_accepted_by_real_libzstd():
         n = lib.ZSTD_decompress(buf, len(p), frame, len(frame))
         assert not lib.ZSTD_isError(n), (len(p), n)
         assert buf.raw[:n] == p
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python COMPRESSING encoder (r9 verdict task #2): greedy LZ +
+# predefined-FSE sequences, Raw literals.
+
+
+def test_compress_py_roundtrips_vendored_decoder():
+    for name, p in _payloads().items():
+        frame = zstd_py.compress_py(p)
+        assert zstd_py.decompress(frame) == p, name
+
+
+def test_compress_py_actually_compresses():
+    """Ratio parity is the point (store mode was format-only): the
+    repetitive/text payloads must SHRINK, meaningfully."""
+    pl = _payloads()
+    for name, want in [("rep_long", 50.0), ("text_60k", 10.0),
+                       ("lowent_20k", 2.0), ("multiblock_200k", 50.0)]:
+        frame = zstd_py.compress_py(pl[name])
+        ratio = len(pl[name]) / len(frame)
+        assert ratio >= want, (name, ratio, len(frame))
+    # incompressible input degrades to raw blocks, never blows up
+    rnd = pl["random_2k"]
+    assert len(zstd_py.compress_py(rnd)) <= len(rnd) + 32
+
+
+def test_compress_py_kafka_payload_corpus_ratio():
+    """The actual sink payload shape (kafka_sink.ex:28 publishes JSON
+    records with compression_type zstd): the pure-Python encoder must
+    get a real ratio on it, not a token one."""
+    import json as _json
+
+    rng = random.Random(7)
+    recs = [
+        _json.dumps({
+            "record": {"id": i, "name": f"Customer {i % 97}",
+                       "status": rng.choice(["active", "inactive"]),
+                       "balance": rng.randrange(10 ** 6)},
+            "metadata": {"table_schema": "public",
+                         "table_name": "customers",
+                         "consumer": {"id": "6e2a", "name": "orders"},
+                         "commit_timestamp": "2024-05-01T12:00:00Z"},
+            "action": "update"}) for i in range(2000)]
+    payload = "\n".join(recs).encode()
+    frame = zstd_py.compress_py(payload)
+    assert zstd_py.decompress(frame) == payload
+    assert len(payload) / len(frame) >= 8.0
+
+
+def test_compress_py_fuzz_roundtrip():
+    rng = random.Random(1234)
+    for trial in range(80):
+        n = rng.randint(0, 10000)
+        kind = trial % 4
+        if kind == 0:
+            p = bytes(rng.getrandbits(8) for _ in range(n))
+        elif kind == 1:
+            p = bytes(rng.choice(b"abcdefgh ") for _ in range(n))
+        elif kind == 2:
+            unit = bytes(rng.getrandbits(8)
+                         for _ in range(rng.randint(1, 40)))
+            p = (unit * (n // max(len(unit), 1) + 1))[:n]
+        else:  # runs + random tail: exercises long matches at edges
+            p = (b"\x00" * rng.randint(0, 5000)
+                 + bytes(rng.getrandbits(8) for _ in range(n // 4)))
+        assert zstd_py.decompress(zstd_py.compress_py(p)) == p, trial
+
+
+def test_compress_py_multiblock_boundaries():
+    """Inputs straddling the 128 KiB block split, with matches that
+    reach BACK across the block boundary (single-segment window)."""
+    base = (b"boundary-spanning pattern %d " % 7) * 3000  # ~87 KB
+    for n in (zstd_py._RAW_BLOCK_MAX - 1, zstd_py._RAW_BLOCK_MAX,
+              zstd_py._RAW_BLOCK_MAX + 1, 3 * zstd_py._RAW_BLOCK_MAX + 17):
+        p = (base * (n // len(base) + 1))[:n]
+        frame = zstd_py.compress_py(p)
+        assert zstd_py.decompress(frame) == p, n
+        assert len(frame) < n // 10, n  # cross-block matches found
+
+
+def test_compress_py_accepted_by_real_libzstd():
+    """Conformance to the REFERENCE decoder, not just our own: every
+    pure-Python compressed frame must decode byte-identically through
+    libzstd's ZSTD_decompress."""
+    import ctypes
+
+    lib = zstd_py._libzstd()
+    if lib is None:
+        pytest.skip("libzstd not available")
+    lib.ZSTD_decompress.restype = ctypes.c_size_t
+    lib.ZSTD_decompress.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.c_char_p, ctypes.c_size_t]
+    rng = random.Random(5150)
+    extra = [bytes(rng.choice(b"abcdef {}:,\"") for _ in range(30000))]
+    for p in list(_payloads().values()) + extra:
+        frame = zstd_py.compress_py(p)
+        buf = ctypes.create_string_buffer(max(len(p), 1))
+        n = lib.ZSTD_decompress(buf, len(p), frame, len(frame))
+        assert not lib.ZSTD_isError(n), (len(p), n)
+        assert buf.raw[:n] == p
+
+
+def test_compress_fallback_is_compressing_now(monkeypatch):
+    """compress() without libzstd routes to compress_py — REAL
+    compression, not store mode (the r9 gap)."""
+    monkeypatch.setattr(zstd_py, "_LIB", None)
+    monkeypatch.setattr(zstd_py, "_LIB_ERR", "forced for test")
+    payload = b"no longer store mode " * 500
+    frame = zstd_py.compress(payload)
+    assert zstd_py.decompress(frame) == payload
+    assert len(frame) < len(payload) // 10
