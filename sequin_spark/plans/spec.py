@@ -206,6 +206,14 @@ class ConsumerSpec:
     group_cols: list[str] | None = None
     timestamp_format: str = "iso8601"
     max_payload_bytes: int | None = 5 * 1024 * 1024
+    # low-latency delivery mode (r9 verdict task #5): the idempotency
+    # ledger is co-partitioned with the group-hash layout and consulted
+    # INSIDE the deliver tasks instead of via a per-batch driver-side
+    # broadcast anti-join (measured ~550 ms of the trigger p50), and
+    # the advisory acked-ring write moves off the critical path.
+    # Exactly-once semantics are unchanged: ledger append still
+    # precedes the checkpoint ack, replay still dedups.
+    low_latency: bool = False
 
     def routing_schema(self) -> str:
         """Sinks without a reference routing schema route like the

@@ -80,6 +80,7 @@ class ConsumerPipeline:
             routing_cols=routing_cols,
             tracer=tracer,
             consumer_id=spec.name,
+            low_latency=getattr(spec, "low_latency", False),
         )
 
     # --- the operator chain (pure, streaming-safe) ------------------------

@@ -6,6 +6,8 @@ idempotency ledger, the reference's at-least-once + ledger dedup)."""
 
 import json
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from sequin_spark.cdc import eventize_orders
@@ -23,7 +25,9 @@ def _delivered_keys(out_dir):
     return [int(json.loads(v)["o_orderkey"]) for v in rows]
 
 
-def test_restart_and_replay_exactly_once(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("low_latency", [False, True])
+def test_restart_and_replay_exactly_once(spark, sf_dir, tmp_path,
+                                         low_latency):
     src = tmp_path / "src"
     out = tmp_path / "out"
     state = tmp_path / "state"
@@ -43,6 +47,7 @@ def test_restart_and_replay_exactly_once(spark, sf_dir, tmp_path):
         spec = ConsumerSpec(
             name="orders-log", sink_type="file_log",
             sink_config={"path": str(out)}, transform="record_only",
+            low_latency=low_latency,
         )
         pipe = ConsumerPipeline(spec, state_dir=str(state))
         stream = spark.readStream.schema(schema).parquet(str(src))
