@@ -163,10 +163,19 @@ class PullQueue:
     def _refill(self) -> None:
         """Pull the oldest spill chunks into the window while capacity
         allows (count + rough byte budget).  pyarrow local read — bounded
-        by chunk size, no Spark job on the receive path.  Consuming a
-        chunk DELETES it, so the window snapshot is saved here whenever
-        any chunk was absorbed — rows must never exist only in memory."""
-        consumed = 0
+        by chunk size, no Spark job on the receive path.
+
+        Durability order (r10 chaos finding, test_chaos_state.py): the
+        window snapshot is saved BEFORE the consumed chunk files are
+        deleted.  The previous order (delete per chunk, one save at the
+        end) had a crash window in which absorbed rows existed only in
+        memory — a crash there lost them PERMANENTLY on the ack/receive
+        refill path, where no caller replays.  With save-first, a crash
+        between the save and the deletes leaves the rows in BOTH the
+        snapshot and the chunks; the next refill re-absorbs the chunk
+        and the window's (commit_lsn, commit_idx) replay dedup collapses
+        the copies — at-least-once, never zero-times."""
+        consumed: list[str] = []
         budget_rows = self.max_pending - len(self._messages)
         mem_bytes = self._mem_bytes()
         for path in self._spill_chunks():
@@ -191,12 +200,13 @@ class PullQueue:
             self._messages = self._messages.drop_duplicates(
                 subset=["commit_lsn", "commit_idx"], keep="first"
             )
-            os.remove(path)
-            consumed += 1
+            consumed.append(path)
             budget_rows = self.max_pending - len(self._messages)
             mem_bytes = self._mem_bytes()
         if consumed:
-            self._save()
+            self._save()  # durable FIRST ...
+            for path in consumed:  # ... then retire the chunks
+                os.remove(path)
 
     # --- ingestion --------------------------------------------------------
     def ingest(self, df: DataFrame) -> int:

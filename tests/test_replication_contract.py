@@ -747,7 +747,71 @@ def case_relation_change_mid_transaction():
     return frames, L1, check
 
 
+def case_row_filter_action_transform():
+    # r9 verdict task #7 (publication row_filter family): with a
+    # row-filtered publication (PG15+ `CREATE PUBLICATION .. WHERE`),
+    # postgres TRANSFORMS actions at the filter boundary (PostgreSQL
+    # docs §31.1 logical-replication row filters): an UPDATE moving a
+    # row INTO scope arrives as an Insert frame, one moving it OUT
+    # arrives as a key-only Delete, and within-scope updates stay
+    # updates.  The engine must treat these as first-class actions —
+    # in particular a Delete for a pk it has NEVER seen inserted
+    # (the row was updated out of scope before ever being in it from
+    # this slot's perspective must not crash or drop the event).
+    frames = [_chars_rel()] + _txn(
+        # UPDATE moved row 1 into scope → wire Insert
+        L1, ins(CHAR_OID, 1, "Paul", "Atreides", "Arrakis", "t", "{}")
+    ) + _txn(
+        # in-scope UPDATE stays an update
+        L2, upd(CHAR_OID, new=(1, "Paul", "Atreides", "Arrakis", "f",
+                               "{}")), xid=2,
+    ) + _txn(
+        # UPDATE moved row 2 out of scope → wire key-only Delete for a
+        # pk this slot never saw as an insert
+        L3, dele(CHAR_OID, (2, None, None, None, None, None),
+                 old_kind=b"K"), xid=3,
+    )
+
+    def check(ev):
+        assert [e["action"] for e in ev] == ["insert", "update", "delete"]
+        assert ev[0]["record"]["planet"] == "Arrakis"
+        assert ev[2]["record_pks"] == ["2"]
+        # no phantom update for either boundary crossing
+        assert sum(e["action"] == "update" for e in ev) == 1
+
+    return frames, L3, check
+
+
+def case_generated_columns_publication():
+    # r9 verdict task #7 (generated-columns family): pgoutput does NOT
+    # publish generated columns by default — the Relation frame lists
+    # only published columns, so the wire tuple is NARROWER than the
+    # table (PostgreSQL docs: publish_generated_columns, PG18; before
+    # that, never published).  When the publication flips the knob, a
+    # new Relation arrives WITH the generated column and subsequent
+    # tuples carry the computed value.  Events must track each
+    # relation version's column set exactly.
+    published = [(1, "id", 20), (0, "name", 25)]
+    with_gen = published + [(0, "name_upper", 25)]  # GENERATED ALWAYS AS
+    frames = [xlog(50, rel(CHAR_OID, "Characters", published))] + _txn(
+        L1, ins(CHAR_OID, 1, "paul")
+    ) + [xlog(L2 - 1, rel(CHAR_OID, "Characters", with_gen))] + _txn(
+        L2, ins(CHAR_OID, 2, "leto", "LETO"), xid=2
+    )
+
+    def check(ev):
+        first = [e for e in ev if e["commit_lsn"] == L1][0]
+        second = [e for e in ev if e["commit_lsn"] == L2][0]
+        assert first["record"] == {"id": "1", "name": "paul"}
+        assert "name_upper" not in first["record"]
+        assert second["record"]["name_upper"] == "LETO"
+
+    return frames, L2, check
+
+
 SCENARIOS = [
+    ("row_filter_action_transform", case_row_filter_action_transform),
+    ("generated_columns_publication", case_generated_columns_publication),
     ("drop_column_schema_change", case_drop_column_schema_change),
     ("relation_change_mid_transaction",
      case_relation_change_mid_transaction),
