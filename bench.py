@@ -42,11 +42,16 @@ def pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
 
     ev = eventize_orders(spark, sf_dir).unionByName(eventize_lineitem(spark, sf_dir))
     n = ev.count()
+    # size the group shuffle to the data (~128 MB per partition at
+    # ~300 B/serialized row) — the r10 decade fix: fixed 32 partitions
+    # spilled the per-partition sort at sf10 (15.6x for 10x rows)
+    n_parts = max(int(spark.conf.get("spark.sql.shuffle.partitions", "32")),
+                  (n * 300) // (128 << 20) + 1)
     t0 = time.time()
     out = apply_source_filter(ev, Source(include_schemas=["public"]))
     out = apply_action_filter(out, ["insert", "update", "delete"])
     out = route(out, "kafka")
-    out = sort_for_delivery(out)
+    out = sort_for_delivery(out, num_partitions=n_parts)
     out = out.select(
         F.col("topic"),
         F.col("message_key").alias("key"),

@@ -5988,3 +5988,88 @@ DATAPIPE_QUERIES.update({
 DATAPIPE_ORACLES.update({
     "multimodal_wav_decode": SQL_MULTIMODAL_WAV_DECODE,
 })
+
+
+def q_select_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, simplified to
+    the Hedge/multiplicative-weights core): starting from uniform
+    domain weights, each of 5 rounds multiplies every domain's weight
+    by (1 + η·excess_d) and renormalizes, so domains with higher
+    excess loss earn a larger share of the training mixture — the
+    standard domain-mixture optimization step of an LLM data pipeline.
+
+    The excess-loss proxy is the domain's short-doc share in basis
+    points (short docs = the reference model's easy wins; any
+    per-domain integer loss plugs in).  Engine-exact by construction:
+    the loss table is one integer count shuffle, and the 5 update
+    rounds run over the bounded (~|sources|-row) collected table in
+    pure-integer arithmetic — multiply, integer div (positive
+    operands, so Spark `div` == DuckDB `//`), renormalize to ppm —
+    mirrored by 5 unrolled MATERIALIZED CTEs in the oracle.  At
+    100 TB: the only distributed work is the one count shuffle; the
+    iteration state is |domains| rows (the kcenter bounded-action
+    pattern)."""
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    eta_bp = 2000  # η = 0.2 in basis points
+    loss = (
+        docs.groupBy("source")
+        .agg(F.sum((F.col("n_chars") < 200).cast("long")).alias("_s"),
+             F.count(F.lit(1)).alias("_n"))
+        # integer div on BOTH sides (Spark `div` == DuckDB `//` for
+        # positive operands) — a double `/` + cast truncates x.999…
+        # quotients one short of the oracle's floor
+        .select("source", F.expr("(10000 * _s) div _n").alias("loss_bp"))
+        .collect()
+    )
+    rows = sorted((r["source"], int(r["loss_bp"])) for r in loss)
+    n = len(rows)
+    w = {s: 1_000_000 // n for s, _ in rows}
+    for _ in range(5):
+        raw = {s: (w[s] * (10000 + (eta_bp * lb) // 10000)) // 10000
+               for s, lb in rows}
+        tot = sum(raw.values())
+        w = {s: (raw[s] * 1_000_000) // tot for s in raw}
+    out = [(s, lb, w[s]) for s, lb in rows]
+    return spark.createDataFrame(
+        out, "source string, loss_bp long, weight_ppm long")
+
+
+def _sql_select_doremi_weights() -> str:
+    steps = []
+    prev = "w0"
+    for k in range(1, 6):
+        steps.append(f"""
+r{k} AS MATERIALIZED (
+  SELECT source, loss_bp,
+         (weight_ppm * (10000 + (2000 * loss_bp) // 10000)) // 10000
+           AS raw
+  FROM {prev}),
+w{k} AS MATERIALIZED (
+  SELECT source, loss_bp,
+         (raw * 1000000) // (SELECT sum(raw) FROM r{k}) AS weight_ppm
+  FROM r{k})""")
+        prev = f"w{k}"
+    chain = ",".join(steps)
+    return f"""
+WITH loss AS MATERIALIZED (
+  SELECT source,
+         (10000 * sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END))
+           // count(*) AS loss_bp
+  FROM documents GROUP BY source),
+w0 AS MATERIALIZED (
+  SELECT source, loss_bp,
+         1000000 // (SELECT count(*) FROM loss) AS weight_ppm
+  FROM loss),{chain}
+SELECT source, CAST(loss_bp AS BIGINT) AS loss_bp,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm
+FROM {prev}
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "select_doremi_weights": q_select_doremi_weights,
+})
+DATAPIPE_ORACLES.update({
+    "select_doremi_weights": _sql_select_doremi_weights(),
+})
