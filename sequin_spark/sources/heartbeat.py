@@ -25,6 +25,11 @@ from sequin_spark.sources.pgoutput import LogicalMessage
 from sequin_spark.sources.replication import lsn_to_int
 
 HEARTBEAT_PREFIX = "sequin.heartbeat.1"
+# Constants.logical_messages_table_name — the <PG14 heartbeat channel
+# (pg_logical_emit_message landed in PG 9.6 but the reference routes
+# <14 through a published TABLE upsert: postgres.ex:1300-1335,
+# slot_processor_server.ex:640-670 logical_message_table_upsert?)
+LOGICAL_MESSAGES_TABLE = "sequin_logical_messages"
 # slot_processor_server.ex @max_time_between_heartbeat_emissions_min /
 # @max_time_between_heartbeat_emit_and_receive_min
 MAX_EMISSION_AGE_S = 5 * 60
@@ -36,10 +41,16 @@ class HeartbeatMonitor:
     slot stream; answer "is this slot alive?".
 
     ``clock`` is injectable for tests (defaults to time.time).
+    ``pg_major_version`` selects the channel: >=14 emits a logical
+    message; <14 upserts into the published
+    ``public.sequin_logical_messages`` table, and the receive side
+    intercepts that table's upserts from the slot stream instead
+    (exs:1076 'emits heartbeat messages for older postgres version').
     """
 
-    def __init__(self, clock=time.time):
+    def __init__(self, clock=time.time, pg_major_version: int = 17):
         self._clock = clock
+        self.pg_major_version = pg_major_version
         self.current_heartbeat_id: str | None = None
         self.emitted_at: float | None = None
         self.emitted_lsn: int | None = None
@@ -48,6 +59,14 @@ class HeartbeatMonitor:
         self.received_count = 0
 
     # --- emit side (primary conn, non-replication session) ---------------
+
+    @property
+    def intercepts_table_upserts(self) -> bool:
+        """<PG14: heartbeats travel as upserts to the published
+        logical-messages table; those rows are HEARTBEATS, not user
+        traffic, and must never reach consumers
+        (slot_processor_server.ex:640-646)."""
+        return self.pg_major_version < 14
 
     def emit(self, client) -> int:
         """Emit one heartbeat; returns its WAL LSN.  ``client`` is a
@@ -59,8 +78,20 @@ class HeartbeatMonitor:
                 "%Y-%m-%dT%H:%M:%SZ", time.gmtime(self._clock())),
             "version": "1.0",
         })
-        sql = ("SELECT pg_logical_emit_message(true, "
-               f"'{HEARTBEAT_PREFIX}', '" + payload.replace("'", "''") + "')")
+        quoted = payload.replace("'", "''")
+        if self.intercepts_table_upserts:
+            # the reference's <14 upsert (unique on (slot_id, subject))
+            # + pg_current_wal_lsn() for the emitted cursor
+            sql = (
+                f"INSERT INTO public.{LOGICAL_MESSAGES_TABLE} "
+                "(slot_id, subject, content) VALUES "
+                f"('slot', '{HEARTBEAT_PREFIX}', '{quoted}') "
+                "ON CONFLICT (slot_id, subject) DO UPDATE SET "
+                "content = EXCLUDED.content, updated_at = NOW() "
+                "RETURNING pg_current_wal_lsn()")
+        else:
+            sql = ("SELECT pg_logical_emit_message(true, "
+                   f"'{HEARTBEAT_PREFIX}', '{quoted}')")
         rows = client.simple_query(sql)
         lsn = lsn_to_int(rows[0][0]) if rows and rows[0][0] else 0
         self.current_heartbeat_id = hb_id
@@ -84,6 +115,22 @@ class HeartbeatMonitor:
                 self.received_count += 1
             return
         self.message_received_since_last_heartbeat = True
+
+    def on_table_heartbeat(self, event: dict) -> None:
+        """Fold one intercepted logical-messages-table upsert EVENT
+        (<PG14 receive side; the ingest worker routes events whose
+        table is the logical-messages table here instead of flushing
+        them — slot_processor_server.ex:646-670
+        handle_logical_message_content applied to the `content`
+        column)."""
+        try:
+            content = json.loads(
+                (event.get("record") or {}).get("content") or "{}")
+        except ValueError:
+            content = {}
+        if content.get("id") == self.current_heartbeat_id:
+            self.current_heartbeat_id = None
+            self.received_count += 1
 
     def on_flushed(self, commit_lsn: int) -> None:
         self.last_flushed_commit_lsn = commit_lsn

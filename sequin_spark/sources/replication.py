@@ -520,6 +520,23 @@ class ReplicationIngestWorker:
             self.heartbeat.on_wal_message(msg)
         in_txn_before = self.folder.in_txn
         events = self.folder.push(msg)
+        if (self.heartbeat is not None
+                and self.heartbeat.intercepts_table_upserts):
+            # <PG14 heartbeat channel: upserts to the published
+            # logical-messages table are HEARTBEATS — fold them into
+            # the monitor and keep them out of the consumer stream
+            # (slot_processor_server.ex:640-670)
+            from sequin_spark.sources.heartbeat import (
+                LOGICAL_MESSAGES_TABLE,
+            )
+
+            kept = []
+            for e in events:
+                if e.get("table_name") == LOGICAL_MESSAGES_TABLE:
+                    self.heartbeat.on_table_heartbeat(e)
+                else:
+                    kept.append(e)
+            events = kept
         self._open_txn.extend(events)
         if in_txn_before and not self.folder.in_txn:  # Commit closed the txn
             self._committed.extend(self._open_txn)

@@ -1293,3 +1293,85 @@ def test_contract_failed_messages_written_to_disk(spark, tmp_path):
     # retry (failing sink fails once per key) → delivered without loss
     stats2 = engine.process_batch(df.limit(0), 1)
     assert stats2["delivered"] == 1 and stats2["pending"] == 0
+
+
+def test_contract_heartbeat_table_older_pg(spark, tmp_path):
+    """exs:1076 'emits heartbeat messages for older postgres version'
+    + slot_processor_server.ex:640-670 logical_message_table_upsert? +
+    postgres.ex:1300-1335: on <PG14 the heartbeat travels as an upsert
+    to the published public.sequin_logical_messages table.  The ingest
+    worker must (a) fold the upsert into the HeartbeatMonitor —
+    completing the emit→receive round trip from the `content` JSON —
+    and (b) keep those rows OUT of the consumer stream, while real DML
+    in the same stream flows through untouched.  On >=14 the table is
+    ordinary user data and IS delivered (version-gated intercept)."""
+    import json as _json
+
+    from sequin_spark.sources.heartbeat import (
+        LOGICAL_MESSAGES_TABLE,
+        HeartbeatMonitor,
+    )
+    from sequin_spark.sources.replication import (
+        ReplicationClient,
+        ReplicationIngestWorker,
+    )
+
+    hb_cols = [(1, "id", 20), (1, "slot_id", 25), (0, "subject", 25),
+               (0, "content", 3802)]
+    hb_oid = 7042
+
+    def run(pg_major, out):
+        monitor = HeartbeatMonitor(pg_major_version=pg_major)
+
+        class _StubClient:
+            def simple_query(self, sql):
+                # pin the emit SQL per channel (exs:1061 vs exs:1076)
+                if pg_major < 14:
+                    assert f"INSERT INTO public.{LOGICAL_MESSAGES_TABLE}" \
+                        in sql and "ON CONFLICT (slot_id, subject)" in sql
+                else:
+                    assert "pg_logical_emit_message" in sql
+                return [["0/100"]]
+
+        monitor.emit(_StubClient())
+        payload = _json.dumps({"id": monitor.current_heartbeat_id,
+                               "emitted_at": "2026-01-01T00:00:00Z",
+                               "version": "1.0"})
+        frames = [
+            xlog(40, rel(hb_oid, LOGICAL_MESSAGES_TABLE, hb_cols)),
+            _chars_rel(),
+        ] + _txn(
+            L1, upd(hb_oid, new=(1, "slot", "sequin.heartbeat.1", payload)),
+        ) + _txn(
+            L2, ins(CHAR_OID, 1, "real", None, None, "t", "{}"), xid=2,
+        )
+        srv = FakeWalSender(frames)
+        client = ReplicationClient(
+            "127.0.0.1", srv.port, user="replicator", database="postgres",
+            password="s3cret", receive_timeout=0.05)
+        client.connect()
+        worker = ReplicationIngestWorker(
+            client, str(out), flush_seconds=0.05, ack_interval=0.1,
+            heartbeat=monitor)
+        try:
+            client.start_replication("sequin_slot", "sequin_pub")
+            worker.run(max_seconds=10,
+                       stop_when=lambda: any(a[1] == L2 for a in srv.acks))
+        finally:
+            client.close()
+            srv.close()
+        rows = [r.asDict(recursive=True)
+                for r in read_cdc_log(spark, str(out)).collect()]
+        return monitor, rows
+
+    # <PG14: upsert intercepted as a heartbeat, consumers see only DML
+    monitor, rows = run(13, tmp_path / "wal13")
+    assert monitor.received_count == 1
+    assert monitor.current_heartbeat_id is None  # round trip complete
+    assert [e["table_name"] for e in rows] == ["Characters"]
+
+    # >=14: same table is plain user data — delivered, not intercepted
+    monitor, rows = run(17, tmp_path / "wal17")
+    assert monitor.received_count == 0
+    assert sorted(e["table_name"] for e in rows) == [
+        "Characters", LOGICAL_MESSAGES_TABLE]
