@@ -3,25 +3,27 @@ columns with typed metadata.
 
 Three honesty tiers, each clearly marked:
 
-* **Real pixel/sample decode — PNG, baseline JPEG, and WAV**
-  (``decode_png`` / ``decode_jpeg`` / ``decode_wav`` /
-  ``decode_pixels``): decoders written from the public specs (PNG
-  chunk stream + zlib inflate + the five scanline filters incl.
-  Paeth; T.81 baseline JPEG — canonical Huffman entropy decode with
-  byte unstuffing and restart intervals, dequantization, float IDCT,
-  chroma upsampling, YCbCr→RGB; RIFF/WAVE PCM via the ``wave``
-  module), producing exact integer pixel/sample statistics.  The same
+* **Real pixel/sample decode — PNG, baseline JPEG, GIF, BMP, and
+  WAV** (``decode_png`` / ``decode_jpeg`` / ``decode_gif`` /
+  ``decode_bmp`` / ``decode_wav`` / ``decode_pixels``): decoders
+  written from the public specs (PNG chunk stream + zlib inflate +
+  the five scanline filters incl. Paeth; T.81 baseline JPEG —
+  canonical Huffman entropy decode with byte unstuffing and restart
+  intervals, dequantization, float IDCT, chroma upsampling,
+  YCbCr→RGB; GIF87a/89a variable-width LZW with de-interlacing; BMP
+  BI_RGB palette/true-color; RIFF/WAVE PCM via the ``wave`` module),
+  producing exact integer pixel/sample statistics.  The same
   vendored-from-spec engineering as the zstd codec — no PIL, no
-  libsndfile.
+  libsndfile.  Every IMAGE container now decodes for real.
 * **Real header probing — PNG/JPEG/GIF/BMP/WAV** (``probe_header``):
   dimensions/channels/sample-rate from container headers.
-* **Stubbed decode for everything else** (GIF/BMP pixel decode,
-  progressive JPEG, video): the generic ``decode_media`` keeps the
-  deterministic stub behind ``SEQUIN_FAKE_DECODE`` so the Spark-side
-  plumbing — binary schema, Arrow batch transfer through mapInPandas,
-  partitioning, output schema — is tested end-to-end; without the
-  flag it raises NotImplementedError at the exact point an external
-  decoder plugs in.
+* **Stubbed decode for the rest** (video frames, progressive JPEG):
+  the generic ``decode_media`` keeps the deterministic stub behind
+  ``SEQUIN_FAKE_DECODE`` so the Spark-side plumbing — binary schema,
+  Arrow batch transfer through mapInPandas, partitioning, output
+  schema — is tested end-to-end; without the flag it raises
+  NotImplementedError at the exact point an external decoder plugs
+  in.
 
 At 100 TB: binary payloads make rows wide → keep
 spark.sql.files.maxPartitionBytes moderate, select() metadata columns
@@ -882,13 +884,270 @@ def synth_gray_jpeg(doc_id: int, blocks_w: int = 2,
             + b"\xff\xd9")
 
 
+def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
+    """GIF variable-width LZW (89a spec appendix F): LSB-first bit
+    packing, clear/EOI codes, width grows after the dictionary fills,
+    capped at 12 bits."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    nxt = eoi + 1
+    prev: bytes | None = None
+    acc = bit_n = pos = 0
+    n = len(data)
+    while True:
+        while bit_n < width:
+            if pos >= n:
+                return bytes(out)  # missing EOI: tolerate, return pixels
+            acc |= data[pos] << bit_n
+            bit_n += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bit_n -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            nxt = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if code < len(table) and code < nxt:
+            entry = table[code]
+        elif code == nxt and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and nxt < 4096:
+            if nxt == len(table):
+                table.append(prev + entry[:1])
+            else:
+                table[nxt] = prev + entry[:1]
+            nxt += 1
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def decode_gif(blob: bytes) -> dict:
+    """REAL GIF pixel decode, pure stdlib (GIF87a/89a public spec):
+    logical screen descriptor, global/local color tables, extension
+    skip, variable-width LZW over concatenated data sub-blocks,
+    4-pass de-interlace.  First image frame only (n_frames reports the
+    descriptor count).  Luma = (r+g+b) div 3 from the palette, the
+    PNG color-type-3 contract."""
+    import struct as _s
+
+    out = {"format": "gif", "width": None, "height": None,
+           "n_channels": None, "n_pixels": None, "mean_luma_x1000": None,
+           "status": "decoded"}
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        out["status"] = "not_gif"
+        return out
+    try:
+        sw, sh, flags, _bg, _ar = _s.unpack_from("<HHBBB", blob, 6)
+        pos = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 7)
+            gct = blob[pos:pos + 3 * n]
+            pos += 3 * n
+        n_frames = 0
+        first = None
+        while pos < len(blob):
+            b0 = blob[pos]
+            pos += 1
+            if b0 == 0x3B:  # trailer
+                break
+            if b0 == 0x21:  # extension: label + sub-blocks
+                pos += 1
+                while blob[pos]:
+                    pos += 1 + blob[pos]
+                pos += 1
+                continue
+            if b0 != 0x2C:
+                out["status"] = f"bad_block_0x{b0:02x}"
+                return out
+            # image descriptor
+            _ix, _iy, iw, ih, iflags = _s.unpack_from("<HHHHB", blob, pos)
+            pos += 9
+            lct = None
+            if iflags & 0x80:
+                n = 2 << (iflags & 7)
+                lct = blob[pos:pos + 3 * n]
+                pos += 3 * n
+            mcs = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos]:
+                ln = blob[pos]
+                data += blob[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            n_frames += 1
+            if first is None:
+                first = (iw, ih, bool(iflags & 0x40),
+                         lct if lct is not None else gct,
+                         _lzw_decode_gif(bytes(data), mcs))
+        if first is None:
+            out["status"] = "truncated"
+            return out
+        iw, ih, interlaced, pal, px = first
+        if pal is None:
+            out["status"] = "no_color_table"
+            return out
+        if len(px) < iw * ih:
+            out["status"] = "truncated"
+            return out
+        px = px[:iw * ih]
+        if interlaced:
+            rows = [px[r * iw:(r + 1) * iw] for r in range(ih)]
+            order = ([r for r in range(0, ih, 8)]
+                     + [r for r in range(4, ih, 8)]
+                     + [r for r in range(2, ih, 4)]
+                     + [r for r in range(1, ih, 2)])
+            de = [None] * ih
+            for src, dst in enumerate(order):
+                de[dst] = rows[src]
+            px = b"".join(de)
+        luma_sum = 0
+        for i in px:
+            base = 3 * i
+            luma_sum += (pal[base] + pal[base + 1] + pal[base + 2]) // 3
+        out.update(width=iw or sw, height=ih or sh, n_channels=3,
+                   n_pixels=iw * ih,
+                   mean_luma_x1000=(1000 * luma_sum) // (iw * ih))
+        out["n_frames"] = n_frames
+        return out
+    except (IndexError, ValueError, __import__("struct").error):
+        out["status"] = "truncated"
+        return out
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """REAL BMP pixel decode, pure stdlib (BITMAPINFOHEADER,
+    uncompressed BI_RGB): 8-bit palette and 24/32-bit true color,
+    bottom-up and top-down rows, 4-byte row padding.  Luma contract
+    matches PNG: (r+g+b) div 3."""
+    import struct as _s
+
+    out = {"format": "bmp", "width": None, "height": None,
+           "n_channels": None, "n_pixels": None, "mean_luma_x1000": None,
+           "status": "decoded"}
+    if blob[:2] != b"BM":
+        out["status"] = "not_bmp"
+        return out
+    try:
+        (data_off,) = _s.unpack_from("<I", blob, 10)
+        (hdr_size, w, h, _planes, bpp, comp) = _s.unpack_from(
+            "<IiihHI", blob, 14)
+        if comp != 0:
+            out["status"] = f"unsupported_compression_{comp}"
+            return out
+        if bpp not in (8, 24, 32):
+            out["status"] = f"unsupported_bpp_{bpp}"
+            return out
+        top_down = h < 0
+        h = abs(h)
+        pal = None
+        if bpp == 8:
+            (colors_used,) = _s.unpack_from("<I", blob, 46)
+            n = colors_used or 256
+            pal = blob[14 + hdr_size:14 + hdr_size + 4 * n]
+        stride = ((w * bpp // 8) + 3) & ~3
+        luma_sum = 0
+        for row in range(h):
+            src = row if top_down else h - 1 - row
+            base = data_off + src * stride
+            line = blob[base:base + stride]
+            if bpp == 8:
+                for x in range(w):
+                    p = 4 * line[x]
+                    luma_sum += (pal[p] + pal[p + 1] + pal[p + 2]) // 3
+            else:
+                step = bpp // 8
+                for x in range(w):
+                    o = x * step
+                    luma_sum += (line[o] + line[o + 1] + line[o + 2]) // 3
+        n_px = w * h
+        out.update(width=w, height=h, n_channels=3 if bpp != 32 else 4,
+                   n_pixels=n_px, mean_luma_x1000=(1000 * luma_sum) // n_px)
+        return out
+    except (IndexError, _s.error):
+        out["status"] = "truncated"
+        return out
+
+
+def synth_gray_gif(doc_id: int, w: int = 16, h: int = 8) -> bytes:
+    """Deterministic VALID GIF89a whose pixel(i,j) =
+    (doc_id·31 + i·7 + j) mod 256 over a 256-gray global palette —
+    the PNG synthesizer's pixel rule carried to the LZW container, so
+    the same analytic SQL oracle applies.  Encoded with the classic
+    clear-code-per-pixel 'uncompressed LZW' (constant 9-bit width) —
+    bloated but spec-valid, and it exercises the decoder's clear-code
+    reset path on every pixel."""
+    import struct as _s
+
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    header = (b"GIF89a" + _s.pack("<HHBBB", w, h, 0xF7, 0, 0) + pal)
+    desc = b"\x2C" + _s.pack("<HHHHB", 0, 0, w, h, 0)
+    # LZW stream: CLEAR before every pixel code, EOI last; 9-bit codes
+    acc = 0
+    nbits = 0
+    data = bytearray()
+
+    def push(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += 9
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    for i in range(h):
+        for j in range(w):
+            push(256)  # CLEAR
+            push((doc_id * 31 + i * 7 + j) % 256)
+    push(257)  # EOI
+    if nbits:
+        data.append(acc & 0xFF)
+    blocks = bytearray([8])  # min code size
+    for off in range(0, len(data), 255):
+        chunk = data[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + desc + bytes(blocks) + b"\x3B"
+
+
+def synth_gray_bmp(doc_id: int, w: int = 16, h: int = 8) -> bytes:
+    """Deterministic VALID 8-bit palette BMP (bottom-up, BI_RGB) with
+    the same pixel rule and a 256-gray palette."""
+    import struct as _s
+
+    stride = (w + 3) & ~3
+    pal = bytes(v for i in range(256) for v in (i, i, i, 0))  # BGRA
+    rows = bytearray()
+    for i in range(h - 1, -1, -1):  # bottom-up
+        line = bytes((doc_id * 31 + i * 7 + j) % 256 for j in range(w))
+        rows += line + b"\x00" * (stride - w)
+    data_off = 14 + 40 + len(pal)
+    return (b"BM" + _s.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+            + _s.pack("<IiihHIIiiII", 40, w, h, 1, 8, 0, len(rows),
+                      2835, 2835, 256, 0)
+            + pal + bytes(rows))
+
+
 def decode_pixels(media: DataFrame) -> DataFrame:
     """REAL decode over the media table (Arrow mapInPandas, same
-    plumbing as decode_media): PNG → pixel stats, baseline JPEG →
-    pixel stats (REAL Huffman+IDCT decode), WAV → sample stats;
-    formats whose pixel decode needs an external library (GIF/BMP
-    pixels, video) get status='decoder_unavailable' — per-ROW honesty
-    instead of a module-wide gate."""
+    plumbing as decode_media): PNG / baseline JPEG / GIF / BMP →
+    REAL pixel stats, WAV → sample stats; formats whose decode needs
+    an external library (video) get status='decoder_unavailable' —
+    per-ROW honesty instead of a module-wide gate."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
@@ -909,6 +1168,16 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                         "n_pixels", "mean_luma_x1000", "status")})
                 elif b[:3] == b"\xff\xd8\xff":
                     d = decode_jpeg(b)
+                    base.update({k: d.get(k) for k in (
+                        "format", "width", "height", "n_channels",
+                        "n_pixels", "mean_luma_x1000", "status")})
+                elif b[:6] in (b"GIF87a", b"GIF89a"):
+                    d = decode_gif(b)
+                    base.update({k: d.get(k) for k in (
+                        "format", "width", "height", "n_channels",
+                        "n_pixels", "mean_luma_x1000", "status")})
+                elif b[:2] == b"BM":
+                    d = decode_bmp(b)
                     base.update({k: d.get(k) for k in (
                         "format", "width", "height", "n_channels",
                         "n_pixels", "mean_luma_x1000", "status")})

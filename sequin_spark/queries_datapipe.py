@@ -6073,3 +6073,80 @@ DATAPIPE_QUERIES.update({
 DATAPIPE_ORACLES.update({
     "select_doremi_weights": _sql_select_doremi_weights(),
 })
+
+
+def _q_multimodal_palette_decode(spark: SparkSession, sf_dir: str,
+                                 synth_name: str, fmt: str) -> DataFrame:
+    import pandas as _pd
+
+    from sequin_spark.datapipe import multimodal as _mm
+
+    _prep(spark)
+    synth = getattr(_mm, synth_name)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "image",
+                "blob": [synth(int(d)) for d in b["doc_id"]],
+                "meta_format": fmt,
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    return _mm.decode_pixels(media).select(
+        "doc_id", "width", "height", "n_channels", "n_pixels",
+        "mean_luma_x1000", "status")
+
+
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, oracle-checked: per doc a deterministic
+    16×8 gray-palette GIF89a (multimodal.synth_gray_gif — pixel rule
+    (doc_id·31+i·7+j) mod 256, clear-per-pixel LZW so every pixel
+    crosses the decoder's reset path) decoded by the pure-stdlib
+    variable-width LZW decoder; the DuckDB oracle computes the mean
+    luminance analytically from the pixel rule (gray palette → luma =
+    index).  Standard-LZW dictionary growth, width escalation, and
+    de-interlacing are differentially tested in tests/test_gif_bmp.py.
+    Plan: two mapInPandas passes, no shuffle."""
+    return _q_multimodal_palette_decode(
+        spark, sf_dir, "synth_gray_gif", "gif")
+
+
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP pixel decode, oracle-checked: per doc a deterministic
+    16×8 8-bit-palette bottom-up BI_RGB BMP (multimodal.synth_gray_bmp,
+    same pixel rule) decoded by the pure-stdlib BMP reader (palette +
+    stride + row-order handling); analytic DuckDB oracle.  With this
+    and GIF, every image container the probe recognizes decodes for
+    real — SEQUIN_FAKE_DECODE now gates video only."""
+    return _q_multimodal_palette_decode(
+        spark, sf_dir, "synth_gray_bmp", "bmp")
+
+
+_SQL_PALETTE_DECODE = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       CAST(128 AS BIGINT) AS n_pixels,
+       CAST((1000 * list_sum(list_transform(generate_series(0, 127),
+             k -> (doc_id * 31 + (k // 16) * 7 + (k % 16)) % 256)))
+            // 128 AS BIGINT) AS mean_luma_x1000,
+       'decoded' AS status
+FROM documents
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "multimodal_gif_decode": q_multimodal_gif_decode,
+    "multimodal_bmp_decode": q_multimodal_bmp_decode,
+})
+DATAPIPE_ORACLES.update({
+    "multimodal_gif_decode": _SQL_PALETTE_DECODE,
+    "multimodal_bmp_decode": _SQL_PALETTE_DECODE,
+})

@@ -166,16 +166,19 @@ def test_wav_pcm8_and_garbage():
 
 
 def test_decode_pixels_spark_plumbing(spark):
-    """Mixed blobs through the Arrow mapInPandas path: PNG rows decode
-    for real, WAV rows decode for real, GIF gets decoder_unavailable
-    (header still probed), garbage gets unrecognized."""
-    from sequin_spark.datapipe.multimodal import synth_gray_jpeg
+    """Mixed blobs through the Arrow mapInPandas path: PNG/JPEG/GIF
+    rows decode for real, WAV rows decode for real, a truncated GIF
+    body gets an honest error status, garbage gets unrecognized."""
+    from sequin_spark.datapipe.multimodal import (
+        synth_gray_gif,
+        synth_gray_jpeg,
+    )
 
     rng = random.Random(99)
     px = _rand_pixels(rng, 4, 3, 3)
     png = encode_png(px, 2, [0, 1, 4])
     wav = _make_wav([100, -100, 2000, -2000], rate=16000)
-    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 20
+    gif = synth_gray_gif(23)
     jpg = synth_gray_jpeg(17)
     rows = [(1, png), (2, wav), (3, gif), (4, b"garbage"), (5, jpg)]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
@@ -192,6 +195,9 @@ def test_decode_pixels_spark_plumbing(spark):
     assert got[2]["status"] == "decoded"
     assert got[2]["duration_ms"] == 0  # 4 samples @16k < 1 ms
     assert got[2]["rms_x1000"] > 0
-    assert got[3]["status"] == "decoder_unavailable"
-    assert (got[3]["format"], got[3]["width"]) == ("gif", 12)
+    assert got[3]["status"] == "decoded"  # GIF decodes for REAL now
+    assert (got[3]["format"], got[3]["width"]) == ("gif", 16)
+    vals = [(23 * 31 + i * 7 + j) % 256
+            for i in range(8) for j in range(16)]
+    assert got[3]["mean_luma_x1000"] == (1000 * sum(vals)) // 128
     assert got[4]["status"] == "unrecognized"
