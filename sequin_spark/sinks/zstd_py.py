@@ -760,6 +760,94 @@ def _code_of(value: int, base: list[int]) -> int:
     return bisect.bisect_right(base, value) - 1
 
 
+def _fse_normalize(counts: dict, acc: int) -> list[int] | None:
+    """Normalize symbol counts to frequencies summing to 2^acc, every
+    present symbol >= 1 (no less-than-one entries — simpler and always
+    decodable).  None when 2^acc can't hold one slot per symbol."""
+    n_present = len(counts)
+    scale = 1 << acc
+    if n_present < 2 or n_present > scale:
+        return None
+    total = sum(counts.values())
+    s_last = max(counts)
+    freqs = [0] * (s_last + 1)
+    rema = []
+    assigned = 0
+    for s, c in counts.items():
+        f = max(1, (c * scale) // total)
+        freqs[s] = f
+        assigned += f
+        rema.append(((c * scale) % total, c, s))
+    # fix the sum exactly: give remainder slots to the largest
+    # fractional parts, take back from the largest frequencies
+    rema.sort(reverse=True)
+    i = 0
+    while assigned < scale:
+        s = rema[i % len(rema)][2]
+        freqs[s] += 1
+        assigned += 1
+        i += 1
+    while assigned > scale:
+        s = max(counts, key=lambda x: freqs[x])
+        if freqs[s] <= 1:
+            return None  # degenerate: can't shrink further
+        freqs[s] -= 1
+        assigned -= 1
+    return freqs
+
+
+def _write_fse_freqs(freqs: list[int], acc: int) -> bytes:
+    """FSE table description writer (RFC 8878 §4.1.1) — the exact
+    inverse of _read_fse_freqs: forward LSB-first bitstream, variable
+    field widths driven by the remaining probability mass, 2-bit
+    repeat flags after zero probabilities."""
+    bitpos = 0
+    out = bytearray()
+    acc_bits = 0
+    acc_val = 0
+
+    def write(v: int, n: int) -> None:
+        nonlocal acc_bits, acc_val
+        acc_val |= v << acc_bits
+        acc_bits += n
+        while acc_bits >= 8:
+            out.append(acc_val & 0xFF)
+            acc_val >>= 8
+            acc_bits -= 8
+
+    write(acc - 5, 4)
+    remaining = (1 << acc) + 1
+    i = 0
+    while i < len(freqs) and remaining > 1:
+        proba = freqs[i]
+        value = proba + 1
+        bits = remaining.bit_length()
+        low_mask = (1 << (bits - 1)) - 1
+        threshold = (1 << bits) - 1 - remaining
+        if value < threshold:
+            write(value, bits - 1)
+        elif value <= low_mask:
+            write(value, bits)
+        else:
+            write(value + threshold, bits)
+        remaining -= proba
+        i += 1
+        if proba == 0:
+            # run-length for FURTHER consecutive zeros (the reader
+            # always consumes 2-bit repeat fields after a zero)
+            z = 0
+            while i + z < len(freqs) and freqs[i + z] == 0:
+                z += 1
+            i += z
+            while z >= 3:
+                write(3, 2)
+                z -= 3
+            write(z, 2)
+    if acc_bits:
+        out.append(acc_val & 0xFF)
+    return bytes(out)
+
+
 def _fse_stream(codes: list[int], enc: _FSEEncTable
                 ) -> tuple[int, list[tuple[int, int]]]:
     """Backward FSE walk over one code stream: returns (init_state,
@@ -774,11 +862,52 @@ def _fse_stream(codes: list[int], enc: _FSEEncTable
     return state, trans
 
 
+def _choose_seq_table(codes: list[int], kind: str
+                      ) -> tuple[int, bytes, _FSEEncTable]:
+    """Pick the cheapest sequence-table mode for one code stream:
+    RLE (one distinct code), an FSE_Compressed table BUILT from the
+    block's own code histogram, or the predefined distribution —
+    whichever minimizes header bytes + measured bitstream bits
+    (running the backward walk per candidate is cheap relative to the
+    LZ pass).  Returns (mode, header_bytes, encode_table)."""
+    pre_ll, pre_ml, pre_of = _enc_tables()
+    pre = {"ll": pre_ll, "ml": pre_ml, "of": pre_of}[kind]
+    max_acc = {"ll": _LL_MAX_ACC, "ml": _ML_MAX_ACC,
+               "of": _OF_MAX_ACC}[kind]
+    counts: dict = {}
+    for c in codes:
+        counts[c] = counts.get(c, 0) + 1
+    if len(counts) == 1:
+        sym = codes[0]
+        freqs = [0] * sym + [1]
+        return 1, bytes([sym]), _FSEEncTable(_FSETable.rle(sym), freqs)
+
+    def cost(enc: _FSEEncTable, hdr_len: int) -> int:
+        _, trans = _fse_stream(codes, enc)
+        return 8 * hdr_len + enc.table.acc + sum(nb for _, nb in trans)
+
+    best = (cost(pre, 0), 0, b"", pre)
+    nseq = len(codes)
+    acc = max(5, min(max_acc, max((nseq - 1).bit_length() - 2,
+                                  (len(counts) - 1).bit_length() + 1)))
+    freqs = _fse_normalize(counts, acc)
+    if freqs is not None:
+        try:
+            hdr = _write_fse_freqs(freqs, acc)
+            enc = _FSEEncTable(_FSETable(acc, freqs), freqs)
+            c = cost(enc, len(hdr))
+            if c < best[0]:
+                best = (c, 2, hdr, enc)
+        except ZstdError:
+            pass
+    return best[1], best[2], best[3]
+
+
 def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
-    """Sequences section: count + modes byte (all predefined) + the
+    """Sequences section: count + per-stream table modes (RLE /
+    FSE-built-from-histogram / predefined, cheapest wins) + the
     backward-read interleaved bitstream (RFC 8878 §3.1.1.3.2.1.1
     field order)."""
-    ll_t, ml_t, of_t = _enc_tables()
     nseq = len(seqs)
     out = bytearray()
     if nseq < 128:
@@ -787,7 +916,6 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
         out += bytes([(nseq >> 8) + 0x80, nseq & 0xFF])
     else:
         out += bytes([0xFF]) + (nseq - 0x7F00).to_bytes(2, "little")
-    out.append(0)  # LL/OF/ML all Predefined_Mode
     ll_codes, of_codes, ml_codes = [], [], []
     extras: list[tuple[int, int, int, int, int, int]] = []
     for ll, offset, ml in seqs:
@@ -801,6 +929,11 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
         extras.append((oc, ov - (1 << oc),
                        _ML_BITS[mc], ml - _ML_BASE[mc],
                        _LL_BITS[lc], ll - _LL_BASE[lc]))
+    ll_mode, ll_hdr, ll_t = _choose_seq_table(ll_codes, "ll")
+    of_mode, of_hdr, of_t = _choose_seq_table(of_codes, "of")
+    ml_mode, ml_hdr, ml_t = _choose_seq_table(ml_codes, "ml")
+    out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
+    out += ll_hdr + of_hdr + ml_hdr  # decoder reads ll, of, ml
     ll_init, ll_trans = _fse_stream(ll_codes, ll_t)
     ml_init, ml_trans = _fse_stream(ml_codes, ml_t)
     of_init, of_trans = _fse_stream(of_codes, of_t)

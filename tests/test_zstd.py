@@ -325,3 +325,60 @@ def test_compress_py_huffman_literals_paths():
             assert not lib.ZSTD_isError(n) and buf.raw[:n] == p, name
     # the entropy-only case genuinely compresses (no LZ help needed)
     assert len(zstd_py.compress_py(cases["two_symbol"])) < 2500
+
+
+def test_compress_py_fse_built_tables_fuzz():
+    """r10 second ratio pass: per-stream sequence-table selection
+    (RLE / FSE-built-from-histogram / predefined).  Histogram shapes
+    chosen to force each mode: uniform offsets (RLE offset stream),
+    skewed lengths (built tables win), tiny nseq (predefined wins) —
+    every frame must round-trip both decoders."""
+    import ctypes
+
+    lib = zstd_py._libzstd()
+    rng = random.Random(909)
+    cases = []
+    # single repeated unit: one offset value -> RLE offset mode
+    cases.append(b"0123456789abcdef" * 3000)
+    # two alternating units of different lengths: skewed ML histogram
+    cases.append((b"A" * 37 + b"x" + b"B" * 9 + b"y") * 800)
+    # few sequences: predefined stays cheapest
+    cases.append(b"hello world hello world " + bytes(rng.getrandbits(8)
+                                                     for _ in range(100)))
+    # many distinct offsets/lengths: full built-table path
+    unit = bytes(rng.getrandbits(8) for _ in range(997))
+    cases.append(b"".join(unit[rng.randrange(0, 900):]
+                          [:rng.randrange(5, 80)] for _ in range(2000)))
+    for i, p in enumerate(cases):
+        frame = zstd_py.compress_py(p)
+        assert zstd_py.decompress(frame) == p, i
+        if lib is not None:
+            lib.ZSTD_decompress.restype = ctypes.c_size_t
+            lib.ZSTD_decompress.argtypes = [
+                ctypes.c_char_p, ctypes.c_size_t,
+                ctypes.c_char_p, ctypes.c_size_t]
+            buf = ctypes.create_string_buffer(max(len(p), 1))
+            n = lib.ZSTD_decompress(buf, len(p), frame, len(frame))
+            assert not lib.ZSTD_isError(n) and buf.raw[:n] == p, i
+
+
+def test_fse_freq_writer_reader_roundtrip():
+    """_write_fse_freqs is the exact inverse of _read_fse_freqs for
+    arbitrary normalized distributions (incl. zero runs > 3 and
+    threshold-boundary values)."""
+    rng = random.Random(4242)
+    for trial in range(200):
+        acc = rng.randint(5, 9)
+        scale = 1 << acc
+        n_sym = rng.randint(2, min(50, scale))
+        # sprinkle the symbols over a sparse alphabet (zero runs)
+        syms = sorted(rng.sample(range(60), n_sym))
+        counts = {s: rng.randint(1, 1000) for s in syms}
+        freqs = zstd_py._fse_normalize(counts, acc)
+        assert freqs is not None and sum(freqs) == scale, trial
+        blob = zstd_py._write_fse_freqs(freqs, acc)
+        got, got_acc, _pos = zstd_py._read_fse_freqs(blob, 0, acc)
+        assert got_acc == acc, trial
+        # reader may trail extra zeros from the repeat fields
+        assert got[:len(freqs)] == freqs, trial
+        assert all(f == 0 for f in got[len(freqs):]), trial
