@@ -66,7 +66,8 @@ def streaming_latency(spark, seconds: int = 35,
                       prefix: str = "stream",
                       row_bytes: int = 200,
                       trigger_seconds: float = 1.0,
-                      low_latency: bool = False) -> dict:
+                      low_latency: bool = False,
+                      async_progress: bool = False) -> dict:
     """Synthetic-source → full pipeline → noop sink as a real streaming
     query (the reference's BenchmarkSource → benchmark-sink harness):
     sustained rows/s + per-microbatch p50/p99 trigger latency.
@@ -90,7 +91,8 @@ def streaming_latency(spark, seconds: int = 35,
                               num_partitions=8, row_bytes=row_bytes)
     name = f"bench_{prefix}_{rows_per_second}"
     spec = ConsumerSpec(name=name, sink_type="benchmark", batch_size=200,
-                        low_latency=low_latency)
+                        low_latency=low_latency,
+                        async_progress=async_progress)
     pipe = ConsumerPipeline(spec, state_dir=f"{tmp}/state")
     q = pipe.start_stream(stream, checkpoint_dir=f"{tmp}/ckpt",
                           trigger_seconds=trigger_seconds)
@@ -113,6 +115,59 @@ def streaming_latency(spark, seconds: int = 35,
         "stream_p50_ms": durations[len(durations) // 2],
         "stream_p99_ms": durations[min(len(durations) - 1, int(len(durations) * 0.99))],
     }
+
+
+def decode_throughput(spark, n_docs: int = 256) -> dict:
+    """Realistic-encoding decode arms (r10 verdict task #3): the
+    registry's multimodal_gif_decode is a deliberate WORST-CASE stream
+    (clear-per-pixel LZW — every pixel crosses the decoder's reset
+    path), so its seconds measure a pathological constant, not common-
+    path decode cost.  These arms feed the decoders typical encodings
+    — standard dictionary-growth LZW GIF and entropy-dense multi-AC
+    JPEG — and report decode MB/s per format, with the worst-case GIF
+    arm kept and labeled so both regressions stay visible.  Blobs are
+    materialized and persisted FIRST so the timed pass is decode-only."""
+    import pandas as _pd
+    from pyspark.sql import functions as F
+
+    from sequin_spark.datapipe.multimodal import decode_pixels
+
+    out: dict = {}
+    arms = {
+        "gif_realistic": "synth_textured_gif",
+        "jpeg_realistic": "synth_textured_jpeg",
+        "gif_worstcase": "synth_gray_gif",
+    }
+    docs = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    docs = docs.repartition(int(spark.conf.get(
+        "spark.sql.shuffle.partitions", "32")))
+    for tag, synth_name in arms.items():
+        def encode(batches, _s=synth_name):
+            import sequin_spark.datapipe.multimodal as _mm
+            synth = getattr(_mm, _s)
+            for b in batches:
+                blobs = [synth(int(d)) for d in b["doc_id"]]
+                yield _pd.DataFrame({
+                    "doc_id": b["doc_id"],
+                    "media_type": "image",
+                    "blob": blobs,
+                    "meta_format": _s.rsplit("_", 1)[-1],
+                    "n_bytes": [len(x) for x in blobs],
+                })
+
+        media = docs.mapInPandas(
+            encode,
+            schema=("doc_id long, media_type string, blob binary, "
+                    "meta_format string, n_bytes long")).persist()
+        n_bytes = media.agg(F.sum("n_bytes")).collect()[0][0] or 0
+        t0 = time.time()
+        _force(decode_pixels(media).select("doc_id", "status",
+                                           "mean_luma_x1000"))
+        dt = time.time() - t0
+        media.unpersist()
+        out[f"decode_{tag}_mb_s"] = round(n_bytes / dt / 1e6, 2) \
+            if dt > 0 else -1.0
+    return out
 
 
 def main() -> None:
@@ -165,7 +220,7 @@ def main() -> None:
     # so the delta is same-window (see docs/perf_notes_r10.md for the
     # decomposition of the remaining floor)
     try:
-        arms = {"sync": [], "lowlat": []}
+        arms = {"sync": [], "lowlat": [], "async": []}
         for _ in range(2):
             arms["sync"].append(streaming_latency(
                 spark, seconds=15, prefix="llsync",
@@ -173,6 +228,12 @@ def main() -> None:
             arms["lowlat"].append(streaming_latency(
                 spark, seconds=15, prefix="lowlat",
                 trigger_seconds=0.1, low_latency=True))
+            # r10 verdict task #1: offset/commit logs off the trigger
+            # path (ledger slices stay the exactly-once authority)
+            arms["async"].append(streaming_latency(
+                spark, seconds=15, prefix="lasync",
+                trigger_seconds=0.1, low_latency=True,
+                async_progress=True))
         for tag, runs2 in arms.items():
             best = min((r for r in runs2 if r.get("stream_p50_ms", -1) > 0),
                        key=lambda r: r["stream_p50_ms"], default=None)
@@ -263,6 +324,13 @@ def main() -> None:
     except Exception:  # noqa: BLE001
         steady = -1.0
 
+    # realistic-encoding decode arms (r10 verdict task #3): MB/s per
+    # format on typical streams, plus the labeled worst-case GIF arm
+    try:
+        decode_stats = decode_throughput(spark)
+    except Exception:  # noqa: BLE001
+        decode_stats = {}
+
     # JIT/codegen warmup pass at the smallest sf, then measure: the
     # operator-chain classes are cold after 60 unrelated queries and a
     # single unwarmed run understates sustained throughput by ~40%.
@@ -293,6 +361,7 @@ def main() -> None:
         "pipeline_rows": pipe_rows,
         "pipeline_sec": round(pipe_sec, 3),
         "pipeline_ops_per_sec": ops_per_sec,
+        **decode_stats,
         **stream_stats,
     }
     full = {**summary, "queries": per_query, "query_band_pct": band_pct}

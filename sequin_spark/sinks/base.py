@@ -171,6 +171,76 @@ class ChaosSink(Sink):
         _append(batch.rows)
 
 
+class ChaosSoakSink(Sink):
+    """ChaosSink's high-rate sibling for the chaos-under-load soak
+    (r10 verdict task #7): same seeded fault schedule, but built to
+    sustain 50k rows/s for minutes —
+
+    * the delivered log is ONE UNIQUE FILE PER APPEND (the FileLogSink
+      pattern; a single shared O_APPEND file interleaves corruptly
+      once multi-row buffered writes exceed the atomic-append window),
+      stamped with time_ns so the checker can reconstruct observation
+      order across files;
+    * the failure schedule is SAMPLED — only `fail_permille`/1000 of
+      chunk-head keys are scheduled to fail (md5(seed|key) keyed), so
+      attempt-marker files exist only for scheduled keys instead of
+      one per chunk;
+    * a chunk that fails mid-write appends its partial half flagged
+      `"partial": true`, so the invariant checker can distinguish the
+      documented at-least-once duplicates from real ones."""
+
+    sink_type = "chaos_soak"
+
+    def deliver(self, batch: SinkBatch) -> None:
+        import hashlib as _hl
+        import time as _t
+        import uuid as _uuid
+
+        cfg = self.config
+        log_dir = cfg["log_dir"]
+        attempt_dir = cfg["attempt_dir"]
+        seed = cfg.get("seed", 0)
+        permille = cfg.get("fail_permille", 10)
+        max_fails = cfg.get("max_fails_per_key", 2)
+        key = batch.rows[0].get("idempotency_key", "") if batch.rows else ""
+        scheduled = int(_hl.md5(
+            f"{seed}|{key}".encode()).hexdigest(), 16) % 1000 < permille
+        fail = False
+        if scheduled and key:
+            safe = key.replace(":", "_").replace("/", "_")
+            os.makedirs(attempt_dir, exist_ok=True)
+            marker = os.path.join(attempt_dir, f"a_{safe}")
+            attempt = 0
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    attempt = int(f.read() or 0)
+            with open(marker, "w") as f:
+                f.write(str(attempt + 1))
+            fail = attempt < max_fails
+
+        def _append(rows, partial):
+            os.makedirs(log_dir, exist_ok=True)
+            fname = os.path.join(
+                log_dir,
+                f"part-{_t.time_ns()}-{_uuid.uuid4().hex}.jsonl")
+            with open(fname, "w") as f:
+                for r in rows:
+                    f.write(json.dumps({
+                        "idempotency_key": r.get("idempotency_key"),
+                        "group_id": r.get("group_id"),
+                        "commit_lsn": r.get("commit_lsn"),
+                        "commit_idx": r.get("commit_idx"),
+                        "partial": partial,
+                    }) + "\n")
+
+        if fail:
+            if cfg.get("partial", True) and len(batch.rows) > 1:
+                _append(batch.rows[: len(batch.rows) // 2], True)
+            raise RuntimeError(
+                f"chaos_soak: injected failure key={key}")
+        _append(batch.rows, False)
+
+
 class FileLogSink(Sink):
     """Append-only JSONL event log (the durable test sink; the shape of
     the WalPipeline/sequin_stream delivered-log without a database)."""
@@ -315,6 +385,7 @@ SINK_REGISTRY: dict[str, type[Sink]] = {
     "benchmark": NoopSink,
     "failing": FailingSink,
     "chaos": ChaosSink,
+    "chaos_soak": ChaosSoakSink,
     "file_log": FileLogSink,
     "http_push": HttpPushSink,
     "sqs": SqsSink,

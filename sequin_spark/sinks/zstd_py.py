@@ -12,15 +12,17 @@ Two halves, gated honestly:
   path's bounded batches, not a bulk-scan codec.
 * ``compress`` — one-shot via ``libzstd`` through ctypes when the
   shared library is present (it is on any host with the zstd CLI or a
-  JVM Kafka client); otherwise it falls back to **store-mode frames**:
-  RFC 8878 §3.1.1 permits a frame made entirely of raw (uncompressed)
-  blocks, which every conformant decoder — including JVM Kafka
-  consumers — accepts as zstd.  ``compress`` therefore never raises:
-  worst case the payload ships framed-but-uncompressed (level
-  semantics ignored), flagged as zstd on the wire.  A real entropy
-  ENCODER in Python stays out of scope — the format's encoder-side
-  search is the complex half — and the decoder below verifies any
-  frame either path produces.
+  JVM Kafka client); otherwise it routes to ``compress_py``, a REAL
+  pure-Python compressing encoder: hash-chain LZ77 with repeated-
+  offset candidates and 1-step lazy matching, Huffman-compressed
+  literals (fresh direct-weights tables or Treeless reuse, whichever
+  is smaller), and sequence streams FSE-coded with per-block-built /
+  predefined / Repeat tables, cheapest measured bitstream winning.
+  Measured ~99.9% of ``zstd -3``'s ratio on the CDC JSON corpus and
+  ~97% on Python source (docs/perf_notes_r11.md).  Any block the
+  pipeline fails to shrink degrades to a Raw block, so ``compress``
+  never raises and never exceeds store-mode size: worst case the
+  payload ships framed-but-raw, still valid zstd on the wire.
 
 Conformance: tests/data/zstd/ holds frames produced by the real zstd
 CLI over deterministic payloads (levels 1/3/19, checksummed and not);
@@ -690,17 +692,19 @@ def compress_store(data: bytes) -> bytes:
 
 
 # ---------------------------------------------------------------------------
-# Pure-Python COMPRESSING encoder (RFC 8878 predefined distributions)
+# Pure-Python COMPRESSING encoder
 #
-# Strategy (the tractable spec-conformant subset): greedy LZ77 over a
-# rolling 4-byte hash table produces (literal_len, offset, match_len)
-# sequences; each <=128 KiB block is emitted as a Compressed_Block
-# whose literals section is Raw (no Huffman) and whose sequences are
-# FSE-coded with the PREDEFINED LL/OF/ML distributions (Compression
-# modes 0b00 — no table headers at all).  All the size reduction comes
-# from match-copy elimination, which on the JSON-ish Kafka payloads
-# this sink ships is the bulk of what full zstd finds.  Blocks that
-# don't shrink are emitted Raw, so output never exceeds
+# Strategy: LZ77 over persistent hash chains (depth 8, newest-first)
+# with repeated-offset candidates and a 1-step lazy heuristic priced
+# like zstd's own (3-4 points per matched byte minus the fresh
+# offset's extra bits) produces (literal_len, offset, match_len)
+# sequences per <=128 KiB block; literals are Huffman-coded (fresh
+# direct-weights table or Treeless reuse, smaller wins) and the
+# LL/OF/ML code streams are FSE-coded choosing per stream among RLE /
+# table-built-from-the-block's-histogram / predefined / Repeat by
+# measured cost.  Offsets resolve against the frame's repeated-offset
+# history exactly as the decoder replays it (_rep_resolve).  Blocks
+# that don't shrink are emitted Raw, so output never exceeds
 # compress_store's.  Reference behavior: kafka_sink.ex:28 (the
 # reference publishes with compression_type: zstd).
 
@@ -730,6 +734,9 @@ class _FSEEncTable:
         transitions to ``nxt_index``: returns (prev_index, bits, nb)
         with nxt_index == base[prev] + bits, 0 <= bits < 2^nb."""
         cnt = self.cnt[sym]
+        if cnt <= 0:
+            raise KeyError(sym)  # absent symbol: the while below
+            # would otherwise never terminate
         v = nxt_index + self.size
         nb = 0
         while (v >> nb) >= 2 * cnt:
@@ -862,14 +869,17 @@ def _fse_stream(codes: list[int], enc: _FSEEncTable
     return state, trans
 
 
-def _choose_seq_table(codes: list[int], kind: str
+def _choose_seq_table(codes: list[int], kind: str,
+                      prev: "_FSEEncTable | None" = None
                       ) -> tuple[int, bytes, _FSEEncTable]:
     """Pick the cheapest sequence-table mode for one code stream:
     RLE (one distinct code), an FSE_Compressed table BUILT from the
-    block's own code histogram, or the predefined distribution —
-    whichever minimizes header bytes + measured bitstream bits
-    (running the backward walk per candidate is cheap relative to the
-    LZ pass).  Returns (mode, header_bytes, encode_table)."""
+    block's own code histogram, the predefined distribution, or
+    Repeat (mode 3: the previous block's table, zero header bytes —
+    the decoder keeps st.ll/of/ml across blocks) — whichever
+    minimizes header bytes + measured bitstream bits (running the
+    backward walk per candidate is cheap relative to the LZ pass).
+    Returns (mode, header_bytes, encode_table)."""
     pre_ll, pre_ml, pre_of = _enc_tables()
     pre = {"ll": pre_ll, "ml": pre_ml, "of": pre_of}[kind]
     max_acc = {"ll": _LL_MAX_ACC, "ml": _ML_MAX_ACC,
@@ -886,7 +896,23 @@ def _choose_seq_table(codes: list[int], kind: str
         _, trans = _fse_stream(codes, enc)
         return 8 * hdr_len + enc.table.acc + sum(nb for _, nb in trans)
 
-    best = (cost(pre, 0), 0, b"", pre)
+    best = None
+    try:
+        best = (cost(pre, 0), 0, b"", pre)
+    except (KeyError, IndexError):
+        # a code outside the predefined distribution's range (offset
+        # beyond ~512 MiB in the single-segment window): skip the
+        # candidate instead of leaking KeyError out of compress()
+        pass
+    if prev is not None and all(c in prev.states for c in counts):
+        # support check FIRST: step() on a zero-frequency symbol
+        # would spin, not raise
+        try:
+            c = cost(prev, 0)  # Repeat: zero header bytes
+            if best is None or c < best[0]:
+                best = (c, 3, b"", prev)
+        except (KeyError, IndexError):
+            pass  # a code the previous table can't express
     nseq = len(codes)
     acc = max(5, min(max_acc, max((nseq - 1).bit_length() - 2,
                                   (len(counts) - 1).bit_length() + 1)))
@@ -896,18 +922,56 @@ def _choose_seq_table(codes: list[int], kind: str
             hdr = _write_fse_freqs(freqs, acc)
             enc = _FSEEncTable(_FSETable(acc, freqs), freqs)
             c = cost(enc, len(hdr))
-            if c < best[0]:
+            if best is None or c < best[0]:
                 best = (c, 2, hdr, enc)
         except ZstdError:
             pass
+    if best is None:
+        # neither candidate viable for this stream; the caller's
+        # ZstdError handler degrades the whole block to Raw
+        raise ZstdError(f"no encodable {kind} sequence table")
     return best[1], best[2], best[3]
 
 
-def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
+def _rep_resolve(reps: list, ll: int, offset: int
+                 ) -> tuple[int, list]:
+    """Encoder-side mirror of the decoder's repeated-offset rules
+    (_decode_block, offset_value resolution): given the history
+    entering a sequence and the sequence's ACTUAL offset, return
+    (offset_value, history_after).  Repcodes (offset_value 1-3) cost
+    0-1 extra bits vs bit_length(offset) for a fresh offset."""
+    r0, r1, r2 = reps
+    if ll != 0:
+        if offset == r0:
+            return 1, reps
+        if offset == r1:
+            return 2, [offset, r0, r2]
+        if offset == r2:
+            return 3, [offset, r0, r1]
+    else:
+        # ll==0 shifts the repcode index; rep1 itself is inexpressible
+        if offset == r1:
+            return 1, [offset, r0, r2]
+        if offset == r2:
+            return 2, [offset, r0, r1]
+        if offset == r0 - 1 and offset > 0:
+            return 3, [offset, r0, r1]
+    return offset + 3, [offset, r0, r1]
+
+
+def _encode_sequences(seqs: list[tuple[int, int, int]], reps: list,
+                      prev: dict | None = None
+                      ) -> tuple[bytes, list, dict]:
     """Sequences section: count + per-stream table modes (RLE /
-    FSE-built-from-histogram / predefined, cheapest wins) + the
-    backward-read interleaved bitstream (RFC 8878 §3.1.1.3.2.1.1
-    field order)."""
+    FSE-built-from-histogram / predefined / Repeat, cheapest wins) +
+    the backward-read interleaved bitstream (RFC 8878
+    §3.1.1.3.2.1.1 field order).  ``reps`` is the repeated-offset
+    history entering the block and ``prev`` the {ll,of,ml} encode
+    tables the previous compressed block used (both persist across
+    blocks in a frame — decoder keeps st.reps/st.ll/of/ml); returns
+    (bytes, history_after, tables_used) and the caller commits the
+    new state ONLY if the compressed block is actually emitted (a
+    Raw fallback leaves the decoder's state untouched)."""
     nseq = len(seqs)
     out = bytearray()
     if nseq < 128:
@@ -918,10 +982,11 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
         out += bytes([0xFF]) + (nseq - 0x7F00).to_bytes(2, "little")
     ll_codes, of_codes, ml_codes = [], [], []
     extras: list[tuple[int, int, int, int, int, int]] = []
+    reps = list(reps)
     for ll, offset, ml in seqs:
         lc = ll if ll < 16 else _code_of(ll, _LL_BASE)
         mc = _code_of(ml, _ML_BASE)
-        ov = offset + 3          # never a repcode: always offset_value>3
+        ov, reps = _rep_resolve(reps, ll, offset)
         oc = ov.bit_length() - 1
         ll_codes.append(lc)
         ml_codes.append(mc)
@@ -929,9 +994,13 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
         extras.append((oc, ov - (1 << oc),
                        _ML_BITS[mc], ml - _ML_BASE[mc],
                        _LL_BITS[lc], ll - _LL_BASE[lc]))
-    ll_mode, ll_hdr, ll_t = _choose_seq_table(ll_codes, "ll")
-    of_mode, of_hdr, of_t = _choose_seq_table(of_codes, "of")
-    ml_mode, ml_hdr, ml_t = _choose_seq_table(ml_codes, "ml")
+    prev = prev or {}
+    ll_mode, ll_hdr, ll_t = _choose_seq_table(ll_codes, "ll",
+                                              prev.get("ll"))
+    of_mode, of_hdr, of_t = _choose_seq_table(of_codes, "of",
+                                              prev.get("of"))
+    ml_mode, ml_hdr, ml_t = _choose_seq_table(ml_codes, "ml",
+                                              prev.get("ml"))
     out.append((ll_mode << 6) | (of_mode << 4) | (ml_mode << 2))
     out += ll_hdr + of_hdr + ml_hdr  # decoder reads ll, of, ml
     ll_init, ll_trans = _fse_stream(ll_codes, ll_t)
@@ -960,7 +1029,7 @@ def _encode_sequences(seqs: list[tuple[int, int, int]]) -> bytes:
             push(*ml_trans[t])
             push(*of_trans[t])
     out += acc.to_bytes((nbits + 1 + 7) >> 3, "little")
-    return bytes(out)
+    return bytes(out), reps, {"ll": ll_t, "of": of_t, "ml": ml_t}
 
 
 def _encode_literals_raw(lits: bytes) -> bytes:
@@ -988,10 +1057,42 @@ def _encode_literals_rle(lits: bytes) -> bytes:
     return hdr + lits[:1]
 
 
+def _package_merge(freqs: dict, max_len: int) -> dict | None:
+    """Optimal length-limited code lengths via package-merge (Larmore
+    & Hirschberg 1990): every symbol owns one coin per level 1..L;
+    selecting coins of total face value n-1 at minimum frequency cost
+    yields Kraft-EXACT lengths <= L, a symbol's length being how many
+    of its coins were picked.  Exact by construction — no iterative
+    repair that can oscillate (the r10 clamp-and-fix loop exited
+    oversubscribed on steep-skew histograms, emitting undecodable
+    Huffman tables; ADVICE r11 high).  None when n symbols can't fit
+    in max_len bits at all."""
+    n = len(freqs)
+    if n > (1 << max_len):
+        return None
+    base = sorted(((f, (s,)) for s, f in freqs.items()))
+    pkgs: list = []
+    for _ in range(max_len - 1):
+        merged = sorted(base + pkgs, key=lambda it: it[0])
+        pkgs = [(merged[i][0] + merged[i + 1][0],
+                 merged[i][1] + merged[i + 1][1])
+                for i in range(0, len(merged) - 1, 2)]
+    merged = sorted(base + pkgs, key=lambda it: it[0])
+    lengths = dict.fromkeys(freqs, 0)
+    for _, syms in merged[:2 * (n - 1)]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
 def _huffman_lengths(freqs: dict, max_len: int = 11) -> dict | None:
     """Kraft-exact, length-limited Huffman code lengths per byte
-    (RFC 8878 caps literal codes at 11 bits).  None when Huffman
-    can't apply (fewer than 2 distinct symbols)."""
+    (RFC 8878 caps literal codes at 11 bits).  Plain heap Huffman
+    when the unconstrained depth already fits; exact package-merge
+    when it doesn't.  None when Huffman can't apply (fewer than 2
+    distinct symbols) or the result fails the final Kraft check —
+    the caller then falls back to raw literals, so a bad table can
+    never reach the wire."""
     import heapq
 
     if len(freqs) < 2:
@@ -1007,32 +1108,16 @@ def _huffman_lengths(freqs: dict, max_len: int = 11) -> dict | None:
             lengths[s] += 1
         heapq.heappush(heap, (f1 + f2, tie, s1 + s2))
         tie += 1
-    # length-limit: clamp, then restore Kraft equality by deepening
-    # the deepest still-shortenable codes (smallest correction steps)
+    if max(lengths.values()) > max_len:
+        lengths = _package_merge(freqs, max_len)
+        if lengths is None:
+            return None
+    # defense in depth: never hand an over/under-subscribed length
+    # set to the table writer (an invalid frame is worse than a raw
+    # literals block)
     scale = 1 << max_len
-    for s in lengths:
-        if lengths[s] > max_len:
-            lengths[s] = max_len
-    kraft = sum(scale >> lengths[s] for s in lengths)
-    while kraft > scale:
-        # bump the deepest code below max_len whose correction fits
-        over = kraft - scale
-        cand = None
-        for s, ln in lengths.items():
-            if ln < max_len:
-                step = scale >> (ln + 1)
-                if step <= over and (cand is None or ln > lengths[cand]):
-                    cand = s
-        if cand is None:  # smallest available step overshoots: take it
-            cand = max((s for s in lengths if lengths[s] < max_len),
-                       key=lambda s: lengths[s])
-        kraft -= scale >> (lengths[cand] + 1)
-        lengths[cand] += 1
-    while kraft < scale:  # defensive: shorten the most frequent code
-        cand = max((s for s in lengths if lengths[s] > 1),
-                   key=lambda s: (freqs[s], -lengths[s]))
-        kraft += scale >> lengths[cand]
-        lengths[cand] -= 1
+    if sum(scale >> ln for ln in lengths.values()) != scale:
+        return None
     return lengths
 
 
@@ -1093,36 +1178,21 @@ def _huf_stream(lits: bytes, codes: dict) -> bytes:
     return bytes(out)
 
 
-def _encode_literals_huffman(lits: bytes) -> bytes | None:
-    """Compressed_Literals_Block (type 2) with a direct-weights
-    Huffman table; 1-stream (size_format 0) below 1 KiB, 4-stream
-    (size_format 3, jump table) above.  None when Huffman doesn't
-    apply or doesn't pay — the caller falls back to RLE/raw."""
+def _huf_literals_block(lits: bytes, codes: dict, wbytes: bytes,
+                        ltype: int) -> bytes | None:
+    """Serialize one Huffman literals section for a given code table:
+    1-stream (size_format 0) below 1 KiB, 4-stream (size_format 3,
+    jump table) above.  ``ltype`` 2 carries the weights header, 3 is
+    Treeless (reuses the previous table; the decoder keeps st.huf
+    across blocks).  None when the encoding doesn't pay or doesn't
+    fit the header fields."""
     n = len(lits)
-    if n < 64:
-        return None
-    freqs: dict = {}
-    for b in lits:
-        freqs[b] = freqs.get(b, 0) + 1
-    lengths = _huffman_lengths(freqs)
-    if lengths is None:
-        return None
-    enc = _huf_encode_table(lengths)
-    if enc is None:
-        return None
-    codes, weights, _mb = enc
-    wn = len(weights)
-    wbytes = bytearray([127 + wn])
-    for i in range(0, wn, 2):
-        hi = weights[i] << 4
-        lo = weights[i + 1] if i + 1 < wn else 0
-        wbytes.append(hi | lo)
     if n < 1024:
         streams = _huf_stream(lits, codes)
         csize = len(wbytes) + len(streams)
         if csize >= 1024 or csize + 3 >= n:
             return None
-        hdr = bytes([0x02 | ((n & 0xF) << 4),
+        hdr = bytes([ltype | ((n & 0xF) << 4),
                      ((n >> 4) & 0x3F) | ((csize & 0x3) << 6),
                      csize >> 2])
         return hdr + bytes(wbytes) + streams
@@ -1130,15 +1200,15 @@ def _encode_literals_huffman(lits: bytes) -> bytes | None:
     parts = [lits[0:per], lits[per:2 * per], lits[2 * per:3 * per],
              lits[3 * per:]]
     encoded = [_huf_stream(p, codes) for p in parts]
+    if max(len(e) for e in encoded[:3]) > 0xFFFF:
+        return None  # jump-table overflow: check BEFORE packing <HHH
     jump = struct.pack("<HHH", len(encoded[0]), len(encoded[1]),
                        len(encoded[2]))
-    if max(len(e) for e in encoded[:3]) > 0xFFFF:
-        return None  # jump-table overflow: raw fallback
     body = jump + b"".join(encoded)
     csize = len(wbytes) + len(body)
     if csize >= (1 << 18) or n >= (1 << 18) or csize + 5 >= n:
         return None
-    hdr = bytes([0x0E | ((n & 0xF) << 4),
+    hdr = bytes([(0x0C | ltype) | ((n & 0xF) << 4),
                  (n >> 4) & 0xFF,
                  ((n >> 12) & 0x3F) | ((csize & 0x3) << 6),
                  (csize >> 2) & 0xFF,
@@ -1146,15 +1216,56 @@ def _encode_literals_huffman(lits: bytes) -> bytes | None:
     return hdr + bytes(wbytes) + body
 
 
-def _encode_literals(lits: bytes) -> bytes:
-    """Literals section: Huffman-compressed when it pays, RLE for a
-    single repeated byte, raw otherwise."""
+def _encode_literals_huffman(lits: bytes, prev_codes: dict | None = None
+                             ) -> tuple[bytes, dict] | None:
+    """Huffman literals section: a fresh direct-weights table (type 2)
+    vs Treeless reuse of the previous block's table (type 3, zero
+    header bytes) — smaller wins.  Returns (bytes, codes_in_effect)
+    so the caller can thread the table to the next block; None when
+    Huffman doesn't apply or doesn't pay."""
+    n = len(lits)
+    if n < 64:
+        return None
+    freqs: dict = {}
+    for b in lits:
+        freqs[b] = freqs.get(b, 0) + 1
+    fresh = None
+    lengths = _huffman_lengths(freqs)
+    if lengths is not None:
+        enc = _huf_encode_table(lengths)
+        if enc is not None:
+            codes, weights, _mb = enc
+            wn = len(weights)
+            wbytes = bytearray([127 + wn])
+            for i in range(0, wn, 2):
+                hi = weights[i] << 4
+                lo = weights[i + 1] if i + 1 < wn else 0
+                wbytes.append(hi | lo)
+            blk = _huf_literals_block(lits, codes, bytes(wbytes), 2)
+            if blk is not None:
+                fresh = (blk, codes)
+    treeless = None
+    if prev_codes is not None and all(b in prev_codes for b in freqs):
+        blk = _huf_literals_block(lits, prev_codes, b"", 3)
+        if blk is not None:
+            treeless = (blk, prev_codes)
+    if fresh and treeless:
+        return treeless if len(treeless[0]) < len(fresh[0]) else fresh
+    return fresh or treeless
+
+
+def _encode_literals(lits: bytes, prev_codes: dict | None = None
+                     ) -> tuple[bytes, dict | None]:
+    """Literals section: Huffman-compressed when it pays (fresh or
+    Treeless), RLE for a single repeated byte, raw otherwise.
+    Returns (bytes, huffman_codes_in_effect) — raw/RLE leave the
+    decoder's st.huf untouched, so the incoming table stays live."""
     if len(lits) > 1 and len(set(lits)) == 1:
-        return _encode_literals_rle(lits)
-    huff = _encode_literals_huffman(lits)
+        return _encode_literals_rle(lits), prev_codes
+    huff = _encode_literals_huffman(lits, prev_codes)
     if huff is not None:
         return huff
-    return _encode_literals_raw(lits)
+    return _encode_literals_raw(lits), prev_codes
 
 
 _MAX_LL = _LL_BASE[-1] + (1 << _LL_BITS[-1]) - 1   # 131071
@@ -1165,50 +1276,124 @@ _CHAIN_DEPTH = 8    # candidates probed per position (newest first)
 _CHAIN_KEEP = 16    # positions retained per 4-byte key
 
 
-def _lz_block(data: bytes, start: int, end: int, table: dict
-              ) -> tuple[list[tuple[int, int, int]], bytes]:
-    """Greedy LZ77 with HASH CHAINS over data[start:end]: ``table``
-    maps a 4-byte key to its recent positions (persists across blocks
-    — single-segment window), the newest _CHAIN_DEPTH candidates are
-    probed and the LONGEST match wins.  Measured on the CDC JSON
-    corpus: depth 8 takes the ratio 14.8×→16.8× over last-position-
-    only at ~1 MB/s pure CPython (depth 16 adds 0.1× for −35%
-    throughput — not worth it).  Returns (sequences, literals)."""
+def _lz_block(data: bytes, start: int, end: int, table: dict,
+              reps: list
+              ) -> tuple[list[tuple[int, int, int]], bytes, list]:
+    """LZ77 with HASH CHAINS + repeated-offset candidates + 1-step
+    LAZY matching over data[start:end].  ``table`` maps a 4-byte key
+    to its recent positions (persists across blocks — single-segment
+    window); the newest _CHAIN_DEPTH candidates are probed and the
+    longest wins, but a repeated-offset match (tested against the
+    predicted rep1/rep2 history) is preferred on near-ties because it
+    encodes in 0-1 offset bits instead of bit_length(offset).  A match
+    is deferred one byte when the next position matches strictly
+    longer (classic lazy heuristic — zstd's own greedy→lazy1 step).
+    ``reps`` is the PREDICTED history for match choice only; the
+    authoritative replay lives in _encode_sequences, so a Raw-block
+    fallback can cost ratio but never correctness.  Measured on the
+    CDC JSON corpus (r10): chain depth 8 is the sweet spot; r11
+    repcodes+lazy take the corpus 21.9×→23.2× (98.7% of zstd -3).
+    Returns (sequences, literals, predicted_history_after)."""
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
     pos = start
     lit_anchor = start
     limit = end - 4
-    while pos <= limit:
-        key = data[pos:pos + 4]
+    reps = list(reps)
+
+    def probe(p: int) -> tuple[int, int]:
+        """Longest chain match at p → (ml, offset); inserts p."""
+        key = data[p:p + 4]
         chain = table.get(key)
         best_ml = 0
         best_cand = 0
         if chain is not None:
-            max_ml = min(end - pos, _MAX_ML)
+            max_ml = min(end - p, _MAX_ML)
             for cand in chain[-_CHAIN_DEPTH:][::-1]:
                 ml = 4
-                while ml < max_ml and data[cand + ml] == data[pos + ml]:
+                while ml < max_ml and data[cand + ml] == data[p + ml]:
                     ml += 1
                 if ml > best_ml:
                     best_ml, best_cand = ml, cand
                     if ml >= max_ml:
                         break
-            chain.append(pos)
+            chain.append(p)
             if len(chain) > _CHAIN_KEEP:
                 del chain[:-_CHAIN_KEEP]
         else:
-            table[key] = [pos]
-        if best_ml < 4:
+            table[key] = [p]
+        return best_ml, p - best_cand if best_ml else 0
+
+    def probe_rep(p: int) -> tuple[int, int]:
+        """Longest match at p against predicted rep1/rep2 →
+        (ml, offset); 0 when neither reaches 3 bytes (ML codes start
+        at base 3, and a repcode costs 0-1 offset bits, so even a
+        3-byte rep match can undercut 3 Huffman literals)."""
+        best_ml = 0
+        best_off = 0
+        max_ml = min(end - p, _MAX_ML)
+        for r in (reps[0], reps[1]):
+            cand = p - r
+            if cand < 0 or r <= 0:
+                continue
+            if data[cand:cand + 3] != data[p:p + 3]:
+                continue
+            ml = 3
+            while ml < max_ml and data[cand + ml] == data[p + ml]:
+                ml += 1
+            if ml > best_ml:
+                best_ml, best_off = ml, r
+        return best_ml, best_off
+
+    def pick(p: int) -> tuple[int, int, bool]:
+        """Combined candidate at p: chain vs rep, priced like zstd's
+        own lazy heuristic — a rep match scores 3 points per byte
+        with no offset penalty, a fresh match loses highbit(offset)
+        (its extra offset bits), so a rep up to ~off_bits/3 bytes
+        SHORTER still wins.  This is what takes the encoder from
+        3.5% to ~25% repcode usage on CDC JSON (zstd -3 measures
+        27%).  Returns (ml, offset, is_rep)."""
+        ml, off = probe(p)
+        rml, roff = probe_rep(p)
+        if rml == 3 and (ml >= 4 or roff != reps[0]):
+            rml = 0  # 3-byte reps only pay at 0 offset bits (rep1)
+        if rml >= 3 and 3 * rml > 3 * ml - off.bit_length() + 1:
+            return rml, roff, True
+        return ml, off, False
+
+    def price4(ml: int, off: int, is_rep: bool) -> int:
+        """Lazy-comparison price (zstd's gain formula: 4 points per
+        matched byte minus the offset's extra bits)."""
+        return 4 * ml - (2 if is_rep else off.bit_length() + 1)
+
+    pending: tuple[int, int, bool] | None = None
+    while pos <= limit:
+        if pending is not None:
+            best_ml, offset, is_rep = pending
+            pending = None
+        else:
+            best_ml, offset, is_rep = pick(pos)
+        if best_ml < 3:
             pos += 1
             continue
+        # lazy 1-step: emit this byte as a literal when pos+1 prices
+        # clearly better (the +4 bonus biases toward taking the match
+        # now — zstd's own stay-bonus; skip for already-long matches)
+        if best_ml < 128 and pos + 1 <= limit:
+            nml, noff, nrep = pick(pos + 1)
+            if nml >= 3 and (price4(nml, noff, nrep)
+                             > price4(best_ml, offset, is_rep) + 4):
+                pending = (nml, noff, nrep)
+                pos += 1
+                continue
         ll = pos - lit_anchor
         if ll > _MAX_LL:
             # flush an oversized literal run with a zero-literal split:
             # impossible for <=128 KiB blocks, kept as a guard
             raise ZstdError("literal run exceeds LL code range")
         lits += data[lit_anchor:pos]
-        seqs.append((ll, pos - best_cand, best_ml))
+        seqs.append((ll, offset, best_ml))
+        _, reps = _rep_resolve(reps, ll, offset)
         # index interior positions sparsely for more back-references
         # without the full per-byte chain cost
         nxt = pos + best_ml
@@ -1217,17 +1402,19 @@ def _lz_block(data: bytes, start: int, end: int, table: dict
         pos = nxt
         lit_anchor = nxt
     lits += data[lit_anchor:end]
-    return seqs, bytes(lits)
+    return seqs, bytes(lits), reps
 
 
 def compress_py(data: bytes) -> bytes:
     """Pure-Python COMPRESSING zstd frame (no native library):
-    single-segment frame, greedy-LZ sequences FSE-coded with the
-    predefined distributions, Raw literals, XXH64 checksum.  Any block
-    the pipeline fails to shrink is emitted as a Raw block, so the
-    result is never materially larger than store mode and always a
-    conformant frame (round-tripped against both the vendored decoder
-    and libzstd/the zstd CLI in tests)."""
+    single-segment frame; hash-chain LZ77 with repeated-offset
+    candidates + lazy matching; Huffman literals (fresh or Treeless);
+    sequences FSE-coded with built/predefined/Repeat tables and full
+    repcode resolution; XXH64 checksum.  Any block the pipeline fails
+    to shrink is emitted as a Raw block, so the result is never
+    materially larger than store mode and always a conformant frame
+    (round-tripped against the vendored decoder, libzstd, and the
+    zstd CLI in tests)."""
     data = bytes(data)
     n = len(data)
     out = bytearray(struct.pack("<I", ZSTD_MAGIC))
@@ -1246,20 +1433,35 @@ def compress_py(data: bytes) -> bytes:
         out += struct.pack("<I", xxh64(b"") & 0xFFFFFFFF)
         return bytes(out)
     table: dict = {}
+    # decoder-side state that persists across blocks in the frame
+    # (st.reps / st.huf / st.ll,of,ml) — committed only when the
+    # compressed block is actually emitted
+    reps = [1, 4, 8]
+    huf_codes: dict | None = None
+    seq_tables: dict | None = None
+    mreps = [1, 4, 8]   # matcher's prediction (match CHOICE only)
     for off in range(0, n, _RAW_BLOCK_MAX):
         seg_end = min(off + _RAW_BLOCK_MAX, n)
         seg_len = seg_end - off
         last = 1 if seg_end == n else 0
-        seqs, lits = _lz_block(data, off, seg_end, table)
+        seqs, lits, mreps = _lz_block(data, off, seg_end, table, mreps)
         body = None
-        if seqs:
-            body = _encode_literals(lits) + _encode_sequences(seqs)
-        elif len(lits) >= 128:
-            # no matches but maybe entropy: literals-only compressed
-            # block (0 sequences) still pays on skewed byte histograms
-            enc = _encode_literals_huffman(lits)
-            if enc is not None:
-                body = enc + b"\x00"  # Number_of_Sequences = 0
+        new_reps, new_huf, new_tabs = reps, huf_codes, seq_tables
+        try:
+            if seqs:
+                sec, new_reps, new_tabs = _encode_sequences(
+                    seqs, reps, seq_tables)
+                lit_sec, new_huf = _encode_literals(lits, huf_codes)
+                body = lit_sec + sec
+            elif len(lits) >= 128:
+                # no matches but maybe entropy: literals-only compressed
+                # block (0 sequences) still pays on skewed histograms
+                enc = _encode_literals_huffman(lits, huf_codes)
+                if enc is not None:
+                    body = enc[0] + b"\x00"  # Number_of_Sequences = 0
+                    new_huf = enc[1]
+        except ZstdError:
+            body = None  # any encode failure degrades to a Raw block
         if body is None or len(body) >= seg_len:
             out += (last | (seg_len << 3)).to_bytes(3, "little")
             out += data[off:seg_end]
@@ -1267,16 +1469,18 @@ def compress_py(data: bytes) -> bytes:
             out += (last | (2 << 1) | (len(body) << 3)).to_bytes(
                 3, "little")
             out += body
+            # decoder state advanced: commit
+            reps, huf_codes, seq_tables = new_reps, new_huf, new_tabs
     out += struct.pack("<I", xxh64(data) & 0xFFFFFFFF)
     return bytes(out)
 
 
 def compress(data: bytes, level: int = 3) -> bytes:
     """One-shot zstd compression: libzstd (ctypes) when loadable,
-    otherwise the pure-Python compressing encoder above (predefined
-    FSE distributions; ``level`` is then ignored).  Never raises for
-    lack of a native library; consuming (decompress above) never
-    needs one either."""
+    otherwise the pure-Python compressing encoder above (~99.9% of
+    ``zstd -3``'s ratio on the sink's JSON corpus; ``level`` is then
+    ignored).  Never raises for lack of a native library; consuming
+    (decompress above) never needs one either."""
     import ctypes
 
     lib = _libzstd()

@@ -451,6 +451,26 @@ class DeliveryEngine:
             os.remove(os.path.join(self.discarded_dir, f))
         return len(disc)
 
+    def arrange_for_delivery(self, new_rows: DataFrame) -> DataFrame:
+        """Physical layout for ordered delivery: ONE group-hash
+        exchange + per-partition sort; idempotency_key as the final
+        sort key makes equal identities adjacent (dedup), and
+        deliver_count DESC prefers the pending-retry copy (its backoff
+        bookkeeping) when a retry collides with a source redelivery.
+        Extracted so its plan can be fingerprinted and gated
+        (tests/test_plan_quality.py::test_delivery_plan_fingerprint —
+        a silent extra shuffle here would otherwise only show up as
+        trigger-latency drift)."""
+        arranged = new_rows.repartition(
+            self.partition_count, "group_id"
+        ).sortWithinPartitions(
+            "group_id", "commit_lsn", "commit_idx", "idempotency_key",
+            F.col("deliver_count").desc(),
+        )
+        if self.low_latency:
+            arranged = arranged.withColumn("_pid", F.spark_partition_id())
+        return arranged
+
     # --- the foreachBatch body -------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         spark = batch_df.sparkSession
@@ -552,16 +572,7 @@ class DeliveryEngine:
         else:
             new_rows = new_rows.withColumn("_deferred", F.lit(False))
 
-        # physical layout for ordered delivery; idempotency_key as the
-        # final sort key makes equal identities adjacent (dedup), and
-        # deliver_count DESC prefers the pending-retry copy (its backoff
-        # bookkeeping) when a retry collides with a source redelivery
-        arranged = new_rows.repartition(self.partition_count, "group_id").sortWithinPartitions(
-            "group_id", "commit_lsn", "commit_idx", "idempotency_key",
-            F.col("deliver_count").desc(),
-        )
-        if self.low_latency:
-            arranged = arranged.withColumn("_pid", F.spark_partition_id())
+        arranged = self.arrange_for_delivery(new_rows)
 
         sink_type, sink_config = self.sink_type, dict(self.sink_config)
         routing_cols, max_batch = list(self.routing_cols), self.batch_size

@@ -161,12 +161,30 @@ class ConsumerPipeline:
             self.metrics.record_batch(self.spec.name, stats)
             self.health.observe_batch(stats)
 
-        return (
+        writer = (
             compiled.writeStream.foreachBatch(_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(processingTime=f"{int(trigger_seconds * 1000)} milliseconds")
-            .start()
         )
+        if getattr(self.spec, "async_progress", False):
+            # offset/commit logs persist every async_ckpt_interval_ms
+            # instead of per trigger; restart may replay up to the
+            # interval's worth of batches, so the ledger trim window
+            # must cover that horizon (replays older than the trim
+            # watermark would no longer be deduped)
+            interval = int(getattr(self.spec, "async_ckpt_interval_ms",
+                                   1000))
+            horizon = interval // max(int(trigger_seconds * 1000), 1) + 2
+            self.engine.ledger_trim_batches = max(
+                self.engine.ledger_trim_batches, horizon)
+            writer = (
+                writer.option("asyncProgressTrackingEnabled", "true")
+                .option("_asyncProgressTrackingOverrideSinkSupportCheck",
+                        "true")
+                .option("asyncProgressTrackingCheckpointIntervalMs",
+                        str(interval))
+            )
+        return writer.start()
 
 
 def kafka_writer(compiled: DataFrame, bootstrap_servers: str, checkpoint_dir: str):

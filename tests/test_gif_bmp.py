@@ -1,10 +1,11 @@
 """GIF (LZW) and BMP pixel decoders (datapipe/multimodal) — the
 synth path (clear-per-pixel LZW) exercises the reset path only, so
-this file carries a TEST-ONLY **standard** GIF LZW compressor (real
-dictionary growth, width escalation 9→12 bits, deferred clear at 4096)
-and an interlaced writer, giving the decoder a genuine compressed
-stream to invert; BMP gets 24-bit true-color and top-down variants.
-No PIL/ImageMagick exists in this container, so the differential is
+the differential here drives the decoder with the package's STANDARD
+GIF LZW compressor (multimodal.encode_gif — real dictionary growth,
+width escalation 9→12 bits, deferred clear at 4096; promoted from this
+file in r11 to feed the realistic decode bench arms) and an interlaced
+writer; BMP gets 24-bit true-color and top-down variants.  No
+PIL/ImageMagick exists in this container, so the differential is
 self-contained like the JPEG one (tests/test_jpeg.py).
 """
 
@@ -14,78 +15,10 @@ import struct
 from sequin_spark.datapipe.multimodal import (
     decode_bmp,
     decode_gif,
+    encode_gif,
     synth_gray_bmp,
     synth_gray_gif,
 )
-
-# ---------------------------------------------------------------------------
-# test-only standard LZW GIF encoder
-
-
-def _lzw_encode(pixels: bytes, min_code_size: int = 8) -> bytes:
-    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
-    acc = nbits = 0
-    out = bytearray()
-
-    def push(code: int, width: int) -> None:
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    width = min_code_size + 1
-    table = {bytes([i]): i for i in range(clear)}
-    nxt = eoi + 1
-    push(clear, width)
-    cur = b""
-    for p in pixels:
-        cand = cur + bytes([p])
-        if cand in table:
-            cur = cand
-            continue
-        push(table[cur], width)
-        if nxt < 4096:
-            table[cand] = nxt
-            nxt += 1
-            # LATE width change (GIF convention): the decoder is one
-            # table-add behind, so the width grows only after code 2^W
-            # itself is defined
-            if nxt - 1 == (1 << width) and width < 12:
-                width += 1
-        else:  # deferred clear
-            push(clear, width)
-            table = {bytes([i]): i for i in range(clear)}
-            nxt = eoi + 1
-            width = min_code_size + 1
-        cur = bytes([p])
-    if cur:
-        push(table[cur], width)
-    push(eoi, width)
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
-
-
-def encode_gif(pixels: bytes, w: int, h: int,
-               interlaced: bool = False) -> bytes:
-    pal = bytes(v for i in range(256) for v in (i, i, i))
-    if interlaced:
-        order = ([r for r in range(0, h, 8)] + [r for r in range(4, h, 8)]
-                 + [r for r in range(2, h, 4)] + [r for r in range(1, h, 2)])
-        pixels = b"".join(pixels[r * w:(r + 1) * w] for r in order)
-    data = _lzw_encode(pixels)
-    blocks = bytearray([8])
-    for off in range(0, len(data), 255):
-        chunk = data[off:off + 255]
-        blocks += bytes([len(chunk)]) + chunk
-    blocks += b"\x00"
-    return (b"GIF89a" + struct.pack("<HHBBB", w, h, 0xF7, 0, 0) + pal
-            + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h,
-                                    0x40 if interlaced else 0)
-            + bytes(blocks) + b"\x3B")
 
 
 def _expected_luma(pixels: bytes) -> int:
@@ -168,3 +101,30 @@ def test_bmp_honest_errors():
     blob = bytearray(synth_gray_bmp(1))
     struct.pack_into("<I", blob, 30, 1)  # BI_RLE8 compression
     assert decode_bmp(bytes(blob))["status"] == "unsupported_compression_1"
+
+
+def test_zero_dimension_images_report_empty_not_crash():
+    """ADVICE r11 (low): a zero-dimension GIF/BMP previously hit
+    ZeroDivisionError (absent from the except tuples), killing the
+    whole mapInPandas task instead of yielding a per-row status."""
+    # GIF with a 0x0 image descriptor but a valid palette + a
+    # minimal LZW stream (clear + EOI)
+    pal = bytes(v for i in range(256) for v in (i, i, i))
+    gif = (b"GIF89a" + struct.pack("<HHBBB", 0, 0, 0xF7, 0, 0) + pal
+           + b"\x2C" + struct.pack("<HHHHB", 0, 0, 0, 0, 0)
+           + b"\x08"                 # LZW min code size
+           + b"\x03\x00\x01\x05"     # one sub-block: CLEAR, EOI-ish
+           + b"\x00" + b"\x3B")
+    d = decode_gif(gif)
+    assert d["status"] != "decoded"  # empty_image or truncated — not a crash
+
+    # BMP with width 0
+    blob = bytearray(synth_gray_bmp(1))
+    struct.pack_into("<i", blob, 18, 0)  # biWidth = 0
+    d = decode_bmp(bytes(blob))
+    assert d["status"] == "empty_image"
+    # BMP with height 0
+    blob = bytearray(synth_gray_bmp(1))
+    struct.pack_into("<i", blob, 22, 0)  # biHeight = 0
+    d = decode_bmp(bytes(blob))
+    assert d["status"] == "empty_image"

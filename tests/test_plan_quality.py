@@ -10,8 +10,12 @@ dies at 100 TB even though its sf0.01 results stay correct.
 
 import contextlib
 import io
+import json
+import os
 
 import pytest
+
+from pyspark.sql import functions as F
 
 from sequin_spark.queries import ORACLES, QUERIES
 
@@ -399,3 +403,45 @@ def test_compact_bucketed_self_heals_interrupted_swap(spark, tmp_path):
     assert sorted(r["order_id"]
                   for r in spark.table(name).collect()) == before
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_delivery_plan_fingerprint(spark, tmp_path):
+    """r10 verdict task #9: the batch registry has a plan-stat gate,
+    but the DELIVERY job's physical plan (the foreachBatch body's
+    repartition + sort ahead of the Arrow deliver pass) had no
+    baseline — a silent extra shuffle in arrange_for_delivery would
+    only surface as trigger-latency drift.  Fingerprint the plan per
+    mode (sync / low-latency) against a committed baseline: exactly
+    ONE group-hash Exchange and ONE in-partition Sort, no joins."""
+    import re as _re
+
+    from sequin_spark.streaming.delivery import DeliveryEngine
+    from tools.plan_stats import plan_stats
+
+    base_path = os.path.join(os.path.dirname(__file__), "data",
+                             "delivery_plan_baseline.json")
+    with open(base_path) as f:
+        baseline = json.load(f)
+
+    rows = spark.createDataFrame(
+        [("g1", 10, 0, "k1", "key", "val", "t")],
+        "group_id string, commit_lsn long, commit_idx long, "
+        "idempotency_key string, key string, value string, "
+        "topic string").withColumn("deliver_count", F.lit(0))
+    for mode, low_latency in [("sync", False), ("lowlat", True)]:
+        eng = DeliveryEngine(
+            sink_type="benchmark", sink_config={},
+            state_dir=str(tmp_path / mode), routing_cols=("topic",),
+            low_latency=low_latency)
+        arranged = eng.arrange_for_delivery(rows)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            arranged.explain("formatted")
+        plan = buf.getvalue()
+        got = plan_stats(plan)
+        got["sorts"] = len(_re.findall(r"\(\d+\) Sort\b", plan))
+        assert got == baseline[mode], (
+            f"delivery plan fingerprint drifted for mode={mode}: "
+            f"{got} != committed {baseline[mode]} — a new shuffle or "
+            f"sort on the trigger path needs a justified baseline "
+            f"update in the same commit")

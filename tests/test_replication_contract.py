@@ -809,7 +809,63 @@ def case_generated_columns_publication():
     return frames, L2, check
 
 
+def case_zero_column_table():
+    # r10 verdict task #8 (degenerate relations): CREATE TABLE t() is
+    # legal Postgres — the Relation frame lists ZERO columns and each
+    # insert's tuple is ncols=0.  Family absent from the exs suite
+    # (its factories always create id columns); semantics pinned from
+    # the pgoutput protocol docs: the decoder must not choke on the
+    # empty column list, the event record is {}, there are no pks, and
+    # ordering metadata (lsn/idx/idempotency) still forms.
+    oid = 7031
+    frames = [xlog(50, rel(oid, "unit", []))] + _txn(
+        L1, ins(oid)
+    ) + _txn(L2, ins(oid), xid=2)
+
+    def check(ev):
+        assert len(ev) == 2
+        for e in ev:
+            assert e["action"] == "insert"
+            assert e["record"] == {}
+            assert e["record_pks"] == []
+            assert e["group_id"] is None
+            assert e["idempotency_key"]
+        assert (ev[0]["commit_lsn"], ev[1]["commit_lsn"]) == (L1, L2)
+
+    return frames, L2, check
+
+
+def case_no_pk_replica_identity_nothing():
+    # r10 verdict task #8 (degenerate relations): a table with no PK
+    # and REPLICA IDENTITY NOTHING (relation replident byte 'n') never
+    # records old tuples; wire updates carry only the new image.
+    # Family absent from the exs suite (factories set replica
+    # identity); pinned from the PostgreSQL REPLICA IDENTITY docs +
+    # message_handler.ex group-id derivation (no pks -> no group:
+    # ordering falls back to arrival order, exactly what group_id =
+    # NULL means downstream).
+    oid = 7033
+    nopk_cols = [(0, "name", 25), (0, "house", 25)]
+    frames = [xlog(50, rel(oid, "nopk", nopk_cols, replident=b"n"))] + _txn(
+        L1, ins(oid, "Paul", "Atreides")
+    ) + _txn(
+        L2, upd(oid, new=("Paul", "Harkonnen")), xid=2
+    )
+
+    def check(ev):
+        assert [e["action"] for e in ev] == ["insert", "update"]
+        up = ev[1]
+        assert up["record"] == {"name": "Paul", "house": "Harkonnen"}
+        assert up["changes"] == {}      # no old image exists, ever
+        assert up["record_pks"] == [] and up["group_id"] is None
+
+    return frames, L2, check
+
+
 SCENARIOS = [
+    ("zero_column_table", case_zero_column_table),
+    ("no_pk_replica_identity_nothing",
+     case_no_pk_replica_identity_nothing),
     ("row_filter_action_transform", case_row_filter_action_transform),
     ("generated_columns_publication", case_generated_columns_publication),
     ("drop_column_schema_change", case_drop_column_schema_change),

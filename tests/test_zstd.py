@@ -382,3 +382,190 @@ def test_fse_freq_writer_reader_roundtrip():
         # reader may trail extra zeros from the repeat fields
         assert got[:len(freqs)] == freqs, trial
         assert all(f == 0 for f in got[len(freqs):]), trial
+
+
+# ---------------------------------------------------------------------------
+# r11: exact length-limited Huffman (package-merge), repcodes, lazy
+# matching, Treeless literals, Repeat FSE tables.
+
+
+def test_huffman_lengths_kraft_exact_on_skewed_histograms():
+    """ADVICE r11 (high): the r10 clamp-and-repair loop exited
+    OVERSUBSCRIBED on steep-skew histograms (~49% of the shapes
+    below), emitting undecodable Huffman tables.  The package-merge
+    rewrite must return Kraft-EXACT lengths <= 11 for every shape,
+    or None (raw-literals fallback) — never an invalid set."""
+    rng = random.Random(7)
+    for t in range(3000):
+        nsym = rng.randint(2, 200)
+        mode = t % 3
+        freqs = {}
+        for i in range(nsym):
+            if mode == 0:   # steep geometric skew — the killer class
+                f = max(1, int(100000 * (rng.uniform(1.5, 4.0) ** -i)))
+            elif mode == 1:  # power-of-two spread
+                f = rng.randint(1, 1 << rng.randint(0, 20))
+            else:            # exponential
+                f = max(1, int(rng.expovariate(1 / 50)))
+            freqs[i] = f
+        L = zstd_py._huffman_lengths(freqs)
+        if L is None:
+            continue
+        scale = 1 << 11
+        assert sum(scale >> ln for ln in L.values()) == scale, t
+        assert max(L.values()) <= 11 and min(L.values()) >= 1, t
+
+
+def test_compress_py_geometric_skew_frames_roundtrip():
+    """Full-frame regression for the same ADVICE finding: skewed
+    literal histograms at 80-120 KB must produce frames that decode
+    byte-identically (they previously failed with corrupt-weights /
+    stream-underrun errors on ~39% of trials)."""
+    rng = random.Random(42)
+    for t in range(12):
+        n = rng.randint(80000, 120000)
+        nsym = rng.randint(20, 180)
+        w = [rng.uniform(1.5, 4.0) ** -i for i in range(nsym)]
+        p = bytes(rng.choices(range(nsym), weights=w, k=n))
+        frame = zstd_py.compress_py(p)
+        assert zstd_py.decompress(frame) == p, t
+
+
+def test_compress_py_repcodes_used_and_roundtrip():
+    """r11 ratio work: the encoder resolves offsets against the
+    repeated-offset history (mirroring the decoder's _decode_block
+    rules) and the matcher prefers rep matches under zstd's own
+    pricing.  On the CDC-JSON shape the rep fraction must be
+    substantial — this is what closed the ratio gap from 95% to
+    ~99.9% of zstd -3."""
+    recs = b"".join(
+        b'{"record":{"id":%d,"status":"active","balance":%d},'
+        b'"metadata":{"table":"customers"},"action":"update"}\n'
+        % (i, (i * 37) % 10 ** 6) for i in range(5000))
+    frame = zstd_py.compress_py(recs)
+    assert zstd_py.decompress(frame) == recs
+    # count repcodes by re-walking the sequences with the decoder's
+    # own table machinery
+    pos = 4
+    b0 = frame[pos]; pos += 1
+    fcs_code = b0 >> 6
+    pos += [1, 2, 4, 8][fcs_code]
+    st = zstd_py._FrameState()
+    nseq_tot = 0
+    nrep = 0
+    while True:
+        hdr = int.from_bytes(frame[pos:pos + 3], "little"); pos += 3
+        last = hdr & 1; btype = (hdr >> 1) & 3; bsize = hdr >> 3
+        if btype != 2:
+            pos += bsize if btype == 0 else 1
+            if last:
+                break
+            continue
+        block = frame[pos:pos + bsize]; pos += bsize
+        _lits, p = zstd_py._decode_literals(block, 0, st)
+        b = block[p]
+        if b < 128:
+            nseq = b; p += 1
+        elif b < 255:
+            nseq = ((b - 128) << 8) + block[p + 1]; p += 2
+        else:
+            nseq = block[p + 1] + (block[p + 2] << 8) + 0x7F00; p += 3
+        if nseq:
+            modes = block[p]; p += 1
+            ll_t, p = zstd_py._seq_table(block, p, modes >> 6, "ll", st.ll)
+            of_t, p = zstd_py._seq_table(block, p, (modes >> 4) & 3,
+                                         "of", st.of)
+            ml_t, p = zstd_py._seq_table(block, p, (modes >> 2) & 3,
+                                         "ml", st.ml)
+            st.ll, st.of, st.ml = ll_t, of_t, ml_t
+            bs = zstd_py._BackBits(block[p:])
+            ll_s = bs.read(ll_t.acc)
+            of_s = bs.read(of_t.acc)
+            ml_s = bs.read(ml_t.acc)
+            for i in range(nseq):
+                of_code = of_t.sym[of_s]
+                ov = (1 << of_code) + bs.read(of_code)
+                ml_code = ml_t.sym[ml_s]
+                bs.read(zstd_py._ML_BITS[ml_code])
+                ll_code = ll_t.sym[ll_s]
+                bs.read(zstd_py._LL_BITS[ll_code])
+                nseq_tot += 1
+                if ov <= 3:
+                    nrep += 1
+                if i != nseq - 1:
+                    ll_s = ll_t.base[ll_s] + bs.read(ll_t.nbits[ll_s])
+                    ml_s = ml_t.base[ml_s] + bs.read(ml_t.nbits[ml_s])
+                    of_s = of_t.base[of_s] + bs.read(of_t.nbits[of_s])
+        if last:
+            break
+    assert nseq_tot > 100
+    assert nrep / nseq_tot > 0.10, (nrep, nseq_tot)
+
+
+def test_compress_py_treeless_and_repeat_tables_roundtrip():
+    """r11: multi-block inputs with stable byte/code distributions
+    exercise Treeless literals (mode 3) and Repeat FSE tables — both
+    reuse the previous block's tables, which the decoder keeps in
+    _FrameState.  Round-trip through the vendored decoder AND
+    libzstd; also check raw-block interleaving doesn't desync the
+    persisted state (state commits only on compressed emits)."""
+    import ctypes
+
+    rng = random.Random(31)
+    # ~400 KB of JSON-ish rows: 4 blocks, similar histograms
+    p = b"".join(
+        b'{"k%d":"%s","n":%d}\n'
+        % (i % 9, bytes(rng.choice(b"abcdef") for _ in range(12)), i)
+        for i in range(9000))
+    frame = zstd_py.compress_py(p)
+    assert zstd_py.decompress(frame) == p
+    # incompressible middle chunk forces a Raw block between
+    # compressed ones: persisted tables must survive the gap
+    mixed = p[:150000] + bytes(rng.getrandbits(8)
+                               for _ in range(140000)) + p[150000:]
+    frame2 = zstd_py.compress_py(mixed)
+    assert zstd_py.decompress(frame2) == mixed
+    lib = zstd_py._libzstd()
+    if lib is not None:
+        lib.ZSTD_decompress.restype = ctypes.c_size_t
+        lib.ZSTD_decompress.argtypes = [
+            ctypes.c_char_p, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.c_size_t]
+        for payload, fr in [(p, frame), (mixed, frame2)]:
+            buf = ctypes.create_string_buffer(len(payload))
+            n = lib.ZSTD_decompress(buf, len(payload), fr, len(fr))
+            assert not lib.ZSTD_isError(n) and buf.raw[:n] == payload
+
+
+def test_compress_py_ratio_parity_kafka_corpus():
+    """The r11 bar (verdict task #5): >=97% of zstd -3's ratio on the
+    Kafka JSON corpus.  Measured via libzstd when present; skipped
+    otherwise (the CLI conformance fixtures cover decode parity)."""
+    import json as _json
+
+    lib = zstd_py._libzstd()
+    if lib is None:
+        pytest.skip("libzstd not available for the -3 reference")
+    rng = random.Random(7)
+    recs = [
+        _json.dumps({
+            "record": {"id": i, "name": f"Customer {i % 97}",
+                       "status": rng.choice(["active", "inactive"]),
+                       "balance": rng.randrange(10 ** 6)},
+            "metadata": {"table_schema": "public",
+                         "table_name": "customers",
+                         "consumer": {"id": "6e2a", "name": "orders"},
+                         "commit_timestamp": "2024-05-01T12:00:00Z"},
+            "action": "update"}) for i in range(4000)]
+    payload = "\n".join(recs).encode()
+    ours = zstd_py.compress_py(payload)
+    assert zstd_py.decompress(ours) == payload
+    import ctypes
+    lib.ZSTD_compressBound.restype = ctypes.c_size_t
+    bound = lib.ZSTD_compressBound(len(payload))
+    buf = ctypes.create_string_buffer(bound)
+    n = lib.ZSTD_compress(buf, bound, payload, len(payload), 3)
+    assert not lib.ZSTD_isError(n)
+    ref_ratio = len(payload) / n
+    our_ratio = len(payload) / len(ours)
+    assert our_ratio >= 0.97 * ref_ratio, (our_ratio, ref_ratio)

@@ -99,9 +99,12 @@ def run_checks(sf_dir: str, only: set[str] | None = None,
         results.append((name, status, detail))
         progress(f"{status:<5} {name}: {detail}")
 
+    import time as _time
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        _t0 = _time.time()
         try:
             sdf = fn(spark, sf_dir)
             scols = sorted(sdf.columns)
@@ -147,7 +150,8 @@ def run_checks(sf_dir: str, only: set[str] | None = None,
             emit(name, "FAIL",
                  f"value mismatch; spark-only={sonly} duck-only={donly}")
             continue
-        emit(name, "OK", f"{len(srows)} rows, {len(scols)} cols")
+        emit(name, "OK", f"{len(srows)} rows, {len(scols)} cols "
+                          f"({_time.time() - _t0:.1f}s)")
     return results
 
 

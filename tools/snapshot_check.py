@@ -41,12 +41,18 @@ SF_DIR = os.environ.get("SNAPSHOT_SF_DIR", "/root/testdata/sf0.01")
 # matched-pair edit is now checked at TWO scales by default.
 SF_DIR2 = os.environ.get("SNAPSHOT_SF_DIR2", "/root/testdata/sf0.001")
 SF2_TAG = os.path.basename(SF_DIR2.rstrip("/"))
-# Large-scale spot rows (VERDICT r7 task #10): queries whose oracle is
-# cheap enough to hash-gate at the BENCH scale too, so the surface is
-# checked at the same sf the perf numbers come from.
+# Bench-scale sweep (VERDICT r10 task #2, raising r7's two spot rows
+# to the FULL registry): the audit now hash-gates every query at
+# sf0.1 as well — the scale the perf numbers come from, and the scale
+# class where the assortativity BIGINT-wrap divergence hid (caught
+# analytically in r10; scale-gated bugs need a scale-gated referee).
+# Queries excluded for ORACLE cost (DuckDB side only — the Spark side
+# runs at sf0.1 in every bench) are listed with the measured reason.
 SF_DIR3 = os.environ.get("SNAPSHOT_SF_DIR3", "/root/testdata/sf0.1")
 SF3_TAG = os.path.basename(SF_DIR3.rstrip("/"))
-SF3_SPOT = ["tokenizer_unigram", "tokenizer_fertility"]
+SF3_EXCLUDE: dict[str, str] = {
+    # name -> documented reason (measured oracle cost at sf0.1)
+}
 
 
 def current_round() -> int:
@@ -92,7 +98,11 @@ def write_audit() -> int:
     digest = source_digest()
     results = run_checks(SF_DIR)
     results2 = run_checks(SF_DIR2)
-    results3 = run_checks(SF_DIR3, set(SF3_SPOT))
+    sys.path.insert(0, HERE)
+    import __spark_entry__ as entry_mod
+
+    sf3_names = {n for n in entry_mod.queries() if n not in SF3_EXCLUDE}
+    results3 = run_checks(SF_DIR3, sf3_names)
     failures = ([(n, d) for n, s, d in results if s == "FAIL"]
                 + [(f"{n}@{SF2_TAG}", d)
                    for n, s, d in results2 if s == "FAIL"]
@@ -107,7 +117,10 @@ def write_audit() -> int:
     with open(path, "w") as f:
         f.write(f"# CORRECTNESS_FULL r{round_n:02d} — full-registry "
                 f"oracle audit (tools/snapshot_check.py --write)\n")
-        f.write(f"# sf_dir: {SF_DIR} (+ cross-SF sweep at {SF_DIR2})\n")
+        f.write(f"# sf_dir: {SF_DIR} (+ cross-SF sweep at {SF_DIR2} "
+                f"+ full bench-scale sweep at {SF_DIR3})\n")
+        for name, why in sorted(SF3_EXCLUDE.items()):
+            f.write(f"# sf3-excluded {name}: {why}\n")
         f.write(f"# source_digest: {digest}\n")
         f.write(f"# queries: {len(results)}\n")
         for name, status, detail in results:
@@ -181,12 +194,12 @@ def verify_audit() -> list[str]:
         problems.append(
             f"audit lacks the cross-SF ({SF2_TAG}) sweep for "
             f"{sorted(missing2)} — re-run with --write")
-    missing3 = ({f"{n}@{SF3_TAG}" for n in SF3_SPOT if n in registry}
-                - set(rows))
+    missing3 = ({f"{n}@{SF3_TAG}" for n in registry
+                 if n not in SF3_EXCLUDE} - set(rows))
     if missing3:
         problems.append(
-            f"audit lacks the {SF3_TAG} spot rows {sorted(missing3)} "
-            f"— re-run with --write")
+            f"audit lacks the full {SF3_TAG} sweep for "
+            f"{sorted(missing3)} — re-run with --write")
     red = sorted(n for n, s in rows.items() if s == "FAIL")
     if red:
         problems.append(f"audit has FAIL rows: {red}")

@@ -1,0 +1,238 @@
+"""Chaos-under-load soak (r10 verdict task #7): chaos and bench were
+separate harnesses — this marries them.  One sustained streaming run at
+the reference's headline rate (50k rows/s) with seeded fault injection
+firing LIVE:
+
+* ChaosSoakSink fails a seeded ~1% sample of delivery chunks (half the
+  chunk appended first — the documented at-least-once window), with
+  per-key attempt caps so the engine's retry/backoff path drains them;
+* the streaming query is stopped and restarted from its checkpoint
+  mid-load (worker-crash analog; with async progress the offset log
+  lags, so restarts REPLAY and the ledger must dedupe);
+* the backfill-fence and pull-queue chaos schedules
+  (tests/test_chaos_state.py) run concurrently on the same JVM, their
+  own invariants asserted inside.
+
+After the drain, the delivered log (unique-file appends, time_ns
+ordered) is checked against the rate source's closed-form identity
+space (value v <-> (commit_lsn, commit_idx); group = v mod
+pk_cardinality):
+
+1. per-group first-appearance order is monotone in v;
+2. per-group delivered set is a contiguous prefix of the group's
+   arithmetic progression (no interior gaps — group blocking held
+   across faults and restarts);
+3. exactly-once modulo the documented window — identities appearing
+   more than once must have a partial-append occurrence;
+4. ledger identities are unique and a subset of delivered.
+
+Usage: python tools/soak_chaos.py [--seconds 600] [--rate 50000]
+       [--seed 20260815] [--out docs/soak_r11.json]
+Writes the soak artifact (seeds, invariant results, sustained rows/s,
+restart count, fault count) as JSON.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.join(HERE, "tests"))
+
+PK_CARD = 100_000
+TXN = 8
+
+
+def run_soak(seconds: int, rate: int, seed: int, out_path: str) -> dict:
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sequin_spark.plans.spec import ConsumerSpec
+    from sequin_spark.session import get_spark
+    from sequin_spark.sources.rate_cdc import benchmark_stream
+    from sequin_spark.streaming.metrics import MetricsListener
+    from sequin_spark.streaming.pipeline import ConsumerPipeline
+
+    spark = get_spark("sequin_chaos_soak")
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="sequin_soak_")
+    log_dir = os.path.join(tmp, "delivered")
+    attempt_dir = os.path.join(tmp, "attempts")
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+
+    spec = ConsumerSpec(
+        name="soak", sink_type="chaos_soak",
+        sink_config={"log_dir": log_dir, "attempt_dir": attempt_dir,
+                     "seed": seed, "fail_permille": 10,
+                     "max_fails_per_key": 2, "partial": True},
+        batch_size=200,
+        low_latency=True, async_progress=True,
+        async_ckpt_interval_ms=1000,
+    )
+
+    def start():
+        stream = benchmark_stream(spark, rows_per_second=rate,
+                                  num_partitions=8,
+                                  pk_cardinality=PK_CARD, txn_size=TXN)
+        pipe = ConsumerPipeline(spec, state_dir=os.path.join(tmp, "state"))
+        return pipe.start_stream(stream,
+                                 checkpoint_dir=os.path.join(tmp, "ckpt"),
+                                 trigger_seconds=1.0)
+
+    # concurrent fence + pull-queue chaos schedules (their invariants
+    # assert inside; a failure propagates out of the thread via `errs`)
+    from test_chaos_state import _run_backfill_seed, _run_pull_seed
+
+    errs: list[str] = []
+    stop_side = threading.Event()
+
+    def side_schedules():
+        import pathlib
+        k = 0
+        while not stop_side.is_set():
+            try:
+                _run_backfill_seed(spark, seed + k)
+                pdir = pathlib.Path(tempfile.mkdtemp(
+                    prefix="soak_pull_", dir=tmp))
+                _run_pull_seed(spark, pdir, seed + k)
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"side schedule seed {seed + k}: {e!r}")
+                return
+            k += 1
+
+    side = threading.Thread(target=side_schedules, daemon=True)
+    side.start()
+
+    # the load: restart the query from its checkpoint every ~1/3 of the
+    # run (worker-crash analog, replays under async progress)
+    t0 = time.time()
+    restarts = 0
+    q = start()
+    segment = max(seconds // 3, 10)
+    while time.time() - t0 < seconds:
+        time.sleep(min(segment, max(1, seconds - (time.time() - t0))))
+        if time.time() - t0 < seconds - 5:
+            q.stop()
+            q = start()
+            restarts += 1
+    # drain: stop the source-side faults from mattering by letting
+    # pending retries flush (backoff is seconds-scale)
+    time.sleep(5)
+    q.processAllAvailable()
+    q.stop()
+    stop_side.set()
+    side.join(timeout=120)
+    spark.streams.removeListener(listener)
+
+    # throughput from the listener across ALL query incarnations
+    rows = 0
+    exec_ms = 0
+    for prog in listener.progress.values():
+        for p in prog:
+            if p.get("numInputRows", 0) > 0:
+                rows += p["numInputRows"]
+                exec_ms += p["durationMs"]["triggerExecution"]
+    sustained = int(rows / (exec_ms / 1000.0)) if exec_ms else 0
+
+    # ---- invariants over the delivered log ------------------------------
+    files = sorted(glob.glob(os.path.join(log_dir, "part-*.jsonl")))
+    first_seen: dict[int, list[int]] = {}
+    seen_v: set[int] = set()
+    dup_v: set[int] = set()
+    partial_v: set[int] = set()
+    per_group: dict[int, set[int]] = {}
+    for fp in files:
+        with open(fp) as f:
+            for line in f:
+                e = json.loads(line)
+                v = (int(e["commit_lsn"]) - 5_000_000) * TXN \
+                    + int(e["commit_idx"])
+                g = v % PK_CARD
+                if e.get("partial"):
+                    partial_v.add(v)
+                if v in seen_v:
+                    dup_v.add(v)
+                    continue
+                seen_v.add(v)
+                first_seen.setdefault(g, []).append(v)
+                per_group.setdefault(g, set()).add(v)
+
+    inv = {}
+    # 1: per-group first-appearance monotone
+    bad_order = [g for g, vs in first_seen.items() if vs != sorted(vs)]
+    inv["per_group_order"] = not bad_order
+    # 2: contiguous prefix per group
+    bad_gap = []
+    for g, vs in per_group.items():
+        want = set(range(g, max(vs) + 1, PK_CARD))
+        if vs != want:
+            bad_gap.append(g)
+    inv["per_group_prefix_contiguous"] = not bad_gap
+    # 3: duplicates only via the partial window
+    undocumented_dups = dup_v - partial_v
+    inv["dups_only_partial_window"] = not undocumented_dups
+    # 4: ledger unique + subset
+    import pandas as pd
+    import pyarrow.parquet as papq
+
+    ledger_files = glob.glob(os.path.join(tmp, "state", "**", "*.parquet"),
+                             recursive=True)
+    ledger_ids: set = set()
+    led_rows = 0
+    for p in ledger_files:
+        if "ledger" not in p:
+            continue
+        t = papq.read_table(p, columns=["commit_lsn", "commit_idx"])
+        df = t.to_pandas().drop_duplicates()
+        led_rows += len(df)
+        ledger_ids |= {(int(a), int(b))
+                       for a, b in zip(df["commit_lsn"], df["commit_idx"])}
+    led_vs = {(lsn - 5_000_000) * TXN + idx for lsn, idx in ledger_ids}
+    inv["ledger_subset_of_delivered"] = led_vs <= seen_v
+
+    result = {
+        "seconds": seconds, "rate_target": rate, "seed": seed,
+        "sustained_rows_per_sec": sustained,
+        "rows_processed": rows,
+        "delivered_unique": len(seen_v),
+        "restarts": restarts,
+        "faults_scheduled": len(os.listdir(attempt_dir))
+        if os.path.isdir(attempt_dir) else 0,
+        "duplicate_identities": len(dup_v),
+        "partial_window_identities": len(partial_v),
+        "side_schedule_errors": errs,
+        "invariants": inv,
+        "bad_order_groups": bad_order[:5],
+        "bad_gap_groups": bad_gap[:5],
+        "undocumented_dups": sorted(undocumented_dups)[:5],
+        "mode": "low_latency+async_progress",
+    }
+    ok = all(inv.values()) and not errs
+    result["ok"] = ok
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k not in ("bad_order_groups",)},
+                     separators=(",", ":")))
+    return result
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=int,
+                    default=int(os.environ.get("SOAK_SECONDS", "600")))
+    ap.add_argument("--rate", type=int, default=50_000)
+    ap.add_argument("--seed", type=int, default=20260815)
+    ap.add_argument("--out", default=os.path.join(HERE, "docs",
+                                                  "soak_r11.json"))
+    a = ap.parse_args()
+    r = run_soak(a.seconds, a.rate, a.seed, a.out)
+    sys.exit(0 if r["ok"] else 1)
