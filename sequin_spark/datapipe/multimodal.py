@@ -1824,3 +1824,246 @@ def synth_textured_jpeg(doc_id: int, blocks_w: int = 8,
     sos = seg(0xDA, bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + entropy
             + b"\xff\xd9")
+
+
+# ---------------------------------------------------------------------------
+# Audio CONTAINER probing — MP3 (MPEG-1 Layer III frame-header walk,
+# ISO/IEC 11172-3) and FLAC (STREAMINFO metadata-block walk, the
+# xiph.org spec) — pure stdlib, completing the container matrix:
+# image PNG/JPEG/GIF/BMP decode for real, audio WAV decodes + MP3/FLAC
+# probe, video MP4/MKV probe.  Same analytic-oracle pattern as the
+# video probes (synth parameters closed-form in doc_id); same 100 TB
+# plan shape (mapInPandas, no shuffle).  Reference parity n/a — the
+# reference has no media operators; this is the LLM-data-pipeline
+# brief.
+
+AUDIO_PROBE_SCHEMA = (
+    "doc_id long, container string, codec string, sample_rate int, "
+    "channels int, bits_per_sample int, bitrate_kbps int, "
+    "n_frames long, n_samples long, n_blocks int, duration_ms long, "
+    "status string"
+)
+
+# MPEG-1 Layer III bitrate table (kbps), index 1..14; 0 = free, 15 = bad.
+_MP3_BITRATE_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160,
+                     192, 224, 256, 320, 0)
+_MP3_SAMPLERATE_V1 = (44100, 48000, 32000, 0)
+_SAMPLES_PER_FRAME_V1L3 = 1152
+
+
+def _audio_none() -> dict:
+    return {"container": None, "codec": None, "sample_rate": None,
+            "channels": None, "bits_per_sample": None,
+            "bitrate_kbps": None, "n_frames": None, "n_samples": None,
+            "n_blocks": None, "duration_ms": None}
+
+
+def probe_mp3(blob: bytes) -> dict:
+    """MPEG audio probe: optional ID3v2 skip (syncsafe size), then a
+    frame-header walk — sync 0xFFE, MPEG-1 Layer III only (per-row
+    honest status for other versions/layers), frame length
+    144·bitrate/samplerate + padding.  Counts frames to total samples
+    (1152/frame) and integer-ms duration; an ID3v1 'TAG' trailer or
+    trailing junk ends the walk without failing a file that already
+    yielded frames.  Every malformed shape is a per-row status, never
+    an exception (the module's honesty contract)."""
+    out = _audio_none()
+    out["container"] = "mp3"
+    p = 0
+    # ID3v2 header: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if blob[:3] == b"ID3":
+        if len(blob) < 10:
+            out["status"] = "truncated"
+            return out
+        if any(b & 0x80 for b in blob[6:10]):
+            out["status"] = "bad_id3_size"
+            return out
+        tag = ((blob[6] << 21) | (blob[7] << 14)
+               | (blob[8] << 7) | blob[9])
+        p = 10 + tag
+    n_frames = 0
+    sr = br = ch = None
+    while p + 4 <= len(blob):
+        b0, b1, b2, b3 = blob[p:p + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break  # trailing junk / ID3v1 trailer — end of frame run
+        version = (b1 >> 3) & 3
+        layer = (b1 >> 1) & 3
+        if version != 3 or layer != 1:  # MPEG-1, Layer III
+            out["status"] = "unsupported_mpeg_variant"
+            return out
+        bi = b2 >> 4
+        sri = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        f_br = _MP3_BITRATE_V1L3[bi]
+        f_sr = _MP3_SAMPLERATE_V1[sri]
+        if f_br == 0 or f_sr == 0:
+            out["status"] = "bad_frame_header"
+            return out
+        flen = 144 * f_br * 1000 // f_sr + pad
+        if flen <= 4:
+            out["status"] = "bad_frame_header"
+            return out
+        if p + flen > len(blob):
+            out["status"] = "truncated"
+            return out
+        if n_frames == 0:
+            sr, br = f_sr, f_br
+            ch = 1 if (b3 >> 6) == 3 else 2
+        n_frames += 1
+        p += flen
+    if n_frames == 0:
+        out["status"] = "no_sync"
+        return out
+    n_samples = n_frames * _SAMPLES_PER_FRAME_V1L3
+    out.update({
+        "codec": "mp3", "sample_rate": sr, "channels": ch,
+        "bitrate_kbps": br, "n_frames": n_frames,
+        "n_samples": n_samples,
+        "duration_ms": n_samples * 1000 // sr,
+        "status": "probed",
+    })
+    return out
+
+
+def probe_flac(blob: bytes) -> dict:
+    """FLAC probe: 'fLaC' magic, then the metadata-block walk
+    (1-byte header: last-flag + type, 24-bit big-endian length).
+    STREAMINFO (type 0, 34 bytes) carries sample rate (20 bits),
+    channels−1 (3), bits-per-sample−1 (5), total samples (36) packed
+    into one 64-bit field after the block/frame size bounds.  Audio
+    FRAMES are not walked (frame count needs full frame-header
+    parsing — out of probe scope); n_blocks counts metadata blocks."""
+    out = _audio_none()
+    if blob[:4] != b"fLaC":
+        out["status"] = "not_flac"
+        return out
+    out["container"] = "flac"
+    p, n_blocks, seen_si = 4, 0, False
+    while True:
+        if p + 4 > len(blob):
+            out["status"] = "truncated"
+            return out
+        hdr = blob[p]
+        last, btype = hdr >> 7, hdr & 0x7F
+        blen = int.from_bytes(blob[p + 1:p + 4], "big")
+        if p + 4 + blen > len(blob):
+            out["status"] = "truncated"
+            return out
+        if btype == 0:
+            if blen < 34:
+                out["status"] = "bad_streaminfo"
+                return out
+            data = blob[p + 4:p + 4 + 34]
+            field = int.from_bytes(data[10:18], "big")
+            sr = field >> 44
+            if sr == 0:
+                out["status"] = "bad_streaminfo"
+                return out
+            total = field & ((1 << 36) - 1)
+            out.update({
+                "codec": "flac", "sample_rate": sr,
+                "channels": ((field >> 41) & 7) + 1,
+                "bits_per_sample": ((field >> 36) & 0x1F) + 1,
+                "n_samples": total,
+                "duration_ms": total * 1000 // sr,
+            })
+            seen_si = True
+        n_blocks += 1
+        p += 4 + blen
+        if last:
+            break
+    if not seen_si:
+        out["status"] = "no_streaminfo"
+        return out
+    out["n_blocks"] = n_blocks
+    out["status"] = "probed"
+    return out
+
+
+def probe_audio_containers(media: DataFrame) -> DataFrame:
+    """Arrow-batched MP3/FLAC container probe (dispatch on magic) —
+    mapInPandas over the partition's batches, no shuffle."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for doc_id, b in zip(batch["doc_id"], batch["blob"]):
+                blob = bytes(b) if b is not None else b""
+                if blob[:4] == b"fLaC":
+                    p = probe_flac(blob)
+                elif (blob[:3] == b"ID3"
+                      or (len(blob) >= 2 and blob[0] == 0xFF
+                          and (blob[1] & 0xE0) == 0xE0)):
+                    p = probe_mp3(blob)
+                else:
+                    p = _audio_none()
+                    p["status"] = "unrecognized"
+                p["doc_id"] = doc_id
+                rows.append(p)
+            out = pd.DataFrame(rows)
+            for c in ("sample_rate", "channels", "bits_per_sample",
+                      "bitrate_kbps", "n_blocks"):
+                out[c] = out[c].astype("Int32")
+            for c in ("n_frames", "n_samples", "duration_ms"):
+                out[c] = out[c].astype("Int64")
+            yield out[["doc_id", "container", "codec", "sample_rate",
+                       "channels", "bits_per_sample", "bitrate_kbps",
+                       "n_frames", "n_samples", "n_blocks",
+                       "duration_ms", "status"]]
+
+    return media.mapInPandas(run, schema=AUDIO_PROBE_SCHEMA)
+
+
+def synth_mp3(doc_id: int) -> bytes:
+    """Deterministic VALID MPEG-1 Layer III frame run, closed-form in
+    doc_id: sample_rate = (44100, 48000, 32000)[doc_id mod 3],
+    bitrate = V1L3 table[1 + doc_id mod 14], channels = 1 if doc_id
+    odd else 2, n_frames = 1 + doc_id mod 60; every 5th doc gets an
+    ID3v2 prefix and every 7th an ID3v1 'TAG' trailer (the probe must
+    skip both).  Frame payloads are zeros — the probe reads only
+    headers."""
+    sri = doc_id % 3
+    bi = 1 + doc_id % 14
+    nframes = 1 + doc_id % 60
+    mode = 3 if doc_id % 2 == 1 else 0  # mono : stereo
+    sr = _MP3_SAMPLERATE_V1[sri]
+    br = _MP3_BITRATE_V1L3[bi]
+    flen = 144 * br * 1000 // sr
+    hdr = bytes([0xFF, 0xFB, (bi << 4) | (sri << 2), mode << 6])
+    frame = hdr + bytes(flen - 4)
+    pre = b""
+    if doc_id % 5 == 0:
+        tag = 17 + doc_id % 23
+        pre = (b"ID3\x03\x00\x00"
+               + bytes([(tag >> 21) & 0x7F, (tag >> 14) & 0x7F,
+                        (tag >> 7) & 0x7F, tag & 0x7F])
+               + bytes(tag))
+    post = (b"TAG" + bytes(125)) if doc_id % 7 == 0 else b""
+    return pre + frame * nframes + post
+
+
+def synth_flac(doc_id: int) -> bytes:
+    """Deterministic VALID FLAC metadata stream, closed-form in
+    doc_id: sample_rate = (44100, 48000, 96000, 22050)[doc_id mod 4],
+    channels = 1 + doc_id mod 2, bits = 24 if doc_id mod 3 == 0 else
+    16, total_samples = 1000 + (doc_id mod 101)·441, plus doc_id mod 4
+    PADDING blocks (n_blocks = 1 + doc_id mod 4)."""
+    sr = (44100, 48000, 96000, 22050)[doc_id % 4]
+    ch = 1 + doc_id % 2
+    bps = 24 if doc_id % 3 == 0 else 16
+    total = 1000 + (doc_id % 101) * 441
+    field = ((sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36)
+             | total)
+    si_data = ((4096).to_bytes(2, "big") * 2 + bytes(6)
+               + field.to_bytes(8, "big") + bytes(16))
+    npad = doc_id % 4
+    out = [b"fLaC"]
+    si_hdr = (0x00 if npad else 0x80)
+    out.append(bytes([si_hdr]) + len(si_data).to_bytes(3, "big")
+               + si_data)
+    for k in range(npad):
+        last = 0x80 if k == npad - 1 else 0x00
+        plen = 8 + k
+        out.append(bytes([last | 0x01]) + plen.to_bytes(3, "big")
+                   + bytes(plen))
+    return b"".join(out)

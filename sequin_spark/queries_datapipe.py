@@ -6267,3 +6267,142 @@ DATAPIPE_ORACLES.update({
     "multimodal_mp4_probe": SQL_MULTIMODAL_MP4_PROBE,
     "multimodal_mkv_probe": SQL_MULTIMODAL_MKV_PROBE,
 })
+
+
+def q_multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MP3 container probe, oracle-checked: per doc a
+    deterministic MPEG-1 Layer III frame run — bitrate/samplerate/
+    channel-mode/frame-count closed-form in doc_id
+    (multimodal.synth_mp3), with ID3v2 prefixes (every 5th doc) and
+    ID3v1 trailers (every 7th) the walker must skip — is built as
+    ACTUAL frame headers and walked by the pure-stdlib parser, while
+    the DuckDB oracle computes the same metadata analytically.  A
+    sync-walk bug, a bitrate/samplerate table slip, a padding-length
+    error, or an ID3 mis-skip all surface as a value mismatch.
+    Completes the audio side of the container matrix next to the
+    MP4/MKV probes.  Plan: two embarrassingly-parallel mapInPandas
+    passes, no shuffle."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        probe_audio_containers,
+        synth_mp3,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "audio",
+                "blob": [synth_mp3(int(d)) for d in b["doc_id"]],
+                "meta_format": "mp3",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = probe_audio_containers(media)
+    return out.select(
+        "doc_id", "container", "codec", "sample_rate", "channels",
+        "bits_per_sample", "bitrate_kbps", "n_frames", "n_samples",
+        "n_blocks", "duration_ms", "status")
+
+
+SQL_MULTIMODAL_MP3_PROBE = """
+SELECT doc_id,
+       'mp3' AS container, 'mp3' AS codec,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 2 END
+            AS INTEGER) AS channels,
+       CAST(NULL AS INTEGER) AS bits_per_sample,
+       CAST(list_extract([32,40,48,56,64,80,96,112,128,160,192,224,
+                          256,320], CAST(1 + doc_id % 14 AS INTEGER))
+            AS INTEGER) AS bitrate_kbps,
+       CAST(1 + doc_id % 60 AS BIGINT) AS n_frames,
+       CAST((1 + doc_id % 60) * 1152 AS BIGINT) AS n_samples,
+       CAST(NULL AS INTEGER) AS n_blocks,
+       CAST((1 + doc_id % 60) * 1152 * 1000
+            // (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                ELSE 32000 END) AS BIGINT) AS duration_ms,
+       'probed' AS status
+FROM documents
+"""
+
+
+def q_multimodal_flac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC metadata probe, oracle-checked: per doc a
+    deterministic STREAMINFO + PADDING metadata stream — sample rate/
+    channels/bit depth/total samples/block count closed-form in
+    doc_id (multimodal.synth_flac) — is built as actual metadata
+    blocks and walked by the pure-stdlib block parser (last-flag +
+    type + 24-bit length headers; the packed 64-bit
+    rate/channels/bits/samples field).  A bit-offset slip in the
+    STREAMINFO unpack or a block-walk stride error surfaces as a
+    value mismatch.  Same plan shape as the MP3 probe."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        probe_audio_containers,
+        synth_flac,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "audio",
+                "blob": [synth_flac(int(d)) for d in b["doc_id"]],
+                "meta_format": "flac",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = probe_audio_containers(media)
+    return out.select(
+        "doc_id", "container", "codec", "sample_rate", "channels",
+        "bits_per_sample", "bitrate_kbps", "n_frames", "n_samples",
+        "n_blocks", "duration_ms", "status")
+
+
+SQL_MULTIMODAL_FLAC_PROBE = """
+SELECT doc_id,
+       'flac' AS container, 'flac' AS codec,
+       CAST(CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            WHEN 2 THEN 96000 ELSE 22050 END AS INTEGER)
+           AS sample_rate,
+       CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END
+            AS INTEGER) AS bits_per_sample,
+       CAST(NULL AS INTEGER) AS bitrate_kbps,
+       CAST(NULL AS BIGINT) AS n_frames,
+       CAST(1000 + (doc_id % 101) * 441 AS BIGINT) AS n_samples,
+       CAST(1 + doc_id % 4 AS INTEGER) AS n_blocks,
+       CAST((1000 + (doc_id % 101) * 441) * 1000
+            // (CASE doc_id % 4 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                WHEN 2 THEN 96000 ELSE 22050 END) AS BIGINT)
+           AS duration_ms,
+       'probed' AS status
+FROM documents
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "multimodal_mp3_probe": q_multimodal_mp3_probe,
+    "multimodal_flac_probe": q_multimodal_flac_probe,
+})
+DATAPIPE_ORACLES.update({
+    "multimodal_mp3_probe": SQL_MULTIMODAL_MP3_PROBE,
+    "multimodal_flac_probe": SQL_MULTIMODAL_FLAC_PROBE,
+})
