@@ -121,10 +121,17 @@ def _touched_queries(registry: dict[str, Callable], here: str,
 # reserve guarantees that many slots always go to the STALEST queries
 # (smallest last-covered round), bounding how long any query can sit
 # outside a driver window: worst case (touched saturating its cap every
-# round) ceil(|registry| / STALENESS_RESERVE) rounds — ~10 at 137
-# queries; typically the whole unchanged tail cycles in ~3.
+# round) ceil(|registry| / STALENESS_RESERVE) rounds — ~7 at 156
+# queries and reserve 25.  The zero-churn steady-state floor is
+# ceil(|registry| / WINDOW) ≈ 4 rounds at the current registry size —
+# no ordering can beat that with a 50-query window over 156 queries.
+# r10 verdict task #10 tightened two things: NEVER-covered queries
+# (new this round — zero driver evidence) are their own tier right
+# after red instead of competing inside the reserve, and the touched
+# tier drains stalest-first so fresh-covered-but-touched entries no
+# longer displace stale ones at the window boundary.
 WINDOW = 50
-STALENESS_RESERVE = 15
+STALENESS_RESERVE = 25
 
 
 def _last_window_rounds(here: str) -> dict[str, int]:
@@ -210,19 +217,26 @@ def _rotation_order(names: list[str]) -> list[str]:
 def _tiered(names: list[str], red: set[str], touched: set[str],
             last_round: dict[str, int], window: int = WINDOW,
             reserve: int = STALENESS_RESERVE) -> list[str]:
-    """Pure tier ordering: red, then changed-implementation (capped at
-    window − |red| − reserve), then the stalest ``reserve`` entries
-    (never-covered first), then touched overflow, then the rest
-    stalest-first (stable within equal staleness)."""
+    """Pure tier ordering: red, then NEVER-covered (new queries —
+    zero driver evidence, touched or not), then changed-implementation
+    stalest-first (capped at window − |red| − |never| − reserve), then
+    the stalest ``reserve`` entries, then touched overflow, then the
+    rest stalest-first (stable within equal staleness)."""
     idx = {n: i for i, n in enumerate(names)}
+
+    def stale_key(n: str) -> tuple:
+        return (last_round.get(n, -1), idx[n])
+
     t1 = [n for n in names if n in red]
-    t2_all = [n for n in names if n in touched and n not in red]
-    cap = max(0, window - len(t1) - reserve)
+    t_new = [n for n in names if n not in red and n not in last_round]
+    t2_all = sorted((n for n in names if n in touched and n not in red
+                     and n in last_round), key=stale_key)
+    cap = max(0, window - len(t1) - len(t_new) - reserve)
     t2, t2_over = t2_all[:cap], t2_all[cap:]
-    rest = sorted((n for n in names if n not in red and n not in touched),
-                  key=lambda n: (last_round.get(n, -1), idx[n]))
-    head_n = max(0, window - len(t1) - len(t2))
-    return t1 + t2 + rest[:head_n] + t2_over + rest[head_n:]
+    rest = sorted((n for n in names if n not in red and n not in touched
+                   and n in last_round), key=stale_key)
+    head_n = max(0, window - len(t1) - len(t_new) - len(t2))
+    return t1 + t_new + t2 + rest[:head_n] + t2_over + rest[head_n:]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

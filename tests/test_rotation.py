@@ -38,9 +38,10 @@ def test_tiered_ordering():
         touched={"b", "d"},       # b: covered-green but changed
         last_round={"a": 8, "b": 8, "e": 8, "f": 3},
     )
-    # red first, then touched, then stalest (never-covered c,g before
-    # f@r3 before a@r8)
-    assert out == ["e", "b", "d", "c", "g", "f", "a"]
+    # red first, then NEVER-covered (c, d, g — d's touched flag is
+    # moot, no driver evidence beats changed-implementation), then
+    # touched-with-history (b), then stalest (f@r3 before a@r8)
+    assert out == ["e", "c", "d", "g", "b", "f", "a"]
 
 
 def test_tiered_staleness_reserve_survives_touched_churn():
@@ -142,3 +143,37 @@ def test_rotation_order_still_covers_everything():
     names = list(entry_mod._q.QUERIES)
     order = entry_mod._rotation_order(names)
     assert sorted(order) == sorted(names)
+
+
+def test_tiered_new_queries_enter_first_window_despite_churn():
+    """r10 verdict task #10: a query added this round (no driver
+    evidence at all) must land in its FIRST available window even when
+    the changed-implementation tier saturates its cap — new queries
+    are a tier of their own, not contestants for the reserve."""
+    names = [f"q{i:03d}" for i in range(156)]
+    new = {"q150", "q155"}
+    touched = set(names[:120]) | new      # churn + the new ones
+    last = {n: 9 for n in names if n not in new}
+    for n in list(last)[:30]:
+        last[n] = 4                        # a stale cohort
+    out = entry_mod._tiered(names, red=set(), touched=touched,
+                            last_round=last, window=50, reserve=25)
+    window = out[:50]
+    assert set(window[:2]) == new          # right at the head
+    # reserve still holds: the 25 stalest non-touched entries fit too
+    stale_rest = [n for n in names
+                  if n not in touched and last.get(n) == 4]
+    assert set(stale_rest[:23]) <= set(window)
+
+
+def test_tiered_touched_drains_stalest_first():
+    """The touched tier is ordered by staleness, so a touched query
+    last covered at r2 beats one covered at r9 when the cap bites."""
+    names = [f"q{i:02d}" for i in range(60)]
+    touched = set(names[:40])
+    last = {n: 9 for n in names}
+    last["q30"] = 2                        # touched AND very stale
+    out = entry_mod._tiered(names, red=set(), touched=touched,
+                            last_round=last, window=10, reserve=5)
+    # cap = 10 - 0 - 0 - 5 = 5 touched slots; q30 must take one
+    assert "q30" in out[:5]
