@@ -10,6 +10,7 @@ hot path.
 
 from __future__ import annotations
 
+import math
 import os
 from dataclasses import dataclass
 
@@ -1258,3 +1259,133 @@ def remove_top_component(
                 F.zip_with(x, varr,
                            lambda a, b: a - F.col("_dot") * b))
             .drop("_dot"))
+
+
+def kmeans_clusters(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Lloyd k-means in INTEGER fixed-point — the semantic-balance
+    primitive (cluster-proportional sampling, per-cluster dedup
+    budgets; the clustering step of SemDeDup/DataComp-style curation
+    pipelines) — deterministic to the last bit so a SQL oracle can
+    replay it exactly:
+
+    * vectors quantize to BIGINT via floor(x·scale + 0.5) (floor is
+      exact in both engines; float round() half-mode differences
+      can't leak in);
+    * init = the k smallest-id vectors' quantized forms;
+    * assignment = integer argmin of squared L2, ties to the lowest
+      centroid index (array_position finds the FIRST minimum);
+    * update = per-dimension floor(sum / count) — sums are exact
+      BIGINTs (≤ scale·n per dimension, far under 2^52), so the
+      double-division floor is bit-identical everywhere; a cluster
+      that loses every member keeps its previous centroid.
+
+    Scale shape: per iteration ONE narrow pass computes the argmin
+    against k·dim broadcast literals (no join, no shuffle) and ONE
+    posexplode → partial-agg shuffle whose map-side combine reduces
+    each partition to ≤ k·dim rows; the driver collects k·dim
+    integers per iteration (the kcenter/power-iteration bounded-
+    collect contract).  Returns (id, cluster, dist2) — dist2 the
+    integer squared distance to the FINAL centroid.
+    """
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            vec_col,
+            lambda x: F.floor(x.cast("double") * scale + F.lit(0.5))
+            .cast("long")).alias("q"),
+    ).persist()
+    seeds = q.orderBy("id").limit(k).collect()
+    cents: dict[int, list[int]] = {
+        j: list(r["q"]) for j, r in enumerate(seeds)}
+    dim = len(cents[0])
+
+    def assign(df: DataFrame) -> DataFrame:
+        dists = F.array(*[
+            F.aggregate(
+                F.zip_with(
+                    F.col("q"),
+                    F.array(*[F.lit(int(c)) for c in cents[j]]),
+                    lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"), lambda acc, x: acc + x)
+            for j in range(k)])
+        return (df.withColumn("_d", dists)
+                .withColumn("cluster",
+                            (F.array_position(
+                                "_d", F.array_min("_d")) - 1)
+                            .cast("int"))
+                .withColumn("dist2", F.array_min("_d")))
+
+    for _ in range(iters):
+        a = assign(q)
+        stats = (a.select("cluster", F.posexplode("q")
+                          .alias("pos", "val"))
+                 .groupBy("cluster", "pos")
+                 .agg(F.sum("val").alias("s"),
+                      F.count("*").alias("n"))
+                 .collect())                     # ≤ k·dim rows
+        new: dict[int, list[int]] = {}
+        for r in stats:
+            new.setdefault(r["cluster"], [0] * dim)[r["pos"]] = (
+                math.floor(r["s"] / r["n"]))
+        for j in range(k):                       # empty → keep old
+            cents[j] = new.get(j, cents[j])
+    out = assign(q).select(
+        F.col("id").alias(id_col), "cluster", "dist2")
+    q.unpersist()
+    return out
+
+
+def sql_kmeans_clusters(emb_cte: str, k: int = 8, iters: int = 3,
+                        dim: int = 64, scale: int = 1000) -> str:
+    """DuckDB oracle for :func:`kmeans_clusters` — the Lloyd rounds
+    unrolled as materialized CTEs replaying the identical quantize /
+    argmin-tiebreak / floor-mean sequence (the sql_kcenter_coreset
+    pattern)."""
+    d = (f"list_sum(list_transform(generate_series(1, {dim}), "
+         f"i -> (b.q[i] - c.c[i]) * (b.q[i] - c.c[i])))")
+    cte = [
+        f"""b AS MATERIALIZED (
+  SELECT id, list_transform(v, x ->
+    CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS q
+  FROM ({emb_cte}))""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS j,
+         q AS c
+  FROM (SELECT id, q FROM b ORDER BY id LIMIT {k}))""",
+    ]
+    for it in range(1, iters + 1):
+        prev = f"c{it - 1}"
+        cte.append(f"""a{it} AS MATERIALIZED (
+  SELECT id, q, j AS cluster, d AS dist2 FROM (
+    SELECT b.id, b.q, c.j, {d} AS d,
+           row_number() OVER (PARTITION BY b.id
+                              ORDER BY {d} ASC, c.j ASC) AS rn
+    FROM b, {prev} c) WHERE rn = 1)""")
+        if it <= iters:
+            cte.append(f"""s{it} AS MATERIALIZED (
+  SELECT cluster AS j, i, SUM(q[i]) AS s, COUNT(*) AS n
+  FROM a{it}, generate_series(1, {dim}) AS g(i)
+  GROUP BY cluster, i)""")
+            cte.append(f"""c{it} AS MATERIALIZED (
+  SELECT p.j,
+         coalesce(nc.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT j, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT)
+                   ORDER BY i) AS c
+    FROM s{it} GROUP BY j) nc USING (j))""")
+    # final assignment against the post-iteration centroids
+    cte.append(f"""afin AS (
+  SELECT id, j AS cluster, CAST(d AS BIGINT) AS dist2 FROM (
+    SELECT b.id, c.j, {d} AS d,
+           row_number() OVER (PARTITION BY b.id
+                              ORDER BY {d} ASC, c.j ASC) AS rn
+    FROM b, c{iters} c) WHERE rn = 1)""")
+    return ("WITH " + ",\n".join(cte)
+            + "\nSELECT id, cluster, dist2 FROM afin")

@@ -6406,3 +6406,40 @@ DATAPIPE_ORACLES.update({
     "multimodal_mp3_probe": SQL_MULTIMODAL_MP3_PROBE,
     "multimodal_flac_probe": SQL_MULTIMODAL_FLAC_PROBE,
 })
+
+
+def q_embed_kmeans_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer fixed-point Lloyd k-means over the embedding corpus
+    (k=8, 3 iterations, smallest-id seeding) — the semantic-balance
+    primitive behind cluster-proportional sampling and per-cluster
+    dedup budgets in SemDeDup/DataComp-style curation.  Exact-integer
+    construction (quantize → BIGINT argmin → floor-mean update) makes
+    the DuckDB oracle a bit-identical replay (sql_kmeans_clusters
+    unrolls the same rounds as materialized CTEs).  Plan: per
+    iteration one narrow broadcast-literal argmin pass + one
+    posexplode partial-agg shuffle (map-side combine → ≤ k·dim rows),
+    driver collects k·dim integers per round — the kcenter bounded-
+    collect contract."""
+    from sequin_spark.datapipe.similarity import kmeans_clusters
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_clusters(emb, k=8, iters=3)
+
+
+def _sql_embed_kmeans_balance() -> str:
+    from sequin_spark.datapipe.similarity import sql_kmeans_clusters
+
+    return sql_kmeans_clusters(
+        "SELECT vec_id AS id, embedding AS v FROM embeddings",
+        k=8, iters=3).replace(
+        "SELECT id, cluster, dist2 FROM afin",
+        "SELECT id AS vec_id, cluster, dist2 FROM afin")
+
+
+DATAPIPE_QUERIES.update({
+    "embed_kmeans_balance": q_embed_kmeans_balance,
+})
+DATAPIPE_ORACLES.update({
+    "embed_kmeans_balance": _sql_embed_kmeans_balance(),
+})

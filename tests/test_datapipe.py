@@ -1173,3 +1173,63 @@ def test_prefix_max_exclusive_matches_serial_scan(spark):
         want[seq] = acc
         acc = ts if acc is None else max(acc, ts)
     assert got == want
+
+
+def test_kmeans_clusters_matches_numpy_lloyd(spark):
+    """Integer fixed-point Lloyd vs an independent numpy replay —
+    quantize, smallest-id seeding, lowest-index tiebreak, floor-mean
+    update, and the final-assignment semantics must all agree."""
+    import math
+
+    import numpy as np
+
+    from sequin_spark.datapipe.similarity import kmeans_clusters
+
+    rng = np.random.default_rng(7)
+    k, iters, dim, n = 3, 2, 4, 40
+    vecs = rng.normal(size=(n, dim)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: (r["cluster"], r["dist2"])
+           for r in kmeans_clusters(df, k=k, iters=iters).collect()}
+
+    q = np.floor(vecs.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    cents = [q[j].copy() for j in range(k)]
+
+    def assign():
+        d = np.stack([((q - c) ** 2).sum(axis=1) for c in cents])
+        return d.argmin(axis=0), d.min(axis=0)  # argmin → lowest index
+
+    for _ in range(iters):
+        cl, _ = assign()
+        for j in range(k):
+            m = q[cl == j]
+            if len(m):
+                cents[j] = np.array([
+                    math.floor(s / len(m)) for s in m.sum(axis=0)])
+    cl, d2 = assign()
+    want = {i: (int(cl[i]), int(d2[i])) for i in range(n)}
+    assert got == want
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    """Two identical seed vectors: the duplicate's cluster goes empty
+    on update (ties go to the lower index) but its centroid must
+    survive, and every row must still get a cluster in range."""
+    from sequin_spark.datapipe.similarity import kmeans_clusters
+
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [10.0, 10.0]),
+            (3, [10.1, 10.0]), (4, [0.2, 0.1])]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>")
+    out = kmeans_clusters(df, k=3, iters=2).collect()
+    assert len(out) == 5
+    assert all(0 <= r["cluster"] < 3 for r in out)
+    # during iterations the 0-index tiebreak empties cluster 1, so its
+    # centroid (0,0) must SURVIVE the update — in the final assignment
+    # it wins its duplicate back at distance exactly 0 (had the empty
+    # cluster's centroid been zeroed out or dropped, vec 1 would land
+    # elsewhere or the argmin would see < k centroids)
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["cluster"] == 1 and by_id[1]["dist2"] == 0
