@@ -94,6 +94,20 @@ class FailingSink(Sink):
 
     sink_type = "failing"
 
+    def __init__(self, config=None):
+        super().__init__(config)
+        if not self.config.get("frame_mode"):
+            # default: chunked deliver() path; frame_mode=True exposes
+            # a failing deliver_frame so tests can exercise the
+            # vectorized path's failure/blocking semantics too
+            self.deliver_frame = None
+
+    def deliver_frame(self, pdf) -> None:
+        needle = self.config.get("fail_substring", "")
+        if needle and pdf["key"].astype(str).str.contains(
+                needle, regex=False).any():
+            raise RuntimeError(f"injected frame failure for {needle}")
+
     def deliver(self, batch: SinkBatch) -> None:
         needle = self.config.get("fail_substring", "")
         attempts_path = self.config.get("attempt_dir")

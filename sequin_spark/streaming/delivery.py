@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -245,6 +246,85 @@ class DeliveryEngine:
         """Per-batch executor-written failed/blocked rows (payload
         included) — read back by the driver, O(failures) not O(batch)."""
         return os.path.join(self.state_dir, "failures", f"batch-{batch_id}")
+
+    # --- pause_on_full overflow spill (disk-backed backpressure) ---------
+    @property
+    def overflow_dir(self) -> str:
+        return os.path.join(self.state_dir, "overflow")
+
+    def _overflow_dirs(self) -> "list[tuple[str, int]]":
+        """FIFO-ordered (path, rows) of spilled micro-batches.  Row
+        counts ride in the directory name (stamped at spill time) so
+        the backlog is sized without footer reads; a crash between
+        write and rename leaves a name without the count suffix —
+        fall back to footers for that one."""
+        d = self.overflow_dir
+        if not os.path.isdir(d):
+            return []
+        out = []
+        for name in sorted(os.listdir(d)):
+            p = os.path.join(d, name)
+            if name.startswith("_") or not os.path.isdir(p):
+                continue
+            parts = name.split("_")
+            try:
+                rows = int(parts[2])
+            except (IndexError, ValueError):
+                rows = sum(
+                    pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet"))
+            out.append((p, rows))
+        return out
+
+    def _spill_overflow(self, df: DataFrame, batch_id: int) -> int:
+        """Append the batch's (already ledger-anti-joined) new rows to
+        the overflow spill as one parquet dir.  Batch REPLAYS (async
+        progress, crash-before-checkpoint) append a second copy of the
+        same identities — harmless: the ledger/adjacent dedup drops
+        already-delivered copies at delivery time, exactly like source
+        redelivery."""
+        tmp = os.path.join(self.overflow_dir,
+                           f"_{time.time_ns():020d}_{batch_id}")
+        df.write.mode("overwrite").parquet(tmp)
+        rows = sum(
+            pq.ParquetFile(os.path.join(tmp, f)).metadata.num_rows
+            for f in os.listdir(tmp) if f.endswith(".parquet"))
+        final = os.path.join(
+            self.overflow_dir,
+            f"{time.time_ns():020d}_{batch_id}_{rows}")
+        os.rename(tmp, final)
+        return rows
+
+    def _reingest_overflow(
+            self, spark: SparkSession, headroom: int,
+    ) -> "tuple[DataFrame | None, int, list[str]]":
+        """Oldest-first re-ingest of spilled batches up to ``headroom``
+        rows (whole-dir granularity; at least one dir so an oversized
+        spill can never stall the drain).  The dirs are NOT deleted
+        here — deletion happens at the END of process_batch, after the
+        delivery pass and state writes, so a crash mid-batch replays
+        them and the ledger dedup resolves the copies (the same
+        crash-window contract as the failures dir)."""
+        dirs = self._overflow_dirs()
+        if not dirs:
+            return None, 0, []
+        take, nonempty, rows = [], [], 0
+        for p, n in dirs:
+            if n == 0:
+                take.append(p)  # empty spill (idle paused batch) — reap
+                continue
+            if rows and rows + n > headroom:
+                break
+            take.append(p)
+            nonempty.append(p)
+            rows += n
+            if rows >= headroom:
+                break
+        if not nonempty:
+            return None, 0, take
+        df = spark.read.parquet(*nonempty)
+        return df, rows, take
 
     def _read_pending(self) -> pd.DataFrame | None:
         if os.path.exists(self.pending_path):
@@ -505,16 +585,21 @@ class DeliveryEngine:
             # Only a flat legacy residue still anti-joins here.
             self._ensure_slice_layout(spark)
             residue = self._flat_ledger_residue(spark)
-            if residue is not None:
-                new_rows = new_rows.join(
-                    F.broadcast(residue.select(*IDENTITY)),
-                    IDENTITY, "left_anti")
+
+            def ledger_antijoin(df: DataFrame) -> DataFrame:
+                if residue is None:
+                    return df
+                return df.join(F.broadcast(residue.select(*IDENTITY)),
+                               IDENTITY, "left_anti")
         else:
             ledger = self._ledger_for_antijoin(spark)
-            if ledger is not None:
-                new_rows = new_rows.join(
-                    F.broadcast(ledger.select(*IDENTITY)), IDENTITY, "left_anti",
-                )
+
+            def ledger_antijoin(df: DataFrame) -> DataFrame:
+                if ledger is None:
+                    return df
+                return df.join(F.broadcast(ledger.select(*IDENTITY)),
+                               IDENTITY, "left_anti")
+        new_rows = ledger_antijoin(new_rows)
 
         # pending retries: due ones re-enter delivery; not-due (still
         # backing off) block their whole group. Messages deferred by
@@ -529,15 +614,45 @@ class DeliveryEngine:
             prev_seen = pending[IDENTITY + ["first_seen_at"]].rename(
                 columns={"first_seen_at": "_prev_seen"}
             ).drop_duplicates(subset=IDENTITY)
-        shed = 0
-        if pending is not None and len(pending) >= self.max_pending:
+        shed = spilled = reingested = 0
+        overflow_taken: list[str] = []
+        overflow_backlog = 0
+        if self.load_shedding_policy == "pause_on_full":
             # store full (slot_message_store_state.ex:18-48 memory cap;
-            # load_shedding_policy sink_consumer.ex:100)
-            if self.load_shedding_policy == "pause_on_full":
-                raise RuntimeError(
-                    f"load shedding: pending={len(pending)} >= max_pending="
-                    f"{self.max_pending} (pause_on_full) — stream backpressure"
-                )
+            # load_shedding_policy sink_consumer.ex:100).  The reference
+            # PAUSES intake (stops acking the slot; WAL absorbs the
+            # backlog) — the microbatch analog is a disk-backed FIFO
+            # overflow: `pending` (read into the driver every batch)
+            # stays bounded by max_pending, the backlog absorbs to
+            # parquet.  STRICT FIFO while the spill is non-empty: every
+            # new row routes through it, because a direct path would
+            # let a newer row overtake an older spilled one in the same
+            # group (order violation).  Raising here instead (the pre-
+            # r11 behavior) killed the stream on the first post-restart
+            # catch-up burst — found by the r11 chaos-under-load soak.
+            pend_n = 0 if pending is None else len(pending)
+            ov = self._overflow_dirs()
+            if ov or pend_n >= self.max_pending:
+                if int(new_rows.count()):
+                    spilled = self._spill_overflow(new_rows, batch_id)
+                new_rows = new_rows.limit(0)
+                headroom = self.max_pending - pend_n
+                if headroom > 0:
+                    re_df, reingested, overflow_taken = \
+                        self._reingest_overflow(spark, headroom)
+                    if re_df is not None:
+                        # re-ingested rows re-run the ledger anti-join:
+                        # a spill REPLAY copy (or a crash after delivery
+                        # but before dir reap) must not deliver twice
+                        new_rows = ledger_antijoin(
+                            re_df.select(new_rows.columns))
+                # taken dirs are still on disk (deleted post-delivery),
+                # so the live backlog is everything minus this batch's
+                # re-ingest
+                overflow_backlog = (
+                    sum(n for _, n in self._overflow_dirs()) - reingested)
+        elif pending is not None and len(pending) >= self.max_pending:
+            # discard_on_full: count-and-drop, recorded as shed
             shed_df = new_rows.count()
             shed = int(shed_df)
             new_rows = new_rows.limit(0)
@@ -671,6 +786,14 @@ class DeliveryEngine:
             # straddles a frame boundary equals the previous tail)
             prev_tail = None
             slice_seen = None
+            # cross-frame GROUP-BLOCKING carry (r11): a group whose
+            # chunk failed earlier in this task must stay blocked for
+            # the rest of the task — frames are an Arrow transport
+            # boundary, not an ordering boundary.  Per-frame reset
+            # delivered a blocked group's later rows whenever the
+            # group straddled a frame (order violation; caught by the
+            # chaos sweep under a 10-row maxRecordsPerBatch).
+            failed_groups: set = set()
             for pdf in batches:
                 if use_slices and len(pdf):
                     if slice_seen is None:
@@ -735,22 +858,33 @@ class DeliveryEngine:
                 if vectorized:
                     # fast path: whole ordered partition frame at once
                     # (order preserved by the sort; partition-granular
-                    # failure instead of group-granular)
-                    t0 = time.perf_counter()
-                    try:
-                        sink.deliver_frame(pdf)
-                        st, err = "delivered", ""
-                    except Exception as e:  # noqa: BLE001
-                        st, err = "failed", str(e)[:500]
-                    _observe(st == "delivered",
-                             int((time.perf_counter() - t0) * 1e6))
+                    # failure instead of group-granular).  Rows of
+                    # groups that failed in an EARLIER frame of this
+                    # task are blocked first (cross-frame carry).
+                    blk = pd.Series(False, index=pdf.index)
+                    if failed_groups:
+                        blk = pdf["group_id"].isin(failed_groups)
+                    dpdf = pdf[~blk]
+                    st, err = "delivered", ""
+                    if len(dpdf):
+                        t0 = time.perf_counter()
+                        try:
+                            sink.deliver_frame(dpdf)
+                        except Exception as e:  # noqa: BLE001
+                            st, err = "failed", str(e)[:500]
+                            failed_groups.update(
+                                g for g in dpdf["group_id"].dropna())
+                        _observe(st == "delivered",
+                                 int((time.perf_counter() - t0) * 1e6))
                     status_pdf = pd.DataFrame({
                         "commit_lsn": pdf["commit_lsn"],
                         "commit_idx": pdf["commit_idx"],
                         "idempotency_key": pdf["idempotency_key"],
                         "group_id": pdf["group_id"],
-                        "status": st,
-                        "error": err,
+                        "status": [
+                            "blocked" if b else st for b in blk],
+                        "error": [
+                            "group blocked" if b else err for b in blk],
                         "deliver_count": pdf["deliver_count"].astype("int64"),
                     })
                     out = _finish(status_pdf, pdf)
@@ -758,7 +892,6 @@ class DeliveryEngine:
                         yield out
                     continue
                 statuses = []
-                failed_groups: set = set()
                 # Rows arrive sorted (group_id, lsn, idx). Batches span
                 # groups but never split the per-group order, keyed by the
                 # routing tuple — the reference's Broadway batch_key
@@ -984,6 +1117,13 @@ class DeliveryEngine:
                     extra={"batch_id": batch_id,
                            "discarded": int(len(discarded))})
 
+        # overflow dirs whose rows just rode through the delivery pass:
+        # safe to drop only now (post-delivery, post-state-writes) — a
+        # crash any earlier replays them and the ledger dedup resolves
+        # the copies
+        for p in overflow_taken:
+            shutil.rmtree(p, ignore_errors=True)
+
         return {
             "batch_id": batch_id,
             "delivered": n_delivered,
@@ -993,6 +1133,9 @@ class DeliveryEngine:
             "discarded": int(len(discarded)),
             "pending": int(len(new_pending)),
             "shed": shed,
+            "spilled": spilled,
+            "reingested": reingested,
+            "overflow_backlog": overflow_backlog,
             "oldest_pending_age_ms": oldest_pending_age_ms,
             "delivery_latency_us": latency,
         }

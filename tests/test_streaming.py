@@ -224,8 +224,12 @@ def test_pull_queue_receive_ack_nack(spark, tmp_path):
 
 
 def test_load_shedding_policies(spark, tmp_path):
-    """load_shedding_policy (sink_consumer.ex:100): pause raises (stream
-    backpressure), discard drops new messages and counts them."""
+    """load_shedding_policy (sink_consumer.ex:100): pause spills new
+    messages to the disk-backed FIFO overflow (the reference pauses
+    intake and lets the WAL absorb the backlog — raising here instead
+    killed the stream on post-restart catch-up bursts, found by the
+    r11 chaos-under-load soak); discard drops new messages and counts
+    them."""
     df = spark.createDataFrame(
         [("g1", 1, 0, "k", "g1", "{}")],
         "group_id string, commit_lsn long, commit_idx long, idempotency_key string, key string, value string",
@@ -244,8 +248,15 @@ def test_load_shedding_policies(spark, tmp_path):
         stats = engine.process_batch(df, 0)
         assert stats["pending"] == 1
         if policy == "pause_on_full":
-            with pytest.raises(RuntimeError, match="load shedding"):
-                engine.process_batch(fresh, 1)
+            stats2 = engine.process_batch(fresh, 1)
+            assert stats2["spilled"] == 1 and stats2["delivered"] == 0
+            assert stats2["overflow_backlog"] == 1 and stats2["shed"] == 0
+            # strict FIFO: while the spill is non-empty every new row
+            # routes through it (no overtake path)
+            fresh2 = fresh.withColumn("commit_lsn", F.lit(10).cast("long"))
+            stats3 = engine.process_batch(fresh2, 2)
+            assert stats3["spilled"] == 1
+            assert stats3["overflow_backlog"] == 2
         else:
             stats2 = engine.process_batch(fresh, 1)
             assert stats2["shed"] == 1 and stats2["delivered"] == 0
@@ -300,6 +311,12 @@ def test_identity_dedup_fused_into_group_partition(spark, tmp_path):
     finally:
         if old is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            # get(key, None) means "was unset" — restoring by set()
+            # would LEAK 10-row Arrow frames into every later test in
+            # the session (how the cross-frame group-blocking bug was
+            # found, and also how it was masked in alphabetical runs)
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     assert stats["delivered"] == 30
     # ledger holds each identity at most once per task-write; a replay
     # of the same batch is fully filtered by the anti-join
@@ -463,3 +480,170 @@ def test_pull_queue_refill_snapshots_absorbed_chunks(spark, tmp_path):
         remaining |= {json.loads(g["data"])["n"] for g in got}
     assert delivered | remaining == set(range(40))
     assert not (delivered & remaining)  # acked rows never resurrected
+
+
+def test_pause_on_full_overflow_drains_fifo_exactly_once(spark, tmp_path):
+    """r11: the pause_on_full overflow must ABSORB a burst (no raise,
+    no loss), hold strict FIFO while non-empty (a newer row cannot
+    overtake a spilled one), re-ingest oldest-first within pending
+    headroom, and reap its dirs only after delivery so replays stay
+    exactly-once via the ledger."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    attempt_dir = str(tmp_path / "attempts")
+    os.makedirs(attempt_dir)
+    engine = DeliveryEngine(
+        "failing", {"fail_substring": "X", "attempt_dir": attempt_dir},
+        state_dir=str(tmp_path / "state"),
+        max_retry_count=5, backoff_base_s=120.0,  # deterministic: rewound by hand
+        load_shedding_policy="pause_on_full", max_pending=2,
+    )
+    sch = ("group_id string, commit_lsn long, commit_idx long, "
+           "idempotency_key string, key string, value string")
+
+    def rows(*tups):
+        return spark.createDataFrame(list(tups), sch)
+
+    def rewind_pending_clock():
+        pending = papq.read_table(engine.pending_path).to_pandas()
+        pending["not_visible_until"] = time.time() - 1
+        papq.write_table(pa.Table.from_pandas(pending, preserve_index=False),
+                         engine.pending_path)
+
+    # batch 0: two first-attempt failures fill pending to the cap
+    s0 = engine.process_batch(
+        rows(("gXa", 1, 0, "kXa", "Xa", "{}"),
+             ("gXb", 1, 1, "kXb", "Xb", "{}")), 0)
+    assert s0["failed"] == 2 and s0["pending"] == 2
+
+    # batches 1-2: cap reached → new rows spill, nothing raises, and
+    # the strict-FIFO rule routes EVERY new row through the spill
+    s1 = engine.process_batch(rows(("gF", 2, 0, "kF1", "F1", "{}")), 1)
+    assert s1["spilled"] == 1 and s1["overflow_backlog"] == 1
+    assert s1["delivered"] == 0 and s1["shed"] == 0
+    s2 = engine.process_batch(rows(("gF", 3, 0, "kF2", "F2", "{}")), 2)
+    assert s2["spilled"] == 1 and s2["overflow_backlog"] == 2
+    assert s2["delivered"] == 0
+
+    # batch 3: backoff rewound → the retries drain pending, but the
+    # batch STARTED with pending at the cap, so no headroom yet
+    rewind_pending_clock()
+    s3 = engine.process_batch(rows(), 3)
+    assert s3["delivered"] == 2 and s3["pending"] == 0  # kXa, kXb
+    assert s3["reingested"] == 0 and s3["overflow_backlog"] == 2
+
+    # batch 4: headroom is back → oldest-first re-ingest delivers both
+    # spilled rows (F1 before F2 inside the ordered delivery pass)
+    s4 = engine.process_batch(rows(), 4)
+    assert s4["reingested"] == 2 and s4["delivered"] == 2
+    assert s4["overflow_backlog"] == 0
+
+    # batch 5 reaps any idle empty spill; by batch 6 the overflow is
+    # gone and the direct path resumes
+    s5 = engine.process_batch(rows(), 5)
+    assert s5["delivered"] == 0 and s5["overflow_backlog"] == 0
+    s6 = engine.process_batch(rows(("gF", 4, 0, "kF3", "F3", "{}")), 6)
+    assert s6["delivered"] == 1 and s6["spilled"] == 0
+
+    # exactly-once: ledger holds each identity exactly once
+    led = engine.read_ledger(spark).collect()
+    ids = [(r["commit_lsn"], r["commit_idx"], r["idempotency_key"])
+           for r in led]
+    assert sorted(ids) == sorted(set(ids))
+    assert {k for _, _, k in ids} == {"kXa", "kXb", "kF1", "kF2", "kF3"}
+
+
+def test_pause_on_full_overflow_replay_is_exactly_once(spark, tmp_path):
+    """A batch REPLAY while paused (async progress / crash before
+    checkpoint) spills the same rows twice; the drain must deliver
+    them once — the ledger anti-join drops the second copy."""
+    import os
+
+    attempt_dir = str(tmp_path / "attempts")
+    os.makedirs(attempt_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    engine = DeliveryEngine(
+        "failing", {"fail_substring": "X", "attempt_dir": attempt_dir},
+        state_dir=str(tmp_path / "state"),
+        max_retry_count=5, backoff_base_s=120.0,
+        load_shedding_policy="pause_on_full", max_pending=1,
+    )
+    sch = ("group_id string, commit_lsn long, commit_idx long, "
+           "idempotency_key string, key string, value string")
+    blocker = spark.createDataFrame([("gX", 1, 0, "kX", "X", "{}")], sch)
+    burst = spark.createDataFrame([("gB", 2, 0, "kB", "B", "{}")], sch)
+
+    assert engine.process_batch(blocker, 0)["pending"] == 1
+    assert engine.process_batch(burst, 1)["spilled"] == 1
+    # replay of batch 1 (same rows, same batch_id) — second spill copy
+    assert engine.process_batch(burst, 1)["spilled"] == 1
+
+    pending = papq.read_table(engine.pending_path).to_pandas()
+    pending["not_visible_until"] = time.time() - 1
+    papq.write_table(pa.Table.from_pandas(pending, preserve_index=False),
+                     engine.pending_path)
+    s2 = engine.process_batch(spark.createDataFrame([], sch), 2)
+    assert s2["delivered"] == 1 and s2["pending"] == 0  # kX drains
+    total = 0
+    for b in (3, 4, 5):
+        s = engine.process_batch(spark.createDataFrame([], sch), b)
+        total += s["delivered"]
+    assert total == 1  # kB exactly once despite two spill copies
+    led = engine.read_ledger(spark).collect()
+    keys = sorted(r["idempotency_key"] for r in led)
+    assert keys == ["kB", "kX"]
+
+
+@pytest.mark.parametrize("use_frame_sink", [False, True])
+def test_group_blocking_carries_across_arrow_frames(spark, tmp_path,
+                                                    use_frame_sink):
+    """r11: `failed_groups` must be TASK-scoped, not frame-scoped —
+    with small Arrow frames a failed group's later rows used to arrive
+    in the next frame with the blocking set reset and deliver ahead of
+    their failed head (per-group order violation, caught by the chaos
+    sweep under maxRecordsPerBatch=10).  Covers both the chunked
+    deliver() path and the vectorized deliver_frame() path."""
+    rows = [("gX", 1000 + i, 0, f"kX{i}", "X", '{"n":%d}' % i)
+            for i in range(12)]
+    rows += [("gok", 2000 + i, 0, f"kok{i}", "ok", "{}") for i in range(3)]
+    df = spark.createDataFrame(
+        rows,
+        "group_id string, commit_lsn long, commit_idx long, "
+        "idempotency_key string, key string, value string")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch",
+                         None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "4")
+    try:
+        engine = DeliveryEngine(
+            "failing",
+            {"fail_substring": "X", "frame_mode": use_frame_sink},
+            state_dir=str(tmp_path / "state"),
+            batch_size=3, max_retry_count=9, backoff_base_s=120.0,
+            partition_count=1,
+        )
+        stats = engine.process_batch(df, 0)
+    finally:
+        if old is not None:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", old)
+        else:
+            spark.conf.unset(
+                "spark.sql.execution.arrow.maxRecordsPerBatch")
+    # the first gX failure (one 3-row chunk, or one whole 4-row frame
+    # in vectorized mode) fails; EVERY later gX row — including those
+    # in later Arrow frames — must be blocked, never delivered
+    assert stats["delivered"] == 3  # the gok rows only
+    if use_frame_sink:
+        assert stats["failed"] == 4 and stats["blocked"] == 8
+    else:
+        assert stats["failed"] == 3 and stats["blocked"] == 9
+    # nothing from gX reached the ledger
+    led = engine.read_ledger(spark)
+    if led is not None:
+        assert all(r["idempotency_key"].startswith("kok")
+                   for r in led.collect())
