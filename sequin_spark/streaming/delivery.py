@@ -70,6 +70,11 @@ LAT_INF = 2**62  # the +Inf bucket marker
 # key (table_reader.ex:405) — so dedup/ledger/status identity is the
 # triple, which degrades to pure cursor identity for CDC rows.
 IDENTITY = ["commit_lsn", "commit_idx", "idempotency_key"]
+# createDataFrame rows above this inline into the plan as a
+# LocalRelation whose string form feeds Spark's redaction regex —
+# multi-MB plans overflow the Java regex stack (r11 soak).  Bigger
+# driver-held frames round-trip through a state-dir parquet instead.
+LOCAL_PLAN_MAX_ROWS = 1024
 
 BACKOFF_MIN_S = 1.0
 BACKOFF_MAX_S = 180.0
@@ -246,6 +251,24 @@ class DeliveryEngine:
         """Per-batch executor-written failed/blocked rows (payload
         included) — read back by the driver, O(failures) not O(batch)."""
         return os.path.join(self.state_dir, "failures", f"batch-{batch_id}")
+
+    def _scalable_local_df(self, spark: SparkSession, pdf: pd.DataFrame,
+                           tag: str) -> DataFrame:
+        """Driver-held rows → Spark DataFrame WITHOUT inlining them
+        into the query plan once they're big: createDataFrame embeds
+        every row in a LocalRelation, and a multi-megabyte plan string
+        (tens of thousands of pending re-entries after a catch-up
+        burst) blows Java's regex stack inside Spark's progress/plan
+        redaction — the stream execution thread died of
+        StackOverflowError in the r11 soak.  Above the threshold the
+        rows round-trip through a state-dir parquet so the plan is a
+        one-file scan.  Safe to reuse the per-tag path: process_batch
+        fully materializes within the call."""
+        if len(pdf) <= LOCAL_PLAN_MAX_ROWS:
+            return spark.createDataFrame(pdf)
+        path = os.path.join(self.state_dir, "reentry", f"{tag}.parquet")
+        _write_parquet(path, pdf)
+        return spark.read.parquet(path)
 
     # --- pause_on_full overflow spill (disk-backed backpressure) ---------
     @property
@@ -668,8 +691,9 @@ class DeliveryEngine:
             carry_pending = pd.concat([not_due, due_blocked], ignore_index=True)
             if len(due_free):
                 new_rows = new_rows.unionByName(
-                    spark.createDataFrame(due_free[delivery_cols + ["deliver_count"]])
-                )
+                    self._scalable_local_df(
+                        spark, due_free[delivery_cols + ["deliver_count"]],
+                        "due_free"))
 
         if blocked_groups:
             # defer (don't drop) new messages behind a backoff-blocked
@@ -677,8 +701,10 @@ class DeliveryEngine:
             # payloads by the deliver tasks (status 'deferred', same
             # failures dir as failed/blocked rows), so no event payload
             # rides through the driver
-            blocked_df = spark.createDataFrame(
-                [(g,) for g in sorted(blocked_groups)], "group_id string"
+            blocked_df = self._scalable_local_df(
+                spark,
+                pd.DataFrame({"group_id": sorted(blocked_groups)}),
+                "blocked_groups",
             ).withColumn("_deferred", F.lit(True))
             new_rows = new_rows.join(F.broadcast(blocked_df), "group_id", "left")
             new_rows = new_rows.withColumn(

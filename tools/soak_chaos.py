@@ -62,6 +62,9 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str) -> dict:
 
     spark = get_spark("sequin_chaos_soak")
     spark.sparkContext.setLogLevel("ERROR")
+    # bound q.stop() so a dead execution thread can never hang the
+    # harness (it records a stop error and proceeds to the invariants)
+    spark.conf.set("spark.sql.streaming.stopTimeout", "30s")
     tmp = tempfile.mkdtemp(prefix="sequin_soak_")
     log_dir = os.path.join(tmp, "delivered")
     attempt_dir = os.path.join(tmp, "attempts")
@@ -120,14 +123,26 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str) -> dict:
     while time.time() - t0 < seconds:
         time.sleep(min(segment, max(1, seconds - (time.time() - t0))))
         if time.time() - t0 < seconds - 5:
-            q.stop()
+            try:
+                q.stop()
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"mid-run stop: {e!r}")
             q = start()
             restarts += 1
-    # drain: stop the source-side faults from mattering by letting
-    # pending retries flush (backoff is seconds-scale)
-    time.sleep(5)
-    q.processAllAvailable()
-    q.stop()
+    # drain: let in-flight work land, then STOP — no processAllAvailable
+    # (a rate source always has newer offsets, so "all available" chases
+    # its tail for as long as the backlog equilibrium lasts; the
+    # invariants below are prefix-safe by construction, so a hard stop
+    # after a bounded drain is the correct harness shape).  stop() is
+    # bounded by spark.sql.streaming.stopTimeout set in run_soak; a
+    # zombie query (the pre-r11 StackOverflowError mode) surfaces as a
+    # recorded stop error instead of hanging the harness forever.
+    time.sleep(15)
+    stop_err = None
+    try:
+        q.stop()
+    except Exception as e:  # noqa: BLE001
+        stop_err = repr(e)[:300]
     stop_side.set()
     side.join(timeout=120)
     spark.streams.removeListener(listener)
@@ -214,6 +229,7 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str) -> dict:
         "bad_gap_groups": bad_gap[:5],
         "undocumented_dups": sorted(undocumented_dups)[:5],
         "mode": "low_latency+async_progress",
+        "stop_error": stop_err,
     }
     ok = all(inv.values()) and not errs
     result["ok"] = ok
