@@ -98,6 +98,39 @@ ROUTING_SCHEMAS: dict[str, dict[str, object]] = {
 }
 
 
+# The subset of each schema's routing keys that bound ONE SINK CALL —
+# the reference's Broadway batch_key (sink_pipeline.ex:371-430: the
+# batcher accumulates messages per batch_key and emits one delivery per
+# key).  Keys NOT listed here are per-MESSAGE attributes (kafka
+# message_key, kinesis partition_key, redis key, nats subject, rabbitmq
+# routing_key): the reference delivers them many-to-a-call (a Kafka
+# produce set, a PutRecords page, a redis pipeline), each row carrying
+# its own value — every sink here already reads them row-first with a
+# batch.routing fallback.  Closing delivery chunks on per-message keys
+# degenerates to ONE ROW PER SINK CALL at high group cardinality — the
+# r11 chaos soak measured that at a ~700 rows/s delivery ceiling
+# (100k-group load, every chunk 1 row) vs ~70k rows/s once chunks
+# close on batch keys only.
+BATCH_KEYS: dict[str, tuple[str, ...]] = {
+    "kafka": ("topic",),
+    "http_push": ("method", "endpoint_path", "headers"),
+    "redis_string": (),
+    "redis_stream": (),
+    "gcp_pubsub": ("topic_id",),
+    "nats": (),
+    "sqs": ("queue_url",),
+    "sns": ("topic_arn",),
+    "kinesis": ("stream_arn",),
+    "s2": ("stream",),
+    "azure_event_hub": ("event_hub_name",),
+    "rabbitmq": ("exchange",),
+    "typesense": ("collection", "index_action"),
+    "meilisearch": ("index_name", "index_action", "filter", "function",
+                    "context"),
+    "elasticsearch": ("index_name", "index_action"),
+}
+
+
 def route(df: DataFrame, sink_type: str, overrides: dict[str, Column] | None = None) -> DataFrame:
     """Attach routing columns: defaults merged with user overrides
     (routing.ex:105-135 — override wins; unknown keys rejected)."""

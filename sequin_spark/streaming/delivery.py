@@ -128,8 +128,9 @@ def _load_ledger_slice(sdir: str, trim_lsn: int,
             merged = merged.filter(
                 pc.or_(pc.greater_equal(lsn, trim_lsn), pc.equal(lsn, 0)))
         pdf = merged.to_pandas()
-        seen = seen | set(zip(pdf["commit_lsn"], pdf["commit_idx"],
-                              pdf["idempotency_key"]))
+        seen = seen | set(zip(pdf["commit_lsn"].tolist(),
+                              pdf["commit_idx"].tolist(),
+                              pdf["idempotency_key"].tolist()))
         folded = folded | set(new)
     if len(files) >= compact_files:
         # full re-read with the trim applied: compaction is also the
@@ -159,8 +160,9 @@ def _load_ledger_slice(sdir: str, trim_lsn: int,
                     os.remove(f)
                 except FileNotFoundError:
                     pass
-            seen = set(zip(pdf["commit_lsn"], pdf["commit_idx"],
-                           pdf["idempotency_key"]))
+            seen = set(zip(pdf["commit_lsn"].tolist(),
+                           pdf["commit_idx"].tolist(),
+                           pdf["idempotency_key"].tolist()))
             folded = {final}
     _SLICE_CACHE[sdir] = (seen, folded)
     return seen
@@ -177,9 +179,10 @@ class DeliveryEngine:
         partition_count: int = 8,
         max_retry_count: int = 3,
         routing_cols: tuple[str, ...] = (),
+        batch_cols: tuple[str, ...] | None = None,
         backoff_base_s: float = BACKOFF_MIN_S,
         load_shedding_policy: str = "pause_on_full",
-        max_pending: int = 50_000,
+        max_pending: int | None = None,
         acked_ring_size: int = 1000,
         ledger_compact_files: int = 64,
         ledger_trim_batches: int | None = None,
@@ -201,9 +204,32 @@ class DeliveryEngine:
         self.partition_count = partition_count
         self.max_retry_count = max_retry_count
         self.routing_cols = tuple(routing_cols)
+        # chunk-bounding subset of routing_cols: the reference's Broadway
+        # batch_key (sink_pipeline.ex:371-430).  Per-message routing keys
+        # (kafka message_key, kinesis partition_key, ...) must NOT close
+        # chunks — at high group cardinality that degenerates to one-row
+        # sink calls (the r11 soak's ~700 rows/s delivery ceiling).  None
+        # = derive from the sink's routing schema; passing routing_cols
+        # explicitly restores the old per-message behavior.
+        if batch_cols is None:
+            from sequin_spark.functions.routing import BATCH_KEYS
+
+            schema = (sink_type if sink_type in BATCH_KEYS else "kafka")
+            derived = BATCH_KEYS.get(schema, tuple(routing_cols))
+            batch_cols = tuple(c for c in derived if c in self.routing_cols)
+        self.batch_cols = tuple(batch_cols)
         self.backoff_base_s = backoff_base_s
         self.load_shedding_policy = load_shedding_policy
-        self.max_pending = max_pending
+        # The reference's 50k message cap is PER message-store
+        # partition (slot_message_store_state.ex:18 default ×
+        # :partition at :26 — a consumer holds partition_count stores),
+        # so the faithful driver-frame cap scales with partition_count.
+        # Explicit values are taken as the TOTAL cap (tests pin tiny
+        # spill windows with max_pending=1).  At the 400k default the
+        # pending frame is bounded ~10s of MB driver-side; the backlog
+        # beyond it lives in the parquet overflow FIFO either way.
+        self.max_pending = (max_pending if max_pending is not None
+                            else 50_000 * partition_count)
         self.acked_ring_size = acked_ring_size
         self.ledger_compact_files = ledger_compact_files
         # Streaming-only ledger retention (message_ledgers.ex
@@ -717,6 +743,7 @@ class DeliveryEngine:
 
         sink_type, sink_config = self.sink_type, dict(self.sink_config)
         routing_cols, max_batch = list(self.routing_cols), self.batch_size
+        batch_cols = list(self.batch_cols)
         max_bytes = self.batch_bytes
         ledger_dir, fail_dir = self.ledger_dir, self.failures_dir(batch_id)
         ring_size = self.acked_ring_size
@@ -834,10 +861,19 @@ class DeliveryEngine:
                         slice_seen = _load_ledger_slice(
                             sdir, slice_trim_lsn, slice_compact_files)
                     if slice_seen:
-                        midx = pd.MultiIndex.from_arrays(
-                            [pdf["commit_lsn"], pdf["commit_idx"],
-                             pdf["idempotency_key"]])
-                        pdf = pdf[~midx.isin(slice_seen)]
+                        # plain zip-membership against the python set:
+                        # 0.6 µs/row vs MultiIndex.isin's 92 µs/row
+                        # (the r11 soak's dominant trigger cost — 9 s
+                        # per 100k-row frame at a 660k-identity slice)
+                        import numpy as _np
+
+                        hit = _np.fromiter(
+                            (t in slice_seen for t in zip(
+                                pdf["commit_lsn"].tolist(),
+                                pdf["commit_idx"].tolist(),
+                                pdf["idempotency_key"].tolist())),
+                            dtype=bool, count=len(pdf))
+                        pdf = pdf[~hit]
                     pdf = pdf.drop(columns=["_pid"])
                 if len(pdf):
                     dup = pdf.duplicated(subset=IDENTITY, keep="first")
@@ -920,10 +956,14 @@ class DeliveryEngine:
                 statuses = []
                 # Rows arrive sorted (group_id, lsn, idx). Batches span
                 # groups but never split the per-group order, keyed by the
-                # routing tuple — the reference's Broadway batch_key
+                # BATCH-key tuple — the reference's Broadway batch_key
                 # semantics (sink_pipeline.ex:371-430): one sink call per
-                # (routing, ≤batch_size) run, and a failure nacks the
+                # (batch_key, ≤batch_size) run, and a failure nacks the
                 # whole batch + blocks the affected groups' later rows.
+                # Per-message routing keys (kafka message_key, kinesis
+                # partition_key, ...) ride in the rows and do NOT close
+                # chunks — closing on them meant one-row sink calls at
+                # high group cardinality (r11 soak, ~700 rows/s ceiling).
                 rows = pdf.to_dict("records")
 
                 def _gkey(r):
@@ -959,7 +999,7 @@ class DeliveryEngine:
                 chunk_routing = None
                 chunk_bytes = 0
                 for r in rows:
-                    routing = tuple(r.get(c) for c in routing_cols)
+                    routing = tuple(r.get(c) for c in batch_cols)
                     # encoded bytes, not characters — a mostly-CJK payload
                     # is up to 4x its len() and would blow a sink's wire
                     # cap (e.g. pub/sub 10MB) if counted in characters

@@ -78,6 +78,7 @@ class ConsumerPipeline:
             partition_count=spec.partition_count,
             max_retry_count=spec.max_retry_count,
             routing_cols=routing_cols,
+            batch_cols=tuple(spec.batch_keys()),
             tracer=tracer,
             consumer_id=spec.name,
             low_latency=getattr(spec, "low_latency", False),

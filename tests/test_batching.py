@@ -89,6 +89,83 @@ def test_count_bound_still_applies(spark, tmp_path):
     assert sorted(len(b) for b in _batches(log)) == [2, 4, 4]
 
 
+def _mk_routed_df(spark, n, topic_of):
+    return spark.createDataFrame(
+        [
+            (f"g{i}", 100 + i, 0, f"ik-{i}", f"k{i}", "x" * 10,
+             topic_of(i), f"g{i}")
+            for i in range(n)
+        ],
+        "group_id string, commit_lsn long, commit_idx long, "
+        "idempotency_key string, key string, value string, "
+        "topic string, message_key string",
+    )
+
+
+def test_per_message_routing_keys_do_not_close_chunks(spark, tmp_path):
+    """kafka-style routing = (topic, message_key): message_key varies
+    per ROW but is a per-message attribute, not a Broadway batch_key
+    (sink_pipeline.ex:371-430) — 10 rows with 10 distinct keys and one
+    topic must ride in ONE sink call, not 10.  Closing chunks on
+    per-message keys degenerated to one-row sink calls at 100k-group
+    cardinality (r11 chaos soak: ~700 rows/s delivery ceiling)."""
+    log = tmp_path / "log"
+    engine = DeliveryEngine(
+        "file_log",
+        {"path": str(log), "row_path_only": True},
+        state_dir=str(tmp_path / "state"),
+        batch_size=200,
+        routing_cols=("topic", "message_key"),
+        partition_count=1,
+    )
+    assert engine.batch_cols == ("topic",)
+    stats = engine.process_batch(
+        _mk_routed_df(spark, 10, lambda i: "t0"), 0)
+    assert stats["delivered"] == 10
+    assert sorted(len(b) for b in _batches(log)) == [10]
+
+
+def test_batch_key_change_still_closes_chunks(spark, tmp_path):
+    """The true batch key (topic) DOES bound the sink call: rows
+    alternating between two topics close a chunk at every change —
+    order within the sorted run is preserved, one call per run."""
+    log = tmp_path / "log"
+    engine = DeliveryEngine(
+        "file_log",
+        {"path": str(log), "row_path_only": True},
+        state_dir=str(tmp_path / "state"),
+        batch_size=200,
+        routing_cols=("topic", "message_key"),
+        partition_count=1,
+    )
+    stats = engine.process_batch(
+        _mk_routed_df(spark, 10, lambda i: f"t{i % 2}"), 0)
+    assert stats["delivered"] == 10
+    # rows sort by (group_id, ...): g0,g1,g2,... alternate topics, so
+    # every adjacent pair differs → 10 single-row calls here (the sort
+    # is group-major by design; same-topic runs batch when adjacent)
+    assert sorted(len(b) for b in _batches(log)) == [1] * 10
+
+
+def test_explicit_batch_cols_override(spark, tmp_path):
+    """batch_cols passed explicitly wins over the schema derivation
+    (restores the old close-on-every-routing-key behavior)."""
+    log = tmp_path / "log"
+    engine = DeliveryEngine(
+        "file_log",
+        {"path": str(log), "row_path_only": True},
+        state_dir=str(tmp_path / "state"),
+        batch_size=200,
+        routing_cols=("topic", "message_key"),
+        batch_cols=("topic", "message_key"),
+        partition_count=1,
+    )
+    stats = engine.process_batch(
+        _mk_routed_df(spark, 6, lambda i: "t0"), 0)
+    assert stats["delivered"] == 6
+    assert sorted(len(b) for b in _batches(log)) == [1] * 6
+
+
 def test_pubsub_default_byte_cap():
     sink = create_sink("gcp_pubsub")
     assert sink.default_batch_bytes == int(10 * 1024 * 1024 * 0.9)
