@@ -1633,6 +1633,137 @@ FROM m GROUP BY consumer_id
 
 
 # ---------------------------------------------------------------------------
+# CDC apply: replica materialization (SCD1) and audit history (SCD2)
+
+def _version_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic multi-version change log over ``orders``: key k
+    carries 1 + (k % 3) versions; version 0 is the insert, later
+    versions are updates except (k + v) % 7 == 0 which is a delete (a
+    delete mid-chain followed by an update models the upsert-revive
+    case the reference's ON CONFLICT guidance covers).  Total order =
+    seq = (3e6 + k) * 4 + v — the (commit_lsn, commit_idx) scalar.
+    The price mutates +17 cents per version so last-wins is
+    value-observable, not just count-observable."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+    k = F.col("o_orderkey").cast("long")
+    v = F.col("v").cast("long")
+    return o.select(
+        "o_orderkey", "o_totalprice",
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             k % 3)).alias("v"),
+    ).select(
+        F.col("o_orderkey"),
+        F.when(v == 0, "insert")
+        .when((k + v) % 7 == 0, "delete")
+        .otherwise("update").alias("action"),
+        (F.round(F.col("o_totalprice") * 100).cast("long")
+         + 17 * v).alias("price_x100"),
+        ((F.lit(3_000_000) + k) * 4 + v).alias("seq"),
+    )
+
+
+def q_cdc_table_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica materialization — the table a destination holds after a
+    sink consumer upserts every change in (commit_lsn, commit_idx)
+    order (docs/how-to/replicate-tables.mdx:39,92: processor "receives
+    changes and upserts to your destination table", idempotent via
+    PK ON CONFLICT; grouping by PK = sinks/overview grouping-and-
+    ordering).  Last-wins per PK: the survivor is the max-seq event,
+    and a key whose final event is a delete is absent (a mid-chain
+    delete later updated is revived — the upsert contract).
+
+    Plan shape: ONE map-side-combinable hash aggregate —
+    ``max_by(value, seq)`` per PK — not a row_number window, so
+    partial aggregation runs scan-side and the single shuffle carries
+    one row per (partition, key), not the whole log.  At 100 TB the
+    change log is orders of magnitude larger than the key space;
+    partial agg is the difference between shuffling the log and
+    shuffling the table."""
+    _prep(spark)
+    log = _version_log(spark, sf_dir)
+    g = log.groupBy("o_orderkey").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.max("seq").alias("last_seq"),
+        F.max_by("action", F.col("seq")).alias("_last_action"),
+        F.max_by("price_x100", F.col("seq")).alias("final_price_x100"),
+    )
+    return (g.where(F.col("_last_action") != "delete")
+             .drop("_last_action"))
+
+
+SQL_CDC_TABLE_MATERIALIZE = """
+WITH log AS (
+  SELECT o_orderkey,
+         CASE WHEN v = 0 THEN 'insert'
+              WHEN (o_orderkey + v) % 7 = 0 THEN 'delete'
+              ELSE 'update' END AS action,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 17 * v AS price_x100,
+         (3000000 + o_orderkey) * 4 + v AS seq
+  FROM orders, unnest(generate_series(0, o_orderkey % 3)) AS t(v)
+)
+SELECT o_orderkey,
+       count(*) AS n_versions,
+       max(seq) AS last_seq,
+       max_by(price_x100, seq) AS final_price_x100
+FROM log GROUP BY o_orderkey
+HAVING max_by(action, seq) <> 'delete'
+"""
+
+
+def q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 audit history — every non-delete version becomes a
+    row with its validity interval, closed by the NEXT event on the
+    same PK (docs/how-to/create-audit-logs.mdx:10-11: "trace change
+    history … activity feeds, change history views"; the audit table
+    at :138 keys rows by (record_id, event time)).  A delete emits no
+    history row but closes its predecessor; the final open interval is
+    ``is_current`` — and a PK whose last event was a delete has NO
+    current row (hard-delete semantics, replica identity full).
+
+    Plan shape: one hash-partitioned window (partition by PK, order by
+    seq, ``lead(seq)``) — a single shuffle on the PK and an
+    in-partition sort.  Per-PK partitions are bounded by the version
+    count, never global; at 100 TB this is the same shape as the
+    engine's group-ordered delivery sort (operators/grouping.py) and
+    scales with AQE exactly like it."""
+    from pyspark.sql import Window
+
+    _prep(spark)
+    log = _version_log(spark, sf_dir)
+    w = Window.partitionBy("o_orderkey").orderBy("seq")
+    h = log.withColumn("valid_to_seq", F.lead("seq").over(w))
+    return (h.where(F.col("action") != "delete")
+             .select(
+                 "o_orderkey",
+                 F.col("seq").alias("valid_from_seq"),
+                 "price_x100",
+                 "valid_to_seq",
+                 F.col("valid_to_seq").isNull().alias("is_current")))
+
+
+SQL_CDC_SCD2_HISTORY = """
+WITH log AS (
+  SELECT o_orderkey,
+         CASE WHEN v = 0 THEN 'insert'
+              WHEN (o_orderkey + v) % 7 = 0 THEN 'delete'
+              ELSE 'update' END AS action,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 17 * v AS price_x100,
+         (3000000 + o_orderkey) * 4 + v AS seq
+  FROM orders, unnest(generate_series(0, o_orderkey % 3)) AS t(v)
+),
+h AS (
+  SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq)
+            AS valid_to_seq
+  FROM log
+)
+SELECT o_orderkey, seq AS valid_from_seq, price_x100, valid_to_seq,
+       (valid_to_seq IS NULL) AS is_current
+FROM h WHERE action <> 'delete'
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 
 from sequin_spark.queries_datapipe import DATAPIPE_ORACLES, DATAPIPE_QUERIES  # noqa: E402
@@ -1681,6 +1812,8 @@ QUERIES: dict[str, callable] = {
     "hw_cursor_advancement": q_hw_cursor_advancement,
     "consumer_fanout_counts": q_consumer_fanout_counts,
     "metrics_ewma_anomaly": q_metrics_ewma_anomaly,
+    "cdc_table_materialize": q_cdc_table_materialize,
+    "cdc_scd2_history": q_cdc_scd2_history,
     **DATAPIPE_QUERIES,
 }
 
@@ -1728,5 +1861,7 @@ ORACLES: dict[str, str] = {
     "hw_cursor_advancement": SQL_HW_CURSOR_ADVANCEMENT,
     "consumer_fanout_counts": SQL_CONSUMER_FANOUT_COUNTS,
     "metrics_ewma_anomaly": SQL_METRICS_EWMA_ANOMALY,
+    "cdc_table_materialize": SQL_CDC_TABLE_MATERIALIZE,
+    "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     **DATAPIPE_ORACLES,
 }
