@@ -1106,6 +1106,318 @@ def decode_bmp(blob: bytes) -> dict:
         return out
 
 
+def _lzw_decode_tiff(data: bytes) -> bytes:
+    """TIFF 6.0 LZW (spec §13): MSB-first bit packing, 256=Clear,
+    257=EOI, 9→12-bit codes with the EARLY-CHANGE width bump (the
+    width grows when the next free code reaches (1<<width)−1, one
+    entry sooner than GIF's LSB-first variant above)."""
+    CLEAR, EOI = 256, 257
+    nbits = len(data) * 8
+    bitpos = 0
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+
+    def read(w: int) -> int:
+        nonlocal bitpos
+        if bitpos + w > nbits:
+            return EOI
+        v = 0
+        for _ in range(w):
+            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
+            bitpos += 1
+        return v
+
+    while True:
+        code = read(width)
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4094:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+
+
+def lzw_encode_tiff(pixels: bytes) -> bytes:
+    """Real dictionary TIFF-LZW encoder — the decoder's exact inverse
+    (MSB-first, early change): used by synth_gray_tiff so the decode
+    query exercises genuine compressed strips, not clear-per-symbol
+    degenerate streams."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def push(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            out.append((acc >> nacc) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    push(CLEAR, width)
+    run = b""
+    for b in pixels:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        push(table[run], width)
+        if nxt < 4094:
+            table[cand] = nxt
+            nxt += 1
+            # the decoder is one table-add behind (same offset as the
+            # GIF pair above), so the encoder's early-change fires one
+            # add after the decoder's (1<<width)−1 threshold
+            if nxt == (1 << width) and width < 12:
+                width += 1
+        run = bytes([b])
+    if run:
+        push(table[run], width)
+    push(EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (spec §9, the Apple RLE): n ≥ 0 → copy n+1
+    literals; n ≤ −1 (except −128 no-op) → repeat next byte 1−n
+    times."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        n = data[i] - 256 if data[i] > 127 else data[i]
+        i += 1
+        if n >= 0:
+            out += data[i:i + n + 1]
+            i += n + 1
+        elif n != -128:
+            out += data[i:i + 1] * (1 - n)
+            i += 1
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (runs ≥ 3 become repeat packets, the rest ride
+    in ≤128-byte literal packets) — synth-side inverse of
+    _packbits_decode."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run: until a ≥3 repeat starts or 128 bytes
+        lit_start = i
+        while i < n and i - lit_start < 128:
+            if (i + 2 < n and data[i] == data[i + 1] == data[i + 2]):
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out += data[lit_start:i]
+    return bytes(out)
+
+
+def decode_tiff(blob: bytes) -> dict:
+    """REAL baseline TIFF pixel decode, pure stdlib (TIFF 6.0 public
+    spec): II/MM byte order, IFD0 tag walk (width/length/bits/
+    compression/photometric/strip offsets+counts/samples-per-pixel/
+    rows-per-strip), multi-strip assembly, and three compressions —
+    none (1), LZW (5, MSB-first early-change variant), PackBits
+    (32773).  Grayscale (photometric 0/1, WhiteIsZero inverted) and
+    RGB (photometric 2); luma contract matches PNG: (r+g+b) div 3."""
+    import struct as _s
+
+    out = {"format": "tiff", "width": None, "height": None,
+           "n_channels": None, "n_pixels": None, "mean_luma_x1000": None,
+           "status": "decoded"}
+    if blob[:4] not in (b"II*\x00", b"MM\x00*"):
+        out["status"] = "not_tiff"
+        return out
+    end = "<" if blob[:2] == b"II" else ">"
+    try:
+        (ifd_off,) = _s.unpack_from(end + "I", blob, 4)
+        (n_tags,) = _s.unpack_from(end + "H", blob, ifd_off)
+        _TYPE_SIZE = {1: 1, 3: 2, 4: 4}
+        tags: dict[int, list[int]] = {}
+        for t in range(n_tags):
+            base = ifd_off + 2 + 12 * t
+            tag, typ, cnt = _s.unpack_from(end + "HHI", blob, base)
+            if typ not in _TYPE_SIZE:
+                continue
+            size = _TYPE_SIZE[typ] * cnt
+            if size <= 4:
+                voff = base + 8
+            else:
+                (voff,) = _s.unpack_from(end + "I", blob, base + 8)
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(
+                _s.unpack_from(end + str(cnt) + fmt, blob, voff))
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        comp = tags.get(259, [1])[0]
+        photo = tags.get(262, [1])[0]
+        spp = tags.get(277, [1])[0]
+        bits = tags.get(258, [8])
+        offsets = tags.get(273, [])
+        counts = tags.get(279, [])
+        if w <= 0 or h <= 0:
+            out["status"] = "empty_image"
+            return out
+        if any(b != 8 for b in bits):
+            out["status"] = f"unsupported_bits_{bits[0]}"
+            return out
+        if photo not in (0, 1, 2) or spp not in (1, 3):
+            out["status"] = f"unsupported_photometric_{photo}"
+            return out
+        if comp not in (1, 5, 32773):
+            out["status"] = f"unsupported_compression_{comp}"
+            return out
+        if not offsets or len(offsets) != len(counts):
+            out["status"] = "bad_strips"
+            return out
+        px = bytearray()
+        for off, cnt in zip(offsets, counts):
+            strip = blob[off:off + cnt]
+            if len(strip) < cnt:
+                out["status"] = "truncated"
+                return out
+            if comp == 5:
+                px += _lzw_decode_tiff(strip)
+            elif comp == 32773:
+                px += _packbits_decode(strip)
+            else:
+                px += strip
+        need = w * h * spp
+        if len(px) < need:
+            out["status"] = "truncated"
+            return out
+        px = px[:need]
+        luma_sum = 0
+        if spp == 1:
+            if photo == 0:  # WhiteIsZero
+                luma_sum = sum(255 - v for v in px)
+            else:
+                luma_sum = sum(px)
+        else:
+            for i in range(0, need, 3):
+                luma_sum += (px[i] + px[i + 1] + px[i + 2]) // 3
+        out.update(width=w, height=h, n_channels=spp,
+                   n_pixels=w * h,
+                   mean_luma_x1000=(1000 * luma_sum) // (w * h))
+        return out
+    except (IndexError, ValueError, _s.error):
+        out["status"] = "truncated"
+        return out
+
+
+def synth_gray_tiff(doc_id: int, w: int = 16, h: int = 8) -> bytes:
+    """Deterministic VALID little-endian TIFF whose pixel(i,j) =
+    (doc_id·31 + i·7 + j) mod 256 — the shared palette-synth pixel
+    rule, so the analytic oracle is identical across formats.  The
+    DECODE PATH varies per doc while the pixel stats stay invariant
+    (that is the point of the query): compression cycles none /
+    PackBits / LZW by doc_id mod 3, and odd docs split the image into
+    4-row strips (multi-strip assembly) while even docs use one
+    strip."""
+    import struct as _s
+
+    pixels = bytes(
+        (doc_id * 31 + i * 7 + j) % 256
+        for i in range(h) for j in range(w))
+    comp_kind = doc_id % 3
+    comp = (1, 32773, 5)[comp_kind]
+    rows_per_strip = 4 if doc_id % 2 else h
+    strips = []
+    for r0 in range(0, h, rows_per_strip):
+        raw = pixels[r0 * w:(r0 + rows_per_strip) * w]
+        if comp_kind == 1:
+            strips.append(packbits_encode(raw))
+        elif comp_kind == 2:
+            strips.append(lzw_encode_tiff(raw))
+        else:
+            strips.append(raw)
+    entries = [
+        (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 8),
+        (259, 3, 1, comp), (262, 3, 1, 1),
+        (273, 4, len(strips), None),  # offsets, patched below
+        (277, 3, 1, 1), (278, 3, 1, rows_per_strip),
+        (279, 4, len(strips), None),  # counts, patched below
+    ]
+    n = len(entries)
+    ifd_off = 8
+    after_ifd = ifd_off + 2 + 12 * n + 4
+    # out-of-line arrays (strip offsets/counts) when >1 strip
+    extra = bytearray()
+    extra_base = after_ifd
+    strip_data_off = extra_base + (
+        2 * 4 * len(strips) if len(strips) > 1 else 0)
+    offs = []
+    pos = strip_data_off
+    for s in strips:
+        offs.append(pos)
+        pos += len(s)
+    cnts = [len(s) for s in strips]
+    out = bytearray(b"II*\x00")
+    out += _s.pack("<I", ifd_off)
+    out += _s.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        out += _s.pack("<HHI", tag, typ, cnt)
+        if tag == 273:
+            if len(strips) == 1:
+                out += _s.pack("<I", offs[0])
+            else:
+                out += _s.pack("<I", extra_base + len(extra))
+                for o in offs:
+                    extra += _s.pack("<I", o)
+        elif tag == 279:
+            if len(strips) == 1:
+                out += _s.pack("<I", cnts[0])
+            else:
+                out += _s.pack("<I", extra_base + len(extra))
+                for c in cnts:
+                    extra += _s.pack("<I", c)
+        elif typ == 3:
+            out += _s.pack("<HH", val, 0)
+        else:
+            out += _s.pack("<I", val)
+    out += _s.pack("<I", 0)  # no next IFD
+    out += extra
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
 def synth_gray_gif(doc_id: int, w: int = 16, h: int = 8) -> bytes:
     """Deterministic VALID GIF89a whose pixel(i,j) =
     (doc_id·31 + i·7 + j) mod 256 over a 256-gray global palette —
@@ -1202,6 +1514,11 @@ def decode_pixels(media: DataFrame) -> DataFrame:
                         "n_pixels", "mean_luma_x1000", "status")})
                 elif b[:2] == b"BM":
                     d = decode_bmp(b)
+                    base.update({k: d.get(k) for k in (
+                        "format", "width", "height", "n_channels",
+                        "n_pixels", "mean_luma_x1000", "status")})
+                elif b[:4] in (b"II*\x00", b"MM\x00*"):
+                    d = decode_tiff(b)
                     base.update({k: d.get(k) for k in (
                         "format", "width", "height", "n_channels",
                         "n_pixels", "mean_luma_x1000", "status")})
@@ -1981,6 +2298,189 @@ def probe_flac(blob: bytes) -> dict:
     return out
 
 
+_OGG_CRC_TABLE: list[int] | None = None
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC (RFC 3533 §6): CRC-32, polynomial 0x04C11DB7,
+    NON-reflected, init 0, no final xor — deliberately not zlib's."""
+    global _OGG_CRC_TABLE
+    if _OGG_CRC_TABLE is None:
+        tbl = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            tbl.append(r & 0xFFFFFFFF)
+        _OGG_CRC_TABLE = tbl
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[
+            ((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def probe_ogg(blob: bytes) -> dict:
+    """Ogg container probe (RFC 3533): page walk — 'OggS' capture
+    pattern, version 0, header-type, 64-bit granule, serial, sequence,
+    CRC (VERIFIED per page with the non-reflected 0x04C11DB7 CRC-32,
+    crc field zeroed), segment lacing table.  Packets = lacing values
+    < 255 (a 255 continues into the next value/page).  The first
+    packet identifies the codec: Vorbis identification header
+    ('\\x01vorbis': version, channels, sample rate — Vorbis I spec
+    §4.2.2) or OpusHead (RFC 7845 §5.1: version, channels, pre-skip,
+    input sample rate).  Duration from the last page's granule
+    position: Vorbis granule = PCM samples at the stream rate; Opus
+    granule = 48 kHz samples including pre-skip.  Schema mapping:
+    n_blocks = pages, n_frames = packets."""
+    import struct as _s
+
+    out = _audio_none()
+    if blob[:4] != b"OggS":
+        out["status"] = "not_ogg"
+        return out
+    out["container"] = "ogg"
+    p = 0
+    n_pages = 0
+    n_packets = 0
+    last_granule = None
+    first_packet = None
+    preskip = 0
+    while p < len(blob):
+        if blob[p:p + 4] != b"OggS":
+            out["status"] = "bad_capture_pattern"
+            return out
+        if p + 27 > len(blob):
+            out["status"] = "truncated"
+            return out
+        (ver, _htype, granule, _serial, _seq, crc, nsegs) = _s.unpack_from(
+            "<BBqIIIB", blob, p + 4)
+        if ver != 0:
+            out["status"] = f"bad_version_{ver}"
+            return out
+        seg_tab = blob[p + 27:p + 27 + nsegs]
+        if len(seg_tab) < nsegs:
+            out["status"] = "truncated"
+            return out
+        body_len = sum(seg_tab)
+        page_end = p + 27 + nsegs + body_len
+        if page_end > len(blob):
+            out["status"] = "truncated"
+            return out
+        page = bytearray(blob[p:page_end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            out["status"] = "crc_mismatch"
+            return out
+        n_packets += sum(1 for v in seg_tab if v < 255)
+        if granule != -1:
+            last_granule = granule
+        if first_packet is None and nsegs:
+            first_packet = blob[p + 27 + nsegs:
+                                p + 27 + nsegs + seg_tab[0]]
+        n_pages += 1
+        p = page_end
+    if first_packet is None:
+        out["status"] = "no_packets"
+        return out
+    if first_packet[:7] == b"\x01vorbis":
+        if len(first_packet) < 16:
+            out["status"] = "bad_id_header"
+            return out
+        ch = first_packet[11]
+        (rate,) = _s.unpack_from("<I", first_packet, 12)
+        if rate == 0:
+            out["status"] = "bad_id_header"
+            return out
+        out.update({"codec": "vorbis", "sample_rate": rate,
+                    "channels": ch})
+        granule_rate = rate
+    elif first_packet[:8] == b"OpusHead":
+        if len(first_packet) < 19:
+            out["status"] = "bad_id_header"
+            return out
+        ch = first_packet[9]
+        (preskip,) = _s.unpack_from("<H", first_packet, 10)
+        (rate,) = _s.unpack_from("<I", first_packet, 12)
+        out.update({"codec": "opus", "sample_rate": rate,
+                    "channels": ch})
+        granule_rate = 48_000
+    else:
+        out["status"] = "unknown_codec"
+        return out
+    out["n_blocks"] = n_pages
+    out["n_frames"] = n_packets
+    if last_granule is not None:
+        samples = max(last_granule - preskip, 0)
+        out["n_samples"] = samples
+        out["duration_ms"] = samples * 1000 // granule_rate
+    out["status"] = "probed"
+    return out
+
+
+def synth_ogg(doc_id: int) -> bytes:
+    """Deterministic VALID minimal Ogg stream, closed-form in doc_id:
+    codec = opus when doc_id even else vorbis; channels = 2 when
+    doc_id ≡ 0 (mod 3) else 1; vorbis rate = (44100, 48000, 32000)
+    [doc_id mod 3], opus input rate = (8000, 12000, 16000, 24000,
+    48000)[doc_id mod 5] with pre-skip 312; pages = 1 BOS id-header
+    page + (1 + doc_id mod 5) audio pages of (1 + doc_id mod 3)
+    one-lacing packets each; total samples = spf·(10 + doc_id mod 50)
+    with spf = 960 (opus, granule offset +pre-skip) / 1024 (vorbis).
+    Every page carries a REAL RFC 3533 CRC — the probe verifies it."""
+    import struct as _s
+
+    opus = doc_id % 2 == 0
+    ch = 2 if doc_id % 3 == 0 else 1
+    serial = (doc_id * 2654435761) & 0xFFFFFFFF
+    spf = 960 if opus else 1024
+    total = spf * (10 + doc_id % 50)
+    preskip = 312
+    if opus:
+        rate = (8000, 12000, 16000, 24000, 48000)[doc_id % 5]
+        id_pkt = (b"OpusHead" + bytes([1, ch])
+                  + _s.pack("<H", preskip) + _s.pack("<I", rate)
+                  + _s.pack("<h", 0) + b"\x00")
+        final_granule = preskip + total
+    else:
+        rate = (44100, 48000, 32000)[doc_id % 3]
+        id_pkt = (b"\x01vorbis" + _s.pack("<I", 0) + bytes([ch])
+                  + _s.pack("<I", rate) + bytes(12)
+                  + b"\xb8" + b"\x01")
+        final_granule = total
+
+    def page(htype: int, granule: int, seq: int,
+             packets: list[bytes]) -> bytes:
+        seg_tab = bytearray()
+        body = bytearray()
+        for pk in packets:
+            # packets stay < 255 bytes in this synth → one lacing each
+            seg_tab.append(len(pk))
+            body += pk
+        hdr = bytearray(b"OggS")
+        hdr += _s.pack("<BBqIIIB", 0, htype, granule, serial, seq, 0,
+                       len(seg_tab))
+        hdr += seg_tab
+        full = bytes(hdr) + bytes(body)
+        crc = _ogg_crc(full)
+        return full[:22] + _s.pack("<I", crc) + full[26:]
+
+    n_audio_pages = 1 + doc_id % 5
+    ppp = 1 + doc_id % 3
+    out = [page(0x02, 0 if not opus else 0, 0, [id_pkt])]
+    for k in range(n_audio_pages):
+        granule = (final_granule if k == n_audio_pages - 1
+                   else (preskip if opus else 0)
+                   + spf * (k + 1) * (10 + doc_id % 50)
+                   // n_audio_pages)
+        pkts = [bytes([17 + (doc_id + k + i) % 40])
+                * (20 + (doc_id + k * 3 + i) % 60)
+                for i in range(ppp)]
+        htype = 0x04 if k == n_audio_pages - 1 else 0x00  # EOS on last
+        out.append(page(htype, granule, k + 1, pkts))
+    return b"".join(out)
+
+
 def probe_audio_containers(media: DataFrame) -> DataFrame:
     """Arrow-batched MP3/FLAC container probe (dispatch on magic) —
     mapInPandas over the partition's batches, no shuffle."""
@@ -1991,6 +2491,8 @@ def probe_audio_containers(media: DataFrame) -> DataFrame:
                 blob = bytes(b) if b is not None else b""
                 if blob[:4] == b"fLaC":
                     p = probe_flac(blob)
+                elif blob[:4] == b"OggS":
+                    p = probe_ogg(blob)
                 elif (blob[:3] == b"ID3"
                       or (len(blob) >= 2 and blob[0] == 0xFF
                           and (blob[1] & 0xE0) == 0xE0)):

@@ -6443,3 +6443,121 @@ DATAPIPE_QUERIES.update({
 DATAPIPE_ORACLES.update({
     "embed_kmeans_balance": _sql_embed_kmeans_balance(),
 })
+
+
+def q_multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF pixel decode, oracle-checked (extends the r10 image
+    matrix — PNG/JPEG/GIF/BMP — with the fifth major container): per
+    doc a deterministic 16×8 8-bit grayscale TIFF (the shared palette
+    pixel rule) whose DECODE PATH varies while the pixel stats stay
+    invariant — compression cycles none/PackBits/LZW (TIFF 6.0 §9/§13,
+    MSB-first early-change LZW) by doc_id mod 3 and odd docs split
+    into 4-row strips (multi-strip assembly) — walked by the
+    pure-stdlib IFD/tag parser (multimodal.decode_tiff).  A stride
+    slip, a PackBits sign error, an early-change off-by-one, or a
+    strip-order bug each surfaces as a value mismatch on a third of
+    the corpus.  Encoder/decoder roundtrips are differentially tested
+    in tests/test_tiff.py.  Plan: two embarrassingly-parallel
+    mapInPandas passes, no shuffle."""
+    return _q_multimodal_palette_decode(
+        spark, sf_dir, "synth_gray_tiff", "tiff")
+
+
+SQL_MULTIMODAL_TIFF_DECODE = """
+SELECT doc_id,
+       CAST(16 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+       CAST(1 AS INTEGER) AS n_channels,
+       CAST(128 AS BIGINT) AS n_pixels,
+       CAST((1000 * list_sum(list_transform(generate_series(0, 127),
+             k -> (doc_id * 31 + (k // 16) * 7 + (k % 16)) % 256)))
+            // 128 AS BIGINT) AS mean_luma_x1000,
+       'decoded' AS status
+FROM documents
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "multimodal_tiff_decode": q_multimodal_tiff_decode,
+})
+DATAPIPE_ORACLES.update({
+    "multimodal_tiff_decode": SQL_MULTIMODAL_TIFF_DECODE,
+})
+
+
+def q_multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg container probe, oracle-checked (completes the audio
+    container matrix: MP3 + FLAC + WAV + OGG): per doc a deterministic
+    minimal Ogg stream — Opus or Vorbis identification header, 2–6
+    pages, per-page RFC 3533 CRC (computed by the synth, VERIFIED by
+    the probe with the non-reflected 0x04C11DB7 CRC-32) — walked by
+    the pure-stdlib page parser (multimodal.probe_ogg: capture
+    pattern, lacing tables, packet counting, granule→duration with
+    the Opus pre-skip subtraction, RFC 7845 §5.1).  A lacing-walk
+    stride bug, a CRC table error, or a pre-skip slip surfaces as a
+    value mismatch.  Plan: two embarrassingly-parallel mapInPandas
+    passes, no shuffle."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        probe_audio_containers,
+        synth_ogg,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "audio",
+                "blob": [synth_ogg(int(d)) for d in b["doc_id"]],
+                "meta_format": "ogg",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = probe_audio_containers(media)
+    return out.select(
+        "doc_id", "container", "codec", "sample_rate", "channels",
+        "bits_per_sample", "bitrate_kbps", "n_frames", "n_samples",
+        "n_blocks", "duration_ms", "status")
+
+
+SQL_MULTIMODAL_OGG_PROBE = """
+SELECT doc_id,
+       'ogg' AS container,
+       CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN (CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 12000
+                       WHEN 2 THEN 16000 WHEN 3 THEN 24000 ELSE 48000 END)
+                 ELSE (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                       ELSE 32000 END) END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER)
+           AS channels,
+       CAST(NULL AS INTEGER) AS bits_per_sample,
+       CAST(NULL AS INTEGER) AS bitrate_kbps,
+       CAST(1 + (1 + doc_id % 5) * (1 + doc_id % 3) AS BIGINT)
+           AS n_frames,
+       CAST((CASE WHEN doc_id % 2 = 0 THEN 960 ELSE 1024 END)
+            * (10 + doc_id % 50) AS BIGINT) AS n_samples,
+       CAST(2 + doc_id % 5 AS INTEGER) AS n_blocks,
+       CAST(((CASE WHEN doc_id % 2 = 0 THEN 960 ELSE 1024 END)
+             * (10 + doc_id % 50)) * 1000
+            // (CASE WHEN doc_id % 2 = 0 THEN 48000
+                ELSE (CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                      ELSE 32000 END) END) AS BIGINT) AS duration_ms,
+       'probed' AS status
+FROM documents
+"""
+
+
+DATAPIPE_QUERIES.update({
+    "multimodal_ogg_probe": q_multimodal_ogg_probe,
+})
+DATAPIPE_ORACLES.update({
+    "multimodal_ogg_probe": SQL_MULTIMODAL_OGG_PROBE,
+})

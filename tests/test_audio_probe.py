@@ -112,3 +112,64 @@ def test_flac_streaminfo_bit_packing():
     assert (m["sample_rate"], m["channels"], m["bits_per_sample"],
             m["n_samples"]) == (sr, ch, bps, total)
     assert m["duration_ms"] == total * 1000 // sr
+
+
+def test_ogg_synth_probe_differential():
+    from sequin_spark.datapipe.multimodal import probe_ogg, synth_ogg
+
+    for d in range(30):
+        m = probe_ogg(synth_ogg(d))
+        opus = d % 2 == 0
+        spf = 960 if opus else 1024
+        total = spf * (10 + d % 50)
+        grate = 48000 if opus else (44100, 48000, 32000)[d % 3]
+        assert m["status"] == "probed"
+        assert m["codec"] == ("opus" if opus else "vorbis")
+        assert m["channels"] == (2 if d % 3 == 0 else 1)
+        assert m["n_blocks"] == 2 + d % 5          # pages
+        assert m["n_frames"] == 1 + (1 + d % 5) * (1 + d % 3)  # packets
+        assert m["n_samples"] == total
+        assert m["duration_ms"] == total * 1000 // grate
+
+
+def test_ogg_crc_is_verified():
+    """The probe recomputes every page's RFC 3533 CRC (non-reflected
+    0x04C11DB7, init 0) — a single flipped body byte must be caught."""
+    from sequin_spark.datapipe.multimodal import probe_ogg, synth_ogg
+
+    blob = bytearray(synth_ogg(5))
+    blob[-1] ^= 0x01  # last audio byte
+    assert probe_ogg(bytes(blob))["status"] == "crc_mismatch"
+    blob = bytearray(synth_ogg(5))
+    blob[23] ^= 0x40  # the stored CRC itself
+    assert probe_ogg(bytes(blob))["status"] == "crc_mismatch"
+
+
+def test_ogg_honest_errors():
+    from sequin_spark.datapipe.multimodal import probe_ogg, synth_ogg
+
+    assert probe_ogg(b"RIFFxxxx")["status"] == "not_ogg"
+    assert probe_ogg(synth_ogg(2)[:20])["status"] == "truncated"
+    # first packet neither OpusHead nor \x01vorbis
+    import struct
+
+    from sequin_spark.datapipe.multimodal import _ogg_crc
+
+    pkt = b"theora!!"
+    seg = bytes([len(pkt)])
+    hdr = (b"OggS" + struct.pack("<BBqIIIB", 0, 2, 0, 1, 0, 0, 1)
+           + seg + pkt)
+    crc = _ogg_crc(hdr)
+    page = hdr[:22] + struct.pack("<I", crc) + hdr[26:]
+    assert probe_ogg(page)["status"] == "unknown_codec"
+
+
+def test_ogg_opus_preskip_subtracted():
+    """RFC 7845 §5.2: granule includes pre-skip; duration must not."""
+    from sequin_spark.datapipe.multimodal import probe_ogg, synth_ogg
+
+    d = 0  # opus
+    m = probe_ogg(synth_ogg(d))
+    # synth writes final granule = 312 + n_samples; probe must report
+    # n_samples without the pre-skip
+    assert m["n_samples"] == 960 * 10
