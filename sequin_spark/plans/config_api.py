@@ -278,13 +278,21 @@ class ConfigApiServer:
             def log_message(self, *args):  # silence
                 pass
 
-            def _json(self, code: int, payload: dict) -> None:
+            def _json(self, code: int, payload: dict) -> bool:
                 body = json.dumps(payload).encode()
                 self.send_response(code)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+                # truthy marker: the _resolve_* helpers return
+                # (obj, self._json(404, ...)) and their callers branch on
+                # `if err` — a None return made err ALWAYS falsy, so
+                # handlers fell through with obj=None and crashed the
+                # request thread AFTER the 404 was already on the wire
+                # (seen as socketserver tracebacks in the r11 full-suite
+                # run)
+                return True
 
             def _blocked(self) -> bool:
                 """Bearer-token gate (the :api pipeline's token auth) —

@@ -158,3 +158,24 @@ def test_registry_direct_resolution():
         reg.update("nope", {})
     spec = PostgresDatabaseSpec(name="ok", hostname="h")
     assert spec.to_external()["port"] == 5432
+
+
+def test_unknown_database_404_is_clean(server):
+    """GET for a nonexistent database must produce exactly one clean
+    404 response.  The _resolve_* helpers return (obj, self._json(404,
+    ...)) and callers branch on `if err` — _json returning None made
+    err always falsy, so the handler fell through with obj=None and
+    crashed the request thread AFTER the 404 hit the wire (socketserver
+    tracebacks in the r11 full-suite run).  The fix makes _json return
+    a truthy marker; this pins the whole resolve-miss family."""
+    for path in ("/api/postgres_databases/nope",
+                 "/api/postgres_databases/nope/schemas",
+                 "/api/postgres_databases/nope/schemas/public/tables"):
+        status, body = _req(f"http://127.0.0.1:{server.port}{path}")
+        assert status == 404, path
+        assert "no postgres database" in body.get("error", ""), body
+    # and a healthy request still works after the misses (the thread
+    # pool did not lose workers to crashes)
+    status, body = _req(
+        f"http://127.0.0.1:{server.port}/api/postgres_databases")
+    assert status == 200
