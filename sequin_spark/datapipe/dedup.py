@@ -464,9 +464,26 @@ def spread_for_compute(df: DataFrame, min_parts: int | None = None
     round-robin shuffle of the narrow projection buys full-width
     parallelism; cost is proportional to the projected bytes.  On a
     real cluster where the scan already yields ≥ cores partitions this
-    is a no-op — getNumPartitions() triggers planning but no job."""
+    is a no-op — getNumPartitions() triggers planning but no job.
+
+    Width is SIZE-AWARE above one-task-per-core (r11 third-decade
+    find): at sf100 the fingerprint kernel on 32 core-sized tasks
+    (~69M chars each) measured 44× wall for 11× chars — long
+    allocation-heavy tasks stall on GC (GCLocker retry warnings);
+    the same job in ~2MB-of-parquet tasks (256 partitions) is linear
+    (12.1×).  Target = input bytes / 2MB, clamped to [cores, 8×cores];
+    small inputs keep exactly cluster width."""
     spark = df.sparkSession
-    target = min_parts or spark.sparkContext.defaultParallelism
+    cores = spark.sparkContext.defaultParallelism
+    if min_parts is None:
+        try:
+            size = int(df._jdf.queryExecution().optimizedPlan()
+                       .stats().sizeInBytes())
+        except Exception:  # noqa: BLE001 — stats unavailable: width only
+            size = 0
+        target = max(cores, min(cores * 8, size // (2 << 20) + 1))
+    else:
+        target = min_parts
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -101,11 +101,20 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", gram: int = 8) -> DataFra
     # scan partitions — match the simhash/shingle/chunk/bigram kernels
     out = spread_for_compute(df.select(F.col(id_col), "text"))
     out = out.select(F.col(id_col), normalized("text").alias("t"))
+    # fold-min, NOT array_min(transform(...)): the transform form
+    # materializes a full array of 32-char md5 strings per row
+    # (~433 per avg doc) before taking the min — at the sf100 decade
+    # that allocation pattern measured 44× wall for 11× chars (GC
+    # pressure; r11 third-decade find).  aggregate() folds the same
+    # md5 sequence through one running min — identical values, no
+    # per-row array.
     out = out.withColumn(
         "min_gram_hash",
         F.expr(
-            f"array_min(transform(sequence(1, greatest(1, length(t) - {gram - 1})), "
-            f"i -> md5(substr(t, i, {gram}))))"
+            f"aggregate(sequence(1, greatest(1, length(t) - {gram - 1})), "
+            f"CAST(NULL AS STRING), "
+            f"(acc, i) -> least(acc, md5(substr(t, i, {gram}))), "
+            f"acc -> acc)"
         ),
     )
     return out.select(

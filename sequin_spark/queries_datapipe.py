@@ -5362,8 +5362,12 @@ def q_select_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.array_sort(F.collect_list("excess_term")).alias("_t"))
         .withColumn(
             "excess_nll",
+            # + 0.0 normalizes IEEE -0.0 to +0.0 on BOTH engines (the
+            # DSIR/PCA sign-of-zero contract; the 3rd instance of this
+            # class, caught by the r11 sf0.1 full-audit sweep — a doc
+            # whose excess terms sum to a negative-signed zero)
             F.round(F.aggregate("_t", F.lit(0.0), lambda a, x: a + x)
-                    / F.col("n_terms"), 4))
+                    / F.col("n_terms"), 4) + 0.0)
         .select("doc_id", "n_terms", "excess_nll",
                 (F.col("excess_nll") > 0).alias("learnable"))
     )
@@ -5398,7 +5402,7 @@ terms AS (
 )
 SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
        round(list_reduce(list_sort(list(excess_term)),
-                         (acc, x) -> acc + x) / count(*), 4)
+                         (acc, x) -> acc + x) / count(*), 4) + 0.0
          AS excess_nll,
        round(list_reduce(list_sort(list(excess_term)),
                          (acc, x) -> acc + x) / count(*), 4) > 0
