@@ -116,7 +116,12 @@ BATCH_KEYS: dict[str, tuple[str, ...]] = {
     "http_push": ("method", "endpoint_path", "headers"),
     "redis_string": (),
     "redis_stream": (),
-    "gcp_pubsub": ("topic_id",),
+    # gcp_pubsub's Broadway batch_key is {topic_id, ordering_key} with
+    # ordering_key derived from group_id (gcp_pubsub_pipeline.ex:49,63)
+    # — Pub/Sub requires one publish call per ordering key.  group_id
+    # is not a routing-schema column but is always present in delivery
+    # rows; batch_keys_for() callers must not intersect it away.
+    "gcp_pubsub": ("topic_id", "group_id"),
     "nats": (),
     "sqs": ("queue_url",),
     "sns": ("topic_arn",),
@@ -129,6 +134,23 @@ BATCH_KEYS: dict[str, tuple[str, ...]] = {
                     "context"),
     "elasticsearch": ("index_name", "index_action"),
 }
+
+# Delivery columns that may appear in BATCH_KEYS without being routing
+# -schema columns (always present in delivery rows).
+ALWAYS_PRESENT_DELIVERY_COLS = ("group_id",)
+
+
+def batch_keys_for(sink_type: str) -> tuple[str, ...]:
+    """The Broadway batch_key tuple for a sink type.
+
+    Single source of truth shared by ConsumerSpec.batch_keys() and
+    DeliveryEngine's batch_cols derivation.  Unknown sink types
+    (tests register ad-hoc fakes) deliberately get kafka's ("topic",)
+    shape: chunks close on a topic-ish column when the rows carry one,
+    else run whole-partition — the conservative many-rows-per-call
+    default, never one-call-per-row.
+    """
+    return BATCH_KEYS.get(sink_type, BATCH_KEYS["kafka"])
 
 
 def route(df: DataFrame, sink_type: str, overrides: dict[str, Column] | None = None) -> DataFrame:

@@ -242,12 +242,9 @@ class ConsumerSpec:
         """Routing keys that bound one sink call (the reference's
         Broadway batch_key, sink_pipeline.ex:371-430); the rest are
         per-message attributes delivered many-to-a-call."""
-        from sequin_spark.functions.routing import BATCH_KEYS
+        from sequin_spark.functions.routing import batch_keys_for
 
-        schema = self.routing_schema()
-        if schema in BATCH_KEYS:
-            return list(BATCH_KEYS[schema])
-        return self.routing_keys()
+        return list(batch_keys_for(self.routing_schema()))
 
     def validate(self) -> list[str]:
         errs = []

@@ -212,11 +212,13 @@ class DeliveryEngine:
         # = derive from the sink's routing schema; passing routing_cols
         # explicitly restores the old per-message behavior.
         if batch_cols is None:
-            from sequin_spark.functions.routing import BATCH_KEYS
+            from sequin_spark.functions.routing import (
+                ALWAYS_PRESENT_DELIVERY_COLS, batch_keys_for)
 
-            schema = (sink_type if sink_type in BATCH_KEYS else "kafka")
-            derived = BATCH_KEYS.get(schema, tuple(routing_cols))
-            batch_cols = tuple(c for c in derived if c in self.routing_cols)
+            derived = batch_keys_for(sink_type)
+            batch_cols = tuple(
+                c for c in derived
+                if c in self.routing_cols or c in ALWAYS_PRESENT_DELIVERY_COLS)
         self.batch_cols = tuple(batch_cols)
         self.backoff_base_s = backoff_base_s
         self.load_shedding_policy = load_shedding_policy
@@ -742,7 +744,7 @@ class DeliveryEngine:
         arranged = self.arrange_for_delivery(new_rows)
 
         sink_type, sink_config = self.sink_type, dict(self.sink_config)
-        routing_cols, max_batch = list(self.routing_cols), self.batch_size
+        max_batch = self.batch_size
         batch_cols = list(self.batch_cols)
         max_bytes = self.batch_bytes
         ledger_dir, fail_dir = self.ledger_dir, self.failures_dir(batch_id)
@@ -973,7 +975,15 @@ class DeliveryEngine:
                 def flush(chunk):
                     if not chunk:
                         return
-                    routing = {c: chunk[0].get(c) for c in routing_cols}
+                    # batch-level routing only: chunks are homogeneous in
+                    # batch_cols (they close on change), so chunk[0] is
+                    # safe for these.  Per-MESSAGE keys (kafka
+                    # message_key, nats subject, rabbitmq routing_key)
+                    # now mix within a chunk and must NOT be smeared
+                    # from chunk[0] — sinks read them row-first and
+                    # fall back to their config default, never to
+                    # another row's value.
+                    routing = {c: chunk[0].get(c) for c in batch_cols}
                     t0 = time.perf_counter()
                     try:
                         sink.deliver(SinkBatch(routing=routing, rows=chunk))

@@ -274,13 +274,34 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
     # appends of one identity in the same incarnation is a real bug.
     import bisect
 
+    # Bound the excuse to the trigger(s) the kill actually destroyed:
+    # a replayed identity must have FIRST appeared inside the
+    # uncommitted-progress window right before the boundary it crossed
+    # (async offset-log interval + trigger cadence, sized by the worst
+    # trigger actually measured — under load a trigger can run far past
+    # its 1 s cadence, widening the genuinely-uncommitted window).  A
+    # duplicate first delivered long before the kill (e.g. a ledger-trim
+    # bug resurfacing old identities) is NOT a documented replay.
+    max_trig_s = max(
+        [p["durationMs"]["triggerExecution"] / 1000.0
+         for prog in listener.progress.values() for p in prog
+         if p.get("numInputRows", 0) > 0] or [1.0])
+    replay_horizon_ns = int((1.0 + 2.0 * max(1.0, max_trig_s) + 1.0) * 1e9)
     undocumented_dups = []
     for v, times in dup_occ.items():
         if v in partial_v:
             continue
-        inc = [bisect.bisect(boundaries_ns, t) for t in sorted(times)]
+        ts = sorted(times)
+        inc = [bisect.bisect(boundaries_ns, t) for t in ts]
         if len(set(inc)) < len(inc):
             undocumented_dups.append(v)
+            continue
+        # distinct incarnations: tie the first occurrence to the
+        # boundary that ended ITS incarnation
+        if inc[0] < len(boundaries_ns):
+            gap = boundaries_ns[inc[0]] - ts[0]
+            if gap > replay_horizon_ns:
+                undocumented_dups.append(v)
     undocumented_dups = set(undocumented_dups)
     cross_incarnation = len(dup_v - partial_v) - len(undocumented_dups)
     inv["dups_only_partial_or_crash_window"] = not undocumented_dups
@@ -305,6 +326,7 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
         "duplicate_identities": len(dup_v),
         "partial_window_identities": len(partial_v),
         "cross_incarnation_replays": cross_incarnation,
+        "replay_horizon_s": round(replay_horizon_ns / 1e9, 1),
         "side_schedule_errors": errs,
         "invariants": inv,
         "bad_order_groups": bad_order[:5],
