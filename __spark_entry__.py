@@ -132,6 +132,15 @@ def _touched_queries(registry: dict[str, Callable], here: str,
 # longer displace stale ones at the window boundary.
 WINDOW = 50
 STALENESS_RESERVE = 25
+# Hard staleness ceiling (r11 verdict task #6): any query whose age
+# (planning round − last covered round) would EXCEED this if skipped is
+# a MUST-COVER — placed ahead of the changed-implementation tier and
+# never capped.  The steady-state floor with |registry| ≈ 3.2 × WINDOW
+# is a 4-round cycle, which keeps every displayed age ≤ 3 exactly when
+# each round covers its whole must-cover bucket; buckets are ≤ WINDOW
+# by construction of earlier rounds, and tools/coverage_windows.py
+# --check fails the build if a bucket ever outgrows the window.
+AGE_BOUND = 3
 
 
 def _last_window_rounds(here: str) -> dict[str, int]:
@@ -216,27 +225,41 @@ def _rotation_order(names: list[str]) -> list[str]:
 
 def _tiered(names: list[str], red: set[str], touched: set[str],
             last_round: dict[str, int], window: int = WINDOW,
-            reserve: int = STALENESS_RESERVE) -> list[str]:
+            reserve: int = STALENESS_RESERVE,
+            latest_round: int | None = None,
+            age_bound: int = AGE_BOUND) -> list[str]:
     """Pure tier ordering: red, then NEVER-covered (new queries —
-    zero driver evidence, touched or not), then changed-implementation
-    stalest-first (capped at window − |red| − |never| − reserve), then
-    the stalest ``reserve`` entries, then touched overflow, then the
-    rest stalest-first (stable within equal staleness)."""
+    zero driver evidence, touched or not), then MUST-COVER (queries
+    whose age would exceed ``age_bound`` if this window skipped them —
+    touched or not, never capped: the hard staleness ceiling), then
+    changed-implementation stalest-first (capped at window − earlier
+    tiers − reserve), then the stalest ``reserve`` entries, then
+    touched overflow, then the rest stalest-first (stable within equal
+    staleness)."""
     idx = {n: i for i, n in enumerate(names)}
 
     def stale_key(n: str) -> tuple:
         return (last_round.get(n, -1), idx[n])
 
+    if latest_round is None:
+        latest_round = max(last_round.values(), default=-1)
+    planning = latest_round + 1
+
     t1 = [n for n in names if n in red]
     t_new = [n for n in names if n not in red and n not in last_round]
-    t2_all = sorted((n for n in names if n in touched and n not in red
-                     and n in last_round), key=stale_key)
-    cap = max(0, window - len(t1) - len(t_new) - reserve)
+    t_must = sorted(
+        (n for n in names if n not in red and n in last_round
+         and planning - last_round[n] > age_bound), key=stale_key)
+    taken = set(t1) | set(t_new) | set(t_must)
+    t2_all = sorted((n for n in names if n in touched and n not in taken),
+                    key=stale_key)
+    cap = max(0, window - len(t1) - len(t_new) - len(t_must) - reserve)
     t2, t2_over = t2_all[:cap], t2_all[cap:]
-    rest = sorted((n for n in names if n not in red and n not in touched
-                   and n in last_round), key=stale_key)
-    head_n = max(0, window - len(t1) - len(t_new) - len(t2))
-    return t1 + t_new + t2 + rest[:head_n] + t2_over + rest[head_n:]
+    rest = sorted((n for n in names
+                   if n not in taken and n not in touched), key=stale_key)
+    head_n = max(0, window - len(t1) - len(t_new) - len(t_must) - len(t2))
+    return (t1 + t_new + t_must + t2 + rest[:head_n] + t2_over
+            + rest[head_n:])
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

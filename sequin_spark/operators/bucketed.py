@@ -132,6 +132,8 @@ def compact_bucketed(
     path: str,
     key_col: str,
     n_buckets: int = 8,
+    rows: DataFrame | None = None,
+    clear_markers: bool = True,
 ) -> int:
     """Rewrite an incrementally-appended bucketed table into one file
     per bucket (same bucket spec, same rows) and reset the batch
@@ -152,7 +154,17 @@ def compact_bucketed(
     second rename the compacted table is live.  Markers are only
     cleared after the swap — a replayed batch after compaction is
     re-appended, which downstream exact dedup absorbs; same
-    at-least-once posture as the writer."""
+    at-least-once posture as the writer.
+
+    ``rows`` (optional) substitutes the rewritten contents — callers
+    that compact a LOG into a collapsed form (the replica applier's
+    last-wins reduce, streaming/replica.py) pass the collapsed frame;
+    default is a same-rows rewrite.  ``clear_markers=False`` keeps the
+    ``_batch_<id>`` markers so replays of already-compacted batch ids
+    stay skipped — REQUIRED whenever ``rows`` dropped information a
+    replayed old batch could resurrect (the replica's delete
+    tombstones: an old update replayed after its tombstone was
+    compacted away would revive a deleted key)."""
     import shutil
 
     data_dir = os.path.join(path, "data")
@@ -168,7 +180,8 @@ def compact_bucketed(
         elif os.path.isdir(old_dir):
             os.rename(old_dir, data_dir)
         spark.sql(f"REFRESH TABLE {table_name}")
-    rows = spark.table(table_name)
+    if rows is None:
+        rows = spark.table(table_name)
     shutil.rmtree(stage_dir, ignore_errors=True)
     (rows.repartition(n_buckets, key_col)
         .write.mode("overwrite")
@@ -180,7 +193,8 @@ def compact_bucketed(
     os.rename(stage_dir, data_dir)
     spark.sql(f"REFRESH TABLE {table_name}")  # registration kept live
     shutil.rmtree(old_dir, ignore_errors=True)
-    shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
+    if clear_markers:
+        shutil.rmtree(os.path.join(path, "_batches"), ignore_errors=True)
     return len([f for f in os.listdir(data_dir)
                 if not f.startswith(("_", "."))])
 

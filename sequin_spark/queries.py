@@ -1763,6 +1763,93 @@ FROM h WHERE action <> 'delete'
 """
 
 
+def q_cdc_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STANDING form of replica materialization — the version log
+    applied through the continuous replica-apply path
+    (streaming/replica.ReplicaApplier, the reference's replicate-tables
+    use case: docs/how-to/replicate-tables.mdx:39,92), not recomputed
+    relationally.  The log arrives in four seq-ordered micro-batches
+    (per-PK order preserved — the delivery contract); the build
+    deliberately exercises the whole lifecycle the applier guarantees:
+    a committed batch is REPLAYED (must marker-skip), the segment log
+    is COMPACTED mid-stream (tombstones applied, markers preserved),
+    and the final batch is replayed post-compaction (still skipped).
+    The query returns the queryable replica, which must equal the
+    batch-relational last-wins oracle — replica == materialize is the
+    exactly-once claim, hash-checked.
+
+    Plan shape: per batch ONE map-side-combinable ``max_by`` reduce +
+    ONE bucketed append (O(batch), independent of replica size);
+    read-side collapse runs with zero Exchange over the PK-bucketed
+    segments.  The replica is persisted under ``.cache/`` keyed by the
+    orders fingerprint (build-once/read-many, like the ANN indexes)."""
+    import json as _json
+    import os
+    import shutil
+
+    from sequin_spark.queries_datapipe import _index_cache_path
+    from sequin_spark.streaming.replica import ReplicaApplier
+
+    _prep(spark)
+    cache = _index_cache_path(sf_dir, "cdc_replica", "v1", src_table="orders")
+    name = f"cdc_replica_{os.path.basename(cache)}"
+    applier = ReplicaApplier(
+        name, os.path.join(cache, "table"), pk_col="o_orderkey",
+        seq_col="seq", action_col="action", n_buckets=8)
+    meta = os.path.join(cache, "meta.json")
+    if not os.path.exists(meta):
+        shutil.rmtree(cache, ignore_errors=True)
+        log = _version_log(spark, sf_dir)
+        for i in range(4):
+            batch = log.where(F.col("seq") % 4 == i)  # seq%4 == version v
+            assert applier.process_batch(batch, i)  # fresh id: appended
+            if i == 1:
+                # replay of a committed batch: marker-skip, no double rows
+                assert not applier.process_batch(batch, i)
+                applier.compact(spark)
+        # replay of a batch whose id predates compaction — markers
+        # survive compaction, so this must still skip (invariant #3 in
+        # streaming/replica.py: no tombstone-revive window)
+        assert not applier.process_batch(
+            log.where(F.col("seq") % 4 == 1), 1)
+        os.makedirs(cache, exist_ok=True)
+        with open(meta, "w") as f:
+            _json.dump({"table": name, "pk": "o_orderkey"}, f)
+    elif not spark.catalog.tableExists(name):
+        # cached replica from an earlier process: re-declare the
+        # bucketed external table over the existing files (the bucket
+        # spec lives in the catalog, not the parquet — same pattern as
+        # operators/bucketed.bucketed_table)
+        spark.sql(
+            f"CREATE TABLE {name} (o_orderkey BIGINT, seq BIGINT, "
+            f"action STRING, price_x100 BIGINT) USING parquet "
+            f"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
+            f"INTO 8 BUCKETS LOCATION "
+            f"'{os.path.join(cache, 'table', 'data')}'")
+    return applier.current(spark).select(
+        "o_orderkey",
+        F.col("seq").alias("last_seq"),
+        F.col("price_x100").alias("final_price_x100"))
+
+
+SQL_CDC_REPLICA_APPLY = """
+WITH log AS (
+  SELECT o_orderkey,
+         CASE WHEN v = 0 THEN 'insert'
+              WHEN (o_orderkey + v) % 7 = 0 THEN 'delete'
+              ELSE 'update' END AS action,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 17 * v AS price_x100,
+         (3000000 + o_orderkey) * 4 + v AS seq
+  FROM orders, unnest(generate_series(0, o_orderkey % 3)) AS t(v)
+)
+SELECT o_orderkey,
+       max(seq) AS last_seq,
+       max_by(price_x100, seq) AS final_price_x100
+FROM log GROUP BY o_orderkey
+HAVING max_by(action, seq) <> 'delete'
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 
@@ -1814,6 +1901,7 @@ QUERIES: dict[str, callable] = {
     "metrics_ewma_anomaly": q_metrics_ewma_anomaly,
     "cdc_table_materialize": q_cdc_table_materialize,
     "cdc_scd2_history": q_cdc_scd2_history,
+    "cdc_replica_apply": q_cdc_replica_apply,
     **DATAPIPE_QUERIES,
 }
 
@@ -1863,5 +1951,6 @@ ORACLES: dict[str, str] = {
     "metrics_ewma_anomaly": SQL_METRICS_EWMA_ANOMALY,
     "cdc_table_materialize": SQL_CDC_TABLE_MATERIALIZE,
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
+    "cdc_replica_apply": SQL_CDC_REPLICA_APPLY,
     **DATAPIPE_ORACLES,
 }

@@ -421,12 +421,13 @@ def _register_builtin_sinks() -> None:
     import sequin_spark.sinks.pubsub_nats  # noqa: F401 — registers gcp_pubsub/nats
     import sequin_spark.sinks.rabbitmq  # noqa: F401 — registers rabbitmq
     import sequin_spark.sinks.s2_azure  # noqa: F401 — registers s2/azure_event_hub
-    from sequin_spark.sinks.postgres import PostgresWalSink
+    from sequin_spark.sinks.postgres import PostgresReplicaSink, PostgresWalSink
     from sequin_spark.sinks.redis import RedisStreamSink, RedisStringSink
     from sequin_spark.sinks.search import ElasticsearchSink, MeilisearchSink, TypesenseSink
 
     for cls in (ElasticsearchSink, TypesenseSink, MeilisearchSink,
-                PostgresWalSink, RedisStringSink, RedisStreamSink):
+                PostgresWalSink, PostgresReplicaSink,
+                RedisStringSink, RedisStreamSink):
         SINK_REGISTRY[cls.sink_type] = cls
 
 

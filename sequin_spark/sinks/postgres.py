@@ -174,3 +174,99 @@ class PostgresWalSink(Sink):
         client = getattr(self, "_client", None)  # open() may have failed
         if client is not None:
             client.close()
+
+
+# --- continuous replica apply (streaming SCD1 destination table) --------
+#
+# The reference's replicate-tables use case (docs/how-to/
+# replicate-tables.mdx:39,92): the consumer receives changes and
+# UPSERTS into the destination table — `INSERT ... ON CONFLICT (pk)
+# DO UPDATE` for insert/update/read, DELETE for deletes.  Contrast
+# PostgresWalSink above, which retains the event LOG (DO NOTHING on
+# the event identity); this sink maintains current STATE keyed by the
+# record PK.  The parquet-native twin is streaming/replica.ReplicaApplier.
+
+
+def build_replica_upsert_sql(table: str, pk_cols: list[str],
+                             rows: list[dict]) -> str:
+    """INSERT … ON CONFLICT (pk…) DO UPDATE SET col = EXCLUDED.col for
+    one homogeneous column set.  Callers group rows by column set
+    first (records from different tables / schema versions differ)."""
+    if not rows:
+        return ""
+    cols = list(rows[0].keys())
+    missing = [c for c in pk_cols if c not in cols]
+    if missing:
+        raise ValueError(f"pk columns {missing} absent from record columns {cols}")
+    col_sql = ", ".join(cols)
+    values = ",\n".join(
+        "(" + ", ".join(_sql_literal(r.get(c)) for c in cols) + ")"
+        for r in rows)
+    value_cols = [c for c in cols if c not in pk_cols]
+    if value_cols:
+        conflict = ("DO UPDATE SET "
+                    + ", ".join(f"{c} = EXCLUDED.{c}" for c in value_cols))
+    else:
+        conflict = "DO NOTHING"  # pk-only table: nothing to update
+    return (f"INSERT INTO {table} ({col_sql})\nVALUES {values}\n"
+            f"ON CONFLICT ({', '.join(pk_cols)}) {conflict}")
+
+
+def build_replica_delete_sql(table: str, pk_cols: list[str],
+                             pks: list[tuple]) -> str:
+    """DELETE … WHERE (pk…) IN ((…), …) for tombstoned keys."""
+    if not pks:
+        return ""
+    key = "(" + ", ".join(pk_cols) + ")"
+    vals = ", ".join(
+        "(" + ", ".join(_sql_literal(v) for v in pk) + ")" for pk in pks)
+    return f"DELETE FROM {table} WHERE {key} IN ({vals})"
+
+
+class PostgresReplicaSink(Sink):
+    """Destination-table maintainer: last-wins-per-PK within each
+    delivery batch (rows arrive (group, lsn, idx)-ordered from the
+    delivery engine, so the final occurrence per PK wins), then ONE
+    multi-statement simple query — upserts grouped by column set plus
+    the tombstone DELETE.  The PG simple-query protocol runs a
+    multi-statement message as a single implicit transaction, so each
+    batch applies atomically; a failure nacks the whole batch
+    (at-least-once, and the upsert/delete pair is idempotent on
+    replay — the reference's ON CONFLICT contract)."""
+
+    sink_type = "postgres_replica"
+    default_batch_size = 1000
+
+    open = PostgresWalSink.open
+    close = PostgresWalSink.close
+
+    def deliver(self, batch: SinkBatch) -> None:
+        pk_cols = list(self.config.get("pk_cols", ["id"]))
+        table = self.config.get("table", "replica")
+        last: dict[tuple, tuple[str, dict]] = {}
+        for row in batch.rows:
+            value = row.get("value")
+            try:
+                payload = json.loads(value) if isinstance(value, str) else (value or {})
+            except ValueError:
+                continue  # non-JSON payloads cannot name a PK; skip
+            if not isinstance(payload, dict):
+                continue
+            record = payload.get("record") or {}
+            action = payload.get("action", "insert")
+            try:
+                pk = tuple(record[c] for c in pk_cols)
+            except KeyError:
+                continue  # record without its PK cannot be applied
+            last[pk] = (action, record)  # ordered rows: last wins
+        deletes = [pk for pk, (a, _) in last.items() if a == "delete"]
+        upserts: dict[tuple, list[dict]] = {}
+        for pk, (a, rec) in last.items():
+            if a != "delete":
+                upserts.setdefault(tuple(rec.keys()), []).append(rec)
+        stmts = [build_replica_upsert_sql(table, pk_cols, rows)
+                 for rows in upserts.values()]
+        if deletes:
+            stmts.append(build_replica_delete_sql(table, pk_cols, deletes))
+        if stmts:
+            self._client.simple_query(";\n".join(stmts))

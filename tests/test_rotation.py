@@ -40,8 +40,9 @@ def test_tiered_ordering():
     )
     # red first, then NEVER-covered (c, d, g — d's touched flag is
     # moot, no driver evidence beats changed-implementation), then
-    # touched-with-history (b), then stalest (f@r3 before a@r8)
-    assert out == ["e", "c", "d", "g", "b", "f", "a"]
+    # MUST-COVER (f@r3: age 9−3 = 6 > AGE_BOUND — the hard ceiling
+    # beats the touched tier), then touched-with-history (b), then a@r8
+    assert out == ["e", "c", "d", "g", "f", "b", "a"]
 
 
 def test_tiered_staleness_reserve_survives_touched_churn():
@@ -57,11 +58,13 @@ def test_tiered_staleness_reserve_survives_touched_churn():
     out = entry_mod._tiered(names, red=set(), touched=touched,
                             last_round=last, window=50, reserve=15)
     window = set(out[:50])
-    # the cap holds: exactly 35 touched + the 15 stalest make the window
-    assert len(window & touched) == 35
-    assert set(stale[:15]) <= window
+    # ALL 17 age-violating entries are must-cover (uncapped); the
+    # touched cap shrinks to 50 − 17 − 15 = 18 and the reserve's 15
+    # slots go to the next-stalest (everyone @r8)
+    assert set(stale) <= window
+    assert len(window & touched) == 18
     # touched overflow comes immediately after the reserve
-    assert set(out[50:115]) == set(touched - window)
+    assert set(out[50:50 + 100 - 18]) == set(touched - window)
     # permutation invariant
     assert sorted(out) == sorted(names)
 
@@ -177,3 +180,37 @@ def test_tiered_touched_drains_stalest_first():
                             last_round=last, window=10, reserve=5)
     # cap = 10 - 0 - 0 - 5 = 5 touched slots; q30 must take one
     assert "q30" in out[:5]
+
+
+def test_tiered_must_cover_ceiling():
+    """r11 verdict task #6: a query whose age would exceed AGE_BOUND if
+    skipped enters the window UNCAPPED, ahead of the touched tier, even
+    when churn saturates everything."""
+    names = [f"q{i:03d}" for i in range(162)]
+    touched = set(names[:150])                # near-total churn
+    last = {n: 11 for n in names}
+    at_risk = names[100:148]                  # 48 entries about to breach
+    for n in at_risk:
+        last[n] = 8                           # planning 12 − 8 = 4 > 3
+    out = entry_mod._tiered(names, red=set(), touched=touched,
+                            last_round=last, window=50, reserve=25)
+    window = set(out[:50])
+    assert set(at_risk) <= window             # all 48, despite churn
+    # age exactly AGE_BOUND is NOT must-cover (it may wait one round)
+    last2 = {n: 11 for n in names}
+    last2["q000"] = 9                         # age 3 == bound: not forced
+    out2 = entry_mod._tiered(names, red=set(), touched=set(names[1:60]),
+                             last_round=last2, window=50, reserve=25)
+    # q000 still enters via the reserve (it is the stalest), but as a
+    # reserve pick, not a must — verify by saturating must instead
+    assert "q000" in out2[:50]
+
+
+def test_coverage_windows_check_passes_on_repo():
+    """The enforcement tool: every must-cover query is inside the
+    upcoming driver window on the real registry/correctness state."""
+    r = subprocess.run(
+        [sys.executable, os.path.join(HERE, "tools", "coverage_windows.py"),
+         "--check"], capture_output=True, text=True, cwd=HERE)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "staleness bound enforced" in r.stdout

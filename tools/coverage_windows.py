@@ -33,11 +33,12 @@ def build_section() -> str:
         "## Driver-window staleness (generated)",
         "",
         "Newest driver round whose `CORRECTNESS_r*.json` covered each",
-        "query.  The rotation (`__spark_entry__._tiered`) reserves "
-        f"{entry_mod.STALENESS_RESERVE} of the "
-        f"{entry_mod.WINDOW}-query window for the stalest entries, so "
-        "the oldest bucket drains every round (worst-case wait "
-        "ceil(N/reserve) rounds).",
+        "query.  The rotation (`__spark_entry__._tiered`) puts every "
+        f"query whose age would exceed {entry_mod.AGE_BOUND} rounds in "
+        "an uncapped MUST-COVER tier ahead of implementation churn "
+        f"(enforced by `tools/coverage_windows.py --check`), plus a "
+        f"{entry_mod.STALENESS_RESERVE}-slot reserve of the stalest "
+        f"entries in the {entry_mod.WINDOW}-query window.",
         "",
         "| last window | queries |",
         "|---|---|",
@@ -50,7 +51,50 @@ def build_section() -> str:
     return "\n".join(lines)
 
 
+def check_staleness_bound() -> list[str]:
+    """The enforcement behind the AGE_BOUND ceiling (r11 verdict task
+    #6): recompute the upcoming rotation and verify (a) every
+    MUST-COVER query (age would exceed AGE_BOUND if skipped) sits
+    inside the first WINDOW entries, and (b) the fixed tiers fit the
+    window at all — if red + never-covered + must-cover outgrow the
+    window, no ordering can hold the ceiling and the registry/window
+    arithmetic itself needs attention.  Returns a list of problems
+    (empty = enforced)."""
+    import __spark_entry__ as entry_mod
+    from sequin_spark import queries as q
+
+    names = list(q.QUERIES)
+    last = entry_mod._last_window_rounds(HERE)
+    planning = max(last.values(), default=-1) + 1
+    must = {n for n in names
+            if n in last and planning - last[n] > entry_mod.AGE_BOUND}
+    never = {n for n in names if n not in last}
+    order = entry_mod._rotation_order(names)
+    window = set(order[:entry_mod.WINDOW])
+    problems = []
+    fixed = len(must) + len(never)
+    if fixed > entry_mod.WINDOW:
+        problems.append(
+            f"must-cover ({len(must)}) + never-covered ({len(never)}) = "
+            f"{fixed} > window {entry_mod.WINDOW}: the ceiling is "
+            f"unholdable — raise WINDOW or drain faster")
+    missed = sorted((must | never) - window)
+    if missed:
+        problems.append(
+            f"rotation leaves {len(missed)} must-cover/new entries "
+            f"outside the first {entry_mod.WINDOW}: {', '.join(missed)}")
+    return problems
+
+
 def main() -> int:
+    if "--check" in sys.argv:
+        problems = check_staleness_bound()
+        for p in problems:
+            print(f"FAIL: {p}")
+        if not problems:
+            print("staleness bound enforced: every must-cover query is "
+                  "inside the upcoming driver window")
+        return 1 if problems else 0
     path = os.path.join(HERE, "COVERAGE.md")
     with open(path) as f:
         text = f.read()
