@@ -169,3 +169,99 @@ def streaming_funnel(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- SCD2 audit history as a STANDING query (r11 verdict task #2) --------
+#
+# The batch-relational form is queries.q_cdc_scd2_history (one PK-hash
+# window, lead(seq)).  This is its streaming twin: state = the OPEN
+# interval per PK plus the delivered high-water seq; each arriving
+# event CLOSES its predecessor (emitting the finished validity-interval
+# row — append-mode-safe: a row is emitted exactly once, when its
+# valid_to becomes known) and becomes the new open interval.  A delete
+# closes its predecessor and leaves no open row (hard-delete, replica
+# identity full — docs/how-to/create-audit-logs.mdx:10-11).
+#
+# Arrival-order contract: per-PK order across micro-batches is the
+# delivery engine's guarantee (grouping/ordered delivery); WITHIN a
+# micro-batch rows arrive unordered and a PK's chain may split across
+# batches arbitrarily — both handled here (per-batch sort + state).
+# At-least-once replays re-deliver a suffix after restart: events at
+# or below the stored high-water seq are dropped, same contract as
+# stateful_group_dedup.  A ``__flush__`` action snapshots the open
+# interval (emits it with valid_to_seq NULL / is_current true) — the
+# streaming analog of reading the audit table's current rows.
+
+SCD2_FLUSH_ACTION = "__flush__"
+
+
+def scd2_history_stream(
+    events: DataFrame,
+    pk_col: str = "pk",
+    seq_col: str = "seq",
+    action_col: str = "action",
+    delete_action: str = "delete",
+) -> DataFrame:
+    """Streaming SCD2: emits each validity-interval row when it closes
+    (and open rows on ``__flush__``).  Value columns = everything that
+    is not pk/seq/action."""
+    dtypes = dict(events.dtypes)
+    value_cols = [c for c in events.columns
+                  if c not in (pk_col, seq_col, action_col)]
+    out_schema = ", ".join(
+        [f"{pk_col} {dtypes[pk_col]}", "valid_from_seq long"]
+        + [f"{c} {dtypes[c]}" for c in value_cols]
+        + ["valid_to_seq long", "is_current boolean"])
+    # state: high-water seq, whether an interval is open, its from-seq
+    # and values — bounded at O(1) per live PK
+    state_schema = ", ".join(
+        ["last_seq long", "has_open boolean", "open_seq long"]
+        + [f"open_{c} {dtypes[c]}" for c in value_cols])
+
+    def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        pk = key[0]
+        if state.exists:
+            st = state.get
+            last_seq, has_open, open_seq = st[0], bool(st[1]), st[2]
+            open_vals = list(st[3:])
+        else:
+            last_seq, has_open, open_seq, open_vals = -1, False, None, []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        out_rows = []
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(seq_col, kind="mergesort")
+            for r in pdf.to_dict("records"):
+                act, seq = r[action_col], int(r[seq_col])
+                if act == SCD2_FLUSH_ACTION:
+                    if has_open:
+                        out_rows.append(
+                            [pk, open_seq, *open_vals, None, True])
+                        has_open, open_seq, open_vals = False, None, []
+                    continue
+                if seq <= last_seq:
+                    continue  # at-least-once replay: already applied
+                if has_open:
+                    out_rows.append([pk, open_seq, *open_vals, seq, False])
+                if act == delete_action:
+                    has_open, open_seq, open_vals = False, None, []
+                else:
+                    has_open, open_seq = True, seq
+                    open_vals = [r[c] for c in value_cols]
+                last_seq = seq
+        state.update((last_seq, has_open,
+                      open_seq if has_open else None,
+                      *(open_vals if has_open else [None] * len(value_cols))))
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows,
+                columns=[pk_col, "valid_from_seq", *value_cols,
+                         "valid_to_seq", "is_current"])
+
+    return (events.groupBy(pk_col).applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    ))
