@@ -31,6 +31,33 @@ def _force(df) -> int:
     return 0
 
 
+# quiet-host reference for the sentinel kernel below (median of warm
+# runs, r12 calibration).  host_speed_factor = measured/baseline; a
+# busy host reads >1 and the normalized per-query map divides it out.
+SENTINEL_BASELINE_SEC = 1.6
+SENTINEL_CHECKSUM = 51546647322539864
+
+
+def sentinel_kernel(spark) -> float:
+    """Fixed-work host-speed probe (r11 verdict task #3): 24M synthetic
+    rows through an md5→crc32 codegen chain — no IO, no shuffle, no
+    data dependence, deterministic checksum.  BENCH_r11 read a uniform
+    ~1.4–1.7× over r10 including pure-CPU kernels (busy driver host,
+    not a regression); interleaving this kernel with the sweep reps
+    lets the artifact carry its own drift correction instead of
+    needing a manual A/B to exonerate host noise each round."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 24_000_000, 1, 32)
+    out = df.select(F.md5(F.col("id").cast("string")).alias("h")).select(
+        F.sum(F.crc32(F.col("h"))).alias("s"))
+    t0 = time.perf_counter()
+    val = out.collect()[0][0]
+    dt = time.perf_counter() - t0
+    assert val == SENTINEL_CHECKSUM, f"sentinel checksum drift: {val}"
+    return dt
+
+
 def pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
     """Full operator chain over the eventized stream, rows/sec."""
     from pyspark.sql import functions as F
@@ -276,6 +303,15 @@ def main() -> None:
     # totals go out raw so round-over-round comparisons can see drift
     # directly instead of exonerating it by hand each round.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # drift sentinel (r11 verdict task #3): one warm-up, then one
+    # sample BEFORE each sweep rep and one after the last — rep i is
+    # bracketed by samples i and i+1, and its normalization factor is
+    # their mean vs the committed quiet-host baseline
+    try:
+        sentinel_kernel(spark)  # codegen warm-up, discarded
+        sentinels = [round(sentinel_kernel(spark), 3)]
+    except Exception:  # noqa: BLE001
+        sentinels = []
     sweeps: list[dict[str, float]] = []
     for _ in range(reps):
         one: dict[str, float] = {}
@@ -293,23 +329,54 @@ def main() -> None:
             # the run into a GC benchmark instead of a query benchmark
             spark.catalog.clearCache()
         sweeps.append(one)
+        if sentinels:
+            try:
+                sentinels.append(round(sentinel_kernel(spark), 3))
+            except Exception:  # noqa: BLE001
+                pass
+
+    # per-rep host-speed factor: >1 = this rep ran on a slower host
+    # than the baseline; dividing it out makes per-query seconds
+    # comparable across rounds measured under different load
+    rep_factor = []
+    for i in range(reps):
+        if sentinels and len(sentinels) > i + 1:
+            rep_factor.append(
+                ((sentinels[i] + sentinels[i + 1]) / 2.0)
+                / SENTINEL_BASELINE_SEC)
+        elif sentinels:
+            rep_factor.append(sentinels[min(i, len(sentinels) - 1)]
+                              / SENTINEL_BASELINE_SEC)
+        else:
+            rep_factor.append(1.0)
 
     per_query: dict[str, float] = {}
+    per_query_norm: dict[str, float] = {}
     band_pct: dict[str, float] = {}
     total = 0.0
+    total_norm = 0.0
     for name in QUERIES:
         vals = [s[name] for s in sweeps if s.get(name, -1) > 0]
         if not vals:
             per_query[name] = -1.0
+            per_query_norm[name] = -1.0
             continue
         lo, hi = min(vals), max(vals)
         per_query[name] = round(lo, 3)
+        norm = min(s[name] / rep_factor[i]
+                   for i, s in enumerate(sweeps) if s.get(name, -1) > 0)
+        per_query_norm[name] = round(norm, 3)
         band_pct[name] = round(100.0 * (hi - lo) / lo, 1) if lo > 0 else 0.0
         total += lo
+        total_norm += norm
     sweep_totals = [round(sum(v for v in s.values() if v > 0), 3)
                     for s in sweeps]
     bands = sorted(band_pct.values())
     band_median = bands[len(bands) // 2] if bands else 0.0
+    sent_sorted = sorted(sentinels)
+    host_factor = round(
+        sent_sorted[len(sent_sorted) // 2] / SENTINEL_BASELINE_SEC, 3) \
+        if sentinels else -1.0
 
     # bucketed co-located join, steady state (VERDICT r7 task #6): the
     # per-query number above includes the ONE-TIME bucket build when the
@@ -354,6 +421,10 @@ def main() -> None:
         "sweep_reps": reps,
         "sweep_totals": sweep_totals,
         "query_band_median_pct": band_median,
+        "sentinel_sec": sentinels,
+        "sentinel_baseline_sec": SENTINEL_BASELINE_SEC,
+        "host_speed_factor": host_factor,
+        "total_norm_sec": round(total_norm, 3),
         "bucketed_join_first_sec": per_query.get(
             "bucketed_colocated_join", -1.0),
         "bucketed_join_steady_sec": steady,
@@ -364,7 +435,8 @@ def main() -> None:
         **decode_stats,
         **stream_stats,
     }
-    full = {**summary, "queries": per_query, "query_band_pct": band_pct}
+    full = {**summary, "queries": per_query,
+            "queries_norm": per_query_norm, "query_band_pct": band_pct}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_QUERIES.json"), "w") as f:

@@ -737,7 +737,18 @@ WHERE 1000000 + (c_custkey // 8) > 1000009
 
 def q_wal_pipeline_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WalPipeline change-retention projection + ON CONFLICT DO NOTHING
-    dedup on (committed_at, seq, record_pk) (wal_pipeline_server.ex:393-442)."""
+    dedup on (committed_at, seq, record_pk) (wal_pipeline_server.ex:393-442).
+
+    Scale shape (r11 verdict task #4 — the worst surviving decade ratio
+    at 12.99×, GC-bound): the conflict-dedup shuffle is SIZED to the
+    data instead of riding the fixed session width — at sf100 the
+    1.5 B-row union through 32 partitions put ~47 M rows through each
+    per-partition hash aggregate (spill + GC stall, the same class as
+    the r10 delivery-chain fix).  Hash-partitioning on the conflict key
+    itself means the aggregate reuses the one exchange.  Width comes
+    from plan-stat bytes (floor = session width, so small-sf plans are
+    byte-identical to before); aggregate partitions are never split
+    upward by AQE, so the width must be right at plan time."""
     _prep(spark)
     ev = eventize_orders(spark, sf_dir).unionByName(eventize_lineitem(spark, sf_dir))
     wal = ev.select(
@@ -749,7 +760,16 @@ def q_wal_pipeline_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("commit_timestamp")).alias("committed_at_um"),
     )
     duplicated = wal.unionByName(wal)  # retried batch → conflict dedup
-    return duplicated.dropDuplicates(["committed_at_um", "seq", "record_pk"])
+    keys = ["committed_at_um", "seq", "record_pk"]
+    try:
+        size = int(duplicated._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats unavailable: session width
+        size = 0
+    floor = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(floor, min(4096, size // (128 << 20) + 1))
+    return duplicated.repartition(n_parts, *[F.col(k) for k in keys]) \
+                     .dropDuplicates(keys)
 
 
 SQL_WAL_PIPELINE_LOG = f"""

@@ -282,3 +282,145 @@ def _run_pull_seed(spark, tmp_path, seed: int) -> None:
 @pytest.mark.parametrize("seed", range(400, 408))
 def test_chaos_pull_queue(spark, tmp_path, seed):
     _run_pull_seed(spark, tmp_path, seed)
+
+
+# ---------------------------------------------------------------------------
+# async-progress horizon-edge ledger-trim chaos (r11 verdict task #5)
+#
+# The analytic claim under test: with async progress the offset log can
+# lag up to interval/trigger + 1 micro-batches, so the ledger trim
+# window is widened to H = interval/trigger + 2 batches
+# (streaming/pipeline.py start_stream).  The hazard the widening must
+# close: low-latency slice COMPACTION physically deletes identities
+# below the trim watermark IN-TASK, concurrently with delivery — if a
+# restart then replays a batch whose identities were already trimmed
+# from disk, the ledger cannot dedupe them and they redeliver.  The
+# seed drives the edge directly: advance the watermark far enough that
+# compaction has physically trimmed, restart into a fresh engine
+# (watermark resets to 0, exactly like a real restart), replay at the
+# MAXIMUM legal depth while new batches re-advance the watermark and
+# re-compact, and assert the soak invariants.  A final negative probe
+# replays one batch BEYOND the physically-surviving window and asserts
+# the checker detects exactly its identities as duplicates — proof the
+# seed can see the loss it guards against.
+
+
+def _soak_log_invariants(log_dir):
+    """The soak checker's four invariants over a chaos_soak log dir,
+    returned as (per_identity_counts, problems)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    first_seen: dict[str, list[tuple]] = {}
+    counts: dict[tuple, int] = {}
+    partials: set[tuple] = set()
+    for fp in sorted(_glob.glob(_os.path.join(log_dir, "part-*.jsonl"))):
+        with open(fp) as f:
+            for line in f:
+                e = _json.loads(line)
+                ident = (e["commit_lsn"], e["commit_idx"],
+                         e["idempotency_key"])
+                if e.get("partial"):
+                    partials.add(ident)
+                if ident not in counts:
+                    first_seen.setdefault(e["group_id"], []).append(
+                        (e["commit_lsn"], e["commit_idx"]))
+                counts[ident] = counts.get(ident, 0) + 1
+    problems = []
+    for g, seq in first_seen.items():
+        if seq != sorted(seq):
+            problems.append(f"group {g} out of order: {seq}")
+    dups = {i for i, c in counts.items() if c > 1 and i not in partials}
+    return counts, partials, dups, problems
+
+
+def _mk_batch(spark, bid, groups=3):
+    rows = [(f"g{g}", 100 + bid, g, f"k-{bid}-{g}", f"g{g}",
+             '{"n":%d}' % bid) for g in range(groups)]
+    return spark.createDataFrame(
+        rows, "group_id string, commit_lsn long, commit_idx long, "
+              "idempotency_key string, key string, value string")
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_chaos_async_horizon_trim(spark, tmp_path, seed):
+    from sequin_spark.streaming.delivery import DeliveryEngine
+
+    rng = random.Random(seed)
+    horizon = rng.choice([4, 5])          # interval/trigger + 2 analog
+    total = horizon + rng.randint(4, 6)
+    state = str(tmp_path / "state")
+    log_dir = str(tmp_path / "log")
+    att_dir = str(tmp_path / "att")
+
+    def engine():
+        return DeliveryEngine(
+            "chaos_soak",
+            sink_config={"log_dir": log_dir, "attempt_dir": att_dir,
+                         "seed": seed, "fail_permille": 0},
+            state_dir=state, low_latency=True,
+            ledger_trim_batches=horizon, ledger_compact_files=1,
+            partition_count=2)
+
+    # incarnation A: enough batches that the watermark advanced and
+    # in-task compaction physically trimmed the oldest identities
+    a = engine()
+    for bid in range(1, total + 1):
+        stats = a.process_batch(_mk_batch(spark, bid), bid)
+        assert stats["delivered"] == 3
+    assert a._ledger_trim_lsn > 0      # the trim actually engaged
+
+    # restart: fresh engine, watermark 0 — read what PHYSICALLY
+    # survived A's compactions
+    b = engine()
+    survivors = {int(r) for r in
+                 b.read_ledger(spark).toPandas()["commit_lsn"]}
+    dropped = [bid for bid in range(1, total + 1)
+               if 100 + bid not in survivors]
+    assert dropped, "compaction never physically trimmed — seed inert"
+
+    # the analytic widening's guarantee: every batch inside the max
+    # legal async replay window (H-1 deep) is still on disk
+    replay_depth = horizon - 1
+    replay_bids = list(range(total - replay_depth + 1, total + 1))
+    assert all(100 + bid in survivors for bid in replay_bids), (
+        f"replay window {replay_bids} not covered by surviving ledger "
+        f"(trim horizon too narrow): survivors={sorted(survivors)}")
+
+    # replay at the edge, interleaved with new batches so B's own
+    # watermark re-advances and compaction re-runs DURING the replay
+    next_bid = total + 1
+    for i, bid in enumerate(replay_bids):
+        stats = b.process_batch(_mk_batch(spark, bid), 1000 + bid)
+        assert stats["delivered"] == 0, (
+            f"replayed batch {bid} redelivered at the horizon edge")
+        if i % 2 == rng.randint(0, 1):
+            assert b.process_batch(
+                _mk_batch(spark, next_bid), next_bid)["delivered"] == 3
+            next_bid += 1
+    while next_bid <= total + 3:
+        assert b.process_batch(
+            _mk_batch(spark, next_bid), next_bid)["delivered"] == 3
+        next_bid += 1
+
+    counts, partials, dups, problems = _soak_log_invariants(log_dir)
+    assert not problems, problems       # per-group order
+    assert not dups                     # exactly-once through the edge
+    expected = {(100 + bid, g) for bid in range(1, next_bid)
+                for g in range(3)}
+    got = {(lsn, idx) for (lsn, idx, _k) in counts}
+    assert got == expected              # contiguous / nothing lost
+    ledger_lsns = {int(r) for r in
+                   b.read_ledger(spark).toPandas()["commit_lsn"]}
+    assert ledger_lsns <= {lsn for lsn, _ in got}   # ledger ⊆ delivered
+
+    # negative probe: a batch beyond the surviving window MUST
+    # redeliver, and the checker must see exactly its identities —
+    # the seed can detect the loss it guards against
+    lost_bid = dropped[-1]
+    assert b.process_batch(
+        _mk_batch(spark, lost_bid), 2000)["delivered"] == 3
+    _c, _p, dups2, _pr = _soak_log_invariants(log_dir)
+    assert {(lsn, idx) for (lsn, idx, _k) in dups2} == {
+        (100 + lost_bid, g) for g in range(3)}
