@@ -3,14 +3,16 @@ columns with typed metadata.
 
 Three honesty tiers, each clearly marked:
 
-* **Real pixel/sample decode — PNG, baseline JPEG, GIF, BMP, and
-  WAV** (``decode_png`` / ``decode_jpeg`` / ``decode_gif`` /
-  ``decode_bmp`` / ``decode_wav`` / ``decode_pixels``): decoders
-  written from the public specs (PNG chunk stream + zlib inflate +
-  the five scanline filters incl. Paeth; T.81 baseline JPEG —
-  canonical Huffman entropy decode with byte unstuffing and restart
-  intervals, dequantization, float IDCT, chroma upsampling,
-  YCbCr→RGB; GIF87a/89a variable-width LZW with de-interlacing; BMP
+* **Real pixel/sample decode — PNG, JPEG (baseline AND progressive),
+  GIF, BMP, and WAV** (``decode_png`` / ``decode_jpeg`` /
+  ``decode_gif`` / ``decode_bmp`` / ``decode_wav`` /
+  ``decode_pixels``): decoders written from the public specs (PNG
+  chunk stream + zlib inflate + the five scanline filters incl.
+  Paeth; T.81 JPEG — canonical Huffman entropy decode with byte
+  unstuffing and restart intervals, dequantization, float IDCT,
+  chroma upsampling, YCbCr→RGB, plus the §G progressive scan loop:
+  spectral selection, successive approximation, EOBRUN (r11 task
+  #7); GIF87a/89a variable-width LZW with de-interlacing; BMP
   BI_RGB palette/true-color; RIFF/WAVE PCM via the ``wave`` module),
   producing exact integer pixel/sample statistics.  The same
   vendored-from-spec engineering as the zstd codec — no PIL, no
@@ -20,7 +22,7 @@ Three honesty tiers, each clearly marked:
   ISO BMFF box walk and EBML element walk, r11): dimensions,
   channels, sample rate, codec fourcc, duration, and frame count
   from the real container structures.
-* **Stubbed decode for video PIXELS only** (and progressive JPEG):
+* **Stubbed decode for video PIXELS only** (the last gated surface):
   the generic ``decode_media`` keeps the deterministic stub behind
   ``SEQUIN_FAKE_DECODE`` so the Spark-side plumbing — binary schema,
   Arrow batch transfer through mapInPandas, partitioning, output
@@ -611,6 +613,61 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _parse_dqt(seg: bytes, qt: dict) -> None:
+    sp = 0
+    while sp < len(seg):
+        pq, tq = seg[sp] >> 4, seg[sp] & 0xF
+        sp += 1
+        if pq == 0:
+            qt[tq] = list(seg[sp:sp + 64])
+            sp += 64
+        else:
+            vals = seg[sp:sp + 128]
+            qt[tq] = [(vals[i] << 8) | vals[i + 1]
+                      for i in range(0, 128, 2)]
+            sp += 128
+
+
+def _parse_dht(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    sp = 0
+    while sp < len(seg):
+        tc, th = seg[sp] >> 4, seg[sp] & 0xF
+        counts = list(seg[sp + 1:sp + 17])
+        nsym = sum(counts)
+        syms = list(seg[sp + 17:sp + 17 + nsym])
+        (huff_dc if tc == 0 else huff_ac)[th] = \
+            _huff_canonical(counts, syms)
+        sp += 17 + nsym
+
+
+def _split_entropy(blob: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split an entropy-coded stream into RST-delimited segments with
+    0xFF00 unstuffing; returns (segments, position of the terminating
+    marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    n = len(blob)
+    while p < n:
+        b = blob[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        m = blob[p + 1] if p + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= m <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or next marker
+            break
+    segments.append(bytes(cur))
+    return segments, p
+
+
 def _idct_basis():
     import math as _m
 
@@ -634,9 +691,11 @@ def decode_jpeg(blob: bytes, return_pixels: bool = False) -> dict:
     decode with 0xFF00 unstuffing and RSTn restart handling, dequant,
     separable float IDCT, level shift + clamp, nearest-neighbor chroma
     upsampling, YCbCr→RGB.  Grayscale and 3-component (4:4:4 / 4:2:2 /
-    4:2:0) baseline sequential frames; progressive (SOF2), arithmetic
-    coding, 12-bit, and 4-component frames return an explicit
-    unsupported status instead of wrong pixels.
+    4:2:0) frames, baseline sequential (SOF0/1) AND progressive (SOF2
+    — spectral selection + successive approximation per T.81 §G, r11
+    verdict task #7); arithmetic coding, 12-bit, hierarchical, and
+    4-component frames return an explicit unsupported status instead
+    of wrong pixels.
 
     Returns integer statistics matching decode_png's contract:
     width/height/n_channels/n_pixels and mean_luma_x1000 where luma is
@@ -659,6 +718,7 @@ def decode_jpeg(blob: bytes, return_pixels: bool = False) -> dict:
     comps: list[dict] = []
     w = h = None
     restart_interval = 0
+    progressive = False
     pos = 2
     try:
         while pos + 4 <= len(blob):
@@ -672,29 +732,10 @@ def decode_jpeg(blob: bytes, return_pixels: bool = False) -> dict:
             (seg_len,) = __import__("struct").unpack_from(">H", blob, pos + 2)
             seg = blob[pos + 4:pos + 2 + seg_len]
             if marker == 0xDB:  # DQT
-                sp = 0
-                while sp < len(seg):
-                    pq, tq = seg[sp] >> 4, seg[sp] & 0xF
-                    sp += 1
-                    if pq == 0:
-                        qt[tq] = list(seg[sp:sp + 64])
-                        sp += 64
-                    else:
-                        vals = seg[sp:sp + 128]
-                        qt[tq] = [(vals[i] << 8) | vals[i + 1]
-                                  for i in range(0, 128, 2)]
-                        sp += 128
+                _parse_dqt(seg, qt)
             elif marker == 0xC4:  # DHT
-                sp = 0
-                while sp < len(seg):
-                    tc, th = seg[sp] >> 4, seg[sp] & 0xF
-                    counts = list(seg[sp + 1:sp + 17])
-                    nsym = sum(counts)
-                    syms = list(seg[sp + 17:sp + 17 + nsym])
-                    (huff_dc if tc == 0 else huff_ac)[th] = \
-                        _huff_canonical(counts, syms)
-                    sp += 17 + nsym
-            elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+                _parse_dht(seg, huff_dc, huff_ac)
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
                 prec = seg[0]
                 if prec != 8:
                     out["status"] = f"unsupported_precision_{prec}"
@@ -709,14 +750,21 @@ def decode_jpeg(blob: bytes, return_pixels: bool = False) -> dict:
                     b = seg[6 + 3 * ci:9 + 3 * ci]
                     comps.append({"id": b[0], "hs": b[1] >> 4,
                                   "vs": b[1] & 0xF, "tq": b[2]})
-            elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+            elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                out["status"] = "unsupported_progressive" \
-                    if marker == 0xC2 else "unsupported_sof"
+                out["status"] = "unsupported_sof"
                 return out
             elif marker == 0xDD:  # DRI
                 restart_interval = (seg[0] << 8) | seg[1]
             elif marker == 0xDA:  # SOS — entropy data follows
+                if progressive:
+                    # T.81 §G: multi-scan spectral-selection + successive
+                    # approximation — hand the whole remaining stream to
+                    # the scan loop (r11 verdict task #7)
+                    return _decode_jpeg_progressive(
+                        blob, pos, w, h, comps, qt, huff_dc, huff_ac,
+                        restart_interval, out, _np, return_pixels)
                 ns = seg[0]
                 scan = []
                 for ci in range(ns):
@@ -739,27 +787,7 @@ def decode_jpeg(blob: bytes, return_pixels: bool = False) -> dict:
 def _decode_jpeg_scan(blob, data_start, w, h, scan, qt, huff_dc, huff_ac,
                       restart_interval, out, _np, return_pixels=False):
     # split the entropy stream into restart segments, unstuffing FF00
-    segments: list[bytes] = []
-    cur = bytearray()
-    p = data_start
-    n = len(blob)
-    while p < n:
-        b = blob[p]
-        if b != 0xFF:
-            cur.append(b)
-            p += 1
-            continue
-        m = blob[p + 1] if p + 1 < n else 0xD9
-        if m == 0x00:
-            cur.append(0xFF)
-            p += 2
-        elif 0xD0 <= m <= 0xD7:  # RSTn
-            segments.append(bytes(cur))
-            cur = bytearray()
-            p += 2
-        else:  # EOI or next marker
-            break
-    segments.append(bytes(cur))
+    segments, _ = _split_entropy(blob, data_start)
 
     hmax = max(c["hs"] for c in scan)
     vmax = max(c["vs"] for c in scan)
@@ -824,17 +852,25 @@ def _decode_jpeg_scan(blob, data_start, w, h, scan, qt, huff_dc, huff_ac,
                   @ _IDCT_M)
         for (ci, y0, x0), blk in zip(block_dst, blocks):
             planes[ci][y0:y0 + 8, x0:x0 + 8] = blk
-    # level shift, clamp, upsample to full resolution, crop
+    return _assemble_jpeg(planes, scan, w, h, hmax, vmax, out, _np,
+                          return_pixels)
+
+
+def _assemble_jpeg(planes, comps, w, h, hmax, vmax, out, _np,
+                   return_pixels):
+    """Level shift, clamp, chroma upsample, crop, luma stats — shared
+    by the baseline and progressive paths (identical math, so the two
+    entropy codings of one coefficient set decode bit-identically)."""
     full = []
-    for ci, c in enumerate(scan):
+    for ci, c in enumerate(comps):
         pl = _np.clip(_np.round(planes[ci]) + 128, 0, 255)
         if c["hs"] != hmax or c["vs"] != vmax:
             pl = pl.repeat(vmax // c["vs"], axis=0).repeat(
                 hmax // c["hs"], axis=1)
         full.append(pl[:h, :w])
     n_px = w * h
-    out.update(width=w, height=h, n_channels=len(scan), n_pixels=n_px)
-    if len(scan) == 1:
+    out.update(width=w, height=h, n_channels=len(comps), n_pixels=n_px)
+    if len(comps) == 1:
         luma_sum = int(full[0].astype(_np.int64).sum())
     else:
         y, cb, cr = full
@@ -849,6 +885,240 @@ def _decode_jpeg_scan(blob, data_start, w, h, scan, qt, huff_dc, huff_ac,
     if return_pixels:
         out["pixels"] = [p.astype(_np.int64) for p in full]
     return out
+
+
+def _decode_jpeg_progressive(blob, pos, w, h, comps, qt, huff_dc,
+                             huff_ac, restart_interval, out, _np,
+                             return_pixels):
+    """T.81 §G progressive decode: accumulate per-component coefficient
+    arrays across scans (DC/AC × first/refinement, interleaved DC and
+    single-component AC, EOBRUN, restart intervals), then dequantize +
+    IDCT once at EOI.  ``pos`` points at the first SOS marker; DHT/DQT/
+    DRI segments between scans update tables as they arrive."""
+    import struct as _s
+
+    hmax = max(c["hs"] for c in comps)
+    vmax = max(c["vs"] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bx_pad"] = mcus_x * c["hs"]
+        c["by_pad"] = mcus_y * c["vs"]
+        # non-interleaved scans cover the component's OWN block grid
+        # (ceil of its scaled dims — §A.2.2), not the MCU-padded one
+        comp_w = (w * c["hs"] + hmax - 1) // hmax
+        comp_h = (h * c["vs"] + vmax - 1) // vmax
+        c["bx"] = (comp_w + 7) // 8
+        c["by"] = (comp_h + 7) // 8
+    coefs = [_np.zeros((c["by_pad"], c["bx_pad"], 64), dtype=_np.int32)
+             for c in comps]
+    comp_index = {c["id"]: i for i, c in enumerate(comps)}
+
+    n = len(blob)
+    while pos + 4 <= n:
+        if blob[pos] != 0xFF:
+            out["status"] = "bad_marker_stream"
+            return out
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = _s.unpack_from(">H", blob, pos + 2)
+        seg = blob[pos + 4:pos + 2 + seg_len]
+        if marker == 0xC4:
+            _parse_dht(seg, huff_dc, huff_ac)
+        elif marker == 0xDB:
+            _parse_dqt(seg, qt)
+        elif marker == 0xDD:
+            restart_interval = (seg[0] << 8) | seg[1]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scomps = []
+            for ci in range(ns):
+                cid, tabs = seg[1 + 2 * ci], seg[2 + 2 * ci]
+                scomps.append((comp_index[cid], tabs >> 4, tabs & 0xF))
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah_al = seg[3 + 2 * ns]
+            ah, al = ah_al >> 4, ah_al & 0xF
+            segments, end = _split_entropy(blob, pos + 2 + seg_len)
+            _progressive_scan(
+                blob, segments, comps, coefs, scomps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, mcus_x, mcus_y, _np)
+            pos = end
+            continue
+        pos += 2 + seg_len
+
+    # dequantize (qt tables are stored in zigzag order; coefficients
+    # landed in natural order) and one batched IDCT per component
+    global _IDCT_M
+    planes = []
+    for i, c in enumerate(comps):
+        q = qt[c["tq"]]
+        qnat = _np.zeros(64)
+        for k in range(64):
+            qnat[_ZIGZAG[k]] = q[k]
+        deq = coefs[i].astype(_np.float64) * qnat
+        by, bx = c["by_pad"], c["bx_pad"]
+        blocks = _IDCT_M.T @ deq.reshape(-1, 8, 8) @ _IDCT_M
+        plane = (blocks.reshape(by, bx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+        planes.append(plane)
+    return _assemble_jpeg(planes, comps, w, h, hmax, vmax, out, _np,
+                          return_pixels)
+
+
+def _progressive_scan(blob, segments, comps, coefs, scomps, ss, se, ah,
+                      al, huff_dc, huff_ac, restart_interval, mcus_x,
+                      mcus_y, _np):
+    """One progressive scan over the coefficient arrays (§G.1.2)."""
+    seg_idx = 0
+    reader = _JpegBitReader(segments[0])
+    state = {"eobrun": 0, "preds": [0] * len(scomps)}
+
+    def _restart():
+        nonlocal seg_idx, reader
+        seg_idx += 1
+        reader = _JpegBitReader(segments[seg_idx])
+        state["eobrun"] = 0
+        state["preds"] = [0] * len(scomps)
+
+    if ss == 0:
+        # DC scan — interleaved over MCUs when ns>1, else the single
+        # component's padded grid (DC fills the padded blocks so edge
+        # MCUs IDCT with the right level)
+        if se != 0:
+            raise ValueError("DC scan with Se != 0")
+        unit = 0
+        if len(scomps) > 1:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        _restart()
+                    for si, (ci, dct, _act) in enumerate(scomps):
+                        c = comps[ci]
+                        for by in range(c["vs"]):
+                            for bx in range(c["hs"]):
+                                blk = coefs[ci][my * c["vs"] + by,
+                                                mx * c["hs"] + bx]
+                                _dc_one(reader, blk, state, si,
+                                        huff_dc[dct] if ah == 0 else None,
+                                        ah, al)
+                    unit += 1
+        else:
+            ci, dct, _act = scomps[0]
+            c = comps[ci]
+            for by in range(c["by_pad"]):
+                for bx in range(c["bx_pad"]):
+                    if (restart_interval and unit
+                            and unit % restart_interval == 0):
+                        _restart()
+                    _dc_one(reader, coefs[ci][by, bx], state, 0,
+                            huff_dc[dct] if ah == 0 else None, ah, al)
+                    unit += 1
+        return
+
+    # AC scan: always single-component (§G.1.1.1.1), raster over the
+    # component's own (non-padded) block grid
+    if len(scomps) != 1:
+        raise ValueError("interleaved AC progressive scan")
+    ci, _dct, act = scomps[0]
+    c = comps[ci]
+    table = huff_ac[act]
+    unit = 0
+    for by in range(c["by"]):
+        for bx in range(c["bx"]):
+            if (restart_interval and unit
+                    and unit % restart_interval == 0):
+                _restart()
+            blk = coefs[ci][by, bx]
+            if ah == 0:
+                _ac_first(reader, blk, state, table, ss, se, al)
+            else:
+                _ac_refine(reader, blk, state, table, ss, se, al)
+            unit += 1
+
+
+def _dc_one(reader, blk, state, si, dc_table, ah, al):
+    if ah == 0:  # first DC scan: baseline diff coding, scaled by 2^Al
+        t = reader.huff(dc_table)
+        state["preds"][si] += _extend(reader.bits(t), t)
+        blk[0] = state["preds"][si] << al
+    else:  # refinement: one appended magnitude bit per block
+        if reader.bit():
+            blk[0] |= 1 << al
+
+
+def _ac_first(reader, blk, state, table, ss, se, al):
+    """§G.1.2.2: first AC scan of a band — baseline RLE plus EOBn
+    codes carrying an end-of-band run across blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.huff(table)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state["eobrun"] = (1 << r) - 1
+            if r:
+                state["eobrun"] += reader.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC band overflow")
+        blk[_ZIGZAG[k]] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, blk, state, table, ss, se, al):
+    """§G.1.2.3: AC refinement — new coefficients appear at ±2^Al and
+    every already-nonzero coefficient in the band consumes one
+    correction bit as the scan passes it."""
+    p1, m1 = 1 << al, -1 << al
+
+    def _correct(z):
+        if reader.bit() and (blk[z] & p1) == 0:
+            blk[z] += p1 if blk[z] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.huff(table)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r < 15:  # EOBn: band done after pending corrections
+                    state["eobrun"] = (1 << r)
+                    if r:
+                        state["eobrun"] += reader.bits(r)
+                    break
+                # r == 15: skip 16 zero-history positions
+            else:
+                if s != 1:
+                    raise ValueError("bad refinement magnitude")
+                val = p1 if reader.bit() else m1
+            while k <= se:
+                z = _ZIGZAG[k]
+                if blk[z] != 0:
+                    _correct(z)
+                else:
+                    if r == 0:
+                        if val:
+                            blk[z] = val
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            z = _ZIGZAG[k]
+            if blk[z] != 0:
+                _correct(z)
+            k += 1
+        state["eobrun"] -= 1
 
 
 def synth_gray_jpeg(doc_id: int, blocks_w: int = 2,
@@ -897,6 +1167,246 @@ def synth_gray_jpeg(doc_id: int, blocks_w: int = 2,
     sos = seg(0xDA, bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + entropy
             + b"\xff\xd9")
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    import struct as _s
+
+    return bytes([0xFF, marker]) + _s.pack(">H", len(payload) + 2) + payload
+
+
+def _enc_extend(bw, v: int) -> None:
+    """Emit the magnitude bits of v in extend-complement form (the
+    encoding both DC diffs and AC values use after their size class)."""
+    t = abs(v).bit_length()
+    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+
+
+def _enc_eobn(bw, ac_map, run: int) -> None:
+    """EOBn: end-of-band run over ``run`` blocks (T.81 G.1.2.2)."""
+    r = run.bit_length() - 1
+    code, ln = ac_map[r << 4]
+    bw.write(code, ln)
+    if r:
+        bw.write(run - (1 << r), r)
+
+
+# AC Huffman table for the progressive encoder: the Annex K sequential
+# table has no EOBn symbols (r<<4 for r>0) — progressive streams define
+# their own.  Flat 6-bit canonical table over every symbol the encoder
+# can emit: EOB0..EOB7 (runs < 256), ZRL, and (run,size) pairs for
+# sizes 1..3; 57 codes at length 6 leaves the all-ones code unused as
+# T.81 requires.
+_PROG_AC_SYMS = ([r << 4 for r in range(8)] + [0xF0]
+                 + [(r << 4) | s for r in range(16) for s in (1, 2, 3)])
+_PROG_AC_TABLE = ([0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0,
+                   0, 0, 0, 0, 0, 0, 0, 0], _PROG_AC_SYMS)
+
+
+def encode_gray_progressive(coefs, w: int, h: int, scans=None) -> bytes:
+    """Tiny grayscale PROGRESSIVE encoder (T.81 §G, successive
+    approximation with the magnitude point transform: a first scan
+    sends sign·(|a|>>Al), refinements append magnitude bit Al) — the
+    test/oracle twin of the progressive decoder, same role
+    synth_gray_jpeg plays for baseline.  ``coefs`` is a list of 64-int
+    natural-order blocks in raster order; all-ones quant table, Annex
+    K luminance Huffman tables for every scan.  Default scan script:
+    DC first (Al=1) → AC 1..63 first (Al=1) → DC refine (Al=0) → AC
+    1..63 refine (Al=0).  Encoder limit (asserted, never silently
+    wrong): one refinement level."""
+    import struct as _s
+
+    if scans is None:
+        scans = [("dc", 0, 0, 0, 1), ("ac", 1, 63, 0, 1),
+                 ("dc", 0, 0, 1, 0), ("ac", 1, 63, 1, 0)]
+    dc_map = _huff_encode_map(*_STD_DC_LUMA)
+    ac_map = _huff_encode_map(*_PROG_AC_TABLE)
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _jpeg_seg(0xC2, bytes([8]) + _s.pack(">HH", h, w)
+                     + bytes([1, 0x01, 0x11, 0x00]))
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0])
+                     + bytes(_STD_DC_LUMA[1]))
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_TABLE[0])
+                     + bytes(_PROG_AC_TABLE[1]))
+    for kind, ss, se, ah, al in scans:
+        bw = _JpegBitWriter()
+        if kind == "dc":
+            if ah == 0:
+                pred = 0
+                for blk in coefs:
+                    v = blk[0]
+                    a_t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    diff = a_t - pred
+                    pred = a_t
+                    t = abs(diff).bit_length()
+                    code, ln = dc_map[t]
+                    bw.write(code, ln)
+                    if t:
+                        _enc_extend(bw, diff)
+            else:
+                for blk in coefs:
+                    bw.write((abs(blk[0]) >> al) & 1, 1)
+        elif ah == 0:  # AC first scan of the band
+            eobrun = 0
+            for blk in coefs:
+                nz = [(k, (abs(blk[_ZIGZAG[k]]) >> al)
+                       * (1 if blk[_ZIGZAG[k]] >= 0 else -1))
+                      for k in range(ss, se + 1)
+                      if abs(blk[_ZIGZAG[k]]) >> al]
+                if not nz:
+                    eobrun += 1
+                    continue
+                if eobrun:
+                    _enc_eobn(bw, ac_map, eobrun)
+                    eobrun = 0
+                prev = ss - 1
+                for k, a_t in nz:
+                    run = k - prev - 1
+                    while run > 15:
+                        code, ln = ac_map[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    s = abs(a_t).bit_length()
+                    code, ln = ac_map[(run << 4) | s]
+                    bw.write(code, ln)
+                    _enc_extend(bw, a_t)
+                    prev = k
+                if prev < se:
+                    eobrun += 1  # rest of this band is zero
+            if eobrun:
+                _enc_eobn(bw, ac_map, eobrun)
+        else:  # AC refinement scan (decoder grammar of §G.1.2.3)
+            p_al = al + 1  # the previous scan's point transform
+            eobrun = 0
+            eob_corr: list[int] = []
+
+            def _flush_eob(bw=bw):
+                nonlocal eobrun, eob_corr
+                if eobrun:
+                    _enc_eobn(bw, ac_map, eobrun)
+                    for bit in eob_corr:
+                        bw.write(bit, 1)
+                    eobrun, eob_corr = 0, []
+
+            for blk in coefs:
+                hist = {k: (abs(blk[_ZIGZAG[k]]) >> al) & 1
+                        for k in range(ss, se + 1)
+                        if abs(blk[_ZIGZAG[k]]) >> p_al}
+                newly = [(k, blk[_ZIGZAG[k]])
+                         for k in range(ss, se + 1)
+                         if not abs(blk[_ZIGZAG[k]]) >> p_al
+                         and abs(blk[_ZIGZAG[k]]) >> al]
+                if not newly:
+                    eobrun += 1
+                    eob_corr.extend(hist[k] for k in sorted(hist))
+                    continue
+                _flush_eob()
+                k_pos = ss
+                for k, v in newly:
+                    assert abs(v) >> al == 1, \
+                        "refinement value must be ±2^Al"
+                    # walk zero-history positions toward k, breaking a
+                    # run ≥16 with ZRL; correction bits for crossed
+                    # nonzero-history coefficients interleave in
+                    # position order exactly as the decoder consumes
+                    # them (§G.1.2.3)
+                    run, corr = 0, []
+                    for j in range(k_pos, k):
+                        if j in hist:
+                            corr.append(hist[j])
+                        else:
+                            run += 1
+                            if run == 16:
+                                code, ln = ac_map[0xF0]
+                                bw.write(code, ln)
+                                for bit in corr:
+                                    bw.write(bit, 1)
+                                run, corr = 0, []
+                    code, ln = ac_map[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if v > 0 else 0, 1)
+                    for bit in corr:
+                        bw.write(bit, 1)
+                    k_pos = k + 1
+                if k_pos <= se:
+                    eobrun += 1
+                    eob_corr.extend(hist[j] for j in range(k_pos, se + 1)
+                                    if j in hist)
+            _flush_eob()
+        out += _jpeg_seg(0xDA, bytes([1, 0x01, 0x00, ss, se,
+                                      (ah << 4) | al]))
+        out += bw.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_gray_baseline(coefs, w: int, h: int) -> bytes:
+    """Baseline (SOF0) encoder over the same coefficient-block input as
+    encode_gray_progressive — the differential twin: both encodings of
+    one coefficient set must decode bit-identically (same dequant,
+    same IDCT, same assembly), isolating the entropy layers under
+    test.  All-ones quant table, Annex K luminance tables."""
+    import struct as _s
+
+    dc_map = _huff_encode_map(*_STD_DC_LUMA)
+    ac_map = _huff_encode_map(*_STD_AC_LUMA)
+    bw = _JpegBitWriter()
+    pred = 0
+    for blk in coefs:
+        diff = blk[0] - pred
+        pred = blk[0]
+        t = abs(diff).bit_length()
+        code, ln = dc_map[t]
+        bw.write(code, ln)
+        if t:
+            _enc_extend(bw, diff)
+        nz = [(k, blk[_ZIGZAG[k]]) for k in range(1, 64)
+              if blk[_ZIGZAG[k]]]
+        prev = 0
+        for k, v in nz:
+            run = k - prev - 1
+            while run > 15:
+                code, ln = ac_map[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s = abs(v).bit_length()
+            code, ln = ac_map[(run << 4) | s]
+            bw.write(code, ln)
+            _enc_extend(bw, v)
+            prev = k
+        if not nz or nz[-1][0] < 63:
+            code, ln = ac_map[0x00]  # EOB
+            bw.write(code, ln)
+    out = bytearray(b"\xff\xd8")
+    out += _jpeg_seg(0xDB, bytes([0x00]) + bytes([1] * 64))
+    out += _jpeg_seg(0xC0, bytes([8]) + _s.pack(">HH", h, w)
+                     + bytes([1, 0x01, 0x11, 0x00]))
+    out += _jpeg_seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0])
+                     + bytes(_STD_DC_LUMA[1]))
+    out += _jpeg_seg(0xC4, bytes([0x10]) + bytes(_STD_AC_LUMA[0])
+                     + bytes(_STD_AC_LUMA[1]))
+    out += _jpeg_seg(0xDA, bytes([1, 0x01, 0x00, 0x00, 0x3F, 0x00]))
+    out += bw.flush() + b"\xff\xd9"
+    return bytes(out)
+
+
+def synth_gray_progressive_jpeg(doc_id: int, blocks_w: int = 2,
+                                blocks_h: int = 2) -> bytes:
+    """The progressive twin of synth_gray_jpeg: IDENTICAL pixel
+    content (constant 8×8 blocks, (doc_id·37 + bi·11 + bj·5) mod 256,
+    all-ones quant table) re-encoded as a 4-scan SOF2 stream, so the
+    SAME analytic SQL oracle verifies the progressive entropy path —
+    DC successive approximation (first + refinement) and the all-EOB
+    AC band with a cross-block EOBRUN — end-to-end."""
+    coefs = []
+    for bi in range(blocks_h):
+        for bj in range(blocks_w):
+            v = (doc_id * 37 + bi * 11 + bj * 5) % 256
+            blk = [0] * 64
+            blk[0] = 8 * (v - 128)
+            coefs.append(blk)
+    return encode_gray_progressive(coefs, blocks_w * 8, blocks_h * 8)
 
 
 def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:

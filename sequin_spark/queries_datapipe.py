@@ -5919,13 +5919,64 @@ FROM documents
 """
 
 
+def q_multimodal_jpeg_progressive(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG pixel decode, oracle-checked (r11 verdict task
+    #7 — the one feasible remainder behind the decode gate; video
+    pixels stay honestly out of scope).  Per doc the SAME constant-
+    block content as multimodal_jpeg_decode is re-encoded as a 4-scan
+    SOF2 stream (multimodal.synth_gray_progressive_jpeg: DC first at
+    Al=1 → all-EOB AC band with a cross-block EOBRUN → DC refinement
+    to Al=0) and decoded by the T.81 §G scan loop — successive-
+    approximation DC, EOBRUN bookkeeping, per-scan table updates —
+    landing in the same dequant+IDCT tail as baseline.  The DuckDB
+    oracle is the identical analytic block rule, so a progressive-
+    specific slip (Al scaling, EOBRUN off-by-one, refinement-bit
+    polarity) surfaces as a value mismatch.  Plan: two mapInPandas
+    passes, no shuffle (the multimodal decode shape)."""
+    import pandas as _pd
+
+    from sequin_spark.datapipe.multimodal import (
+        decode_pixels,
+        synth_gray_progressive_jpeg,
+    )
+
+    _prep(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def encode(batches):
+        for b in batches:
+            yield _pd.DataFrame({
+                "doc_id": b["doc_id"],
+                "media_type": "image",
+                "blob": [synth_gray_progressive_jpeg(int(d))
+                         for d in b["doc_id"]],
+                "meta_format": "jpeg",
+                "n_bytes": [0] * len(b),
+            })
+
+    media = docs.mapInPandas(
+        encode,
+        schema=("doc_id long, media_type string, blob binary, "
+                "meta_format string, n_bytes long"))
+    out = decode_pixels(media)
+    return out.select(
+        "doc_id", "width", "height", "n_channels", "n_pixels",
+        "mean_luma_x1000", "status")
+
+
+SQL_MULTIMODAL_JPEG_PROGRESSIVE = SQL_MULTIMODAL_JPEG_DECODE
+
+
 DATAPIPE_QUERIES.update({
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+    "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
 })
 DATAPIPE_ORACLES.update({
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG_DECODE,
+    "multimodal_jpeg_progressive": SQL_MULTIMODAL_JPEG_PROGRESSIVE,
 })
 
 

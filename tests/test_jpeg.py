@@ -246,13 +246,25 @@ def test_restart_markers_and_byte_stuffing():
         assert (d["pixels"][0] == want).all(), ri
 
 
-def test_progressive_rejected_honestly():
+def test_unsupported_sof_rejected_honestly():
+    """SOF2 decodes for real since r12 (see the progressive tests
+    below); the still-unsupported frame types — lossless (SOF3),
+    arithmetic (SOF9+) — must keep returning an explicit status, and a
+    baseline stream relabeled SOF2 is a MALFORMED progressive stream
+    (baseline entropy data under a progressive header), not wrong
+    pixels."""
     blob = bytearray(synth_gray_jpeg(5))
-    # rewrite the SOF0 marker to SOF2 (progressive)
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC3  # lossless sequential
+    assert decode_jpeg(bytes(blob))["status"] == "unsupported_sof"
+    blob[i + 1] = 0xC9  # arithmetic extended sequential
+    assert decode_jpeg(bytes(blob))["status"] == "unsupported_sof"
+    blob[i + 1] = 0xC2  # baseline scan bytes under a progressive header
     d = decode_jpeg(bytes(blob))
-    assert d["status"] == "unsupported_progressive"
+    # baseline SOS (Ss=0,Se=63) is invalid for a progressive DC scan:
+    # the decoder must flag it, never emit pixels from garbage
+    assert d["status"] in ("truncated", "bad_marker_stream")
+    assert d["mean_luma_x1000"] is None
 
 
 def test_truncated_stream_is_flagged():
@@ -333,3 +345,110 @@ def test_non_multiple_of_8_dims_cropped():
     want = expected_pixels(q, quant)[:13, :20]
     assert (d["pixels"][0] == want).all()
     assert d["n_pixels"] == 260
+
+
+# --- progressive (SOF2) — r11 verdict task #7 ------------------------------
+
+
+def test_progressive_constant_blocks_match_baseline():
+    """The progressive synth re-encodes synth_gray_jpeg's exact pixel
+    content; every stat must match the baseline decode (and the
+    analytic block rule the SQL oracle uses)."""
+    from sequin_spark.datapipe.multimodal import (
+        decode_jpeg,
+        synth_gray_jpeg,
+        synth_gray_progressive_jpeg,
+    )
+
+    for d in (0, 1, 7, 123, 9999, 54321):
+        base = decode_jpeg(synth_gray_jpeg(d))
+        prog = decode_jpeg(synth_gray_progressive_jpeg(d))
+        assert prog["status"] == "decoded"
+        assert prog == base
+
+
+def test_progressive_differential_vs_baseline_pixels():
+    """Baseline and progressive encodings of ONE coefficient set must
+    decode to bit-identical pixels — isolates the §G entropy layers
+    (AC first scan with ZRL + EOBRUN, refinement with newly-nonzero
+    coefficients, correction bits, ZRL-in-refinement) against the
+    shared dequant/IDCT tail."""
+    import random
+
+    import numpy as np
+
+    from sequin_spark.datapipe.multimodal import (
+        _ZIGZAG,
+        decode_jpeg,
+        encode_gray_baseline,
+        encode_gray_progressive,
+    )
+
+    def blocks(spec):
+        out = []
+        for d in spec:
+            blk = [0] * 64
+            for k, v in d.items():
+                blk[_ZIGZAG[k]] = v
+            out.append(blk)
+        return out
+
+    # hand-picked: all-EOB, pos/neg AC refine, deep coefficient (ZRL in
+    # the first scan), newly-nonzero-in-refinement-only
+    spec = [{0: 8 * (40 - 128)},
+            {0: 8 * (200 - 128), 1: 3, 20: 2},
+            {0: 8 * (77 - 128), 1: -3},
+            {0: 8 * (130 - 128), 1: 1}]
+    co = blocks(spec)
+    b = decode_jpeg(encode_gray_baseline(co, 16, 16), return_pixels=True)
+    p = decode_jpeg(encode_gray_progressive(co, 16, 16),
+                    return_pixels=True)
+    assert b["status"] == p["status"] == "decoded"
+    for x, y in zip(b.pop("pixels"), p.pop("pixels")):
+        assert np.array_equal(x, y)
+    assert b == p
+
+    rng = random.Random(7)
+    deep_ones = 0
+    for trial in range(40):
+        spec = []
+        for _ in range(6):
+            d = {0: 8 * (rng.randrange(256) - 128)}
+            for k in rng.sample(range(1, 64), rng.randrange(0, 5)):
+                d[k] = rng.choice([-3, -2, -1, 1, 2, 3])
+            spec.append(d)
+        deep_ones += sum(1 for d in spec for k, v in d.items()
+                         if k and abs(v) == 1 and k >= 17)
+        co = blocks(spec)
+        b = decode_jpeg(encode_gray_baseline(co, 24, 16),
+                        return_pixels=True)
+        p = decode_jpeg(encode_gray_progressive(co, 24, 16),
+                        return_pixels=True)
+        assert b["status"] == p["status"] == "decoded", trial
+        for x, y in zip(b.pop("pixels"), p.pop("pixels")):
+            assert np.array_equal(x, y), trial
+        assert b == p, trial
+    # the sweep must actually exercise ZRL-in-refinement territory
+    assert deep_ones > 20
+
+
+def test_progressive_spectral_band_split():
+    """Coefficients split across two AC bands (1..5, 6..63) in
+    separate scans reassemble into the same block."""
+    from sequin_spark.datapipe.multimodal import (
+        _ZIGZAG,
+        decode_jpeg,
+        encode_gray_baseline,
+        encode_gray_progressive,
+    )
+
+    blk = [0] * 64
+    blk[0] = 8 * (90 - 128)
+    blk[_ZIGZAG[2]] = 3
+    blk[_ZIGZAG[9]] = -2
+    scans = [("dc", 0, 0, 0, 0),
+             ("ac", 1, 5, 0, 0), ("ac", 6, 63, 0, 0)]
+    b = decode_jpeg(encode_gray_baseline([blk], 8, 8))
+    p = decode_jpeg(encode_gray_progressive([blk], 8, 8, scans=scans))
+    assert p["status"] == "decoded"
+    assert p == b
