@@ -256,6 +256,10 @@ class EventFolder:
         self.in_txn = False
         self.annotations: str | None = None
         self.on_relation = on_relation  # callback(Relation) for schema tracking
+        # tables that emitted an unchanged-TOAST sentinel with no
+        # pre-image to fill from (replica identity default) — surfaced
+        # as the reference's toast_columns_detected health warning
+        self.toast_unfillable_tables: set[str] = set()
 
     @staticmethod
     def _row(rel: Relation, tup: TupleData) -> dict:
@@ -331,6 +335,12 @@ class EventFolder:
                 }
             else:
                 changes = {}
+                if any(v == UNCHANGED_TOAST_MARKER for v in record.values()):
+                    # identity default: no pre-image to fill from — the
+                    # sentinel passes through and the reference flags a
+                    # health WARNING per consumer
+                    # (message_handler.ex:355-361 toast_columns_detected)
+                    self.toast_unfillable_tables.add(rel.name)
             action = "update"
         else:  # Delete — pre-image becomes the record
             action, record, changes = "delete", self._row(rel, msg.old), None

@@ -492,6 +492,7 @@ class ReplicationIngestWorker:
         metrics=None,
         slot_name: str = "slot",
         heartbeat=None,
+        on_health=None,
     ):
         self.client = client
         self.out_dir = out_dir
@@ -504,6 +505,11 @@ class ReplicationIngestWorker:
         # optional heartbeat.HeartbeatMonitor: fed every decoded message
         # (round-trip detection) and the flushed commit cursor
         self.heartbeat = heartbeat
+        # optional callback(slug, detail): worker-level health events —
+        # currently toast_columns_detected (message_handler.ex:355-361,
+        # an unchanged-TOAST sentinel with no pre-image to fill from)
+        self.on_health = on_health
+        self._toast_warned: set[str] = set()
         self.ingestion_latency_us: float | None = None
         self.folder = EventFolder(on_relation=on_relation)
         self._committed: list[dict] = []  # events of committed txns, unflushed
@@ -538,6 +544,10 @@ class ReplicationIngestWorker:
                     kept.append(e)
             events = kept
         self._open_txn.extend(events)
+        if self.on_health is not None:
+            for t in self.folder.toast_unfillable_tables - self._toast_warned:
+                self._toast_warned.add(t)
+                self.on_health("toast_columns_detected", t)
         if in_txn_before and not self.folder.in_txn:  # Commit closed the txn
             self._committed.extend(self._open_txn)
             self._open_txn = []
@@ -769,7 +779,8 @@ def run_supervised(
             if on_health is not None:
                 on_health("replication_connected", int_to_lsn(start_lsn))
             worker = ReplicationIngestWorker(
-                client, out_dir, slot_name=slot_name, **worker_kwargs
+                client, out_dir, slot_name=slot_name, on_health=on_health,
+                **worker_kwargs
             )
             remaining = None
             if deadline is not None:

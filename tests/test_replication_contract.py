@@ -1431,3 +1431,141 @@ def test_contract_heartbeat_table_older_pg(spark, tmp_path):
     assert monitor.received_count == 0
     assert sorted(e["table_name"] for e in rows) == [
         "Characters", LOGICAL_MESSAGES_TABLE]
+
+
+def test_contract_toast_unfillable_health_warning(spark, tmp_path):
+    """message_handler.ex:355-361 — an update carrying an unchanged-
+    TOAST sentinel with NO pre-image (replica identity default) cannot
+    be filled; the sentinel passes through and the engine surfaces the
+    reference's ``toast_columns_detected`` health WARNING, once per
+    table.  An identity-FULL toast update (fillable) must NOT warn."""
+    frames = [_chars_rel()] + _txn(
+        L1, upd(CHAR_OID, ("1", "Paul", ..., "Caladan", "t", "{}"))
+    ) + _txn(
+        L2, upd(CHAR_OID, ("1", "Paulo", ..., "Caladan", "t", "{}")),
+        xid=2,
+    )
+    srv = FakeWalSender(frames)
+    client = ReplicationClient(
+        "127.0.0.1", srv.port, user="replicator", database="postgres",
+        password="s3cret", receive_timeout=0.05,
+    )
+    client.connect()
+    health = []
+    worker = ReplicationIngestWorker(
+        client, str(tmp_path / "wal"), flush_seconds=0.05,
+        ack_interval=0.1, on_health=lambda slug, d: health.append((slug, d)),
+    )
+    client.start_replication("sequin_slot", "sequin_pub")
+    worker.run(max_seconds=5,
+               stop_when=lambda: any(a[1] == L2 for a in srv.acks))
+    client.close()
+    srv.close()
+    # warned exactly ONCE for the table despite two unfillable updates
+    assert health == [("toast_columns_detected", "Characters")]
+    ev = read_cdc_log(spark, str(tmp_path / "wal"))
+    rows = sorted(ev.collect(), key=lambda r: r.commit_lsn)
+    assert rows[0]["record"]["house"] == "__unchanged_toast__"
+
+    # identity full: the fill succeeds, no warning (exs:268 family)
+    frames2 = [_chars_rel()] + _txn(
+        L3, upd(CHAR_OID, ("1", "Paul", ..., "Caladan", "t", "{}"),
+                old=("1", "Paul", "Atreides", "Caladan", "t", "{}")),
+    )
+    srv2 = FakeWalSender(frames2)
+    client2 = ReplicationClient(
+        "127.0.0.1", srv2.port, user="replicator", database="postgres",
+        password="s3cret", receive_timeout=0.05,
+    )
+    client2.connect()
+    health2 = []
+    worker2 = ReplicationIngestWorker(
+        client2, str(tmp_path / "wal2"), flush_seconds=0.05,
+        ack_interval=0.1, on_health=lambda slug, d: health2.append(slug),
+    )
+    client2.start_replication("sequin_slot", "sequin_pub")
+    worker2.run(max_seconds=5,
+                stop_when=lambda: any(a[1] == L3 for a in srv2.acks))
+    client2.close()
+    srv2.close()
+    assert health2 == []
+    ev2 = read_cdc_log(spark, str(tmp_path / "wal2"))
+    assert ev2.collect()[0]["record"]["house"] == "Atreides"
+
+
+def test_contract_publication_drop_midstream(spark, tmp_path):
+    """Publication dropped while streaming: the walsender answers the
+    next decode with an ErrorResponse mid-COPY (42704 'publication
+    does not exist').  The client must surface it as a typed
+    ReplicationError — never pixels-from-garbage silence — and the
+    supervision loop reconnects with backoff and resumes from the
+    slot cursor once the publication exists again (the reference's
+    SlotSupervisor restart semantics; error classed like
+    postgres_replication_test.exs:1044's missing-slot family)."""
+    import pyarrow.parquet as pq
+
+    from sequin_spark.sources.replication import run_supervised
+    from tests.test_replication import DroppingWalSender, msg
+
+    err = msg(b"E", b"SERROR\x00C42704\x00"
+                    b'Mpublication "sequin_pub" does not exist\x00\x00')
+    script1 = ([_chars_rel()] + _txn(L1, ins(CHAR_OID, 1, "arya", "Stark",
+                                             "Winterfell", "t", "{}"))
+               + [err])
+    # the slot cursor only advances on OUR acks; whether txn1's flush
+    # beat the error is a race, so the recovered walsender re-sends
+    # everything past the cursor — txn1 may land twice in the raw log
+    # (at-least-once), and the idempotency dedup collapses it
+    script2 = ([_chars_rel()]
+               + _txn(L1, ins(CHAR_OID, 1, "arya", "Stark",
+                              "Winterfell", "t", "{}"))
+               + _txn(L2, ins(CHAR_OID, 2, "sansa", "Stark",
+                              "Winterfell", "t", "{}"), xid=2))
+    s1 = DroppingWalSender(script1)  # error frame, then hangs up
+    s2 = FakeWalSender(script2)
+    servers = [s1, s2]
+
+    def factory():
+        srv = servers.pop(0) if servers else s2
+        return ReplicationClient(
+            "127.0.0.1", srv.port, user="replicator", database="postgres",
+            password="s3cret", receive_timeout=0.05,
+        )
+
+    out_dir = tmp_path / "wal"
+    health = []
+
+    def _lsns():
+        out = []
+        for f in sorted(out_dir.glob("*.parquet")):
+            try:
+                out.extend(r["commit_lsn"]
+                           for r in pq.read_table(str(f)).to_pylist())
+            except OSError:
+                return []
+        return out
+
+    def done():
+        ls = set(_lsns())
+        return L1 in ls and L2 in ls
+
+    run_supervised(
+        factory, str(out_dir), slot_name="sequin_slot",
+        publication="sequin_pub", max_seconds=20, stop_when=done,
+        initial_backoff=0.05, max_backoff=0.2,
+        on_health=lambda ev, detail: health.append((ev, detail)),
+        flush_seconds=0.05, ack_interval=0.05,
+    )
+    lsns = _lsns()
+    # both txns recovered; txn1 at-least-once in the raw log, exactly
+    # once after the idempotency dedup (the :863 contract)
+    assert set(lsns) == {L1, L2}
+    assert lsns.count(L2) == 1
+    from sequin_spark.operators.dedup import dedup_replays
+
+    ev = read_cdc_log(spark, str(out_dir))
+    assert sorted(r.commit_lsn for r in dedup_replays(ev).collect()) \
+        == [L1, L2]
+    # the disconnect carried the publication error detail
+    drops = [d for ev_, d in health if ev_ == "replication_disconnected"]
+    assert any("publication" in d for d in drops)
