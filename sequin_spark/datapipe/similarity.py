@@ -362,16 +362,18 @@ def det_centroids(
     return rows
 
 
-def assign_to_centroids(e: DataFrame, cent_rows: list) -> DataFrame:
+def assign_to_centroids(e: DataFrame, cent_rows: list,
+                        with_dist: bool = False) -> DataFrame:
     """Assign each (_id, v) row to its nearest centroid (ties → lowest
     c_id). Centroids are driver-side constants embedded as array
     literals, so assignment is a NARROW map — no join, no shuffle, no
     window; at 100 TB this is the only way the assignment step stays a
     single scan. The argmin is array_min over struct(dist, c_id), whose
     lexicographic struct ordering is exactly the (dist asc, c_id asc)
-    tie-break."""
+    tie-break.  ``with_dist`` also attaches the winning squared-L2
+    distance as ``_dist`` (drift audits want it; searches don't)."""
     if len(cent_rows) > 256:
-        return _assign_via_join(e, cent_rows)
+        return _assign_via_join(e, cent_rows, with_dist=with_dist)
     # ONE dense literal (cb[p][d]) + a HOF loop over centroid positions,
     # NOT k unrolled zip_with/aggregate branches: the unrolled form's
     # k×dims-node expression tree cost ~4.5s of analysis/codegen at
@@ -389,10 +391,14 @@ def assign_to_centroids(e: DataFrame, cent_rows: list) -> DataFrame:
         f"cast(0.0 as double), (acc, x) -> acc + x) as dist, "
         f"element_at({ids}, p + 1) as c_id)))"
     )
-    return e.withColumn("c_id", best["c_id"])
+    out = e.withColumn("c_id", best["c_id"])
+    if with_dist:
+        out = out.withColumn("_dist", best["dist"])
+    return out
 
 
-def _assign_via_join(e: DataFrame, cent_rows: list) -> DataFrame:
+def _assign_via_join(e: DataFrame, cent_rows: list,
+                     with_dist: bool = False) -> DataFrame:
     """Large-k assignment (auto-k can push k into the thousands at
     corpus scale, where a k×dims SQL literal stops being viable): the
     centroid table rides a BROADCAST cross join and the argmin is a
@@ -414,7 +420,8 @@ def _assign_via_join(e: DataFrame, cent_rows: list) -> DataFrame:
         .withColumn("_cand", F.struct(dist.alias("dist"), F.col("c_id")))
         .groupBy("_id")
         .agg(F.first("v").alias("v"), F.min("_cand").alias("_best"), *other)
-        .select(*e.columns, F.col("_best.c_id").alias("c_id"))
+        .select(*e.columns, F.col("_best.c_id").alias("c_id"),
+                *([F.col("_best.dist").alias("_dist")] if with_dist else []))
     )
 
 
@@ -1389,3 +1396,74 @@ def sql_kmeans_clusters(emb_cte: str, k: int = 8, iters: int = 3,
     FROM b, c{iters} c) WHERE rn = 1)""")
     return ("WITH " + ",\n".join(cte)
             + "\nSELECT id, cluster, dist2 FROM afin")
+
+
+# --- incremental index maintenance (r11 verdict task #9) -----------------
+#
+# Real corpora APPEND; the .cache/ indexes were build-once.  The append
+# path keeps the fitted quantizer and assigns only the new vectors (one
+# broadcast-literal argmin scan — O(new), never O(corpus)); the drift
+# audit measures how well the frozen quantizer still fits the appended
+# data, flagging when a re-fit is warranted (the classic IVF operations
+# playbook: append cheap, re-train when list quality degrades).
+
+
+def append_to_index(index: SemDedupIndex, new_emb: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> SemDedupIndex:
+    """Assign NEW vectors to the EXISTING centroids and extend the
+    assignment corpus — centroids untouched, cost O(new vectors).
+    Searches over the appended index probe exactly as before."""
+    e = new_emb.select(F.col(id_col).alias("_id"),
+                       as_double(vec_col).alias("v"))
+    newa = assign_to_centroids(e, index.centroids).select("_id", "c_id")
+    return SemDedupIndex(
+        centroids=index.centroids,
+        assignments=index.assignments.unionByName(newa))
+
+
+def index_drift_audit(index: SemDedupIndex, resident: DataFrame,
+                      appended: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      refit_num: int = 3, refit_den: int = 2) -> DataFrame:
+    """Per-inverted-list assignment-quality comparison of appended vs
+    resident vectors under the FROZEN quantizer.  Per list: counts and
+    mean squared-L2 assignment distance (per-row distances are
+    bit-exact fold sums, integer-scaled ×1000 BEFORE the sum so the
+    aggregate is engine-exact — no float-sum order sensitivity), plus
+    ``refit_flagged`` when the appended mean exceeds refit_num/refit_den
+    of the resident mean (the distribution moved away from the fitted
+    centroids) — the signal that the cheap append path has degraded
+    recall and a re-fit is due.  Empty side → count 0, mean NULL, and
+    a list that only appended rows touch is flagged by construction."""
+    def _dists(df):
+        e = df.select(F.col(id_col).alias("_id"),
+                      as_double(vec_col).alias("v"))
+        a = assign_to_centroids(e, index.centroids, with_dist=True)
+        return a.select(
+            "c_id",
+            F.round(F.col("_dist") * 1000).cast("long").alias("d_x1000"))
+
+    res = _dists(resident).groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_resident"),
+        F.sum("d_x1000").alias("_rsum"))
+    app = _dists(appended).groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_appended"),
+        F.sum("d_x1000").alias("_asum"))
+    j = res.join(app, "c_id", "full_outer").select(
+        "c_id",
+        F.coalesce("n_resident", F.lit(0)).alias("n_resident"),
+        F.coalesce("n_appended", F.lit(0)).alias("n_appended"),
+        F.when(F.col("n_resident") > 0,
+               (F.col("_rsum") / F.col("n_resident")).cast("long"))
+         .alias("mean_dist_resident_x1000"),
+        F.when(F.col("n_appended") > 0,
+               (F.col("_asum") / F.col("n_appended")).cast("long"))
+         .alias("mean_dist_appended_x1000"),
+    )
+    return j.withColumn(
+        "refit_flagged",
+        F.when(F.col("n_appended") == 0, F.lit(False)).otherwise(
+            F.col("mean_dist_resident_x1000").isNull()
+            | (F.col("mean_dist_appended_x1000") * refit_den
+               > F.col("mean_dist_resident_x1000") * refit_num)))

@@ -5919,6 +5919,94 @@ FROM documents
 """
 
 
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance + recall-drift audit (r11
+    verdict task #9).  The persisted IVF index (same ``.cache/`` build
+    as ann_ivf_topk) is APPENDED to — new vectors (reversed copies of
+    the corpus, deterministic and SQL-replicable) are assigned to the
+    FROZEN coarse quantizer in one broadcast-literal argmin scan,
+    O(new) not O(corpus) — then the drift audit compares per-list
+    assignment quality of appended vs resident vectors and flags lists
+    whose appended mean squared-L2 exceeds 1.5× the resident mean: the
+    signal that the cheap append path has degraded recall and a re-fit
+    is warranted.  ``n_total`` cross-checks the appended index's
+    actual list sizes (cached assignments ∪ new) against the audit's
+    independent recomputation.  Per-row distances are integer-scaled
+    ×1000 before aggregation so every statistic is engine-exact.
+
+    Plan: one narrow argmin scan per side (no join, no shuffle — the
+    centroids ride as literals), one c_id hash agg each, a tiny
+    full-outer join on ≤k rows.  At 100 TB: append cost scales with
+    the appended batch; the audit scans each side once."""
+    from sequin_spark.datapipe.similarity import (
+        SemDedupIndex,
+        append_to_index,
+        build_semdedup_index,
+        index_drift_audit,
+    )
+
+    _prep(spark)
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = _maintained_index(
+        spark, sf_dir, "ivfdet_index", "c8i1-v1",
+        lambda path: build_semdedup_index(emb, k=8, iters=1).save(path),
+        SemDedupIndex.load,
+    )
+    new = emb.select((F.col("vec_id") + 100000).alias("vec_id"),
+                     F.reverse("embedding").alias("embedding"))
+    appended = append_to_index(idx, new)
+    sizes = appended.assignments.groupBy("c_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"))
+    audit = index_drift_audit(idx, emb, new)
+    return audit.join(sizes, "c_id").select(
+        F.col("c_id").cast("int").alias("c_id"),
+        "n_resident", "n_appended", "n_total",
+        "mean_dist_resident_x1000", "mean_dist_appended_x1000",
+        "refit_flagged")
+
+
+SQL_ANN_INDEX_APPEND = _sql_det_assign(8, 1, 64) + f""",
+cents AS (SELECT c_id, c FROM c1),
+resd AS (
+  SELECT af.c_id,
+         CAST(round(1000 * {_sql_l2('af.v', 'cents.c')}) AS BIGINT) AS d
+  FROM af JOIN cents ON af.c_id = cents.c_id),
+nv AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(generate_series(1, 64),
+                        i -> CAST(embedding[65 - i] AS DOUBLE)) AS v
+  FROM embeddings),
+na AS (
+  SELECT vec_id, v, c_id FROM (
+    SELECT nv.vec_id, nv.v, cents.c_id,
+           row_number() OVER (PARTITION BY nv.vec_id
+                              ORDER BY {_sql_l2('nv.v', 'cents.c')} ASC,
+                                       cents.c_id ASC) AS rn
+    FROM nv CROSS JOIN cents) t
+  WHERE rn = 1),
+napp AS (
+  SELECT na.c_id,
+         CAST(round(1000 * {_sql_l2('na.v', 'cents.c')}) AS BIGINT) AS d
+  FROM na JOIN cents ON na.c_id = cents.c_id),
+r AS (SELECT c_id, count(*) AS n_res, sum(d) AS rsum FROM resd GROUP BY c_id),
+a AS (SELECT c_id, count(*) AS n_app, sum(d) AS asum FROM napp GROUP BY c_id)
+SELECT CAST(COALESCE(r.c_id, a.c_id) AS INTEGER) AS c_id,
+       CAST(COALESCE(n_res, 0) AS BIGINT) AS n_resident,
+       CAST(COALESCE(n_app, 0) AS BIGINT) AS n_appended,
+       CAST(COALESCE(n_res, 0) + COALESCE(n_app, 0) AS BIGINT) AS n_total,
+       CAST(CASE WHEN n_res > 0 THEN floor(rsum * 1.0 / n_res) END
+            AS BIGINT) AS mean_dist_resident_x1000,
+       CAST(CASE WHEN n_app > 0 THEN floor(asum * 1.0 / n_app) END
+            AS BIGINT) AS mean_dist_appended_x1000,
+       CASE WHEN COALESCE(n_app, 0) = 0 THEN FALSE
+            ELSE r.c_id IS NULL
+                 OR CAST(floor(asum * 1.0 / n_app) AS BIGINT) * 2
+                    > CAST(floor(rsum * 1.0 / n_res) AS BIGINT) * 3
+       END AS refit_flagged
+FROM r FULL OUTER JOIN a ON r.c_id = a.c_id
+"""
+
+
 def q_multimodal_jpeg_progressive(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """PROGRESSIVE JPEG pixel decode, oracle-checked (r11 verdict task
@@ -5972,11 +6060,13 @@ DATAPIPE_QUERIES.update({
     "multimodal_png_decode": q_multimodal_png_decode,
     "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
     "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+    "ann_index_append": q_ann_index_append,
 })
 DATAPIPE_ORACLES.update({
     "multimodal_png_decode": SQL_MULTIMODAL_PNG_DECODE,
     "multimodal_jpeg_decode": SQL_MULTIMODAL_JPEG_DECODE,
     "multimodal_jpeg_progressive": SQL_MULTIMODAL_JPEG_PROGRESSIVE,
+    "ann_index_append": SQL_ANN_INDEX_APPEND,
 })
 
 

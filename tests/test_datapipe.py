@@ -1233,3 +1233,57 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     # elsewhere or the argmin would see < k centroids)
     by_id = {r["vec_id"]: r for r in out}
     assert by_id[1]["cluster"] == 1 and by_id[1]["dist2"] == 0
+
+
+def test_ann_index_append_vs_rebuild_recall(spark, sf_dir, tmp_path):
+    """r11 verdict task #9: appending new vectors to a FROZEN quantizer
+    must serve searches with recall comparable to a full rebuild over
+    the grown corpus — and the drift audit must (a) stay quiet for
+    in-distribution appends, (b) flag out-of-distribution ones."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.datapipe.similarity import (
+        ann_ivf_det_topk,
+        append_to_index,
+        brute_force_topk,
+        build_semdedup_index,
+        index_drift_audit,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)      # 80%: the fitted corpus
+    newv = emb.filter(F.col("vec_id") % 5 == 0)      # 20%: in-dist appends
+    idx = build_semdedup_index(base, k=8, iters=1)
+
+    appended = append_to_index(idx, newv)
+    rebuilt = build_semdedup_index(emb, k=8, iters=1)
+    # the appended index covers the whole corpus
+    assert appended.assignments.count() == emb.count()
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {(r.q_id, r.n_id)
+             for r in brute_force_topk(emb, queries, k=3).collect()}
+
+    def recall(index):
+        got = {(r.q_id, r.n_id)
+               for r in ann_ivf_det_topk(emb, queries, k=3, n_probe=4,
+                                         index=index).collect()}
+        return len(exact & got) / len(exact)
+
+    r_app, r_reb = recall(appended), recall(rebuilt)
+    # same-distribution appends: the frozen quantizer serves within a
+    # modest margin of the rebuilt one (both probe half the lists)
+    assert r_app >= r_reb - 0.15, (r_app, r_reb)
+    assert r_app >= 0.4
+
+    # drift audit: in-distribution appends mostly unflagged...
+    quiet = index_drift_audit(idx, base, newv).collect()
+    flagged_quiet = sum(1 for r in quiet if r.refit_flagged)
+    assert flagged_quiet <= len(quiet) // 2, quiet
+    # ...a genuinely shifted distribution (3x-scaled vectors: squared
+    # assignment distance grows ~9x) trips the flag
+    shifted = newv.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> x * float(3.0))").alias("embedding"))
+    loud = index_drift_audit(idx, base, shifted).collect()
+    assert sum(1 for r in loud if r.refit_flagged) >= flagged_quiet
+    assert any(r.refit_flagged for r in loud)
