@@ -31,10 +31,13 @@ def _force(df) -> int:
     return 0
 
 
-# quiet-host reference for the sentinel kernel below (median of warm
-# runs, r12 calibration).  host_speed_factor = measured/baseline; a
-# busy host reads >1 and the normalized per-query map divides it out.
-SENTINEL_BASELINE_SEC = 1.6
+# quiet-host reference for the sentinel kernel below (settled median
+# after JIT warm-up, r12 calibration: quiet samples 0.68-1.0 s once
+# codegen stabilizes).  host_speed_factor = measured/baseline; a busy
+# host reads >1 and the normalized per-query map divides it out.  The
+# absolute value only anchors factor=1.0 - cross-round comparisons
+# need the CONSTANT fixed, not perfect.
+SENTINEL_BASELINE_SEC = 0.85
 SENTINEL_CHECKSUM = 51546647322539864
 
 
@@ -308,7 +311,8 @@ def main() -> None:
     # bracketed by samples i and i+1, and its normalization factor is
     # their mean vs the committed quiet-host baseline
     try:
-        sentinel_kernel(spark)  # codegen warm-up, discarded
+        for _ in range(3):      # codegen/JIT warm-up, discarded (the
+            sentinel_kernel(spark)  # kernel keeps speeding up for ~3 runs)
         sentinels = [round(sentinel_kernel(spark), 3)]
     except Exception:  # noqa: BLE001
         sentinels = []

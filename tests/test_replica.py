@@ -226,3 +226,48 @@ def test_replica_streaming_restart_parity(spark, tmp_path):
         spark, rows1 + rows2 + rows3)
     # exactly-once across the restart: three micro-batches, three markers
     assert applier.marker_count() == 3
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_replica_applier_chaos_seeds(spark, tmp_path, seed):
+    """Seeded lifecycle fuzz: random per-batch op mixes (insert/update/
+    delete/revive), random committed-batch replays, random compaction
+    points, and a crash-window double-append — the replica must equal
+    the batch materialization of the true log after every storm."""
+    import random
+
+    rng = random.Random(seed)
+    applier = ReplicaApplier(f"replica_chaos_{seed}",
+                             str(tmp_path / "rep"), pk_col="pk",
+                             n_buckets=4)
+    true_log = []
+    seq = 100
+    committed: list[tuple[int, list]] = []
+    n_batches = rng.randint(5, 8)
+    for bid in range(n_batches):
+        rows = []
+        for _ in range(rng.randint(1, 12)):
+            pk = rng.randint(1, 9)
+            action = rng.choice(["insert", "update", "update", "delete"])
+            rows.append((pk, seq, action, seq * 10 + pk))
+            seq += 1
+        true_log.extend(rows)
+        assert applier.process_batch(_mk_log(spark, rows), bid)
+        committed.append((bid, rows))
+        if rng.random() < 0.4:  # replay a random committed batch: skip
+            rbid, rrows = rng.choice(committed)
+            assert not applier.process_batch(_mk_log(spark, rrows), rbid)
+        if rng.random() < 0.3:
+            applier.compact(spark)
+            # post-compaction replay of any committed batch still skips
+            rbid, rrows = rng.choice(committed)
+            assert not applier.process_batch(_mk_log(spark, rrows), rbid)
+        assert _current_set(applier, spark) == _expected_current(
+            spark, true_log)
+    # crash window: newest batch's marker lost, batch re-appended —
+    # last-wins absorbs the double append
+    last_bid, last_rows = committed[-1]
+    os.remove(os.path.join(str(tmp_path / "rep"), "_batches",
+                           f"_batch_{last_bid}"))
+    assert applier.process_batch(_mk_log(spark, last_rows), last_bid)
+    assert _current_set(applier, spark) == _expected_current(spark, true_log)
