@@ -477,12 +477,13 @@ def decode_wav(blob: bytes) -> dict:
 
 
 # ---------------------------------------------------------------------------
-# Baseline JPEG (ITU-T T.81 / ISO 10918-1, public spec): REAL pixel
-# decode — marker walk, canonical Huffman entropy decode with byte
-# unstuffing and restart intervals, dequantization, float IDCT
-# (numpy separable basis), level shift, chroma upsampling, YCbCr→RGB.
-# Baseline sequential (SOF0) only; progressive (SOF2), arithmetic
-# coding, and 12-bit precision return an explicit unsupported status.
+# JPEG (ITU-T T.81 / ISO 10918-1, public spec): REAL pixel decode —
+# marker walk, canonical Huffman entropy decode with byte unstuffing
+# and restart intervals, dequantization, float IDCT (numpy separable
+# basis), level shift, chroma upsampling, YCbCr→RGB.  Baseline
+# sequential (SOF0/1) AND progressive (SOF2, §G — r12); arithmetic
+# coding, lossless/hierarchical SOFs, and 12-bit precision return an
+# explicit unsupported status.
 
 _ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
