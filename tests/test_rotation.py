@@ -214,3 +214,35 @@ def test_coverage_windows_check_passes_on_repo():
          "--check"], capture_output=True, text=True, cwd=HERE)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "staleness bound enforced" in r.stdout
+
+
+def test_bench_screen_normalized_comparison(tmp_path):
+    """tools/bench_screen.py: prefers queries_norm on both sides, flags
+    movers both directions, ignores sub-floor timings, exits 1 only on
+    a slower-side mover; falls back to raw with a loud note."""
+    import json
+
+    old = {"queries": {"a": 2.0, "b": 1.0, "tiny": 0.01},
+           "queries_norm": {"a": 1.0, "b": 1.0, "tiny": 0.01}}
+    new = {"queries": {"a": 1.0, "b": 2.0, "tiny": 0.29},
+           "queries_norm": {"a": 1.0, "b": 1.9, "tiny": 0.29}}
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    tool = os.path.join(HERE, "tools", "bench_screen.py")
+    r = subprocess.run([sys.executable, tool, str(po), str(pn)],
+                       capture_output=True, text=True)
+    assert r.returncode == 1            # b got slower (normalized)
+    assert "normalized" in r.stdout
+    assert "b" in r.stdout and "SLOWER" in r.stdout
+    assert "tiny" not in r.stdout       # below the 0.3s floor
+    # a is 2.0->1.0 raw but 1.0->1.0 normalized: NOT a mover
+    assert "  a  " not in r.stdout
+
+    # raw fallback when one side predates the sentinel
+    old2 = {"queries": {"a": 1.0}}
+    po.write_text(json.dumps(old2))
+    r2 = subprocess.run([sys.executable, tool, str(po), str(pn)],
+                        capture_output=True, text=True)
+    assert "NOTE: raw" in r2.stdout
+    assert r2.returncode == 0           # a: 1.0 -> 1.0 raw, no movers
