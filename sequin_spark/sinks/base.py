@@ -431,6 +431,26 @@ def _register_builtin_sinks() -> None:
         SINK_REGISTRY[cls.sink_type] = cls
 
 
+class ParquetReplicaSink(Sink):
+    """Registry placeholder for the parquet replica TABLE MAINTAINER —
+    the consumer kind is valid config (spec.validate passes), but its
+    delivery is a foreachBatch last-wins apply into a bucketed table
+    (streaming/replica.ReplicaApplier), not per-row sink calls;
+    ConsumerPipeline routes it there.  Reaching deliver() means a
+    caller wired it through the row path by mistake."""
+
+    sink_type = "parquet_replica"
+
+    def deliver(self, batch: SinkBatch) -> None:
+        raise RuntimeError(
+            "parquet_replica is a table maintainer, not a row sink — "
+            "ConsumerPipeline.start_stream routes it to "
+            "streaming/replica.ReplicaApplier")
+
+
+SINK_REGISTRY["parquet_replica"] = ParquetReplicaSink
+
+
 def register_sink(sink_type: str, cls: type[Sink]) -> None:
     SINK_REGISTRY[sink_type] = cls
 

@@ -69,6 +69,28 @@ class ConsumerPipeline:
         self.health = Health(
             spec.name, expected_slugs=("messages_ingested", "messages_delivered")
         )
+        self.replica = None
+        if spec.sink_type == "parquet_replica":
+            # table-maintainer consumer (replicate-tables.mdx:39,92 —
+            # the destination IS a queryable table): the operator chain
+            # still applies (filters/metadata), but delivery is the
+            # ReplicaApplier's last-wins bucketed apply, not row sinks
+            from sequin_spark.streaming.replica import ReplicaApplier
+
+            import re
+
+            cfg = dict(spec.sink_config or {})
+            # consumer names allow dashes; catalog identifiers don't
+            safe = re.sub(r"[^A-Za-z0-9_]", "_", spec.name)
+            self.replica = ReplicaApplier(
+                table_name=cfg.get("table_name", f"replica_{safe}"),
+                path=cfg.get("path") or f"{state_dir}/replica",
+                pk_col="pk", seq_col="seq", action_col="action",
+                n_buckets=int(cfg.get("n_buckets", 8)),
+                compact_every=cfg.get("compact_every"),
+            )
+            self.engine = None
+            return
         routing_cols = tuple(spec.routing_keys())
         self.engine = DeliveryEngine(
             sink_type=spec.sink_type,
@@ -136,8 +158,25 @@ class ConsumerPipeline:
         df = df.withColumn("key", key)
         return df
 
+    def _replica_frame(self, df: DataFrame) -> DataFrame:
+        """The typed last-wins input the ReplicaApplier consumes: the
+        canonical PK identity, one monotone seq scalar per event
+        ((lsn, idx) packed — commit_idx is bounded far below 2^20),
+        the action, and the full record (replica identity full: the
+        latest event carries the whole row)."""
+        return df.select(
+            F.array_join(F.col("record_pks"), ":").alias("pk"),
+            (F.col("commit_lsn") * F.lit(1 << 20)
+             + F.col("commit_idx")).cast("long").alias("seq"),
+            F.col("action"),
+            F.col("record"))
+
     # --- execution modes --------------------------------------------------
     def run_batch(self, events: DataFrame, batch_id: int = 0) -> dict:
+        if self.replica is not None:
+            appended = self.replica.process_batch(
+                self._replica_frame(self.compile(events)), batch_id)
+            return {"replica_appended": appended}
         stats = self.engine.process_batch(self.compile(events), batch_id)
         self.metrics.record_batch(self.spec.name, stats)
         self.health.observe_batch(stats)
@@ -153,6 +192,13 @@ class ConsumerPipeline:
         window is the last uncommitted micro-batch, so identities
         delivered ≥4 batches ago can never recur and keeping them only
         grows the per-batch anti-join broadcast with stream lifetime."""
+        if self.replica is not None:
+            return (self.replica.writer(
+                        self._replica_frame(self.compile(events)))
+                    .option("checkpointLocation", checkpoint_dir)
+                    .trigger(processingTime=
+                             f"{int(trigger_seconds * 1000)} milliseconds")
+                    .start())
         if self.engine.ledger_trim_batches is None:
             self.engine.ledger_trim_batches = 4
         compiled = self.compile(events)
