@@ -61,6 +61,29 @@ def sentinel_kernel(spark) -> float:
     return dt
 
 
+def interp_factor(samples: list[tuple[float, float]], t: float,
+                  baseline: float = SENTINEL_BASELINE_SEC) -> float:
+    """Host-speed factor at wall time ``t`` (relative seconds): >1 =
+    slower than the quiet-host baseline.  Linear interpolation between
+    the bracketing timestamped sentinel samples, clamped at the ends —
+    the r12 task-#3 fix: one scalar factor per sweep can't represent a
+    host whose speed changes mid-sweep."""
+    if not samples:
+        return 1.0
+    if t <= samples[0][0]:
+        s = samples[0][1]
+    elif t >= samples[-1][0]:
+        s = samples[-1][1]
+    else:
+        s = samples[-1][1]
+        for (ta, sa), (tb, sb) in zip(samples, samples[1:]):
+            if ta <= t <= tb:
+                w = (t - ta) / (tb - ta) if tb > ta else 0.0
+                s = sa + w * (sb - sa)
+                break
+    return max(s / baseline, 0.05)
+
+
 def pipeline_throughput(spark, sf_dir: str) -> tuple[float, int]:
     """Full operator chain over the eventized stream, rows/sec."""
     from pyspark.sql import functions as F
@@ -306,19 +329,42 @@ def main() -> None:
     # totals go out raw so round-over-round comparisons can see drift
     # directly instead of exonerating it by hand each round.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
-    # drift sentinel (r11 verdict task #3): one warm-up, then one
-    # sample BEFORE each sweep rep and one after the last — rep i is
-    # bracketed by samples i and i+1, and its normalization factor is
-    # their mean vs the committed quiet-host baseline
+    # drift sentinel (r11 task #3, reworked per r12 task #3): the r12
+    # artifacts disagreed 1.49× AFTER normalization because one scalar
+    # factor per ~100 s sweep can't represent a host whose speed
+    # changed 1.8× MID-sweep (driver sentinels read 0.743/1.213/1.342).
+    # Now the sentinel interleaves INSIDE the sweep (every
+    # SENTINEL_EVERY queries, plus sweep boundaries), each sample is
+    # timestamped, and every query measurement is normalized by the
+    # factor linearly interpolated between its two time-nearest
+    # samples — drift is tracked at ~10-query granularity instead of
+    # assumed constant per rep.
+    t_origin = time.time()
+    samples: list[tuple[float, float]] = []   # (t_rel_sec, sentinel_sec)
+
+    def _sample() -> None:
+        try:
+            s = sentinel_kernel(spark)
+            samples.append((round(time.time() - t_origin, 1), round(s, 3)))
+        except Exception:  # noqa: BLE001
+            pass
+
     try:
         for _ in range(3):      # codegen/JIT warm-up, discarded (the
             sentinel_kernel(spark)  # kernel keeps speeding up for ~3 runs)
-        sentinels = [round(sentinel_kernel(spark), 3)]
+        _sample()
     except Exception:  # noqa: BLE001
-        sentinels = []
+        pass
+    have_sentinel = bool(samples)
+    sentinel_every = max(
+        1, int(os.environ.get("SPARK_GRAFT_SENTINEL_EVERY", "12")))
+
     sweeps: list[dict[str, float]] = []
+    mids: list[dict[str, float]] = []   # per rep: query → midpoint t_rel
     for _ in range(reps):
         one: dict[str, float] = {}
+        mid: dict[str, float] = {}
+        n_run = 0
         for name, fn in QUERIES.items():
             t0 = time.time()
             try:
@@ -327,32 +373,22 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 dt = -1.0
             one[name] = dt
+            mid[name] = (t0 + time.time()) / 2.0 - t_origin
             # per-query isolation: several operators cache/persist index
             # structures (IVF assignments, LSH band indexes, LM bigram
             # streams); letting 60+ of them accumulate turns the tail of
             # the run into a GC benchmark instead of a query benchmark
             spark.catalog.clearCache()
+            n_run += 1
+            if have_sentinel and n_run % sentinel_every == 0:
+                _sample()
         sweeps.append(one)
-        if sentinels:
-            try:
-                sentinels.append(round(sentinel_kernel(spark), 3))
-            except Exception:  # noqa: BLE001
-                pass
+        mids.append(mid)
+        if have_sentinel:
+            _sample()
 
-    # per-rep host-speed factor: >1 = this rep ran on a slower host
-    # than the baseline; dividing it out makes per-query seconds
-    # comparable across rounds measured under different load
-    rep_factor = []
-    for i in range(reps):
-        if sentinels and len(sentinels) > i + 1:
-            rep_factor.append(
-                ((sentinels[i] + sentinels[i + 1]) / 2.0)
-                / SENTINEL_BASELINE_SEC)
-        elif sentinels:
-            rep_factor.append(sentinels[min(i, len(sentinels) - 1)]
-                              / SENTINEL_BASELINE_SEC)
-        else:
-            rep_factor.append(1.0)
+    def factor_at(t: float) -> float:
+        return interp_factor(samples, t)
 
     per_query: dict[str, float] = {}
     per_query_norm: dict[str, float] = {}
@@ -367,7 +403,7 @@ def main() -> None:
             continue
         lo, hi = min(vals), max(vals)
         per_query[name] = round(lo, 3)
-        norm = min(s[name] / rep_factor[i]
+        norm = min(s[name] / factor_at(mids[i][name])
                    for i, s in enumerate(sweeps) if s.get(name, -1) > 0)
         per_query_norm[name] = round(norm, 3)
         band_pct[name] = round(100.0 * (hi - lo) / lo, 1) if lo > 0 else 0.0
@@ -377,6 +413,7 @@ def main() -> None:
                     for s in sweeps]
     bands = sorted(band_pct.values())
     band_median = bands[len(bands) // 2] if bands else 0.0
+    sentinels = [s for _, s in samples]
     sent_sorted = sorted(sentinels)
     host_factor = round(
         sent_sorted[len(sent_sorted) // 2] / SENTINEL_BASELINE_SEC, 3) \
@@ -426,6 +463,7 @@ def main() -> None:
         "sweep_totals": sweep_totals,
         "query_band_median_pct": band_median,
         "sentinel_sec": sentinels,
+        "sentinel_every": sentinel_every,
         "sentinel_baseline_sec": SENTINEL_BASELINE_SEC,
         "host_speed_factor": host_factor,
         "total_norm_sec": round(total_norm, 3),
@@ -439,7 +477,8 @@ def main() -> None:
         **decode_stats,
         **stream_stats,
     }
-    full = {**summary, "queries": per_query,
+    full = {**summary, "sentinel_t_sec": [t for t, _ in samples],
+            "queries": per_query,
             "queries_norm": per_query_norm, "query_band_pct": band_pct}
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

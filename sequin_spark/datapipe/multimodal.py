@@ -1006,16 +1006,32 @@ def _progressive_scan(blob, segments, comps, coefs, scomps, ss, se, ah,
                                         ah, al)
                     unit += 1
         else:
+            # non-interleaved: the scan contains exactly the
+            # component's OWN block grid (bx·by data units, T.81
+            # A.2.2) — the MCU-padded grid would over-read the
+            # entropy stream for a subsampled component whose dims
+            # aren't a multiple of the MCU, desyncing the decode
             ci, dct, _act = scomps[0]
             c = comps[ci]
-            for by in range(c["by_pad"]):
-                for bx in range(c["bx_pad"]):
+            for by in range(c["by"]):
+                for bx in range(c["bx"]):
                     if (restart_interval and unit
                             and unit % restart_interval == 0):
                         _restart()
                     _dc_one(reader, coefs[ci][by, bx], state, 0,
                             huff_dc[dct] if ah == 0 else None, ah, al)
                     unit += 1
+            # edge-replicate DC into the padding blocks (after first
+            # scan AND each refinement) so edge MCUs IDCT with the
+            # neighboring level (cropped away for in-bounds pixels
+            # either way)
+            arr = coefs[ci]
+            for by in range(c["by"]):
+                for bx in range(c["bx"], c["bx_pad"]):
+                    arr[by, bx][0] = arr[by, c["bx"] - 1][0]
+            for by in range(c["by"], c["by_pad"]):
+                for bx in range(c["bx_pad"]):
+                    arr[by, bx][0] = arr[c["by"] - 1, bx][0]
         return
 
     # AC scan: always single-component (§G.1.1.1.1), raster over the
@@ -1236,8 +1252,13 @@ def encode_gray_progressive(coefs, w: int, h: int, scans=None) -> bytes:
             if ah == 0:
                 pred = 0
                 for blk in coefs:
-                    v = blk[0]
-                    a_t = (abs(v) >> al) * (1 if v >= 0 else -1)
+                    # T.81 point transform for DC is an ARITHMETIC
+                    # right shift (floors for negatives) — NOT
+                    # sign-magnitude like AC: the decoder refines with
+                    # |= 2^Al on the two's-complement value, so e.g.
+                    # DC=-5 must send a_t = -5>>1 = -3 (recon -6, then
+                    # -6|1 = -5), not -(5>>1) = -2 (recon -4 → -3).
+                    a_t = blk[0] >> al
                     diff = a_t - pred
                     pred = a_t
                     t = abs(diff).bit_length()
@@ -1247,7 +1268,8 @@ def encode_gray_progressive(coefs, w: int, h: int, scans=None) -> bytes:
                         _enc_extend(bw, diff)
             else:
                 for blk in coefs:
-                    bw.write((abs(blk[0]) >> al) & 1, 1)
+                    # refinement bit Al of the two's-complement value
+                    bw.write((blk[0] >> al) & 1, 1)
         elif ah == 0:  # AC first scan of the band
             eobrun = 0
             for blk in coefs:

@@ -78,13 +78,18 @@ class ConsumerPipeline:
             from sequin_spark.streaming.replica import ReplicaApplier
 
             import re
+            from uuid import uuid4
 
             cfg = dict(spec.sink_config or {})
             # consumer names allow dashes; catalog identifiers don't
             safe = re.sub(r"[^A-Za-z0-9_]", "_", spec.name)
+            # registry-resolved specs may omit state_dir — mirror
+            # DeliveryEngine's tmp fallback instead of interpolating
+            # None into a literal relative path
+            base = state_dir or f"/tmp/sequin_spark_state/{uuid4().hex}"
             self.replica = ReplicaApplier(
                 table_name=cfg.get("table_name", f"replica_{safe}"),
-                path=cfg.get("path") or f"{state_dir}/replica",
+                path=cfg.get("path") or f"{base}/replica",
                 pk_col="pk", seq_col="seq", action_col="action",
                 n_buckets=int(cfg.get("n_buckets", 8)),
                 compact_every=cfg.get("compact_every"),
@@ -160,14 +165,23 @@ class ConsumerPipeline:
 
     def _replica_frame(self, df: DataFrame) -> DataFrame:
         """The typed last-wins input the ReplicaApplier consumes: the
-        canonical PK identity, one monotone seq scalar per event
-        ((lsn, idx) packed — commit_idx is bounded far below 2^20),
-        the action, and the full record (replica identity full: the
-        latest event carries the whole row)."""
+        canonical PK identity, one totally-ordered seq per event, the
+        action, and the full record (replica identity full: the latest
+        event carries the whole row).
+
+        seq is the ``(commit_lsn, commit_idx)`` STRUCT, ordered
+        lexicographically by Spark's native struct comparator — NOT a
+        packed ``lsn*2^20 + idx`` scalar: a Postgres LSN is a
+        cumulative 64-bit byte position, so the multiply would
+        silently wrap int64 negative once commit_lsn ≥ 2^43 (~8 TB of
+        lifetime WAL, routine on long-lived clusters) and corrupt
+        last-wins ordering."""
         return df.select(
             F.array_join(F.col("record_pks"), ":").alias("pk"),
-            (F.col("commit_lsn") * F.lit(1 << 20)
-             + F.col("commit_idx")).cast("long").alias("seq"),
+            F.struct(
+                F.col("commit_lsn").cast("long").alias("commit_lsn"),
+                F.col("commit_idx").cast("long").alias("commit_idx"),
+            ).alias("seq"),
             F.col("action"),
             F.col("record"))
 

@@ -66,7 +66,9 @@ class ReplicaApplier:
     ``stream rows → last-wins delta per PK → idempotent bucketed
     append``; ``current()`` is the queryable replica, ``compact()``
     the amortized collapse.  Input rows carry ``pk_col``, a totally-
-    ordered ``seq_col`` (commit_lsn*k + commit_idx scalar), an
+    ordered ``seq_col`` (any orderable type — a long, or the
+    ``(commit_lsn, commit_idx)`` struct the pipeline feeds, compared
+    lexicographically by Spark's struct ordering), an
     ``action_col`` whose ``delete_action`` value tombstones the PK,
     plus any value columns (replica identity full: the latest event
     carries the whole record).

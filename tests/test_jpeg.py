@@ -394,14 +394,23 @@ def test_progressive_differential_vs_baseline_pixels():
         return out
 
     # hand-picked: all-EOB, pos/neg AC refine, deep coefficient (ZRL in
-    # the first scan), newly-nonzero-in-refinement-only
+    # the first scan), newly-nonzero-in-refinement-only, and ODD
+    # NEGATIVE DC values — the point transform for DC is an arithmetic
+    # shift (floors negatives), so sign-magnitude encoding is off by
+    # one exactly there (DC=-5: arith sends -3 → recon -6 |1 = -5;
+    # sign-mag sends -2 → recon -4 |1 = -3) and values that are
+    # multiples of 2^Al can never catch it
     spec = [{0: 8 * (40 - 128)},
             {0: 8 * (200 - 128), 1: 3, 20: 2},
             {0: 8 * (77 - 128), 1: -3},
+            {0: -5, 1: 1},
+            {0: -1},
+            {0: -257, 3: 2},
+            {0: 7},
             {0: 8 * (130 - 128), 1: 1}]
     co = blocks(spec)
-    b = decode_jpeg(encode_gray_baseline(co, 16, 16), return_pixels=True)
-    p = decode_jpeg(encode_gray_progressive(co, 16, 16),
+    b = decode_jpeg(encode_gray_baseline(co, 32, 16), return_pixels=True)
+    p = decode_jpeg(encode_gray_progressive(co, 32, 16),
                     return_pixels=True)
     assert b["status"] == p["status"] == "decoded"
     for x, y in zip(b.pop("pixels"), p.pop("pixels")):
@@ -413,7 +422,9 @@ def test_progressive_differential_vs_baseline_pixels():
     for trial in range(40):
         spec = []
         for _ in range(6):
-            d = {0: 8 * (rng.randrange(256) - 128)}
+            # arbitrary-parity DC, negatives included (odd negatives
+            # are the arithmetic-vs-sign-magnitude shift sentinels)
+            d = {0: rng.randrange(-1024, 1024)}
             for k in rng.sample(range(1, 64), rng.randrange(0, 5)):
                 d[k] = rng.choice([-3, -2, -1, 1, 2, 3])
             spec.append(d)
@@ -452,3 +463,51 @@ def test_progressive_spectral_band_split():
     p = decode_jpeg(encode_gray_progressive([blk], 8, 8, scans=scans))
     assert p["status"] == "decoded"
     assert p == b
+
+
+def test_progressive_noninterleaved_dc_subsampled_grid():
+    """A non-interleaved DC scan contains the component's OWN block
+    grid (bx·by data units, T.81 A.2.2), not the MCU-padded grid: for
+    a 4:2:0 luma component in a 24×24 frame that's 3×3 = 9 units,
+    while the padded grid is 4×4 = 16 — a loop over the padded grid
+    over-reads the entropy stream and desyncs (regression: the DC
+    path used by_pad/bx_pad while the AC path correctly used by/bx)."""
+    yv, cbv, crv = 120, 90, 170
+    dc_map = _huff_encode_map(*_STD_DC_LUMA)
+
+    def dc_scan(comp_id, units, value):
+        """One non-interleaved first DC scan: SOS + entropy."""
+        bw = _JpegBitWriter()
+        pred = 0
+        for _ in range(units):
+            dc = 8 * (value - 128)
+            diff = dc - pred
+            pred = dc
+            t = abs(diff).bit_length()
+            code, ln = dc_map[t]
+            bw.write(code, ln)
+            if t:
+                bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        return (_seg(0xDA, bytes([1, comp_id, 0x00, 0, 0, 0x00]))
+                + bw.flush())
+
+    quant = bytes([1] * 64)
+    blob = b"".join([
+        b"\xff\xd8",
+        _seg(0xDB, bytes([0x00]) + quant),
+        # SOF2 (progressive), 24×24, Y 2x2-sampled + Cb/Cr 1x1
+        _seg(0xC2, bytes([8]) + struct.pack(">HH", 24, 24)
+             + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])),
+        _seg(0xC4, bytes([0x00]) + bytes(_STD_DC_LUMA[0])
+             + bytes(_STD_DC_LUMA[1])),
+        # Y: bx=by=ceil(24/8)=3 → 9 units (padded grid would be 16);
+        # Cb/Cr: 12×12 → bx=by=2 → 4 units
+        dc_scan(1, 9, yv),
+        dc_scan(2, 4, cbv),
+        dc_scan(3, 4, crv),
+        b"\xff\xd9"])
+    d = decode_jpeg(blob, return_pixels=True)
+    assert d["status"] == "decoded", d
+    assert d["n_channels"] == 3 and (d["width"], d["height"]) == (24, 24)
+    y, cb, cr = d["pixels"]
+    assert (y == yv).all() and (cb == cbv).all() and (cr == crv).all()

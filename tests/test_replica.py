@@ -387,7 +387,8 @@ def test_parquet_replica_consumer_via_pipeline(spark, sf_dir, tmp_path):
     live = {p for p in pks if int(p) % 7 != 0}
     assert set(rows) == live                      # deleted keys absent
     some = next(iter(live))
-    assert rows[some]["seq"] >> 20 >= 10_000      # seq from the update copy
+    # seq is the (commit_lsn, commit_idx) struct — the update copy won
+    assert rows[some]["seq"]["commit_lsn"] >= 10_000
     assert rows[some]["record"]["o_orderkey"] == some  # full record kept
     # replays after the restart are marker-skipped
     assert not pipe.replica.process_batch(

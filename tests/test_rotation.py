@@ -239,10 +239,42 @@ def test_bench_screen_normalized_comparison(tmp_path):
     # a is 2.0->1.0 raw but 1.0->1.0 normalized: NOT a mover
     assert "  a  " not in r.stdout
 
-    # raw fallback when one side predates the sentinel
+    # a raw-only artifact is an ERROR by default (r12 task #3: raw
+    # comparisons are the judgment calls the screen exists to remove)…
     old2 = {"queries": {"a": 1.0}}
     po.write_text(json.dumps(old2))
     r2 = subprocess.run([sys.executable, tool, str(po), str(pn)],
                         capture_output=True, text=True)
-    assert "NOTE: raw" in r2.stdout
-    assert r2.returncode == 0           # a: 1.0 -> 1.0 raw, no movers
+    assert r2.returncode == 2
+    assert "ERROR: no queries_norm" in r2.stdout
+    # …and only --allow-raw opts into the loud-note fallback
+    r3 = subprocess.run([sys.executable, tool, str(po), str(pn),
+                         "--allow-raw"],
+                        capture_output=True, text=True)
+    assert "NOTE: raw" in r3.stdout
+    assert r3.returncode == 0           # a: 1.0 -> 1.0 raw, no movers
+
+
+def test_bench_interp_factor():
+    """bench.interp_factor: time-nearest linear interpolation of the
+    host-speed factor, end-clamped, identity with no samples — the
+    per-query normalization primitive (r12 task #3)."""
+    import bench
+
+    b = bench.SENTINEL_BASELINE_SEC
+    assert bench.interp_factor([], 10.0) == 1.0
+    # single sample: constant factor
+    assert bench.interp_factor([(5.0, 2 * b)], 0.0) == 2.0
+    assert bench.interp_factor([(5.0, 2 * b)], 99.0) == 2.0
+    # two samples: midpoint interpolates, ends clamp
+    s = [(0.0, 1 * b), (10.0, 3 * b)]
+    assert abs(bench.interp_factor(s, 5.0) - 2.0) < 1e-9
+    assert bench.interp_factor(s, -1.0) == 1.0
+    assert bench.interp_factor(s, 11.0) == 3.0
+    # a mid-sweep drift spike only affects queries near it in time
+    s = [(0.0, b), (50.0, b), (60.0, 2 * b), (70.0, b), (120.0, b)]
+    assert abs(bench.interp_factor(s, 25.0) - 1.0) < 1e-9
+    assert abs(bench.interp_factor(s, 60.0) - 2.0) < 1e-9
+    assert abs(bench.interp_factor(s, 100.0) - 1.0) < 1e-9
+    # degenerate duplicate timestamps don't divide by zero
+    assert bench.interp_factor([(5.0, b), (5.0, 3 * b)], 5.0) >= 1.0

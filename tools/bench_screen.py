@@ -12,8 +12,10 @@ from host drift.
     python tools/bench_screen.py OLD.json NEW.json [--threshold 1.3]
 
 Accepts any artifact carrying a per-query map (BENCH_QUERIES.json,
-docs/BENCH_QUERIES_r*_final.json, BENCH_r*.json).  Falls back to raw
-seconds — with a loud note — when either side predates normalization.
+docs/BENCH_QUERIES_r*_final.json, BENCH_r*.json).  Norm-vs-norm is
+REQUIRED (r12 task #3: raw comparisons are exactly the host-drift
+judgment calls the screen exists to remove) — an artifact without
+``queries_norm`` is an error unless ``--allow-raw`` is passed.
 Exit code 1 when any mover exceeds the threshold (so it can gate).
 """
 
@@ -42,12 +44,23 @@ def main() -> int:
     ap.add_argument("--min-sec", type=float, default=0.3,
                     help="ignore sub-threshold-absolute queries (timer "
                          "noise dominates below this)")
+    ap.add_argument("--allow-raw", action="store_true",
+                    help="permit a raw-seconds comparison when an "
+                         "artifact predates queries_norm (pre-r11)")
     args = ap.parse_args()
 
     old, old_norm = load_map(args.old)
     new, new_norm = load_map(args.new)
     normalized = old_norm and new_norm
     if not normalized:
+        if not args.allow_raw:
+            which = [p for p, ok in ((args.old, old_norm),
+                                     (args.new, new_norm)) if not ok]
+            print("ERROR: no queries_norm in " + ", ".join(which)
+                  + " — norm-vs-norm is required (pass --allow-raw to "
+                    "compare raw seconds; host drift will NOT be "
+                    "divided out)")
+            return 2
         print("NOTE: raw (un-normalized) comparison — at least one "
               "artifact predates the sentinel; host drift is NOT "
               "divided out")
