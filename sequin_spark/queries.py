@@ -1855,30 +1855,40 @@ def q_cdc_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 audit history maintained by the STANDING stateful query
     (streaming/stateful.scd2_history_stream, r11 verdict task #2) —
-    the version log arrives as five micro-batched files through a real
+    the version log arrives as six micro-batched files through a real
     Structured Streaming file source, each delivered in its OWN query
     incarnation restarted from the shared checkpoint (state restore is
-    exercised four times), with a final ``__flush__`` batch snapshotting
-    the open intervals.  The emitted rows must hash-equal the
-    batch-relational lead(seq) oracle (q_cdc_scd2_history's SQL) — the
-    batch-vs-stream parity claim, oracle-checked.
+    exercised five times).  A ``__flush__`` batch lands MID-STREAM
+    (after two data batches) and the stream CONTINUES — the
+    non-destructive snapshot semantics of r12 verdict task #1 — then a
+    terminal flush snapshots the final open intervals.  The emitted
+    rows form the documented upsert log (a close row supersedes the
+    snapshot of the same interval); collapsed through
+    ``scd2_collapse`` they must hash-equal the batch-relational
+    lead(seq) oracle (q_cdc_scd2_history's SQL) — the batch-vs-stream
+    parity claim including continue-after-flush, oracle-checked.
 
     Plan shape per micro-batch: one PK-hash shuffle into
-    applyInPandasWithState (state = open interval + high-water seq per
-    PK, O(1) per live key), emitted rows appended as parquet.  Results
-    persist under ``.cache/`` keyed by the orders fingerprint
-    (build-once/read-many)."""
+    applyInPandasWithState (state = open interval + high-water seq +
+    flushed-seq per PK, O(1) per live key), emitted rows appended as
+    parquet; the read-side collapse is one map-side-combinable
+    ``max_by`` hash aggregate.  Results persist under ``.cache/``
+    keyed by the orders fingerprint AND the state-schema version
+    (v2 — the flushed_seq field makes v1 checkpoints incompatible)."""
     import json as _json
     import os
 
     from sequin_spark.queries_datapipe import _index_cache_path
     from sequin_spark.streaming.stateful import (
         SCD2_FLUSH_ACTION,
+        scd2_collapse,
         scd2_history_stream,
     )
 
     _prep(spark)
-    cache = _index_cache_path(sf_dir, "cdc_scd2_stream", "v1",
+    # cache version = state-schema version (r12 task #10: a checkpoint
+    # from an older state schema must never be resumed)
+    cache = _index_cache_path(sf_dir, "cdc_scd2_stream", "v2-flushmid",
                               src_table="orders")
     out_dir = os.path.join(cache, "history")
     meta = os.path.join(cache, "meta.json")
@@ -1895,7 +1905,11 @@ def q_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("price_x100"),
             F.lit(1 << 60).alias("seq"))
         batches = [log.where(F.col("seq") % 4 == i) for i in range(4)]
-        for i, b in enumerate(batches + [flush]):
+        # flush lands mid-stream after two data batches, then the
+        # stream CONTINUES with batches 2,3 — the snapshotted open
+        # intervals that close later are superseded at collapse time
+        feed = batches[:2] + [flush] + batches[2:] + [flush]
+        for i, b in enumerate(feed):
             b.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
             # one incarnation per file: restart-from-checkpoint is the
             # ordering guarantee (file-source mtime ties could reorder
@@ -1911,8 +1925,9 @@ def q_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .trigger(availableNow=True).start())
             q.awaitTermination(600)
         with open(meta, "w") as f:
-            _json.dump({"batches": 5}, f)
-    return spark.read.parquet(out_dir).select(
+            _json.dump({"batches": len(feed)}, f)
+    return scd2_collapse(
+        spark.read.parquet(out_dir), pk_col="o_orderkey").select(
         "o_orderkey", "valid_from_seq", "price_x100", "valid_to_seq",
         "is_current")
 

@@ -177,10 +177,10 @@ def streaming_funnel(
 # window, lead(seq)).  This is its streaming twin: state = the OPEN
 # interval per PK plus the delivered high-water seq; each arriving
 # event CLOSES its predecessor (emitting the finished validity-interval
-# row — append-mode-safe: a row is emitted exactly once, when its
-# valid_to becomes known) and becomes the new open interval.  A delete
-# closes its predecessor and leaves no open row (hard-delete, replica
-# identity full — docs/how-to/create-audit-logs.mdx:10-11).
+# row — append-mode-safe: a closed row is emitted exactly once, when
+# its valid_to becomes known) and becomes the new open interval.  A
+# delete closes its predecessor and leaves no open row (hard-delete,
+# replica identity full — docs/how-to/create-audit-logs.mdx:10-11).
 #
 # Arrival-order contract: per-PK order across micro-batches is the
 # delivery engine's guarantee (grouping/ordered delivery); WITHIN a
@@ -188,9 +188,35 @@ def streaming_funnel(
 # batches arbitrarily — both handled here (per-batch sort + state).
 # At-least-once replays re-deliver a suffix after restart: events at
 # or below the stored high-water seq are dropped, same contract as
-# stateful_group_dedup.  A ``__flush__`` action snapshots the open
-# interval (emits it with valid_to_seq NULL / is_current true) — the
-# streaming analog of reading the audit table's current rows.
+# stateful_group_dedup.
+#
+# ``__flush__`` (r12 verdict task #1 — NON-DESTRUCTIVE): a flush
+# action emits the open interval as a SNAPSHOT row (valid_to_seq NULL,
+# is_current true) and KEEPS the open-interval state, so the stream
+# continues — the streaming analog of periodically reading the audit
+# table's current rows (docs/how-to/create-audit-logs.mdx:10-11
+# describes a standing table, not a one-shot).  Bookkeeping
+# (``flushed_seq`` = the open_seq last snapshotted) suppresses
+# duplicate snapshots of an unchanged interval across repeated
+# flushes.  CONTRACT: because a snapshotted interval may close later,
+# the emitted stream is an upsert log keyed by (pk, valid_from_seq) —
+# at most one snapshot and at most one closed row per key, and the
+# closed row supersedes the snapshot.  ``scd2_collapse`` is that
+# collapse; applying it to the emitted log yields exactly the batch
+# lead(seq) history (parity-tested in tests/test_scd2_stream.py).
+#
+# State lifetime (r12 verdict task #2): a hard-deleted PK keeps only
+# ``last_seq`` (replay dedup) — with NoTimeout that tombstone state
+# lives forever, unbounded growth under key churn (the growth the
+# reference's store caps prevent, slot_message_store_state.ex:18-48).
+# ``tombstone_ttl_ms`` bounds it: tombstoned-PK state is dropped once
+# idle past the TTL.  Pick the TTL above the at-least-once replay
+# horizon (the delivery engine's ledger-trim window): replays can only
+# re-deliver a suffix inside that horizon, so state older than it can
+# never be needed for dedup.  Requires a real processing-time trigger
+# (ProcessingTimeTimeout schedules empty micro-batches to fire
+# timeouts — an on-demand availableNow query would never settle, which
+# is why the default stays NoTimeout).
 
 SCD2_FLUSH_ACTION = "__flush__"
 
@@ -201,10 +227,14 @@ def scd2_history_stream(
     seq_col: str = "seq",
     action_col: str = "action",
     delete_action: str = "delete",
+    tombstone_ttl_ms: int | None = None,
 ) -> DataFrame:
-    """Streaming SCD2: emits each validity-interval row when it closes
-    (and open rows on ``__flush__``).  Value columns = everything that
-    is not pk/seq/action."""
+    """Streaming SCD2: emits each validity-interval row when it closes,
+    plus snapshot rows of still-open intervals on ``__flush__`` (non-
+    destructive — the stream continues; collapse the emitted log with
+    ``scd2_collapse``).  Value columns = everything that is not
+    pk/seq/action.  ``tombstone_ttl_ms`` (optional) evicts state for
+    hard-deleted PKs once idle past the at-least-once replay horizon."""
     dtypes = dict(events.dtypes)
     value_cols = [c for c in events.columns
                   if c not in (pk_col, seq_col, action_col)]
@@ -212,20 +242,30 @@ def scd2_history_stream(
         [f"{pk_col} {dtypes[pk_col]}", "valid_from_seq long"]
         + [f"{c} {dtypes[c]}" for c in value_cols]
         + ["valid_to_seq long", "is_current boolean"])
-    # state: high-water seq, whether an interval is open, its from-seq
-    # and values — bounded at O(1) per live PK
+    # state: high-water seq, whether an interval is open, its from-seq,
+    # the last-snapshotted from-seq, and the open values — O(1) per
+    # live PK (STATE SCHEMA v2: flushed_seq added by r12 task #1;
+    # checkpoints from v1 are incompatible — cache keys must bump)
     state_schema = ", ".join(
-        ["last_seq long", "has_open boolean", "open_seq long"]
+        ["last_seq long", "has_open boolean", "open_seq long",
+         "flushed_seq long"]
         + [f"open_{c} {dtypes[c]}" for c in value_cols])
 
     def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if tombstone_ttl_ms is not None and state.hasTimedOut:
+            # tombstoned PK idle past the replay horizon: drop the
+            # dedup cursor (no rows to emit — the PK is deleted)
+            state.remove()
+            return
         pk = key[0]
         if state.exists:
             st = state.get
             last_seq, has_open, open_seq = st[0], bool(st[1]), st[2]
-            open_vals = list(st[3:])
+            flushed_seq = st[3] if st[3] is not None else -1
+            open_vals = list(st[4:])
         else:
             last_seq, has_open, open_seq, open_vals = -1, False, None, []
+            flushed_seq = -1
         chunks = [pdf for pdf in pdfs if len(pdf)]
         out_rows = []
         if chunks:
@@ -234,14 +274,23 @@ def scd2_history_stream(
             for r in pdf.to_dict("records"):
                 act, seq = r[action_col], int(r[seq_col])
                 if act == SCD2_FLUSH_ACTION:
-                    if has_open:
+                    # non-destructive snapshot: emit the open interval
+                    # as is_current, KEEP it open; flushed_seq
+                    # bookkeeping suppresses a re-snapshot of an
+                    # unchanged interval (open_seq strictly increases
+                    # per PK, so a stale flushed_seq never collides
+                    # with a later interval)
+                    if has_open and open_seq != flushed_seq:
                         out_rows.append(
                             [pk, open_seq, *open_vals, None, True])
-                        has_open, open_seq, open_vals = False, None, []
+                        flushed_seq = open_seq
                     continue
                 if seq <= last_seq:
                     continue  # at-least-once replay: already applied
                 if has_open:
+                    # the upsert-log contract: this close row
+                    # supersedes any earlier snapshot of the same
+                    # (pk, open_seq) — scd2_collapse applies it
                     out_rows.append([pk, open_seq, *open_vals, seq, False])
                 if act == delete_action:
                     has_open, open_seq, open_vals = False, None, []
@@ -251,7 +300,12 @@ def scd2_history_stream(
                 last_seq = seq
         state.update((last_seq, has_open,
                       open_seq if has_open else None,
+                      flushed_seq,
                       *(open_vals if has_open else [None] * len(value_cols))))
+        if tombstone_ttl_ms is not None and not has_open:
+            # only tombstoned PKs age out; an open interval must live
+            # until closed (no timeout set → never fires for it)
+            state.setTimeoutDuration(tombstone_ttl_ms)
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
@@ -263,5 +317,28 @@ def scd2_history_stream(
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if tombstone_ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout),
     ))
+
+
+def scd2_collapse(hist: DataFrame, pk_col: str = "pk") -> DataFrame:
+    """Collapse an scd2_history_stream emission log into the final
+    history: per (pk, valid_from_seq) the CLOSED row (valid_to_seq
+    non-null) supersedes the flush snapshot of the same interval —
+    the documented upsert-log contract of the non-destructive flush.
+    One map-side-combinable ``max_by`` hash aggregate (same 100 TB
+    shape as the replica collapse: one shuffle carrying one row per
+    touched key)."""
+    others = [c for c in hist.columns
+              if c not in (pk_col, "valid_from_seq")]
+    import pyspark.sql.functions as F  # noqa: N812
+
+    pick = F.max_by(
+        F.struct(*[F.col(c) for c in others]),
+        F.col("valid_to_seq").isNotNull().cast("int"))
+    return (hist.groupBy(pk_col, "valid_from_seq")
+                .agg(pick.alias("_r"))
+                .select(pk_col, "valid_from_seq",
+                        *[F.col("_r")[c].alias(c) for c in others]))

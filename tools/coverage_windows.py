@@ -17,6 +17,19 @@ sys.path.insert(0, HERE)
 
 BEGIN = "<!-- coverage-windows:begin (tools/coverage_windows.py) -->"
 END = "<!-- coverage-windows:end -->"
+THROUGH = "<!-- coverage-windows:through r%d -->"
+
+
+def newest_artifact_round() -> int:
+    """The newest round with a CORRECTNESS_r*.json on disk — what the
+    generated table must have been built from."""
+    import glob
+    import re
+
+    rounds = [int(m.group(1))
+              for p in glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))
+              if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))]
+    return max(rounds, default=-1)
 
 
 def build_section() -> str:
@@ -29,6 +42,7 @@ def build_section() -> str:
         by_round[last.get(name, -1)].append(name)
     lines = [
         BEGIN,
+        THROUGH % newest_artifact_round(),
         "",
         "## Driver-window staleness (generated)",
         "",
@@ -83,6 +97,20 @@ def check_staleness_bound() -> list[str]:
         problems.append(
             f"rotation leaves {len(missed)} must-cover/new entries "
             f"outside the first {entry_mod.WINDOW}: {', '.join(missed)}")
+    # the committed table must have been generated from the NEWEST
+    # correctness artifact (r12 verdict "What's wrong" #5: a stale
+    # table misreports the drain evidence the verdict tasks cite)
+    newest = newest_artifact_round()
+    try:
+        with open(os.path.join(HERE, "COVERAGE.md")) as f:
+            text = f.read()
+    except OSError:
+        text = ""
+    if (THROUGH % newest) not in text:
+        problems.append(
+            f"COVERAGE.md staleness table predates CORRECTNESS_r"
+            f"{newest:02d}.json — regenerate with "
+            f"`python tools/coverage_windows.py`")
     return problems
 
 
