@@ -55,6 +55,73 @@ def deliverable_messages(df: DataFrame, batch_size: int | None = None) -> DataFr
     return out
 
 
+def produce_order_with_cdc_priority(
+    df: DataFrame,
+    backfill_col: str = "is_backfill",
+    batch_size: int | None = None,
+    partition_count: int = 1,
+) -> DataFrame:
+    """Deliverable heads in the reference's CDC-over-backfill produce
+    order (slot_message_store_state.ex prioritization;
+    slot_message_store_state_test.exs:975-1145):
+
+    - live CDC messages are produced BEFORE backfill (table-reader)
+      messages when that is safe — a backfill shouldn't add latency to
+      the live change feed;
+    - the moment ANY group in a store partition holds both a backfill
+      and a CDC message, that partition switches to plain cursor order
+      entirely (the reference's documented simplification:
+      prioritizing around a conflicted group could reorder within it,
+      violating the strict per-group cursor contract — the "NOT
+      prioritized when group conflicts exist" test);
+    - within a group, order is always strictly (commit_lsn,
+      commit_idx), whatever the mode.
+
+    ``backfill_col`` is a boolean column marking table-reader rows
+    (the reference keys on table_reader_batch_id; the engine's analog
+    is ``action == 'read'``).  Adds ``produce_rank`` (1 = first
+    produced, per store partition); ``batch_size`` caps the produced
+    count PER PARTITION, like the reference's per-partition-store
+    produce_messages call.
+
+    100 TB shape: everything is partition-local, mirroring the
+    reference's partition_count-sharded stores (pmod(hash(group),
+    partition_count), the same scheme the delivery ledger slices use):
+    conflict detection is one group-hash aggregate reduced to
+    ≤ partition_count rows and broadcast-joined, and the rank window
+    is PARTITIONED by the store partition — never a SinglePartition
+    funnel."""
+    grp = F.coalesce(
+        F.col("group_id"),
+        F.concat(F.lit("\x00"), F.col("commit_lsn"), F.lit(":"),
+                 F.col("commit_idx")),
+    )
+    store_part = F.pmod(F.hash(grp), F.lit(partition_count))
+    # conflict mode per store partition: does ANY real group in it mix
+    # backfill and CDC rows?  (null group_ids are independent
+    # singleton groups — they can never conflict, so they are excluded
+    # before the aggregate)
+    mixed = (df.where(F.col("group_id").isNotNull())
+               .groupBy(store_part.alias("_sp"), grp.alias("_g"))
+               .agg((F.count_distinct(F.col(backfill_col)) > 1)
+                    .alias("_mixed")))
+    conflict = mixed.groupBy("_sp").agg(
+        F.max("_mixed").alias("_conflict"))
+    head = deliverable_messages(df).withColumn("_sp", store_part)
+    out = (head.join(F.broadcast(conflict), "_sp", "left")
+               .withColumn("_conflict",
+                           F.coalesce(F.col("_conflict"), F.lit(False))))
+    rank_key = F.when(F.col("_conflict"), F.lit(0)) \
+                .otherwise(F.col(backfill_col).cast("int"))
+    w = Window.partitionBy("_sp").orderBy(
+        rank_key, *[F.col(c) for c in CURSOR])
+    out = (out.withColumn("produce_rank", F.row_number().over(w))
+              .drop("_conflict", "_sp"))
+    if batch_size:
+        out = out.where(F.col("produce_rank") <= batch_size)
+    return out
+
+
 def sort_for_delivery(df: DataFrame,
                       num_partitions: int | None = None) -> DataFrame:
     """Cluster by group, restore cursor order within each partition —

@@ -1932,6 +1932,106 @@ def q_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current")
 
 
+def q_cdc_backfill_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-over-backfill produce prioritization
+    (operators/grouping.produce_order_with_cdc_priority — the port of
+    slot_message_store_state_test.exs:975-1145, r12 verdict task #4):
+    live CDC messages produce before backfill table-reader rows when
+    safe; the moment any group in a store holds both kinds, the store
+    switches to plain cursor order (the reference's documented
+    simplification — prioritizing around a conflicted group would
+    break strict per-group cursor order).
+
+    Two independent stores exercise BOTH modes in one oracle-checked
+    query: scenario 'safe' keys backfill and CDC on disjoint orderkeys
+    (even/odd) — every CDC head must outrank every backfill head
+    despite lower backfill cursors; scenario 'conflict' overlaps them
+    (%3 vs %5 → both at %15) — plain cursor order, and the conflicted
+    groups' CDC messages aren't deliverable heads at all.
+
+    Plan/scale note: partition_count=1 here makes produce_rank a
+    deterministic global order the DuckDB oracle can reproduce; the
+    production shape is partition_count=N (each store partition ranks
+    and conflict-detects independently — identical to the reference's
+    sharded stores; partition-locality pinned in
+    tests/test_operators.py::test_cdc_priority_is_partition_local)."""
+    from sequin_spark.cdc import load_table
+    from sequin_spark.operators.grouping import (
+        produce_order_with_cdc_priority,
+    )
+
+    _prep(spark)
+    k = F.col("o_orderkey").cast("long")
+    o = load_table(spark, sf_dir, "orders").select(k.alias("k"))
+
+    def msgs(scen: str, bf_pred, cdc_pred):
+        bf = o.where(bf_pred).select(
+            F.lit(scen).alias("scenario"),
+            F.col("k").cast("string").alias("group_id"),
+            F.lit(0).cast("long").alias("commit_lsn"),
+            F.col("k").alias("commit_idx"),
+            F.lit(True).alias("is_backfill"))
+        cdc = o.where(cdc_pred).select(
+            F.lit(scen).alias("scenario"),
+            F.col("k").cast("string").alias("group_id"),
+            (F.lit(1_000_000) + F.col("k")).alias("commit_lsn"),
+            F.lit(0).cast("long").alias("commit_idx"),
+            F.lit(False).alias("is_backfill"))
+        return bf.unionByName(cdc)
+
+    kk = F.col("k")
+    safe = msgs("safe", kk % 2 == 0, kk % 2 == 1)
+    conflict = msgs("conflict", kk % 3 == 0, kk % 5 == 0)
+    # one produce call per store (scenario) — stores are independent
+    ranked = [produce_order_with_cdc_priority(m, partition_count=1)
+              for m in (safe, conflict)]
+    out = ranked[0].unionByName(ranked[1])
+    return out.select("scenario", "group_id", "commit_lsn",
+                      "commit_idx", "is_backfill", "produce_rank")
+
+
+SQL_CDC_BACKFILL_PRIORITY = """
+WITH msgs AS (
+  SELECT 'safe' AS scenario, CAST(o_orderkey AS VARCHAR) AS group_id,
+         CAST(0 AS BIGINT) AS commit_lsn,
+         CAST(o_orderkey AS BIGINT) AS commit_idx, TRUE AS is_backfill
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT 'safe', CAST(o_orderkey AS VARCHAR),
+         1000000 + o_orderkey, 0, FALSE
+  FROM orders WHERE o_orderkey % 2 = 1
+  UNION ALL
+  SELECT 'conflict', CAST(o_orderkey AS VARCHAR),
+         0, o_orderkey, TRUE
+  FROM orders WHERE o_orderkey % 3 = 0
+  UNION ALL
+  SELECT 'conflict', CAST(o_orderkey AS VARCHAR),
+         1000000 + o_orderkey, 0, FALSE
+  FROM orders WHERE o_orderkey % 5 = 0
+),
+conf AS (
+  SELECT scenario, max(CAST(mixed AS INT)) = 1 AS conflict FROM (
+    SELECT scenario, group_id,
+           count(DISTINCT is_backfill) > 1 AS mixed
+    FROM msgs GROUP BY scenario, group_id) GROUP BY scenario
+),
+heads AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY scenario, group_id
+      ORDER BY commit_lsn, commit_idx) AS rn
+  FROM msgs
+)
+SELECT h.scenario, h.group_id, h.commit_lsn, h.commit_idx,
+       h.is_backfill,
+       CAST(row_number() OVER (
+         PARTITION BY h.scenario
+         ORDER BY CASE WHEN c.conflict THEN 0
+                       WHEN h.is_backfill THEN 1 ELSE 0 END,
+                  h.commit_lsn, h.commit_idx) AS BIGINT) AS produce_rank
+FROM heads h JOIN conf c USING (scenario) WHERE h.rn = 1
+"""
+
+
 SQL_CDC_REPLICA_APPLY = """
 WITH log AS (
   SELECT o_orderkey,
@@ -2003,6 +2103,7 @@ QUERIES: dict[str, callable] = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_replica_apply": q_cdc_replica_apply,
     "cdc_scd2_stream": q_cdc_scd2_stream,
+    "cdc_backfill_priority": q_cdc_backfill_priority,
     **DATAPIPE_QUERIES,
 }
 
@@ -2054,5 +2155,6 @@ ORACLES: dict[str, str] = {
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_replica_apply": SQL_CDC_REPLICA_APPLY,
     "cdc_scd2_stream": SQL_CDC_SCD2_HISTORY,
+    "cdc_backfill_priority": SQL_CDC_BACKFILL_PRIORITY,
     **DATAPIPE_ORACLES,
 }

@@ -561,6 +561,33 @@ class DeliveryEngine:
             os.remove(self.pending_path)
         return n
 
+    def discard_failing_pending(self) -> int:
+        """Admin: discard only the FAILING retry entries — attempted at
+        least once (deliver_count > 0) and now backing off — while
+        messages that merely wait their turn (deferred behind a group
+        head, deliver_count == 0) stay pending
+        (slot_message_store.ex discard_failing_messages;
+        slot_message_store_test.exs:1084 "discards only failing
+        messages").  Returns the discarded count."""
+        pending = self._read_pending()
+        if pending is None or not len(pending):
+            return 0
+        failing = pending[pending["deliver_count"] > 0]
+        if not len(failing):
+            return 0
+        _write_parquet(
+            os.path.join(self.discarded_dir,
+                         f"admin-{uuid.uuid4().hex}.parquet"),
+            failing.drop(columns=["not_visible_until"])
+                   .assign(error="admin discard_failing"),
+        )
+        keep = pending[pending["deliver_count"] <= 0]
+        if len(keep):
+            _write_parquet(self.pending_path, keep)
+        else:
+            os.remove(self.pending_path)
+        return int(len(failing))
+
     def redeliver_discarded(self) -> int:
         """Admin: move discarded (max-retry-exceeded) messages back into
         the pending set with a reset deliver_count — the manual

@@ -131,3 +131,35 @@ def test_admin_discard_and_redeliver(spark, tmp_path):
     assert engine2.discard_all_pending() == 1
     stats3 = engine2.process_batch(df.limit(0), 1)
     assert stats3["pending"] == 0 and stats3["delivered"] == 0
+
+
+def test_admin_discard_failing_only(spark, tmp_path):
+    """discard_failing_messages port (slot_message_store_test.exs:1084,
+    r12 verdict task #4): only entries that were ATTEMPTED and failed
+    (deliver_count > 0, backing off) are discarded; a message merely
+    deferred behind its group's failing head (deliver_count == 0)
+    stays pending and delivers once the sink is fixed."""
+    cols = ("group_id string, commit_lsn long, commit_idx long, "
+            "idempotency_key string, key string, value string")
+    head = spark.createDataFrame([("g1", 1, 0, "k1", "g1", "{}")], cols)
+    tail = spark.createDataFrame([("g1", 1, 1, "k2", "g1", "{}")], cols)
+    engine = DeliveryEngine(
+        "failing", {"fail_substring": "g1"},
+        state_dir=str(tmp_path / "state"), max_retry_count=9,
+        backoff_base_s=120.0,
+    )
+    engine.process_batch(head, 0)          # head fails → pending retry
+    engine.process_batch(tail, 1)          # tail deferred behind it
+    pend = engine._read_pending()
+    assert len(pend) == 2
+    assert sorted(pend["deliver_count"]) == [0, 1]
+    # discard only the failing head; the deferred tail stays
+    assert engine.discard_failing_pending() == 1
+    pend2 = engine._read_pending()
+    assert len(pend2) == 1 and int(pend2["deliver_count"].iloc[0]) == 0
+    # fix the sink: the kept tail delivers on the next batch
+    engine.sink_config = {}
+    stats = engine.process_batch(head.limit(0), 2)
+    assert stats["delivered"] == 1 and stats["pending"] == 0
+    # nothing failing left → no-op
+    assert engine.discard_failing_pending() == 0

@@ -360,3 +360,112 @@ def test_interval_bin_join_hypothesis(spark):
                     (F.col("value") >= F.col("lo"))
                     & (F.col("value") <= F.col("hi"))).collect()}
         assert got == want, f"case={case} bw={bw}"
+
+
+# --- CDC-over-backfill produce prioritization (r12 verdict task #4 port:
+# slot_message_store_state_test.exs:975-1145) ------------------------------
+
+MSG_SCHEMA = ("group_id string, commit_lsn long, commit_idx long, "
+              "is_backfill boolean")
+
+
+def _msgs(spark, rows):
+    return spark.createDataFrame(
+        [Row(group_id=g, commit_lsn=l, commit_idx=i, is_backfill=b)
+         for g, l, i, b in rows], MSG_SCHEMA)
+
+
+def _produced(spark, rows, **kw):
+    from sequin_spark.operators.grouping import (
+        produce_order_with_cdc_priority,
+    )
+
+    out = produce_order_with_cdc_priority(_msgs(spark, rows), **kw)
+    return [(r["group_id"], r["commit_lsn"], r["commit_idx"],
+             r["is_backfill"])
+            for r in out.orderBy("produce_rank").collect()]
+
+
+def test_cdc_prioritized_over_backfill_when_safe(spark):
+    """slot_message_store_state_test.exs:976 — disjoint groups: the
+    CDC messages produce first despite LOWER backfill cursors."""
+    rows = [("g1", 1, 0, True), ("g2", 1, 1, True),
+            ("g3", 2, 0, False), ("g4", 2, 1, False)]
+    got = _produced(spark, rows)
+    assert [g for g, *_ in got] == ["g3", "g4", "g1", "g2"]
+    assert [b for *_, b in got] == [False, False, True, True]
+
+
+def test_cdc_not_prioritized_on_group_conflict(spark):
+    """slot_message_store_state_test.exs:1004 — one group holds both a
+    backfill head and a later CDC message: the store switches to plain
+    cursor order entirely, the backfill head produces first, and the
+    same-group CDC message stays blocked behind it."""
+    rows = [("g1", 1, 0, True),     # backfill head of g1
+            ("g1", 2, 0, False),    # CDC in the SAME group: blocked
+            ("g2", 3, 0, False)]    # CDC in another group
+    got = _produced(spark, rows)
+    # plain cursor order: g1's backfill first (lsn 1), then g2 (lsn 3);
+    # g1's CDC is not a deliverable head at all
+    assert got == [("g1", 1, 0, True), ("g2", 3, 0, False)]
+
+
+def test_cdc_priority_null_groups_never_conflict(spark):
+    """Null group_ids are independent singletons: a null-group backfill
+    plus a null-group CDC message must NOT flip the store into
+    conflict mode — CDC still produces first."""
+    rows = [(None, 1, 0, True), (None, 2, 0, False),
+            ("g9", 1, 5, True), ("g8", 9, 0, False)]
+    got = _produced(spark, rows)
+    assert [b for *_, b in got] == [False, False, True, True]
+
+
+def test_cdc_priority_batch_size_and_order_within_group(spark):
+    """strict cursor ordering within a group across CDC and backfill
+    (slot_message_store_state_test.exs:1145) + the per-partition
+    produce cap: only heads produce, capped at batch_size."""
+    rows = [("a", 5, 0, False), ("a", 6, 0, False),   # a: two CDC
+            ("b", 1, 0, True), ("c", 7, 0, False)]
+    got = _produced(spark, rows, batch_size=2)
+    # no conflict (no group mixes kinds): CDC heads first in cursor
+    # order — a@5 then c@7; cap 2 excludes the backfill b@1
+    assert got == [("a", 5, 0, False), ("c", 7, 0, False)]
+
+
+def test_cdc_priority_is_partition_local(spark):
+    """The reference shards stores partition_count ways and each
+    partition prioritizes independently: a conflict in one store
+    partition must not disable prioritization in the others."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.operators.grouping import (
+        produce_order_with_cdc_priority,
+    )
+
+    # one conflicted group ("cx") + many safe groups; with
+    # partition_count=4 the conflict flips only cx's partition
+    rows = [("cx", 1, 0, True), ("cx", 2, 0, False)]
+    rows += [(f"s{i}", 10 + i, 0, True) for i in range(8)]     # backfill
+    rows += [(f"t{i}", 50 + i, 0, False) for i in range(8)]    # CDC
+    df = _msgs(spark, rows)
+    pc = 4
+    out = produce_order_with_cdc_priority(df, partition_count=pc)
+    part_of = {
+        r["group_id"]: r["p"]
+        for r in df.select(
+            "group_id",
+            F.pmod(F.hash("group_id"), F.lit(pc)).alias("p")).collect()}
+    conflicted = {part_of["cx"]}
+    by_part = {}
+    for r in out.collect():
+        by_part.setdefault(part_of[r["group_id"]], []).append(
+            (r["produce_rank"], r["is_backfill"], r["commit_lsn"]))
+    for p, lst in by_part.items():
+        lst.sort()
+        if p in conflicted:
+            # conflict partition: plain cursor order
+            assert [l for _, _, l in lst] == sorted(l for _, _, l in lst)
+        else:
+            # safe partition: every CDC row ranks before every backfill
+            kinds = [b for _, b, _ in lst]
+            assert kinds == sorted(kinds)  # False (CDC) first
