@@ -1811,7 +1811,9 @@ def q_cdc_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequin_spark.streaming.replica import ReplicaApplier
 
     _prep(spark)
-    cache = _index_cache_path(sf_dir, "cdc_replica", "v1", src_table="orders")
+    # v2: the applier now persists _schema.json (schema evolution,
+    # r12 task #5) — v1 caches lack it and must rebuild
+    cache = _index_cache_path(sf_dir, "cdc_replica", "v2", src_table="orders")
     name = f"cdc_replica_{os.path.basename(cache)}"
     applier = ReplicaApplier(
         name, os.path.join(cache, "table"), pk_col="o_orderkey",
@@ -1835,17 +1837,12 @@ def q_cdc_replica_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.makedirs(cache, exist_ok=True)
         with open(meta, "w") as f:
             _json.dump({"table": name, "pk": "o_orderkey"}, f)
-    elif not spark.catalog.tableExists(name):
+    else:
         # cached replica from an earlier process: re-declare the
-        # bucketed external table over the existing files (the bucket
-        # spec lives in the catalog, not the parquet — same pattern as
-        # operators/bucketed.bucketed_table)
-        spark.sql(
-            f"CREATE TABLE {name} (o_orderkey BIGINT, seq BIGINT, "
-            f"action STRING, price_x100 BIGINT) USING parquet "
-            f"CLUSTERED BY (o_orderkey) SORTED BY (o_orderkey) "
-            f"INTO 8 BUCKETS LOCATION "
-            f"'{os.path.join(cache, 'table', 'data')}'")
+        # bucketed external table over the existing files from the
+        # persisted _schema.json — the column list tracks the evolved
+        # schema instead of being frozen here (r12 task #5)
+        applier.ensure_declared(spark)
     return applier.current(spark).select(
         "o_orderkey",
         F.col("seq").alias("last_seq"),

@@ -393,3 +393,127 @@ def test_parquet_replica_consumer_via_pipeline(spark, sf_dir, tmp_path):
     # replays after the restart are marker-skipped
     assert not pipe.replica.process_batch(
         pipe._replica_frame(pipe.compile(base)), 0)
+
+
+def test_replica_schema_evolution_midlog(spark, tmp_path):
+    """r12 verdict task #5: a column added between micro-batches (the
+    reference's mid-stream ALTER TABLE, slot_producer/relation.ex)
+    widens the replica — old segments read the new column as NULL,
+    the batch-relational parity holds over the widened log, compaction
+    NULL-backfills, a replay of a pre-widening batch still
+    marker-skips, and a fresh session re-declares the evolved schema
+    from the persisted _schema.json (no hard-coded column list)."""
+    wide_schema = "pk long, seq long, action string, val long, tier string"
+
+    def mk(rows, wide=False):
+        if not wide:
+            return _mk_log(spark, rows)
+        return spark.createDataFrame(
+            [Row(pk=p, seq=s, action=a, val=v, tier=t)
+             for p, s, a, v, t in rows], wide_schema)
+
+    b0 = [(1, 10, "insert", 100), (2, 11, "insert", 200),
+          (3, 12, "insert", 300)]
+    # ALTER TABLE ADD COLUMN tier between batches
+    b1 = [(1, 20, "update", 101, "gold"), (4, 21, "insert", 400, "bronze"),
+          (2, 22, "delete", 200, None)]
+    applier = ReplicaApplier("replica_evo", str(tmp_path / "rep"),
+                             pk_col="pk", n_buckets=4)
+    assert applier.process_batch(mk(b0), 0)
+    assert applier.process_batch(mk(b1, wide=True), 1)
+
+    def cur():
+        return {(r.pk, r.seq, r.val, r["tier"])
+                for r in applier.current(spark).collect()}
+
+    # pk1 updated post-widening (tier gold), pk3 untouched pre-widening
+    # row (tier NULL), pk4 new, pk2 deleted
+    want = {(1, 20, 101, "gold"), (3, 12, 300, None),
+            (4, 21, 400, "bronze")}
+    assert cur() == want
+    # replay of the PRE-widening committed batch: marker-skip, not a
+    # schema error
+    assert not applier.process_batch(mk(b0), 0)
+    assert cur() == want
+    # compaction rewrites with the union schema (NULL-backfill) and
+    # keeps markers
+    applier.compact(spark)
+    assert cur() == want
+    assert applier.marker_count() == 2
+    # a narrower batch AFTER widening is NULL-filled, not rejected
+    b2 = [(3, 30, "update", 301)]
+    assert applier.process_batch(mk(b2), 2)
+    assert cur() == {(1, 20, 101, "gold"), (3, 30, 301, None),
+                     (4, 21, 400, "bronze")}
+    # fresh-session re-declare from _schema.json carries the evolved
+    # column list
+    spark.sql("DROP TABLE replica_evo")
+    assert applier.ensure_declared(spark)
+    assert cur() == {(1, 20, 101, "gold"), (3, 30, 301, None),
+                     (4, 21, 400, "bronze")}
+    assert "tier" in dict(spark.table("replica_evo").dtypes)
+
+
+def test_replica_widens_from_relation_tracker_events(spark, tmp_path):
+    """r12 verdict task #5 end-to-end: a mid-stream ALTER TABLE ADD
+    COLUMN (a real pgoutput Relation frame whose hash moved) flows
+    through the decoder + EventFolder + RelationSchemaTracker, the
+    tracker's refreshed typed view projects the widened record, and
+    the TYPED ReplicaApplier widens the standing replica — pre-ALTER
+    rows read the new column as NULL and replica == last-wins over the
+    widened log."""
+    from pyspark.sql import functions as F
+
+    from sequin_spark.schema import EVENT_SCHEMA
+    from sequin_spark.sources.pgoutput import EventFolder, decode
+    from sequin_spark.sources.relation_tracker import RelationSchemaTracker
+    from tests.test_relation_tracker import COLS_V1, COLS_V2
+    from tests.test_replication import (
+        begin_frame,
+        commit_frame,
+        insert_frame,
+        relation_frame,
+    )
+
+    changes = []
+    tracker = RelationSchemaTracker(
+        state_path=str(tmp_path / "hashes.json"),
+        on_change=lambda rel, old, new: changes.append(new))
+    folder = EventFolder(on_relation=tracker.observe)
+    applier = ReplicaApplier("replica_tracker_evo",
+                             str(tmp_path / "rep"), pk_col="id",
+                             n_buckets=4)
+
+    def typed_batch(events):
+        df = spark.createDataFrame(events, EVENT_SCHEMA)
+        t = tracker.typed_view(df, 101).select(
+            (F.col("commit_lsn") * 8 + F.col("commit_idx")).alias("seq"),
+            "action", F.col("typed_record.*"))
+        return t.select("id", "seq", "action",
+                        *[c for c in t.columns
+                          if c not in ("id", "seq", "action")])
+
+    # batch 0: schema v1
+    ev0 = []
+    for f in [relation_frame(cols=COLS_V1), begin_frame(1000),
+              insert_frame(101, "1", "arya"),
+              insert_frame(101, "2", "sansa"), commit_frame(1000)]:
+        ev0.extend(folder.push(decode(f)))
+    assert applier.process_batch(typed_batch(ev0), 0)
+
+    # mid-stream ALTER: new Relation frame, then post-ALTER traffic
+    ev1 = []
+    for f in [relation_frame(cols=COLS_V2), begin_frame(2000),
+              insert_frame(101, "3", "bran", "10"),
+              # post-ALTER re-insert of pk 1 = the upsert the replica
+              # treats as last-wins (no update builder in the fixture)
+              insert_frame(101, "1", "arya", "18"), commit_frame(2000)]:
+        ev1.extend(folder.push(decode(f)))
+    assert changes  # the tracker fired the refresh hook
+    assert applier.process_batch(typed_batch(ev1), 1)
+
+    cur = {r["id"]: (r["name"], r["age"])
+           for r in applier.current(spark).collect()}
+    assert cur == {1: ("arya", 18),      # post-ALTER upsert carries age
+                   2: ("sansa", None),   # pre-ALTER row: NULL-backfilled
+                   3: ("bran", 10)}
