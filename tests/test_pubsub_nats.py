@@ -110,3 +110,89 @@ def test_nats_bad_greeting_fails():
     sink = create_sink("nats", {"host": "127.0.0.1", "port": s.getsockname()[1]})
     with pytest.raises(RuntimeError, match="unexpected greeting"):
         sink.open()
+
+
+def test_gcp_pubsub_ordering_key_e2e_via_engine(spark, tmp_path):
+    """r12 verdict task #8 (Broadway parity of the r12 batch-key fix):
+    through the real DeliveryEngine configured exactly as a gcp_pubsub
+    ConsumerSpec wires it — chunks close on {topic_id, group_id} =
+    Broadway's {topic_id, ordering_key} — (a) no publish call ever
+    mixes ordering keys, and (b) per-key order survives a MID-BATCH
+    failure + retry: the failed key's later chunk is group-blocked
+    behind the retry, never published out of order."""
+    from sequin_spark.plans.spec import ConsumerSpec
+    from sequin_spark.streaming.delivery import DeliveryEngine
+
+    published = []          # (orderingKey set, payload ns) per publish
+    fail_once = {"armed": True}
+
+    class H(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            msgs = body["messages"]
+            keys = {m.get("orderingKey") for m in msgs}
+            ns = [json.loads(base64.b64decode(m["data"]))["n"]
+                  for m in msgs]
+            if fail_once["armed"] and "g1" in keys:
+                fail_once["armed"] = False
+                self.send_response(500)
+                self.end_headers()
+                self.wfile.write(b"transient")
+                return
+            published.append((keys, ns))
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(json.dumps(
+                {"messageIds": [str(i) for i in range(len(msgs))]}
+            ).encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), H)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        spec = ConsumerSpec(
+            name="pubsub-e2e", sink_type="gcp_pubsub",
+            sink_config={"endpoint":
+                         f"http://127.0.0.1:{srv.server_address[1]}",
+                         "project": "p1", "topic_id": "events"})
+        assert spec.batch_keys() == ["topic_id", "group_id"]
+        rows = []
+        for g, n_vals in (("g1", [1, 2, 3, 4]), ("g2", [1, 2])):
+            for n in n_vals:
+                rows.append((g, 100, n, f"{g}:{n}", g,
+                             json.dumps({"g": g, "n": n}), "events"))
+        df = spark.createDataFrame(
+            rows,
+            "group_id string, commit_lsn long, commit_idx long, "
+            "idempotency_key string, key string, value string, "
+            "topic_id string")
+        engine = DeliveryEngine(
+            "gcp_pubsub", dict(spec.sink_config),
+            state_dir=str(tmp_path / "state"),
+            batch_size=2,                      # g1 spans TWO chunks
+            routing_cols=tuple(spec.routing_keys()),
+            batch_cols=tuple(spec.batch_keys()),
+            max_retry_count=5, backoff_base_s=0.0,
+        )
+        stats = engine.process_batch(df, 0)
+        # g1's first chunk failed mid-batch; its second chunk must be
+        # group-blocked, g2 unaffected
+        assert stats["delivered"] == 2 and stats["pending"] >= 2
+        for _bid in (1, 2):
+            engine.process_batch(df.limit(0), _bid)
+        assert not fail_once["armed"]         # the injected failure FIRED
+        # (a) every publish call carries exactly ONE ordering key
+        assert published and all(len(keys) == 1 for keys, _ in published)
+        # (b) concatenated per-key payloads are in order despite the
+        # failure+retry — and complete
+        per_key = {}
+        for keys, ns in published:
+            per_key.setdefault(next(iter(keys)), []).extend(ns)
+        assert per_key["g1"] == [1, 2, 3, 4]
+        assert per_key["g2"] == [1, 2]
+    finally:
+        srv.shutdown()

@@ -53,6 +53,17 @@ SF3_TAG = os.path.basename(SF_DIR3.rstrip("/"))
 SF3_EXCLUDE: dict[str, str] = {
     # name -> documented reason (measured oracle cost at sf0.1)
 }
+# Fourth-scale STATEFUL spot-check (r12 verdict task #10): the
+# standing CDC paths are the most machinery-heavy queries in the
+# registry (five+ streaming incarnations, checkpoint restores,
+# compaction) and until r13 had no decade evidence beyond sf0.1.
+# When the locally-generated sf1 corpus is present (.localdata/sf1 —
+# ~1.5 h to rebuild, never in the driver sandbox), the audit also
+# hash-gates them there.  Absent dir → recorded as skipped, not green.
+SF_DIR4 = os.environ.get("SNAPSHOT_SF_DIR4",
+                         os.path.join(HERE, ".localdata", "sf1"))
+SF4_TAG = "sf1"
+SF4_NAMES = ("cdc_scd2_stream", "cdc_replica_apply")
 
 
 def current_round() -> int:
@@ -103,11 +114,16 @@ def write_audit() -> int:
 
     sf3_names = {n for n in entry_mod.queries() if n not in SF3_EXCLUDE}
     results3 = run_checks(SF_DIR3, sf3_names)
+    sf4_present = os.path.isdir(SF_DIR4)
+    results4 = (run_checks(SF_DIR4, set(SF4_NAMES))
+                if sf4_present else [])
     failures = ([(n, d) for n, s, d in results if s == "FAIL"]
                 + [(f"{n}@{SF2_TAG}", d)
                    for n, s, d in results2 if s == "FAIL"]
                 + [(f"{n}@{SF3_TAG}", d)
-                   for n, s, d in results3 if s == "FAIL"])
+                   for n, s, d in results3 if s == "FAIL"]
+                + [(f"{n}@{SF4_TAG}", d)
+                   for n, s, d in results4 if s == "FAIL"])
     if failures:
         for n, d in failures:
             print(f"REFUSING to write audit file: FAIL {n}: {d}")
@@ -129,10 +145,20 @@ def write_audit() -> int:
             f.write(f"{status:<5} {name}@{SF2_TAG}: {detail}\n")
         for name, status, detail in results3:
             f.write(f"{status:<5} {name}@{SF3_TAG}: {detail}\n")
-        total = len(results) + len(results2) + len(results3)
+        if sf4_present:
+            for name, status, detail in results4:
+                f.write(f"{status:<5} {name}@{SF4_TAG}: {detail}\n")
+        else:
+            f.write(f"# sf4-skipped: {SF_DIR4} absent (local-only "
+                    f"corpus) — stateful {SF4_TAG} spot rows not run\n")
+        total = (len(results) + len(results2) + len(results3)
+                 + len(results4))
         f.write(f"SUMMARY PASS {total}/{total}\n")
     print(f"\nwrote {path} ({len(results)} queries × 2 scales "
-          f"+ {len(results3)} {SF3_TAG} spot rows, digest {digest})")
+          f"+ {len(results3)} {SF3_TAG} spot rows"
+          + (f" + {len(results4)} {SF4_TAG} stateful spot rows"
+             if sf4_present else "")
+          + f", digest {digest})")
     return 0
 
 

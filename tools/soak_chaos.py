@@ -11,7 +11,17 @@ firing LIVE:
   lags, so restarts REPLAY and the ledger must dedupe);
 * the backfill-fence and pull-queue chaos schedules
   (tests/test_chaos_state.py) run concurrently on the same JVM, their
-  own invariants asserted inside.
+  own invariants asserted inside;
+* (r12 task #6) the two STANDING paths run under the same chaos: a
+  parquet_replica consumer (its foreachBatch dual-writes a
+  rename-committed raw batch log) and the SCD2 stateful twin reading
+  that raw log as a file stream — both restarted at every incarnation
+  boundary.  Invariant 5: at every boundary and at the end, the
+  replica equals the batch last-wins materialization of the raw log
+  (modulo the documented append-vs-marker crash window, retried with
+  the marker-less batch included).  Invariant 6: after a final drain,
+  the SCD2 twin's collapsed emission log equals the batch lead(seq)
+  oracle's closed intervals over the raw log.
 
 After the drain, the delivered log (unique-file appends, time_ns
 ordered) is checked against the rate source's closed-form identity
@@ -56,8 +66,62 @@ PK_CARD = 100_000
 TXN = 8
 
 
+def _replica_matches_log(spark, applier, raw_dir: str) -> tuple[bool, int]:
+    """Invariant #5 (r12 verdict task #6): the standing replica equals
+    the batch-relational last-wins materialization of the raw batch
+    log it applied.  The raw log is the dual-write the soak's replica
+    foreachBatch makes (rename-committed per batch), so the comparison
+    is applier-machinery vs a trivially-correct append.  One
+    documented skew: a stop can land between the applier's data append
+    and its marker write (the module's crash window) — the replica
+    then holds one marker-less batch the committed raw set excludes,
+    so a mismatch retries with the uncommitted raw batches included
+    before failing."""
+    from pyspark.sql import functions as F
+
+    # raw_dir holds only rename-committed batch dirs (staging lives
+    # outside it); the defensive filter guards older layouts
+    dirs = sorted(d for d in glob.glob(os.path.join(raw_dir, "b*"))
+                  if re.fullmatch(r"b\d+", os.path.basename(d)))
+    if not dirs:
+        return True, 0
+
+    def batch_id(d):
+        return int(os.path.basename(d)[1:])
+
+    committed = [d for d in dirs
+                 if os.path.exists(os.path.join(
+                     applier.path, "_batches", f"_batch_{batch_id(d)}"))]
+    uncommitted = [d for d in dirs if d not in committed]
+    if not spark.catalog.tableExists(applier.table_name):
+        return False, len(committed)   # raw batches exist, replica absent
+    spark.sql(f"REFRESH TABLE {applier.table_name}")
+    cur = applier.current(spark).select(
+        "pk", "seq", F.col("record")["n"].alias("n"))
+
+    def expected(ds):
+        raw = spark.read.parquet(*ds)
+        g = raw.groupBy("pk").agg(
+            F.max("seq").alias("seq"),
+            F.max_by("action", F.col("seq")).alias("action"),
+            F.max_by(F.col("record")["n"], F.col("seq")).alias("n"))
+        return (g.where(F.col("action") != "delete")
+                 .select("pk", "seq", "n"))
+
+    def diff(ds) -> int:
+        e = expected(ds)
+        return e.exceptAll(cur).count() + cur.exceptAll(e).count()
+
+    if committed and diff(committed) == 0:
+        return True, len(committed)
+    if uncommitted and diff(committed + uncommitted) == 0:
+        return True, len(dirs)
+    return bool(not committed and not uncommitted), len(committed)
+
+
 def run_soak(seconds: int, rate: int, seed: int, out_path: str,
              no_restart: bool = False, no_side: bool = False,
+             no_standing: bool = False,
              fail_permille: int = 10) -> dict:
     from pyspark.sql import functions as F  # noqa: F401
 
@@ -97,6 +161,66 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
                                  checkpoint_dir=os.path.join(tmp, "ckpt"),
                                  trigger_seconds=1.0)
 
+    # --- the two STANDING paths under the same chaos (r12 task #6):
+    # a parquet_replica consumer with a dual raw-batch log (feeds
+    # invariant #5) and the SCD2 stateful twin reading that raw log as
+    # a file stream (feeds invariant #6); both restart at every
+    # incarnation boundary alongside the main query.
+    REP_PK_CARD = 5_000
+    rep_spec = ConsumerSpec(
+        name="soak-replica", sink_type="parquet_replica",
+        sink_config={"path": os.path.join(tmp, "replica"),
+                     "n_buckets": 8, "compact_every": 7})
+    rep_pipe = ConsumerPipeline(rep_spec,
+                                state_dir=os.path.join(tmp, "rep_state"))
+    raw_dir = os.path.join(tmp, "replica_raw")
+    os.makedirs(raw_dir, exist_ok=True)
+
+    def rep_apply(df, bid):
+        frame = rep_pipe._replica_frame(rep_pipe.compile(df))
+        d = os.path.join(raw_dir, f"b{bid}")
+        if not os.path.exists(d):
+            # rename-committed dual write FIRST: a crash before apply
+            # replays the batch (raw skip + marker-driven apply).  The
+            # staging dir lives OUTSIDE raw_dir so readers of raw_dir
+            # (the boundary check, the SCD2 file stream, the final
+            # oracle) can never see a half-written batch.
+            stage = os.path.join(os.path.dirname(raw_dir),
+                                 "replica_raw_stage", f"b{bid}")
+            frame.write.mode("overwrite").parquet(stage)
+            os.rename(stage, d)
+        rep_pipe.replica.process_batch(frame, bid)
+
+    def start_replica():
+        stream = benchmark_stream(spark, rows_per_second=max(rate // 5, 1000),
+                                  num_partitions=4,
+                                  pk_cardinality=REP_PK_CARD, txn_size=TXN)
+        return (stream.writeStream.foreachBatch(rep_apply)
+                .option("checkpointLocation", os.path.join(tmp, "rep_ckpt"))
+                .trigger(processingTime="1 second").start())
+
+    def start_scd2():
+        from sequin_spark.streaming.stateful import scd2_history_stream
+
+        raw_schema = ("pk string, "
+                      "seq struct<commit_lsn: long, commit_idx: long>, "
+                      "action string, record map<string,string>")
+        src = (spark.readStream.schema(raw_schema)
+               .option("maxFilesPerTrigger", 16)
+               .parquet(os.path.join(raw_dir, "b*")))
+        ev = src.select(
+            "pk",
+            ((F.col("seq.commit_lsn") - 5_000_000) * TXN
+             + F.col("seq.commit_idx")).alias("seq"),
+            "action",
+            F.col("record")["n"].cast("long").alias("n"))
+        hist = scd2_history_stream(ev, pk_col="pk", seq_col="seq",
+                                   action_col="action")
+        return (hist.writeStream.format("parquet")
+                .option("path", os.path.join(tmp, "scd2_out"))
+                .option("checkpointLocation", os.path.join(tmp, "scd2_ckpt"))
+                .trigger(processingTime="2 seconds").start())
+
     # concurrent fence + pull-queue chaos schedules (their invariants
     # assert inside; a failure propagates out of the thread via `errs`)
     from test_chaos_state import _run_backfill_seed, _run_pull_seed
@@ -133,6 +257,11 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
     # the reference: delivered-then-crashed-before-ack redelivers)
     boundaries_ns: list[int] = []
     q = start()
+    rep_q = scd2_q = None
+    replica_checks: list[bool] = []
+    if not no_standing:
+        rep_q = start_replica()
+        scd2_q = start_scd2()
     segment = (seconds + 60 if no_restart
                else max(seconds // 3, 10))
     while time.time() - t0 < seconds:
@@ -142,8 +271,25 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
                 q.stop()
             except Exception as e:  # noqa: BLE001
                 errs.append(f"mid-run stop: {e!r}")
+            if rep_q is not None:
+                try:
+                    rep_q.stop()
+                    scd2_q.stop()
+                except Exception as e:  # noqa: BLE001
+                    errs.append(f"standing stop: {e!r}")
+                # invariant #5 at the incarnation boundary: replica ==
+                # batch materialization of the raw log applied so far
+                try:
+                    ok5, nb = _replica_matches_log(
+                        spark, rep_pipe.replica, raw_dir)
+                    replica_checks.append(ok5)
+                except Exception as e:  # noqa: BLE001
+                    errs.append(f"replica boundary check: {e!r}")
             boundaries_ns.append(time.time_ns())
             q = start()
+            if rep_q is not None:
+                rep_q = start_replica()
+                scd2_q = start_scd2()
             restarts += 1
     # drain: let in-flight work land, then STOP — no processAllAvailable
     # (a rate source always has newer offsets, so "all available" chases
@@ -159,6 +305,80 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
         q.stop()
     except Exception as e:  # noqa: BLE001
         stop_err = repr(e)[:300]
+    scd2_ok = None
+    if rep_q is not None:
+        try:
+            rep_q.stop()
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"replica final stop: {e!r}")
+        # final invariant #5 over the full raw log
+        try:
+            ok5, _ = _replica_matches_log(spark, rep_pipe.replica, raw_dir)
+            replica_checks.append(ok5)
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"replica final check: {e!r}")
+        # invariant #6: drain the SCD2 twin over the now-frozen raw
+        # log (one availableNow incarnation from the shared
+        # checkpoint), then the collapsed emission log must equal the
+        # batch lead(seq) oracle's CLOSED rows over the raw log (open
+        # intervals have no close event — compared as the oracle's
+        # is_current set against the replica-live PKs instead)
+        try:
+            try:
+                scd2_q.stop()
+            except Exception as e:  # noqa: BLE001
+                errs.append(f"scd2 mid stop: {e!r}")
+            from pyspark.sql import Window
+
+            from sequin_spark.streaming.stateful import scd2_collapse
+
+            # final incarnation: availableNow over the same checkpoint
+            from sequin_spark.streaming.stateful import scd2_history_stream
+
+            raw_schema = ("pk string, "
+                          "seq struct<commit_lsn: long, commit_idx: long>, "
+                          "action string, record map<string,string>")
+            src = (spark.readStream.schema(raw_schema)
+                   .parquet(os.path.join(raw_dir, "b*")))
+            ev = src.select(
+                "pk",
+                ((F.col("seq.commit_lsn") - 5_000_000) * TXN
+                 + F.col("seq.commit_idx")).alias("seq"),
+                "action",
+                F.col("record")["n"].cast("long").alias("n"))
+            hist = scd2_history_stream(ev, pk_col="pk", seq_col="seq",
+                                       action_col="action")
+            dq = (hist.writeStream.format("parquet")
+                  .option("path", os.path.join(tmp, "scd2_out"))
+                  .option("checkpointLocation",
+                          os.path.join(tmp, "scd2_ckpt"))
+                  .trigger(availableNow=True).start())
+            dq.awaitTermination(300)
+            emitted = scd2_collapse(
+                spark.read.parquet(os.path.join(tmp, "scd2_out")),
+                pk_col="pk")
+            raw = spark.read.parquet(os.path.join(raw_dir, "b*")).select(
+                "pk",
+                ((F.col("seq.commit_lsn") - 5_000_000) * TXN
+                 + F.col("seq.commit_idx")).alias("seq"),
+                "action",
+                F.col("record")["n"].cast("long").alias("n"))
+            w = Window.partitionBy("pk").orderBy("seq")
+            oracle = (raw.withColumn("valid_to_seq",
+                                     F.lead("seq").over(w))
+                      .where(F.col("action") != "delete")
+                      .select("pk", F.col("seq").alias("valid_from_seq"),
+                              "n", "valid_to_seq"))
+            got_closed = emitted.where(
+                F.col("valid_to_seq").isNotNull()).select(
+                "pk", "valid_from_seq", "n", "valid_to_seq")
+            want_closed = oracle.where(F.col("valid_to_seq").isNotNull())
+            d = (got_closed.exceptAll(want_closed).count()
+                 + want_closed.exceptAll(got_closed).count())
+            scd2_ok = d == 0
+        except Exception as e:  # noqa: BLE001
+            errs.append(f"scd2 final check: {e!r}")
+            scd2_ok = False
     stop_side.set()
     if side.is_alive():
         side.join(timeout=120)
@@ -308,6 +528,15 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
     # 4: ledger unique + subset (ledger snapshot taken BEFORE the log
     # walk above — see _read_ledger_ids at the quiesce site)
     inv["ledger_subset_of_delivered"] = led_vs <= seen_v
+    if not no_standing:
+        # 5: at every incarnation boundary AND at the end, the standing
+        # replica equals the batch-relational materialization of the
+        # raw batch log it applied (r12 task #6)
+        inv["replica_equals_log_at_boundaries"] = (
+            bool(replica_checks) and all(replica_checks))
+        # 6: the SCD2 stateful twin's collapsed emission log equals the
+        # batch lead(seq) oracle's closed intervals over the raw log
+        inv["scd2_matches_batch_oracle"] = bool(scd2_ok)
 
     window_s = ((max(append_ns) - min(append_ns)) / 1e9
                 if len(append_ns) > 1 else 0.0)
@@ -328,6 +557,7 @@ def run_soak(seconds: int, rate: int, seed: int, out_path: str,
         "cross_incarnation_replays": cross_incarnation,
         "replay_horizon_s": round(replay_horizon_ns / 1e9, 1),
         "side_schedule_errors": errs,
+        "replica_boundary_checks": replica_checks,
         "invariants": inv,
         "bad_order_groups": bad_order[:5],
         "bad_gap_groups": bad_gap[:5],
@@ -356,9 +586,13 @@ if __name__ == "__main__":
     # diagnosis knobs: isolate engine-internal decay from the chaos
     ap.add_argument("--no-restart", action="store_true")
     ap.add_argument("--no-side", action="store_true")
+    ap.add_argument("--no-standing", action="store_true",
+                    help="skip the standing replica/SCD2 queries "
+                         "(isolate the delivery path)")
     ap.add_argument("--fail-permille", type=int, default=10)
     a = ap.parse_args()
     r = run_soak(a.seconds, a.rate, a.seed, a.out,
                  no_restart=a.no_restart, no_side=a.no_side,
+                 no_standing=a.no_standing,
                  fail_permille=a.fail_permille)
     sys.exit(0 if r["ok"] else 1)
