@@ -451,6 +451,27 @@ class ParquetReplicaSink(Sink):
 SINK_REGISTRY["parquet_replica"] = ParquetReplicaSink
 
 
+class Scd2HistorySink(Sink):
+    """Registry placeholder for the standing SCD2 audit-table consumer
+    (docs/how-to/create-audit-logs.mdx — the destination is a queryable
+    validity-interval table, the SCD2 twin of parquet_replica): valid
+    config, but delivery is stateful.scd2_history_stream writing
+    interval rows to parquet, not per-row sink calls; ConsumerPipeline
+    routes it there.  Reaching deliver() means a caller wired it
+    through the row path by mistake."""
+
+    sink_type = "scd2_history"
+
+    def deliver(self, batch: SinkBatch) -> None:
+        raise RuntimeError(
+            "scd2_history is a table maintainer, not a row sink — "
+            "ConsumerPipeline.start_stream routes it to "
+            "streaming/stateful.scd2_history_stream")
+
+
+SINK_REGISTRY["scd2_history"] = Scd2HistorySink
+
+
 def register_sink(sink_type: str, cls: type[Sink]) -> None:
     SINK_REGISTRY[sink_type] = cls
 

@@ -70,6 +70,25 @@ class ConsumerPipeline:
             spec.name, expected_slugs=("messages_ingested", "messages_delivered")
         )
         self.replica = None
+        self.scd2 = None
+        if spec.sink_type == "scd2_history":
+            # standing SCD2 audit-table consumer (create-audit-logs.mdx
+            # — the destination IS a queryable validity-interval
+            # table): the operator chain still applies, but delivery
+            # is stateful.scd2_history_stream appending interval rows
+            # to parquet, not row sinks.  Streaming-only by nature
+            # (applyInPandasWithState); the batch twin is
+            # queries.q_cdc_scd2_history.
+            from uuid import uuid4
+
+            cfg = dict(spec.sink_config or {})
+            base = state_dir or f"/tmp/sequin_spark_state/{uuid4().hex}"
+            self.scd2 = {
+                "path": cfg.get("path") or f"{base}/scd2_history",
+                "tombstone_ttl_ms": cfg.get("tombstone_ttl_ms"),
+            }
+            self.engine = None
+            return
         if spec.sink_type == "parquet_replica":
             # table-maintainer consumer (replicate-tables.mdx:39,92 —
             # the destination IS a queryable table): the operator chain
@@ -185,8 +204,26 @@ class ConsumerPipeline:
             F.col("action"),
             F.col("record"))
 
+    def _scd2_frame(self, df: DataFrame) -> DataFrame:
+        """The typed input scd2_history_stream consumes from the
+        compiled chain: canonical PK identity, the two-column
+        ``(commit_lsn, commit_idx)`` cursor (NOT packed into one int64
+        — see _replica_frame's LSN-overflow note), the action, and the
+        transformed payload as the tracked value."""
+        return df.select(
+            F.array_join(F.col("record_pks"), ":").alias("pk"),
+            F.col("commit_lsn").cast("long").alias("commit_lsn"),
+            F.col("commit_idx").cast("long").alias("commit_idx"),
+            F.col("action"),
+            F.col("value"))
+
     # --- execution modes --------------------------------------------------
     def run_batch(self, events: DataFrame, batch_id: int = 0) -> dict:
+        if self.scd2 is not None:
+            raise RuntimeError(
+                "scd2_history maintains state across micro-batches "
+                "(applyInPandasWithState) — drive it with start_stream; "
+                "the batch-relational twin is queries.q_cdc_scd2_history")
         if self.replica is not None:
             appended = self.replica.process_batch(
                 self._replica_frame(self.compile(events)), batch_id)
@@ -206,6 +243,20 @@ class ConsumerPipeline:
         window is the last uncommitted micro-batch, so identities
         delivered ≥4 batches ago can never recur and keeping them only
         grows the per-batch anti-join broadcast with stream lifetime."""
+        if self.scd2 is not None:
+            from sequin_spark.streaming.stateful import scd2_history_stream
+
+            hist = scd2_history_stream(
+                self._scd2_frame(self.compile(events)),
+                pk_col="pk", seq_col="commit_lsn",
+                seq2_col="commit_idx", action_col="action",
+                tombstone_ttl_ms=self.scd2.get("tombstone_ttl_ms"))
+            return (hist.writeStream.format("parquet")
+                    .option("path", self.scd2["path"])
+                    .option("checkpointLocation", checkpoint_dir)
+                    .trigger(processingTime=
+                             f"{int(trigger_seconds * 1000)} milliseconds")
+                    .start())
         if self.replica is not None:
             return (self.replica.writer(
                         self._replica_frame(self.compile(events)))

@@ -228,28 +228,59 @@ def scd2_history_stream(
     action_col: str = "action",
     delete_action: str = "delete",
     tombstone_ttl_ms: int | None = None,
+    seq2_col: str | None = None,
 ) -> DataFrame:
     """Streaming SCD2: emits each validity-interval row when it closes,
     plus snapshot rows of still-open intervals on ``__flush__`` (non-
     destructive — the stream continues; collapse the emitted log with
     ``scd2_collapse``).  Value columns = everything that is not
     pk/seq/action.  ``tombstone_ttl_ms`` (optional) evicts state for
-    hard-deleted PKs once idle past the at-least-once replay horizon."""
+    hard-deleted PKs once idle past the at-least-once replay horizon.
+
+    ``seq2_col`` (optional) switches to a TWO-COLUMN lexicographic
+    cursor ``(seq_col, seq2_col)`` — the ``(commit_lsn, commit_idx)``
+    mode the plan surface uses.  A Postgres LSN is a cumulative 64-bit
+    byte position, so packing the pair into one int64 (``lsn*2^20 +
+    idx``) would silently wrap negative once commit_lsn ≥ 2^43 (~8 TB
+    of lifetime WAL) and corrupt interval ordering — same reasoning as
+    the replica's struct seq (pipeline._replica_frame).  In this mode
+    the interval bounds are named ``valid_from_<seq_col>`` /
+    ``valid_from_<seq2_col>`` etc.; single-cursor mode keeps the
+    historical ``valid_from_seq``/``valid_to_seq`` names (and the
+    identical v2 state schema, so existing checkpoints/caches stay
+    valid)."""
     dtypes = dict(events.dtypes)
+    seq_cols = [seq_col] + ([seq2_col] if seq2_col is not None else [])
+    n = len(seq_cols)
+    if seq2_col is None:
+        from_names, to_names = ["valid_from_seq"], ["valid_to_seq"]
+        state_seq_names, seq_types = ["seq"], ["long"]
+    else:
+        from_names = [f"valid_from_{c}" for c in seq_cols]
+        to_names = [f"valid_to_{c}" for c in seq_cols]
+        state_seq_names = list(seq_cols)
+        seq_types = [dtypes[c] for c in seq_cols]
     value_cols = [c for c in events.columns
-                  if c not in (pk_col, seq_col, action_col)]
+                  if c not in (pk_col, action_col, *seq_cols)]
     out_schema = ", ".join(
-        [f"{pk_col} {dtypes[pk_col]}", "valid_from_seq long"]
+        [f"{pk_col} {dtypes[pk_col]}"]
+        + [f"{fn} {t}" for fn, t in zip(from_names, seq_types)]
         + [f"{c} {dtypes[c]}" for c in value_cols]
-        + ["valid_to_seq long", "is_current boolean"])
-    # state: high-water seq, whether an interval is open, its from-seq,
-    # the last-snapshotted from-seq, and the open values — O(1) per
-    # live PK (STATE SCHEMA v2: flushed_seq added by r12 task #1;
-    # checkpoints from v1 are incompatible — cache keys must bump)
+        + [f"{tn} {t}" for tn, t in zip(to_names, seq_types)]
+        + ["is_current boolean"])
+    # state: high-water cursor, whether an interval is open, its
+    # from-cursor, the last-snapshotted from-cursor, and the open
+    # values — O(1) per live PK (STATE SCHEMA v2: flushed_seq added by
+    # r12 task #1; checkpoints from v1 are incompatible — cache keys
+    # must bump.  The single-cursor field names/order are IDENTICAL to
+    # v2; seq2 mode gets its own derived names)
     state_schema = ", ".join(
-        ["last_seq long", "has_open boolean", "open_seq long",
-         "flushed_seq long"]
+        [f"last_{s} {t}" for s, t in zip(state_seq_names, seq_types)]
+        + ["has_open boolean"]
+        + [f"open_{s} {t}" for s, t in zip(state_seq_names, seq_types)]
+        + [f"flushed_{s} {t}" for s, t in zip(state_seq_names, seq_types)]
         + [f"open_{c} {dtypes[c]}" for c in value_cols])
+    none_cur = (None,) * n
 
     def _fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if tombstone_ttl_ms is not None and state.hasTimedOut:
@@ -260,47 +291,55 @@ def scd2_history_stream(
         pk = key[0]
         if state.exists:
             st = state.get
-            last_seq, has_open, open_seq = st[0], bool(st[1]), st[2]
-            flushed_seq = st[3] if st[3] is not None else -1
-            open_vals = list(st[4:])
+            last = tuple(st[0:n])
+            if last[0] is None:
+                last = None
+            has_open = bool(st[n])
+            open_cur = tuple(st[n + 1:2 * n + 1]) if has_open else None
+            flushed = tuple(st[2 * n + 1:3 * n + 1])
+            if flushed[0] is None:
+                flushed = None
+            open_vals = list(st[3 * n + 1:])
         else:
-            last_seq, has_open, open_seq, open_vals = -1, False, None, []
-            flushed_seq = -1
+            last, has_open, open_cur, open_vals = None, False, None, []
+            flushed = None
         chunks = [pdf for pdf in pdfs if len(pdf)]
         out_rows = []
         if chunks:
             pdf = pd.concat(chunks, ignore_index=True)
-            pdf = pdf.sort_values(seq_col, kind="mergesort")
+            pdf = pdf.sort_values(seq_cols, kind="mergesort")
             for r in pdf.to_dict("records"):
-                act, seq = r[action_col], int(r[seq_col])
+                act = r[action_col]
+                cur = tuple(int(r[c]) for c in seq_cols)
                 if act == SCD2_FLUSH_ACTION:
                     # non-destructive snapshot: emit the open interval
-                    # as is_current, KEEP it open; flushed_seq
+                    # as is_current, KEEP it open; flushed-cursor
                     # bookkeeping suppresses a re-snapshot of an
-                    # unchanged interval (open_seq strictly increases
-                    # per PK, so a stale flushed_seq never collides
-                    # with a later interval)
-                    if has_open and open_seq != flushed_seq:
+                    # unchanged interval (the open cursor strictly
+                    # increases per PK, so a stale flushed cursor
+                    # never collides with a later interval)
+                    if has_open and open_cur != flushed:
                         out_rows.append(
-                            [pk, open_seq, *open_vals, None, True])
-                        flushed_seq = open_seq
+                            [pk, *open_cur, *open_vals, *none_cur, True])
+                        flushed = open_cur
                     continue
-                if seq <= last_seq:
+                if last is not None and cur <= last:
                     continue  # at-least-once replay: already applied
                 if has_open:
                     # the upsert-log contract: this close row
                     # supersedes any earlier snapshot of the same
-                    # (pk, open_seq) — scd2_collapse applies it
-                    out_rows.append([pk, open_seq, *open_vals, seq, False])
+                    # (pk, open-cursor) — scd2_collapse applies it
+                    out_rows.append([pk, *open_cur, *open_vals, *cur, False])
                 if act == delete_action:
-                    has_open, open_seq, open_vals = False, None, []
+                    has_open, open_cur, open_vals = False, None, []
                 else:
-                    has_open, open_seq = True, seq
+                    has_open, open_cur = True, cur
                     open_vals = [r[c] for c in value_cols]
-                last_seq = seq
-        state.update((last_seq, has_open,
-                      open_seq if has_open else None,
-                      flushed_seq,
+                last = cur
+        state.update((*(last if last is not None else none_cur),
+                      has_open,
+                      *(open_cur if has_open else none_cur),
+                      *(flushed if flushed is not None else none_cur),
                       *(open_vals if has_open else [None] * len(value_cols))))
         if tombstone_ttl_ms is not None and not has_open:
             # only tombstoned PKs age out; an open interval must live
@@ -309,8 +348,8 @@ def scd2_history_stream(
         if out_rows:
             yield pd.DataFrame(
                 out_rows,
-                columns=[pk_col, "valid_from_seq", *value_cols,
-                         "valid_to_seq", "is_current"])
+                columns=[pk_col, *from_names, *value_cols,
+                         *to_names, "is_current"])
 
     return (events.groupBy(pk_col).applyInPandasWithState(
         _fn,
@@ -325,20 +364,25 @@ def scd2_history_stream(
 
 def scd2_collapse(hist: DataFrame, pk_col: str = "pk") -> DataFrame:
     """Collapse an scd2_history_stream emission log into the final
-    history: per (pk, valid_from_seq) the CLOSED row (valid_to_seq
+    history: per (pk, valid_from cursor) the CLOSED row (valid_to
     non-null) supersedes the flush snapshot of the same interval —
     the documented upsert-log contract of the non-destructive flush.
+    The cursor columns are detected by their ``valid_from_*`` /
+    ``valid_to_*`` names, so this handles both the single-cursor and
+    the two-column ``(commit_lsn, commit_idx)`` emission shapes.
     One map-side-combinable ``max_by`` hash aggregate (same 100 TB
     shape as the replica collapse: one shuffle carrying one row per
     touched key)."""
+    from_cols = [c for c in hist.columns if c.startswith("valid_from_")]
+    to_col = next(c for c in hist.columns if c.startswith("valid_to_"))
     others = [c for c in hist.columns
-              if c not in (pk_col, "valid_from_seq")]
+              if c not in (pk_col, *from_cols)]
     import pyspark.sql.functions as F  # noqa: N812
 
     pick = F.max_by(
         F.struct(*[F.col(c) for c in others]),
-        F.col("valid_to_seq").isNotNull().cast("int"))
-    return (hist.groupBy(pk_col, "valid_from_seq")
+        F.col(to_col).isNotNull().cast("int"))
+    return (hist.groupBy(pk_col, *from_cols)
                 .agg(pick.alias("_r"))
-                .select(pk_col, "valid_from_seq",
+                .select(pk_col, *from_cols,
                         *[F.col("_r")[c].alias(c) for c in others]))
