@@ -1929,6 +1929,126 @@ def q_cdc_scd2_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_current")
 
 
+def q_cdc_scd2_lsn_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 streaming history on the TWO-COLUMN ``(commit_lsn,
+    commit_idx)`` lexicographic cursor — the int64-overflow-proof mode
+    the plan surface (``sink_type: scd2_history``) uses.  The version
+    log carries commit_lsn values at 2^50: packing the pair into one
+    scalar (``lsn*2^20 + idx``, the replica ADVICE finding) would wrap
+    int64 at 2^43, so this query is only computable with the unpacked
+    cursor.  Per PK the cursors are (2^50, 0), (2^50, 1), (2^50+1, 0)
+    — the in-transaction commit_idx tie-break orders events the LSN
+    alone cannot.  Four query incarnations from a shared checkpoint:
+    inserts, updates/deletes, a full REPLAY of the second batch (every
+    row at or below the high-water cursor tuple must drop), and a
+    terminal ``__flush__`` snapshotting open intervals.  Collapsed,
+    the history must hash-equal the batch lead-over-(lsn, idx) oracle.
+
+    Plan shape: identical to cdc_scd2_stream — one PK-hash shuffle per
+    micro-batch into applyInPandasWithState with O(1) state per live
+    PK; results persist under ``.cache/`` keyed by the orders
+    fingerprint and the state-schema version."""
+    import json as _json
+    import os
+
+    from sequin_spark.queries_datapipe import _index_cache_path
+    from sequin_spark.streaming.stateful import (
+        SCD2_FLUSH_ACTION,
+        scd2_collapse,
+        scd2_history_stream,
+    )
+
+    _prep(spark)
+    cache = _index_cache_path(sf_dir, "cdc_scd2_lsn", "v1",
+                              src_table="orders")
+    out_dir = os.path.join(cache, "history")
+    meta = os.path.join(cache, "meta.json")
+    if not os.path.exists(meta):
+        import shutil
+
+        shutil.rmtree(cache, ignore_errors=True)
+        src = os.path.join(cache, "in")
+        ckpt = os.path.join(cache, "ckpt")
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice")
+        k = F.col("o_orderkey").cast("long")
+        v = F.col("v").cast("long")
+        log = o.select(
+            "o_orderkey", "o_totalprice",
+            F.explode(F.sequence(F.lit(0).cast("long"), k % 3)).alias("v"),
+        ).select(
+            F.col("o_orderkey"),
+            F.when(v == 0, "insert")
+            .when((k + v) % 7 == 0, "delete")
+            .otherwise("update").alias("action"),
+            (F.round(F.col("o_totalprice") * 100).cast("long")
+             + 17 * v).alias("price_x100"),
+            (F.lit(1 << 50).cast("long")
+             + (v / 2).cast("long")).alias("commit_lsn"),
+            (v % 2).alias("commit_idx"),
+            F.col("v"))
+        cols = ["o_orderkey", "action", "price_x100",
+                "commit_lsn", "commit_idx"]
+        schema = ("o_orderkey long, action string, price_x100 long, "
+                  "commit_lsn long, commit_idx long")
+        flush = log.select("o_orderkey").distinct().select(
+            "o_orderkey", F.lit(SCD2_FLUSH_ACTION).alias("action"),
+            F.lit(0).cast("long").alias("price_x100"),
+            F.lit(1 << 60).cast("long").alias("commit_lsn"),
+            F.lit(0).cast("long").alias("commit_idx"))
+        b0 = log.where(v == 0).select(*cols)
+        b1 = log.where(v >= 1).select(*cols)
+        # b1 appears TWICE: the second delivery is an at-least-once
+        # replay — every cursor tuple is at or below the stored
+        # high-water (lsn, idx) and must be dropped
+        feed = [b0, b1, b1, flush]
+        for i, b in enumerate(feed):
+            b.coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+            stream = (spark.readStream.schema(schema)
+                      .parquet(os.path.join(src, "f*")))
+            hist = scd2_history_stream(
+                stream, pk_col="o_orderkey", seq_col="commit_lsn",
+                seq2_col="commit_idx", action_col="action")
+            q = (hist.writeStream
+                 .format("parquet").option("path", out_dir)
+                 .option("checkpointLocation", ckpt)
+                 .trigger(availableNow=True).start())
+            q.awaitTermination(600)
+        with open(meta, "w") as f:
+            _json.dump({"batches": len(feed)}, f)
+    return scd2_collapse(
+        spark.read.parquet(out_dir), pk_col="o_orderkey").select(
+        "o_orderkey", "valid_from_commit_lsn", "valid_from_commit_idx",
+        "price_x100", "valid_to_commit_lsn", "valid_to_commit_idx",
+        "is_current")
+
+
+SQL_CDC_SCD2_LSN_STREAM = """
+WITH log AS (
+  SELECT o_orderkey,
+         CASE WHEN v = 0 THEN 'insert'
+              WHEN (o_orderkey + v) % 7 = 0 THEN 'delete'
+              ELSE 'update' END AS action,
+         CAST(round(o_totalprice * 100) AS BIGINT) + 17 * v AS price_x100,
+         1125899906842624 + v // 2 AS commit_lsn,
+         v % 2 AS commit_idx
+  FROM orders, unnest(generate_series(0, o_orderkey % 3)) AS t(v)
+),
+h AS (
+  SELECT *,
+         lead(commit_lsn) OVER w AS valid_to_commit_lsn,
+         lead(commit_idx) OVER w AS valid_to_commit_idx
+  FROM log
+  WINDOW w AS (PARTITION BY o_orderkey ORDER BY commit_lsn, commit_idx)
+)
+SELECT o_orderkey, commit_lsn AS valid_from_commit_lsn,
+       commit_idx AS valid_from_commit_idx, price_x100,
+       valid_to_commit_lsn, valid_to_commit_idx,
+       (valid_to_commit_lsn IS NULL) AS is_current
+FROM h WHERE action <> 'delete'
+"""
+
+
 def q_cdc_backfill_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC-over-backfill produce prioritization
     (operators/grouping.produce_order_with_cdc_priority — the port of
@@ -2100,6 +2220,7 @@ QUERIES: dict[str, callable] = {
     "cdc_scd2_history": q_cdc_scd2_history,
     "cdc_replica_apply": q_cdc_replica_apply,
     "cdc_scd2_stream": q_cdc_scd2_stream,
+    "cdc_scd2_lsn_stream": q_cdc_scd2_lsn_stream,
     "cdc_backfill_priority": q_cdc_backfill_priority,
     **DATAPIPE_QUERIES,
 }
@@ -2152,6 +2273,7 @@ ORACLES: dict[str, str] = {
     "cdc_scd2_history": SQL_CDC_SCD2_HISTORY,
     "cdc_replica_apply": SQL_CDC_REPLICA_APPLY,
     "cdc_scd2_stream": SQL_CDC_SCD2_HISTORY,
+    "cdc_scd2_lsn_stream": SQL_CDC_SCD2_LSN_STREAM,
     "cdc_backfill_priority": SQL_CDC_BACKFILL_PRIORITY,
     **DATAPIPE_ORACLES,
 }
