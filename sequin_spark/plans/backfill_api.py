@@ -214,17 +214,47 @@ class BackfillManager:
             j = self._jobs.get(backfill_id)
         return j if j is not None and j.sink_name == sink_name else None
 
-    def create(self, sink_name: str, table_ref: str | None) -> BackfillJob:
+    def validate_ref(self, table_ref: str | None,
+                     sort_column: str | None = None) -> str | None:
+        """Pre-flight check for a (table, sort_column) target without
+        creating a job — lets validate-all-then-commit callers
+        (ConfigRegistry.apply's initial_backfill) reject invalid
+        targets before any resource commits."""
+        if not table_ref:
+            return "Table reference is required"
+        try:
+            df, _ = self._resolver(table_ref)
+        except KeyError:
+            return f"Table {table_ref} not found"
+        if sort_column is not None and sort_column not in df.columns:
+            return f"Column {sort_column} not found on table {table_ref}"
+        return None
+
+    def create(self, sink_name: str, table_ref: str | None,
+               sort_column: str | None = None,
+               start_position=None) -> BackfillJob:
         """Create + start. Mirrors the controller's validations: a table
         reference is required (backfill_controller.ex:84-86) and a sink
         may have ONE non-terminal backfill per table (backfill.ex:68-71
-        unique index → "already has an active backfill")."""
+        unique index → "already has an active backfill").
+
+        ``sort_column`` + ``start_position`` select a PARTIAL backfill
+        (yaml_loader_test.exs:2582-2643): pages keyset over the given
+        column starting strictly after start_position instead of the
+        PK from the beginning; an unknown sort_column is rejected
+        before any job starts."""
         if not table_ref:
             raise ValueError("Table reference is required")
         try:
             df, pk_cols = self._resolver(table_ref)
         except KeyError:
             raise ValueError(f"Table {table_ref} not found") from None
+        cursor_cols = None
+        if sort_column is not None:
+            if sort_column not in df.columns:
+                raise ValueError(
+                    f"Column {sort_column} not found on table {table_ref}")
+            cursor_cols = [sort_column]
         with self._lock:
             for j in self._jobs.values():
                 if (
@@ -235,10 +265,15 @@ class BackfillManager:
                     raise ValueError("already has an active backfill")
             job = BackfillJob(
                 sink_name, table_ref, df, pk_cols,
+                cursor_cols=cursor_cols,
                 initial_page_size=self._page_size,
                 out_writer=self._out_writer,
                 throttle_ms=self._throttle_ms,
             )
+            if start_position is not None:
+                # keyset_page treats the cursor as exclusive: the
+                # partial backfill resumes strictly after the position
+                job._bf.cursor = [start_position]
             self._jobs[job.id] = job
         return job.start()
 

@@ -36,9 +36,16 @@ class ConfigRegistry:
     functions (yaml_loader.ex:170 upserts functions before consumers so
     name references resolve)."""
 
-    def __init__(self):
+    def __init__(self, backfills=None):
         self.consumers: dict[str, ConsumerSpec] = {}
         self.functions: dict[str, FunctionSpec] = {}
+        # optional BackfillManager: when wired, a spec's
+        # initial_backfill directive starts backfill jobs at sink
+        # CREATION time (yaml_loader.ex initial_backfill; never on
+        # update — yaml_loader_test.exs:2519).  Without a manager the
+        # directive still shape-validates but starts nothing (no
+        # snapshot source to read from).
+        self.backfills = backfills
         self._lock = threading.Lock()
 
     @staticmethod
@@ -103,6 +110,46 @@ class ConfigRegistry:
             self._merge_errors(errors, check_references(specs, fn_scope))
         return {"changes": changes, "errors": errors}
 
+    @staticmethod
+    def _backfill_plans(spec: ConsumerSpec) -> tuple[list, list[str]]:
+        """Expand a spec's initial_backfill directive into
+        (table_ref, sort_column, start_position) triples.  ``true``
+        targets the sink's single source table; the list form is
+        explicit per-table (shape already checked by spec.validate)."""
+        ib = spec.initial_backfill
+        if not ib:
+            return [], []
+        if ib is True:
+            tabs = (spec.source.include_tables
+                    if spec.source is not None else None)
+            if not tabs or len(tabs) != 1:
+                return [], [
+                    "initial_backfill: true requires a source with "
+                    "exactly one include_tables entry"]
+            return [(tabs[0], None, None)], []
+        return [(e["table"], e.get("sort_column"), e.get("start_position"))
+                for e in ib if isinstance(e, dict) and e.get("table")], []
+
+    def _initial_backfill_errors(self, spec: ConsumerSpec) -> list[str]:
+        """Pre-commit validation of the directive's targets against the
+        wired BackfillManager (invalid table / sort column fail the
+        apply atomically — yaml_loader_test.exs:2564,2582)."""
+        plans, errs = self._backfill_plans(spec)
+        if self.backfills is not None:
+            for table, sort_col, _ in plans:
+                err = self.backfills.validate_ref(table, sort_col)
+                if err:
+                    errs.append(err)
+        return errs
+
+    def _start_initial_backfills(self, spec: ConsumerSpec) -> None:
+        if self.backfills is None:
+            return
+        for table, sort_col, start in self._backfill_plans(spec)[0]:
+            self.backfills.create(spec.name, table,
+                                  sort_column=sort_col,
+                                  start_position=start)
+
     def apply(self, specs: list[ConsumerSpec],
               functions: list[FunctionSpec] | None = None) -> dict:
         """Validate-all-then-commit (apply_from_yml: nothing is created
@@ -110,6 +157,16 @@ class ConfigRegistry:
         stored functions untouched (programmatic consumer-only apply);
         a list replaces them wholesale like consumers."""
         errors = {s.name: s.validate() for s in specs if s.validate()}
+        with self._lock:
+            existing = set(self.consumers)
+        # initial_backfill acts only at creation; validate its targets
+        # only for sinks this apply would CREATE
+        to_backfill = [s for s in specs
+                       if s.name not in existing and s.initial_backfill]
+        for s in to_backfill:
+            errs = self._initial_backfill_errors(s)
+            if errs:
+                errors.setdefault(s.name, []).extend(errs)
         if functions is not None:
             for f in functions:
                 errs = f.validate()
@@ -130,6 +187,10 @@ class ConfigRegistry:
             ] + [
                 {"resource": "sink_consumer", **to_external(s)} for s in specs
             ]
+        # after commit: start the validated creation-time backfills
+        # (job startup reads the snapshot source — keep it off the lock)
+        for s in to_backfill:
+            self._start_initial_backfills(s)
         return {"resources": resources}
 
     def resolved_consumer(self, name: str) -> ConsumerSpec | None:
@@ -152,10 +213,14 @@ class ConfigRegistry:
 
     def create_consumer(self, body: dict) -> ConsumerSpec:
         spec = self._parse(body)
+        errs = self._initial_backfill_errors(spec)
+        if errs:
+            raise ValueError("; ".join(errs))
         with self._lock:
             if spec.name in self.consumers:
                 raise ValueError(f"sink consumer {spec.name!r} already exists")
             self.consumers[spec.name] = spec
+        self._start_initial_backfills(spec)
         return spec
 
     def update_consumer(self, id_or_name: str, body: dict) -> ConsumerSpec:
@@ -264,6 +329,12 @@ class ConfigApiServer:
             pull = PullRouter(pull)
         self.pull = pull
         self.backfills = backfills
+        if backfills is not None and self.registry.backfills is None:
+            # one manager serves both surfaces: the REST backfill
+            # routes AND the registry's initial_backfill creation
+            # directive (a YAML apply through this server starts its
+            # declared backfills, yaml_loader.ex initial_backfill)
+            self.registry.backfills = backfills
         self.databases = databases
         self.endpoints = endpoints
         self.api_keys = api_keys

@@ -229,6 +229,16 @@ class ConsumerSpec:
     # argument above).
     async_progress: bool = False
     async_ckpt_interval_ms: int = 1000
+    # creation-time backfill directive (yaml_loader.ex initial_backfill:
+    # true → backfill the sink's single source table; a list of
+    # {table, [sort_column, start_position]} entries → one backfill
+    # each, partial when the sort pair is given).  NOT a consumer
+    # attribute: it acts only when the sink is CREATED (never on
+    # update — yaml_loader_test.exs:2519), is excluded from equality
+    # so re-applying the same YAML plans "unchanged", and is not
+    # exported (backfills are their own resource, transforms.ex:513).
+    initial_backfill: bool | list | None = field(default=None,
+                                                 compare=False)
 
     def routing_schema(self) -> str:
         """Sinks without a reference routing schema route like the
@@ -289,6 +299,42 @@ class ConsumerSpec:
                 errs.append(str(e))
         if self.timestamp_format not in ("iso8601", "unix_microsecond"):
             errs.append(f"unknown timestamp_format {self.timestamp_format!r}")
+        if not self.message_grouping and self.group_cols:
+            # yaml_loader_test.exs:1169 — grouping columns on an
+            # ungrouped sink are a contradiction, not a no-op
+            errs.append(
+                "Cannot specify group_column_names when "
+                "message_grouping is false")
+        errs.extend(self._validate_initial_backfill())
+        return errs
+
+    def _validate_initial_backfill(self) -> list[str]:
+        """Shape checks for the creation-time backfill directive
+        (yaml_loader_test.exs:2603-2643): list entries need a table;
+        a partial backfill needs BOTH sort_column and start_position."""
+        ib = self.initial_backfill
+        if ib is None or isinstance(ib, bool):
+            return []
+        if not isinstance(ib, list):
+            return [f"initial_backfill must be true, false or a list "
+                    f"of tables, got {type(ib).__name__}"]
+        errs = []
+        for i, entry in enumerate(ib):
+            if not isinstance(entry, dict) or not entry.get("table"):
+                errs.append(
+                    f"initial_backfill[{i}]: each entry requires a "
+                    f"`table` field")
+                continue
+            has_sort = bool(entry.get("sort_column"))
+            has_start = "start_position" in entry
+            if has_start and not has_sort:
+                errs.append(
+                    f"initial_backfill[{i}]: partial backfill requires "
+                    f"sort_column")
+            if has_sort and not has_start:
+                errs.append(
+                    f"initial_backfill[{i}]: partial backfill requires "
+                    f"start_position")
         return errs
 
 
