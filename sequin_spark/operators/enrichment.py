@@ -34,8 +34,23 @@ def enrich(
 
     ``on`` maps event-side expressions (usually record PK entries, e.g.
     ``record['o_custkey']``) to dim column names.
-    """
+
+    A dim key matching MORE than one row is a hard error, not a silent
+    fan-out (consumers.ex enrich_messages!: "Expected enrichment query
+    to return at most one row per message", consumers_test.exs:1081) —
+    a left join would otherwise DUPLICATE the message, corrupting
+    exactly-once delivery counts downstream.  The guard is a per-key
+    count window on the DIM side (bounded, pre-broadcast — one small
+    exchange of dim-sized rows, nothing on the event stream) feeding a
+    conditional ``raise_error`` that fires only when a duplicate key
+    actually joins a message; zero matches stay a null-field struct
+    (consumers_test.exs:1041)."""
+    from pyspark.sql import Window
+
     d = dim.select([F.col(c).alias(f"__enr_{c}") for c in dim.columns])
+    key_cols = [f"__enr_{c}" for c in on.values()]
+    d = d.withColumn(
+        "__enr_cnt", F.count(F.lit(1)).over(Window.partitionBy(*key_cols)))
     if broadcast_dim:
         d = broadcast(d)
     cond = None
@@ -45,8 +60,17 @@ def enrich(
         cond = c if cond is None else (cond & c)
     joined = events.join(d, cond, "left")
     enr_cols = [F.col(f"__enr_{c}").alias(c) for c in dim.columns]
-    joined = joined.withColumn("enrichment", F.struct(*enr_cols))
-    return joined.drop(*[f"__enr_{c}" for c in dim.columns])
+    joined = joined.withColumn(
+        "enrichment",
+        F.when(
+            F.col("__enr_cnt") > 1,
+            F.raise_error(F.concat(
+                F.lit("enrichment query returned "),
+                F.col("__enr_cnt").cast("string"),
+                F.lit(" rows for one message (expected at most 1)"))),
+        ).otherwise(F.struct(*enr_cols)))
+    return joined.drop("__enr_cnt",
+                       *[f"__enr_{c}" for c in dim.columns])
 
 
 def enrich_with_query(

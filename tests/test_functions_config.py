@@ -277,6 +277,36 @@ def test_enrichment_sql_requires_any_clause(spark, sf_dir, tmp_path):
         enrich_from_spec(spark, ev, "SELECT 1 AS c_custkey")
 
 
+def test_enrichment_zero_rows_ok_multi_rows_fail(spark, sf_dir):
+    """consumers_test.exs:1041,1081 (enrich_messages!): an enrichment
+    query matching ZERO rows for a message succeeds (null-field
+    enrichment struct); matching MORE than one row is a hard error —
+    a silent left-join fan-out would duplicate the message and corrupt
+    exactly-once delivery counts."""
+    from sequin_spark.cdc import eventize_customer
+    from sequin_spark.operators.enrichment import enrich_from_spec
+
+    ev = eventize_customer(spark, sf_dir).limit(5)
+    spark.sql("SELECT 999999999 AS c_custkey, 'x' AS note"
+              ).createOrReplaceTempView("enr_nomatch")
+    out = enrich_from_spec(
+        spark, ev,
+        "SELECT c_custkey, note FROM enr_nomatch WHERE c_custkey = ANY($1)")
+    rows = out.select("enrichment").collect()
+    assert len(rows) == 5 and all(r["enrichment"]["note"] is None
+                                  for r in rows)
+    # every PK now matches TWO enrichment rows → must raise, not fan out
+    ks = [r["record"]["c_custkey"] for r in ev.select("record").collect()]
+    spark.createDataFrame(
+        [(int(k), tag) for k in ks for tag in ("a", "b")],
+        "c_custkey long, note string").createOrReplaceTempView("enr_dup")
+    dup = enrich_from_spec(
+        spark, ev,
+        "SELECT c_custkey, note FROM enr_dup WHERE c_custkey = ANY($1)")
+    with pytest.raises(Exception, match="rows for one message"):
+        dup.collect()
+
+
 # -- routing functions ------------------------------------------------------
 
 ROUTING_YAML = """
