@@ -63,7 +63,8 @@ SF3_EXCLUDE: dict[str, str] = {
 SF_DIR4 = os.environ.get("SNAPSHOT_SF_DIR4",
                          os.path.join(HERE, ".localdata", "sf1"))
 SF4_TAG = "sf1"
-SF4_NAMES = ("cdc_scd2_stream", "cdc_replica_apply")
+SF4_NAMES = ("cdc_scd2_stream", "cdc_replica_apply",
+             "cdc_scd2_lsn_stream")
 
 
 def current_round() -> int:
