@@ -1456,7 +1456,11 @@ def _lzw_decode_gif(data: bytes, min_code_size: int) -> bytes:
         acc >>= width
         bit_n -= width
         if code == clear:
-            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            # O(1) reset: entries >= nxt are unreadable (the `code < nxt`
+            # guard below) and get overwritten in place before nxt passes
+            # them again, so the 258-entry table rebuild is unnecessary —
+            # it made the clear-per-pixel "uncompressed LZW" worst case
+            # ~50x slower than the dictionary-growth common case.
             width = min_code_size + 1
             nxt = eoi + 1
             prev = None
