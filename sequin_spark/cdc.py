@@ -70,13 +70,25 @@ def eventize(
     group_cols: list[str] | None = None,
     lsn_base: int = LSN_BASE,
     txn_size: int = TXN_SIZE,
+    spread: bool = False,
 ) -> DataFrame:
     """Turn a relational DataFrame into canonical CDC events (batch or stream).
 
     ``group_cols`` overrides the grouping columns (the reference's
     ``source_tables[].group_column_attnums``, consumers.ex:730-791);
     default grouping is by PK.
+
+    ``spread`` round-robins the input across the cluster's parallelism
+    BEFORE the record-map projection — for consumers whose downstream
+    is expression-dense with no shuffle of its own (value casting,
+    column filters, changes/TOAST diffs), a single-split scan otherwise
+    serializes the whole pipeline on one task.  No-op when the scan
+    already yields >= cores partitions (the cluster-scale case).
     """
+    if spread:
+        from sequin_spark.datapipe.dedup import spread_for_compute
+
+        df = spread_for_compute(df)
     k = F.expr(order_expr).cast("long")
     action = action_expr(k)
     record_entries: list[F.Column] = []
@@ -157,7 +169,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def eventize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+def eventize_orders(spark: SparkSession, sf_dir: str, spread: bool = False) -> DataFrame:
     return eventize(
         load_table(spark, sf_dir, "orders"),
         "orders",
@@ -165,6 +177,7 @@ def eventize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_expr="o_orderkey",
         ts_col="o_orderdate",
         changed_col="o_orderstatus",
+        spread=spread,
     )
 
 
@@ -180,7 +193,8 @@ def eventize_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def eventize_events(spark: SparkSession, sf_dir: str, group_cols: list[str] | None = None) -> DataFrame:
+def eventize_events(spark: SparkSession, sf_dir: str, group_cols: list[str] | None = None,
+                    spread: bool = False) -> DataFrame:
     """The `events` stream table shaped as CDC events (FIXTURES.md §6)."""
     return eventize(
         load_table(spark, sf_dir, "events"),
@@ -190,6 +204,7 @@ def eventize_events(spark: SparkSession, sf_dir: str, group_cols: list[str] | No
         ts_col="ts",
         changed_col="event_type",
         group_cols=group_cols,
+        spread=spread,
     )
 
 

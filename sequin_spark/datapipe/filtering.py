@@ -156,7 +156,14 @@ def repetition_metrics(
     the token array — no shuffle); the top-word share is one
     (id, word)-keyed count with map-side partial aggregation.
     """
-    words = df.select(
+    from sequin_spark.datapipe.dedup import spread_for_compute
+
+    # the shingle/array_distinct kernels below are CPU-dense per-row
+    # work; spread so a single-split scan doesn't serialize them
+    # (no-op at cluster scale)
+    words = spread_for_compute(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col), F.split(normalized(text_col), " ").alias("w")
     ).withColumn("w", F.filter("w", lambda x: x != F.lit("")))
 

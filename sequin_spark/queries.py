@@ -176,7 +176,9 @@ WHERE value > 100.0 AND event_type IN ('click', 'view')
 def q_column_filter_ci_jsonb(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ci-string equality + jsonb_path < (consumers.ex:1294-1310)."""
     _prep(spark)
-    ev = eventize_events(spark, sf_dir)
+    # json-path extraction over the record map is expression-dense and
+    # shuffle-free — spread so a single-split scan doesn't serialize it
+    ev = eventize_events(spark, sf_dir, spread=True)
     ev = apply_column_filters(
         ev,
         [
@@ -202,7 +204,9 @@ def q_changes_diff_toast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """changes diff (consumers.ex:661-676) + TOAST fill
     (message_handler.ex:309-361) via map higher-order functions."""
     _prep(spark)
-    ev = eventize_orders(spark, sf_dir).filter(F.col("action") == "update")
+    # the map_concat/map_filter diff chain is expression-dense and
+    # shuffle-free — spread so a single-split scan doesn't serialize it
+    ev = eventize_orders(spark, sf_dir, spread=True).filter(F.col("action") == "update")
     # pre-image: same row but with the old status; new row carries an
     # unchanged-TOAST marker for o_orderpriority
     ev = ev.withColumn(
@@ -919,7 +923,12 @@ def q_value_caster(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequin_spark.types import cast_array, cast_interval, cast_value, cast_vector
 
     _prep(spark)
-    ev = eventize_events(spark, sf_dir)
+    # the cast chain below is the registry's densest shuffle-free
+    # expression pipeline (measured: 3.9 s on ONE task at sf0.1 —
+    # every table is a single parquet split, so without an explicit
+    # spread the whole query is serial); spread=True round-robins the
+    # base rows before the record-map build, no-op at cluster scale
+    ev = eventize_events(spark, sf_dir, spread=True)
     rec = F.col("record")
     interval_text = F.concat(
         rec.getItem("user_id"), F.lit(" days 0"),

@@ -40,6 +40,18 @@ def _prep(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
+def _spread_python_kernel(df: DataFrame, cap: int = 8) -> DataFrame:
+    """spread_for_compute capped at ``cap`` partitions — for mapInPandas
+    kernels whose serial cost is a few seconds at bench scale: each
+    python stage costs ~2 worker processes PER TASK, and measured A/B
+    (gif+progressive synth decode, widths 8/16/32 warm) shows full
+    cluster width loses to width 8 once the kernel is cheaper than the
+    per-task worker overhead.  No-op whenever the scan already yields
+    more partitions (the cluster-scale case keeps its natural width)."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return spread_for_compute(df, min_parts=min(cores, cap))
+
+
 def _index_cache_path(sf_dir: str, kind: str, version: str,
                       src_table: str = "embeddings") -> str:
     """Per-corpus maintained-index cache dir, keyed by sf dir + scheme
@@ -5830,7 +5842,7 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     # spread the CPU-dense encode+decode kernels across cores (the
     # palette-decode helper's rationale; no-op at cluster scale)
-    docs = spread_for_compute(
+    docs = _spread_python_kernel(
         load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
@@ -5890,7 +5902,7 @@ def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     # spread the CPU-dense encode+decode kernels across cores (the
     # palette-decode helper's rationale; no-op at cluster scale)
-    docs = spread_for_compute(
+    docs = _spread_python_kernel(
         load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
@@ -6039,7 +6051,7 @@ def q_multimodal_jpeg_progressive(spark: SparkSession,
     _prep(spark)
     # spread the CPU-dense encode+decode kernels across cores (the
     # palette-decode helper's rationale; no-op at cluster scale)
-    docs = spread_for_compute(
+    docs = _spread_python_kernel(
         load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
@@ -6245,7 +6257,7 @@ def _q_multimodal_palette_decode(spark: SparkSession, sf_dir: str,
     # splits by bytes, wrong for CPU-dense kernels).  One round-robin
     # shuffle of the 8-byte doc_id rows buys full-width parallelism;
     # no-op on a real cluster where the scan yields ≥ cores splits.
-    docs = spread_for_compute(
+    docs = _spread_python_kernel(
         load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
