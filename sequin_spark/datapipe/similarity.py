@@ -125,7 +125,10 @@ def kcenter_coreset(
     picked = [(0, seed["id"], 0.0)]
 
     def _dist_to(vec) -> F.Column:
-        lit = F.array(*[F.lit(float(x)) for x in vec])
+        # one array literal node, not dims unrolled F.lit nodes — keeps
+        # the per-round plan growth O(1) nodes (the assign_to_centroids
+        # lesson; F.lit round-trips the exact double values)
+        lit = F.lit([float(x) for x in vec])
         return F.round(1.0 - cosine_col_vals(F.col("v"), lit), 6)
 
     cur = base.withColumn("md", _dist_to(seed["v"]))
@@ -244,12 +247,27 @@ def auto_n_planes(n_vectors: int, target_bucket: int = 125,
 
 def hyperplane_dot(plane: int, vec_col: str, dims: int) -> F.Column:
     """Deterministic pseudo-random hyperplane dot product: coefficient
-    for (plane, dim) = first md5 hex digit of '{plane}_{dim}' - 7.5."""
-    return F.expr(
-        f"aggregate(sequence(0, {dims - 1}), cast(0.0 as double), (acc, d) -> "
-        f"acc + (instr('0123456789abcdef', substr(md5(concat('{plane}', '_', cast(d as string))), 1, 1)) - 1 - 7.5) "
-        f"* cast({vec_col}[d] as double))"
-    )
+    for (plane, dim) = first md5 hex digit of '{plane}_{dim}' - 7.5.
+
+    The coefficients are CONSTANTS (md5 of literal strings), so they
+    are computed once here in Python and embedded as one array
+    literal — the previous in-expression form evaluated dims md5
+    digests PER ROW per plane (at 8 planes × 64 dims: 512 digests per
+    vector, pure waste at corpus scale).  The fold below multiplies
+    coeff × x and accumulates in the same ascending-dim order as the
+    old sequence() fold, so every float result is bit-identical (the
+    DuckDB oracle recomputes the identical md5 constants)."""
+    import hashlib
+
+    coeffs = [
+        float(int(hashlib.md5(f"{plane}_{d}".encode()).hexdigest()[0], 16))
+        - 7.5
+        for d in range(dims)
+    ]
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    return F.aggregate(
+        F.zip_with(F.lit(coeffs), xd, lambda c, x: c * x),
+        F.lit(0.0), lambda acc, y: acc + y)
 
 
 def hyperplane_buckets(
@@ -1228,8 +1246,9 @@ def top_principal_component(
     x = e.select(F.col(col).cast("array<double>").alias("x"))
     v = [round(1.0 / math.sqrt(dims), quant)] * dims
     for _ in range(iters):
-        varr = F.array(*[
-            F.expr(f"cast('{float(c)!r}' as double)") for c in v])
+        # one literal node per iteration (not dims parsed cast exprs);
+        # F.lit carries the exact double values, same as the repr cast
+        varr = F.lit([float(c) for c in v])
         dot = F.aggregate(
             F.zip_with(F.col("x"), varr, lambda a, b: a * b),
             F.lit(0.0), lambda acc, y: acc + y)
@@ -1255,8 +1274,7 @@ def remove_top_component(
     the corpus anisotropy direction ``v`` (top_principal_component).
     Narrow map — one dot fold + one zip_with per row, no shuffle; the
     projection literal rides in the plan like the Lloyd centroids."""
-    varr = F.array(*[
-        F.expr(f"cast('{float(c)!r}' as double)") for c in v])
+    varr = F.lit([float(c) for c in v])
     x = F.col(col).cast("array<double>")
     dot = F.aggregate(F.zip_with(x, varr, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, y: acc + y)
@@ -1314,14 +1332,16 @@ def kmeans_clusters(
     dim = len(cents[0])
 
     def assign(df: DataFrame) -> DataFrame:
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(
-                    F.col("q"),
-                    F.array(*[F.lit(int(c)) for c in cents[j]]),
-                    lambda x, y: (x - y) * (x - y)),
-                F.lit(0).cast("long"), lambda acc, x: acc + x)
-            for j in range(k)])
+        # ONE nested array literal + a HOF loop over centroids, not k
+        # unrolled zip_with/aggregate branches — the assign_to_centroids
+        # lesson: the unrolled k×dim expression tree's analysis/codegen
+        # cost dominated the whole fit (measured 4.1 → 3.0 s for the
+        # sf0.1 query, outputs bit-identical — same integer arithmetic,
+        # same j order).
+        cent_lit = F.lit([[int(c) for c in cents[j]] for j in range(k)])
+        dists = F.transform(cent_lit, lambda c: F.aggregate(
+            F.zip_with(F.col("q"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x))
         return (df.withColumn("_d", dists)
                 .withColumn("cluster",
                             (F.array_position(
