@@ -377,11 +377,14 @@ def connected_components(
     ).dropDuplicates().cache()
 
     # label(id) starts at min(id, min neighbor)
+    # lazy checkpoints: plan truncation is immediate either way; the
+    # materialization rides the convergence-sum collect each round (one
+    # driver job per round instead of two, identical label trajectory)
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("nbr_min"))
         .select(F.col("src").alias("id"), F.least("src", "nbr_min").alias("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     # labels only ever DECREASE (min-propagation is monotone), so an
     # unchanged label sum ⇒ fixed point — convergence costs one tiny
@@ -394,7 +397,7 @@ def connected_components(
         )
         labels = (
             labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         new_sum = labels.agg(F.sum("label")).collect()[0][0]
         if new_sum == prev_sum:
             break

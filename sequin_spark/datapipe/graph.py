@@ -126,7 +126,14 @@ def hits_int(
     contract as the power-iteration fit)."""
     e = edges.select("src", "dst", "w").persist()
     nodes = nodes.persist()
-    hubs = nodes.select("node", F.lit(scale).cast("long").alias("h")).localCheckpoint()
+    # lazy (eager=False) checkpoints throughout: the Catalyst plan is
+    # truncated to a LogicalRDD immediately either way, but the
+    # materialization folds into the round's ALREADY-REQUIRED bounded
+    # collect (the per-round max) instead of paying a separate job per
+    # checkpoint — half the driver job round-trips per iteration, byte-
+    # identical trajectory (guide §1.2: remove work, don't re-tune it)
+    hubs = nodes.select("node", F.lit(scale).cast("long").alias("h")) \
+        .localCheckpoint(eager=False)
     auth = None
     for _ in range(iters):
         a_raw = (
@@ -142,7 +149,7 @@ def hits_int(
         # the join+agg twice per half-iteration)
         a_ckpt = nodes.join(a_raw, "node", "left").select(
             "node", F.coalesce("s", F.lit(0).cast("long")).alias("a_raw")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         a_max = a_ckpt.agg(F.max("a_raw")).collect()[0][0] or 1  # one long
         a_div = max((a_max + scale - 1) // scale, 1)
         auth = a_ckpt.select(
@@ -155,7 +162,7 @@ def hits_int(
         )
         h_ckpt = nodes.join(h_raw, "node", "left").select(
             "node", F.coalesce("s", F.lit(0).cast("long")).alias("h_raw")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         h_max = h_ckpt.agg(F.max("h_raw")).collect()[0][0] or 1
         h_div = max((h_max + scale - 1) // scale, 1)
         hubs = h_ckpt.select(

@@ -1,0 +1,44 @@
+"""Dump `.explain('formatted')` for registry queries to plans/r13/.
+
+Usage: python tools/dump_plan.py <suffix> [sf_dir] query [query...]
+Writes plans/r13/<query>_<suffix>.txt for each query.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    rest = sys.argv[2:]
+    if rest and os.path.isdir(rest[0]):
+        sf_dir, names = rest[0], rest[1:]
+    else:
+        sf_dir, names = "/root/testdata/sf0.1", rest
+
+    from sequin_spark.queries import QUERIES
+    from sequin_spark.session import get_spark
+
+    spark = get_spark("dump_plan")
+    spark.sparkContext.setLogLevel("ERROR")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "plans", "r13")
+    for name in names:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as f:
+            f.write(buf.getvalue())
+        print(f"wrote {path}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
