@@ -478,18 +478,53 @@ def spread_for_compute(df: DataFrame, min_parts: int | None = None
     small inputs keep exactly cluster width."""
     spark = df.sparkSession
     cores = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:  # noqa: BLE001 — stats unavailable: width only
+        size = 0
     if min_parts is None:
-        try:
-            size = int(df._jdf.queryExecution().optimizedPlan()
-                       .stats().sizeInBytes())
-        except Exception:  # noqa: BLE001 — stats unavailable: width only
-            size = 0
         target = max(cores, min(cores * 8, size // (2 << 20) + 1))
     else:
         target = min_parts
-    if df.rdd.getNumPartitions() < target:
+    # Two-tier width check (r13 optimization round).  The old gate read
+    # df.rdd.getNumPartitions() unconditionally; the PySpark .rdd
+    # property additionally builds the javaToPython pickle-conversion
+    # pipeline, measured 0.2-2.5 s of driver time per FRESH frame — a
+    # systematic tax on every spread consumer at query-build.
+    # Tier 1: plan-stat bytes (~30 ms).  A scan yields about one split
+    # per maxPartitionBytes, so bytes >= target*maxPartitionBytes means
+    # the scan is already cluster-wide (the 100 TB case) — skip without
+    # even physical planning.  Overestimated stats only take the skip
+    # branch into tier 2, never add an exchange.
+    # Tier 2 (small/unknown inputs only): the EXACT partition count via
+    # the JVM-side toRdd() (60-140 ms — physical planning without the
+    # Python conversion pipeline), preserving the guarantee that an
+    # already-wide input (e.g. explicitly repartitioned upstream) never
+    # pays a second exchange.
+    est_scan_parts = size // _max_partition_bytes(spark) + 1
+    if size and est_scan_parts >= target:
+        return df
+    if df._jdf.queryExecution().toRdd().getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def _max_partition_bytes(spark) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes",
+                             "134217728")).strip().lower()
+    mult = 1
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                   ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                   ("b", 1)):
+        if raw.endswith(suf):
+            raw = raw[: -len(suf)]
+            mult = m
+            break
+    try:
+        return max(int(raw) * mult, 1)
+    except ValueError:
+        return 128 << 20
 
 
 

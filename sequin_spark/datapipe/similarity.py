@@ -131,12 +131,22 @@ def kcenter_coreset(
         lit = F.lit([float(x) for x in vec])
         return F.round(1.0 - cosine_col_vals(F.col("v"), lit), 6)
 
-    cur = base.withColumn("md", _dist_to(seed["v"]))
+    # Checkpoint the running min-distance column each round (lazily —
+    # the round's argmax collect materializes it): without truncation
+    # round r's plan nests r `least(md, dist)` chains, so every round
+    # re-evaluates ALL prior centers' distances and compiles a fresh,
+    # growing codegen unit.  Truncated, each round is the same O(1)
+    # plan shape over (id, v, md) — one new distance per round, the
+    # exact greedy recurrence — and the argmax trajectory is unchanged
+    # because round(·,6) and least() are computed on identical values.
+    cur = base.withColumn("md", _dist_to(seed["v"])) \
+        .localCheckpoint(eager=False)
     for r in range(1, k):
         far = (cur.orderBy(F.col("md").desc(), F.col("id").asc())
                .limit(1).collect()[0])
         picked.append((r, far["id"], float(far["md"])))
-        cur = cur.withColumn("md", F.least(F.col("md"), _dist_to(far["v"])))
+        cur = cur.withColumn("md", F.least(F.col("md"), _dist_to(far["v"]))) \
+            .localCheckpoint(eager=False)
     base.unpersist()
     spark = emb.sparkSession
     # result id field takes the INPUT id column's type (string / int /
