@@ -172,11 +172,15 @@ def dsir_importance(
         target_pred.alias("is_target"),
         F.explode(_tokens(text_col)).alias("token"),
     ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
+    # the B-row bucket table is read twice (totals + rates) and each
+    # un-materialized read re-runs the full tokenize/explode/hash pass —
+    # lazily localCheckpoint the <=n_buckets rows so the token stream is
+    # scanned once for training (r13 optimization round)
     counts = toks.groupBy("bucket").agg(
         F.count(F.lit(1)).cast("double").alias("n_all"),
         F.sum(F.when(F.col("is_target"), 1).otherwise(0))
         .cast("double").alias("n_target"),
-    )
+    ).localCheckpoint(eager=False)
     totals = counts.agg(
         F.sum("n_all").alias("t_all"), F.sum("n_target").alias("t_target"))
     # equi-join on a data-derived zero key (literal keys constant-fold
@@ -238,12 +242,15 @@ def nb_quality_classifier(
         positive_pred.alias("is_hq"),
         F.explode(_tokens(text_col)).alias("token"),
     ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
+    # same two-reads-of-a-tiny-rollup shape as dsir_importance: the
+    # <=n_buckets count table feeds totals AND rates — checkpoint it so
+    # the token stream is hashed once for training (r13 optimization)
     counts = toks.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_hq"), 1).otherwise(0))
         .cast("double").alias("n_pos"),
         F.sum(F.when(F.col("is_hq"), 0).otherwise(1))
         .cast("double").alias("n_neg"),
-    )
+    ).localCheckpoint(eager=False)
     doc_counts = df.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum(positive_pred.cast("int")).cast("double").alias("n_hq"),

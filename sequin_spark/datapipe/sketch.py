@@ -237,11 +237,34 @@ def hll_union_intersection(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFr
     (callers wanting guarded overlap estimates use kmv_jaccard, whose
     intersection estimate is nonnegative by construction); we clamp at
     0 like every production HLL library.  The merge itself is the same
-    register-max the streaming twin exercises across micro-batches."""
-    ra = hll_registers(df_a, col)
-    rb = hll_registers(df_b, col)
-    merged = (ra.unionByName(rb)
-              .groupBy("register")
+    register-max the streaming twin exercises across micro-batches.
+
+    Plan shape (r13 optimization round): BOTH sides' register tables
+    come from ONE side-tagged aggregation pass — the old shape
+    evaluated hll_registers(df_a) and hll_registers(df_b) twice each
+    (once for its estimate, once inside the union merge), i.e. four
+    full hash passes over the inputs.  The ≤2·m-row keyed register
+    table is lazily localCheckpointed, so the three estimates and the
+    merge all read the same materialized 512 rows; register values are
+    bit-identical to the per-side builder's."""
+    tagged = (
+        df_a.select(h60(F.col(col)).alias("_h"), F.lit(0).alias("_side"))
+        .unionByName(
+            df_b.select(h60(F.col(col)).alias("_h"),
+                        F.lit(1).alias("_side"))))
+    base = tagged.select(
+        "_side",
+        (F.col("_h") % HLL_M).cast("int").alias("register"),
+        F.expr(f"_h div {HLL_M}").alias("_w"))
+    rho = F.when(F.col("_w") == 0, F.lit(53)).otherwise(
+        F.lit(53) - F.length(F.expr("bin(_w)")))
+    regs = (base.select("_side", "register", rho.cast("int").alias("rho"))
+            .groupBy("_side", "register")
+            .agg(F.max("rho").alias("max_rho"))
+            .localCheckpoint(eager=False))
+    ra = regs.filter(F.col("_side") == 0).select("register", "max_rho")
+    rb = regs.filter(F.col("_side") == 1).select("register", "max_rho")
+    merged = (regs.groupBy("register")
               .agg(F.max("max_rho").alias("max_rho")))
     ea = hll_estimate(ra).select(F.col("est_distinct").alias("est_a"))
     eb = hll_estimate(rb).select(F.col("est_distinct").alias("est_b"))
@@ -387,18 +410,23 @@ def bloom_build(df: DataFrame, col: str) -> DataFrame:
 
 def bloom_probe(bits: DataFrame, probes: DataFrame, col: str) -> DataFrame:
     """Probe verdict per candidate: maybe_present ⇔ ALL d positions
-    set.  Join shape: explode probes to (value, pos), broadcast-join
-    the bit table, count hits per value — the corpus never rejoins."""
+    set.  Join shape: explode probes to (value, pos), broadcast
+    LEFT-join the (deduped) bit table and count matched positions per
+    value in the SAME aggregation — the corpus never rejoins, and
+    unlike the old semi-join + rejoin shape the probe stream is
+    evaluated once, not twice (unmatched rows survive the left join
+    with a NULL marker, so no second probes pass is needed to recover
+    the all-miss values)."""
+    from pyspark.sql import functions as _F
     probed = (probes.select(F.col(col).alias("v")).dropDuplicates()
               .select("v", F.explode(bloom_positions(F.col("v")))
                       .alias("bit_pos")))
-    from pyspark.sql import functions as _F
-    hits = (probed.join(_F.broadcast(bits), "bit_pos", "left_semi")
-            .groupBy("v").agg(_F.count("*").alias("n_hit")))
-    return (probes.select(_F.col(col).alias("v")).dropDuplicates()
-            .join(hits, "v", "left")
-            .select("v", (_F.coalesce("n_hit", _F.lit(0))
-                          == BLOOM_DEPTH).alias("maybe_present")))
+    marked = _F.broadcast(
+        bits.dropDuplicates(["bit_pos"]).withColumn("_hit", _F.lit(1)))
+    return (probed.join(marked, "bit_pos", "left")
+            .groupBy("v")
+            .agg((_F.coalesce(_F.sum("_hit"), _F.lit(0))
+                  == BLOOM_DEPTH).alias("maybe_present")))
 
 
 def sample_quantile_sketch_per_key(

@@ -1283,23 +1283,28 @@ def q_consistency_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     ev = eventize_orders(spark, sf_dir)
     k = F.col("record").getItem("o_orderkey").cast("long")
-    delivered = (ev.filter(k % 97 != 0)
-                 .unionByName(ev.filter(k % 89 == 0)))
-    # single key-level reconciliation join + one action rollup: the
-    # per-key delivered count carries everything (NULL = missing, >1 =
-    # duplicated), so the whole audit is 1 count-shuffle + 1 key join
-    # + 1 three-row rollup — not four independent aggregate pipelines
-    # (the r7 plan audit showed the naive form costing 12 Exchanges)
-    del_counts = (delivered.groupBy("action", "idempotency_key")
-                  .agg(F.count("*").alias("c")))
-    keyed = (ev.select("action", "idempotency_key")
-             .join(del_counts, ["action", "idempotency_key"], "left"))
-    return (keyed.groupBy("action").agg(
-        F.count("*").alias("n_source"),
-        F.sum(F.coalesce("c", F.lit(0))).alias("n_delivered"),
-        F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+    # ONE source pass (r13 optimization round).  The delivered stream is
+    # "every row except each 97th key, plus each 89th key again" — a
+    # union of two filters of ev, whose per-(action, key) count equals
+    # the sum of per-ROW multiplicities c_row ∈ {0, 1, 2}.  The old
+    # shape evaluated the scan+eventize projection three times (ev +
+    # both union branches) and paid a second shuffle for the
+    # reconciliation join; folding the multiplicity into the key-level
+    # aggregate is exact row algebra for ANY input (n_delivered =
+    # Σ_keys n_ev·c, missing/duplicated = n_ev-weighted key flags — the
+    # same values the old left join produced per source row), so the
+    # whole audit is 1 scan + 1 map-side-combined key shuffle + a
+    # three-row rollup.
+    c_row = ((k % 97 != 0).cast("long") + (k % 89 == 0).cast("long"))
+    grp = (ev.select("action", "idempotency_key", c_row.alias("c_row"))
+           .groupBy("action", "idempotency_key")
+           .agg(F.count(F.lit(1)).alias("n_ev"), F.sum("c_row").alias("c")))
+    return (grp.groupBy("action").agg(
+        F.sum("n_ev").alias("n_source"),
+        F.sum(F.col("n_ev") * F.col("c")).alias("n_delivered"),
+        F.sum(F.when(F.col("c") == 0, F.col("n_ev")).otherwise(F.lit(0)))
         .alias("n_missing"),
-        F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+        F.sum(F.when(F.col("c") > 1, F.col("n_ev")).otherwise(F.lit(0)))
         .alias("n_duplicated")))
 
 

@@ -2791,10 +2791,16 @@ def q_sketch_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("member"))
-    bits = bloom_build(docs, "member")
-    probes = docs.select(F.col("member").alias("v")).unionByName(
-        docs.select((F.col("member").cast("long") + 1000000)
-                    .cast("string").alias("v")))
+    # bits is read twice (probe join + the n_set_bits rollup) and the
+    # probe stream pairs each member with its shifted absent twin —
+    # materialize the ≤m-row bit table once and derive both probe
+    # values from ONE scan via an explode instead of a two-scan union
+    # (identical value multiset; r13 optimization round)
+    bits = bloom_build(docs, "member").localCheckpoint(eager=False)
+    probes = docs.select(F.explode(F.array(
+        F.col("member"),
+        (F.col("member").cast("long") + 1000000).cast("string"),
+    )).alias("v"))
     verdicts = bloom_probe(bits, probes, "v")
     truth = verdicts.withColumn(
         "present", (F.col("v").cast("long") < 1000000).cast("int"))
