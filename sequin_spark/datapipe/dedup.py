@@ -119,28 +119,31 @@ def simhash(
     fingerprint (16 bits default — oracle-portable arithmetic; widen to
     16 hex digits / 64 bits in production).
     """
+    nbits = 4 * hex_digits
     src = spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
     toks = src.select(F.col(id_col), F.explode(F.split(normalized(text_col), " ")).alias("tok"))
     toks = toks.withColumn("h", F.md5(F.col("tok")))
-    for p in range(1, hex_digits + 1):
-        toks = toks.withColumn(
-            f"d{p}", F.expr(f"instr('0123456789abcdef', substr(h, {p}, 1)) - 1")
-        )
-    aggs = []
-    nbits = 4 * hex_digits
-    for j in range(nbits):
-        p, k = j // 4 + 1, j % 4
-        aggs.append(
-            F.sum(
-                F.when(F.expr(f"(shiftright(d{p}, {k}) & 1) = 1"), F.lit(1)).otherwise(F.lit(-1))
-            ).alias(f"c{j}")
-        )
-    sums = toks.groupBy(id_col).agg(*aggs)
-    fp = None
-    for j in range(nbits):
-        bit = F.when(F.col(f"c{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
-        fp = bit if fp is None else (fp + bit)
-    return sums.select(F.col(id_col), fp.cast("long").alias("simhash"))
+    # per-bit ±1 array + posexplode → TWO flat integer aggregates, not
+    # nbits separate sum(when(...)) aggregate expressions: at
+    # hex_digits=15 the 60-aggregate plan cost ~2× the whole query in
+    # analysis/codegen (r13 optimization round; interleaved A/B min
+    # 8.3 → 3.94 s for dedup_simhash_pairs, fingerprints asserted
+    # identical — integer sums are order-free, so the restructure is
+    # exact).  Map-side partial aggregation collapses the nbits-wide
+    # expansion to ≤ docs·nbits rows per partition before the shuffle.
+    signs = F.expr(
+        f"transform(sequence(0, {nbits - 1}), j -> "
+        f"CASE WHEN (shiftright(instr('0123456789abcdef', "
+        f"substr(h, CAST(j DIV 4 AS INT) + 1, 1)) - 1, "
+        f"CAST(j % 4 AS INT)) & 1) = 1 THEN 1 ELSE -1 END)")
+    per_bit = (
+        toks.select(F.col(id_col), F.posexplode(signs).alias("pos", "s"))
+        .groupBy(id_col, "pos").agg(F.sum("s").alias("c")))
+    return (
+        per_bit.groupBy(id_col)
+        .agg(F.sum(F.when(F.col("c") > 0,
+                          F.expr("shiftleft(CAST(1 AS BIGINT), pos)"))
+                   .otherwise(F.lit(0))).cast("long").alias("simhash")))
 
 
 def simhash_near_pairs(
@@ -769,35 +772,38 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Scale shape: one chunk-keyed agg for the distinct-doc counts (the dup
     set is the heavy-hitter tail — orders of magnitude smaller than the
-    corpus), one anti-join of the exploded chunks against it (Spark
-    broadcasts it when small; AQE picks the strategy at runtime), one
-    doc-keyed re-agg to reassemble. No driver-side state.
+    corpus), one join of the exploded chunks against it (Spark broadcasts
+    it when small; AQE picks the strategy at runtime), one doc-keyed agg
+    that computes totals, kept count and the rebuilt text in a SINGLE
+    pass. No driver-side state.
+
+    (The previous shape evaluated ``chunks`` three times — dup counts,
+    anti-join, and a separate totals agg joined back at the end: three
+    full scan+explode passes and a doc-keyed text shuffle more than
+    needed.  ``collect_list`` skips nulls, so a conditional struct folds
+    kept/total/rebuilt into one aggregate — identical output rows.)
     """
     chunks = doc_chunks(df, text_col, id_col, chunk_words)
     dup_set = (
         chunks.groupBy("chunk")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
         .filter(F.col("n_docs") > max_docs)
-        .select("chunk")
+        .select("chunk", F.lit(1).alias("_dup"))
     )
-    kept = chunks.join(dup_set, "chunk", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
-                lambda s: s.getField("chunk"),
-            ),
-        ).alias("clean_text"),
-        F.count("*").alias("n_kept"),
-    )
-    totals = chunks.groupBy(id_col).agg(F.count("*").alias("n_chunks"))
+    marked = chunks.join(dup_set, "chunk", "left")
+    kept_struct = F.when(F.col("_dup").isNull(), F.struct("pos", "chunk"))
     return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+        marked.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.getField("chunk"),
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            (F.count(F.lit(1)) - F.count(kept_struct)).alias("n_removed"),
         )
+        .select(id_col, "clean_text", "n_chunks", "n_removed")
     )
