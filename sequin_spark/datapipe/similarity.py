@@ -286,19 +286,25 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Sign-random-projection LSH: bucket = bit-pack of sign(plane·x).
 
     Near vectors (small angle) land in the same bucket with probability
     (1 - θ/π)^planes; ANN search = brute-force within bucket (optionally
     probing neighbor buckets at Hamming distance 1).
+
+    ``keep_vec`` carries the vector column through, so a candidate
+    verify that needs the raw vectors doesn't pay a second corpus scan
+    + join by id to re-fetch them (one pass instead of two).
     """
     out = emb.select(F.col(id_col), F.col(vec_col))
     bucket = None
     for p in range(n_planes):
         bit = F.when(hyperplane_dot(p, vec_col, dims) > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else (bucket + bit)
-    return out.withColumn("bucket", bucket.cast("int")).drop(vec_col)
+    out = out.withColumn("bucket", bucket.cast("int"))
+    return out if keep_vec else out.drop(vec_col)
 
 
 def ivf_index(
@@ -576,8 +582,11 @@ def ann_lsh_topk(
     bucket-equi, shuffle-partitioned by bucket; only the tiny query
     side is expanded (b+1)×.
     """
-    eb = hyperplane_buckets(emb, n_planes, id_col, vec_col, dims).join(emb, id_col)
-    qb = hyperplane_buckets(queries, n_planes, id_col, vec_col, dims).join(queries, id_col)
+    # keep_vec: bucket and vector come out of ONE pass per side — the
+    # old join-back by id re-scanned the corpus and shuffled it by id
+    # just to re-fetch the vector column the bucket pass already had.
+    eb = hyperplane_buckets(emb, n_planes, id_col, vec_col, dims, keep_vec=True)
+    qb = hyperplane_buckets(queries, n_planes, id_col, vec_col, dims, keep_vec=True)
     if probe >= 1:
         flips = [F.col("bucket")] + [
             F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)

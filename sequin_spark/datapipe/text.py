@@ -62,10 +62,15 @@ def token_counts(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def quality_score(df: DataFrame, id_col: str = "doc_id",
+                  carry: tuple = ()) -> DataFrame:
     """Heuristic quality scoring: length, token stats, stopword density,
     digit/punct noise → score in [0,1] + keep flag (the shape of a
-    C4/Gopher-style quality filter)."""
+    C4/Gopher-style quality filter).
+
+    ``carry`` names extra input columns to pass through unchanged, so a
+    downstream filter on ``keep`` doesn't need a join back to the source
+    to recover them (one scan instead of scan + semi-join)."""
     norm = normalized("text")
     n_chars = F.length(norm)
     n_tokens = F.size(F.split(norm, " "))
@@ -89,6 +94,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         F.round(stop_ratio, 4).alias("stop_ratio"),
         score.alias("quality"),
         ((n_chars >= 50) & (n_tokens >= 10) & (score > 0.1)).alias("keep"),
+        *[F.col(c) for c in carry],
     )
 
 

@@ -301,17 +301,18 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.5))
         .alias("embedding"))
     corpus = emb.filter(F.col("vec_id") >= 20).unionByName(leaks)
-    b_eval = hyperplane_buckets(eval_set, 8).select(
-        F.col("vec_id").alias("eval_id"), "bucket")
-    b_corp = hyperplane_buckets(corpus, 8).select(
-        F.col("vec_id").alias("corp_id"), "bucket")
-    cand = b_corp.join(F.broadcast(b_eval), "bucket").select(
-        "corp_id", "eval_id")
-    ve = eval_set.select(F.col("vec_id").alias("eval_id"),
-                         F.col("embedding").alias("ev"))
-    vc = corpus.select(F.col("vec_id").alias("corp_id"),
-                       F.col("embedding").alias("cv"))
-    return (cand.join(F.broadcast(ve), "eval_id").join(vc, "corp_id")
+    # keep_vec=True carries the raw vectors through the bucket pass, so
+    # candidate verify happens in the SAME corpus scan: one pass and one
+    # broadcast join instead of bucketing the corpus, then re-scanning +
+    # shuffling it by corp_id to re-fetch embeddings for the verify (the
+    # old shape's corp_id join was a full corpus shuffle at scale).
+    b_eval = hyperplane_buckets(eval_set, 8, keep_vec=True).select(
+        F.col("vec_id").alias("eval_id"), "bucket",
+        F.col("embedding").alias("ev"))
+    b_corp = hyperplane_buckets(corpus, 8, keep_vec=True).select(
+        F.col("vec_id").alias("corp_id"), "bucket",
+        F.col("embedding").alias("cv"))
+    return (b_corp.join(F.broadcast(b_eval), "bucket")
             .withColumn("cos", F.round(cosine_col("cv", "ev"), 3))
             .filter(F.col("cos") >= 0.9)
             .select("corp_id", "eval_id", "cos"))
@@ -1059,16 +1060,24 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed training-data pipeline: quality filter → exact dedup →
     language ID → per-language corpus stats (the end-to-end curation
     shape every LLM data pipeline runs)."""
-    from sequin_spark.datapipe.dedup import exact_dedup
-    from sequin_spark.datapipe.text import langid, quality_score
+    from sequin_spark.datapipe.text import langid, normalized, quality_score
 
     _prep(spark)
     docs = _docs_with_dupes(spark, sf_dir)
-    q = quality_score(docs).filter(F.col("keep"))
-    kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
-    dedup = exact_dedup(kept)
-    surviving = kept.join(
-        dedup.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    # One corpus pass end to end.  quality_score(carry=text) keeps the
+    # text column, so the keep-filter needs no semi-join back to docs;
+    # exact dedup's winner rule (min doc_id per content hash) is a keyed
+    # window over the SAME rows instead of a hash-agg + second semi-join.
+    # The old shape re-derived `kept` three times and shuffled full text
+    # by doc_id twice; this shuffles it once, by content hash — identical
+    # surviving set (min is exact), identical rollup.
+    kept = (quality_score(docs, carry=("text",))
+            .filter(F.col("keep")).select("doc_id", "text"))
+    w_fp = Window.partitionBy(F.md5(normalized("text")))
+    surviving = (
+        kept.withColumn("_keep_id", F.min("doc_id").over(w_fp))
+        .filter(F.col("doc_id") == F.col("_keep_id"))
+        .select("doc_id", "text")
     )
     lang = langid(surviving)
     return lang.groupBy("predicted_lang").agg(
@@ -3999,23 +4008,50 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full-64-dim exact ground truth — the measurement that decides
     how small stored vectors can be before retrieval quality collapses
     (storage/56 GB-per-billion-vector question at corpus scale).
-    Truncation is F.slice on the stored array — no re-embedding; the
-    brute-force passes reuse the ANN baseline (bounded: 10 queries ×
-    corpus per d').  Output: one (dim, recall_at_10) row per d'."""
-    from sequin_spark.datapipe.similarity import brute_force_topk
+    Truncation is F.slice on the stored array — no re-embedding; all
+    four searches (exact + 3 truncations) share ONE corpus pass: the
+    cross join computes the four cosines side by side (identical per-d
+    fold arithmetic to slicing first), stack() makes them rows, and one
+    (dim, q_id)-keyed window takes every top-k at once.  The previous
+    per-d brute-force calls re-ran the corpus scan + cross join six
+    times (3 truncations + the ground truth re-derived under each of
+    the 3 recall joins — 24 scan nodes in the physical plan, now 2).
+    The 4·k·n_q top rows are lazily localCheckpointed so the ground /
+    approx recall joins read them without re-running the search.
+    Output: one (dim, recall_at_10) row per d'."""
+    from sequin_spark.datapipe.similarity import cosine_col, cosine_col_vals
+    from sequin_spark.datapipe.text import spread_for_compute
 
     _prep(spark)
     k = 10
+    dims = (8, 16, 32)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    ground = brute_force_topk(emb, queries, k=k).select("q_id", "n_id")
+    q = queries.select(F.col("vec_id").alias("q_id"),
+                       F.col("embedding").alias("q_vec"))
+    c = spread_for_compute(
+        emb.select(F.col("vec_id").alias("n_id"),
+                   F.col("embedding").alias("n_vec")))
+    joined = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+    pairs = joined.select(
+        "q_id", "n_id",
+        cosine_col("q_vec", "n_vec").alias("cos_0"),
+        *[cosine_col_vals(F.slice("q_vec", 1, d),
+                          F.slice("n_vec", 1, d)).alias(f"cos_{d}")
+          for d in dims])
+    stack_args = ", ".join(f"{d}, cos_{d}" for d in (0, *dims))
+    tall = pairs.select(
+        "q_id", "n_id",
+        F.expr(f"stack({1 + len(dims)}, {stack_args})").alias("dim", "cos"))
+    w = Window.partitionBy("dim", "q_id").orderBy(
+        F.col("cos").desc(), F.col("n_id").asc())
+    top = (tall.withColumn("rnk", F.row_number().over(w))
+           .filter(F.col("rnk") <= k).select("dim", "q_id", "n_id"))
+    top = top.localCheckpoint(eager=False)
+    ground = top.filter(F.col("dim") == 0).select("q_id", "n_id")
     outs = []
-    for d in (8, 16, 32):
-        embd = emb.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        qd = queries.select(
-            "vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        approx = (brute_force_topk(embd, qd, k=k)
+    for d in dims:
+        approx = (top.filter(F.col("dim") == d)
                   .select("q_id", "n_id", F.lit(1).alias("_hit")))
         outs.append(
             ground.join(approx, ["q_id", "n_id"], "left")
