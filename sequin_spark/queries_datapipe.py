@@ -575,7 +575,9 @@ def q_embed_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fold arithmetic so values still match the oracle bit-for-bit)
     norm = F.sqrt(F.aggregate(F.col("ed"), F.lit(0.0),
                               lambda acc, x: acc + x * x))
-    bk = (hyperplane_buckets(emb, n_planes=n_planes).join(emb, "vec_id")
+    # keep_vec: bucket + vector in ONE corpus pass (the old join-back by
+    # vec_id re-scanned the corpus and shuffled it by id — see ann_lsh_topk)
+    bk = (hyperplane_buckets(emb, n_planes=n_planes, keep_vec=True)
           .withColumn("ed", as_double("embedding"))
           .withColumn("nv", norm)
           .select("vec_id", "bucket", "ed", "nv")
