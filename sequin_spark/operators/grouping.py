@@ -86,9 +86,15 @@ def produce_order_with_cdc_priority(
 
     100 TB shape: everything is partition-local, mirroring the
     reference's partition_count-sharded stores (pmod(hash(group),
-    partition_count), the same scheme the delivery ledger slices use):
-    conflict detection is one group-hash aggregate reduced to
-    ≤ partition_count rows and broadcast-joined, and the rank window
+    partition_count), the same scheme the delivery ledger slices use),
+    and the store is read ONCE: the per-group mixed flag rides the
+    same group-keyed window shuffle that assigns deliver_seq
+    (min(bf) != max(bf) over the group ⇔ count_distinct > 1), and the
+    partition-level conflict flag rides the store-partition window the
+    rank already pays for (every group has exactly one head, so the
+    max over heads' flags equals the max over groups).  The previous
+    shape evaluated the store twice (a separate group-hash aggregate +
+    broadcast join) — two full input passes per call.  The rank window
     is PARTITIONED by the store partition — never a SinglePartition
     funnel."""
     grp = F.coalesce(
@@ -97,26 +103,31 @@ def produce_order_with_cdc_priority(
                  F.col("commit_idx")),
     )
     store_part = F.pmod(F.hash(grp), F.lit(partition_count))
-    # conflict mode per store partition: does ANY real group in it mix
-    # backfill and CDC rows?  (null group_ids are independent
-    # singleton groups — they can never conflict, so they are excluded
-    # before the aggregate)
-    mixed = (df.where(F.col("group_id").isNotNull())
-               .groupBy(store_part.alias("_sp"), grp.alias("_g"))
-               .agg((F.count_distinct(F.col(backfill_col)) > 1)
-                    .alias("_mixed")))
-    conflict = mixed.groupBy("_sp").agg(
-        F.max("_mixed").alias("_conflict"))
-    head = deliverable_messages(df).withColumn("_sp", store_part)
-    out = (head.join(F.broadcast(conflict), "_sp", "left")
-               .withColumn("_conflict",
-                           F.coalesce(F.col("_conflict"), F.lit(False))))
+    w_grp = Window.partitionBy(grp)
+    # per-group mixed flag on every row of the group (unbounded frame —
+    # shares the deliver_seq window's shuffle).  Null group_ids are
+    # independent singleton groups and can never conflict; they are
+    # masked out exactly as the old pre-aggregate exclusion did (a
+    # synthetic cursor-keyed group could otherwise collide on a
+    # duplicated cursor and report a phantom conflict).
+    g_mixed = (
+        (F.min(F.col(backfill_col)).over(w_grp)
+         != F.max(F.col(backfill_col)).over(w_grp))
+        & F.col("group_id").isNotNull()
+    )
+    seq = F.row_number().over(
+        w_grp.orderBy(F.col("commit_lsn"), F.col("commit_idx")))
+    head = (df.withColumn("_g_mixed", g_mixed)
+              .withColumn("deliver_seq", seq)
+              .filter(F.col("deliver_seq") == 1).drop("deliver_seq")
+              .withColumn("_sp", store_part))
+    w_sp = Window.partitionBy("_sp")
+    out = head.withColumn("_conflict", F.max("_g_mixed").over(w_sp))
     rank_key = F.when(F.col("_conflict"), F.lit(0)) \
                 .otherwise(F.col(backfill_col).cast("int"))
-    w = Window.partitionBy("_sp").orderBy(
-        rank_key, *[F.col(c) for c in CURSOR])
+    w = w_sp.orderBy(rank_key, *[F.col(c) for c in CURSOR])
     out = (out.withColumn("produce_rank", F.row_number().over(w))
-              .drop("_conflict", "_sp"))
+              .drop("_conflict", "_sp", "_g_mixed"))
     if batch_size:
         out = out.where(F.col("produce_rank") <= batch_size)
     return out
