@@ -434,7 +434,9 @@ def ldp_frequency(
                 Window.orderBy("cat")) - 1))
     k = F.sum(F.lit(1)).over(Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing))
-    cats = cats.withColumn("k", k.cast("long"))
+    # k rows; read by the perturbation join AND the final unbiasing join
+    # — checkpoint so the distinct scan runs once
+    cats = cats.withColumn("k", k.cast("long")).localCheckpoint(eager=False)
     rows = (
         df.select(F.col(id_col).alias("_id"), F.col(cat_col).alias("cat"))
         .join(F.broadcast(cats), "cat")
@@ -449,15 +451,25 @@ def ldp_frequency(
                             * F.col("k")).cast("long"))),
         )
     )
-    obs = rows.groupBy("rep_idx").agg(
-        F.count(F.lit(1)).cast("long").alias("n_obs"))
-    true = rows.groupBy("idx").agg(
-        F.count(F.lit(1)).cast("long").alias("n_true"))
+    # ONE corpus pass: the (true idx, reported idx) contingency table is
+    # ≤ k² rows; observed and true histograms are its two marginals —
+    # the previous shape aggregated `rows` twice (two full scans + two
+    # perturbation-join evaluations).  Integer sums, exact either way.
+    pair = (rows.groupBy("idx", "rep_idx")
+            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+            .localCheckpoint(eager=False))
+    obs = pair.groupBy("rep_idx").agg(
+        F.sum("_c").cast("long").alias("n_obs"))
+    true = pair.groupBy("idx").agg(
+        F.sum("_c").cast("long").alias("n_true"))
     n_tot = F.sum("n_obs").over(Window.partitionBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing))
     return (
-        cats.join(obs, cats.idx == obs.rep_idx, "left")
-        .join(true, "idx", "left")
+        # explicit broadcast: both marginals are ≤ k rows (category
+        # cardinality) at any scale, but behind the checkpoint the
+        # planner has no size estimate and would fall back to SMJ
+        cats.join(F.broadcast(obs), cats.idx == obs.rep_idx, "left")
+        .join(F.broadcast(true), "idx", "left")
         .withColumn("n_obs", F.coalesce("n_obs", F.lit(0).cast("long")))
         .withColumn("n_true", F.coalesce("n_true", F.lit(0).cast("long")))
         .withColumn("_n", n_tot)

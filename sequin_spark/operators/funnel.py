@@ -69,6 +69,10 @@ def funnel_conversion(
             for i in range(1, len(steps) + 1)
         ]
     )
+    # ONE row; each per-step select below reads it — without the (lazy)
+    # checkpoint the union re-ran the whole funnel pipeline per step
+    # (len(steps) full event-stream passes instead of one)
+    counts = counts.localCheckpoint(eager=False)
     rows = None
     for i, step in enumerate(steps, start=1):
         r = counts.select(
