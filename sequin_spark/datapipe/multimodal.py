@@ -290,6 +290,11 @@ def phash_near_dup_pairs(hashes: DataFrame,
     bands = max_hamming + 1
     band_bits = -(-63 // bands)
     mask = (1 << band_bits) - 1
+    # the band self-join reads `hashes` twice; without this (lazy)
+    # materialization both sides re-run the upstream dHash mapInPandas
+    # decode — 2x the Python kernel work for a (doc_id, 8-byte hash)
+    # frame that is exactly the guide's decide-on-fingerprints table
+    hashes = hashes.localCheckpoint(eager=False)
     banded = hashes.select(
         "doc_id", "dhash",
         F.explode(F.array(*[

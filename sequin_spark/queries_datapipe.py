@@ -2011,10 +2011,13 @@ def q_corpus_shard_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("doc_id") + 1_000_003).alias("doc_id"), "text")
     )
     h = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).cast("long")
+    # (fp, shard) rows only — checkpointed so the fp self-join below
+    # doesn't re-run the scan + md5 + distinct on both sides (the
+    # decide-on-fingerprints table of guide §8; 36 bytes/row)
     fps = docs.select(
         F.pmod(h, F.lit(8)).cast("int").alias("shard"),
         F.md5(F.regexp_replace(F.lower("text"), r"\s+", " ")).alias("fp"),
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     a = fps.select(F.col("fp"), F.col("shard").alias("shard_a"))
     b = fps.select(F.col("fp"), F.col("shard").alias("shard_b"))
     return (
@@ -2289,9 +2292,15 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
+    # label-count rows; read by BOTH distance passes below (stats, then
+    # flagging) — checkpointed so the centroid aggregation scan runs
+    # once, not once per pass.  The two distance passes themselves are
+    # the standard z-score shape (skew-safe: a label-partitioned window
+    # would funnel whole labels through single tasks at scale).
     cent = emb.groupBy("label").agg(
         *[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dims)]
-    ).select("label", F.array(*[F.col(f"m{i}") for i in range(dims)]).alias("c"))
+    ).select("label", F.array(*[F.col(f"m{i}") for i in range(dims)]).alias("c")) \
+        .localCheckpoint(eager=False)
     dist = F.sqrt(
         F.aggregate(
             F.zip_with("v", "c", lambda a, b: (a - b) * (a - b)),
