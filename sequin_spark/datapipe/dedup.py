@@ -235,6 +235,9 @@ def ngram_jaccard_lsh_pairs(
         .select(F.col(id_col), F.split(normalized(text_col), " ").alias("w"))
         .select(id_col, F.array_distinct(word_shingles("w", n)).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
+        # read by BOTH candidate-join sides — without the (lazy)
+        # checkpoint each side re-runs the normalize+shingle kernel
+        .localCheckpoint(eager=False)
     )
     ga = grams.select(
         F.col(id_col).alias("doc_a"), F.col("grams").alias("ga"), F.col("n_grams").alias("na")
@@ -285,6 +288,9 @@ def ngram_containment_lsh_pairs(
         df.select(F.col(id_col), F.split(normalized(text_col), " ").alias("w"))
         .select(id_col, F.array_distinct(word_shingles("w", n)).alias("grams"))
         .withColumn("n_grams", F.size("grams"))
+        # read by BOTH candidate-join sides — without the (lazy)
+        # checkpoint each side re-runs the normalize+shingle kernel
+        .localCheckpoint(eager=False)
     )
     ga = grams.select(F.col(id_col).alias("doc_a"),
                       F.col("grams").alias("ga"), F.col("n_grams").alias("na"))

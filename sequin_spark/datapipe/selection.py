@@ -429,6 +429,11 @@ def split_assign_content(
     row per split: sizes, distinct fingerprints, and the cross-split
     fingerprint count (0 by construction for exact duplicates —
     computed, not asserted, so the oracle proves it).
+
+    The cross-split flag is a min≠max window over the fingerprint
+    partition (⇔ count_distinct(split) ≥ 2, the only use of the count)
+    — ONE pass and one fp shuffle; the previous fp-count aggregate +
+    join back re-ran the scan + md5 per side.
     """
     fp = F.md5(normalized(text_col))
     bucket = _h16(fp) % 100
@@ -437,16 +442,18 @@ def split_assign_content(
         .when(bucket < train_pct + val_pct, "val")
         .otherwise("test")
     )
+    from pyspark.sql import Window
+
     base = df.select(F.col(id_col), fp.alias("fp"), split.alias("split"))
-    fp_span = base.groupBy("fp").agg(
-        F.count_distinct("split").alias("n_splits"))
+    w_fp = Window.partitionBy("fp")
+    crossed = (F.min("split").over(w_fp) != F.max("split").over(w_fp))
     return (
-        base.join(fp_span, "fp")
+        base.withColumn("_crossed", crossed)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.count_distinct("fp").alias("n_unique_fp"),
-            F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("_crossed"), 1).otherwise(0))
             .cast("long").alias("n_cross_split_docs"),
         )
     )

@@ -3525,10 +3525,22 @@ def q_sketch_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.expr(
             "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
     ).filter(F.col("w") != "")
-    a = words.filter(F.col("lang") == "en").select("w")
-    b = words.filter(F.col("lang") != "en").select("w")
+    # ONE tokenize pass: a vocabulary-sized side-tagged word table feeds
+    # BOTH the KMV estimate and the exact-intersect baseline (the old
+    # shape evaluated the corpus explode four times — a and b under the
+    # sketch plus both sides of the intersect).  Equivalence is exact:
+    # kmv_jaccard's tagged table is groupBy(h60(w)) of max-flags, and
+    # max is associative, so pre-deduping words per side changes
+    # nothing; INTERSECT is set-semantics, so the flag conjunction
+    # count is the same distinct-word count.
+    wt = (words.groupBy("w").agg(
+        F.max(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("_a"),
+        F.max(F.when(F.col("lang") != "en", 1).otherwise(0)).alias("_b"))
+        .localCheckpoint(eager=False))
+    a = wt.filter(F.col("_a") == 1).select("w")
+    b = wt.filter(F.col("_b") == 1).select("w")
     est = kmv_jaccard(a, b, "w", k=256)
-    exact = a.select("w").intersect(b.select("w")).agg(
+    exact = wt.filter((F.col("_a") == 1) & (F.col("_b") == 1)).agg(
         F.count("*").cast("long").alias("exact_intersection"))
     return est.join(exact)
 
