@@ -167,9 +167,18 @@ def dsir_importance(
     """
     if target_pred is None:
         target_pred = F.col("lang") == "en"
-    toks = df.select(
+    # spread BEFORE the tokenize/md5 kernel: the target predicate folds
+    # to one boolean pre-exchange, then the CPU-dense explode+hash runs
+    # at cluster parallelism instead of on the scan's (often single)
+    # split — no-op when the scan is already wide (r13 optimization
+    # round, interleaved A/B min 1.24 → 0.93 s for select_dsir)
+    from sequin_spark.datapipe.dedup import spread_for_compute
+
+    src = spread_for_compute(df.select(
+        F.col(id_col), target_pred.alias("is_target"), F.col(text_col)))
+    toks = src.select(
         F.col(id_col),
-        target_pred.alias("is_target"),
+        F.col("is_target"),
         F.explode(_tokens(text_col)).alias("token"),
     ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
     # the B-row bucket table is read twice (totals + rates) and each
@@ -237,9 +246,16 @@ def nb_quality_classifier(
     if positive_pred is None:
         positive_pred = F.col("source").isin(
             "src0", "src1", "src2", "src3", "src4")
-    toks = df.select(
+    # same spread-before-tokenize shape as dsir_importance (r13
+    # optimization round, A/B min 1.53 → 1.27 s for quality_classifier);
+    # doc_counts below stays on the raw df — it never tokenizes
+    from sequin_spark.datapipe.dedup import spread_for_compute
+
+    src = spread_for_compute(df.select(
+        F.col(id_col), positive_pred.alias("is_hq"), F.col(text_col)))
+    toks = src.select(
         F.col(id_col),
-        positive_pred.alias("is_hq"),
+        F.col("is_hq"),
         F.explode(_tokens(text_col)).alias("token"),
     ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
     # same two-reads-of-a-tiny-rollup shape as dsir_importance: the
@@ -337,8 +353,15 @@ def repeated_span_metrics(
     # referenced inside `transform` re-tokenizes the whole document per
     # window position (O(tokens²) per doc; the doc_bigrams lesson)
     norm_sql = f"regexp_replace(lower({text_col}), '\\\\s+', ' ')"
+    # spread before the O(tokens·window) md5 hashing: the window-hash
+    # kernel is the query's dominant CPU and otherwise runs on the
+    # scan's single split; no-op on wide scans (r13 optimization round,
+    # interleaved A/B min 1.66 → 1.13 s for dedup_repeated_spans)
+    from sequin_spark.datapipe.dedup import spread_for_compute
+
     wins = (
-        df.select(
+        spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col),
             F.expr(f"split({norm_sql}, ' ')").alias("toks"),
         )
@@ -383,7 +406,16 @@ def split_leakage(
     text) appearing in more than one split is leakage — near-duplicate
     train examples of the eval set. Returns one row per split with
     sizes and leaked-document counts.
+
+    The leaked flag is a min≠max window over the fingerprint partition
+    (⇔ count_distinct(split) ≥ 2, the only use of the count) — ONE
+    normalize+md5 pass and one fp shuffle; the previous fp-count
+    aggregate + join back re-ran the scan + md5 per side (the same
+    rewrite split_assign_content got earlier this round; r13
+    optimization round, A/B min 0.68 → 0.36 s, rows identical).
     """
+    from pyspark.sql import Window
+
     bucket = _h16(F.col(id_col)) % 100
     split = (
         F.when(bucket < train_pct, "train")
@@ -395,15 +427,15 @@ def split_leakage(
         split.alias("split"),
         F.md5(normalized(text_col)).alias("fp"),
     )
-    fp_span = base.groupBy("fp").agg(
-        F.count_distinct("split").alias("n_splits"))
+    w_fp = Window.partitionBy("fp")
+    leaked = (F.min("split").over(w_fp) != F.max("split").over(w_fp))
     return (
-        base.join(fp_span, "fp")
+        base.withColumn("_leaked", leaked)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.count_distinct("fp").alias("n_unique_fp"),
-            F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+            F.sum(F.when(F.col("_leaked"), 1).otherwise(0))
             .cast("long").alias("n_leaked_docs"),
         )
     )

@@ -609,7 +609,12 @@ def q_minipy_program(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sequin_spark.functions.minipy import compile_program
 
     _prep(spark)
-    ev = eventize_events(spark, sf_dir)
+    # spread=True: the compiled program is a dense shuffle-free
+    # expression chain (record map + CASE + transform/filter HOFs) that
+    # otherwise runs on the scan's single split — same shape as
+    # value_caster (r13 optimization round, A/B min 0.97 → 0.71 s,
+    # rows identical; no-op on wide scans)
+    ev = eventize_events(spark, sf_dir, spread=True)
     prog = compile_program(
         "tier = 'vip' if float(record['value']) > 50 else 'std'\n"
         "match action:\n"
@@ -805,7 +810,11 @@ def q_transaction_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("message_prefix"),
         F.lit(None).cast("string").alias("message_content"),
     )
-    txns = ev.select("commit_lsn").distinct()
+    # the distinct-txn table feeds BOTH marker branches — without the
+    # (lazy) checkpoint each branch re-runs the scan + dedup shuffle
+    # (2 input passes → 1; local wall a wash at sf0.1, the win is the
+    # removed pass at scale — r13 optimization round)
+    txns = ev.select("commit_lsn").distinct().localCheckpoint(eager=False)
     ann_json = F.concat(F.lit('{"src":'), F.col("commit_lsn").cast("string"), F.lit("}"))
     set_markers = txns.filter(F.col("commit_lsn") % 3 == 0).select(
         F.lit(None).cast("long").alias("event_id"),

@@ -2883,7 +2883,11 @@ def q_sketch_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _prep(spark)
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
+    # spread before the normalize+explode kernel: it feeds THREE
+    # aggregation passes (exact counts + 4 CM counter rows) and
+    # otherwise runs serially on the scan's single split (r13
+    # optimization round, A/B min 0.97 → 0.84 s, rows identical)
+    words = spread_for_compute(docs.select("text")).select(
         F.explode(F.split(F.expr(
             "regexp_replace(lower(text), '\\\\s+', ' ')"), " ")).alias("w")
     ).filter(F.col("w") != "")
@@ -4150,11 +4154,18 @@ def q_corpus_chunk_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 25 == 0,
                F.expr("replace(text, ' the ', ' thy ')"))
         .otherwise(F.col("text")))
+    # ONE corpus pass: changed rows fan out to (doc_id, doc_id+10000)
+    # via explode instead of a union of two selects of v2_changed —
+    # the union's second branch re-ran the scan + replace + md5 over
+    # the whole corpus (r13 optimization round, A/B min 0.51 → 0.41 s,
+    # rows identical)
     v2 = v2_changed.select(
-        "doc_id", "text", "source", F.md5(F.col("text")).alias("h2"),
-    ).unionByName(v2_changed.filter(F.col("doc_id") % 25 == 0).select(
-        (F.col("doc_id") + 10000).alias("doc_id"),
-        "text", "source", F.md5(F.col("text")).alias("h2")))
+        F.explode(
+            F.when(F.col("doc_id") % 25 == 0,
+                   F.array(F.col("doc_id"), F.col("doc_id") + 10000))
+            .otherwise(F.array(F.col("doc_id")))).alias("doc_id"),
+        "text", "source", F.md5(F.col("text")).alias("h2"),
+    )
     changed = (
         v2.join(v1, "doc_id", "left")
         .filter(F.col("h1").isNull() | (F.col("h1") != F.col("h2")))

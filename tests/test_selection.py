@@ -185,3 +185,36 @@ def test_spread_for_compute_widens_narrow_scans(spark):
     already = spark.range(1000).repartition(64).toDF("id")
     same = spread_for_compute(already)
     assert same.rdd.getNumPartitions() == 64
+
+
+def test_split_leakage_window_form_matches_join_form(spark):
+    """r13 optimization: the leaked flag became a min≠max window over
+    the fp partition (one normalize+md5 pass) — assert it equals the
+    original count_distinct-join form row for row on a frame with
+    single-split dupes, cross-split dupes, and uniques."""
+    from sequin_spark.datapipe.curation import _h16
+    from sequin_spark.datapipe.dedup import normalized
+
+    rows = [(i, f"unique text number {i}") for i in range(150)]
+    rows += [(2000 + i, "leaked text spanning splits") for i in range(30)]
+    rows += [(5000 + i, "dup text in one split only") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    new = {r["split"]: tuple(r) for r in split_leakage(df).collect()}
+
+    # original join formulation, inlined
+    bucket = _h16(F.col("doc_id")) % 100
+    split = (F.when(bucket < 80, "train")
+             .when(bucket < 90, "val").otherwise("test"))
+    base = df.select(F.col("doc_id"), split.alias("split"),
+                     F.md5(normalized("text")).alias("fp"))
+    fp_span = base.groupBy("fp").agg(
+        F.count_distinct("split").alias("n_splits"))
+    old = {r["split"]: tuple(r) for r in (
+        base.join(fp_span, "fp")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.count_distinct("fp").alias("n_unique_fp"),
+             F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+             .cast("long").alias("n_leaked_docs"))).collect()}
+    assert new == old
