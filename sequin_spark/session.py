@@ -28,6 +28,15 @@ def get_spark(app_name: str = "sequin_spark", shuffle_partitions: int | None = N
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Cap JIT vectorization at AVX2: the AVX-512 ("avx3") arraycopy
+        # stubs SIGSEGV deterministically on this virtualized Sapphire
+        # Rapids host (SEGV_MAPERR in
+        # StubRoutines::jlong_disjoint_arraycopy_avx3, 2/2 full bench
+        # runs, hs_err confirmed — a JVM/hypervisor stub bug, not a
+        # code path we control).  UseAVX=2 keeps every other JIT
+        # optimization; measured bench impact is within host noise.
+        .config("spark.driver.extraJavaOptions", "-XX:UseAVX=2")
+        .config("spark.executor.extraJavaOptions", "-XX:UseAVX=2")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
@@ -59,6 +68,33 @@ def enable_rocksdb_state(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
     return spark
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def no_aqe(spark: SparkSession):
+    """Compile bounded sub-plans with adaptive execution off.
+
+    AQE materializes every exchange as its own scheduler job and
+    re-plans between stages — the right trade for corpus-scale frames,
+    pure overhead for plans whose inputs are bounded by construction
+    (k-row rank/centroid/argmax tables an iterative fit re-plans dozens
+    of times: measured 56 scheduler jobs for the 4-iteration HITS fit
+    on 25-row frames, and ~25% wall on the kmeans/kcenter fits).  Scope
+    ONLY the bounded loop bodies with this guard; corpus-scale inputs
+    (edge builds, scans) must be materialized under AQE before
+    entering.  Restores the previous setting on exit, so plans compiled
+    after the block (including the caller's final action) stay
+    adaptive."""
+    key = "spark.sql.adaptive.enabled"
+    prev = str(spark.conf.get(key))
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def tune(spark: SparkSession) -> SparkSession:
