@@ -36,7 +36,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sequin_spark.session import no_aqe as _no_aqe
+
 SCALE = 10**12
+
+
 
 
 def pagerank_int(
@@ -58,6 +62,7 @@ def pagerank_int(
     """
     n_nodes = nodes.count()  # bounded: one long, entity-graph cardinality
     teleport = ((d_den - d_num) * scale) // (d_den * n_nodes)
+    spark = nodes.sparkSession
 
     # The edge table is scanned once per iteration: persist it so the
     # (possibly expensive) edge-build plan runs ONCE, and truncate the
@@ -70,28 +75,47 @@ def pagerank_int(
     # recompute-from-scratch retry yields identical ranks.
     out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     e = edges.join(out_w, "src").select("src", "dst", "w", "out_w").persist()
+    # materialize the (possibly corpus-scale) edge build under AQE —
+    # one bounded count — so the AQE-off block below only ever covers
+    # the bounded per-round plans, never the edge star join
+    e.count()
 
     nodes = nodes.persist()
-    ranks = nodes.select(
-        "node", F.lit(scale // n_nodes).cast("long").alias("r")
-    ).localCheckpoint()
-    for _ in range(iters):
-        contribs = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(
-                F.col("dst").alias("node"),
-                F.expr("(r * w) div out_w").alias("c"),
+    # r14 (verdict task #1): lazy checkpoints + zero per-round actions —
+    # the plan is truncated per round either way, but nothing
+    # materializes until the FINAL action walks the chained RDD
+    # lineage (one eager-checkpoint job per round before).  The
+    # per-round sub-plans are bounded by construction (rank/contrib
+    # tables ≤ |nodes| rows — the documented broadcast contract), so
+    # they are compiled with AQE OFF: adaptive execution re-plans and
+    # schedules one job per exchange per round and buys nothing on
+    # bounded inputs; the explicit broadcast hints pin the join
+    # strategy AQE used to discover at runtime.  teleport is driver
+    # arithmetic off the single up-front count; the rank trajectory is
+    # byte-identical (same integer plan per round).
+    with _no_aqe(spark):
+        ranks = nodes.select(
+            "node", F.lit(scale // n_nodes).cast("long").alias("r")
+        ).localCheckpoint(eager=False)
+        for _ in range(iters):
+            contribs = (
+                e.join(F.broadcast(ranks.withColumnRenamed("node", "src")),
+                       "src")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("(r * w) div out_w").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
             )
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = nodes.join(contribs, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(f"({d_num} * coalesce(s, CAST(0 AS BIGINT))) div {d_den}")
-            ).cast("long").alias("r"),
-        ).localCheckpoint()
+            ranks = nodes.join(F.broadcast(contribs), "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({d_num} * coalesce(s, CAST(0 AS BIGINT))) div {d_den}")
+                ).cast("long").alias("r"),
+            ).localCheckpoint(eager=False)
     e.unpersist()
     nodes.unpersist()
     return ranks.select(
@@ -122,51 +146,72 @@ def hits_int(
     form is unweighted; pass w=1 edges for that.  Same scale shape as
     PageRank: two dst/src-keyed shuffles per iteration over the edge
     table, rank tables broadcast, lineage truncated per iteration;
-    the per-round max is a 1-row driver collect (same bounded-collect
-    contract as the power-iteration fit)."""
+    the per-round max rides in-plan as a broadcast 1-row aggregate —
+    the fit issues zero driver actions."""
+    spark = nodes.sparkSession
     e = edges.select("src", "dst", "w").persist()
+    # materialize a possibly corpus-scale edge build under AQE (one
+    # bounded count) so the AQE-off loop below only compiles the
+    # bounded per-round plans
+    e.count()
     nodes = nodes.persist()
     # lazy (eager=False) checkpoints throughout: the Catalyst plan is
-    # truncated to a LogicalRDD immediately either way, but the
-    # materialization folds into the round's ALREADY-REQUIRED bounded
-    # collect (the per-round max) instead of paying a separate job per
-    # checkpoint — half the driver job round-trips per iteration, byte-
-    # identical trajectory (guide §1.2: remove work, don't re-tune it)
-    hubs = nodes.select("node", F.lit(scale).cast("long").alias("h")) \
-        .localCheckpoint(eager=False)
-    auth = None
-    for _ in range(iters):
-        a_raw = (
-            e.join(hubs.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), F.expr("h * w").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        # checkpoint the RAW table once, then take the max off the
-        # checkpointed data — the normalization select stays a lazy
-        # narrow projection (materializing the raw table for the max
-        # AND separately checkpointing the normalized table would run
-        # the join+agg twice per half-iteration)
-        a_ckpt = nodes.join(a_raw, "node", "left").select(
-            "node", F.coalesce("s", F.lit(0).cast("long")).alias("a_raw")
-        ).localCheckpoint(eager=False)
-        a_max = a_ckpt.agg(F.max("a_raw")).collect()[0][0] or 1  # one long
-        a_div = max((a_max + scale - 1) // scale, 1)
-        auth = a_ckpt.select(
-            "node", F.expr(f"a_raw div {a_div}").cast("long").alias("a"))
-        h_raw = (
-            e.join(auth.withColumnRenamed("node", "dst"), "dst")
-            .select(F.col("src").alias("node"), F.expr("a * w").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        h_ckpt = nodes.join(h_raw, "node", "left").select(
-            "node", F.coalesce("s", F.lit(0).cast("long")).alias("h_raw")
-        ).localCheckpoint(eager=False)
-        h_max = h_ckpt.agg(F.max("h_raw")).collect()[0][0] or 1
-        h_div = max((h_max + scale - 1) // scale, 1)
-        hubs = h_ckpt.select(
-            "node", F.expr(f"h_raw div {h_div}").cast("long").alias("h"))
+    # truncated to a LogicalRDD immediately either way; materialization
+    # happens when the FINAL action computes the chained RDD lineage.
+    # r14 (verdict task #1 — cut the per-round driver-job floor): the
+    # per-round max is no longer a driver collect at all.  The
+    # normalization divisor rides IN-PLAN as a broadcast 1-row
+    # aggregate (crossJoin of the checkpointed raw table with its own
+    # max — the scalar-subquery shape, O(1) rows broadcast at any
+    # corpus scale), so the whole fit issues no driver actions after
+    # the edge count, and the per-round plans compile with AQE off
+    # (bounded inputs — see _no_aqe).  The divisor arithmetic is the
+    # identical integer form —
+    #   div = greatest((greatest(coalesce(max, 1), 1) + scale-1) div
+    #                  scale, 1)
+    # replays `max(((a_max or 1) + scale - 1) // scale, 1)` exactly
+    # (coalesce+greatest cover the None/0 cases the Python `or 1`
+    # did) — so the trajectory is bit-identical.
+    _div = (f"div greatest((greatest(coalesce(_mx, CAST(1 AS BIGINT)), "
+            f"CAST(1 AS BIGINT)) + {scale - 1}) div {scale}, "
+            f"CAST(1 AS BIGINT))")
+    with _no_aqe(spark):
+        hubs = nodes.select("node", F.lit(scale).cast("long").alias("h")) \
+            .localCheckpoint(eager=False)
+        auth = None
+        for _ in range(iters):
+            a_raw = (
+                e.join(F.broadcast(hubs.withColumnRenamed("node", "src")),
+                       "src")
+                .select(F.col("dst").alias("node"),
+                        F.expr("h * w").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            # checkpoint the RAW table once; both the 1-row max
+            # aggregate and the normalized projection read the same
+            # checkpointed blocks, so the join+agg still runs once per
+            # half-iteration
+            a_ckpt = nodes.join(F.broadcast(a_raw), "node", "left").select(
+                "node", F.coalesce("s", F.lit(0).cast("long")).alias("a_raw")
+            ).localCheckpoint(eager=False)
+            a_stat = a_ckpt.agg(F.max("a_raw").alias("_mx"))
+            auth = a_ckpt.crossJoin(F.broadcast(a_stat)).select(
+                "node", F.expr(f"a_raw {_div}").cast("long").alias("a"))
+            h_raw = (
+                e.join(F.broadcast(auth.withColumnRenamed("node", "dst")),
+                       "dst")
+                .select(F.col("src").alias("node"),
+                        F.expr("a * w").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            h_ckpt = nodes.join(F.broadcast(h_raw), "node", "left").select(
+                "node", F.coalesce("s", F.lit(0).cast("long")).alias("h_raw")
+            ).localCheckpoint(eager=False)
+            h_stat = h_ckpt.agg(F.max("h_raw").alias("_mx"))
+            hubs = h_ckpt.crossJoin(F.broadcast(h_stat)).select(
+                "node", F.expr(f"h_raw {_div}").cast("long").alias("h"))
     e.unpersist()
     nodes.unpersist()
     return auth.join(hubs, "node").select(

@@ -1,7 +1,7 @@
-"""Dump `.explain('formatted')` for registry queries to plans/r13/.
+"""Dump `.explain('formatted')` for registry queries to plans/<round>/.
 
 Usage: python tools/dump_plan.py <suffix> [sf_dir] query [query...]
-Writes plans/r13/<query>_<suffix>.txt for each query.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<suffix>.txt (default r14).
 """
 
 from __future__ import annotations
@@ -28,7 +28,8 @@ def main() -> None:
     spark = get_spark("dump_plan")
     spark.sparkContext.setLogLevel("ERROR")
     out_dir = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "plans", "r13")
+        os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14"))
+    os.makedirs(out_dir, exist_ok=True)
     for name in names:
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
