@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from sequin_spark.datapipe.curation import _h16
-from sequin_spark.datapipe.dedup import normalized
+from sequin_spark.datapipe.dedup import normalized, spread_for_compute
 
 
 def _tokens(text_col: str) -> F.Column:
@@ -172,7 +172,6 @@ def dsir_importance(
     # at cluster parallelism instead of on the scan's (often single)
     # split — no-op when the scan is already wide (r13 optimization
     # round, interleaved A/B min 1.24 → 0.93 s for select_dsir)
-    from sequin_spark.datapipe.dedup import spread_for_compute
 
     src = spread_for_compute(df.select(
         F.col(id_col), target_pred.alias("is_target"), F.col(text_col)))
@@ -249,7 +248,6 @@ def nb_quality_classifier(
     # same spread-before-tokenize shape as dsir_importance (r13
     # optimization round, A/B min 1.53 → 1.27 s for quality_classifier);
     # doc_counts below stays on the raw df — it never tokenizes
-    from sequin_spark.datapipe.dedup import spread_for_compute
 
     src = spread_for_compute(df.select(
         F.col(id_col), positive_pred.alias("is_hq"), F.col(text_col)))
@@ -357,7 +355,6 @@ def repeated_span_metrics(
     # kernel is the query's dominant CPU and otherwise runs on the
     # scan's single split; no-op on wide scans (r13 optimization round,
     # interleaved A/B min 1.66 → 1.13 s for dedup_repeated_spans)
-    from sequin_spark.datapipe.dedup import spread_for_compute
 
     wins = (
         spread_for_compute(df.select(F.col(id_col), F.col(text_col)))
