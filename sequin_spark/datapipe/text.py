@@ -162,6 +162,38 @@ def doc_bigrams(df: DataFrame, text_col: str = "text",
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
 
+def _bigram_hash(w1, w2) -> F.Column:
+    """64-bit keyed hash of a bigram — the narrow join/broadcast key
+    the LM scoring passes use instead of the two word strings (verdict
+    r13 task #5: provable key narrowing).  Tests monkeypatch this with
+    a deliberately weak hash to prove the collision guard fires."""
+    return F.xxhash64(w1, w2)
+
+
+def hash_keyed_terms(terms: DataFrame, value_col: str,
+                     w1: str = "w1", w2: str = "w2") -> DataFrame:
+    """(_h2, value) probe table keyed by the 64-bit bigram hash, with an
+    IN-PLAN collision guard: the number of distinct bigrams per hash is
+    counted in the same vocab-bounded aggregate, and any hash owning
+    more than one bigram raises instead of silently merging their
+    terms.  ``terms`` must carry one row per (w1, w2).  The guard rides
+    the value expression (a dead assert column would be pruned), so it
+    is evaluated exactly where the narrowing is trusted."""
+    return (
+        terms.select(_bigram_hash(w1, w2).alias("_h2"),
+                     F.col(value_col))
+        .groupBy("_h2")
+        .agg(F.count("*").alias("_n"), F.min(value_col).alias(value_col))
+        .select(
+            "_h2",
+            F.when(F.col("_n") == 1, F.col(value_col)).otherwise(
+                F.expr("CAST(raise_error('bigram 64-bit hash collision: "
+                       "widen the LM join key') AS DOUBLE)")
+            ).alias(value_col),
+        )
+    )
+
+
 def bigram_lm_scores(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document mean negative log-probability under the corpus's own
@@ -185,20 +217,28 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     # scale this is the standard cached/checkpointed intermediate of any
     # two-pass statistic
     bg = doc_bigrams(df, text_col, id_col).persist()
-    # BOTH count tables from ONE rollup pass: grouping sets (w1, w2) and
-    # (w1) share a single map-side-combined shuffle
-    r = bg.rollup("w1", "w2").agg(F.count("*").alias("c")).filter(
-        F.col("w1").isNotNull()
-    )
-    c2 = r.filter(F.col("w2").isNotNull()).withColumnRenamed("c", "c2")
-    c1 = r.filter(F.col("w2").isNull()).select("w1", F.col("c").alias("c1"))
+    # ONE corpus-scale aggregate on (w1, w2) — r14 (verdict task #5
+    # family): the old rollup expanded every bigram row into TWO
+    # grouping sets before the partial agg, so the map side processed
+    # (and the exchange carried) both levels; the unigram continuation
+    # table c(w1·) = Σ_w2 c(w1,w2) derives EXACTLY from the bigram
+    # table by a second, vocab-bounded aggregate instead — identical
+    # integer counts, half the corpus-scale aggregate input.
+    c2 = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # fold into ONE per-bigram term table (vocab-bounded, AQE broadcasts
     # it), so the corpus-scale stream is joined once, not twice
     terms = c2.join(c1, "w1").select(
         "w1", "w2", (-F.log(F.col("c2") / F.col("c1"))).alias("nll_term")
     )
+    # the probe side is keyed by a 64-bit hash of the bigram instead of
+    # the two word strings (narrower broadcast/shuffle key); the guard
+    # aggregate proves injectivity on THIS corpus and raises loudly on
+    # a collision instead of silently merging two bigrams' terms
+    terms_h = hash_keyed_terms(terms, "nll_term")
     out = (
-        bg.join(terms, ["w1", "w2"])
+        bg.select(id_col, _bigram_hash("w1", "w2").alias("_h2"))
+        .join(terms_h, "_h2")
         .groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),

@@ -5412,6 +5412,7 @@ def q_select_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigrams present in BOTH LMs score (the shared-support contract
     that keeps the difference finite); round-4 on the single
     difference mean (the nll float contract)."""
+    from sequin_spark.datapipe import text as _text_mod
     from sequin_spark.datapipe.text import doc_bigrams
 
     _prep(spark)
@@ -5420,17 +5421,17 @@ def q_select_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = doc_bigrams(docs.select("doc_id", "text")).persist()
     flags = docs.select("doc_id", curated.alias("is_ref"))
     bgf = bg.join(F.broadcast(flags), "doc_id")
-    # corpus LM counts (all docs) and reference LM counts (curated)
-    # from ONE grouping-sets pass each, as bigram_lm_scores does
-    r_all = bgf.rollup("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.sum(F.col("is_ref").cast("long")).alias("cr"),
-    ).filter(F.col("w1").isNotNull())
-    c2 = (r_all.filter(F.col("w2").isNotNull())
-          .select("w1", "w2", F.col("c").alias("c2"),
-                  F.col("cr").alias("r2")))
-    c1 = (r_all.filter(F.col("w2").isNull())
-          .select("w1", F.col("c").alias("c1"), F.col("cr").alias("r1")))
+    # r14 (verdict task #5): ONE corpus-scale aggregate on (w1, w2) —
+    # the old rollup expanded every bigram row into two grouping sets
+    # before the partial agg; the unigram tables derive exactly from
+    # the bigram table by a second, vocab-bounded aggregate
+    # (c1 = Σ_w2 c2, r1 = Σ_w2 r2 — identical integer counts).
+    c2 = bgf.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c2"),
+        F.sum(F.col("is_ref").cast("long")).alias("r2"),
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.sum("r2").alias("r1"))
     terms = (
         c2.join(c1, "w1")
         .filter((F.col("r2") > 0) & (F.col("r1") > 0))
@@ -5440,12 +5441,17 @@ def q_select_rho_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
              + F.log(F.col("r2") / F.col("r1"))).alias("excess_term"),
         )
     )
+    # narrow 64-bit hash join key with the in-plan collision guard
+    # (text.hash_keyed_terms) instead of the two word strings
+    terms_h = _text_mod.hash_keyed_terms(terms, "excess_term")
     # Order-stabilized mean (the char_entropy contract): a plain
     # float AVG accumulates in partition order and can flip a row at
     # a round-4 boundary cross-engine — collect, sort, fold
     # left-to-right so both engines sum the identical float sequence.
     out = (
-        bg.join(terms, ["w1", "w2"])
+        bg.select("doc_id",
+                  _text_mod._bigram_hash("w1", "w2").alias("_h2"))
+        .join(terms_h, "_h2")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_terms"),
              F.array_sort(F.collect_list("excess_term")).alias("_t"))

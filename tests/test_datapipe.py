@@ -636,6 +636,35 @@ def test_perplexity_buckets_terciles(spark, sf_dir):
     assert max(by["middle"]) <= min(by["tail"])
 
 
+def test_bigram_hash_collision_guard_fires(spark, monkeypatch):
+    """The LM scoring passes join on a 64-bit bigram hash instead of
+    the two word strings (r14 key narrowing); the in-plan guard must
+    fail LOUDLY if two distinct bigrams ever share a hash, never merge
+    their terms silently.  Forced here with a deliberately degenerate
+    hash (every bigram → 0)."""
+    from sequin_spark.datapipe import text as text_mod
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc dd")], "doc_id long, text string")
+    monkeypatch.setattr(text_mod, "_bigram_hash",
+                        lambda w1, w2: F.lit(0).cast("long"))
+    with pytest.raises(Exception, match="collision"):
+        text_mod.bigram_lm_scores(docs).collect()
+
+
+def test_bigram_hash_keyed_terms_passthrough(spark):
+    """With the real xxhash64 key the guard is inert: every distinct
+    bigram keeps exactly its own term value."""
+    from sequin_spark.datapipe import text as text_mod
+
+    terms = spark.createDataFrame(
+        [("a", "b", 1.5), ("b", "c", -0.25), ("a", "c", 0.0)],
+        "w1 string, w2 string, nll_term double")
+    got = text_mod.hash_keyed_terms(terms, "nll_term").collect()
+    assert sorted(r.nll_term for r in got) == [-0.25, 0.0, 1.5]
+    assert len({r._h2 for r in got}) == 3
+
+
 def test_unimax_waterfilling(spark):
     from sequin_spark.datapipe.curation import unimax_allocation
 
