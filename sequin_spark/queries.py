@@ -1612,11 +1612,18 @@ def q_consumer_fanout_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_orderstatus", "o_orderpriority")
     ev = cdc.eventize(base, "orders", pk_cols=["o_orderkey"],
                       order_expr="o_orderkey")
-    size = F.aggregate(
-        F.map_entries(F.col("record")),
-        F.lit(0).cast("long"),
-        lambda acc, e: acc + F.length(e.getField("key"))
-        + F.length(e.getField("value")),
+    # closed-form payload size (r14): record is map(col → cast(col as
+    # string)) over exactly these three columns, so Σ(len(key) +
+    # len(value)) = 38 (the three key names) + the three value lengths
+    # — the same arithmetic the DuckDB oracle always used.  Reading the
+    # three entries directly instead of folding over map_entries drops
+    # the per-row lambda fold, and leaves `changes`/the unused record
+    # machinery prunable.
+    size = (
+        F.lit(38).cast("long")
+        + F.length(F.col("record").getItem("o_orderkey"))
+        + F.length(F.col("record").getItem("o_orderstatus"))
+        + F.length(F.col("record").getItem("o_orderpriority"))
     )
     prio = F.col("record").getItem("o_orderpriority")
     conds = [
