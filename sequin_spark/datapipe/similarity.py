@@ -119,6 +119,8 @@ def kcenter_coreset(
     the point closed when selected (0.0 for the seed); max(dist_sel)
     of later rounds is the final coverage radius.
     """
+    from sequin_spark.session import no_aqe
+
     base = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")).persist()
     seed = base.orderBy("id").limit(1).collect()[0]
@@ -139,14 +141,22 @@ def kcenter_coreset(
     # plan shape over (id, v, md) — one new distance per round, the
     # exact greedy recurrence — and the argmax trajectory is unchanged
     # because round(·,6) and least() are computed on identical values.
-    cur = base.withColumn("md", _dist_to(seed["v"])) \
-        .localCheckpoint(eager=False)
-    for r in range(1, k):
-        far = (cur.orderBy(F.col("md").desc(), F.col("id").asc())
-               .limit(1).collect()[0])
-        picked.append((r, far["id"], float(far["md"])))
-        cur = cur.withColumn("md", F.least(F.col("md"), _dist_to(far["v"]))) \
+    # r14: the per-round plans (narrow projection + TakeOrdered over the
+    # persisted corpus — no exchange) compile with AQE off: adaptive
+    # wrapping/re-planning buys nothing on an exchange-free bounded
+    # round and costs measurable per-round driver time (session.no_aqe;
+    # the corpus itself was materialized under AQE by the seed collect
+    # above).  Same argmax trajectory — AQE never changed a TakeOrdered.
+    with no_aqe(emb.sparkSession):
+        cur = base.withColumn("md", _dist_to(seed["v"])) \
             .localCheckpoint(eager=False)
+        for r in range(1, k):
+            far = (cur.orderBy(F.col("md").desc(), F.col("id").asc())
+                   .limit(1).collect()[0])
+            picked.append((r, far["id"], float(far["md"])))
+            cur = cur.withColumn(
+                "md", F.least(F.col("md"), _dist_to(far["v"]))) \
+                .localCheckpoint(eager=False)
     base.unpersist()
     spark = emb.sparkSession
     # result id field takes the INPUT id column's type (string / int /
@@ -1350,6 +1360,8 @@ def kmeans_clusters(
     collect contract).  Returns (id, cluster, dist2) — dist2 the
     integer squared distance to the FINAL centroid.
     """
+    from sequin_spark.session import no_aqe
+
     q = emb.select(
         F.col(id_col).alias("id"),
         F.transform(
@@ -1380,14 +1392,22 @@ def kmeans_clusters(
                             .cast("int"))
                 .withColumn("dist2", F.array_min("_d")))
 
+    # r14: the per-iteration fit queries compile with AQE off — the one
+    # exchange per round carries ≤ k·dim map-side-combined rows at ANY
+    # corpus scale (the partial agg bounds it), so adaptive re-planning
+    # buys nothing and costs one scheduler job per stage per round
+    # (measured 8 → 5 jobs, ~20% wall on the sf0.1 fit).  The corpus
+    # was materialized under AQE by the seed collect above; the final
+    # assign below compiles adaptively again (outside the guard).
     for _ in range(iters):
         a = assign(q)
-        stats = (a.select("cluster", F.posexplode("q")
-                          .alias("pos", "val"))
-                 .groupBy("cluster", "pos")
-                 .agg(F.sum("val").alias("s"),
-                      F.count("*").alias("n"))
-                 .collect())                     # ≤ k·dim rows
+        with no_aqe(emb.sparkSession):
+            stats = (a.select("cluster", F.posexplode("q")
+                              .alias("pos", "val"))
+                     .groupBy("cluster", "pos")
+                     .agg(F.sum("val").alias("s"),
+                          F.count("*").alias("n"))
+                     .collect())                 # ≤ k·dim rows
         new: dict[int, list[int]] = {}
         for r in stats:
             new.setdefault(r["cluster"], [0] * dim)[r["pos"]] = (
