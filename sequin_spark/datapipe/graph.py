@@ -77,8 +77,13 @@ def pagerank_int(
     e = edges.join(out_w, "src").select("src", "dst", "w", "out_w").persist()
     # materialize the (possibly corpus-scale) edge build under AQE —
     # one bounded count — so the AQE-off block below only ever covers
-    # the bounded per-round plans, never the edge star join
-    e.count()
+    # the bounded per-round plans, never the edge star join; the count
+    # also sizes the loop's reduce width to the data (50k rows/task,
+    # session width as the cap — bounded frames never schedule a full
+    # session-width task wave per round)
+    n_e = e.count()
+    loop_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     n_e // 50_000 + 1)
 
     nodes = nodes.persist()
     # r14 (verdict task #1): lazy checkpoints + zero per-round actions —
@@ -93,7 +98,7 @@ def pagerank_int(
     # strategy AQE used to discover at runtime.  teleport is driver
     # arithmetic off the single up-front count; the rank trajectory is
     # byte-identical (same integer plan per round).
-    with _no_aqe(spark):
+    with _no_aqe(spark, shuffle_partitions=loop_parts):
         ranks = nodes.select(
             "node", F.lit(scale // n_nodes).cast("long").alias("r")
         ).localCheckpoint(eager=False)
@@ -145,81 +150,86 @@ def hits_int(
     engine-exact.  Weighted edges use the raw weight — HITS' classic
     form is unweighted; pass w=1 edges for that.  Same scale shape as
     PageRank: two dst/src-keyed shuffles per iteration over the edge
-    table, rank tables broadcast, lineage truncated per iteration;
-    the per-round max rides in-plan as a broadcast 1-row aggregate —
-    the fit issues zero driver actions."""
+    table, rank tables broadcast, lineage truncated per iteration; the
+    per-round max is a 1-row driver collect that also materializes the
+    round's lazy checkpoint (one job per half-iteration), the loop runs
+    over linked nodes only (zeros attached once at the end), and the
+    bounded per-round plans compile with AQE off at a data-sized
+    reduce width."""
     spark = nodes.sparkSession
     e = edges.select("src", "dst", "w").persist()
     # materialize a possibly corpus-scale edge build under AQE (one
     # bounded count) so the AQE-off loop below only compiles the
-    # bounded per-round plans
-    e.count()
+    # bounded per-round plans; the count sizes the loop's reduce width
+    # to the data (50k rows/task, session width as the cap)
+    n_e = e.count()
+    loop_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
+                     n_e // 50_000 + 1)
     nodes = nodes.persist()
-    # lazy (eager=False) checkpoints throughout: the Catalyst plan is
-    # truncated to a LogicalRDD immediately either way; materialization
-    # happens when the FINAL action computes the chained RDD lineage.
-    # r14 (verdict task #1 — cut the per-round driver-job floor): the
-    # per-round max is no longer a driver collect at all.  The
-    # normalization divisor rides IN-PLAN as a broadcast 1-row
-    # aggregate (crossJoin of the checkpointed raw table with its own
-    # max — the scalar-subquery shape, O(1) rows broadcast at any
-    # corpus scale), so the whole fit issues no driver actions after
-    # the edge count, and the per-round plans compile with AQE off
-    # (bounded inputs — see _no_aqe).  The divisor arithmetic is the
-    # identical integer form —
-    #   div = greatest((greatest(coalesce(max, 1), 1) + scale-1) div
-    #                  scale, 1)
-    # replays `max(((a_max or 1) + scale - 1) // scale, 1)` exactly
-    # (coalesce+greatest cover the None/0 cases the Python `or 1`
-    # did) — so the trajectory is bit-identical.
-    _div = (f"div greatest((greatest(coalesce(_mx, CAST(1 AS BIGINT)), "
-            f"CAST(1 AS BIGINT)) + {scale - 1}) div {scale}, "
-            f"CAST(1 AS BIGINT))")
-    with _no_aqe(spark):
-        hubs = nodes.select("node", F.lit(scale).cast("long").alias("h")) \
-            .localCheckpoint(eager=False)
+    # r14 (verdict task #1 — cut the per-round driver-job floor).  Two
+    # structural cuts, trajectory bit-identical:
+    #
+    # 1. The loop runs over LINKED nodes only.  The old shape
+    #    left-joined the FULL node table twice per iteration purely to
+    #    materialize zeros; but the recurrence is closed over linked
+    #    nodes — every edge dst always finds its authority row and
+    #    every edge src its hub row (inner joins on e), a node outside
+    #    those sets contributes nothing and scores 0 — and the
+    #    normalization max over linked nodes equals the max over all
+    #    nodes (missing rows are exactly the zeros; the `or 1` floor
+    #    covers the empty case identically).  Zeros are attached ONCE
+    #    at the end.  Two full node-table passes per iteration gone.
+    #
+    # 2. The bounded per-round plans compile with AQE off (see
+    #    _no_aqe) with the broadcast hints AQE used to re-discover at
+    #    runtime each round; the per-round max stays a 1-row driver
+    #    collect, which also materializes the round's lazy checkpoint
+    #    (one job, no separate checkpoint job).
+    with _no_aqe(spark, shuffle_partitions=loop_parts):
+        hubs = (e.select(F.col("src").alias("node")).distinct()
+                .select("node", F.lit(scale).cast("long").alias("h"))
+                .localCheckpoint(eager=False))
         auth = None
         for _ in range(iters):
-            a_raw = (
+            a_ckpt = (
                 e.join(F.broadcast(hubs.withColumnRenamed("node", "src")),
                        "src")
                 .select(F.col("dst").alias("node"),
                         F.expr("h * w").alias("c"))
                 .groupBy("node")
-                .agg(F.sum("c").alias("s"))
-            )
-            # checkpoint the RAW table once; both the 1-row max
-            # aggregate and the normalized projection read the same
-            # checkpointed blocks, so the join+agg still runs once per
-            # half-iteration
-            a_ckpt = nodes.join(F.broadcast(a_raw), "node", "left").select(
-                "node", F.coalesce("s", F.lit(0).cast("long")).alias("a_raw")
+                .agg(F.sum("c").alias("a_raw"))
             ).localCheckpoint(eager=False)
-            a_stat = a_ckpt.agg(F.max("a_raw").alias("_mx"))
-            auth = a_ckpt.crossJoin(F.broadcast(a_stat)).select(
-                "node", F.expr(f"a_raw {_div}").cast("long").alias("a"))
-            h_raw = (
+            a_max = a_ckpt.agg(F.max("a_raw")).collect()[0][0] or 1
+            a_div = max((a_max + scale - 1) // scale, 1)
+            auth = a_ckpt.select(
+                "node", F.expr(f"a_raw div {a_div}").cast("long").alias("a"))
+            h_ckpt = (
                 e.join(F.broadcast(auth.withColumnRenamed("node", "dst")),
                        "dst")
                 .select(F.col("src").alias("node"),
                         F.expr("a * w").alias("c"))
                 .groupBy("node")
-                .agg(F.sum("c").alias("s"))
-            )
-            h_ckpt = nodes.join(F.broadcast(h_raw), "node", "left").select(
-                "node", F.coalesce("s", F.lit(0).cast("long")).alias("h_raw")
+                .agg(F.sum("c").alias("h_raw"))
             ).localCheckpoint(eager=False)
-            h_stat = h_ckpt.agg(F.max("h_raw").alias("_mx"))
-            hubs = h_ckpt.crossJoin(F.broadcast(h_stat)).select(
-                "node", F.expr(f"h_raw {_div}").cast("long").alias("h"))
+            h_max = h_ckpt.agg(F.max("h_raw")).collect()[0][0] or 1
+            h_div = max((h_max + scale - 1) // scale, 1)
+            hubs = h_ckpt.select(
+                "node", F.expr(f"h_raw div {h_div}").cast("long").alias("h"))
     e.unpersist()
+    out = nodes.join(F.broadcast(auth), "node", "left") \
+        .join(F.broadcast(hubs), "node", "left").select(
+            "node",
+            F.coalesce("a", F.lit(0).cast("long")).alias("authority_int"),
+            F.coalesce("h", F.lit(0).cast("long")).alias("hub_int"),
+        )
     nodes.unpersist()
-    return auth.join(hubs, "node").select(
+    return out.select(
         "node",
-        F.col("a").alias("authority_int"),
-        F.col("h").alias("hub_int"),
-        F.round(F.col("a") / F.lit(float(scale)), 6).alias("authority"),
-        F.round(F.col("h") / F.lit(float(scale)), 6).alias("hub"),
+        "authority_int",
+        "hub_int",
+        F.round(F.col("authority_int") / F.lit(float(scale)), 6)
+        .alias("authority"),
+        F.round(F.col("hub_int") / F.lit(float(scale)), 6).alias("hub"),
     )
 
 

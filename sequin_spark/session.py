@@ -74,7 +74,7 @@ from contextlib import contextmanager
 
 
 @contextmanager
-def no_aqe(spark: SparkSession):
+def no_aqe(spark: SparkSession, shuffle_partitions: int | None = None):
     """Compile bounded sub-plans with adaptive execution off.
 
     AQE materializes every exchange as its own scheduler job and
@@ -87,14 +87,28 @@ def no_aqe(spark: SparkSession):
     (edge builds, scans) must be materialized under AQE before
     entering.  Restores the previous setting on exit, so plans compiled
     after the block (including the caller's final action) stay
-    adaptive."""
+    adaptive.
+
+    ``shuffle_partitions``: optional reduce-side width for the guarded
+    plans — pass a width DERIVED from the bounded input's measured size
+    (e.g. edge count // 50k + 1, capped at the session width) so the
+    k-row exchanges don't schedule a full session-width task wave per
+    round.  The aggregate twin of wal_pipeline_log's data-sized
+    repartition: width follows the data; the session default is only
+    the cap, so corpus-scale runs are unaffected."""
     key = "spark.sql.adaptive.enabled"
+    skey = "spark.sql.shuffle.partitions"
     prev = str(spark.conf.get(key))
+    prev_sp = str(spark.conf.get(skey))
     spark.conf.set(key, "false")
+    if shuffle_partitions is not None:
+        spark.conf.set(skey, str(max(1, int(shuffle_partitions))))
     try:
         yield
     finally:
         spark.conf.set(key, prev)
+        if shuffle_partitions is not None:
+            spark.conf.set(skey, prev_sp)
 
 
 def tune(spark: SparkSession) -> SparkSession:

@@ -42,11 +42,6 @@ ALLOW_NESTED_LOOP = {
     "sketch_hll_setops",     # three 1-row estimates combined
     "sketch_bloom_probe",    # 1-row probe summary × 1-row bit count
     "sketch_ams_f2",         # 1-row median estimator × 1-row exact F2
-    # r14: the HITS fit's per-round max normalization rides in-plan as
-    # a broadcast 1-ROW aggregate crossJoined onto the bounded rank
-    # table (the scalar-subquery shape) instead of a driver collect —
-    # O(1) rows broadcast per round at any corpus scale.
-    "graph_hits",
 }
 
 
