@@ -397,33 +397,55 @@ def connected_components(
     edges = sym.unionByName(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).repartition("dst").dropDuplicates().cache()
+    # materialize the (possibly corpus-scale) pair build under AQE; the
+    # measured edge count then sizes the label loop (r14): when it
+    # PROVES the graph small (< 50k rows/task at session width), the
+    # per-round plans compile with AQE off at a data-derived width —
+    # adaptive re-planning schedules one job per exchange per round and
+    # buys nothing on a provably small loop.  At corpus scale the count
+    # hits the session-width cap and the loop keeps AQE (coalescing +
+    # skew handling on the label shuffles).
+    n_edges = edges.count()
+    session_w = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_w = min(session_w, n_edges // 50_000 + 1)
+    if loop_w < session_w:
+        from sequin_spark.session import no_aqe
+        _loop_ctx = lambda: no_aqe(edges.sparkSession,  # noqa: E731
+                                   shuffle_partitions=loop_w)
+    else:
+        from contextlib import nullcontext as _loop_ctx
 
-    # label(id) starts at min(id, min neighbor)
-    # lazy checkpoints: plan truncation is immediate either way; the
-    # materialization rides the convergence-sum collect each round (one
-    # driver job per round instead of two, identical label trajectory)
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("nbr_min"))
-        .select(F.col("src").alias("id"), F.least("src", "nbr_min").alias("label"))
-        .localCheckpoint(eager=False)
-    )
-    # labels only ever DECREASE (min-propagation is monotone), so an
-    # unchanged label sum ⇒ fixed point — convergence costs one tiny
-    # agg per round instead of a self-join + count
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iterations):
-        nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
-            .select(edges["src"].alias("id"), F.col("label"))
-        )
+    with _loop_ctx():
+        # label(id) starts at min(id, min neighbor)
+        # lazy checkpoints: plan truncation is immediate either way; the
+        # materialization rides the convergence-sum collect each round
+        # (one driver job per round instead of two, identical label
+        # trajectory)
         labels = (
-            labels.unionByName(nbr).groupBy("id").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=False)
-        new_sum = labels.agg(F.sum("label")).collect()[0][0]
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("nbr_min"))
+            .select(F.col("src").alias("id"),
+                    F.least("src", "nbr_min").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        # labels only ever DECREASE (min-propagation is monotone), so an
+        # unchanged label sum ⇒ fixed point — convergence costs one tiny
+        # agg per round instead of a self-join + count
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iterations):
+            nbr = (
+                edges.join(labels, edges["dst"] == labels["id"])
+                .select(edges["src"].alias("id"), F.col("label"))
+            )
+            labels = (
+                labels.unionByName(nbr).groupBy("id")
+                .agg(F.min("label").alias("label"))
+            ).localCheckpoint(eager=False)
+            new_sum = labels.agg(F.sum("label")).collect()[0][0]
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

@@ -82,8 +82,13 @@ def pagerank_int(
     # session width as the cap — bounded frames never schedule a full
     # session-width task wave per round)
     n_e = e.count()
-    loop_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                     n_e // 50_000 + 1)
+    session_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_parts = min(session_w, n_e // 50_000 + 1)
+    if loop_parts < session_w:
+        _loop_ctx = lambda: _no_aqe(spark,  # noqa: E731
+                                    shuffle_partitions=loop_parts)
+    else:  # corpus-scale graph: keep AQE (coalescing + skew handling)
+        from contextlib import nullcontext as _loop_ctx
 
     nodes = nodes.persist()
     # r14 (verdict task #1): lazy checkpoints + zero per-round actions —
@@ -98,7 +103,7 @@ def pagerank_int(
     # strategy AQE used to discover at runtime.  teleport is driver
     # arithmetic off the single up-front count; the rank trajectory is
     # byte-identical (same integer plan per round).
-    with _no_aqe(spark, shuffle_partitions=loop_parts):
+    with _loop_ctx():
         ranks = nodes.select(
             "node", F.lit(scale // n_nodes).cast("long").alias("r")
         ).localCheckpoint(eager=False)
@@ -163,8 +168,13 @@ def hits_int(
     # bounded per-round plans; the count sizes the loop's reduce width
     # to the data (50k rows/task, session width as the cap)
     n_e = e.count()
-    loop_parts = min(int(spark.conf.get("spark.sql.shuffle.partitions")),
-                     n_e // 50_000 + 1)
+    session_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    loop_parts = min(session_w, n_e // 50_000 + 1)
+    if loop_parts < session_w:
+        _loop_ctx = lambda: _no_aqe(spark,  # noqa: E731
+                                    shuffle_partitions=loop_parts)
+    else:  # corpus-scale graph: keep AQE (coalescing + skew handling)
+        from contextlib import nullcontext as _loop_ctx
     nodes = nodes.persist()
     # r14 (verdict task #1 — cut the per-round driver-job floor).  Two
     # structural cuts, trajectory bit-identical:
@@ -185,7 +195,7 @@ def hits_int(
     #    runtime each round; the per-round max stays a 1-row driver
     #    collect, which also materializes the round's lazy checkpoint
     #    (one job, no separate checkpoint job).
-    with _no_aqe(spark, shuffle_partitions=loop_parts):
+    with _loop_ctx():
         hubs = (e.select(F.col("src").alias("node")).distinct()
                 .select("node", F.lit(scale).cast("long").alias("h"))
                 .localCheckpoint(eager=False))

@@ -1399,9 +1399,15 @@ def kmeans_clusters(
     # (measured 8 → 5 jobs, ~20% wall on the sf0.1 fit).  The corpus
     # was materialized under AQE by the seed collect above; the final
     # assign below compiles adaptively again (outside the guard).
+    # reduce-side cardinality is exactly k·dim (the group key space), so
+    # the fit's exchange runs at a width derived from that bound —
+    # 4096 groups/task, session width as the cap — instead of a full
+    # session-width task wave per round at any corpus scale
+    fit_parts = min(int(emb.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions")), k * dim // 4096 + 1)
     for _ in range(iters):
         a = assign(q)
-        with no_aqe(emb.sparkSession):
+        with no_aqe(emb.sparkSession, shuffle_partitions=fit_parts):
             stats = (a.select("cluster", F.posexplode("q")
                               .alias("pos", "val"))
                      .groupBy("cluster", "pos")
