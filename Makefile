@@ -4,9 +4,15 @@
 # writing CORRECTNESS_FULL_r{N}.txt; tests/test_full_audit.py fails the
 # suite if that file is missing, stale, or red.
 
-.PHONY: test snapshot audit bench plan-audit
+.PHONY: test test-smoke snapshot audit bench plan-audit
 
+# FULL suite (smoke tier + deep tier); the bare `pytest tests/` default
+# is the smoke tier (pytest.ini deselects `deep` long-runners so a
+# bounded verify window reaches the summary line)
 test:
+	python -m pytest tests/ -q -m ""
+
+test-smoke:
 	python -m pytest tests/ -q
 
 # run before every end-of-round commit (and after any query/oracle edit)
