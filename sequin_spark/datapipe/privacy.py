@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sequin_spark.plan_capture import ckpt as _plan_ckpt
+
 TWO60 = float(1 << 60)
 
 
@@ -436,7 +438,7 @@ def ldp_frequency(
         Window.unboundedPreceding, Window.unboundedFollowing))
     # k rows; read by the perturbation join AND the final unbiasing join
     # — checkpoint so the distinct scan runs once
-    cats = cats.withColumn("k", k.cast("long")).localCheckpoint(eager=False)
+    cats = _plan_ckpt(cats.withColumn("k", k.cast("long")))
     rows = (
         df.select(F.col(id_col).alias("_id"), F.col(cat_col).alias("cat"))
         .join(F.broadcast(cats), "cat")
@@ -456,8 +458,8 @@ def ldp_frequency(
     # the previous shape aggregated `rows` twice (two full scans + two
     # perturbation-join evaluations).  Integer sums, exact either way.
     pair = (rows.groupBy("idx", "rep_idx")
-            .agg(F.count(F.lit(1)).cast("long").alias("_c"))
-            .localCheckpoint(eager=False))
+            .agg(F.count(F.lit(1)).cast("long").alias("_c")))
+    pair = _plan_ckpt(pair)
     obs = pair.groupBy("rep_idx").agg(
         F.sum("_c").cast("long").alias("n_obs"))
     true = pair.groupBy("idx").agg(

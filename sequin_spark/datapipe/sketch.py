@@ -36,6 +36,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sequin_spark.plan_capture import ckpt as _plan_ckpt
+
 HLL_M = 256          # registers (8-bit bucket index)
 CM_DEPTH = 4         # count-min hash rows
 CM_WIDTH = 1024      # count-min buckets per row
@@ -260,8 +262,8 @@ def hll_union_intersection(df_a: DataFrame, df_b: DataFrame, col: str) -> DataFr
         F.lit(53) - F.length(F.expr("bin(_w)")))
     regs = (base.select("_side", "register", rho.cast("int").alias("rho"))
             .groupBy("_side", "register")
-            .agg(F.max("rho").alias("max_rho"))
-            .localCheckpoint(eager=False))
+            .agg(F.max("rho").alias("max_rho")))
+    regs = _plan_ckpt(regs)
     ra = regs.filter(F.col("_side") == 0).select("register", "max_rho")
     rb = regs.filter(F.col("_side") == 1).select("register", "max_rho")
     merged = (regs.groupBy("register")

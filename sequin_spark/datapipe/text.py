@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sequin_spark.plan_capture import ckpt as _plan_ckpt
+
 from sequin_spark.datapipe.dedup import normalized, spread_for_compute
 
 # n-gram-heuristic stopword inventories (tiny but deterministic;
@@ -248,7 +250,7 @@ def bigram_lm_scores(df: DataFrame, text_col: str = "text",
     # materialize the (doc-keyed, small) result while the bigram cache is
     # live, then release it — composed pipelines would otherwise
     # accumulate cached blocks for the session's lifetime
-    out = out.localCheckpoint(eager=True)
+    out = _plan_ckpt(out, eager=True)
     bg.unpersist()
     return out
 

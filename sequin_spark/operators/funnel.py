@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sequin_spark.plan_capture import ckpt as _plan_ckpt
+
 
 def funnel_times(
     events: DataFrame,
@@ -72,7 +74,7 @@ def funnel_conversion(
     # ONE row; each per-step select below reads it — without the (lazy)
     # checkpoint the union re-ran the whole funnel pipeline per step
     # (len(steps) full event-stream passes instead of one)
-    counts = counts.localCheckpoint(eager=False)
+    counts = _plan_ckpt(counts)
     rows = None
     for i, step in enumerate(steps, start=1):
         r = counts.select(

@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from sequin_spark.plan_capture import ckpt as _plan_ckpt
+
 from sequin_spark import cdc
 from sequin_spark.cdc import (
     eventize_customer,
@@ -814,7 +816,7 @@ def q_transaction_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (lazy) checkpoint each branch re-runs the scan + dedup shuffle
     # (2 input passes → 1; local wall a wash at sf0.1, the win is the
     # removed pass at scale — r13 optimization round)
-    txns = ev.select("commit_lsn").distinct().localCheckpoint(eager=False)
+    txns = _plan_ckpt(ev.select("commit_lsn").distinct())
     ann_json = F.concat(F.lit('{"src":'), F.col("commit_lsn").cast("string"), F.lit("}"))
     set_markers = txns.filter(F.col("commit_lsn") % 3 == 0).select(
         F.lit(None).cast("long").alias("event_id"),

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sequin_spark.cdc import load_table
+from sequin_spark.plan_capture import ckpt as _plan_ckpt
 from sequin_spark.datapipe.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
@@ -1483,7 +1484,14 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("replace(text, ' the ', ' thy ')").alias("text"),
         )
     )
-    return decontaminate(corpus, eval_set, gram=8, threshold=0.01)
+    # round-robin the (narrow) corpus projection before the 8-gram
+    # kernel: the two-split union otherwise runs the whole shingle +
+    # array_distinct pass on ≤2 tasks (r14 A/B on an idle host: spread
+    # won every paired rep, ~1.8 → ~1.5 s; the r13 sweep's tie was
+    # measured under suite contention).  No-op when the scan is already
+    # cluster-wide.
+    return decontaminate(spread_for_compute(corpus), eval_set,
+                         gram=8, threshold=0.01)
 
 
 def _sql_corpus_decontaminate() -> str:
@@ -4074,7 +4082,7 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cos").desc(), F.col("n_id").asc())
     top = (tall.withColumn("rnk", F.row_number().over(w))
            .filter(F.col("rnk") <= k).select("dim", "q_id", "n_id"))
-    top = top.localCheckpoint(eager=False)
+    top = _plan_ckpt(top)
     ground = top.filter(F.col("dim") == 0).select("q_id", "n_id")
     outs = []
     for d in dims:

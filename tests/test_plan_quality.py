@@ -126,7 +126,16 @@ def test_plan_shape_gate(spark, sf_dir, name):
     """
     from tools.plan_stats import plan_stats
 
-    df = QUERIES[name](spark, sf_dir)
+    from sequin_spark.plan_capture import capture_plans
+
+    # r14 (verdict task #4): build with see-through plan checkpoints so
+    # the gate sees the full child plan behind the evaluate-once
+    # localCheckpoint sites (funnel_conversion read 0 Exchanges after
+    # r13 — a LogicalRDD leaf hid the whole subtree from the gate).
+    # Iterative fits keep their load-bearing truncation (their raw
+    # localCheckpoint calls are not routed through plan_capture).
+    with capture_plans():
+        df = QUERIES[name](spark, sf_dir)
     plan = _physical_plan(df)
     if name not in ALLOW_NESTED_LOOP:
         assert "CartesianProduct" not in plan, \

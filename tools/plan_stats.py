@@ -57,12 +57,19 @@ def stats_for(df) -> dict:
 
 
 def collect_baseline(spark, sf_dir: str) -> dict:
+    from sequin_spark.plan_capture import capture_plans
     from sequin_spark.queries import QUERIES
 
     out: dict[str, dict] = {}
     for pass_no in range(2):  # cold, then warm (index caches populated)
         for name in sorted(QUERIES):
-            s = stats_for(QUERIES[name](spark, sf_dir))
+            # see-through plan checkpoints (r14, verdict task #4): the
+            # baseline records the FULL compute graph behind the
+            # evaluate-once localCheckpoint sites, closing the
+            # LogicalRDD-leaf blind spot the r13 verdict flagged
+            with capture_plans():
+                df = QUERIES[name](spark, sf_dir)
+            s = stats_for(df)
             if name in out:
                 out[name] = {k: max(out[name][k], s[k]) for k in STATS}
             else:
