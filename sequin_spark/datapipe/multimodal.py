@@ -286,17 +286,33 @@ def phash_near_dup_pairs(hashes: DataFrame,
     dedup.simhash_pairs); candidates are band-bucket equi-join
     collisions only, never all-pairs, then one bit_count(xor) verify.
 
-    Output: (doc_a, doc_b, hamming) with doc_a < doc_b."""
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    r14 scale fix (caught by the sf0.1→sf1 decade sweep: 40× wall for
+    10× data): the band self-join ran over DOC rows, so duplicate
+    images — the dominant shape of a real image corpus, and exactly
+    what the scaled corpus plants — multiplied every band bucket's
+    occupancy and the candidate count grew with (docs/bucket)², 43M
+    candidate pairs at sf1.  The Hamming relation only depends on the
+    HASH values: band over DISTINCT hashes (9.7k vs 52k rows at sf1),
+    verify once per hash pair, then expand qualifying hash pairs (and
+    the hamming-0 within-hash groups) back to doc pairs.  The expansion
+    is output-proportional — unavoidable, it IS the result — while the
+    quadratic candidate join now runs on the deduplicated hash table.
+    Output set identical: every unordered doc pair with hamming ≤ d
+    appears exactly once (hash pairs are ordered _ha < _hb and each doc
+    carries one hash; equal-hash pairs come only from the second
+    branch, ordered doc_a < doc_b)."""
     bands = max_hamming + 1
     band_bits = -(-63 // bands)
     mask = (1 << band_bits) - 1
-    # the band self-join reads `hashes` twice; without this (lazy)
-    # materialization both sides re-run the upstream dHash mapInPandas
-    # decode — 2x the Python kernel work for a (doc_id, 8-byte hash)
-    # frame that is exactly the guide's decide-on-fingerprints table
+    # materialize the fingerprint table (read by the distinct pass and
+    # both expansion sides) — without it each read re-runs the upstream
+    # dHash mapInPandas decode
     hashes = hashes.localCheckpoint(eager=False)
-    banded = hashes.select(
-        "doc_id", "dhash",
+    dh = hashes.select("dhash").distinct().localCheckpoint(eager=False)
+    banded = dh.select(
+        "dhash",
         F.explode(F.array(*[
             F.struct(
                 F.lit(j).alias("band"),
@@ -304,20 +320,39 @@ def phash_near_dup_pairs(hashes: DataFrame,
                 .alias("band_val"))
             for j in range(bands)
         ])).alias("b"),
-    ).select("doc_id", "dhash", "b.band", "b.band_val")
-    a = banded.select(F.col("doc_id").alias("doc_a"),
-                      F.col("dhash").alias("_ha"), "band", "band_val")
-    b = banded.select(F.col("doc_id").alias("doc_b"),
-                      F.col("dhash").alias("_hb"), "band", "band_val")
-    return (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b",
+    ).select("dhash", "b.band", "b.band_val")
+    ha = banded.select(F.col("dhash").alias("_ha"), "band", "band_val")
+    hb = banded.select(F.col("dhash").alias("_hb"), "band", "band_val")
+    hash_pairs = (
+        ha.join(hb, ["band", "band_val"])
+        .filter(F.col("_ha") < F.col("_hb"))
+        .select("_ha", "_hb",
                 F.bit_count(F.expr("_ha ^ _hb")).cast("int")
                 .alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["_ha", "_hb"])
     )
+    ga = hashes.select(F.col("doc_id").alias("doc_a"),
+                       F.col("dhash").alias("_ha"))
+    gb = hashes.select(F.col("doc_id").alias("doc_b"),
+                       F.col("dhash").alias("_hb"))
+    cross = (
+        hash_pairs.join(ga, "_ha").join(gb, "_hb")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select(F.least("doc_a", "doc_b").alias("doc_a"),
+                F.greatest("doc_a", "doc_b").alias("doc_b"), "hamming")
+    )
+    same = (
+        ga.join(gb.withColumnRenamed("_hb", "_ha"), "_ha")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.lit(0).cast("int").alias("hamming"))
+    )
+    # the pair-level dedup mirrors the old doc-level dropDuplicates: a
+    # doc_id carrying several hash rows (possible only in inputs with
+    # duplicate ids) yields one output row per pair, as before; on
+    # unique-id inputs this is a no-op over an already-distinct,
+    # output-proportional set
+    return cross.unionByName(same).dropDuplicates(["doc_a", "doc_b"])
 
 
 # --- real pure-stdlib decoders: PNG pixels, WAV PCM samples ---------------
