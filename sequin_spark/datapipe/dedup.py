@@ -597,23 +597,21 @@ def minhash_coeffs(j: int) -> tuple[int, int]:
 
 
 def _signatures_from_shingles(shingled: DataFrame, id_col: str, n_hashes: int) -> DataFrame:
-    base = F.transform(
-        F.col("sh"),
-        # NB: 1-arg lambda — pyspark dispatches 2-arg HOF lambdas as
-        # (element, index)
-        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
-    )
-    def _perm(a: int, b: int):
-        # closure, not default args — pyspark dispatches HOF lambdas by
-        # parameter count, so extra defaulted params break arity
-        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MINHASH_PRIME)
-
+    # expressions built as single SQL strings, not nested pyspark HOF
+    # lambdas: each python-side lambda costs a py4j round-trip per node
+    # and the signature tree has ~10 of them per hash — measured ~0.5 s
+    # of driver chatter per pairs build at n_hashes=8 (r14; plans and
+    # results identical, it is the same Catalyst tree after parsing)
+    base = F.expr(
+        "transform(sh, s -> "
+        "CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT))")
     sigs = []
     for j in range(1, n_hashes + 1):
         a, b = minhash_coeffs(j)
-        sigs.append(
-            F.array_min(F.transform(F.col("bh"), _perm(a, b))).alias(f"sig{j}")
-        )
+        sigs.append(F.expr(
+            f"array_min(transform(bh, x -> "
+            f"(CAST({a} AS BIGINT) * x + CAST({b} AS BIGINT)) % "
+            f"CAST({MINHASH_PRIME} AS BIGINT)))").alias(f"sig{j}"))
     return shingled.select(F.col(id_col), base.alias("bh")).select(F.col(id_col), *sigs)
 
 

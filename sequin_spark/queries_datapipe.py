@@ -1074,7 +1074,12 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The old shape re-derived `kept` three times and shuffled full text
     # by doc_id twice; this shuffles it once, by content hash — identical
     # surviving set (min is exact), identical rollup.
-    kept = (quality_score(docs, carry=("text",))
+    # spread the narrow (doc_id, text) projection before the regex-dense
+    # quality kernel: the two-split union otherwise runs four
+    # regexp_extract_all passes per doc on ≤2 tasks (r14 A/B; no-op on
+    # a cluster-wide scan)
+    kept = (quality_score(spread_for_compute(docs.select("doc_id", "text")),
+                          carry=("text",))
             .filter(F.col("keep")).select("doc_id", "text"))
     w_fp = Window.partitionBy(F.md5(normalized("text")))
     surviving = (
