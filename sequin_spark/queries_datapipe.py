@@ -1074,12 +1074,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The old shape re-derived `kept` three times and shuffled full text
     # by doc_id twice; this shuffles it once, by content hash — identical
     # surviving set (min is exact), identical rollup.
-    # spread the narrow (doc_id, text) projection before the regex-dense
-    # quality kernel: the two-split union otherwise runs four
-    # regexp_extract_all passes per doc on ≤2 tasks (r14 A/B; no-op on
-    # a cluster-wide scan)
-    kept = (quality_score(spread_for_compute(docs.select("doc_id", "text")),
-                          carry=("text",))
+    # NOTE (r14): a spread_for_compute before the quality pass was
+    # A/B-tested and LOST (0.88× — the md5-window shuffle right after
+    # already redistributes, so the extra exchange only added cost);
+    # reverted, kept serial-to-first-shuffle deliberately.
+    kept = (quality_score(docs, carry=("text",))
             .filter(F.col("keep")).select("doc_id", "text"))
     w_fp = Window.partitionBy(F.md5(normalized("text")))
     surviving = (
@@ -4059,7 +4058,6 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     The 4·k·n_q top rows are lazily localCheckpointed so the ground /
     approx recall joins read them without re-running the search.
     Output: one (dim, recall_at_10) row per d'."""
-    from sequin_spark.datapipe.similarity import cosine_col, cosine_col_vals
     from sequin_spark.datapipe.text import spread_for_compute
 
     _prep(spark)
@@ -4073,12 +4071,35 @@ def q_embed_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(F.col("vec_id").alias("n_id"),
                    F.col("embedding").alias("n_vec")))
     joined = q.crossJoin(c).filter(F.col("q_id") != F.col("n_id"))
+    # r14: the four cosines share ONE element-product pass and one
+    # square pass per side; each truncation then folds a prefix slice
+    # of the shared arrays.  Same ascending-dim fold over the same
+    # element values as the per-slice cosine_col_vals chains — float
+    # results bit-identical — but the pair expression tree drops from
+    # ~24 HOF nodes to ~15 (measured: the plan-compile-heavy lazy
+    # checkpoint below was the query's single biggest build cost) and
+    # the per-pair multiplies run once, not once per truncation.
+    def _cut(d):
+        sl = (lambda col: f"slice({col}, 1, {d})") if d else (lambda c_: c_)
+        return (f"aggregate({sl('_p')}, 0.0D, (acc, y) -> acc + y)"
+                f" / (sqrt(aggregate({sl('_qq')}, 0.0D,"
+                f" (acc, y) -> acc + y))"
+                f" * sqrt(aggregate({sl('_nn')}, 0.0D,"
+                f" (acc, y) -> acc + y)))")
+
     pairs = joined.select(
         "q_id", "n_id",
-        cosine_col("q_vec", "n_vec").alias("cos_0"),
-        *[cosine_col_vals(F.slice("q_vec", 1, d),
-                          F.slice("n_vec", 1, d)).alias(f"cos_{d}")
-          for d in dims])
+        F.expr("zip_with(transform(q_vec, x -> CAST(x AS DOUBLE)), "
+               "transform(n_vec, x -> CAST(x AS DOUBLE)), "
+               "(x, y) -> x * y)").alias("_p"),
+        F.expr("transform(q_vec, x -> CAST(x AS DOUBLE) "
+               "* CAST(x AS DOUBLE))").alias("_qq"),
+        F.expr("transform(n_vec, x -> CAST(x AS DOUBLE) "
+               "* CAST(x AS DOUBLE))").alias("_nn"),
+    ).select(
+        "q_id", "n_id",
+        F.expr(_cut(None)).alias("cos_0"),
+        *[F.expr(_cut(d)).alias(f"cos_{d}") for d in dims])
     stack_args = ", ".join(f"{d}, cos_{d}" for d in (0, *dims))
     tall = pairs.select(
         "q_id", "n_id",
