@@ -762,22 +762,12 @@ def q_wal_pipeline_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     upward by AQE, so the width must be right at plan time."""
     _prep(spark)
     ev = eventize_orders(spark, sf_dir).unionByName(eventize_lineitem(spark, sf_dir))
-    # r14 (the sf100 decade residual is SHUFFLE-SCRATCH disk-bound,
-    # measured ceiling ~sf90): the low-cardinality string payloads ride
-    # the conflict-dedup exchange as one byte each — table identity
-    # (schema+name, 2 values) and action (3 values) are enum-encoded
-    # before the repartition and decoded after the dedup, cutting
-    # ~20 B/row (~30%) of shuffle write+read at every scale.  The dedup
-    # keys themselves are untouched; the decode is a bijective CASE per
-    # row, so the output is byte-identical.
     wal = ev.select(
         F.col("commit_lsn").alias("seq"),
-        F.when(F.col("table_name") == "orders", F.lit(0))
-        .otherwise(F.lit(1)).cast("tinyint").alias("_tbl"),
+        F.col("table_schema").alias("source_table_schema"),
+        F.col("table_name").alias("source_table_name"),
         F.array_join(F.col("record_pks"), ":").alias("record_pk"),
-        F.when(F.col("action") == "insert", F.lit(0))
-        .when(F.col("action") == "update", F.lit(1))
-        .otherwise(F.lit(2)).cast("tinyint").alias("_act"),
+        F.col("action"),
         F.unix_micros(F.col("commit_timestamp")).alias("committed_at_um"),
     )
     duplicated = wal.unionByName(wal)  # retried batch → conflict dedup
@@ -789,19 +779,8 @@ def q_wal_pipeline_log(spark: SparkSession, sf_dir: str) -> DataFrame:
         size = 0
     floor = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(floor, min(4096, size // (128 << 20) + 1))
-    deduped = duplicated.repartition(n_parts, *[F.col(k) for k in keys]) \
-                        .dropDuplicates(keys)
-    return deduped.select(
-        "seq",
-        F.lit("public").alias("source_table_schema"),
-        F.when(F.col("_tbl") == 0, F.lit("orders"))
-        .otherwise(F.lit("lineitem")).alias("source_table_name"),
-        "record_pk",
-        F.when(F.col("_act") == 0, F.lit("insert"))
-        .when(F.col("_act") == 1, F.lit("update"))
-        .otherwise(F.lit("delete")).alias("action"),
-        "committed_at_um",
-    )
+    return duplicated.repartition(n_parts, *[F.col(k) for k in keys]) \
+                     .dropDuplicates(keys)
 
 
 SQL_WAL_PIPELINE_LOG = f"""
