@@ -406,6 +406,44 @@ def connected_components(
     # hits the session-width cap and the loop keeps AQE (coalescing +
     # skew handling on the label shuffles).
     n_edges = edges.count()
+    spark = edges.sparkSession
+    # bounded pair set (the count above measured it): replay the exact
+    # min-label propagation on the driver — every step is integer /
+    # order-free min arithmetic, identical trajectory including the
+    # max_iterations cap and the label-sum convergence test, so the
+    # output is bit-identical to the distributed loop (guide §8: the
+    # corpus-scale work is the candidate-pair GENERATION upstream; the
+    # near-dup graph itself is the tiny decision table).  Above the
+    # bound the distributed loop below is unchanged — near-dup graphs
+    # of a 100 TB corpus keep the per-round shuffle shape.
+    from sequin_spark.datapipe.graph import _driver_fixpoint_max
+    if n_edges <= _driver_fixpoint_max(spark):
+        e_rows = [(r["src"], r["dst"]) for r in edges.collect()]
+        edges.unpersist()
+        nbr_min: dict = {}
+        for s, d in e_rows:
+            m = nbr_min.get(s)
+            nbr_min[s] = d if m is None or d < m else m
+        labels = {s: (s if s < m else m) for s, m in nbr_min.items()}
+        prev_sum = sum(labels.values()) if labels else None
+        for _ in range(max_iterations):
+            nxt = dict(labels)
+            for s, d in e_rows:
+                ld = labels[d]
+                if ld < nxt[s]:
+                    nxt[s] = ld
+            labels = nxt
+            new_sum = sum(labels.values()) if labels else None
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+        from pyspark.sql import types as T
+
+        id_type = pairs.schema[id_a].dataType
+        return spark.createDataFrame(
+            list(labels.items()),
+            T.StructType([T.StructField("doc_id", id_type),
+                          T.StructField("cluster_id", id_type)]))
     session_w = int(
         edges.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     loop_w = min(session_w, n_edges // 50_000 + 1)

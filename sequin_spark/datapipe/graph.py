@@ -40,6 +40,34 @@ from sequin_spark.session import no_aqe as _no_aqe
 
 SCALE = 10**12
 
+# Bounded-graph driver fast path (guide §8: decide with small rows).
+# The corpus-scale work of an entity-graph centrality query is the EDGE
+# AGGREGATION (the star join that counts lineitems per nation pair) —
+# that always runs distributed.  The fixed-point loop itself runs over
+# the aggregated edge table, whose cardinality is bounded by the entity
+# vocabulary (25 nations → ≤625 edges at ANY corpus size, 100 TB
+# included).  Scheduling 2–4 scheduler jobs plus a full Catalyst
+# plan compile per round for a ≤50k-row table is pure driver overhead
+# (measured: warm pagerank build 1.9 s, of which ~0.9 s was per-round
+# localCheckpoint physical planning and 1.7 s py4j socket wait) — so
+# when the ALREADY-MEASURED edge/node counts prove the graph small, the
+# loop replays on the driver in exact Python integer arithmetic (the
+# recurrences are pure 64-bit int — the same replay the kernel tests
+# assert against) and only the result table goes back through Spark.
+# Above the bound the distributed loop is unchanged.  The analog of the
+# broadcast-join threshold: move the loop to the data when the data is
+# a few KB, never when it is a corpus.
+_DRIVER_FIXPOINT_KEY = "spark.sequin.graph.driverFixpointMaxRows"
+_DRIVER_FIXPOINT_DEFAULT = 50_000
+
+
+def _driver_fixpoint_max(spark) -> int:
+    try:
+        return int(spark.conf.get(_DRIVER_FIXPOINT_KEY,
+                                  str(_DRIVER_FIXPOINT_DEFAULT)))
+    except ValueError:
+        return _DRIVER_FIXPOINT_DEFAULT
+
 
 
 
@@ -82,6 +110,40 @@ def pagerank_int(
     # session width as the cap — bounded frames never schedule a full
     # session-width task wave per round)
     n_e = e.count()
+    # bounded graph (the n_nodes/n_e counts above already measured it):
+    # replay the loop on the driver in exact Python ints — the
+    # recurrence is (r_u*w) div out_w summed per dst, then
+    # teleport + (d_num*s) div d_den, all non-negative 64-bit values,
+    # so Python `//` reproduces Spark's integral div bit-for-bit (the
+    # same replay tests/test_graph_privacy.py asserts the distributed
+    # loop against).  Sum order is irrelevant (integer adds).
+    if max(n_e, n_nodes) <= _driver_fixpoint_max(spark):
+        node_vals = [row["node"] for row in nodes.select("node").collect()]
+        e_rows = [(row["src"], row["dst"], row["w"], row["out_w"])
+                  for row in e.collect()]
+        e.unpersist()
+        r = {v: scale // n_nodes for v in node_vals}
+        for _ in range(iters):
+            s: dict = {}
+            for src, dst, w, out_w_v in e_rows:
+                ru = r.get(src)
+                if ru is not None:  # srcs outside nodes drop (inner join)
+                    s[dst] = s.get(dst, 0) + (ru * w) // out_w_v
+            r = {v: teleport + (d_num * s.get(v, 0)) // d_den
+                 for v in node_vals}
+        from pyspark.sql import types as T
+
+        ranks = spark.createDataFrame(
+            [(v, r[v]) for v in node_vals],
+            T.StructType([
+                T.StructField("node", nodes.schema["node"].dataType),
+                T.StructField("r", T.LongType()),
+            ]))
+        return ranks.select(
+            "node",
+            F.col("r").alias("rank_int"),
+            F.round(F.col("r") / F.lit(float(scale)), 6).alias("rank_val"),
+        )
     session_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     loop_parts = min(session_w, n_e // 50_000 + 1)
     if loop_parts < session_w:
@@ -168,6 +230,58 @@ def hits_int(
     # bounded per-round plans; the count sizes the loop's reduce width
     # to the data (50k rows/task, session width as the cap)
     n_e = e.count()
+    # bounded graph: replay the loop on the driver in exact Python ints
+    # (the ±renormalized recurrence is non-negative 64-bit integer
+    # arithmetic — `//` ≡ Spark's div; the distributed loop's inner
+    # joins never drop rows after init because hub keys = distinct
+    # srcs and authority keys = distinct dsts, so the edges-only
+    # replay below is the identical trajectory — the same _py_hits
+    # replay the kernel tests assert against).
+    if n_e <= _driver_fixpoint_max(spark):
+        e_rows = [(row["src"], row["dst"], row["w"])
+                  for row in e.collect()]
+        e.unpersist()
+        h = {src: scale for src, _, _ in e_rows}
+        a: dict = {}
+        for _ in range(iters):
+            a = {}
+            for src, dst, w in e_rows:
+                a[dst] = a.get(dst, 0) + h[src] * w
+            a_div = max((max(a.values(), default=0) + scale - 1)
+                        // scale, 1)
+            a = {v: x // a_div for v, x in a.items()}
+            h = {}
+            for src, dst, w in e_rows:
+                h[src] = h.get(src, 0) + a[dst] * w
+            h_div = max((max(h.values(), default=0) + scale - 1)
+                        // scale, 1)
+            h = {v: x // h_div for v, x in h.items()}
+        from pyspark.sql import types as T
+
+        ntype = nodes.schema["node"].dataType
+
+        def _tbl(d: dict, col: str):
+            return spark.createDataFrame(
+                list(d.items()) or [],
+                T.StructType([T.StructField("node", ntype),
+                              T.StructField(col, T.LongType())]))
+
+        out = nodes.join(F.broadcast(_tbl(a, "a")), "node", "left") \
+            .join(F.broadcast(_tbl(h, "h")), "node", "left").select(
+                "node",
+                F.coalesce("a", F.lit(0).cast("long"))
+                .alias("authority_int"),
+                F.coalesce("h", F.lit(0).cast("long")).alias("hub_int"),
+            )
+        return out.select(
+            "node",
+            "authority_int",
+            "hub_int",
+            F.round(F.col("authority_int") / F.lit(float(scale)), 6)
+            .alias("authority"),
+            F.round(F.col("hub_int") / F.lit(float(scale)), 6)
+            .alias("hub"),
+        )
     session_w = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     loop_parts = min(session_w, n_e // 50_000 + 1)
     if loop_parts < session_w:

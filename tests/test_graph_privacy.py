@@ -478,3 +478,49 @@ def test_asof_tolerance_nulls_stale_matches(spark):
         left, right, key_cols=["user_id"], ts_col="ts",
         order_col="event_id", right_payload=[], tolerance=100).collect()}
     assert tight[2]["event_id_asof"] is None  # gap 500 > 100
+
+
+def test_fixpoint_driver_and_loop_paths_agree(spark):
+    """The bounded-graph driver fast path and the distributed loop are
+    the SAME trajectory: force the loop (threshold 0), compare against
+    the default fast path (and the Python replay) on random graphs —
+    pagerank, HITS, and the min-label connected components."""
+    import random
+
+    from sequin_spark.datapipe.dedup import connected_components
+    from sequin_spark.datapipe.graph import _DRIVER_FIXPOINT_KEY
+
+    rng = random.Random(14141)
+    n = 8
+    nodes = [f"n{i}" for i in range(n)]
+    edges = [(u, v, rng.randint(1, 900))
+             for u in nodes for v in nodes if u != v and rng.random() < 0.4]
+    ndf = spark.createDataFrame([(v,) for v in nodes], ["node"])
+    edf = spark.createDataFrame(edges, ["src", "dst", "w"]).withColumn(
+        "w", F.col("w").cast("long"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (5, 6), (6, 1)], ["doc_a", "doc_b"])
+
+    fast = {
+        "pr": {r["node"]: r["rank_int"]
+               for r in pagerank_int(ndf, edf, iters=4).collect()},
+        "hits": {r["node"]: (r["authority_int"], r["hub_int"])
+                 for r in hits_int(ndf, edf, iters=3).collect()},
+        "cc": {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()},
+    }
+    spark.conf.set(_DRIVER_FIXPOINT_KEY, "0")
+    try:
+        loop = {
+            "pr": {r["node"]: r["rank_int"]
+                   for r in pagerank_int(ndf, edf, iters=4).collect()},
+            "hits": {r["node"]: (r["authority_int"], r["hub_int"])
+                     for r in hits_int(ndf, edf, iters=3).collect()},
+            "cc": {r["doc_id"]: r["cluster_id"]
+                   for r in connected_components(pairs).collect()},
+        }
+    finally:
+        spark.conf.unset(_DRIVER_FIXPOINT_KEY)
+    assert fast == loop
+    assert fast["pr"] == _py_pagerank(nodes, edges, iters=4)
+    assert fast["cc"] == {1: 1, 2: 1, 3: 1, 6: 1, 5: 1, 7: 7, 9: 7}
