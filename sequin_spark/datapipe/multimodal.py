@@ -113,6 +113,15 @@ def decode_media(media: DataFrame, fake: bool | None = None) -> DataFrame:
         for batch in batches:
             yield _decode_batch(batch, fake_flag)
 
+    if fake_flag:
+        # guide §4.1: pass only the columns the kernel reads.  Spark
+        # cannot see inside an opaque mapInPandas function, so without
+        # this projection every blob byte is transposed to Arrow,
+        # shipped to the Python worker and discarded there (measured:
+        # the whole sf0.1 decode ran as one ~1.9 s task, nearly all of
+        # it Arrow-serializing blobs the stub never touches).  A real
+        # decoder (fake=False) still receives the full media row.
+        media = media.select("doc_id", "media_type", "n_bytes")
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
 
 
