@@ -359,6 +359,10 @@ def char_entropy(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     float list, giving a bit-identical total."""
     from pyspark.sql import Window
 
+    # NOTE deliberately NOT spread: measured twice (r13 under load, r14
+    # idle same-process A/B min 1.17 vs 1.28 s) — the per-(doc,char)
+    # partial aggregation collapses the explode inside the scan task,
+    # so a pre-exchange only adds shuffle bytes
     chars = df.select(
         F.col(id_col),
         F.explode(F.regexp_extract_all(
