@@ -6226,6 +6226,8 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prep(spark)
+    # NOT spread: PCM synth+header decode is too cheap (idle A/B min
+    # 0.45 plain vs 0.56 spread, r14 session 2)
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def encode(batches):
@@ -6463,7 +6465,12 @@ def q_multimodal_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prep(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # width-capped spread before the two python stages (guide §2/§4;
+    # re-measured idle r14 session 2: mp3 probe min 1.05 -> 0.58 s —
+    # the r13 rejection was suite-contention noise); no-op when the
+    # scan already yields >= cap partitions
+    docs = _spread_python_kernel(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
         for b in batches:
@@ -6515,7 +6522,12 @@ def q_multimodal_mkv_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prep(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # width-capped spread before the two python stages (guide §2/§4;
+    # re-measured idle r14 session 2: mp3 probe min 1.05 -> 0.58 s —
+    # the r13 rejection was suite-contention noise); no-op when the
+    # scan already yields >= cap partitions
+    docs = _spread_python_kernel(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
         for b in batches:
@@ -6581,7 +6593,12 @@ def q_multimodal_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prep(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # width-capped spread before the two python stages (guide §2/§4;
+    # re-measured idle r14 session 2: mp3 probe min 1.05 -> 0.58 s —
+    # the r13 rejection was suite-contention noise); no-op when the
+    # scan already yields >= cap partitions
+    docs = _spread_python_kernel(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
         for b in batches:
@@ -6644,6 +6661,9 @@ def q_multimodal_flac_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prep(spark)
+    # NOT spread: the STREAMINFO walk is the cheapest probe kernel and
+    # the spread measured a LOSS idle (min 0.30 plain vs 0.44 spread,
+    # r14 session 2) — exchange overhead exceeds the kernel
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
     def encode(batches):
@@ -6795,7 +6815,12 @@ def q_multimodal_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _prep(spark)
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # width-capped spread before the two python stages (guide §2/§4;
+    # re-measured idle r14 session 2: mp3 probe min 1.05 -> 0.58 s —
+    # the r13 rejection was suite-contention noise); no-op when the
+    # scan already yields >= cap partitions
+    docs = _spread_python_kernel(
+        load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def encode(batches):
         for b in batches:
