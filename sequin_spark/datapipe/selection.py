@@ -431,7 +431,14 @@ def split_leakage(
         F.col(id_col),
         split.alias("split"),
         F.md5(normalized(text_col)).alias("fp"),
-    )
+    ).filter(F.col("fp").isNotNull())
+    # NULL fp (NULL text) rows are dropped to match the oracle's
+    # equi-join form exactly: a NULL fingerprint never joins, so the
+    # join shape excluded those docs from every count — the window
+    # form would instead lump all NULL fps into ONE partition and
+    # count two NULL-text docs in different splits as leaked (the
+    # r13-advice parity trap; latent only, the fixtures have no NULL
+    # text, but exactness should not depend on that)
     w_fp = Window.partitionBy("fp")
     leaked = (F.min("split").over(w_fp) != F.max("split").over(w_fp))
     return (
@@ -481,7 +488,10 @@ def split_assign_content(
     )
     from pyspark.sql import Window
 
-    base = df.select(F.col(id_col), fp.alias("fp"), split.alias("split"))
+    # NULL-fp rows dropped for oracle equi-join parity (see
+    # split_leakage above)
+    base = df.select(F.col(id_col), fp.alias("fp"), split.alias("split")) \
+        .filter(F.col("fp").isNotNull())
     w_fp = Window.partitionBy("fp")
     crossed = (F.min("split").over(w_fp) != F.max("split").over(w_fp))
     return (

@@ -89,6 +89,46 @@ def test_split_leakage_detects_cross_split_duplicates(spark):
     assert again == {s: r["n_docs"] for s, r in out.items()}
 
 
+def test_split_leakage_null_text_matches_join_oracle_form(spark):
+    """r14 (r13-advice parity trap): NULL-text docs must be excluded
+    from every count, exactly as the oracle's equi-join form excludes
+    them (NULL fp never joins) — the bare window form would lump all
+    NULL fps into one partition and call two NULL-text docs in
+    different splits leaked."""
+    from pyspark.sql import functions as F
+
+    rows = ([(i, f"unique text number {i}") for i in range(60)]
+            + [(100, None), (101, None), (102, None)])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["split"]: r for r in split_leakage(df).collect()}
+    # join-form reference: count_distinct(split) per fp via inner join
+    bucket = None
+    from sequin_spark.datapipe.selection import _h16
+    from sequin_spark.datapipe.text import normalized
+    base = df.select(
+        F.col("doc_id"),
+        F.when(_h16(F.col("doc_id")) % 100 < 80, "train")
+        .when(_h16(F.col("doc_id")) % 100 < 90, "val")
+        .otherwise("test").alias("split"),
+        F.md5(normalized("text")).alias("fp"))
+    span = base.groupBy("fp").agg(
+        F.count_distinct("split").alias("n_splits"))
+    ref = {r["split"]: r for r in (
+        base.join(span, "fp")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.count_distinct("fp").alias("n_unique_fp"),
+             F.sum(F.when(F.col("n_splits") >= 2, 1).otherwise(0))
+             .cast("long").alias("n_leaked_docs"))).collect()}
+    assert set(out) == set(ref)
+    for s in out:
+        assert out[s]["n_docs"] == ref[s]["n_docs"]
+        assert out[s]["n_unique_fp"] == ref[s]["n_unique_fp"]
+        assert out[s]["n_leaked_docs"] == ref[s]["n_leaked_docs"]
+    # the NULL-text docs are counted nowhere
+    assert sum(r["n_docs"] for r in out.values()) == 60
+
+
 def test_split_leakage_clean_corpus_has_none(spark):
     df = spark.createDataFrame(
         [(i, f"unique text number {i}") for i in range(100)],
