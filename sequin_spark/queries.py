@@ -814,8 +814,12 @@ def q_transaction_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the distinct-txn table feeds BOTH marker branches — without the
     # (lazy) checkpoint each branch re-runs the scan + dedup shuffle
-    # (2 input passes → 1; local wall a wash at sf0.1, the win is the
-    # removed pass at scale — r13 optimization round)
+    # (2 input passes → 1; local wall a wash at sf0.1 — r13
+    # optimization round).  Caveat at scale: localCheckpoint blocks
+    # are executor-local, so losing an executor loses the blocks and
+    # fails the query instead of recomputing; acceptable for the bench
+    # contract, use persist(MEMORY_AND_DISK) where decommission
+    # resilience matters (r13 advice)
     txns = _plan_ckpt(ev.select("commit_lsn").distinct())
     ann_json = F.concat(F.lit('{"src":'), F.col("commit_lsn").cast("string"), F.lit("}"))
     set_markers = txns.filter(F.col("commit_lsn") % 3 == 0).select(
